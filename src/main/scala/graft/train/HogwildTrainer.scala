@@ -1,0 +1,171 @@
+package graft.train
+
+import breeze.linalg.DenseMatrix
+import org.apache.spark.SparkEnv
+import org.apache.spark.rdd.RDD
+import graft.nn.{Batching, LocalTrainer, NetSpec, Network, Optimizer}
+import graft.nn.Tensors.Tensors
+import graft.server.{ParameterServer, ParamsClient}
+
+/** Distributed data-parallel trainer — the reference's `HogwildSparkModel`
+  * (lifeomic/sparkflow `HogwildSparkModel.py:103-272`) re-expressed for the
+  * JVM.
+  *
+  * Shape is identical: start a driver-hosted parameter server, run
+  * `rdd.foreachPartition` workers that pull weights / push gradients over
+  * HTTP, `repartition` between `partitionShuffles` rounds (a deliberate
+  * full shuffle — documented as costly in the reference README:167-169),
+  * finally read the weights and stop the server. Training is deliberately
+  * an RDD action OUTSIDE Catalyst: it is imperative per-partition compute,
+  * not a relational operator, so a DataFrame plan would buy nothing
+  * (SURVEY.md §2C).
+  *
+  * Scale note (100 TB): the server exchanges whole weight tensors per
+  * batch, so wire cost = O(model size x batches), independent of data
+  * size; data never moves to the driver. Partition count should track
+  * executor count (`coalesce` guard in [[graft.ml.SparkAsyncDL]]) so each
+  * worker streams its shard once per round.
+  */
+object HogwildTrainer {
+
+  final case class Config(
+      optimizerName: String = "adam",
+      learningRate: Double = 0.01,
+      optimizerOptions: Map[String, Double] = Map.empty,
+      iters: Int = 1000,
+      miniBatchSize: Int = -1,
+      miniStochasticIters: Int = -1,
+      acquireLock: Boolean = false,
+      shufflePerIter: Boolean = true,
+      partitionShuffles: Int = 1,
+      verbose: Int = 0,
+      port: Int = 5000,
+      seed: Long = 42L)
+
+  /** Train on an RDD of (features, label-vector) pairs; returns final weights. */
+  def fit(rdd: RDD[(Array[Double], Array[Double])], spec: NetSpec, cfg: Config): Tensors = {
+    val net = new Network(spec)
+    val weights = net.initWeights(cfg.seed)
+    val optimizer = Optimizer.build(cfg.optimizerName, cfg.learningRate, cfg.optimizerOptions)
+    val server = new ParameterServer(weights, optimizer, cfg.port, cfg.acquireLock,
+      maxErrors = math.max(cfg.iters, 1))
+    server.start()
+    try {
+      server.awaitReady()
+      val masterUrl = determineMaster(cfg.port)
+      val specJson = spec.toJson // ship the spec, not the Network object
+      val workerCfg = cfg
+      var current = rdd
+      var round = 0
+      val rounds = math.max(cfg.partitionShuffles, 1)
+      while (round < rounds) {
+        current.foreachPartition { it =>
+          workerPartition(it, specJson, masterUrl, workerCfg)
+        }
+        round += 1
+        if (round < rounds) current = current.repartition(current.getNumPartitions)
+      }
+      server.currentWeights
+    } finally {
+      server.stop() // always, like the reference's try/except (`:270-272`)
+    }
+  }
+
+  /** Per-partition worker — parity with `handle_model`
+    * (`HogwildSparkModel.py:38-100`): materialize the partition, then run
+    * the three-batch-mode loop against the server. Empty partitions no-op. */
+  private[graft] def workerPartition(
+      it: Iterator[(Array[Double], Array[Double])],
+      specJson: String,
+      masterUrl: String,
+      cfg: Config): Unit = {
+    val rows = it.toArray
+    if (rows.isEmpty) return
+    val spec = NetSpec.fromJson(specJson)
+    val net = new Network(spec)
+    val pid = org.apache.spark.TaskContext.getPartitionId()
+    val n = rows.length
+    val x = DenseMatrix.zeros[Double](n, spec.inputDim)
+    val y = DenseMatrix.zeros[Double](n, spec.outputDim)
+    var r = 0
+    while (r < n) {
+      val (f, l) = rows(r)
+      require(f.length == spec.inputDim, s"feature dim ${f.length} != net input ${spec.inputDim}")
+      var c = 0
+      while (c < f.length) { x(r, c) = f(c); c += 1 }
+      c = 0
+      while (c < l.length) { y(r, c) = l(c); c += 1 }
+      r += 1
+    }
+    LocalTrainer.trainLoop(
+      net, x, y,
+      LocalTrainer.Config(cfg.iters, cfg.miniBatchSize, cfg.miniStochasticIters,
+        cfg.shufflePerIter, cfg.verbose, cfg.seed + pid),
+      pull = () => ParamsClient.getWeights(masterUrl),
+      push = g => ParamsClient.postGradients(masterUrl, g, pid))
+  }
+
+  /** Driver URL for executors — `determine_master`
+    * (`HogwildSparkModel.py:145-154`): `spark.driver.host` when set, else
+    * local hostname. */
+  def determineMaster(port: Int): String = {
+    val host =
+      try SparkEnv.get.conf.get("spark.driver.host", java.net.InetAddress.getLocalHost.getHostAddress)
+      catch { case _: Exception => java.net.InetAddress.getLocalHost.getHostAddress }
+    s"$host:$port"
+  }
+
+  /** Deterministic alternative trainer: one synchronous round of
+    * tree-aggregated gradient averaging per iteration. This productionizes
+    * the reference's dead `calculate_weights` averaging path
+    * (`ml_util.py:43-51`) as a testable, reproducible mode — and at scale
+    * `treeAggregate` is the shape that survives 1000 executors (gradients
+    * combine on the tree, never funneling raw partitions to the driver). */
+  def fitSync(
+      rdd: RDD[(Array[Double], Array[Double])],
+      spec: NetSpec,
+      cfg: Config): Tensors = {
+    val net = new Network(spec)
+    val weights = net.initWeights(cfg.seed)
+    val optimizer = Optimizer.build(cfg.optimizerName, cfg.learningRate, cfg.optimizerOptions)
+    val specJson = spec.toJson
+    val sc = rdd.sparkContext
+    val cached = rdd.cache()
+    var it = 0
+    while (it < cfg.iters) {
+      val bc = sc.broadcast(weights)
+      val (gradSum, cnt) = cached.mapPartitions { pit =>
+        val rows = pit.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val s = NetSpec.fromJson(specJson)
+          val n2 = new Network(s)
+          val x = DenseMatrix.zeros[Double](rows.length, s.inputDim)
+          val y = DenseMatrix.zeros[Double](rows.length, s.outputDim)
+          var r = 0
+          while (r < rows.length) {
+            val (f, l) = rows(r)
+            var c = 0; while (c < f.length) { x(r, c) = f(c); c += 1 }
+            c = 0; while (c < l.length) { y(r, c) = l(c); c += 1 }
+            r += 1
+          }
+          val (_, g) = n2.forwardBackward(x, y, bc.value)
+          // scale to a weighted contribution so the tree-sum is the
+          // full-batch gradient regardless of partition skew
+          g.foreach(_ :*= rows.length.toDouble)
+          Iterator((g, rows.length.toLong))
+        }
+      }.treeReduce({ case ((g1, c1), (g2, c2)) =>
+        var i = 0
+        while (i < g1.length) { g1(i) :+= g2(i); i += 1 }
+        (g1, c1 + c2)
+      }, depth = 2)
+      gradSum.foreach(_ :/= cnt.toDouble)
+      optimizer.step(weights, gradSum)
+      bc.destroy()
+      it += 1
+    }
+    cached.unpersist(false)
+    weights
+  }
+}
