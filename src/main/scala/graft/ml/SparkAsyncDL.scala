@@ -63,19 +63,23 @@ private[ml] trait AsyncDLParams extends Params
     * `tests/dl_runner.py:164-185`) plus Seq[Float/Double] so array<float>
     * embedding columns train without a VectorAssembler hop. */
   private[ml] def toFeatureArray(v: Any): Array[Double] = v match {
-    case vec: Vector   => vec.toArray
-    case s: Seq[_]     => s.map(x => x.asInstanceOf[Number].doubleValue()).toArray
-    case a: Array[_]   => a.map(x => x.asInstanceOf[Number].doubleValue())
-    case other         => throw new IllegalArgumentException(
+    case vec: Vector => vec.toArray
+    // collection.Seq, not the immutable default alias: Spark row values
+    // arrive as mutable.ArraySeq
+    case s: scala.collection.Seq[_] =>
+      s.map(x => x.asInstanceOf[Number].doubleValue()).toArray
+    case a: Array[_] => a.map(x => x.asInstanceOf[Number].doubleValue())
+    case other       => throw new IllegalArgumentException(
       s"unsupported feature type ${if (other == null) "null" else other.getClass.getName}")
   }
 
   /** Label → vector; scalars wrap to [y] (`ml_util.py:90-95`). */
   private[ml] def toLabelArray(v: Any): Array[Double] = v match {
-    case vec: Vector  => vec.toArray
-    case s: Seq[_]    => s.map(x => x.asInstanceOf[Number].doubleValue()).toArray
-    case n: Number    => Array(n.doubleValue())
-    case other        => throw new IllegalArgumentException(
+    case vec: Vector => vec.toArray
+    case s: scala.collection.Seq[_] =>
+      s.map(x => x.asInstanceOf[Number].doubleValue()).toArray
+    case n: Number   => Array(n.doubleValue())
+    case other       => throw new IllegalArgumentException(
       s"unsupported label type ${if (other == null) "null" else other.getClass.getName}")
   }
 }

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * training-data-pipeline extensions (BASELINE.json): exact hash dedup,
+  * MinHash+LSH banding, SimHash, blocked n-gram Jaccard, and
+  * sign-bucketed embedding-cosine near-dup.
+  *
+  * Scale design: every variant is candidate-bucketed (LSH bands, blocking
+  * keys, sign buckets) so the pair join is `bucket → pairs-within-bucket`,
+  * never an O(n²) cross join — the only shape that survives 100 TB. The
+  * hash family is md5 (not Spark's xxhash64) specifically so the DuckDB
+  * oracle can replay signatures byte-for-byte; swap `Hashes.shingleHash`
+  * to xxhash64 for production speed (same plan shape, no oracle).
+  */
+object DedupOps {
+  import Tables._
+
+  /** Word-3-gram shingles, guarded for short docs (both engines must agree
+    * on the guard or empty-shingle docs diverge). */
+  private def withShingles(df: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    df.withColumn("w", w)
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", explode(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
+      .drop("w")
+  }
+  private val shinglesSql =
+    """SELECT doc_id, lang, n_chars,
+      |  unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |FROM (SELECT doc_id, lang, n_chars, string_split(text,' ') AS w
+      |      FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin
+
+  private val K = 8 // minhash signature size; banded 4 x 2
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: content-hash groups with representative + multiplicity
+    "dedup_exact" -> { (s, dir) =>
+      documents(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("h"))
+    },
+    // MinHash + LSH banding → candidate near-dup pairs
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      val sh = withShingles(documents(s, dir).select(col("doc_id"), col("text")))
+      val sigCols = (1 to K).map(i => min(md5(concat(lit(s"$i#"), col("sh")))).as(s"h$i"))
+      val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bands = sig.select(col("doc_id"), posexplode(array(
+        (0 until K / 2).map(b =>
+          md5(concat(col(s"h${2 * b + 1}"), col(s"h${2 * b + 2}")))): _*)))
+        .toDF("doc_id", "band", "bh")
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    // 16-bit SimHash per document (md5-derived bit family)
+    "dedup_simhash" -> { (s, dir) =>
+      val words = documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .withColumn("hex", md5(col("word")))
+      val hexVal: Int => Column = p => {
+        val a = ascii(substring(col("hex"), p, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val sumCols = (1 to 16).map(p =>
+        sum(when(hexVal(p) >= 8, 1).otherwise(-1)).as(s"s$p"))
+      val sums = words.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+      sums.select(col("doc_id"),
+        (1 to 16).map(p =>
+          when(col(s"s$p") > 0, lit(1L) * (1L << (p - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    // blocked n-gram Jaccard: same (lang, length-bucket) block only
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val sh = withShingles(documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+        .withColumn("bucket", (col("n_chars") / 100).cast("long"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val inter = a.join(b, col("a.sh") === col("b.sh") &&
+          col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.1)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    // embedding near-dup: 4-bit sign-bucket LSH then exact cosine
+    "dedup_embedding_cos" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("bucket", VectorOps.signBucket(col("v"), 4))
+        .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
+        .select(col("vec_id"), col("bucket"), col("v"), col("norm"))
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_sim", round(
+          VectorOps.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6))
+        .filter(col("cos_sim") >= 0.25)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+
+  private def simhashOracle: String = {
+    val hexVal: Int => String = p =>
+      s"(CASE WHEN ascii(substr(hex,$p,1)) >= 97 THEN ascii(substr(hex,$p,1)) - 87 ELSE ascii(substr(hex,$p,1)) - 48 END)"
+    val sums = (1 to 16).map(p =>
+      s"SUM(CASE WHEN ${hexVal(p)} >= 8 THEN 1 ELSE -1 END) AS s$p").mkString(",\n    ")
+    val bits = (1 to 16).map(p =>
+      s"CASE WHEN s$p > 0 THEN ${1L << (p - 1)} ELSE 0 END").mkString(" + ")
+    s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM (
+       |  SELECT doc_id, $sums
+       |  FROM (SELECT doc_id, md5(unnest(string_split(text,' '))) AS hex FROM documents) w
+       |  GROUP BY doc_id) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private def minhashOracle: String = {
+    val hs = (1 to K).map(i => s"min(md5('$i#' || sh)) AS h$i").mkString(", ")
+    val bandExprs = (0 until K / 2).map(b => s"md5(h${2 * b + 1} || h${2 * b + 2})").mkString(", ")
+    s"""WITH shingles AS ($shinglesSql),
+       |sig AS (SELECT doc_id, $hs FROM shingles GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest(generate_series(0, ${K / 2 - 1})) AS band,
+       |                 unnest([$bandExprs]) AS bh FROM sig)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY h""".stripMargin,
+    "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bucket, sh
+         |  FROM ($shinglesSql)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang
+         |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_cos" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, ${VectorOps.signBucketSql("v", 4)} AS bucket, v,
+         |         sqrt(${VectorOps.dotSql("v", "v")}) AS norm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings))
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(${VectorOps.dotSql("a.v", "b.v")} / (a.norm * b.norm), 6) AS cos_sim
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ROUND(${VectorOps.dotSql("a.v", "b.v")} / (a.norm * b.norm), 6) >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin)
+}
+
+/** Array-as-vector helpers shared by dedup + similarity search. Pure
+  * builtin higher-order functions (codegen'd, no UDF) with exact DuckDB
+  * SQL counterparts generated alongside so both engines fold identically. */
+object VectorOps {
+  /** Left-fold dot product over array<double> columns (deterministic
+    * element order on both engines). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))"
+
+  /** First-k-dims sign pattern — an axis-aligned hyperplane LSH bucket. */
+  def signBucket(v: Column, k: Int): Column =
+    concat((1 to k).map(i =>
+      when(element_at(v, i) > 0, lit("1")).otherwise(lit("0"))): _*)
+
+  def signBucketSql(v: String, k: Int): String =
+    (1 to k).map(i => s"(CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END)")
+      .mkString("(", " || ", ")")
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics over `events` (batch here; the same transforms
+  * run under Structured Streaming in [[graft.streaming.EventStream]]).
+  *
+  * The events parquet carries nanosecond timestamps; Spark reads them at
+  * microsecond precision, so the oracle SQL casts TIMESTAMP_NS →
+  * TIMESTAMP up front to compare at the same precision.
+  */
+object EventOps {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling-hour aggregation per event type
+    "events_hourly" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    // sessionization: 30-minute inactivity gap splits sessions
+    "events_sessions" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withGap = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perSession = withGap.groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("sess_events"))
+      perSession.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("sess_events")).cast("long").as("n_events"),
+          max(col("sess_events")).cast("long").as("max_session_events"))
+        .orderBy(col("user_id"))
+    },
+    // top event value per user via window rank (late-data-free batch shape)
+    "events_top_per_user" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      events(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("top_value"))
+        .orderBy(col("user_id"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+    "events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(tsu) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM m),
+        |per AS (SELECT user_id, sess_id, COUNT(*) AS sess_events
+        |        FROM sess GROUP BY user_id, sess_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(sess_events) AS BIGINT) AS n_events,
+        |  CAST(MAX(sess_events) AS BIGINT) AS max_session_events
+        |FROM per
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "events_top_per_user" ->
+      """SELECT user_id, event_id, event_type, ROUND(value, 2) AS top_value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+        |  FROM events) t
+        |WHERE rk = 1
+        |ORDER BY user_id""".stripMargin)
+}

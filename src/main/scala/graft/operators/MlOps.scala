@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ml.SparkAsyncDL
+import graft.nn.NetSpec
+
+/** ML-adjacent query surface: feature preparation (SQL-expressible, so the
+  * oracle can replay it) and end-to-end train+predict on the embeddings
+  * table (nondeterministic by design — hogwild — so queries-only, no
+  * oracle entry, per the driver contract).
+  */
+object MlOps {
+  import Tables._
+  import VectorOps._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L1-normalized feature assembly from raw columns (VectorAssembler +
+    // Normalizer(p=1) as pure SQL — the reference composes exactly these,
+    // examples/autoencoder_example.py:27-28)
+    "ml_feature_prep" -> { (s, dir) =>
+      val vals = array(col("c_acctbal"), col("c_nationkey").cast("double"))
+      val total = abs(col("c_acctbal")) + abs(col("c_nationkey").cast("double"))
+      customer(s, dir)
+        .select(col("c_custkey"),
+          transform(vals, x => round(x / total, 6)).as("features_l1"))
+        .orderBy(col("c_custkey"))
+    },
+    // per-class embedding statistics (labels as the training target)
+    "ml_label_stats" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      embeddings(s, dir)
+        .select(col("label"),
+          element_at(v, 1).as("e1"),
+          sqrt(dot(v, v)).as("l2norm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("e1")), 6).as("avg_first"),
+          round(avg(col("l2norm")), 6).as("avg_norm"))
+        .orderBy(col("label"))
+    },
+    // flagship train+predict: binary target from label, tiny net, hogwild.
+    // Nondeterministic → no oracle (rows-only check).
+    "ml_train_predict" -> { (s, dir) =>
+      val df = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          when(col("label") >= 5, 1.0).otherwise(0.0).as("target"))
+      val est = new SparkAsyncDL()
+        .setInputCol("embedding").setLabelCol("target")
+        .setNetSpec(NetSpec.input(64).dense(16, "tanh").dense(1, "sigmoid").loss("mse"))
+        .setTfOptimizer("adam").setTfLearningRate(0.05)
+        .setIters(10).setMiniBatchSize(64).setPartitions(4).setPort(5210)
+      val model = est.fit(df)
+      model.transform(df)
+        .select(col("vec_id"), col("target"),
+          when(col("predicted") > 0.5, 1.0).otherwise(0.0).as("pred_class"))
+        .orderBy(col("vec_id"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "ml_feature_prep" ->
+      """SELECT c_custkey,
+        |  list_transform([c_acctbal, CAST(c_nationkey AS DOUBLE)],
+        |    x -> ROUND(x / (abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE))), 6)) AS features_l1
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "ml_label_stats" ->
+      s"""WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings)
+         |SELECT label, COUNT(*) AS n,
+         |  ROUND(AVG(v[1]), 6) AS avg_first,
+         |  ROUND(AVG(sqrt(${dotSql("v", "v")})), 6) AS avg_norm
+         |FROM e
+         |GROUP BY label
+         |ORDER BY label""".stripMargin)
+}
+
+/** Multimodal-column surface: opaque binary payloads + typed metadata.
+  * The SQL-expressible metadata query lives here; the decode/feature
+  * plumbing (stubbed codecs over real Spark batch machinery) is in
+  * [[graft.multimodal.Multimodal]].
+  */
+object MultimodalOps {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // treat text as an opaque binary payload; deterministic fake "decode"
+    // metadata (byte length, leading byte, synthetic frame shape)
+    "mm_binary_meta" -> { (s, dir) =>
+      documents(s, dir)
+        .select(col("source"),
+          octet_length(col("text")).as("n_bytes"),
+          ascii(substring(col("text"), 1, 1)).as("first_byte"),
+          (col("n_chars") % 64).cast("long").as("fake_width"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(col("n_bytes").cast("long")).cast("long").as("total_bytes"),
+          round(avg(col("first_byte")), 6).as("avg_first_byte"),
+          max(col("fake_width")).cast("long").as("max_width"))
+        .orderBy(col("source"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT source, COUNT(*) AS n_payloads,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  ROUND(AVG(ascii(substr(text, 1, 1))), 6) AS avg_first_byte,
+        |  CAST(MAX(n_chars % 64) AS BIGINT) AS max_width
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
+}

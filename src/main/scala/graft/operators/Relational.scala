@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface over the TPC-H-ish testdata.
+  *
+  * The reference implements zero relational operators of its own (SURVEY.md
+  * §2B-C) — this is the DataFrame surface its users get from Spark, made
+  * first-class: declarative plans so Catalyst pushes filters/pruning into
+  * the parquet scans, `broadcast()` on dimension tables so fact-table joins
+  * never shuffle the big side, and decimal-cast aggregates so results are
+  * bit-deterministic regardless of partitioning (a requirement for the
+  * DuckDB oracle, and good hygiene at 100 TB where partition counts drift).
+  */
+object Relational {
+  import Tables._
+
+  /** Money-sum determinism: cast to decimal before aggregating so the sum
+    * is exact and order-independent, then surface as double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1: pricing summary report
+    "q1_pricing_summary" -> { (s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,4)") *
+              (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("double").as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    // TPC-H Q3-style: top revenue orders for one market segment
+    "q3_shipping_priority" -> { (s, dir) =>
+      val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    // TPC-H Q5-style: revenue per nation within one region
+    "q5_nation_revenue" -> { (s, dir) =>
+      val r = region(s, dir).filter(col("r_name") === "EUROPE")
+      val n = nation(s, dir)
+      val cust = customer(s, dir)
+      val o = orders(s, dir)
+      val l = lineitem(s, dir)
+      val sup = supplier(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(cust, o("o_custkey") === cust("c_custkey"))
+        .filter(cust("c_nationkey") === sup("s_nationkey")) // local supplier
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    // TPC-H Q4-style: orders with at least one late-shipped line, by priority
+    "q4_order_priority" -> { (s, dir) =>
+      val o = orders(s, dir)
+      val l = lineitem(s, dir)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    // window function: top-3 customers by account balance per market segment
+    "q_top_customers_window" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    },
+    // grouped part statistics (distinct counts + decimal-exact averages)
+    "q_part_stats" -> { (s, dir) =>
+      part(s, dir)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          countDistinct(col("p_type")).as("n_types"),
+          dsum(col("p_retailprice")).as("sum_price"),
+          max(col("p_size")).cast("long").as("max_size"))
+        .orderBy(col("p_brand"))
+    },
+    // set op + subquery shape: customers with above-average balance per nation
+    "q_above_avg_customers" -> { (s, dir) =>
+      val c = customer(s, dir)
+      val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+        .agg(avg(col("c_acctbal")).as("nation_avg"))
+      c.join(broadcast(natAvg), c("c_nationkey") === natAvg("nk"))
+        .filter(col("c_acctbal") > col("nation_avg") * 1.5)
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_rich"))
+        .orderBy(col("nationkey"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey AND r_name = 'EUROPE'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_top_customers_window" ->
+      """SELECT c_mktsegment, rk, c_custkey, acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) t
+        |WHERE rk <= 3
+        |ORDER BY c_mktsegment, rk""".stripMargin,
+    "q_part_stats" ->
+      """SELECT p_brand, COUNT(*) AS n_parts, COUNT(DISTINCT p_type) AS n_types,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(MAX(p_size) AS BIGINT) AS max_size
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q_above_avg_customers" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_rich
+        |FROM customer c
+        |JOIN (SELECT c_nationkey AS nk, AVG(c_acctbal) AS nation_avg
+        |      FROM customer GROUP BY c_nationkey) a ON c.c_nationkey = a.nk
+        |WHERE c_acctbal > nation_avg * 1.5
+        |GROUP BY CAST(c_nationkey AS BIGINT)
+        |ORDER BY nationkey""".stripMargin)
+}
+
+/** Table loaders (one parquet per table, TESTDATA.md). */
+object Tables {
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+  def lineitem(s: SparkSession, dir: String) = table(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String) = table(s, dir, "orders")
+  def customer(s: SparkSession, dir: String) = table(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String) = table(s, dir, "supplier")
+  def part(s: SparkSession, dir: String) = table(s, dir, "part")
+  def nation(s: SparkSession, dir: String) = table(s, dir, "nation")
+  def region(s: SparkSession, dir: String) = table(s, dir, "region")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read the raw int64 nanos (legacy conf) and convert with
+    * integer division — `div`, not `/`, because ns-epoch values exceed
+    * double's 53-bit mantissa. Matches the oracle's CAST(ts AS TIMESTAMP)
+    * truncation to microseconds. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, dir: String) = table(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String) = table(s, dir, "embeddings")
+}

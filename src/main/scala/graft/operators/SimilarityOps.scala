@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Two paths, as a training-data pipeline needs both:
+  *  - brute-force top-k cosine against a probe vector: one scan, O(n·d),
+  *    the exact baseline. The probe is broadcast (a 1-row dimension), so
+  *    the plan is scan → broadcast-nested-loop → project → top-k; no
+  *    shuffle of the big side. This is the shape that scales: at 100 TB
+  *    the scan partitions stream independently and TakeOrderedAndProject
+  *    keeps only k rows per partition.
+  *  - sign-bucket LSH ANN: restrict candidates to the probe's bucket
+  *    first. Same answer quality for near-duplicate retrieval at a
+  *    fraction of the scan (bucket pruning happens before the dot
+  *    product). With a persisted bucket column this becomes partition
+  *    pruning on the scan itself.
+  */
+object SimilarityOps {
+  import Tables._
+  import VectorOps._
+
+  private val PROBE_ID = 1
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact top-10 cosine neighbors of probe vec_id=1
+    "ann_topk_bruteforce" -> { (s, dir) =>
+      val e = embeddings(s, dir).withColumn("v", col("embedding").cast("array<double>"))
+      val probe = e.filter(col("vec_id") === PROBE_ID)
+        .select(col("v").as("p"))
+      e.filter(col("vec_id") =!= PROBE_ID)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(dot(col("v"), col("p")) /
+            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("p"), col("p")))), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    // LSH-bucketed ANN: probe's sign-bucket only, top-5
+    "ann_lsh_bucket" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("bucket", signBucket(col("v"), 4))
+      val probe = e.filter(col("vec_id") === PROBE_ID)
+        .select(col("v").as("p"), col("bucket").as("pbucket"))
+      e.filter(col("vec_id") =!= PROBE_ID)
+        .join(broadcast(probe), col("bucket") === col("pbucket"))
+        .select(col("vec_id"),
+          round(dot(col("v"), col("p")) /
+            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("p"), col("p")))), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    })
+
+  private def cosSql(v: String, p: String): String =
+    s"ROUND(${dotSql(v, p)} / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(p, p)})), 6)"
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |probe AS (SELECT v AS p FROM e WHERE vec_id = $PROBE_ID)
+         |SELECT vec_id, ${cosSql("v", "p")} AS cos_sim
+         |FROM e, probe
+         |WHERE vec_id <> $PROBE_ID
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin,
+    "ann_lsh_bucket" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |eb AS (SELECT vec_id, v, ${signBucketSql("v", 4)} AS bucket FROM e),
+         |probe AS (SELECT v AS p, bucket AS pbucket FROM eb WHERE vec_id = $PROBE_ID)
+         |SELECT vec_id, ${cosSql("v", "p")} AS cos_sim
+         |FROM eb, probe
+         |WHERE vec_id <> $PROBE_ID AND bucket = pbucket
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 5""".stripMargin)
+}

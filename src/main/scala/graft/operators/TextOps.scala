@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * These are the LLM-training-pipeline extensions (BASELINE.json) the
+  * reference lacks. Everything is built from codegen'd builtin functions —
+  * no UDFs — so the whole pipeline stays inside WholeStageCodegen and
+  * scales linearly with document count: per-doc work only, no shuffles
+  * except the final small aggregations.
+  *
+  * Every formula is deliberately expressible in ANSI-ish SQL so the DuckDB
+  * oracle can replay it exactly (`replace`-count idiom for occurrence
+  * counting; `least/greatest` for clamps).
+  */
+object TextOps {
+  import Tables._
+
+  /** Occurrences of word `w` in text via the replace-length idiom —
+    * identical semantics in Spark and DuckDB (non-overlapping left scan). */
+  private def occurrences(text: Column, w: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $w "
+    // each removal also eats the trailing space; re-scan stays aligned
+    // because both engines scan left-to-right non-overlapping
+    (length(padded) - length(regexp_replace(padded, needle, " "))) /
+      lit(needle.length - 1)
+  }
+  private def occursSql(w: String): String =
+    s"(length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' $w ', ' ', 'g'))) / ${w.length + 1}"
+
+  /** Tokens = single-space-separated words (the synthetic corpus shape). */
+  private def tokens(text: Column): Column = size(split(text, " "))
+
+  // language marker words (the corpus vocab is shared across langs, so
+  // these exist to exercise the operator shape deterministically, not to
+  // be linguistically meaningful)
+  private val markers = Map(
+    "de" -> Seq("scan", "filter", "vector"),
+    "en" -> Seq("the", "spark", "table"),
+    "es" -> Seq("group", "query", "stream"),
+    "fr" -> Seq("key", "customer", "agg"),
+    "zh" -> Seq("window", "order", "small"))
+
+  private def langScore(text: Column, lang: String): Column =
+    markers(lang).map(w => occurrences(text, w)).reduce(_ + _)
+  private def langScoreSql(lang: String): String =
+    markers(lang).map(occursSql).mkString(" + ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-(lang, source) token statistics
+    "text_token_stats" -> { (s, dir) =>
+      documents(s, dir)
+        .select(col("lang"), col("source"),
+          tokens(col("text")).as("toks"), col("n_chars"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks").cast("long")).cast("long").as("total_tokens"),
+          round(avg(col("toks")), 6).as("avg_tokens"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+    // quality score: length + vocab-diversity + stopword components,
+    // bucketed to one decimal; counts per bucket
+    "text_quality" -> { (s, dir) =>
+      val t = tokens(col("text"))
+      val lenScore = least(t.cast("double") / 100.0, lit(1.0))
+      val avgWordLen = (length(col("text")) - t + 1).cast("double") / t
+      val wordLenScore = greatest(lit(0.0),
+        lit(1.0) - abs(avgWordLen - 5.0) / 5.0)
+      val stopScore = least(occurrences(col("text"), "the").cast("double") /
+        greatest(t.cast("double"), lit(1.0)) * 10.0, lit(1.0))
+      val q = round(lenScore * 0.4 + wordLenScore * 0.4 + stopScore * 0.2, 1)
+      documents(s, dir)
+        .select(col("doc_id"), q.as("quality_bucket"))
+        .groupBy(col("quality_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("quality_bucket"))
+    },
+    // language-ID heuristic vs labeled lang → confusion counts
+    "text_langid" -> { (s, dir) =>
+      val txt = col("text")
+      val scored = documents(s, dir).select(col("lang"), col("text"),
+        langScore(txt, "de").as("s_de"), langScore(txt, "en").as("s_en"),
+        langScore(txt, "es").as("s_es"), langScore(txt, "fr").as("s_fr"),
+        langScore(txt, "zh").as("s_zh"))
+      val pred = when(col("s_de") >= greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_zh")), "de")
+        .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "en")
+        .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh")
+      scored.select(col("lang"), pred.as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    // normalized-text fingerprint; distinct fingerprints per source
+    "text_fingerprint" -> { (s, dir) =>
+      documents(s, dir)
+        .select(col("source"), md5(lower(col("text"))).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct"))
+        .orderBy(col("source"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+        |  ROUND(AVG(n_chars), 6) AS avg_chars
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    "text_quality" -> {
+      val t = "len(string_split(text, ' '))"
+      val lenScore = s"least($t / 100.0, 1.0)"
+      val awl = s"(length(text) - $t + 1) * 1.0 / $t"
+      val wls = s"greatest(0.0, 1.0 - abs($awl - 5.0) / 5.0)"
+      val stop = s"least((${occursSql("the")}) * 1.0 / greatest($t * 1.0, 1.0) * 10.0, 1.0)"
+      s"""SELECT ROUND($lenScore * 0.4 + $wls * 0.4 + $stop * 0.2, 1) AS quality_bucket,
+         |  COUNT(*) AS n_docs
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY quality_bucket""".stripMargin
+    },
+    "text_langid" -> {
+      val (sde, sen, ses, sfr, szh) = (langScoreSql("de"), langScoreSql("en"),
+        langScoreSql("es"), langScoreSql("fr"), langScoreSql("zh"))
+      s"""SELECT lang, pred_lang, COUNT(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+         |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+         |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+         |         WHEN s_fr >= s_zh THEN 'fr'
+         |         ELSE 'zh' END AS pred_lang
+         |  FROM (SELECT lang, ($sde) AS s_de, ($sen) AS s_en, ($ses) AS s_es,
+         |               ($sfr) AS s_fr, ($szh) AS s_zh
+         |        FROM documents) scores) t
+         |GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin
+    },
+    "text_fingerprint" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(lower(text))) AS n_distinct
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
+}
