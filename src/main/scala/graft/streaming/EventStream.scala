@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the `events` table shape.
+  *
+  * The reference has no streaming at all (SURVEY.md §2C) — this is the
+  * forward-looking extension: the same event analytics as
+  * [[graft.operators.EventOps]], expressed as an unbounded plan. Batch and
+  * stream share transform logic so results can be cross-checked (the
+  * batch queries are the oracle for the streaming path).
+  *
+  * Scale notes: watermark + tumbling window keeps state bounded (one
+  * window per (hour, type) in flight); sessionization state is one small
+  * case class per active user, evicted by event-time timeout — both are
+  * the shapes that survive unbounded input on a 1000-executor cluster.
+  */
+object EventStream {
+
+  val eventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+
+  /** File-source stream of event parquet/json dropped into `dir`. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-hour windowed counts/sums per event type, 2-hour watermark
+    * for late data. Streaming twin of the `events_hourly` batch query. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  // --- custom state: session tracking via flatMapGroupsWithState ---
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Emits a session row when 30 minutes pass with no events for a user
+    * (event-time timeout) — the streaming twin of `events_sessions`. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.sessionStart),
+              new Timestamp(s.lastTs), s.nEvents))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.lastTs > gapMs =>
+                  closed += SessionOut(userId, new Timestamp(s.sessionStart),
+                    new Timestamp(s.lastTs), s.nEvents)
+                  cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
+                case Some(s) =>
+                  cur = Some(s.copy(lastTs = e.ts.getTime, nEvents = s.nEvents + 1))
+                case None =>
+                  cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+}
