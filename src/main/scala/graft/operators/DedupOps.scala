@@ -104,16 +104,17 @@ object DedupOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     // embedding near-dup: 4-bit sign-bucket LSH then exact cosine
+    // (native fused Expression — same fold order as the oracle's
+    // dot/(sqrt*sqrt), so rounded values agree)
     "dedup_embedding_cos" -> { (s, dir) =>
       val e = embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
         .withColumn("bucket", VectorOps.signBucket(col("v"), 4))
-        .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
-        .select(col("vec_id"), col("bucket"), col("v"), col("norm"))
+        .select(col("vec_id"), col("bucket"), col("v"))
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos_sim", round(
-          VectorOps.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6))
+          graft.functions.VectorFunctions.cosine_sim(col("a.v"), col("b.v")), 6))
         .filter(col("cos_sim") >= 0.25)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
         .orderBy(col("vec_a"), col("vec_b"))

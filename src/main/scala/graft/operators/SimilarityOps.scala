@@ -25,7 +25,8 @@ object SimilarityOps {
   private val PROBE_ID = 1
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact top-10 cosine neighbors of probe vec_id=1
+    // exact top-10 cosine neighbors of probe vec_id=1 (native fused
+    // cosine Expression: one pass, zero allocation, codegen'd)
     "ann_topk_bruteforce" -> { (s, dir) =>
       val e = embeddings(s, dir).withColumn("v", col("embedding").cast("array<double>"))
       val probe = e.filter(col("vec_id") === PROBE_ID)
@@ -33,8 +34,7 @@ object SimilarityOps {
       e.filter(col("vec_id") =!= PROBE_ID)
         .crossJoin(broadcast(probe))
         .select(col("vec_id"),
-          round(dot(col("v"), col("p")) /
-            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("p"), col("p")))), 6)
+          round(graft.functions.VectorFunctions.cosine_sim(col("v"), col("p")), 6)
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
@@ -49,8 +49,7 @@ object SimilarityOps {
       e.filter(col("vec_id") =!= PROBE_ID)
         .join(broadcast(probe), col("bucket") === col("pbucket"))
         .select(col("vec_id"),
-          round(dot(col("v"), col("p")) /
-            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("p"), col("p")))), 6)
+          round(graft.functions.VectorFunctions.cosine_sim(col("v"), col("p")), 6)
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(5)
