@@ -107,6 +107,57 @@ object Relational {
           max(col("p_size")).cast("long").as("max_size"))
         .orderBy(col("p_brand"))
     },
+    // ROLLUP grouping sets over the pricing dimensions
+    "q_rollup_revenue" -> { (s, dir) =>
+      lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    },
+    // set operations: 1996-buyers vs 1997-buyers key sets
+    "q_set_ops" -> { (s, dir) =>
+      val o = orders(s, dir)
+      def buyers(y: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val both = buyers(1996).intersect(buyers(1997))
+        .select(lit("both").as("cohort"), col("o_custkey"))
+      val only96 = buyers(1996).except(buyers(1997))
+        .select(lit("only_1996").as("cohort"), col("o_custkey"))
+      val only97 = buyers(1997).except(buyers(1996))
+        .select(lit("only_1997").as("cohort"), col("o_custkey"))
+      both.union(only96).union(only97)
+        .groupBy(col("cohort")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("cohort"))
+    },
+    // exact interpolated quantiles (Spark percentile == DuckDB quantile_cont)
+    "q_quantiles" -> { (s, dir) =>
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .orderBy(col("l_returnflag"))
+    },
+    // sketch aggregates: HLL distinct + approx quantiles. Engine-specific
+    // estimates → no oracle (rows-only check); the exact twins above are
+    // the oracle-checked versions.
+    "q_sketches" -> { (s, dir) =>
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
+        .orderBy(col("l_returnflag"))
+    },
     // set op + subquery shape: customers with above-average balance per nation
     "q_above_avg_customers" -> { (s, dir) =>
       val c = customer(s, dir)
@@ -176,6 +227,37 @@ object Relational {
         |FROM part
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_set_ops" ->
+      """WITH b96 AS (SELECT o_custkey FROM orders
+        |             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |b97 AS (SELECT o_custkey FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |u AS (
+        |  SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM b96 INTERSECT SELECT o_custkey FROM b97) t1
+        |  UNION ALL
+        |  SELECT 'only_1996' AS cohort, o_custkey FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97) t2
+        |  UNION ALL
+        |  SELECT 'only_1997' AS cohort, o_custkey FROM (SELECT o_custkey FROM b97 EXCEPT SELECT o_custkey FROM b96) t3)
+        |SELECT cohort, COUNT(*) AS n_customers
+        |FROM u
+        |GROUP BY cohort
+        |ORDER BY cohort""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_above_avg_customers" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_rich
         |FROM customer c
