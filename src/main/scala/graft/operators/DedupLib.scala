@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable dedup operators over arbitrary (id, text) DataFrames — the
+  * production-speed twins of the oracle-checked queries in [[DedupOps]].
+  *
+  * Hash family is xxhash64 (codegen'd, 8-byte longs) instead of md5 hex
+  * strings: ~an order of magnitude less hashing + shuffle byte volume at
+  * the cost of DuckDB replayability (which the query variants keep). Plan
+  * shapes are identical: shingle → signature (one aggregation) → band →
+  * bucket self-join. Nothing here is O(n²) in documents.
+  */
+object DedupLib {
+
+  /** Word n-gram shingles of `textCol`; docs shorter than `n` words drop. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val w = split(col(textCol), " ")
+    df.select(col(idCol).as("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .withColumn("sh", explode(transform(
+        sequence(lit(1), size(col("w")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o)): _*))))
+      .select(col("doc_id"), col("sh"))
+  }
+
+  /** k xxhash64 minhashes per doc (k aggregate columns, one pass). */
+  def minhashSignatures(sh: DataFrame, k: Int = 16): DataFrame = {
+    val cols = (1 to k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(cols.head, cols.tail: _*)
+  }
+
+  /** LSH banding: k minhashes into `bands` bands of k/bands rows; emits
+    * (doc_id, band, bh). Same-band equal-hash docs are candidates. */
+  def bandHashes(sig: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((1 to rows).map(r => col(s"h${b * rows + r}")): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bh")
+  }
+
+  /** Candidate near-dup pairs (a < b) from banded signatures. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH pipeline: text table → candidate pairs. */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleWords: Int = 3): DataFrame =
+    candidatePairs(bandHashes(minhashSignatures(
+      shingles(df, idCol, textCol, shingleWords), k), k, bands))
+
+  /** Verify candidates with exact shingle-set Jaccard; keeps pairs at or
+    * above `threshold`. Join is candidates × shingles (bounded), never
+    * all-pairs. */
+  def verifyJaccard(
+      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val distinctSh = sh.distinct()
+    val sizes = distinctSh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val aSh = distinctSh.toDF("doc_a", "sh")
+    val bSh = distinctSh.toDF("doc_b", "sh")
+    val inter = candidates
+      .join(aSh, "doc_a").join(bSh, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "sza"), "doc_a")
+      .join(sizes.toDF("doc_b", "szb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per doc from xxhash64 word hashes (bit-parallel: one
+    * aggregation over words, no per-bit explode). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { bit =>
+      sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1)).as(s"b$bit")
+    }
+    val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    sums.select(col("doc_id"),
+      (0 until 64).map(bit =>
+        when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+        .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** Hamming distance between simhash values — pair verifier. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

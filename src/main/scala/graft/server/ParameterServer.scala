@@ -45,9 +45,28 @@ final class ParameterServer(
   @volatile private var aborted = false
   private var server: HttpServer = _
   private val pool = Executors.newCachedThreadPool()
+  /** Actual bound port — may differ from the requested one (see start). */
+  @volatile var boundPort: Int = port
 
   def start(): Unit = {
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+    // Bind retry: a lingering TIME_WAIT socket from a previous training
+    // (the reference's test_change_port exists exactly because leaked
+    // ports break reruns) walks forward up to 32 ports. Callers read
+    // `boundPort` for the worker URL.
+    var attempt = 0
+    var bound: HttpServer = null
+    var lastErr: Throwable = null
+    while (bound == null && attempt < 32) {
+      try {
+        bound = HttpServer.create(new InetSocketAddress(port + attempt), 0)
+        boundPort = port + attempt
+      } catch {
+        case e: java.io.IOException => lastErr = e; attempt += 1
+      }
+    }
+    if (bound == null) throw new java.io.IOException(
+      s"no free port in [$port, ${port + 31}]", lastErr)
+    server = bound
     server.createContext("/", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex, 200, "graft".getBytes)
     })
@@ -85,7 +104,7 @@ final class ParameterServer(
     * 8 s, `HogwildSparkModel.py:117,135`); this probe exists for belt and
     * braces when the caller wants an explicit readiness handshake. */
   def awaitReady(timeoutMs: Long = 10000): Unit = {
-    val url = new java.net.URI(s"http://127.0.0.1:$port/").toURL
+    val url = new java.net.URI(s"http://127.0.0.1:$boundPort/").toURL
     val deadline = System.currentTimeMillis() + timeoutMs
     var ok = false
     while (!ok && System.currentTimeMillis() < deadline) {
@@ -96,7 +115,7 @@ final class ParameterServer(
         c.disconnect()
       } catch { case _: Exception => Thread.sleep(50) }
     }
-    if (!ok) sys.error(s"parameter server on port $port not ready after ${timeoutMs}ms")
+    if (!ok) sys.error(s"parameter server on port $boundPort not ready after ${timeoutMs}ms")
   }
 
   def isAborted: Boolean = aborted

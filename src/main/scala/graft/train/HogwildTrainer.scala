@@ -52,7 +52,7 @@ object HogwildTrainer {
     server.start()
     try {
       server.awaitReady()
-      val masterUrl = determineMaster(cfg.port)
+      val masterUrl = determineMaster(server.boundPort)
       val specJson = spec.toJson // ship the spec, not the Network object
       val workerCfg = cfg
       var current = rdd

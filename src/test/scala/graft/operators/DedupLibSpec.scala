@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+class DedupLibSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  /** Corpus with planted near-dups: 1≈2 (one word changed), 3=4 (exact),
+    * 5 unrelated. */
+  private def docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")),
+      (3L, "completely different text about spark query engines and shuffles at scale"),
+      (4L, "completely different text about spark query engines and shuffles at scale"),
+      (5L, "unrelated short document with its own vocabulary entirely disjoint words"))
+      .toDF("id", "text")
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups, not unrelated docs") {
+    val pairs = DedupLib.minhashCandidates(docs, "id", "text", k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 4L)), s"exact dup must always band-match: $pairs")
+    assert(pairs.contains((1L, 2L)), s"near dup should band-match at 8 bands: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"unrelated doc paired: $pairs")
+  }
+
+  test("jaccard verification scores pairs correctly") {
+    val sh = DedupLib.shingles(docs, "id", "text")
+    val cands = DedupLib.minhashCandidates(docs, "id", "text", k = 16, bands = 8)
+    val verified = DedupLib.verifyJaccard(cands, sh, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified((3L, 4L)) == 1.0) // identical docs
+    val nearJ = verified((1L, 2L))
+    assert(nearJ > 0.5 && nearJ < 1.0, s"near-dup jaccard $nearJ")
+    // threshold filters
+    val strict = DedupLib.verifyJaccard(cands, sh, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((3L, 4L)))
+  }
+
+  test("simhash64: identical docs equal, near-dups close, unrelated far") {
+    val sh = DedupLib.simhash64(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(3L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(5L)),
+      s"near ${ham(sh(1L), sh(2L))} !< far ${ham(sh(1L), sh(5L))}")
+    // column-level hamming agrees with local bitCount
+    import spark.implicits._
+    val d = Seq((sh(1L), sh(2L))).toDF("a", "b")
+      .select(DedupLib.hammingDistance(col("a"), col("b")).as("h"))
+      .head().getInt(0)
+    assert(d == ham(sh(1L), sh(2L)))
+  }
+
+  test("short docs drop from shingling; empty candidate set is fine") {
+    import spark.implicits._
+    val tiny = Seq((1L, "two words"), (2L, "also tiny")).toDF("id", "text")
+    assert(DedupLib.shingles(tiny, "id", "text").count() == 0)
+    assert(DedupLib.minhashCandidates(tiny, "id", "text").count() == 0)
+  }
+}
