@@ -128,12 +128,44 @@ object Loss {
       sys.error(s"unknown loss '$n' (expected one of ${all.map(_.name).mkString(",")})"))
 }
 
-/** One dense layer: fanIn x fanOut + activation + optional dropout rate
-  * applied to this layer's OUTPUT during training (inverted dropout —
-  * identity at inference, mirroring the keep/drop placeholder contract of
-  * the reference, `ml_util.py:70-71`). */
-case class LayerSpec(in: Int, out: Int, activation: String, dropout: Double = 0.0) {
+/** One layer. `kind` selects the operator:
+  *
+  *  - "dense" (default): fanIn x fanOut affine + activation + optional
+  *    dropout on the OUTPUT during training (inverted dropout — identity
+  *    at inference, the keep/drop placeholder contract of the reference,
+  *    `ml_util.py:70-71`). `in`/`out` are flat widths.
+  *  - "conv2d": input interpreted as (h, w, c) row-major with channel
+  *    innermost; `kernel`x`kernel` window, `stride`, `filters` output
+  *    channels, VALID padding. `in` = h*w*c, `out` = outH*outW*filters.
+  *  - "maxpool": `pool`x`pool` window with stride `pool` over (h, w, c).
+  *    No weights. `in` = h*w*c, `out` = (h/pool)*(w/pool)*c.
+  *
+  * Conv/pool cover the reference's CNN example surface
+  * (`examples/cnn_example.py:13-18`: conv2d + max_pooling2d + dense).
+  */
+case class LayerSpec(
+    in: Int, out: Int, activation: String, dropout: Double = 0.0,
+    kind: String = "dense",
+    h: Int = 0, w: Int = 0, c: Int = 1,
+    filters: Int = 0, kernel: Int = 0, stride: Int = 1, pool: Int = 0) {
   def act: Activation = Activation.byName(activation)
+  kind match {
+    case "dense" =>
+    case "conv2d" =>
+      require(h > 0 && w > 0 && c > 0 && filters > 0 && kernel > 0 && stride > 0,
+        s"conv2d needs h/w/c/filters/kernel/stride: $this")
+      require(in == h * w * c, s"conv2d in=$in != h*w*c=${h * w * c}")
+      require(out == outH * outW * filters,
+        s"conv2d out=$out != outH*outW*filters=${outH * outW * filters}")
+    case "maxpool" =>
+      require(h > 0 && w > 0 && c > 0 && pool > 0, s"maxpool needs h/w/c/pool: $this")
+      require(h % pool == 0 && w % pool == 0, s"maxpool requires pool | h,w: $this")
+      require(in == h * w * c && out == (h / pool) * (w / pool) * c,
+        s"maxpool dims wrong: $this")
+    case other => sys.error(s"unknown layer kind '$other'")
+  }
+  def outH: Int = if (kind == "conv2d") (h - kernel) / stride + 1 else h / pool
+  def outW: Int = if (kind == "conv2d") (w - kernel) / stride + 1 else w / pool
 }
 
 /** Serializable network topology — our replacement for the reference's
@@ -152,9 +184,13 @@ case class NetSpec(layers: Seq[LayerSpec], loss: String, seed: Long = 42L) {
   def outputDim: Int = layers.last.out
 
   def toJson: String = {
-    val ls = layers.map(l =>
-      s"""{"in":${l.in},"out":${l.out},"activation":"${l.activation}","dropout":${l.dropout}}""")
-      .mkString("[", ",", "]")
+    val ls = layers.map { l =>
+      val base = s""""in":${l.in},"out":${l.out},"activation":"${l.activation}","dropout":${l.dropout},"kind":"${l.kind}""""
+      val conv =
+        if (l.kind == "dense") ""
+        else s""","h":${l.h},"w":${l.w},"c":${l.c},"filters":${l.filters},"kernel":${l.kernel},"stride":${l.stride},"pool":${l.pool}"""
+      s"{$base$conv}"
+    }.mkString("[", ",", "]")
     s"""{"layers":$ls,"loss":"$loss","seed":$seed}"""
   }
 }
@@ -171,16 +207,42 @@ object NetSpec {
         in = (lj \ "in").extract[Int],
         out = (lj \ "out").extract[Int],
         activation = (lj \ "activation").extract[String],
-        dropout = (lj \ "dropout").extractOrElse[Double](0.0))
+        dropout = (lj \ "dropout").extractOrElse[Double](0.0),
+        kind = (lj \ "kind").extractOrElse[String]("dense"),
+        h = (lj \ "h").extractOrElse[Int](0),
+        w = (lj \ "w").extractOrElse[Int](0),
+        c = (lj \ "c").extractOrElse[Int](1),
+        filters = (lj \ "filters").extractOrElse[Int](0),
+        kernel = (lj \ "kernel").extractOrElse[Int](0),
+        stride = (lj \ "stride").extractOrElse[Int](1),
+        pool = (lj \ "pool").extractOrElse[Int](0))
     }
     NetSpec(layers, (j \ "loss").extract[String], (j \ "seed").extractOrElse[Long](42L))
   }
 
-  /** Builder DSL: `NetSpec.input(784).dense(256, "relu").dense(10, "softmax").loss("softmax_xent")` */
-  def input(dim: Int): Builder = new Builder(dim, Vector.empty)
-  final class Builder(last: Int, layers: Vector[LayerSpec]) {
+  /** Builder DSL: `NetSpec.input(784).dense(256, "relu").dense(10, "softmax").loss("softmax_xent")`;
+    * conv nets via `NetSpec.image(28, 28, 1).conv2d(8, 3).maxpool(2).dense(10, "softmax")...`. */
+  def input(dim: Int): Builder = new Builder(dim, 0, 0, 0, Vector.empty)
+  def image(h: Int, w: Int, c: Int = 1): Builder = new Builder(h * w * c, h, w, c, Vector.empty)
+
+  final class Builder(last: Int, h: Int, w: Int, c: Int, layers: Vector[LayerSpec]) {
     def dense(out: Int, activation: String, dropout: Double = 0.0): Builder =
-      new Builder(out, layers :+ LayerSpec(last, out, activation, dropout))
+      new Builder(out, 0, 0, 0, layers :+ LayerSpec(last, out, activation, dropout))
+    def conv2d(filters: Int, kernel: Int, stride: Int = 1,
+        activation: String = "relu"): Builder = {
+      require(h > 0, "conv2d requires image(...) input or a prior conv/pool layer")
+      val oh = (h - kernel) / stride + 1
+      val ow = (w - kernel) / stride + 1
+      val l = LayerSpec(last, oh * ow * filters, activation, kind = "conv2d",
+        h = h, w = w, c = c, filters = filters, kernel = kernel, stride = stride)
+      new Builder(l.out, oh, ow, filters, layers :+ l)
+    }
+    def maxpool(pool: Int): Builder = {
+      require(h > 0, "maxpool requires image-shaped input")
+      val l = LayerSpec(last, (h / pool) * (w / pool) * c, "linear",
+        kind = "maxpool", h = h, w = w, c = c, pool = pool)
+      new Builder(l.out, h / pool, w / pool, c, layers :+ l)
+    }
     def loss(l: String, seed: Long = 42L): NetSpec = NetSpec(layers, l, seed)
   }
 }
