@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+class SimilarityLibSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  /** Three well-separated clusters in 8-d. */
+  private def clustered = {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val centers = Seq(
+      Array.fill(8)(5.0), Array.fill(8)(-5.0),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5.0 else -5.0))
+    (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(_ + rng.nextGaussian() * 0.3).toSeq)
+    }.toDF("id", "vec")
+  }
+
+  test("IVF index: probe scans only nearby cells and finds true neighbors") {
+    val (assigned, centroids) = SimilarityLib.buildIvf(clustered, "id", "vec", cells = 3)
+    assert(centroids.length == 3)
+    // every cluster lands in one cell (well separated)
+    val cellsPerCluster = assigned
+      .withColumn("cluster", col("id") % 3)
+      .groupBy("cluster").agg(countDistinct("cell").as("n"))
+      .collect().map(_.getLong(1))
+    assert(cellsPerCluster.forall(_ == 1L))
+    // probe near cluster 0 with nprobe=1 returns only cluster-0 members
+    val probe = Array.fill(8)(5.0)
+    val top = SimilarityLib.queryIvf(assigned, centroids, probe, k = 5, nprobe = 1)
+      .collect()
+    assert(top.length == 5)
+    assert(top.forall(_.getLong(0) % 3 == 0), "IVF probe leaked other clusters")
+    assert(top.forall(_.getAs[Double]("cos_sim") > 0.99))
+  }
+
+  test("hyperplane signatures: same-cluster pairs are Hamming-close") {
+    val sigs = SimilarityLib.hyperplaneSignature(clustered, "vec", dim = 8, bits = 16)
+    val cands = SimilarityLib.hyperplaneCandidates(sigs, "id", bits = 16, bands = 4,
+      maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.nonEmpty)
+    // candidate pairs overwhelmingly within-cluster
+    val within = cands.count { case (a, b) => a % 3 == b % 3 }
+    assert(within.toDouble / cands.length > 0.95,
+      s"only $within/${cands.length} candidate pairs within-cluster")
+  }
+
+  test("signatures are deterministic across invocations (seeded planes)") {
+    val s1 = SimilarityLib.hyperplaneSignature(clustered, "vec", 8, 16)
+      .select("id", "signature").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s2 = SimilarityLib.hyperplaneSignature(clustered, "vec", 8, 16)
+      .select("id", "signature").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s1 == s2)
+  }
+
+  test("IVF on the real embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (assigned, centroids) = SimilarityLib.buildIvf(emb, "vec_id", "embedding", cells = 8)
+    assert(assigned.select(countDistinct("cell")).head().getLong(0) == 8L)
+    val probe = emb.filter(col("vec_id") === 1)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val top = SimilarityLib.queryIvf(assigned, centroids, probe, k = 3, nprobe = 2)
+    assert(top.count() == 3)
+    // probe's own vector should rank first with cos_sim ~ 1
+    assert(top.head().getAs[Double]("cos_sim") > 0.999999)
+  }
+}
