@@ -42,6 +42,43 @@ object EventOps {
           max(col("sess_events")).cast("long").as("max_session_events"))
         .orderBy(col("user_id"))
     },
+    // as-of join: for each purchase, the most recent prior click by the
+    // same user. Spark lacks ASOF JOIN; composed from a running
+    // conditional max over an ordered window (preference (a): existing
+    // ops express the semantics, no custom plan needed). Exact integer
+    // sums keep the oracle bit-stable.
+    "events_asof_join" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("last_click_us",
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap_us",
+          when(col("last_click_us").isNotNull &&
+            (unix_micros(col("ts")) > col("last_click_us")),
+            unix_micros(col("ts")) - col("last_click_us")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("gap_us")).as("n_matched"),
+          coalesce(sum(col("gap_us")), lit(0L)).cast("long").as("sum_gap_us"))
+        .orderBy(col("user_id"))
+    },
+    // scalar JSON + date functions over the props column
+    "events_json_props" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          // cast to long: DuckDB's year()/month() return BIGINT
+          year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("m"))
+        .groupBy(col("event_type"), col("y"), col("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy(col("event_type"), col("y"), col("m"))
+    },
     // top event value per user via window rank (late-data-free batch shape)
     "events_top_per_user" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
@@ -84,6 +121,34 @@ object EventOps {
         |FROM per
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "events_asof_join" ->
+      """WITH ce AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (
+        |  SELECT user_id, event_type, epoch_us(tsu) AS ts_us,
+        |    MAX(CASE WHEN event_type = 'click' THEN epoch_us(tsu) END)
+        |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        |  FROM ce),
+        |p AS (
+        |  SELECT user_id,
+        |    CASE WHEN last_click_us IS NOT NULL AND ts_us > last_click_us
+        |         THEN ts_us - last_click_us END AS gap_us
+        |  FROM m WHERE event_type = 'purchase')
+        |SELECT user_id, COUNT(*) AS n_purchases, COUNT(gap_us) AS n_matched,
+        |  CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us
+        |FROM p
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "events_json_props" ->
+      """SELECT event_type, year(CAST(ts AS TIMESTAMP)) AS y,
+        |  month(CAST(ts AS TIMESTAMP)) AS m, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type, y, m""".stripMargin,
     "events_top_per_user" ->
       """SELECT user_id, event_id, event_type, ROUND(value, 2) AS top_value FROM (
         |  SELECT user_id, event_id, event_type, value,
