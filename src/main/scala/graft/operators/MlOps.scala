@@ -49,7 +49,10 @@ object MlOps {
         .setInputCol("embedding").setLabelCol("target")
         .setNetSpec(NetSpec.input(64).dense(16, "tanh").dense(1, "sigmoid").loss("mse"))
         .setTfOptimizer("adam").setTfLearningRate(0.05)
-        .setIters(10).setMiniBatchSize(64).setPartitions(4).setPort(5210)
+        // full-batch: one weight pull + gradient post per partition per
+        // iter (the 64-row sweep re-pulled weights per batch — hundreds
+        // of driver round-trips for a bench-flagship that needs ten)
+        .setIters(10).setMiniBatchSize(-1).setPartitions(4).setPort(5210)
       val model = est.fit(df)
       model.transform(df)
         .select(col("vec_id"), col("target"),
