@@ -98,6 +98,19 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred_lang"))
     },
+    // deterministic per-group sampling: the 3 docs with smallest content
+    // hash per language — a reproducible uniform sample (hash order is
+    // data-defined, not RNG-defined), the shape a training-data pipeline
+    // uses for per-source quota sampling at scale
+    "text_sample_per_lang" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+      documents(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    },
     // normalized-text fingerprint; distinct fingerprints per source
     "text_fingerprint" -> { (s, dir) =>
       documents(s, dir)
@@ -145,6 +158,13 @@ object TextOps {
          |GROUP BY lang, pred_lang
          |ORDER BY lang, pred_lang""".stripMargin
     },
+    "text_sample_per_lang" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 3
+        |ORDER BY lang, rk""".stripMargin,
     "text_fingerprint" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(lower(text))) AS n_distinct
         |FROM documents

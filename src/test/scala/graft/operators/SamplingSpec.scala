@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hashSample is deterministic and roughly proportional") {
+    val n = docs.count()
+    val s1 = Sampling.hashSample(docs, "text", 0.3)
+    val s2 = Sampling.hashSample(docs, "text", 0.3)
+    assert(s1.count() == s2.count())
+    val frac = s1.count().toDouble / n
+    assert(frac > 0.15 && frac < 0.45, s"fraction $frac far from 0.3")
+    // monotone: a larger fraction is a superset
+    val small = Sampling.hashSample(docs, "text", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.hashSample(docs, "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("quotaPerGroup caps each group deterministically") {
+    val q = Sampling.quotaPerGroup(docs, "lang", "text", 5)
+    val counts = q.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 5))
+    val again = Sampling.quotaPerGroup(docs, "lang", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(q.select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(again))
+  }
+
+  test("ReservoirSampler aggregates k values, merge-order independent") {
+    import spark.implicits._
+    val sampler = new Sampling.ReservoirSampler(3)
+    val data = (1 to 100).map(i => ("g" + (i % 2), s"val$i")).toDF("g", "v")
+    def run(parts: Int) = data.repartition(parts).as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(sampler.toColumn.name("sample"))
+      .collect().map { case (g, s) => g -> s.sorted.toList }.toMap
+    val a = run(2)
+    val b = run(7) // different partitioning → different merge order
+    assert(a == b, "reservoir result depends on merge order")
+    assert(a.values.forall(_.size == 3))
+  }
+}
