@@ -86,15 +86,17 @@ object DedupOps {
     },
     // blocked n-gram Jaccard: same (lang, length-bucket) block only.
     // The distinct shingle set feeds three consumers (both self-join
-    // sides + the size table); localCheckpoint materializes it once
-    // instead of recomputing the explode+distinct three times.
+    // sides + the size table); persist materializes it once instead of
+    // recomputing the explode+distinct three times, while keeping
+    // lineage (unlike localCheckpoint, which pins blocks to executors
+    // and makes executor loss fatal on a real cluster).
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val sh = withShingles(documents(s, dir)
           .select(col("doc_id"), col("lang"), col("n_chars"), col("text")))
         .withColumn("bucket", (col("n_chars") / 100).cast("long"))
         .select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
         .distinct()
-        .localCheckpoint()
+        .persist()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = sh.as("a"); val b = sh.as("b")
       val inter = a.join(b, col("a.sh") === col("b.sh") &&

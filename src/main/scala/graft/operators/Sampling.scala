@@ -8,55 +8,84 @@ import org.apache.spark.sql.functions._
   *
   * `hashSample` / `quotaPerGroup` are declarative (window / filter over a
   * content hash) so they push into codegen and scale like any projection.
-  * [[ReservoirSampler]] is the custom-aggregate route — a public-API
-  * `Aggregator[IN, BUF, OUT]` (the judge-checklist "typed aggregate"
-  * path) for when the quota must be collected as one array per group in a
-  * single aggregation pass. Determinism comes from keying the reservoir
-  * priority on xxhash64 of the value, not an RNG, so re-runs and the
-  * merge order of partial buffers cannot change the result.
+  * [[ReservoirSampler]] is the custom-aggregate route — an
+  * `Aggregator[IN, BUF, OUT]` (the typed-aggregate path) for when the
+  * quota must be collected as one array per group in a single aggregation
+  * pass. Determinism comes from keying the reservoir priority on a hash
+  * of the value with the value itself as tiebreaker, not an RNG, so
+  * re-runs and the merge order of partial buffers cannot change the
+  * result.
   */
 object Sampling {
 
   /** Deterministic Bernoulli-style sample: keep rows whose content hash
-    * lands under `fraction` of the hash space. Stable across runs and
-    * partitionings; no RNG, no seed bookkeeping. */
+    * lands under `fraction` of the (unsigned-halved) hash space. Stable
+    * across runs and partitionings; no RNG, no seed bookkeeping. NULL
+    * keys are excluded (they would otherwise share one hash value and be
+    * kept all-or-nothing). */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
     val threshold = (fraction * Long.MaxValue).toLong
-    df.filter(abs(xxhash64(col(keyCol))) <= threshold)
+    // shiftrightunsigned, not abs: abs(Long.MinValue) overflows (a crash
+    // under Spark 4's default ANSI mode)
+    df.filter(col(keyCol).isNotNull &&
+      shiftrightunsigned(xxhash64(col(keyCol)), 1) <= threshold)
   }
 
   /** At most `n` rows per group, chosen by smallest content hash —
-    * reproducible per-group quota sampling. */
-  def quotaPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
+    * reproducible per-group quota sampling. `tieCol` must be unique per
+    * row (an id column); without it, rows with duplicate `keyCol` values
+    * tie completely and the choice among them is partition-order
+    * dependent. */
+  def quotaPerGroup(
+      df: DataFrame, groupCol: String, keyCol: String, n: Int,
+      tieCol: String): DataFrame = {
+    val rk = "__graft_rk" // collision-proof temp name
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(xxhash64(col(keyCol)), col(keyCol))
-    df.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= n)
-      .drop("_rk")
+      .partitionBy(col(groupCol))
+      .orderBy(xxhash64(col(keyCol)), col(keyCol), col(tieCol))
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= n)
+      .drop(rk)
   }
 
   /** Deterministic "reservoir": keeps the `k` values with the smallest
-    * xxhash-derived priority. Merge-order independent, so it is a lawful
-    * distributed aggregate. */
-  class ReservoirSampler(k: Int)
+    * (hash-derived priority, value) pairs. The value tiebreaker makes the
+    * order total, so hash collisions cannot introduce merge-order
+    * dependence and this is a lawful distributed aggregate.
+    *
+    * The output encoder is taken implicitly — pass
+    * `spark.implicits.newSequenceEncoder` (in scope via
+    * `import spark.implicits._`) to stay on public API. */
+  class ReservoirSampler(k: Int)(implicit outEnc: Encoder[Seq[String]])
       extends Aggregator[String, List[(Long, String)], Seq[String]] {
-    private def priority(v: String): Long =
-      // splitmix-style scramble of the string hash → uniform priority
-      {
-        var h = v.hashCode.toLong * 0x9E3779B97F4A7C15L
-        h ^= (h >>> 32); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 29)
-        h
+    require(k > 0)
+    private def priority(v: String): Long = {
+      // splitmix-style scramble over the full string content
+      var h = 0L
+      var i = 0
+      while (i < v.length) { h = h * 31 + v.charAt(i); i += 1 }
+      h *= 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 29)
+      h
+    }
+    private val ord = Ordering.Tuple2[Long, String]
+    /** Sorted ascending; last = current max. Bounded insert: most rows
+      * reject in O(1) against the max once the buffer is full. */
+    private def insert(b: List[(Long, String)], e: (Long, String)): List[(Long, String)] =
+      if (b.length >= k && ord.gteq(e, b.last)) b
+      else {
+        val merged = (e :: b).sorted(ord)
+        if (merged.length > k) merged.take(k) else merged
       }
     def zero: List[(Long, String)] = Nil
     def reduce(b: List[(Long, String)], v: String): List[(Long, String)] =
-      ((priority(v), v) :: b).sortBy(_._1).take(k)
+      insert(b, (priority(v), v))
     def merge(a: List[(Long, String)], b: List[(Long, String)]): List[(Long, String)] =
-      (a ++ b).sortBy(_._1).take(k)
+      (a ++ b).sorted(ord).take(k)
     def finish(b: List[(Long, String)]): Seq[String] = b.map(_._2)
     def bufferEncoder: Encoder[List[(Long, String)]] =
       Encoders.kryo[List[(Long, String)]]
-    def outputEncoder: Encoder[Seq[String]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    def outputEncoder: Encoder[Seq[String]] = outEnc
   }
 }

@@ -26,12 +26,23 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("quotaPerGroup caps each group deterministically") {
-    val q = Sampling.quotaPerGroup(docs, "lang", "text", 5)
+    val q = Sampling.quotaPerGroup(docs, "lang", "text", 5, tieCol = "doc_id")
     val counts = q.groupBy("lang").count().collect().map(_.getLong(1))
     assert(counts.forall(_ <= 5))
-    val again = Sampling.quotaPerGroup(docs, "lang", "text", 5)
+    val again = Sampling.quotaPerGroup(docs.repartition(7), "lang", "text", 5, tieCol = "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(q.select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(again))
+  }
+
+  test("quotaPerGroup is deterministic even with duplicate key values") {
+    import spark.implicits._
+    // duplicate text across distinct ids: the tie column must decide
+    val dup = (1 to 20).map(i => (i.toLong, "g", "same text")).toDF("id", "grp", "txt")
+    val a = Sampling.quotaPerGroup(dup.repartition(3), "grp", "txt", 4, tieCol = "id")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.quotaPerGroup(dup.repartition(9), "grp", "txt", 4, tieCol = "id")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
   }
 
   test("ReservoirSampler aggregates k values, merge-order independent") {
@@ -46,5 +57,19 @@ class SamplingSpec extends AnyFunSuite {
     val b = run(7) // different partitioning → different merge order
     assert(a == b, "reservoir result depends on merge order")
     assert(a.values.forall(_.size == 3))
+  }
+
+  test("ReservoirSampler survives colliding priorities (value tiebreak)") {
+    import spark.implicits._
+    // equal 31-base string hashes ("Aa" vs "BB") → equal scrambled
+    // priorities; the value tiebreak must keep the result total-ordered
+    val sampler = new Sampling.ReservoirSampler(1)
+    val data = Seq(("g", "Aa"), ("g", "BB"))
+    def run(order: Seq[(String, String)], parts: Int) =
+      order.toDF("g", "v").repartition(parts).as[(String, String)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(sampler.toColumn.name("sample"))
+        .collect().head._2.toList
+    assert(run(data, 1) == run(data.reverse, 2))
   }
 }
