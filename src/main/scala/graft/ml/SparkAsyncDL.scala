@@ -198,12 +198,27 @@ class SparkAsyncDLModel(override val uid: String) extends Model[SparkAsyncDLMode
   def spec: NetSpec = NetSpec.fromJson($(modelJson))
   def weights: Tensors.Tensors = Tensors.fromJson($(modelWeights))
 
+  /** One broadcast per (context, weights) — repeated transform() calls on
+    * a long-lived model must not accumulate broadcast blocks on the
+    * executors. Keyed by identity: the weights Param value is the same
+    * String instance until someone sets a new one. */
+  @transient private var cachedBc
+      : (org.apache.spark.SparkContext, String, org.apache.spark.broadcast.Broadcast[Tensors.Tensors]) = _
+  private def weightsBroadcast(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.broadcast.Broadcast[Tensors.Tensors] = synchronized {
+    val sc = spark.sparkContext
+    val wj = $(modelWeights)
+    if (cachedBc == null || (cachedBc._1 ne sc) || (cachedBc._2 ne wj))
+      cachedBc = (sc, wj, sc.broadcast(weights))
+    cachedBc._3
+  }
+
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema, logging = true)
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val spark = dataset.sparkSession
     val net = new Network(spec) // built once on the driver, serializes with the closure
-    val bcWeights = spark.sparkContext.broadcast(weights)
+    val bcWeights = weightsBroadcast(spark)
     val scalar = spec.outputDim == 1 // scalar-vs-vector output rule (`ml_util.py:76-81`)
     val inType = dataset.schema($(inputCol)).dataType
     // typed UDFs per input column type: ml Vector (dense/sparse) or raw arrays

@@ -42,6 +42,7 @@ object LocalTrainer {
     var y = y0
     val n = x.rows
     var it = 0
+    var lastTs: Tensors = null // reused for loss reporting — no extra pull
     while (it < cfg.iters) {
       if (cfg.shufflePerIter) {
         val (xs, ys) = Batching.shuffle(x, y, rng)
@@ -50,6 +51,7 @@ object LocalTrainer {
       if (cfg.miniStochasticIters >= 1) {
         var k = 0
         val ts = pull()
+        lastTs = ts
         while (k < cfg.miniStochasticIters) {
           val idx = Batching.batchIndices(n, cfg.miniBatchSize, -1, rng)
           val (_, g) = net.forwardBackward(
@@ -62,6 +64,7 @@ object LocalTrainer {
         var s = 0
         while (s < sweeps) {
           val ts = pull() // weights re-pulled per batch, like the reference
+          lastTs = ts
           val idx = Batching.batchIndices(n, cfg.miniBatchSize, s, rng)
           if (idx.nonEmpty) {
             val (_, g) = net.forwardBackward(
@@ -72,11 +75,14 @@ object LocalTrainer {
         }
       } else {
         val ts = pull()
+        lastTs = ts
         val (_, g) = net.forwardBackward(x, y, ts, rng)
         push(g)
       }
       if (cfg.verbose > 0 || lossCallback != null) {
-        val l = net.loss(x, y, pull())
+        // report with the weights already pulled this iteration instead
+        // of a second full-model GET per iteration
+        val l = net.loss(x, y, lastTs)
         if (cfg.verbose > 0 && it % math.max(1, cfg.iters / 20) == 0)
           System.err.println(s"[graft] iter=$it loss=$l")
         if (lossCallback != null) lossCallback(l)

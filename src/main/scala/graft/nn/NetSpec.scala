@@ -179,6 +179,17 @@ case class NetSpec(layers: Seq[LayerSpec], loss: String, seed: Long = 42L) {
     case Seq(a, b) => require(a.out == b.in, s"layer mismatch: ${a.out} -> ${b.in}")
     case _         =>
   }
+  // fail fast on loss/activation mispairings that would otherwise train
+  // silently on garbage gradients: softmax_xent's dZ assumes the output
+  // IS softmax probabilities (not logits), and softmax anywhere else has
+  // no standalone gradient here
+  layers.init.foreach(l => require(l.activation.toLowerCase != "softmax",
+    "softmax is only legal as the final activation"))
+  if (loss == "softmax_xent")
+    require(layers.last.activation.toLowerCase == "softmax",
+      "softmax_xent requires a softmax final activation (it consumes probabilities, not logits)")
+  if (layers.last.activation.toLowerCase == "softmax")
+    require(loss == "softmax_xent", s"softmax output requires softmax_xent loss, not $loss")
   def lossFn: Loss = Loss.byName(loss)
   def inputDim: Int = layers.head.in
   def outputDim: Int = layers.last.out

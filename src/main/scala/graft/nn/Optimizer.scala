@@ -18,8 +18,19 @@ import graft.nn.Tensors.Tensors
 sealed trait Optimizer extends Serializable {
   def lr: Double
   def step(w: Tensors, g: Tensors): Unit
-  protected def zeros(like: Tensors): Tensors =
-    like.map(t => DenseMatrix.zeros[Double](t.rows, t.cols))
+  protected def zeros(like: Tensors): Tensors = Tensors.zerosLike(like)
+
+  /** Lazily-allocated state must publish safely: in hogwild mode several
+    * HTTP handler threads race into the FIRST step concurrently, and an
+    * unsynchronized null-check would let one thread observe
+    * partially-initialized state (an NPE crash race — not the deliberate
+    * weight-update stochasticity). Subclasses call this once per step;
+    * `init` runs exactly once, before any thread proceeds. */
+  @volatile private var initialized = false
+  protected def ensureInit(init: => Unit): Unit =
+    if (!initialized) synchronized {
+      if (!initialized) { init; initialized = true }
+    }
 }
 
 object Optimizer {
@@ -35,7 +46,7 @@ object Optimizer {
       extends Optimizer {
     private var v: Tensors = _
     def step(w: Tensors, g: Tensors): Unit = {
-      if (v == null) v = zeros(w)
+      ensureInit { v = zeros(w) }
       var i = 0
       while (i < w.length) {
         v(i) := v(i) * momentum + g(i)
@@ -53,7 +64,7 @@ object Optimizer {
     private var v: Tensors = _
     private var t = 0L
     def step(w: Tensors, g: Tensors): Unit = {
-      if (m == null) { m = zeros(w); v = zeros(w) }
+      ensureInit { m = zeros(w); v = zeros(w) }
       t += 1
       val b1c = 1.0 - math.pow(beta1, t.toDouble)
       val b2c = 1.0 - math.pow(beta2, t.toDouble)
@@ -77,7 +88,7 @@ object Optimizer {
     private var mg: Tensors = _
     private var mom: Tensors = _
     def step(w: Tensors, g: Tensors): Unit = {
-      if (ms == null) { ms = zeros(w); mg = zeros(w); mom = zeros(w) }
+      ensureInit { ms = zeros(w); mg = zeros(w); mom = zeros(w) }
       var i = 0
       while (i < w.length) {
         ms(i) := ms(i) * decay + (g(i) *:* g(i)) * (1.0 - decay)
@@ -96,7 +107,7 @@ object Optimizer {
   final class Adagrad(val lr: Double, initAccum: Double = 0.1) extends Optimizer {
     private var acc: Tensors = _
     def step(w: Tensors, g: Tensors): Unit = {
-      if (acc == null) acc = w.map(t => DenseMatrix.fill[Double](t.rows, t.cols)(initAccum))
+      ensureInit { acc = w.map(t => DenseMatrix.fill[Double](t.rows, t.cols)(initAccum)) }
       var i = 0
       while (i < w.length) {
         acc(i) :+= g(i) *:* g(i)
@@ -111,7 +122,7 @@ object Optimizer {
     private var accG: Tensors = _
     private var accDx: Tensors = _
     def step(w: Tensors, g: Tensors): Unit = {
-      if (accG == null) { accG = zeros(w); accDx = zeros(w) }
+      ensureInit { accG = zeros(w); accDx = zeros(w) }
       var i = 0
       while (i < w.length) {
         accG(i) := accG(i) * rho + (g(i) *:* g(i)) * (1.0 - rho)
@@ -132,7 +143,7 @@ object Optimizer {
     private var nAcc: Tensors = _
     private var zAcc: Tensors = _
     def step(w: Tensors, g: Tensors): Unit = {
-      if (nAcc == null) { nAcc = zeros(w); zAcc = zeros(w) }
+      ensureInit { nAcc = zeros(w); zAcc = zeros(w) }
       var i = 0
       while (i < w.length) {
         val nNew = nAcc(i) + (g(i) *:* g(i))

@@ -62,6 +62,10 @@ object HogwildTrainer {
         current.foreachPartition { it =>
           workerPartition(it, specJson, masterUrl, workerCfg)
         }
+        // surface persistent update failures instead of returning the
+        // initial weights as if training succeeded
+        if (server.isAborted) throw new IllegalStateException(
+          s"parameter server aborted after ${server.errorCount} failed updates")
         round += 1
         if (round < rounds) current = current.repartition(current.getNumPartitions)
       }
@@ -74,6 +78,32 @@ object HogwildTrainer {
   /** Per-partition worker — parity with `handle_model`
     * (`HogwildSparkModel.py:38-100`): materialize the partition, then run
     * the three-batch-mode loop against the server. Empty partitions no-op. */
+  /** Rows → (features, labels) matrices, validating BOTH widths: a short
+    * label would silently zero-pad (training on garbage targets), a long
+    * one would crash deep in breeze — fail with a message instead. */
+  private[graft] def toMatrices(
+      rows: Array[(Array[Double], Array[Double])],
+      spec: NetSpec): (DenseMatrix[Double], DenseMatrix[Double]) = {
+    val n = rows.length
+    val x = DenseMatrix.zeros[Double](n, spec.inputDim)
+    val y = DenseMatrix.zeros[Double](n, spec.outputDim)
+    var r = 0
+    while (r < n) {
+      val (f, l) = rows(r)
+      require(f.length == spec.inputDim,
+        s"feature dim ${f.length} != net input ${spec.inputDim}")
+      require(l.length == spec.outputDim,
+        s"label dim ${l.length} != net output ${spec.outputDim} " +
+          "(one-hot encode class indices for multi-class nets)")
+      var c = 0
+      while (c < f.length) { x(r, c) = f(c); c += 1 }
+      c = 0
+      while (c < l.length) { y(r, c) = l(c); c += 1 }
+      r += 1
+    }
+    (x, y)
+  }
+
   private[graft] def workerPartition(
       it: Iterator[(Array[Double], Array[Double])],
       specJson: String,
@@ -84,19 +114,7 @@ object HogwildTrainer {
     val spec = NetSpec.fromJson(specJson)
     val net = new Network(spec)
     val pid = org.apache.spark.TaskContext.getPartitionId()
-    val n = rows.length
-    val x = DenseMatrix.zeros[Double](n, spec.inputDim)
-    val y = DenseMatrix.zeros[Double](n, spec.outputDim)
-    var r = 0
-    while (r < n) {
-      val (f, l) = rows(r)
-      require(f.length == spec.inputDim, s"feature dim ${f.length} != net input ${spec.inputDim}")
-      var c = 0
-      while (c < f.length) { x(r, c) = f(c); c += 1 }
-      c = 0
-      while (c < l.length) { y(r, c) = l(c); c += 1 }
-      r += 1
-    }
+    val (x, y) = toMatrices(rows, spec)
     LocalTrainer.trainLoop(
       net, x, y,
       LocalTrainer.Config(cfg.iters, cfg.miniBatchSize, cfg.miniStochasticIters,
@@ -131,25 +149,30 @@ object HogwildTrainer {
     val specJson = spec.toJson
     val sc = rdd.sparkContext
     val cached = rdd.cache()
+    if (cached.isEmpty()) { // treeReduce on no elements throws; match fit()
+      cached.unpersist(false)
+      return weights
+    }
     var it = 0
     while (it < cfg.iters) {
       val bc = sc.broadcast(weights)
+      val iter = it
       val (gradSum, cnt) = cached.mapPartitions { pit =>
         val rows = pit.toArray
         if (rows.isEmpty) Iterator.empty
         else {
           val s = NetSpec.fromJson(specJson)
           val n2 = new Network(s)
-          val x = DenseMatrix.zeros[Double](rows.length, s.inputDim)
-          val y = DenseMatrix.zeros[Double](rows.length, s.outputDim)
-          var r = 0
-          while (r < rows.length) {
-            val (f, l) = rows(r)
-            var c = 0; while (c < f.length) { x(r, c) = f(c); c += 1 }
-            c = 0; while (c < l.length) { y(r, c) = l(c); c += 1 }
-            r += 1
-          }
-          val (_, g) = n2.forwardBackward(x, y, bc.value)
+          val (x, y) = toMatrices(rows, s)
+          // deterministic dropout: seeded per (iteration, partition), so
+          // dropout-declaring specs train the same objective as fit()
+          // while the trainer stays reproducible
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val rng =
+            if (s.layers.exists(_.dropout > 0.0))
+              new scala.util.Random(cfg.seed + iter.toLong * 1000003L + pid)
+            else null
+          val (_, g) = n2.forwardBackward(x, y, bc.value, rng)
           // scale to a weighted contribution so the tree-sum is the
           // full-batch gradient regardless of partition skew
           g.foreach(_ :*= rows.length.toDouble)
