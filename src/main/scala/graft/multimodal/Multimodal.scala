@@ -72,7 +72,8 @@ object Multimodal {
       else java.util.Arrays.copyOf(payload, math.min(payload.length, w * h))
 
     /** "Frame-sample": split payload into `n` equal chunks (fake frames). */
-    def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
+    def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      require(n > 0, s"frame count must be positive, got $n")
       if (payload == null || payload.isEmpty) Seq.empty
       else {
         val step = math.max(1, payload.length / n)
@@ -82,6 +83,7 @@ object Multimodal {
             math.min(start + step, payload.length))
         }
       }
+    }
   }
 
   /** Batched feature extraction: one codec pass per partition, appending

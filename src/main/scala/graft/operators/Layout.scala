@@ -24,9 +24,10 @@ object Layout {
     * partitions. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val b = big.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
-    val s = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
-    b.join(s, Seq(key, "_salt")).drop("_salt")
+    val salt = "__graft_salt" // collision-proof temp name
+    val b = big.withColumn(salt, pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val s = small.withColumn(salt, explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, Seq(key, salt)).drop(salt)
   }
 
   /** Write a bucketed + sorted copy of `df` as a managed table so repeated

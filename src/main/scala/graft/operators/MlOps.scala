@@ -21,9 +21,13 @@ object MlOps {
     "ml_feature_prep" -> { (s, dir) =>
       val vals = array(col("c_acctbal"), col("c_nationkey").cast("double"))
       val total = abs(col("c_acctbal")) + abs(col("c_nationkey").cast("double"))
+      // zero-norm guard: ANSI mode (Spark 4 default) turns x/0 into a
+      // runtime crash; emit a zero vector instead, mirrored in the oracle
       customer(s, dir)
         .select(col("c_custkey"),
-          transform(vals, x => round(x / total, 6)).as("features_l1"))
+          transform(vals, x =>
+            when(total === 0.0, 0.0).otherwise(round(x / total, 6)))
+            .as("features_l1"))
         .orderBy(col("c_custkey"))
     },
     // per-class embedding statistics (labels as the training target)
@@ -64,7 +68,8 @@ object MlOps {
     "ml_feature_prep" ->
       """SELECT c_custkey,
         |  list_transform([c_acctbal, CAST(c_nationkey AS DOUBLE)],
-        |    x -> ROUND(x / (abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE))), 6)) AS features_l1
+        |    x -> CASE WHEN abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE)) = 0 THEN 0.0
+        |              ELSE ROUND(x / (abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE))), 6) END) AS features_l1
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
     "ml_label_stats" ->

@@ -283,7 +283,14 @@ object Tables {
     * rejects; read the raw int64 nanos (legacy conf) and convert with
     * integer division — `div`, not `/`, because ns-epoch values exceed
     * double's 53-bit mantissa. Matches the oracle's CAST(ts AS TIMESTAMP)
-    * truncation to microseconds. */
+    * truncation to microseconds.
+    *
+    * Side effect, deliberate: `nanosAsLong` is a session conf (no per-read
+    * option exists), so after this call other nanos-timestamp parquets in
+    * the SAME session also decode as longs. Restoring it after the read
+    * would be worse — the conf is consulted again at execution time, so a
+    * restore could flip schema mid-query. All graft entry points
+    * (Verify/Bench/tests) use short-lived single-purpose sessions. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, dir, "events")

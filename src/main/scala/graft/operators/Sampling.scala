@@ -58,7 +58,7 @@ object Sampling {
     * `spark.implicits.newSequenceEncoder` (in scope via
     * `import spark.implicits._`) to stay on public API. */
   class ReservoirSampler(k: Int)(implicit outEnc: Encoder[Seq[String]])
-      extends Aggregator[String, List[(Long, String)], Seq[String]] {
+      extends Aggregator[String, Vector[(Long, String)], Seq[String]] {
     require(k > 0)
     private def priority(v: String): Long = {
       // splitmix-style scramble over the full string content
@@ -70,22 +70,23 @@ object Sampling {
       h
     }
     private val ord = Ordering.Tuple2[Long, String]
-    /** Sorted ascending; last = current max. Bounded insert: most rows
-      * reject in O(1) against the max once the buffer is full. */
-    private def insert(b: List[(Long, String)], e: (Long, String)): List[(Long, String)] =
+    /** Sorted ascending; last = current max. Bounded insert: once full,
+      * most rows reject by comparing against the max — Vector makes
+      * length/last cheap (List would re-walk k elements per row). */
+    private def insert(b: Vector[(Long, String)], e: (Long, String)): Vector[(Long, String)] =
       if (b.length >= k && ord.gteq(e, b.last)) b
       else {
-        val merged = (e :: b).sorted(ord)
+        val merged = (b :+ e).sorted(ord)
         if (merged.length > k) merged.take(k) else merged
       }
-    def zero: List[(Long, String)] = Nil
-    def reduce(b: List[(Long, String)], v: String): List[(Long, String)] =
+    def zero: Vector[(Long, String)] = Vector.empty
+    def reduce(b: Vector[(Long, String)], v: String): Vector[(Long, String)] =
       insert(b, (priority(v), v))
-    def merge(a: List[(Long, String)], b: List[(Long, String)]): List[(Long, String)] =
+    def merge(a: Vector[(Long, String)], b: Vector[(Long, String)]): Vector[(Long, String)] =
       (a ++ b).sorted(ord).take(k)
-    def finish(b: List[(Long, String)]): Seq[String] = b.map(_._2)
-    def bufferEncoder: Encoder[List[(Long, String)]] =
-      Encoders.kryo[List[(Long, String)]]
+    def finish(b: Vector[(Long, String)]): Seq[String] = b.map(_._2)
+    def bufferEncoder: Encoder[Vector[(Long, String)]] =
+      Encoders.kryo[Vector[(Long, String)]]
     def outputEncoder: Encoder[Seq[String]] = outEnc
   }
 }

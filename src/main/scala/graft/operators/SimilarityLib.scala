@@ -55,14 +55,14 @@ object SimilarityLib {
     val probeCells = centroids.zipWithIndex
       .sortBy { case (c, _) => -cos(c.toArray, probe) }
       .take(nprobe).map(_._2)
-    val spark = assigned.sparkSession
     val probeCol = lit(probe).cast("array<double>")
+    val idCol = assigned.columns.head // buildIvf puts the id first
     assigned
       .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
       .withColumn("cos_sim", cosine_sim(col("v"), probeCol))
-      .orderBy(col("cos_sim").desc)
-      .limit(k)
-      .drop("v")
+      .orderBy(col("cos_sim").desc, col(idCol)) // id tiebreak: ties (e.g.
+      .limit(k)                                 // duplicate embeddings) must
+      .drop("v")                                // not flip the top-k per run
   }
 
   /** Deterministic random-hyperplane signature: `bits` sign bits from

@@ -25,17 +25,29 @@ object EventStream {
       "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING")
 
-  /** File-source stream of event parquet/json dropped into `dir`. */
+  /** File-source stream of event parquet dropped into `dir`. Files must
+    * carry microsecond timestamps — the raw testdata events.parquet is
+    * TIMESTAMP(NANOS), which Spark's reader rejects; stage it through
+    * [[stageEvents]] first. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Normalize the raw (nanosecond-timestamp) events table into a
+    * micros-precision parquet staging dir that [[readEvents]] can stream. */
+  def stageEvents(spark: SparkSession, sfDir: String, stagingDir: String): Unit =
+    graft.operators.Tables.events(spark, sfDir)
+      .write.mode("overwrite").parquet(stagingDir)
+
   /** Tumbling 1-hour windowed counts/sums per event type, 2-hour watermark
-    * for late data. Streaming twin of the `events_hourly` batch query. */
+    * for late data. Streaming twin of the `events_hourly` batch query —
+    * the sum goes through the same decimal cast so batch and stream agree
+    * bit-for-bit, not just approximately. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
   // --- custom state: session tracking via flatMapGroupsWithState ---
@@ -73,7 +85,14 @@ object EventStream {
                     new Timestamp(s.lastTs), s.nEvents)
                   cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
                 case Some(s) =>
-                  cur = Some(s.copy(lastTs = e.ts.getTime, nEvents = s.nEvents + 1))
+                  // out-of-order events (late but above watermark) merge
+                  // into the session: bounds extend monotonically, never
+                  // regress — a late event must not reset lastTs backwards
+                  // and fabricate a split on the next on-time event
+                  cur = Some(SessionState(
+                    math.min(s.sessionStart, e.ts.getTime),
+                    math.max(s.lastTs, e.ts.getTime),
+                    s.nEvents + 1))
                 case None =>
                   cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
               }

@@ -46,15 +46,34 @@ class EventStreamSpec extends AnyFunSuite {
     try {
       q2.processAllAvailable()
       val streamed = spark.sql(
-        "SELECT hour, event_type, n FROM hourly_c ORDER BY hour, event_type")
-        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        "SELECT hour, event_type, n, sum_value FROM hourly_c ORDER BY hour, event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       val batch = eventsBatch
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
-        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      // decimal-cast sums: stream and batch agree bit-for-bit, not ≈
       assert(streamed.toSeq == batch.toSeq)
     } finally q2.stop()
+  }
+
+  test("stageEvents lets the real (nanos) events table stream") {
+    val staging = Files.createTempDirectory("evt_staged").toString
+    EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
+    val q = EventStream.hourlyAgg(EventStream.readEvents(spark, staging))
+      .writeStream.format("memory").queryName("staged_hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamWindows = spark.sql("SELECT count(*) FROM staged_hourly").head().getLong(0)
+      val batchWindows = graft.operators.Tables.events(spark, "/root/testdata/sf0.001")
+        .groupBy(date_trunc("hour", col("ts")), col("event_type")).count().count()
+      assert(streamWindows == batchWindows)
+    } finally q.stop()
   }
 
   test("flatMapGroupsWithState sessionization closes sessions on gaps") {
