@@ -9,6 +9,9 @@ object SparkFixture {
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-test")
+      // exercises the SparkSessionExtensions injection path: graft SQL
+      // functions resolve with no per-session register() call
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

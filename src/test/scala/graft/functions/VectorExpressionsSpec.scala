@@ -43,6 +43,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(df.head().isNullAt(0))
   }
 
+  test("SparkSessionExtensions injection: functions resolve with no register() call") {
+    // the fixture session is built with spark.sql.extensions=GraftExtensions
+    vecs.createOrReplaceTempView("vecs_ext")
+    val r = spark.sql("SELECT vec_dot(a, b) FROM vecs_ext WHERE id = 1").head()
+    assert(r.getDouble(0) == 32.0)
+  }
+
   test("SQL registration: SELECT cosine_sim(...) works after register()") {
     VectorFunctions.register(spark)
     vecs.createOrReplaceTempView("vecs_t")
