@@ -134,6 +134,54 @@ object Optimizer {
     }
   }
 
+  /** Shared proximal (FOBOS, Duchi & Singer 2009) shrinkage: take the
+    * gradient step, then soft-threshold by the per-element effective
+    * learning rate — the update rule of TF's
+    * `ProximalGradientDescentOptimizer`/`ProximalAdagradOptimizer`
+    * (reference `tensorflow_async.py:28-29`):
+    * `w = sign(prox) * max(|prox| - adjLr*l1, 0) / (1 + adjLr*l2)`. */
+  private def shrink(prox: Double, adjLr: Double, l1: Double, l2: Double): Double =
+    math.signum(prox) * math.max(math.abs(prox) - adjLr * l1, 0.0) / (1.0 + adjLr * l2)
+
+  /** Proximal gradient descent: plain SGD step followed by l1/l2
+    * soft-thresholding with the global learning rate. */
+  final class ProximalSgd(val lr: Double, l1: Double = 0.0, l2: Double = 0.0)
+      extends Optimizer {
+    def step(w: Tensors, g: Tensors): Unit = {
+      var i = 0
+      while (i < w.length) {
+        val prox = w(i) - g(i) * lr
+        w(i) := (if (l1 == 0.0 && l2 == 0.0) prox
+                 else prox.map(p => shrink(p, lr, l1, l2)))
+        i += 1
+      }
+    }
+  }
+
+  /** Proximal Adagrad: adagrad step, then soft-thresholding with the
+    * per-element adapted rate `lr / sqrt(acc)`. */
+  final class ProximalAdagrad(
+      val lr: Double, initAccum: Double = 0.1, l1: Double = 0.0, l2: Double = 0.0)
+      extends Optimizer {
+    private var acc: Tensors = _
+    def step(w: Tensors, g: Tensors): Unit = {
+      ensureInit { acc = w.map(t => DenseMatrix.fill[Double](t.rows, t.cols)(initAccum)) }
+      var i = 0
+      while (i < w.length) {
+        acc(i) :+= g(i) *:* g(i)
+        val prox = w(i) - (g(i) /:/ bsqrt(acc(i))) * lr
+        if (l1 == 0.0 && l2 == 0.0) w(i) := prox
+        else {
+          val accI = acc(i)
+          w(i) := prox.mapPairs { case ((r, c), p) =>
+            shrink(p, lr / math.sqrt(accI(r, c)), l1, l2)
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
   /** FTRL-proximal (McMahan et al. 2013), covering the reference's `ftrl`
     * name; l1/l2 default to 0 which degrades gracefully to adagrad-like. */
   final class Ftrl(
@@ -179,13 +227,19 @@ object Optimizer {
         new Momentum(lr, opt("momentum", 0.9), flag("use_nesterov"))
       case "adadelta" =>
         new Adadelta(lr, opt("rho", 0.95), opt("epsilon", 1e-8))
-      case "adagrad" | "adagrad_da" | "proximal_adagrad" =>
+      case "adagrad" | "adagrad_da" =>
         new Adagrad(lr, opt("initial_accumulator_value", 0.1))
+      case "proximal_adagrad" =>
+        new ProximalAdagrad(lr, opt("initial_accumulator_value", 0.1),
+          opt("l1_regularization_strength", 0.0), opt("l2_regularization_strength", 0.0))
       case "ftrl" =>
         new Ftrl(lr, opt("learning_rate_power", -0.5),
           opt("l1_regularization_strength", 0.0), opt("l2_regularization_strength", 0.0))
-      case "gradient_descent" | "proximal_gradient_descent" =>
+      case "gradient_descent" =>
         new Sgd(lr)
+      case "proximal_gradient_descent" =>
+        new ProximalSgd(lr,
+          opt("l1_regularization_strength", 0.0), opt("l2_regularization_strength", 0.0))
       case _ => new Sgd(lr) // unknown name → gradient descent, like the reference
     }
   }

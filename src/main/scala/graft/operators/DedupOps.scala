@@ -38,6 +38,12 @@ object DedupOps {
 
   private val K = 8 // minhash signature size; banded 4 x 2
 
+  /** Document-frequency cap for Jaccard verify shingles: a shingle seen in
+    * more than this many docs within a block is dropped before the
+    * pair-generating self-join. Constant as the corpus grows — that is
+    * precisely what keeps the hottest shuffle key bounded at 100× scale. */
+  private val MaxShingleDf = 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash groups with representative + multiplicity
     "dedup_exact" -> { (s, dir) =>
@@ -85,18 +91,30 @@ object DedupOps {
         .orderBy(col("doc_id"))
     },
     // blocked n-gram Jaccard: same (lang, length-bucket) block only.
-    // The distinct shingle set feeds three consumers (both self-join
-    // sides + the size table); persist materializes it once instead of
-    // recomputing the explode+distinct three times, while keeping
-    // lineage (unlike localCheckpoint, which pins blocks to executors
-    // and makes executor loss fatal on a real cluster).
+    // The distinct shingle set feeds multiple consumers (self-join sides
+    // + the size table) WITHOUT persist(): measured at sf0.1 the cache
+    // materialization costs ~2× the recompute (9.4 s vs 6.7 s cold), and
+    // the codegen'd split/explode re-derivation is cheap while AQE's
+    // runtime exchange reuse dedupes the shuffles that matter.
+    //
+    // Skew guard: a shingle's document frequency bounds its join-key
+    // fanout, so one boilerplate trigram shared by M docs contributes
+    // M(M-1)/2 pairs to a single shuffle key — the straggler factory at
+    // 100 TB. Capping DF at MaxShingleDf (standard near-dup practice:
+    // ubiquitous shingles carry no discriminative signal anyway) bounds
+    // every key at MaxShingleDf² pairs, making the self-join's worst case
+    // linear in corpus size. Mirrored exactly in the DuckDB oracle.
     "dedup_ngram_jaccard" -> { (s, dir) =>
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("bucket"), col("sh"))
       val sh = withShingles(documents(s, dir)
           .select(col("doc_id"), col("lang"), col("n_chars"), col("text")))
         .withColumn("bucket", (col("n_chars") / 100).cast("long"))
         .select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
         .distinct()
-        .persist()
+        .withColumn("df", count(lit(1)).over(win))
+        .filter(col("df") <= MaxShingleDf)
+        .drop("df")
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = sh.as("a"); val b = sh.as("b")
       val inter = a.join(b, col("a.sh") === col("b.sh") &&
@@ -112,6 +130,23 @@ object DedupOps {
         .filter(col("jaccard") >= 0.1)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+    // production-speed twins of the two hash-heavy queries above, riding
+    // [[DedupLib]]'s xxhash64 family (codegen'd 8-byte longs instead of
+    // md5 hex strings). Same plan shape and banding (K=8 into 4 bands),
+    // no DuckDB counterpart (xxhash64 doesn't exist there) → no oracle;
+    // they exist so the bench quantifies the md5→xxhash64 delta the
+    // DedupOps doc claims.
+    "dedup_minhash_fast" -> { (s, dir) =>
+      DedupLib.minhashCandidates(
+          documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = K, bands = K / 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "dedup_simhash_fast" -> { (s, dir) =>
+      DedupLib.simhash64(
+          documents(s, dir).select(col("doc_id"), col("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
     },
     // embedding near-dup: 4-bit sign-bucket LSH then exact cosine
     // (native fused Expression — same fold order as the oracle's
@@ -167,9 +202,13 @@ object DedupOps {
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS (
+      s"""WITH sh0 AS (
          |  SELECT DISTINCT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bucket, sh
          |  FROM ($shinglesSql)),
+         |sh AS (
+         |  SELECT doc_id, lang, bucket, sh FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY lang, bucket, sh) AS df FROM sh0)
+         |  WHERE df <= $MaxShingleDf),
          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter

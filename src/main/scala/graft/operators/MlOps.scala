@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ml.SparkAsyncDL
 import graft.nn.NetSpec
@@ -17,17 +17,20 @@ object MlOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1-normalized feature assembly from raw columns (VectorAssembler +
     // Normalizer(p=1) as pure SQL — the reference composes exactly these,
-    // examples/autoencoder_example.py:27-28)
+    // examples/autoencoder_example.py:27-28). The components are projected
+    // as scalar doubles (f1, f2) rather than one array column: the
+    // driver's compare canonicalizes rows by sorting every column, which
+    // an array column breaks.
     "ml_feature_prep" -> { (s, dir) =>
-      val vals = array(col("c_acctbal"), col("c_nationkey").cast("double"))
       val total = abs(col("c_acctbal")) + abs(col("c_nationkey").cast("double"))
       // zero-norm guard: ANSI mode (Spark 4 default) turns x/0 into a
       // runtime crash; emit a zero vector instead, mirrored in the oracle
+      def norm(x: Column): Column =
+        when(total === 0.0, 0.0).otherwise(round(x / total, 6))
       customer(s, dir)
         .select(col("c_custkey"),
-          transform(vals, x =>
-            when(total === 0.0, 0.0).otherwise(round(x / total, 6)))
-            .as("features_l1"))
+          norm(col("c_acctbal")).as("f1"),
+          norm(col("c_nationkey").cast("double")).as("f2"))
         .orderBy(col("c_custkey"))
     },
     // per-class embedding statistics (labels as the training target)
@@ -67,9 +70,10 @@ object MlOps {
   val oracles: Map[String, String] = Map(
     "ml_feature_prep" ->
       """SELECT c_custkey,
-        |  list_transform([c_acctbal, CAST(c_nationkey AS DOUBLE)],
-        |    x -> CASE WHEN abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE)) = 0 THEN 0.0
-        |              ELSE ROUND(x / (abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE))), 6) END) AS features_l1
+        |  CASE WHEN abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE)) = 0 THEN 0.0
+        |       ELSE ROUND(c_acctbal / (abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE))), 6) END AS f1,
+        |  CASE WHEN abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE)) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(c_nationkey AS DOUBLE) / (abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE))), 6) END AS f2
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
     "ml_label_stats" ->

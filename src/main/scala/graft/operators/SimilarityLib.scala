@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.cosine_sim
@@ -26,10 +26,9 @@ object SimilarityLib {
     * Input df needs (`idCol`, `vecCol: array<float|double>`). */
   def buildIvf(df: DataFrame, idCol: String, vecCol: String, cells: Int, seed: Long = 42L)
       : (DataFrame, Array[Vector]) = {
-    val toVec = udf((s: Seq[Double]) => Vectors.dense(s.toArray))
     val prepared = df
       .withColumn("_v", col(vecCol).cast("array<double>"))
-      .withColumn("_features", toVec(col("_v")))
+      .withColumn("_features", org.apache.spark.ml.functions.array_to_vector(col("_v")))
     val model = new KMeans().setK(cells).setSeed(seed)
       .setFeaturesCol("_features").setPredictionCol("cell")
       .fit(prepared)

@@ -166,6 +166,24 @@ class SparkAsyncDLSpec extends AnyFunSuite {
     assert(model.transform(df).count() == 40)
   }
 
+  test("MulticlassClassificationEvaluator interop (examples/simple_dnn.py:71-73)") {
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    import org.apache.spark.sql.functions.{col, when}
+    val raw = blobsDf(100).selectExpr("label", "features as rawfeat")
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("rawfeat")).setOutputCol("features")
+    val pipe = new Pipeline()
+      .setStages(Array(assembler, dl(5111).setIters(15))).fit(raw)
+    // sigmoid score → class label, the reference's thresholding step,
+    // then the STOCK evaluator unmodified
+    val predictions = pipe.transform(raw)
+      .withColumn("pred_class", when(col("predicted") > 0.5, 1.0).otherwise(0.0))
+    val evaluator = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("pred_class").setMetricName("accuracy")
+    val accuracy = evaluator.evaluate(predictions)
+    assert(accuracy > 0.5 && accuracy <= 1.0, s"accuracy=$accuracy")
+  }
+
   test("checkpoint loader + attach to pipeline (T22/T23)") {
     val df = blobsDf(30)
     val model = dl(5110).setIters(3).fit(df)

@@ -68,6 +68,50 @@ class OptimizerSpec extends AnyFunSuite {
     assert(w(0)(0, 1) > -2.0)
   }
 
+  test("proximal_gradient_descent with l1/l2=0 equals sgd") {
+    val w = w0
+    Optimizer.build("proximal_gradient_descent", 0.1).step(w, g0)
+    assert(math.abs(w(0)(0, 0) - 0.95) < 1e-12)
+    assert(math.abs(w(0)(0, 1) - (-1.9)) < 1e-12)
+  }
+
+  test("proximal_gradient_descent golden step: soft-threshold shrinks toward 0") {
+    val w = w0
+    Optimizer.build("proximal_gradient_descent", 0.1,
+      Map("l1_regularization_strength" -> 1.0,
+          "l2_regularization_strength" -> 2.0)).step(w, g0)
+    // prox = 1 - 0.1*0.5 = 0.95; |0.95|-0.1*1 = 0.85; /(1+0.1*2) = 0.85/1.2
+    assert(math.abs(w(0)(0, 0) - 0.85 / 1.2) < 1e-12)
+    // prox = -2+0.1 = -1.9; sign*-max(1.9-0.1,0)/1.2 = -1.8/1.2 = -1.5
+    assert(math.abs(w(0)(0, 1) - (-1.8 / 1.2)) < 1e-12)
+  }
+
+  test("proximal_gradient_descent l1 zeroes small weights") {
+    val w: Tensors = Array(DenseMatrix((0.05, -0.05)))
+    Optimizer.build("proximal_gradient_descent", 0.1,
+      Map("l1_regularization_strength" -> 1.0)).step(w, Array(DenseMatrix((0.0, 0.0))))
+    // prox = w; |0.05| - 0.1*1 < 0 → exactly 0 (the sparsity property)
+    assert(w(0)(0, 0) == 0.0 && w(0)(0, 1) == 0.0)
+  }
+
+  test("proximal_adagrad golden step: adagrad step then adapted-rate shrink") {
+    val w = w0
+    Optimizer.build("proximal_adagrad", 0.1,
+      Map("initial_accumulator_value" -> 0.1,
+          "l1_regularization_strength" -> 1.0)).step(w, g0)
+    val adj = 0.1 / math.sqrt(0.1 + 0.25) // lr/sqrt(acc) after acc += g²
+    val prox = 1.0 - adj * 0.5
+    assert(math.abs(w(0)(0, 0) - (prox - adj * 1.0)) < 1e-12)
+  }
+
+  test("proximal_adagrad with l1/l2=0 equals adagrad") {
+    val w1 = w0; val w2 = w0
+    Optimizer.build("proximal_adagrad", 0.1).step(w1, g0)
+    Optimizer.build("adagrad", 0.1).step(w2, g0)
+    assert(math.abs(w1(0)(0, 0) - w2(0)(0, 0)) < 1e-12)
+    assert(math.abs(w1(0)(0, 1) - w2(0)(0, 1)) < 1e-12)
+  }
+
   test("every reference optimizer name builds") {
     val names = Seq("adam", "rmsprop", "momentum", "adadelta", "adagrad",
       "gradient_descent", "adagrad_da", "ftrl", "proximal_adagrad",
