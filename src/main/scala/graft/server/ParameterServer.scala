@@ -4,7 +4,6 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
 import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicInteger
-import java.util.concurrent.locks.ReentrantReadWriteLock
 import graft.nn.Optimizer
 import graft.nn.Tensors
 import graft.nn.Tensors.Tensors
@@ -25,8 +24,9 @@ import graft.nn.Tensors.Tensors
   *  - hogwild (acquireLock=false): handler threads mutate the shared
   *    weights concurrently, lock-free — races are deliberate stochasticity.
   *  - locked (acquireLock=true): reads under the read lock, updates under
-  *    the write lock of a [[ReentrantReadWriteLock]] (writer-preference
-  *    handled by the JDK; replaces the reference's hand-rolled RWLock.py).
+  *    the write lock of a [[WriterPriorityRWLock]] — writer-priority like
+  *    the reference's hand-rolled RWLock.py, so a flood of weight pulls
+  *    can't starve gradient updates.
   *
   * An error counter aborts training after `maxErrors` failed updates
   * (reference `HogwildSparkModel.py:234-237` — note its py3 error path is
@@ -40,7 +40,7 @@ final class ParameterServer(
     acquireLock: Boolean,
     maxErrors: Int = 1000) {
 
-  private val lock = new ReentrantReadWriteLock()
+  private val lock = new WriterPriorityRWLock()
   private val errors = new AtomicInteger(0)
   @volatile private var aborted = false
   private var server: HttpServer = _
@@ -74,8 +74,8 @@ final class ParameterServer(
       def handle(ex: HttpExchange): Unit = {
         val bytes =
           if (acquireLock) {
-            lock.readLock().lock()
-            try Tensors.toBytes(weights) finally lock.readLock().unlock()
+            lock.lockRead()
+            try Tensors.toBytes(weights) finally lock.unlock()
           } else Tensors.toBytes(weights)
         respond(ex, 200, bytes)
       }
@@ -85,8 +85,8 @@ final class ParameterServer(
         try {
           val grads = Tensors.fromBytes(ex.getRequestBody.readAllBytes())
           if (acquireLock) {
-            lock.writeLock().lock()
-            try optimizer.step(weights, grads) finally lock.writeLock().unlock()
+            lock.lockWrite()
+            try optimizer.step(weights, grads) finally lock.unlock()
           } else optimizer.step(weights, grads) // hogwild: racy by design
           respond(ex, 200, "ok".getBytes)
         } catch {
@@ -122,8 +122,8 @@ final class ParameterServer(
   def errorCount: Int = errors.get()
   def currentWeights: Tensors = {
     if (acquireLock) {
-      lock.readLock().lock()
-      try Tensors.copy(weights) finally lock.readLock().unlock()
+      lock.lockRead()
+      try Tensors.copy(weights) finally lock.unlock()
     } else Tensors.copy(weights)
   }
 
