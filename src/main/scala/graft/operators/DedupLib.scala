@@ -59,6 +59,27 @@ object DedupLib {
     candidatePairs(bandHashes(minhashSignatures(
       shingles(df, idCol, textCol, shingleWords), k), k, bands))
 
+  /** Drop shingles whose document frequency exceeds `maxDf` — the skew
+    * guard applied before any shingle-keyed self-join. Shape chosen for
+    * 100 TB, not for small-corpus latency: the hot list is produced by a
+    * partial-aggregated groupBy (map-side combine collapses a
+    * billion-row hot key to one partial count per task — no single
+    * reducer ever materializes the key's rows, unlike a count window)
+    * and is then broadcast anti-joined, adding zero shuffles to the
+    * shingle stream. Ubiquitous shingles carry no discriminative signal,
+    * so dropping them barely moves Jaccard while bounding every join
+    * key's fanout at `maxDf`². */
+  def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame = {
+    val hot = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("sh"))
+    // a USING join moves the key column first; restore the caller's
+    // column order (downstream ops like verifyJaccard rename positionally)
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      .select(sh.columns.map(col).toSeq: _*)
+  }
+
   /** Verify candidates with exact shingle-set Jaccard; keeps pairs at or
     * above `threshold`. Join is candidates × shingles (bounded), never
     * all-pairs. */

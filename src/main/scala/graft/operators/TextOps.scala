@@ -64,6 +64,28 @@ object TextOps {
           round(avg(col("n_chars")), 6).as("avg_chars"))
         .orderBy(col("lang"), col("source"))
     },
+    // BPE-ish token accounting: regex token classes (letter runs, digit
+    // runs, punctuation marks) + a subword estimate of ceil(len/4) per
+    // word — the ~4-chars-per-BPE-token rule of thumb used for corpus
+    // budgeting. Pure codegen'd regexp/array builtins, one pass per doc.
+    "text_bpe_tokens" -> { (s, dir) =>
+      val words = regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))
+      val nums = regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))
+      val puncts = regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))
+      val bpe = aggregate(
+        transform(words, w => ceil(length(w) / lit(4.0))),
+        lit(0L), (a, x) => a + x)
+      documents(s, dir)
+        .select(col("lang"), size(words).as("n_words"), size(nums).as("n_nums"),
+          size(puncts).as("n_punct"), bpe.as("bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("word_tokens"),
+          sum(col("n_nums")).cast("long").as("num_tokens"),
+          sum(col("n_punct")).cast("long").as("punct_tokens"),
+          sum(col("bpe")).cast("long").as("bpe_tokens"))
+        .orderBy(col("lang"))
+    },
     // quality score: length + vocab-diversity + stopword components,
     // bucketed to one decimal; counts per bucket
     "text_quality" -> { (s, dir) =>
@@ -130,6 +152,16 @@ object TextOps {
         |FROM documents
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    "text_bpe_tokens" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+'))) AS BIGINT) AS word_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS num_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))) AS BIGINT) AS punct_tokens,
+        |  CAST(SUM(COALESCE(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+        |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0)) AS BIGINT) AS bpe_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "text_quality" -> {
       val t = "len(string_split(text, ' '))"
       val lenScore = s"least($t / 100.0, 1.0)"

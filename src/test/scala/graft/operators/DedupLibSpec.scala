@@ -43,6 +43,30 @@ class DedupLibSpec extends AnyFunSuite {
     assert(strict == Set((3L, 4L)))
   }
 
+  test("capShingleDf drops ubiquitous shingles, keeps rare ones, plan stays broadcast") {
+    import spark.implicits._
+    // "a b c" appears in 4 docs (hot at maxDf=3), "x y z<i>" is unique per doc
+    val sh = (1 to 4).flatMap(i => Seq((i.toLong, "a b c"), (i.toLong, s"x y z$i")))
+      .toDF("doc_id", "sh")
+    val capped = DedupLib.capShingleDf(sh, maxDf = 3)
+    val kept = capped.select("sh").as[String].collect().toSet
+    assert(!kept.contains("a b c"), "hot shingle must drop")
+    assert(kept.size == 4 && kept.forall(_.startsWith("x y z")))
+    // the anti-join must be broadcast (no shuffle added to the stream)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast anti-join:\n$plan")
+  }
+
+  test("capShingleDf composes with verifyJaccard (column order preserved)") {
+    val sh = DedupLib.capShingleDf(DedupLib.shingles(docs, "id", "text"), maxDf = 10)
+    assert(sh.columns.toSeq == Seq("doc_id", "sh"), s"order broke: ${sh.columns.toSeq}")
+    val cands = DedupLib.minhashCandidates(docs, "id", "text", k = 16, bands = 8)
+    val verified = DedupLib.verifyJaccard(cands, sh, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((3L, 4L)), s"exact dup must verify: $verified")
+  }
+
   test("simhash64: identical docs equal, near-dups close, unrelated far") {
     val sh = DedupLib.simhash64(docs, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

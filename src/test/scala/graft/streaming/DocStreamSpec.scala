@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming dedup/quality twins cross-checked against their batch
+  * equivalents, including state carried across micro-batches. */
+class DocStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private val schema = StructType.fromDDL(
+    "doc_id LONG, ingest_ts TIMESTAMP, text STRING")
+
+  private def docsDf(rows: Seq[(Long, Timestamp, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "ingest_ts", "text")
+  }
+
+  test("streaming exact dedup drops duplicates across micro-batches") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dir = Files.createTempDirectory("doc_stream").toString
+    // micro-batch 1: A, B, and an immediate dup of A
+    docsDf(Seq(
+      (1L, new Timestamp(base), "alpha beta gamma delta"),
+      (2L, new Timestamp(base + 60000), "epsilon zeta eta theta"),
+      (3L, new Timestamp(base + 120000), "alpha beta gamma delta")))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = DocStream.dedupExact(
+      spark.readStream.schema(schema).parquet(dir), "ingest_ts", "text")
+    val q = stream.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // micro-batch 2: another dup of A (state must persist across
+      // batches) + genuinely new C
+      docsDf(Seq(
+        (4L, new Timestamp(base + 300000), "alpha beta gamma delta"),
+        (5L, new Timestamp(base + 360000), "iota kappa lambda mu")))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+
+      val out = spark.sql("SELECT doc_id, text FROM dedup_stream").collect()
+      val ids = out.map(_.getLong(0)).toSet
+      assert(out.length == 3, s"expected 3 survivors, got ${out.toSeq}")
+      assert(ids.intersect(Set(3L, 4L)).isEmpty, s"duplicate survived: $ids")
+      // batch oracle: same distinct content-hash set
+      val batchHashes = docsDf(Seq(
+        (1L, new Timestamp(base), "alpha beta gamma delta"),
+        (2L, new Timestamp(base + 60000), "epsilon zeta eta theta"),
+        (3L, new Timestamp(base + 120000), "alpha beta gamma delta"),
+        (4L, new Timestamp(base + 300000), "alpha beta gamma delta"),
+        (5L, new Timestamp(base + 360000), "iota kappa lambda mu")))
+        .select(md5(col("text"))).distinct().collect().map(_.getString(0)).toSet
+      val streamHashes = out.map(r => java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(1).getBytes("UTF-8")).map("%02x".format(_)).mkString).toSet
+      assert(streamHashes == batchHashes)
+    } finally q.stop()
+  }
+
+  test("streaming quality filter matches batch formula") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Seq(
+      (1L, new Timestamp(base), ("token " * 120).trim), // long doc, high score
+      (2L, new Timestamp(base), "tiny"),                // short doc, low score
+      (3L, new Timestamp(base), ("plump words here " * 40).trim))
+    val dir = Files.createTempDirectory("doc_quality").toString
+    docsDf(rows).coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val q = DocStream.qualityFilter(
+      spark.readStream.schema(schema).parquet(dir), "text", 0.5)
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, quality FROM quality_stream ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val batch = DocStream.qualityFilter(docsDf(rows), "text", 0.5)
+        .select("doc_id", "quality").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(streamed.toSeq == batch.toSeq)
+      assert(!streamed.map(_._1).contains(2L), "short doc must be filtered")
+    } finally q.stop()
+  }
+}
