@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway single-query profiler: `runMain graft.ScratchBench <query> [reps]`. */
+/** Dev profiler: `runMain graft.ScratchBench <query> [<query> ...]` —
+  * runs each named SparkEntry query once, in order, in one warm session
+  * (repeat a name to measure it warm). */
 object ScratchBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

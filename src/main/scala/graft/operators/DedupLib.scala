@@ -68,15 +68,22 @@ object DedupLib {
     * and is then broadcast anti-joined, adding zero shuffles to the
     * shingle stream. Ubiquitous shingles carry no discriminative signal,
     * so dropping them barely moves Jaccard while bounding every join
-    * key's fanout at `maxDf`². */
-  def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame = {
+    * key's fanout at `maxDf`².
+    *
+    * `broadcastHot=false` switches the anti-join to a shuffled one: the
+    * hot list is the Zipf head of the shingle distribution, which grows
+    * with corpus vocabulary — once it no longer fits a broadcast
+    * (multi-GB at extreme corpus sizes), the shuffled anti-join is the
+    * correct shape and still skew-safe (the ANTI side of a hot key is
+    * discarded, never multiplied). */
+  def capShingleDf(sh: DataFrame, maxDf: Int, broadcastHot: Boolean = true): DataFrame = {
     val hot = sh.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf)
       .select(col("sh"))
     // a USING join moves the key column first; restore the caller's
     // column order (downstream ops like verifyJaccard rename positionally)
-    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    sh.join(if (broadcastHot) broadcast(hot) else hot, Seq("sh"), "left_anti")
       .select(sh.columns.map(col).toSeq: _*)
   }
 

@@ -104,6 +104,14 @@ object DedupOps {
     // ubiquitous shingles carry no discriminative signal anyway) bounds
     // every key at MaxShingleDf² pairs, making the self-join's worst case
     // linear in corpus size. Mirrored exactly in the DuckDB oracle.
+    //
+    // The cap here is a count window — the measured-fastest shape at
+    // bench scale (3.8 s vs 5.3 s for the groupBy+anti-join variant at
+    // sf0.1), but a window still routes every copy of a hot key through
+    // one task to count it. The production API for extreme corpora is
+    // [[DedupLib.capShingleDf]] (partial-aggregated groupBy + anti-join:
+    // no reducer ever materializes a hot shingle's rows); this query
+    // keeps the window for oracle-benchmark speed and notes the swap.
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"), col("bucket"), col("sh"))

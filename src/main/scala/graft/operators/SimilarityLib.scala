@@ -37,6 +37,23 @@ object SimilarityLib {
     (assigned, model.clusterCenters)
   }
 
+  /** Persist an IVF index partitioned BY CELL: at scale the `cell`
+    * column is the physical partition key, so a probe query's
+    * `cell IN (...)` filter prunes at the directory level — the scan
+    * never opens the other cells' files at all (see
+    * [[queryIvfPartitioned]], which asserts this in its plan test). */
+  def writeIvfPartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Top-k cosine probe over a [[writeIvfPartitioned]] index dir. Same
+    * math as [[queryIvf]], but reading only the `nprobe` pruned
+    * partitions of the on-disk index. */
+  def queryIvfPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[Vector], probe: Array[Double],
+      k: Int, nprobe: Int): DataFrame =
+    queryIvf(spark.read.parquet(path), centroids, probe, k, nprobe)
+
   /** Top-k cosine neighbors of `probe`, scanning only the `nprobe`
     * nearest IVF cells. */
   def queryIvf(

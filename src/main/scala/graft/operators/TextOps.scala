@@ -35,6 +35,21 @@ object TextOps {
   /** Tokens = single-space-separated words (the synthetic corpus shape). */
   private def tokens(text: Column): Column = size(split(text, " "))
 
+  /** The document quality score (unrounded): length + word-length +
+    * stopword components, weighted 0.4/0.4/0.2. Single definition shared
+    * by the batch `text_quality` query and the streaming
+    * [[graft.streaming.DocStream.qualityFilter]], so batch and stream
+    * can never disagree on which documents survive a gate. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val lenScore = least(t.cast("double") / 100.0, lit(1.0))
+    val avgWordLen = (length(text) - t + 1).cast("double") / t
+    val wordLenScore = greatest(lit(0.0), lit(1.0) - abs(avgWordLen - 5.0) / 5.0)
+    val stopScore = least(occurrences(text, "the").cast("double") /
+      greatest(t.cast("double"), lit(1.0)) * 10.0, lit(1.0))
+    lenScore * 0.4 + wordLenScore * 0.4 + stopScore * 0.2
+  }
+
   // language marker words (the corpus vocab is shared across langs, so
   // these exist to exercise the operator shape deterministically, not to
   // be linguistically meaningful)
@@ -89,14 +104,7 @@ object TextOps {
     // quality score: length + vocab-diversity + stopword components,
     // bucketed to one decimal; counts per bucket
     "text_quality" -> { (s, dir) =>
-      val t = tokens(col("text"))
-      val lenScore = least(t.cast("double") / 100.0, lit(1.0))
-      val avgWordLen = (length(col("text")) - t + 1).cast("double") / t
-      val wordLenScore = greatest(lit(0.0),
-        lit(1.0) - abs(avgWordLen - 5.0) / 5.0)
-      val stopScore = least(occurrences(col("text"), "the").cast("double") /
-        greatest(t.cast("double"), lit(1.0)) * 10.0, lit(1.0))
-      val q = round(lenScore * 0.4 + wordLenScore * 0.4 + stopScore * 0.2, 1)
+      val q = round(qualityScore(col("text")), 1)
       documents(s, dir)
         .select(col("doc_id"), q.as("quality_bucket"))
         .groupBy(col("quality_bucket"))

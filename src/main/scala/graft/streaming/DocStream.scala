@@ -17,26 +17,26 @@ import org.apache.spark.sql.functions._
 object DocStream {
 
   /** Streaming exact dedup: drops payload-identical documents arriving
-    * within the watermark horizon of each other. State = one content
-    * hash per distinct doc seen inside the horizon; late duplicates
-    * beyond the horizon are a deliberate recall/state tradeoff (tune
-    * `watermark` to the re-post window that matters). */
+    * within the watermark horizon of each other. State = one 16-byte
+    * binary content hash per distinct doc seen inside the horizon
+    * (`unhex(md5)` — full 128-bit collision resistance at half the
+    * bytes of the hex string); late duplicates beyond the horizon are a
+    * deliberate recall/state tradeoff (tune `watermark` to the re-post
+    * window that matters). */
   def dedupExact(
       docs: DataFrame, tsCol: String, textCol: String,
       watermark: String = "2 hours"): DataFrame =
     docs
-      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("content_hash", unhex(md5(col(textCol))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
-  /** Stateless quality gate: same formula as the batch `text_quality`
-    * score, applied per document as it streams in. */
-  def qualityFilter(docs: DataFrame, textCol: String, minScore: Double): DataFrame = {
-    val t = size(split(col(textCol), " "))
-    val lenScore = least(t.cast("double") / 100.0, lit(1.0))
-    val avgWordLen = (length(col(textCol)) - t + 1).cast("double") / t
-    val wordLenScore = greatest(lit(0.0), lit(1.0) - abs(avgWordLen - 5.0) / 5.0)
-    docs.withColumn("quality", round(lenScore * 0.5 + wordLenScore * 0.5, 4))
+  /** Stateless quality gate: literally the batch `text_quality` formula
+    * ([[graft.operators.TextOps.qualityScore]] — one shared definition,
+    * so a gate value means the same thing in both engines), applied per
+    * document as it streams in. */
+  def qualityFilter(docs: DataFrame, textCol: String, minScore: Double): DataFrame =
+    docs.withColumn("quality",
+        round(graft.operators.TextOps.qualityScore(col(textCol)), 4))
       .filter(col("quality") >= minScore)
-  }
 }

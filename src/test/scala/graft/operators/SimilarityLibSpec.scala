@@ -38,6 +38,27 @@ class SimilarityLibSpec extends AnyFunSuite {
     assert(top.forall(_.getAs[Double]("cos_sim") > 0.99))
   }
 
+  test("partitioned IVF index prunes non-probed cells at the scan level") {
+    val (assigned, centroids) = SimilarityLib.buildIvf(clustered, "id", "vec", cells = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/idx"
+    SimilarityLib.writeIvfPartitioned(assigned, dir)
+    val probe = Array.fill(8)(5.0)
+    val top = SimilarityLib.queryIvfPartitioned(spark, dir, centroids, probe,
+      k = 5, nprobe = 1)
+    // same answer as the in-memory index
+    val expected = SimilarityLib.queryIvf(assigned, centroids, probe, k = 5, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.collect().map(_.getLong(0)).toSeq == expected)
+    // and the cell filter must be a PARTITION filter (directory pruning),
+    // not a post-scan row filter: 'cell' must appear INSIDE the
+    // PartitionFilters bracket (the scan's own output always mentions
+    // 'cell', so a bare substring check would be vacuous)
+    val scan = top.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    val pruned = "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined
+    assert(pruned, s"cell probe did not reach PartitionFilters:\n$scan")
+  }
+
   test("hyperplane signatures: same-cluster pairs are Hamming-close") {
     val sigs = SimilarityLib.hyperplaneSignature(clustered, "vec", dim = 8, bits = 16)
     val cands = SimilarityLib.hyperplaneCandidates(sigs, "id", bits = 16, bands = 4,

@@ -36,21 +36,26 @@ class WriterPriorityRWLockSpec extends AnyFunSuite {
   test("writer excludes readers and other writers") {
     val lock = new WriterPriorityRWLock
     val active = new AtomicInteger(0)
-    val maxSeen = new AtomicInteger(0)
+    // violations recorded and asserted on the MAIN thread — an assert
+    // inside a spawned thread would only kill that thread silently
+    val writerSawCompany = new AtomicInteger(0)
     val ts = (1 to 8).map { i =>
       inThread {
         if (i % 2 == 0) lock.lockWrite() else lock.lockRead()
         try {
           val now = active.incrementAndGet()
-          maxSeen.getAndUpdate(m => math.max(m, now))
-          if (i % 2 == 0) assert(now == 1, "writer saw company")
+          if (i % 2 == 0 && now != 1) writerSawCompany.incrementAndGet()
           Thread.sleep(5)
+          // exit count also catches a reader overlapping a held writer
+          if (i % 2 == 0 && active.get() != 1) writerSawCompany.incrementAndGet()
           active.decrementAndGet()
         } finally lock.unlock()
       }
     }
     ts.foreach(_.join(5000))
-    assert(maxSeen.get() >= 1)
+    assert(ts.forall(!_.isAlive), "some thread deadlocked")
+    assert(writerSawCompany.get() == 0,
+      s"writer shared the lock ${writerSawCompany.get()} times")
   }
 
   test("waiting writer blocks new readers (writer priority)") {
