@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over `documents` — the oracle-checked
+  * faces of the [[Sampling]] utilities plus Gopher-style repetition
+  * quality signals (Rae et al. 2021 §A1.1: repetitious documents are a
+  * dominant failure mode of web corpora).
+  *
+  * Sampling determinism here is hash-threshold, not RNG: md5's hex
+  * string is uniform, so `md5(x) < '4'` keeps exactly the 4/16 of the
+  * hash space below that prefix — lexicographic string compare, bit-equal
+  * in Spark and DuckDB, stable under re-runs and repartitioning. (The
+  * production twin [[Sampling.hashSample]] does the same with one
+  * codegen'd xxhash64 against a long threshold.)
+  */
+object CurationOps {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // domain-mixing sample: even-numbered sources keep 25% (threshold
+    // '4'/16), odd-numbered 50% (threshold '8'/16) — the per-domain
+    // rate table of a corpus-mixing pipeline, applied as one stateless
+    // filter. Kept counts per source prove the rates landed.
+    "sample_weighted_source" -> { (s, dir) =>
+      val srcNum = substring(col("source"), 4, 9).cast("int")
+      val threshold = when(srcNum % 2 === 0, "4").otherwise("8")
+      documents(s, dir)
+        .filter(md5(col("text")) < threshold)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    // repetition signals per language: duplicate-word fraction
+    // (1 - distinct/total) and top-bigram fraction (most frequent word
+    // 2-gram / all 2-grams). Per-doc fractions are rounded then summed
+    // as DECIMAL so the cross-engine aggregate is order-independent.
+    "text_repetition" -> { (s, dir) =>
+      val w = split(col("text"), " ")
+      val nW = size(w)
+      val dupFrac = round(lit(1.0) -
+        size(array_distinct(w)).cast("double") / nW, 6)
+      val grams = transform(sequence(lit(1), nW - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+      // top-bigram count without a second aggregation: for each distinct
+      // gram, count its occurrences inside the doc's own gram array —
+      // per-doc work only (O(grams²) in the doc, zero shuffles)
+      val topCnt = array_max(transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g))))
+      val topFrac = round(topCnt.cast("double") / size(grams), 6)
+      documents(s, dir)
+        .filter(nW >= 2)
+        .select(col("lang"), dupFrac.as("dup_frac"), topFrac.as("top_frac"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("dup_frac").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_dup_frac"),
+          round(sum(col("top_frac").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_top_bigram_frac"))
+        .orderBy(col("lang"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "sample_weighted_source" ->
+      """SELECT source, COUNT(*) AS n_kept
+        |FROM documents
+        |WHERE md5(text) < (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |                        THEN '4' ELSE '8' END)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    ROUND(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_frac,
+        |    ROUND(list_max(list_transform(list_distinct(g),
+        |        x -> len(list_filter(g, y -> y = x)))) * 1.0 / len(g), 6) AS top_frac
+        |  FROM (SELECT lang, w,
+        |          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g
+        |        FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+        |        WHERE len(w) >= 2) t)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(CAST(dup_frac AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dup_frac,
+        |  ROUND(CAST(SUM(CAST(top_frac AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_top_bigram_frac
+        |FROM d
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)
+}

@@ -81,8 +81,25 @@ object SimilarityLib {
       .drop("v")                                // not flip the top-k per run
   }
 
-  /** Deterministic random-hyperplane signature: `bits` sign bits from
-    * seeded Gaussian planes, packed into a long. */
+  /** Symmetric per-vector int8 quantization: `q_codes[i] =
+    * round(v[i] / q_scale)` with `q_scale = maxAbs/127`. 8× smaller than
+    * the float64 arrays it replaces — at corpus scale the ANN index's
+    * working set is usually THE memory bound, and cosine is invariant
+    * under per-vector positive scaling, so ranking by int8 codes needs
+    * no dequantization at all (see [[dequantize]] when raw values are
+    * needed). Pure codegen'd array builtins, no UDF. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / 127.0
+    df.withColumn("q_scale", scale)
+      .withColumn("q_codes",
+        transform(v, x => round(x / col("q_scale")).cast("tinyint")))
+  }
+
+  /** Reconstruct approximate doubles from [[quantizeInt8]] output;
+    * max abs error is `q_scale / 2` per element. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
   def hyperplaneSignature(df: DataFrame, vecCol: String, dim: Int, bits: Int,
       seed: Long = 42L): DataFrame = {
     require(bits <= 63, "signature packs into a long")

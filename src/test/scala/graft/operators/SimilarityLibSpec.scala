@@ -59,6 +59,29 @@ class SimilarityLibSpec extends AnyFunSuite {
     assert(pruned, s"cell probe did not reach PartitionFilters:\n$scan")
   }
 
+  test("int8 quantization: bounded error, cosine ranking preserved") {
+    import graft.functions.VectorFunctions.cosine_sim
+    val q = SimilarityLib.quantizeInt8(clustered, "vec")
+    // per-element reconstruction error ≤ q_scale/2
+    val maxErr = q.select(array_max(transform(
+        zip_with(col("vec").cast("array<double>"),
+          SimilarityLib.dequantize(col("q_codes"), col("q_scale")),
+          (a, b) => abs(a - b)),
+        e => e / col("q_scale"))).as("rel"))
+      .agg(max(col("rel"))).head.getDouble(0)
+    assert(maxErr <= 0.5 + 1e-9, s"reconstruction error $maxErr > scale/2")
+    // cosine over raw int8 codes reproduces the exact top-5 (scale cancels)
+    val probe = clustered.orderBy("id").head.getSeq[Double](1).toArray
+    def top5(df: org.apache.spark.sql.DataFrame, vcol: org.apache.spark.sql.Column) = df
+      .withColumn("cs", cosine_sim(vcol, lit(probe).cast("array<double>")))
+      .orderBy(col("cs").desc, col("id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = top5(clustered, col("vec").cast("array<double>"))
+    val viaInt8 = top5(q, col("q_codes").cast("array<double>"))
+    assert(exact.toSet.intersect(viaInt8.toSet).size >= 4,
+      s"int8 ranking diverged: exact=$exact int8=$viaInt8")
+  }
+
   test("hyperplane signatures: same-cluster pairs are Hamming-close") {
     val sigs = SimilarityLib.hyperplaneSignature(clustered, "vec", dim = 8, bits = 16)
     val cands = SimilarityLib.hyperplaneCandidates(sigs, "id", bits = 16, bands = 4,
