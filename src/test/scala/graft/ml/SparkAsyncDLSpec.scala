@@ -184,6 +184,37 @@ class SparkAsyncDLSpec extends AnyFunSuite {
     assert(accuracy > 0.5 && accuracy <= 1.0, s"accuracy=$accuracy")
   }
 
+  test("one-hot multiclass pipeline: OneHotEncoder → softmax net → evaluator (simple_dnn shape)") {
+    import org.apache.spark.ml.feature.OneHotEncoder
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    import org.apache.spark.sql.functions.{col, expr}
+    // three well-separated 4-d blobs, class index as a double column
+    val rows = (0 until 150).map { i =>
+      val c = i % 3
+      val center = Array.tabulate(4)(d => if (d == c) 4.0 else -4.0)
+      (c.toDouble, Vectors.dense(center.map(_ + rng.nextGaussian() * 0.3)))
+    }
+    val df = spark.createDataFrame(rng.shuffle(rows)).toDF("classIdx", "features")
+    val enc = new OneHotEncoder().setInputCol("classIdx").setOutputCol("labels")
+      .setDropLast(false)
+    val est = new SparkAsyncDL()
+      .setInputCol("features").setLabelCol("labels")
+      .setNetSpec(NetSpec.input(4).dense(10, "tanh").dense(3, "softmax")
+        .loss("softmax_xent"))
+      .setTfOptimizer("adam").setTfLearningRate(0.05)
+      .setIters(25).setMiniBatchSize(64).setPartitions(2).setPort(5112)
+    val pipe = new Pipeline().setStages(Array(enc, est)).fit(df)
+    // 3-wide output → VectorUDT predicted column; argmax → class index
+    val preds = pipe.transform(df)
+      .withColumn("p", org.apache.spark.ml.functions.vector_to_array(col("predicted")))
+      .withColumn("pred_class",
+        expr("cast(array_position(p, array_max(p)) - 1 as double)"))
+    val accuracy = new MulticlassClassificationEvaluator()
+      .setLabelCol("classIdx").setPredictionCol("pred_class")
+      .setMetricName("accuracy").evaluate(preds)
+    assert(accuracy > 0.8, s"multiclass accuracy=$accuracy")
+  }
+
   test("checkpoint loader + attach to pipeline (T22/T23)") {
     val df = blobsDf(30)
     val model = dl(5110).setIters(3).fit(df)
