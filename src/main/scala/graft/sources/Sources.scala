@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Multi-format source/sink utilities.
+  *
+  * Two rules enforced by construction, both of which matter at corpus
+  * scale and neither of which the casual `spark.read.option("inferSchema",
+  * true)` path (the reference's examples, e.g.
+  * lifeomic/sparkflow `examples/simple_dnn.py:36-38`) respects:
+  *
+  *  1. **Explicit schemas only.** Inference reads the data once to guess
+  *     types and again to load — a full extra pass over 100 TB — and can
+  *     silently flip types between runs when the sampled head changes.
+  *  2. **Format-preserving round-trips.** Staging between formats (CSV
+  *     for interchange, JSON for logs, ORC/Parquet for columnar reads)
+  *     must not change row content; `SourcesSpec` pins this with a
+  *     value-level equality check per format.
+  *
+  * Columnar notes: Parquet and ORC both support predicate pushdown and
+  * column pruning in Spark's vectorized readers — prefer them for
+  * anything queried repeatedly; CSV/JSON scans always read whole rows
+  * (column pruning only saves parsing, not IO).
+  */
+object Sources {
+
+  /** CSV with explicit schema; header on, standard escaping. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Newline-delimited JSON with explicit schema (no sampling pass). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC — columnar with pushdown, like Parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Stage a DataFrame to `path` as `format` (csv/json/orc/parquet/text).
+    * CSV writes a header so [[readCsv]] round-trips. */
+  def stage(df: DataFrame, path: String, format: String): Unit = {
+    val w = df.write.mode("overwrite")
+    format match {
+      case "csv" => w.option("header", "true").csv(path)
+      case other => w.format(other).save(path)
+    }
+  }
+}
