@@ -1,0 +1,193 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Backward as-of join as a first-class Catalyst operator — the
+  * whole-operator route (preference (c) of SURVEY.md §7): custom
+  * `LogicalPlan` + `SparkStrategy` + `SparkPlan` + an optimizer
+  * `Rule[LogicalPlan]`, registered per-session (`AsOfJoin.asof`) or
+  * cluster-wide via `spark.sql.extensions` →
+  * [[graft.functions.GraftExtensions]].
+  *
+  * Semantics (pandas `merge_asof` backward / QuestDB `ASOF JOIN`): for
+  * every left row, attach the right row with the greatest right-time ≤
+  * left-time within the same key; unmatched left rows keep nulls. Spark
+  * itself has no ASOF JOIN; the window-composition in
+  * [[graft.operators.EventOps]] (`events_asof_join`) covers the
+  * SQL-expressible case, while this operator generalizes it to
+  * arbitrary payload columns without unioning the two tables.
+  *
+  * Scale shape: both children hash-cluster on the key and sort by
+  * (key, time) — exactly a sort-merge join's distribution, so Catalyst
+  * inserts the same exchanges/sorts it would for SMJ and the merge
+  * itself is a single O(n+m) forward pass per partition, no buffering
+  * beyond one row. A window-based equivalent must union the payloads
+  * into one shuffle; this keeps each side's shuffle independent.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] onto [[AsOfJoinExec]]. */
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Pushes deterministic left-only predicates below the as-of join, and
+  * mirrors key-only predicates onto the right side (an equi-key filter
+  * prunes both shuffles). Runs in the user-rules optimizer batch; when
+  * the child is a bare relation the pushed Filter lands directly above
+  * the scan, where FileSourceStrategy turns it into PushedFilters. */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val keyOnly = leftOnly.filter(_.references == aj.leftKey.references)
+          .map(_.transform {
+            case a: Attribute if a.semanticEquals(aj.leftKey) => aj.rightKey
+          })
+        val newLeft = Filter(leftOnly.reduce(And), aj.left)
+        val newRight =
+          if (keyOnly.isEmpty) aj.right else Filter(keyOnly.reduce(And), aj.right)
+        val pushed = aj.copy(left = newLeft, right = newRight)
+        if (rest.isEmpty) pushed else Filter(rest.reduce(And), pushed)
+      }
+  }
+}
+
+/** Merge-based physical as-of join: children arrive clustered on key
+  * and sorted by (key, time); one forward pass per partition keeps only
+  * the latest matching right row. */
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    val lKeyB = BindReferences.bindReference[Expression](leftKey, lOut)
+    val lTimeB = BindReferences.bindReference[Expression](leftTime, lOut)
+    val rKeyB = BindReferences.bindReference[Expression](rightKey, rOut)
+    val rTimeB = BindReferences.bindReference[Expression](rightTime, rOut)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      // one-row lookahead into the right side + the latest match so far
+      var rHead: InternalRow = null
+      var matched: InternalRow = null
+      var matchedKey: Any = null
+
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKeyV = lKeyB.eval(l)
+          val lTimeV = lTimeB.eval(l)
+          if (lKeyV == null || lTimeV == null) {
+            // null keys/times never match (SQL equi-join semantics)
+            proj(joined(l, nullRight))
+          } else {
+            if (matched != null && keyOrd.compare(matchedKey, lKeyV) != 0) matched = null
+            var scanning = true
+            while (scanning) {
+              if (rHead == null) rHead = if (rIter.hasNext) rIter.next() else null
+              if (rHead == null) scanning = false
+              else {
+                val rKeyV = rKeyB.eval(rHead)
+                val rTimeV = rTimeB.eval(rHead)
+                if (rKeyV == null || rTimeV == null) rHead = null // skip
+                else {
+                  val c = keyOrd.compare(rKeyV, lKeyV)
+                  if (c < 0) rHead = null // behind the current key
+                  else if (c == 0 && timeOrd.compare(rTimeV, lTimeV) <= 0) {
+                    // newest right row at or before the left time; rows
+                    // from sorted iterators reuse buffers → copy to hold
+                    matched = rHead.copy()
+                    matchedKey = rKeyB.eval(matched)
+                    rHead = null
+                  } else scanning = false // right is ahead of this left row
+                }
+              }
+            }
+            proj(joined(l, if (matched != null) matched else nullRight))
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Public API + registration. */
+object AsOfJoin {
+  /** `left` ⟕asof `right`: equi-match on (`leftKey` = `rightKey`), then
+    * the newest `rightTime` ≤ `leftTime` wins. The output carries every
+    * column of both sides, so the two sides' column names must be
+    * disjoint — rename before joining, as with any self-join. */
+  def asof(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    GraftPlanBridge.ensureRegistered(spark, new AsOfJoinStrategy, PushFilterThroughAsOfJoin)
+    val lPlan = GraftPlanBridge.analyzed(left)
+    val rPlan = GraftPlanBridge.analyzed(right)
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$side side has no column '$name' (has ${plan.output.map(_.name).mkString(", ")})"))
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"ambiguous output: both sides have ${dup.mkString(", ")}")
+    GraftPlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftKey, "left"), attr(rPlan, rightKey, "right"),
+      attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right")))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import java.nio.file.Files
+
+/** The custom as-of join operator vs a declarative left-join + window
+  * oracle, plus plan-shape assertions (merge distribution, filter
+  * pushdown through the custom node). */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  /** Deterministic random tables: left (l_key, l_time, l_id), right
+    * (r_key, r_time, r_val) — distinct times so the match is unique. */
+  private def tables: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val times = rng.shuffle((1L to 4000L).toList)
+    val left = (0 until 200).map(i =>
+      (rng.nextInt(5).toLong, times(i), i.toLong))
+    val right = (0 until 120).map(i =>
+      (rng.nextInt(6).toLong, times(1000 + i), s"v$i")) // key 5 never matches
+    (left.toDF("l_key", "l_time", "l_id"),
+      right.toDF("r_key", "r_time", "r_val"))
+  }
+
+  /** Oracle: plain left join on key + time bound, newest right per left. */
+  private def oracle(left: DataFrame, right: DataFrame): Seq[(Long, Option[String])] = {
+    val w = Window.partitionBy(col("l_id")).orderBy(col("r_time").desc_nulls_last)
+    left.join(right, col("l_key") === col("r_key") && col("r_time") <= col("l_time"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_id"), col("r_val"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
+  }
+
+  test("matches the left-join + window oracle on random data") {
+    val (left, right) = tables
+    val got = AsOfJoin.asof(left, right, "l_key", "r_key", "l_time", "r_time")
+      .select(col("l_id"), col("r_val"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
+    assert(got.size == 200)
+    assert(got == oracle(left, right))
+    assert(got.exists(_._2.isEmpty), "some lefts must be unmatched")
+    assert(got.exists(_._2.nonEmpty), "some lefts must match")
+  }
+
+  test("null keys and null times never match") {
+    import spark.implicits._
+    val left = Seq((Some(1L), Some(10L), 1L), (None, Some(10L), 2L),
+      (Some(1L), None, 3L)).toDF("l_key", "l_time", "l_id")
+    val right = Seq((Some(1L), Some(5L), "a"), (None, Some(1L), "nullkey"))
+      .toDF("r_key", "r_time", "r_val")
+    val got = AsOfJoin.asof(left, right, "l_key", "r_key", "l_time", "r_time")
+      .select("l_id", "r_val").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got(1L).contains("a"))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+  }
+
+  test("plan: custom exec node with SMJ-style exchanges and sorts") {
+    val (left, right) = tables
+    val plan = AsOfJoin.asof(left, right, "l_key", "r_key", "l_time", "r_time")
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix
+    assert(plan.contains("AsOfJoin "), s"custom node missing:\n$plan")
+    assert("hashpartitioning\\(l_key".r.findFirstIn(plan).isDefined &&
+      "hashpartitioning\\(r_key".r.findFirstIn(plan).isDefined,
+      s"children not clustered on keys:\n$plan")
+    assert("Sort \\[l_key.* ASC NULLS FIRST, l_time".r.findFirstIn(plan).isDefined,
+      s"left not sorted (key, time):\n$plan")
+  }
+
+  test("filter pushdown rule: left predicate reaches the scan, key predicate mirrors right") {
+    val (left, right) = tables
+    val base = Files.createTempDirectory("asof_pd").toString
+    left.write.mode("overwrite").parquet(s"$base/l")
+    right.write.mode("overwrite").parquet(s"$base/r")
+    val joined = AsOfJoin.asof(
+      spark.read.parquet(s"$base/l"), spark.read.parquet(s"$base/r"),
+      "l_key", "r_key", "l_time", "r_time")
+      .filter(col("l_key") === 3 && col("l_id") >= 0)
+    val scans = joined.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(l_key,3\\)".r.findFirstIn(scans).isDefined,
+      s"left filter not pushed:\n$scans")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(r_key,3\\)".r.findFirstIn(scans).isDefined,
+      s"key filter not mirrored to right scan:\n$scans")
+    // and the result is still correct under the pushdown
+    val got = joined.select("l_id", "r_val").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
+    val exp = oracle(left.filter(col("l_key") === 3), right)
+    assert(got == exp)
+  }
+
+  test("extensions route: the injected strategy plans the node without ensureRegistered") {
+    import org.apache.spark.sql.GraftPlanBridge
+    // the fixture session is built with spark.sql.extensions=GraftExtensions,
+    // so the strategy/rule are present cluster-wide; build the logical node
+    // directly, bypassing AsOfJoin.asof's session-local registration
+    val (left, right) = tables
+    val lp = GraftPlanBridge.analyzed(left)
+    val rp = GraftPlanBridge.analyzed(right)
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val df = GraftPlanBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
+      a(lp, "l_key"), a(rp, "r_key"), a(lp, "l_time"), a(rp, "r_time")))
+    assert(df.count() == 200)
+  }
+
+  test("as-of on the real events table (timestamps): purchases pick their last click") {
+    val ev = graft.operators.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val got = AsOfJoin.asof(purchases, clicks, "p_user", "c_user", "p_ts", "c_ts")
+    // oracle via plain join + window
+    val w = Window.partitionBy(col("p_id")).orderBy(col("c_ts").desc_nulls_last, col("c_id").desc_nulls_last)
+    val exp = purchases
+      .join(clicks, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val gotPairs = got.select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val expPairs = exp.select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // ties on c_ts are broken differently (operator: last in sort order;
+    // oracle: greatest c_id) — compare on the c_ts value instead of id
+    assert(gotPairs.keySet == expPairs.keySet)
+    val gotTs = got.select("p_id", "c_ts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val expTs = exp.select("p_id", "c_ts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(gotTs == expTs)
+  }
+}
