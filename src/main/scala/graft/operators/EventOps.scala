@@ -65,6 +65,28 @@ object EventOps {
           coalesce(sum(col("gap_us")), lit(0L)).cast("long").as("sum_gap_us"))
         .orderBy(col("user_id"))
     },
+    // the same as-of semantics through the custom Catalyst operator
+    // (graft.plans.AsOfJoinExec — merge exec, SMJ distribution) instead
+    // of the window composition above; shares events_asof_join's DuckDB
+    // oracle, so the custom plan's output is hash-checked against an
+    // independent engine, not just against our own window version.
+    "events_asof_custom" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("event_type").isin("click", "purchase"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.plans.AsOfJoin.asof(purchases, clicks, "p_user", "c_user", "p_ts", "c_ts")
+        .withColumn("gap_us",
+          when(col("c_ts").isNotNull &&
+            (unix_micros(col("p_ts")) > unix_micros(col("c_ts"))),
+            unix_micros(col("p_ts")) - unix_micros(col("c_ts"))))
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("gap_us")).as("n_matched"),
+          coalesce(sum(col("gap_us")), lit(0L)).cast("long").as("sum_gap_us"))
+        .orderBy(col("user_id"))
+    },
     // scalar JSON + date functions over the props column
     "events_json_props" -> { (s, dir) =>
       events(s, dir)
@@ -90,6 +112,27 @@ object EventOps {
           round(col("value"), 2).as("top_value"))
         .orderBy(col("user_id"))
     })
+
+  private val asOfOracle: String =
+    """WITH ce AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |m AS (
+      |  SELECT user_id, event_type, epoch_us(tsu) AS ts_us,
+      |    MAX(CASE WHEN event_type = 'click' THEN epoch_us(tsu) END)
+      |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      |  FROM ce),
+      |p AS (
+      |  SELECT user_id,
+      |    CASE WHEN last_click_us IS NOT NULL AND ts_us > last_click_us
+      |         THEN ts_us - last_click_us END AS gap_us
+      |  FROM m WHERE event_type = 'purchase')
+      |SELECT user_id, COUNT(*) AS n_purchases, COUNT(gap_us) AS n_matched,
+      |  CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us
+      |FROM p
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "events_hourly" ->
@@ -121,26 +164,10 @@ object EventOps {
         |FROM per
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
-    "events_asof_join" ->
-      """WITH ce AS (
-        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
-        |m AS (
-        |  SELECT user_id, event_type, epoch_us(tsu) AS ts_us,
-        |    MAX(CASE WHEN event_type = 'click' THEN epoch_us(tsu) END)
-        |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
-        |  FROM ce),
-        |p AS (
-        |  SELECT user_id,
-        |    CASE WHEN last_click_us IS NOT NULL AND ts_us > last_click_us
-        |         THEN ts_us - last_click_us END AS gap_us
-        |  FROM m WHERE event_type = 'purchase')
-        |SELECT user_id, COUNT(*) AS n_purchases, COUNT(gap_us) AS n_matched,
-        |  CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us
-        |FROM p
-        |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin,
+    "events_asof_join" -> asOfOracle,
+    // identical semantics, independent execution path (custom Catalyst
+    // operator) — deliberately the same oracle text
+    "events_asof_custom" -> asOfOracle,
     "events_json_props" ->
       """SELECT event_type, year(CAST(ts AS TIMESTAMP)) AS y,
         |  month(CAST(ts AS TIMESTAMP)) AS m, COUNT(*) AS n,
