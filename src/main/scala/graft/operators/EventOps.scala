@@ -65,21 +65,24 @@ object EventOps {
           coalesce(sum(col("gap_us")), lit(0L)).cast("long").as("sum_gap_us"))
         .orderBy(col("user_id"))
     },
-    // the same as-of semantics through the custom Catalyst operator
-    // (graft.plans.AsOfJoinExec — merge exec, SMJ distribution) instead
-    // of the window composition above; shares events_asof_join's DuckDB
-    // oracle, so the custom plan's output is hash-checked against an
-    // independent engine, not just against our own window version.
+    // as-of semantics through the custom Catalyst operator
+    // (graft.plans.AsOfJoinExec — merge exec, SMJ distribution) with
+    // STRICT time inequality: matching on (p_ts - 1µs) means the newest
+    // click strictly before the purchase wins, which is tie-proof — the
+    // window variant above resolves same-microsecond click/purchase
+    // ties by event_id order, a detail the merge operator deliberately
+    // doesn't replicate. The oracle is a correlated max-subquery with
+    // the same strict semantics, hash-checked in DuckDB.
     "events_asof_custom" -> { (s, dir) =>
       val ev = events(s, dir).filter(col("event_type").isin("click", "purchase"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          (col("ts") - expr("INTERVAL 1 MICROSECOND")).as("p_cut"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      graft.plans.AsOfJoin.asof(purchases, clicks, "p_user", "c_user", "p_ts", "c_ts")
+      graft.plans.AsOfJoin.asof(purchases, clicks, "p_user", "c_user", "p_cut", "c_ts")
         .withColumn("gap_us",
-          when(col("c_ts").isNotNull &&
-            (unix_micros(col("p_ts")) > unix_micros(col("c_ts"))),
+          when(col("c_ts").isNotNull,
             unix_micros(col("p_ts")) - unix_micros(col("c_ts"))))
         .groupBy(col("p_user").as("user_id"))
         .agg(count(lit(1)).as("n_purchases"),
@@ -165,9 +168,25 @@ object EventOps {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     "events_asof_join" -> asOfOracle,
-    // identical semantics, independent execution path (custom Catalyst
-    // operator) — deliberately the same oracle text
-    "events_asof_custom" -> asOfOracle,
+    // strict-inequality as-of (tie-proof) — correlated max-subquery
+    // oracle, independent of the window formulation
+    "events_asof_custom" ->
+      """WITH purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE event_type = 'click'),
+        |g AS (
+        |  SELECT p.user_id,
+        |    epoch_us(p.tsu) - (SELECT MAX(epoch_us(c.tsu)) FROM clicks c
+        |                       WHERE c.user_id = p.user_id AND c.tsu < p.tsu) AS gap_us
+        |  FROM purchases p)
+        |SELECT user_id, COUNT(*) AS n_purchases, COUNT(gap_us) AS n_matched,
+        |  CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us
+        |FROM g
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "events_json_props" ->
       """SELECT event_type, year(CAST(ts AS TIMESTAMP)) AS y,
         |  month(CAST(ts AS TIMESTAMP)) AS m, COUNT(*) AS n,

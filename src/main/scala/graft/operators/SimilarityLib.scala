@@ -100,6 +100,9 @@ object SimilarityLib {
     * max abs error is `q_scale / 2` per element. */
   def dequantize(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
+
+  /** Deterministic random-hyperplane signature: `bits` sign bits from
+    * seeded Gaussian planes, packed into a long. */
   def hyperplaneSignature(df: DataFrame, vecCol: String, dim: Int, bits: Int,
       seed: Long = 42L): DataFrame = {
     require(bits <= 63, "signature packs into a long")

@@ -118,7 +118,12 @@ case class AsOfJoinExec(
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // bind against the OUTPUT nullability (right side forced nullable),
+      // not the child schemas: a non-nullable right column would skip the
+      // null check in generated code and read garbage from the all-null
+      // row on unmatched lefts (SMJ binds create(output, output) for the
+      // same reason)
+      val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
       // one-row lookahead into the right side + the latest match so far
@@ -180,14 +185,23 @@ object AsOfJoin {
     GraftPlanBridge.ensureRegistered(spark, new AsOfJoinStrategy, PushFilterThroughAsOfJoin)
     val lPlan = GraftPlanBridge.analyzed(left)
     val rPlan = GraftPlanBridge.analyzed(right)
+    // honor the session's resolution mode (default case-insensitive)
+    val caseSensitive = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
+      plan.output.find(a => norm(a.name) == norm(name)).getOrElse(
         throw new IllegalArgumentException(
           s"$side side has no column '$name' (has ${plan.output.map(_.name).mkString(", ")})"))
-    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    val dup = left.columns.map(norm).toSet.intersect(right.columns.map(norm).toSet)
     require(dup.isEmpty, s"ambiguous output: both sides have ${dup.mkString(", ")}")
-    GraftPlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKey, "left"), attr(rPlan, rightKey, "right"),
-      attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right")))
+    val (lk, rk) = (attr(lPlan, leftKey, "left"), attr(rPlan, rightKey, "right"))
+    val (lt, rt) = (attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right"))
+    // orderings are built from the LEFT types and applied to right values;
+    // a silent type mismatch would surface as an executor ClassCastException
+    require(lk.dataType == rk.dataType,
+      s"key type mismatch: $leftKey is ${lk.dataType}, $rightKey is ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"time type mismatch: $leftTime is ${lt.dataType}, $rightTime is ${rt.dataType}")
+    GraftPlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

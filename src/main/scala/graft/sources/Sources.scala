@@ -25,9 +25,15 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
-  /** CSV with explicit schema; header on, standard escaping. */
+  /** CSV with explicit schema; header on, multiLine so quoted fields
+    * containing newlines (document text!) parse as one record instead of
+    * splitting mid-row. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(path)
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
 
   /** Newline-delimited JSON with explicit schema (no sampling pass). */
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
@@ -42,7 +48,10 @@ object Sources {
   def stage(df: DataFrame, path: String, format: String): Unit = {
     val w = df.write.mode("overwrite")
     format match {
-      case "csv" => w.option("header", "true").csv(path)
+      // RFC-4180 double-quote escaping, matching readCsv — the default
+      // backslash escape would desync the write and read sides on
+      // fields containing quotes
+      case "csv" => w.option("header", "true").option("escape", "\"").csv(path)
       case other => w.format(other).save(path)
     }
   }

@@ -22,9 +22,13 @@ object GraftPlanBridge {
   def ensureRegistered(
       spark: SparkSession, strategy: SparkStrategy, rule: Rule[LogicalPlan]): Unit = {
     val s = spark.asInstanceOf[classic.SparkSession]
-    if (!s.experimental.extraStrategies.exists(_.getClass == strategy.getClass))
-      s.experimental.extraStrategies = s.experimental.extraStrategies :+ strategy
-    if (!s.experimental.extraOptimizations.exists(_.getClass == rule.getClass))
-      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+    // check-then-append on shared session state: synchronize so two
+    // threads' first calls can't clobber each other's registration
+    s.experimental.synchronized {
+      if (!s.experimental.extraStrategies.exists(_.getClass == strategy.getClass))
+        s.experimental.extraStrategies = s.experimental.extraStrategies :+ strategy
+      if (!s.experimental.extraOptimizations.exists(_.getClass == rule.getClass))
+        s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+    }
   }
 }

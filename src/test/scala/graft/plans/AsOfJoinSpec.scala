@@ -61,6 +61,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(2L).isEmpty && got(3L).isEmpty)
   }
 
+  test("unmatched lefts emit NULL for non-nullable right columns (not garbage)") {
+    import spark.implicits._
+    // toDF on Seq[(Long, Long, String)] yields non-nullable Long columns
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("l_key", "l_time", "l_id")
+    val right = Seq((1L, 5L, "a")).toDF("r_key", "r_time", "r_val")
+    val byId = AsOfJoin.asof(left, right, "l_key", "r_key", "l_time", "r_time")
+      .collect().map(r => r.getLong(2) -> r).toMap
+    assert(!byId(100L).isNullAt(3) && byId(100L).getLong(3) == 1L)
+    // unmatched: r_key/r_time must be NULL, not 0 read from the null row
+    assert(byId(200L).isNullAt(3) && byId(200L).isNullAt(4) && byId(200L).isNullAt(5))
+  }
+
+  test("key/time type mismatches fail fast at the driver") {
+    import spark.implicits._
+    val left = Seq((1, 10L, 1L)).toDF("l_key", "l_time", "l_id") // int key
+    val right = Seq((1L, 5L, "a")).toDF("r_key", "r_time", "r_val") // long key
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, right, "l_key", "r_key", "l_time", "r_time")
+    }
+    assert(e.getMessage.contains("key type mismatch"))
+  }
+
   test("plan: custom exec node with SMJ-style exchanges and sorts") {
     val (left, right) = tables
     val plan = AsOfJoin.asof(left, right, "l_key", "r_key", "l_time", "r_time")

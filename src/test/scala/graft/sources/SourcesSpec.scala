@@ -27,6 +27,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(back) == rows(nation))
   }
 
+  test("csv round-trip survives embedded newlines and quotes in text fields") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      (1L, "plain text"),
+      (2L, "line one\nline two\nline three"),
+      (3L, "she said \"hello, world\" and left"),
+      (4L, "tabs\tand,commas, and\r\nwindows newlines")))
+      .toDF("id", "text")
+    val dir = Files.createTempDirectory("src_csv_nl").toString + "/d"
+    Sources.stage(docs, dir, "csv")
+    val back = Sources.readCsv(spark, dir, docs.schema)
+    assert(back.count() == 4, "quoted newlines split records")
+    val got = back.orderBy("id").select("text").collect().map(_.getString(0)).toSeq
+    val exp = docs.orderBy("id").select("text").collect().map(_.getString(0)).toSeq
+    assert(got == exp)
+  }
+
   test("json round-trip preserves rows under an explicit schema") {
     val dir = Files.createTempDirectory("src_json").toString + "/n"
     Sources.stage(nation, dir, "json")
