@@ -32,6 +32,35 @@ object CurationOps {
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))
     },
+    // eval-set decontamination: flag training docs sharing word 4-grams
+    // with a (deterministic) held-out slice — the standard benchmark-
+    // contamination sweep of an LLM data pipeline. The eval gram set is
+    // tiny relative to the corpus (benchmarks always are), so it
+    // BROADCASTS and the train side never shuffles: per-doc gram
+    // explode → broadcast-hash semi-ish join → per-doc counts.
+    "text_decontaminate" -> { (s, dir) =>
+      def grams(df: DataFrame): DataFrame = {
+        val w = split(col("text"), " ")
+        df.withColumn("w", w).filter(size(col("w")) >= 4)
+          .withColumn("sh", explode(transform(
+            sequence(lit(1), size(col("w")) - 3),
+            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2), element_at(col("w"), i + 3)))))
+          .drop("w")
+      }
+      val base = documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val evalGrams = grams(base.filter(col("doc_id") % 20 === 0))
+        .select(col("sh")).distinct()
+      val trainGrams = grams(base.filter(col("doc_id") % 20 =!= 0))
+        .select(col("doc_id"), col("lang"), col("sh")).distinct()
+      trainGrams.join(broadcast(evalGrams), Seq("sh"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_shared"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_contaminated"),
+          max(col("n_shared")).cast("long").as("max_overlap"))
+        .orderBy(col("lang"))
+    },
     // repetition signals per language: duplicate-word fraction
     // (1 - distinct/total) and top-bigram fraction (most frequent word
     // 2-gram / all 2-grams). Per-doc fractions are rounded then summed
@@ -69,6 +98,26 @@ object CurationOps {
         |                        THEN '4' ELSE '8' END)
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "text_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM docs WHERE len(w) >= 4),
+        |ev AS (SELECT DISTINCT sh FROM g WHERE doc_id % 20 = 0),
+        |tr AS (SELECT DISTINCT doc_id, lang, sh FROM g WHERE doc_id % 20 <> 0),
+        |per_doc AS (
+        |  SELECT tr.doc_id, tr.lang, COUNT(*) AS n_shared
+        |  FROM tr JOIN ev USING (sh)
+        |  GROUP BY tr.doc_id, tr.lang)
+        |SELECT lang, COUNT(*) AS n_contaminated,
+        |  CAST(MAX(n_shared) AS BIGINT) AS max_overlap
+        |FROM per_doc
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "text_repetition" ->
       """WITH d AS (
         |  SELECT lang,
