@@ -110,6 +110,22 @@ object MultimodalOps {
           round(avg(col("first_byte")), 6).as("avg_first_byte"),
           max(col("fake_width")).cast("long").as("max_width"))
         .orderBy(col("source"))
+    },
+    // frame-sampling through the REAL batched mapPartitions path
+    // (graft.multimodal.Multimodal.sampleFrames over the stub codec):
+    // each payload splits into min(4, len) frames of max(1, len/4)
+    // bytes — deterministic arithmetic the oracle replays in SQL, so
+    // the batch plumbing (schema, flatMap fan-out, per-partition codec)
+    // is hash-checked, not just unit-tested.
+    "mm_frame_stats" -> { (s, dir) =>
+      val media = graft.multimodal.Multimodal.fromDocuments(documents(s, dir))
+      graft.multimodal.Multimodal.sampleFrames(media, n = 4)
+        .select(col("frame_no").cast("long").as("frame_no"),
+          octet_length(col("frame")).cast("long").as("fb"))
+        .groupBy(col("frame_no"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("fb")).cast("long").as("total_frame_bytes"))
+        .orderBy(col("frame_no"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +136,18 @@ object MultimodalOps {
         |  CAST(MAX(n_chars % 64) AS BIGINT) AS max_width
         |FROM documents
         |GROUP BY source
-        |ORDER BY source""".stripMargin)
+        |ORDER BY source""".stripMargin,
+    "mm_frame_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, least(4, len))) AS frame_no,
+        |    greatest(len // 4, 1) AS fb
+        |  FROM d)
+        |SELECT frame_no, COUNT(*) AS n_media,
+        |  CAST(SUM(fb) AS BIGINT) AS total_frame_bytes
+        |FROM f
+        |GROUP BY frame_no
+        |ORDER BY frame_no""".stripMargin)
 }

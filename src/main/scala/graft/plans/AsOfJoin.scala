@@ -37,7 +37,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
+    leftTime: Attribute, rightTime: Attribute,
+    tolerance: Long = Long.MaxValue) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -48,8 +49,8 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] onto [[AsOfJoinExec]]. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -85,7 +86,8 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryExecNode {
+    leftTime: Attribute, rightTime: Attribute,
+    tolerance: Long = Long.MaxValue) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -130,6 +132,13 @@ case class AsOfJoinExec(
       var rHead: InternalRow = null
       var matched: InternalRow = null
       var matchedKey: Any = null
+      var matchedTime: Any = null
+      // staleness gate: internal time values of integral/timestamp/date
+      // types are numeric, so the distance check is a long subtraction
+      def withinTolerance(lTimeV: Any): Boolean =
+        tolerance == Long.MaxValue ||
+          lTimeV.asInstanceOf[Number].longValue -
+            matchedTime.asInstanceOf[Number].longValue <= tolerance
 
       new Iterator[InternalRow] {
         override def hasNext: Boolean = lIter.hasNext
@@ -158,12 +167,14 @@ case class AsOfJoinExec(
                     // from sorted iterators reuse buffers → copy to hold
                     matched = rHead.copy()
                     matchedKey = rKeyB.eval(matched)
+                    matchedTime = rTimeB.eval(matched)
                     rHead = null
                   } else scanning = false // right is ahead of this left row
                 }
               }
             }
-            proj(joined(l, if (matched != null) matched else nullRight))
+            proj(joined(l,
+              if (matched != null && withinTolerance(lTimeV)) matched else nullRight))
           }
         }
       }
@@ -176,11 +187,17 @@ object AsOfJoin {
   /** `left` ⟕asof `right`: equi-match on (`leftKey` = `rightKey`), then
     * the newest `rightTime` ≤ `leftTime` wins. The output carries every
     * column of both sides, so the two sides' column names must be
-    * disjoint — rename before joining, as with any self-join. */
+    * disjoint — rename before joining, as with any self-join.
+    *
+    * `tolerance` (pandas `merge_asof` parity) bounds staleness: a match
+    * also requires `leftTime - rightTime ≤ tolerance`, measured in the
+    * time column's internal unit (µs for timestamps, the raw value for
+    * integral columns). Default unbounded. */
   def asof(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      tolerance: Long = Long.MaxValue): DataFrame = {
     val spark = left.sparkSession
     GraftPlanBridge.ensureRegistered(spark, new AsOfJoinStrategy, PushFilterThroughAsOfJoin)
     val lPlan = GraftPlanBridge.analyzed(left)
@@ -202,6 +219,16 @@ object AsOfJoin {
       s"key type mismatch: $leftKey is ${lk.dataType}, $rightKey is ${rk.dataType}")
     require(lt.dataType == rt.dataType,
       s"time type mismatch: $leftTime is ${lt.dataType}, $rightTime is ${rt.dataType}")
-    GraftPlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
+    if (tolerance != Long.MaxValue) {
+      require(tolerance >= 0, s"tolerance must be non-negative, got $tolerance")
+      import org.apache.spark.sql.types._
+      val okType = lt.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      }
+      require(okType, s"tolerance unsupported for time type ${lt.dataType}")
+    }
+    GraftPlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, tolerance))
   }
 }

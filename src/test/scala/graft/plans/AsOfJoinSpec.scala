@@ -61,6 +61,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(2L).isEmpty && got(3L).isEmpty)
   }
 
+  test("tolerance bounds staleness like pandas merge_asof") {
+    val (left, right) = tables
+    val tol = 300L
+    val got = AsOfJoin.asof(left, right, "l_key", "r_key", "l_time", "r_time",
+        tolerance = tol)
+      .select(col("l_id"), col("r_val"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
+    // oracle: same as unbounded but the time window is [l_time - tol, l_time]
+    val w = Window.partitionBy(col("l_id")).orderBy(col("r_time").desc_nulls_last)
+    val exp = left.join(right,
+        col("l_key") === col("r_key") && col("r_time") <= col("l_time") &&
+          col("r_time") >= col("l_time") - tol, "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_id"), col("r_val"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
+    assert(got == exp)
+    // the bound must actually bite: strictly fewer matches than unbounded
+    val unbounded = oracle(left, right).count(_._2.nonEmpty)
+    assert(got.count(_._2.nonEmpty) < unbounded)
+  }
+
   test("unmatched lefts emit NULL for non-nullable right columns (not garbage)") {
     import spark.implicits._
     // toDF on Seq[(Long, Long, String)] yields non-nullable Long columns
