@@ -38,7 +38,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    tolerance: Long = Long.MaxValue) extends BinaryNode {
+    tolerance: Long = Long.MaxValue,
+    direction: String = "backward") extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -49,8 +50,8 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] onto [[AsOfJoinExec]]. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, dir) :: Nil
     case _ => Nil
   }
 }
@@ -87,7 +88,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    tolerance: Long = Long.MaxValue) extends BinaryExecNode {
+    tolerance: Long = Long.MaxValue,
+    direction: String = "backward") extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -108,6 +110,13 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // Spark-UI observability, like the built-in join execs
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -118,6 +127,8 @@ case class AsOfJoinExec(
     val rTimeB = BindReferences.bindReference[Expression](rightTime, rOut)
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // bind against the OUTPUT nullability (right side forced nullable),
@@ -133,17 +144,17 @@ case class AsOfJoinExec(
       var matched: InternalRow = null
       var matchedKey: Any = null
       var matchedTime: Any = null
-      // staleness gate: internal time values of integral/timestamp/date
-      // types are numeric, so the distance check is a long subtraction
-      def withinTolerance(lTimeV: Any): Boolean =
-        tolerance == Long.MaxValue ||
-          lTimeV.asInstanceOf[Number].longValue -
-            matchedTime.asInstanceOf[Number].longValue <= tolerance
+      // internal time values of integral/timestamp/date types are
+      // numeric, so distances are long subtractions (validated in asof())
+      def toL(v: Any): Long = v.asInstanceOf[Number].longValue
+      def withinTol(dist: => Long): Boolean =
+        tolerance == Long.MaxValue || dist <= tolerance
 
       new Iterator[InternalRow] {
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
+          numOutputRows += 1
           val lKeyV = lKeyB.eval(l)
           val lTimeV = lTimeB.eval(l)
           if (lKeyV == null || lTimeV == null) {
@@ -173,8 +184,33 @@ case class AsOfJoinExec(
                 }
               }
             }
-            proj(joined(l,
-              if (matched != null && withinTolerance(lTimeV)) matched else nullRight))
+            // backward candidate = newest right ≤ lt (buffered copy);
+            // forward candidate = the lookahead row rHead, which the scan
+            // stopped on precisely because it is the FIRST right > lt for
+            // this key (or a later key — checked here). Both directions
+            // fall out of the same single-pass merge state.
+            val backOk = matched != null && withinTol(toL(lTimeV) - toL(matchedTime))
+            def fwdTime: Any = rTimeB.eval(rHead)
+            def fwdKeyOk: Boolean = rHead != null && {
+              val rk = rKeyB.eval(rHead)
+              rk != null && keyOrd.compare(rk, lKeyV) == 0
+            }
+            val out = direction match {
+              case "forward" =>
+                // an exact-time hit was consumed into the backward buffer
+                if (matched != null && timeOrd.compare(matchedTime, lTimeV) == 0) matched
+                else if (fwdKeyOk && withinTol(toL(fwdTime) - toL(lTimeV))) rHead
+                else nullRight
+              case "nearest" =>
+                val b = if (backOk) toL(lTimeV) - toL(matchedTime) else Long.MaxValue
+                val f = if (fwdKeyOk && withinTol(toL(fwdTime) - toL(lTimeV)))
+                  toL(fwdTime) - toL(lTimeV) else Long.MaxValue
+                if (b == Long.MaxValue && f == Long.MaxValue) nullRight
+                else if (b <= f) matched else rHead // tie → backward (deterministic)
+              case _ => if (backOk) matched else nullRight
+            }
+            if (!(out eq nullRight)) numMatched += 1
+            proj(joined(l, out))
           }
         }
       }
@@ -190,14 +226,20 @@ object AsOfJoin {
     * disjoint — rename before joining, as with any self-join.
     *
     * `tolerance` (pandas `merge_asof` parity) bounds staleness: a match
-    * also requires `leftTime - rightTime ≤ tolerance`, measured in the
-    * time column's internal unit (µs for timestamps, the raw value for
-    * integral columns). Default unbounded. */
+    * also requires the time distance ≤ `tolerance`, measured in the time
+    * column's internal unit (µs for timestamps, the raw value for
+    * integral columns). Default unbounded.
+    *
+    * `direction`: `backward` (newest right ≤ left time, the default),
+    * `forward` (earliest right ≥ left time), or `nearest` (smaller
+    * absolute distance; ties break backward). All three run in the same
+    * single merge pass. */
   def asof(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      tolerance: Long = Long.MaxValue): DataFrame = {
+      tolerance: Long = Long.MaxValue,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     GraftPlanBridge.ensureRegistered(spark, new AsOfJoinStrategy, PushFilterThroughAsOfJoin)
     val lPlan = GraftPlanBridge.analyzed(left)
@@ -219,16 +261,21 @@ object AsOfJoin {
       s"key type mismatch: $leftKey is ${lk.dataType}, $rightKey is ${rk.dataType}")
     require(lt.dataType == rt.dataType,
       s"time type mismatch: $leftTime is ${lt.dataType}, $rightTime is ${rt.dataType}")
-    if (tolerance != Long.MaxValue) {
-      require(tolerance >= 0, s"tolerance must be non-negative, got $tolerance")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
+    if (tolerance != Long.MaxValue || direction == "nearest") {
+      require(tolerance == Long.MaxValue || tolerance >= 0,
+        s"tolerance must be non-negative, got $tolerance")
       import org.apache.spark.sql.types._
       val okType = lt.dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
         case TimestampType | TimestampNTZType | DateType => true
         case _ => false
       }
-      require(okType, s"tolerance unsupported for time type ${lt.dataType}")
+      require(okType,
+        s"tolerance/nearest need a numeric-distance time type, got ${lt.dataType}")
     }
-    GraftPlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, tolerance))
+    GraftPlanBridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, tolerance, direction))
   }
 }

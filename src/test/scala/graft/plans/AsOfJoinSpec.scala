@@ -82,6 +82,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.count(_._2.nonEmpty) < unbounded)
   }
 
+  test("forward direction picks the earliest right at or after the left time") {
+    val (left, right) = tables
+    val got = AsOfJoin.asof(left, right, "l_key", "r_key", "l_time", "r_time",
+        direction = "forward")
+      .select(col("l_id"), col("r_val"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
+    val w = Window.partitionBy(col("l_id")).orderBy(col("r_time").asc_nulls_last)
+    val exp = left.join(right,
+        col("l_key") === col("r_key") && col("r_time") >= col("l_time"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_id"), col("r_val"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
+    assert(got == exp)
+    assert(got.exists(_._2.nonEmpty))
+  }
+
+  test("nearest direction minimizes absolute distance, ties break backward") {
+    val (left, right) = tables
+    val got = AsOfJoin.asof(left, right, "l_key", "r_key", "l_time", "r_time",
+        direction = "nearest")
+      .select(col("l_id"), col("r_val"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
+    val dist = abs(col("r_time") - col("l_time"))
+    val pref = when(col("r_time") <= col("l_time"), 0).otherwise(1)
+    val w = Window.partitionBy(col("l_id"))
+      .orderBy(dist.asc_nulls_last, pref.asc_nulls_last)
+    val exp = left.join(right, col("l_key") === col("r_key"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_id"), col("r_val"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
+    assert(got == exp)
+    // nearest must match at least as often as either single direction
+    assert(got.count(_._2.nonEmpty) >= oracle(left, right).count(_._2.nonEmpty))
+  }
+
   test("unmatched lefts emit NULL for non-nullable right columns (not garbage)") {
     import spark.implicits._
     // toDF on Seq[(Long, Long, String)] yields non-nullable Long columns
