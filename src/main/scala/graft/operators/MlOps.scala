@@ -116,7 +116,10 @@ object MultimodalOps {
     // each payload splits into min(4, len) frames of max(1, len/4)
     // bytes — deterministic arithmetic the oracle replays in SQL, so
     // the batch plumbing (schema, flatMap fan-out, per-partition codec)
-    // is hash-checked, not just unit-tested.
+    // is hash-checked, not just unit-tested. NULL payloads yield zero
+    // frames on both sides (the oracle filters them explicitly —
+    // DuckDB's least/greatest would otherwise ignore the NULL and
+    // fabricate frames).
     "mm_frame_stats" -> { (s, dir) =>
       val media = graft.multimodal.Multimodal.fromDocuments(documents(s, dir))
       graft.multimodal.Multimodal.sampleFrames(media, n = 4)
@@ -139,7 +142,8 @@ object MultimodalOps {
         |ORDER BY source""".stripMargin,
     "mm_frame_stats" ->
       """WITH d AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+        |  WHERE text IS NOT NULL),
         |f AS (
         |  SELECT doc_id,
         |    unnest(range(0, least(4, len))) AS frame_no,

@@ -145,8 +145,17 @@ case class AsOfJoinExec(
       var matchedKey: Any = null
       var matchedTime: Any = null
       // internal time values of integral/timestamp/date types are
-      // numeric, so distances are long subtractions (validated in asof())
+      // numeric, so distances are long subtractions (validated in
+      // asof()). Saturating subtraction: with extreme epoch values a
+      // raw `a - b` wraps negative and a wrapped distance would pass
+      // any tolerance and win any nearest comparison.
       def toL(v: Any): Long = v.asInstanceOf[Number].longValue
+      def satDist(a: Long, b: Long): Long = {
+        val r = a - b
+        if (((a ^ b) & (a ^ r)) < 0) {
+          if (a < 0) Long.MinValue else Long.MaxValue
+        } else r
+      }
       def withinTol(dist: => Long): Boolean =
         tolerance == Long.MaxValue || dist <= tolerance
 
@@ -189,8 +198,8 @@ case class AsOfJoinExec(
             // stopped on precisely because it is the FIRST right > lt for
             // this key (or a later key — checked here). Both directions
             // fall out of the same single-pass merge state.
-            val backOk = matched != null && withinTol(toL(lTimeV) - toL(matchedTime))
-            def fwdTime: Any = rTimeB.eval(rHead)
+            val backOk = matched != null &&
+              withinTol(satDist(toL(lTimeV), toL(matchedTime)))
             def fwdKeyOk: Boolean = rHead != null && {
               val rk = rKeyB.eval(rHead)
               rk != null && keyOrd.compare(rk, lKeyV) == 0
@@ -199,14 +208,19 @@ case class AsOfJoinExec(
               case "forward" =>
                 // an exact-time hit was consumed into the backward buffer
                 if (matched != null && timeOrd.compare(matchedTime, lTimeV) == 0) matched
-                else if (fwdKeyOk && withinTol(toL(fwdTime) - toL(lTimeV))) rHead
+                else if (fwdKeyOk &&
+                  withinTol(satDist(toL(rTimeB.eval(rHead)), toL(lTimeV)))) rHead
                 else nullRight
               case "nearest" =>
-                val b = if (backOk) toL(lTimeV) - toL(matchedTime) else Long.MaxValue
-                val f = if (fwdKeyOk && withinTol(toL(fwdTime) - toL(lTimeV)))
-                  toL(fwdTime) - toL(lTimeV) else Long.MaxValue
-                if (b == Long.MaxValue && f == Long.MaxValue) nullRight
-                else if (b <= f) matched else rHead // tie → backward (deterministic)
+                val bOk = backOk
+                val fDist = if (fwdKeyOk)
+                  satDist(toL(rTimeB.eval(rHead)), toL(lTimeV)) else Long.MaxValue
+                val fOk = fwdKeyOk && withinTol(fDist)
+                if (!bOk && !fOk) nullRight
+                else if (!fOk) matched
+                else if (!bOk) rHead
+                else if (satDist(toL(lTimeV), toL(matchedTime)) <= fDist) matched
+                else rHead // backward wins ties (deterministic)
               case _ => if (backOk) matched else nullRight
             }
             if (!(out eq nullRight)) numMatched += 1
@@ -248,9 +262,13 @@ object AsOfJoin {
     val caseSensitive = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =
-      plan.output.find(a => norm(a.name) == norm(name)).getOrElse(
-        throw new IllegalArgumentException(
-          s"$side side has no column '$name' (has ${plan.output.map(_.name).mkString(", ")})"))
+      plan.output.filter(a => norm(a.name) == norm(name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"$side side has no column '$name' (has ${plan.output.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"'$name' is ambiguous on the $side side: ${many.map(_.name).mkString(", ")}")
+      }
     val dup = left.columns.map(norm).toSet.intersect(right.columns.map(norm).toSet)
     require(dup.isEmpty, s"ambiguous output: both sides have ${dup.mkString(", ")}")
     val (lk, rk) = (attr(lPlan, leftKey, "left"), attr(rPlan, rightKey, "right"))

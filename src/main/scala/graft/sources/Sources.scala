@@ -25,13 +25,16 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
-  /** CSV with explicit schema; header on, multiLine so quoted fields
-    * containing newlines (document text!) parse as one record instead of
-    * splitting mid-row. */
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  /** CSV with explicit schema; header on, RFC-4180 quote escaping.
+    * `multiLine=true` is required for tables whose string fields can
+    * contain newlines (document text!) — quoted newlines otherwise split
+    * records mid-row — but it makes files NON-SPLITTABLE (one task per
+    * file), so it is opt-in: plain tabular data keeps parallel reads. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      multiLine: Boolean = false): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
-      .option("multiLine", "true")
+      .option("multiLine", multiLine.toString)
       .option("escape", "\"")
       .csv(path)
 

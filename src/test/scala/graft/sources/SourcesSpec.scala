@@ -37,7 +37,7 @@ class SourcesSpec extends AnyFunSuite {
       .toDF("id", "text")
     val dir = Files.createTempDirectory("src_csv_nl").toString + "/d"
     Sources.stage(docs, dir, "csv")
-    val back = Sources.readCsv(spark, dir, docs.schema)
+    val back = Sources.readCsv(spark, dir, docs.schema, multiLine = true)
     assert(back.count() == 4, "quoted newlines split records")
     val got = back.orderBy("id").select("text").collect().map(_.getString(0)).toSeq
     val exp = docs.orderBy("id").select("text").collect().map(_.getString(0)).toSeq
