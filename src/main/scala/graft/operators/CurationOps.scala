@@ -24,7 +24,10 @@ object CurationOps {
     // rate table of a corpus-mixing pipeline, applied as one stateless
     // filter. Kept counts per source prove the rates landed.
     "sample_weighted_source" -> { (s, dir) =>
-      val srcNum = substring(col("source"), 4, 9).cast("int")
+      // unbounded slice + try_cast: identical to the oracle's
+      // substr(source, 4) for any suffix length, and NULL (→ the ELSE
+      // branch) instead of an ANSI crash on a non-numeric suffix
+      val srcNum = expr("try_cast(substr(source, 4) AS INT)")
       val threshold = when(srcNum % 2 === 0, "4").otherwise("8")
       documents(s, dir)
         .filter(md5(col("text")) < threshold)
@@ -94,7 +97,7 @@ object CurationOps {
     "sample_weighted_source" ->
       """SELECT source, COUNT(*) AS n_kept
         |FROM documents
-        |WHERE md5(text) < (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |WHERE md5(text) < (CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
         |                        THEN '4' ELSE '8' END)
         |GROUP BY source
         |ORDER BY source""".stripMargin,

@@ -21,8 +21,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics (pandas `merge_asof` backward / QuestDB `ASOF JOIN`): for
   * every left row, attach the right row with the greatest right-time ≤
-  * left-time within the same key; unmatched left rows keep nulls. Spark
-  * itself has no ASOF JOIN; the window-composition in
+  * left-time within the same key; unmatched left rows keep nulls.
+  * Tie-breaking among right rows that share the SAME timestamp: the
+  * winner is always the LAST such row in (key, time) sort order — for
+  * all three directions, including a forward/nearest exact-time hit
+  * (the scan consumes equal-time rows into the backward buffer, so the
+  * last one wins there too). This matches pandas `merge_asof` for
+  * backward but is a deliberate, documented deviation for forward mode,
+  * where pandas keeps the first duplicate in input order; after the
+  * shuffle+sort there is no stable "input order" to preserve, so the
+  * deterministic sort-order rule is used instead. The window-composition
+  * in
   * [[graft.operators.EventOps]] (`events_asof_join`) covers the
   * SQL-expressible case, while this operator generalizes it to
   * arbitrary payload columns without unioning the two tables.

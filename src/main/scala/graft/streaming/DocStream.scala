@@ -22,14 +22,26 @@ object DocStream {
     * (`unhex(md5)` — full 128-bit collision resistance at half the
     * bytes of the hex string); late duplicates beyond the horizon are a
     * deliberate recall/state tradeoff (tune `watermark` to the re-post
-    * window that matters). */
+    * window that matters).
+    *
+    * Null policy: null-text documents PASS THROUGH untouched. Without
+    * the guard, `md5(NULL)` is NULL and every null-text doc within the
+    * horizon would collapse into a single survivor — nulls are not
+    * duplicates of each other, so they bypass dedup state entirely
+    * (filter them upstream if they should be rejected instead). */
   def dedupExact(
       docs: DataFrame, tsCol: String, textCol: String,
-      watermark: String = "2 hours"): DataFrame =
-    docs
+      watermark: String = "2 hours"): DataFrame = {
+    val withTs = docs.withWatermark(tsCol, watermark)
+    val deduped = withTs
+      .filter(col(textCol).isNotNull)
       .withColumn("content_hash", unhex(md5(col(textCol))))
-      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+    val nulls = withTs
+      .filter(col(textCol).isNull)
+      .withColumn("content_hash", lit(null).cast("binary"))
+    deduped.unionByName(nulls)
+  }
 
   /** Stateless quality gate: literally the batch `text_quality` formula
     * ([[graft.operators.TextOps.qualityScore]] — one shared definition,

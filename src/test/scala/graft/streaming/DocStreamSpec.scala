@@ -62,6 +62,30 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("null-text documents pass through dedup instead of collapsing") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dir = Files.createTempDirectory("doc_stream_nulls").toString
+    docsDf(Seq(
+      (1L, new Timestamp(base), "alpha beta gamma delta"),
+      (2L, new Timestamp(base + 60000), null),
+      (3L, new Timestamp(base + 120000), null),
+      (4L, new Timestamp(base + 180000), "alpha beta gamma delta")))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val q = DocStream.dedupExact(
+      spark.readStream.schema(schema).parquet(dir), "ingest_ts", "text")
+      .writeStream.format("memory").queryName("dedup_null_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_null_stream")
+        .collect().map(_.getLong(0)).toSet
+      // both null-text docs survive (not duplicates of each other);
+      // the real duplicate is still dropped
+      assert(ids == Set(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming quality filter matches batch formula") {
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val rows = Seq(
