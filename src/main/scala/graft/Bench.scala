@@ -64,12 +64,15 @@ object Bench {
       }
       (name, median(runs), runs.count(_ < 0))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    // An all-failed query reports null (not a -1 sentinel) so consumers
+    // summing or plotting per-query values can't mistake it for a timing.
+    val qs = results.map { case (k, v, _) =>
+        "\"" + k + "\":" + (if (v >= 0) f"$v%.3f" else "null")
+      }.mkString("{", ",", "}")
     // A median over only the successful runs hides flakiness — surface any
     // query that failed at least once so a clean median is distinguishable
     // from a partial one.
-    val failed = results.collect { case (k, _, nf) if nf > 0 => "\"" + k + s"""":$nf""" }
+    val failed = results.collect { case (k, _, nf) if nf > 0 => "\"" + k + s"\":$nf" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val line =

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-assembly operators over `documents`: vocabulary construction
+  * and deterministic sequence packing — the steps between "curated
+  * documents" and "training batches" in an LLM data pipeline.
+  *
+  * Scale notes (100 TB): vocabulary counting is explode → partial
+  * (map-side) aggregate → final aggregate, so the shuffle carries one
+  * row per distinct (lang, word) per map partition, not one per token;
+  * hot words (Zipf head) are safe because the groupBy key spreads them
+  * across reducers and AQE re-splits any residual skew. The top-k
+  * window then runs over the already-aggregated vocab table — orders of
+  * magnitude smaller than the corpus. Packing partitions by
+  * (lang, source) so window state per task is one shard's documents,
+  * never a whole language; at real scale the same shape runs per
+  * (source, shard-id) with range-partitioned doc ids.
+  */
+object CorpusOps {
+  import Tables._
+
+  /** Tokens-per-packed-sequence budget for `text_pack_sequences` —
+    * small enough that sf0.01 groups still split into multiple bins. */
+  val PackBudget = 256
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // vocabulary with counts, top-10 words per language (count desc,
+    // word asc tiebreak — fully deterministic)
+    "text_vocab_topk" -> { (s, dir) =>
+      val vocab = documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("word"))
+      vocab.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("word"), col("n"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    // deterministic sequence packing: concatenate each (lang, source)
+    // shard's documents in doc_id order and chop into PackBudget-token
+    // bins — a document's bin is the budget-chunk its first token lands
+    // in (the standard chunked-concatenation approximation; no
+    // RNG, no driver loop, bit-identical on re-runs). Output = per-bin
+    // occupancy stats, the packing manifest a trainer would consume.
+    "text_pack_sequences" -> { (s, dir) =>
+      val toks = size(split(col("text"), " ")).cast("long")
+      val before = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, dir)
+        .select(col("lang"), col("source"), col("doc_id"), toks.as("toks"))
+        .withColumn("cum_before", coalesce(sum(col("toks")).over(before), lit(0L)))
+        .withColumn("bin", floor(col("cum_before") / lit(PackBudget.toDouble)).cast("long"))
+        .groupBy(col("lang"), col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("bin_tokens"))
+        .orderBy(col("lang"), col("source"), col("bin"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "text_vocab_topk" ->
+      """SELECT lang, rk, word, n FROM (
+        |  SELECT lang, word, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
+        |  FROM (SELECT lang, word, COUNT(*) AS n
+        |        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |              FROM documents) w
+        |        GROUP BY lang, word) c) t
+        |WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
+    "text_pack_sequences" ->
+      s"""WITH t AS (
+        |  SELECT lang, source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, source, toks,
+        |    COALESCE(SUM(toks) OVER (PARTITION BY lang, source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT lang, source,
+        |  CAST(floor(cum_before / $PackBudget.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+        |FROM c
+        |GROUP BY lang, source, bin
+        |ORDER BY lang, source, bin""".stripMargin)
+}

@@ -127,4 +127,36 @@ object DedupLib {
   /** Hamming distance between simhash values — pair verifier. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Incremental cross-run dedup: filter `incoming` down to rows whose
+    * `keyCol` is (probably) NOT already in `seen` — the newcomer gate of
+    * a continuously-ingesting corpus, where re-scanning the full
+    * historical corpus per batch is off the table.
+    *
+    * Shape: one aggregation over `seen` builds a Bloom filter
+    * (mergeable partial sketches per partition — the driver merges
+    * fixed-size bitsets, never rows), which then rides to every
+    * executor as a broadcast and gates `incoming` in a single scan with
+    * zero shuffles. At 100 TB the filter is built once per epoch and
+    * reused across incoming batches; `expectedItems`/`fpp` size it
+    * (1 % fpp ≈ 9.6 bits/key — a billion seen keys ≈ 1.2 GB, still
+    * broadcastable; shard the key space if beyond that).
+    *
+    * Semantics: NO false negatives — a key in `seen` is always dropped.
+    * False positives at rate ≈ `fpp` drop genuinely-new rows; for
+    * dedup that trades a sliver of recall for never re-admitting a
+    * duplicate, the standard direction. Exact-or-nothing callers should
+    * use a `left_anti` join instead (shuffles both sides). Null keys in
+    * `incoming` pass through (a null is never a known duplicate). */
+  def bloomNewcomers(
+      seen: DataFrame, incoming: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // both sides hash the key's STRING form so seen/incoming agree even
+    // when the key column types drift (e.g. long ids vs string ids)
+    val bf = seen.select(col(keyCol).cast("string").as("k")).na.drop()
+      .stat.bloomFilter("k", expectedItems, fpp)
+    val bcast = incoming.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: String) => k != null && bcast.value.mightContainString(k))
+    incoming.filter(col(keyCol).isNull || !mightContain(col(keyCol).cast("string")))
+  }
 }

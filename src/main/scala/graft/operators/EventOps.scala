@@ -104,6 +104,34 @@ object EventOps {
           max(col("k")).cast("long").as("max_k"))
         .orderBy(col("event_type"), col("y"), col("m"))
     },
+    // range join: purchases within the hour after each click, per user.
+    // The naive inequality join is a nested-loop plan in Spark; instead
+    // band the time axis — each purchase lands in ONE hour bucket, each
+    // click probes its own bucket and the next (a fixed 2-way explode),
+    // and the exact range predicate refines the equi-join candidates.
+    // The join becomes a plain hash join on (user_id, bucket) that
+    // shuffles linearly and never degenerates, because a candidate pair
+    // must share a bucket and buckets are bounded by the range width.
+    "events_range_join" -> { (s, dir) =>
+      val HourUs = 3600000000L
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"))
+        .withColumn("bucket", expr(s"c_us div $HourUs"))
+        .withColumn("bucket", explode(array(col("bucket"), col("bucket") + 1)))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+        .withColumn("bucket", expr(s"p_us div $HourUs"))
+      clicks.join(purchases,
+          clicks("user_id") === purchases("p_user") &&
+            clicks("bucket") === purchases("bucket"))
+        .filter(col("p_us") > col("c_us") && col("p_us") <= col("c_us") + HourUs)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("click_id")).as("n_converting_clicks"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
     // top event value per user via window rank (late-data-free batch shape)
     "events_top_per_user" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
@@ -195,6 +223,21 @@ object EventOps {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY event_type, y, m""".stripMargin,
+    // plain inequality join — DuckDB's IEJoin handles it natively, so
+    // the oracle needs none of the bucketing the Spark side uses
+    "events_range_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, COUNT(DISTINCT c.event_id) AS n_converting_clicks,
+        |  COUNT(*) AS n_pairs
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND p.p_us > c.c_us AND p.p_us <= c.c_us + 3600000000
+        |GROUP BY c.user_id
+        |ORDER BY c.user_id""".stripMargin,
     "events_top_per_user" ->
       """SELECT user_id, event_id, event_type, ROUND(value, 2) AS top_value FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -18,30 +18,32 @@ object DocStream {
 
   /** Streaming exact dedup: drops payload-identical documents arriving
     * within the watermark horizon of each other. State = one 16-byte
-    * binary content hash per distinct doc seen inside the horizon
+    * binary dedup key per distinct doc seen inside the horizon
     * (`unhex(md5)` — full 128-bit collision resistance at half the
     * bytes of the hex string); late duplicates beyond the horizon are a
     * deliberate recall/state tradeoff (tune `watermark` to the re-post
     * window that matters).
     *
-    * Null policy: null-text documents PASS THROUGH untouched. Without
-    * the guard, `md5(NULL)` is NULL and every null-text doc within the
-    * horizon would collapse into a single survivor — nulls are not
-    * duplicates of each other, so they bypass dedup state entirely
-    * (filter them upstream if they should be rejected instead). */
+    * Null policy: null-text documents PASS THROUGH (their emitted
+    * `content_hash` stays NULL) — nulls are not duplicates of each
+    * other, so each gets a surrogate dedup key derived from `idCol`
+    * instead of collapsing under `md5(NULL)`. Single-pass design: one
+    * source scan, one stateful operator (an earlier null-branch +
+    * union variant read the source twice per micro-batch). The
+    * surrogate keys do occupy dedup state until the watermark expires
+    * them — 16 bytes per null doc, the price of one scan instead of
+    * two. A row with BOTH `textCol` and `idCol` null gets a null key
+    * and will collapse with other such rows; filter those upstream. */
   def dedupExact(
       docs: DataFrame, tsCol: String, textCol: String,
-      watermark: String = "2 hours"): DataFrame = {
-    val withTs = docs.withWatermark(tsCol, watermark)
-    val deduped = withTs
-      .filter(col(textCol).isNotNull)
+      watermark: String = "2 hours", idCol: String = "doc_id"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
       .withColumn("content_hash", unhex(md5(col(textCol))))
-      .dropDuplicatesWithinWatermark("content_hash")
-    val nulls = withTs
-      .filter(col(textCol).isNull)
-      .withColumn("content_hash", lit(null).cast("binary"))
-    deduped.unionByName(nulls)
-  }
+      .withColumn("graft_dedup_key",
+        coalesce(col("content_hash"),
+          unhex(md5(concat(lit("graft:null-text:"), col(idCol).cast("string"))))))
+      .dropDuplicatesWithinWatermark("graft_dedup_key")
+      .drop("graft_dedup_key")
 
   /** Stateless quality gate: literally the batch `text_quality` formula
     * ([[graft.operators.TextOps.qualityScore]] — one shared definition,

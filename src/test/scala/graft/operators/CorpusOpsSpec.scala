@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Invariant checks for the corpus-assembly queries and the banded range
+  * join (the DuckDB oracle checks exact values; these pin the algebraic
+  * properties that must hold at any scale). */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("text_vocab_topk: at most 10 ranks per lang, counts non-increasing") {
+    val rows = CorpusOps.queries("text_vocab_topk")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.size).toSeq, s"$lang ranks not dense")
+      assert(sorted.size <= 10)
+      val counts = sorted.map(_._3).toSeq
+      assert(counts == counts.sorted.reverse, s"$lang counts not non-increasing: $counts")
+    }
+  }
+
+  test("text_pack_sequences: bin tokens reconcile with the corpus total") {
+    val packed = CorpusOps.queries("text_pack_sequences")(spark, sf)
+    val binTotal = packed.agg(sum("bin_tokens")).collect()(0).getLong(0)
+    val docTotal = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    assert(binTotal == docTotal, s"packing lost tokens: $binTotal != $docTotal")
+    // every non-final bin of a group holds at least one doc and bins are dense
+    val bins = packed.select("lang", "source", "bin").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    bins.foreach { case (grp, bs) =>
+      assert(bs == (bs.head to bs.last).toSeq, s"$grp bins not dense: $bs")
+      assert(bs.head == 0L, s"$grp first bin not 0")
+    }
+  }
+
+  test("events_range_join: banded join equals the naive inequality join") {
+    val banded = EventOps.queries("events_range_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+    val naive = c.join(p, c("user_id") === p("p_user") &&
+        p("p_us") > c("c_us") && p("p_us") <= c("c_us") + 3600000000L)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("click_id")).as("n_converting_clicks"),
+        count(lit(1)).as("n_pairs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == naive, s"banded != naive: ${banded.diff(naive)} / ${naive.diff(banded)}")
+    assert(banded.nonEmpty, "expected at least one click→purchase conversion")
+  }
+}

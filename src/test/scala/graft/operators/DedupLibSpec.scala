@@ -43,6 +43,34 @@ class DedupLibSpec extends AnyFunSuite {
     assert(strict == Set((3L, 4L)))
   }
 
+  test("bloomNewcomers drops all seen keys, passes new and null keys") {
+    import spark.implicits._
+    val seen = (1L to 500L).map(i => (i, s"doc-$i")).toDF("id", "key")
+    val incoming = ((400L to 600L).map(i => (i, s"doc-$i")) :+ (9999L, null))
+      .toDF("id", "key")
+    val out = DedupLib.bloomNewcomers(seen, incoming, "key",
+      expectedItems = 1000, fpp = 0.001)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // no false negatives: every seen key (400-500) is gone
+    assert(out.intersect((400L to 500L).toSet).isEmpty, s"seen key survived: $out")
+    // null key passes (never a known duplicate)
+    assert(out.contains(9999L))
+    // newcomers survive modulo the tiny fpp — at 0.1% over 100 keys,
+    // allow at most 2 false-positive drops
+    val newcomers = (501L to 600L).toSet
+    assert((newcomers -- out).size <= 2, s"too many newcomers dropped: ${newcomers -- out}")
+  }
+
+  test("bloomNewcomers matches long keys against string-built filter") {
+    import spark.implicits._
+    val seen = (1L to 100L).toDF("key")
+    val incoming = (50L to 150L).toDF("key")
+    val out = DedupLib.bloomNewcomers(seen, incoming, "key", 200, 0.001)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.intersect((50L to 100L).toSet).isEmpty, "seen long key survived")
+    assert((101L to 150L).toSet.subsetOf(out) || ((101L to 150L).toSet -- out).size <= 2)
+  }
+
   test("capShingleDf drops ubiquitous shingles, keeps rare ones, plan stays broadcast") {
     import spark.implicits._
     // "a b c" appears in 4 docs (hot at maxDf=3), "x y z<i>" is unique per doc
