@@ -41,16 +41,24 @@ object Bench {
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/parquet-footer paths so the first timed query
-    // isn't charged for session startup
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .selectExpr("aggregate(cast(embedding as array<double>), 0D, (a,x) -> a + x) s")
-      .count()
     // deterministic run order; ML training last so its server/port
     // lifecycle can't interfere with the relational timings
     val names = SparkEntry.queries.keys.toSeq.sorted
       .sortBy(n => if (n == "ml_train_predict") 1 else 0)
+    // Warm the JVM so the first timed query isn't charged for session
+    // startup: run every query once against the tiny sf0.001 tables,
+    // which JIT-compiles each plan's codegen classes at negligible data
+    // cost. The warmup reads a DIFFERENT path than the timed runs, so
+    // nothing it computes (or caches) is reusable — only compiled code
+    // carries over, which is the point. SPARK_GRAFT_WARM_DIR= (empty)
+    // disables it for cold-start measurements.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty) names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+      }
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to repeat).map { _ =>

@@ -50,6 +50,31 @@ object EventStream {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases within the hour after each
+    * click, per user — the unbounded twin of the batch
+    * `events_range_join`. Native Structured Streaming join: the
+    * time-range condition plus both watermarks lets the engine compute
+    * exactly how long each side's state must be retained (clicks ≤
+    * watermark + 1 hour, purchases ≤ watermark), so state is bounded on
+    * an unbounded stream — no banding needed; the join IS the range
+    * semantics here, while the batch side bands buckets for hash-join
+    * efficiency. Inner join: a pair emits once both sides have arrived. */
+  def conversionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    c.join(p, expr(
+      """c_user = p_user AND
+        |p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+
   // --- custom state: session tracking via flatMapGroupsWithState ---
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,

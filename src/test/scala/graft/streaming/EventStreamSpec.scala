@@ -76,6 +76,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch inequality join") {
+    val staging = Files.createTempDirectory("evt_conv").toString
+    EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
+    val joined = EventStream.conversionJoin(
+      EventStream.readEvents(spark, staging),
+      EventStream.readEvents(spark, staging))
+    val q = joined.writeStream.format("memory").queryName("conv_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, click_id, purchase_id FROM conv_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ev = graft.operators.Tables.events(spark, "/root/testdata/sf0.001")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val batch = c.join(p, c("user_id") === p("p_user") &&
+          p("p_us") > c("c_us") && p("p_us") <= c("c_us") + 3600000000L)
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream-only: ${streamed.diff(batch)}; batch-only: ${batch.diff(streamed)}")
+      assert(streamed.nonEmpty, "expected at least one conversion pair")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gaps") {
     import spark.implicits._
     val dir = Files.createTempDirectory("evt_sess").toString
