@@ -119,6 +119,21 @@ object Relational {
           col("sum_qty"), col("n"))
         .orderBy(col("returnflag"), col("linestatus"))
     },
+    // full grouping-sets lattice: CUBE adds the (ALL, linestatus)
+    // slices ROLLUP omits — Spark expands both to one Expand + single
+    // aggregation pass (no N-pass union), the shape that matters when
+    // the fact table is 100 TB and you only want to scan it once
+    "q_cube_revenue" -> { (s, dir) =>
+      lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    },
     // set operations: 1996-buyers vs 1997-buyers key sets
     "q_set_ops" -> { (s, dir) =>
       val o = orders(s, dir)
@@ -234,6 +249,14 @@ object Relational {
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_cube_revenue" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q_set_ops" ->
       """WITH b96 AS (SELECT o_custkey FROM orders

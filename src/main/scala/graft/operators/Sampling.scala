@@ -89,4 +89,43 @@ object Sampling {
       Encoders.kryo[Vector[(Long, String)]]
     def outputEncoder: Encoder[Seq[String]] = outEnc
   }
+
+  /** Misra–Gries heavy hitters: the bounded-memory alternative to an
+    * exact `groupBy(word).count()` + top-k when the key cardinality
+    * itself is the problem (open-vocabulary tokens at 100 TB: the exact
+    * plan shuffles one row per distinct key; this shuffles one
+    * ≤k-entry summary per partition, full stop).
+    *
+    * Guarantees (classic MG bounds, preserved under merge per
+    * Agarwal et al., "Mergeable Summaries", PODS 2012): with summary
+    * size k over n items, every item with true count > n/(k+1) is
+    * present, and each reported estimate undercounts by at most
+    * n/(k+1). Estimates are a LOWER bound on the true count. The
+    * GUARANTEE is merge-order independent; which near-threshold tail
+    * items happen to survive can vary with partitioning (inherent to
+    * MG), so consume this for its heavy hitters, not its tail. Output
+    * order is stabilized by sorting (count desc, item).
+    *
+    * Output: up to k (item, lower-bound count) pairs, count desc. */
+  class HeavyHitters(k: Int)(implicit outEnc: Encoder[Seq[(String, Long)]])
+      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    require(k > 0)
+    /** Keep ≤ k counters: decrement all by the (k+1)-largest count and
+      * drop non-positive — one batched MG decrement step. */
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+        m.collect { case (i, c) if c > cut => (i, c - cut) }
+      }
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      shrink(b.updated(v, b.getOrElse(v, 0L) + 1L))
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      shrink(b.foldLeft(a) { case (m, (i, c)) => m.updated(i, m.getOrElse(i, 0L) + c) })
+    def finish(b: Map[String, Long]): Seq[(String, Long)] =
+      b.toSeq.sortBy { case (i, c) => (-c, i) }
+    def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+    def outputEncoder: Encoder[Seq[(String, Long)]] = outEnc
+  }
 }

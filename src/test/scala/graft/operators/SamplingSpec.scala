@@ -45,6 +45,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("HeavyHitters honors the MG guarantee on a skewed stream") {
+    import spark.implicits._
+    // zipf-ish: "hot0" 500x, "hot1" 300x, "hot2" 200x, 500 singletons
+    val items = (Seq.fill(500)("hot0") ++ Seq.fill(300)("hot1") ++
+      Seq.fill(200)("hot2") ++ (1 to 500).map(i => s"cold$i"))
+    val n = items.size.toLong // 1500
+    val k = 10
+    def run(parts: Int): Map[String, Long] = {
+      val hh = new Sampling.HeavyHitters(k)
+      items.toDF("v").repartition(parts).as[String]
+        .select(hh.toColumn.name("hh")).collect()(0).toMap
+    }
+    Seq(2, 7).foreach { parts =>
+      val est = run(parts)
+      assert(est.size <= k)
+      // every item with true count > n/(k+1) ≈ 136 must be present
+      assert(Set("hot0", "hot1", "hot2").subsetOf(est.keySet), s"missing hitter: $est")
+      // estimates are lower bounds within n/(k+1)
+      val truth = Map("hot0" -> 500L, "hot1" -> 300L, "hot2" -> 200L)
+      truth.foreach { case (i, t) =>
+        assert(est(i) <= t && t - est(i) <= n / (k + 1), s"$i est=${est(i)} true=$t")
+      }
+    }
+  }
+
   test("ReservoirSampler aggregates k values, merge-order independent") {
     import spark.implicits._
     val sampler = new Sampling.ReservoirSampler(3)

@@ -102,6 +102,36 @@ class SimilarityLibSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("IVF recall@10 vs brute force on real embeddings, rising with nprobe") {
+    import graft.functions.VectorFunctions.cosine_sim
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (assigned, centroids) = SimilarityLib.buildIvf(emb, "vec_id", "embedding", cells = 8)
+    val probes = emb.filter(col("vec_id").isin(2L, 17L, 113L)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def recallAt(nprobe: Int): Double = {
+      val per = probes.map { case (pid, p) =>
+        val exact = emb
+          .withColumn("cs", cosine_sim(col("embedding").cast("array<double>"),
+            lit(p).cast("array<double>")))
+          .orderBy(col("cs").desc, col("vec_id")).limit(10)
+          .collect().map(_.getLong(0)).toSet
+        val approx = SimilarityLib.queryIvf(assigned, centroids, p, k = 10, nprobe = nprobe)
+          .collect().map(_.getLong(0)).toSet
+        exact.intersect(approx).size / 10.0
+      }
+      per.sum / per.length
+    }
+    val r2 = recallAt(2); val r8 = recallAt(8)
+    assert(r8 >= r2, s"recall fell as nprobe grew: nprobe2=$r2 nprobe8=$r8")
+    assert(r8 >= 0.999, s"full-probe recall must be exact-equivalent, got $r8")
+    // the synthetic embeddings are near-uniform (no cluster structure),
+    // so partial-probe recall sits near the probed-cell fraction (2/8)
+    // rather than the >0.9 a clustered corpus gives — the floor only
+    // guards against a broken cell assignment, not IVF quality
+    assert(r2 >= 0.2, s"nprobe=2/8 recall below probed-cell fraction: $r2")
+  }
+
   test("IVF on the real embeddings table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
