@@ -132,6 +132,22 @@ object EventOps {
           count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
     },
+    // pivot: per-user event-type counts as columns. Values are declared
+    // explicitly — a two-pass pivot (distinct scan to discover values,
+    // then the real aggregation) is a full extra read at 100 TB, and an
+    // open value set would make the output schema data-dependent.
+    // Compiles to ONE partial/final aggregation with conditional
+    // counters, exactly the CASE-WHEN form of the oracle.
+    "events_pivot_types" -> { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(t =>
+          coalesce(col(t), lit(0L)).cast("long").as(s"n_$t")): _*)
+        .orderBy(col("user_id"))
+    },
     // top event value per user via window rank (late-data-free batch shape)
     "events_top_per_user" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
@@ -223,6 +239,16 @@ object EventOps {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY event_type, y, m""".stripMargin,
+    "events_pivot_types" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // plain inequality join — DuckDB's IEJoin handles it natively, so
     // the oracle needs none of the bucketing the Spark side uses
     "events_range_join" ->

@@ -119,6 +119,21 @@ object Relational {
           col("sum_qty"), col("n"))
         .orderBy(col("returnflag"), col("linestatus"))
     },
+    // ntile quartiles of account balance per nation — the bucketing
+    // window shape (distribution stats per group). The unique custkey
+    // in the sort makes tie placement deterministic in both engines.
+    "q_customer_quartiles" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      customer(s, dir)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(max(col("c_acctbal")), 2).as("max_bal"))
+        .orderBy(col("nationkey"), col("quartile"))
+    },
     // full grouping-sets lattice: CUBE adds the (ALL, linestatus)
     // slices ROLLUP omits — Spark expands both to one Expand + single
     // aggregation pass (no N-pass union), the shape that matters when
@@ -250,6 +265,16 @@ object Relational {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_customer_quartiles" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, quartile, COUNT(*) AS n,
+        |  ROUND(MIN(c_acctbal), 2) AS min_bal, ROUND(MAX(c_acctbal), 2) AS max_bal
+        |FROM (
+        |  SELECT c_nationkey, c_acctbal,
+        |    CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |  FROM customer) t
+        |GROUP BY CAST(c_nationkey AS BIGINT), quartile
+        |ORDER BY nationkey, quartile""".stripMargin,
     "q_cube_revenue" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
