@@ -5,7 +5,7 @@ import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import graft.nn.{Batching, LocalTrainer, NetSpec, Network, Optimizer}
 import graft.nn.Tensors.Tensors
-import graft.server.{ParameterServer, ParamsClient}
+import graft.server.{ParameterServer, ParamsClient, ShardedParameterServer, ShardedParamsClient}
 
 /** Distributed data-parallel trainer — the reference's `HogwildSparkModel`
   * (lifeomic/sparkflow `HogwildSparkModel.py:103-272`) re-expressed for the
@@ -121,6 +121,61 @@ object HogwildTrainer {
         cfg.shufflePerIter, cfg.verbose, cfg.seed + pid),
       pull = () => ParamsClient.getWeights(masterUrl),
       push = g => ParamsClient.postGradients(masterUrl, g, pid))
+  }
+
+  /** [[fit]] with the parameter server sharded `shards` ways
+    * ([[ShardedParameterServer]]): same hogwild semantics, but weight
+    * pulls and gradient pushes split into per-slice transfers that
+    * overlap — the scale path past the single-server NIC/serialization
+    * ceiling. Worker loop, batch modes, shuffle rounds, and abort
+    * policy are identical to [[fit]]. */
+  def fitSharded(
+      rdd: RDD[(Array[Double], Array[Double])],
+      spec: NetSpec,
+      cfg: Config,
+      shards: Int): Tensors = {
+    val net = new Network(spec)
+    val weights = net.initWeights(cfg.seed)
+    val server = new ShardedParameterServer(
+      weights, () => Optimizer.build(cfg.optimizerName, cfg.learningRate, cfg.optimizerOptions),
+      cfg.port, shards, cfg.acquireLock, maxErrors = math.max(cfg.iters, 1))
+    server.start()
+    try {
+      server.awaitReady()
+      val host = determineMaster(0).split(':')(0)
+      val urls = server.boundPorts.map(p => s"$host:$p").toSeq
+      val bounds = server.sliceBounds.toSeq
+      val specJson = spec.toJson
+      val workerCfg = cfg
+      var current = rdd
+      var round = 0
+      val rounds = math.max(cfg.partitionShuffles, 1)
+      while (round < rounds) {
+        current.foreachPartition { it =>
+          val rows = it.toArray
+          if (rows.nonEmpty) {
+            val s = NetSpec.fromJson(specJson)
+            val n2 = new Network(s)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val (x, y) = toMatrices(rows, s)
+            LocalTrainer.trainLoop(
+              n2, x, y,
+              LocalTrainer.Config(workerCfg.iters, workerCfg.miniBatchSize,
+                workerCfg.miniStochasticIters, workerCfg.shufflePerIter,
+                workerCfg.verbose, workerCfg.seed + pid),
+              pull = () => ShardedParamsClient.getWeights(urls),
+              push = g => ShardedParamsClient.postGradients(urls, bounds, g, pid))
+          }
+        }
+        if (server.isAborted) throw new IllegalStateException(
+          s"sharded parameter server aborted after ${server.errorCount} failed updates")
+        round += 1
+        if (round < rounds) current = current.repartition(current.getNumPartitions)
+      }
+      server.currentWeights
+    } finally {
+      server.stop()
+    }
   }
 
   /** Driver URL for executors — `determine_master`
