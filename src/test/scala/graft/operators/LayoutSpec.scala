@@ -30,6 +30,49 @@ class LayoutSpec extends AnyFunSuite {
     assert(top.getLong(0) == 1L && top.getLong(1) == 900L)
   }
 
+  test("zorderKey interleaves bucket bits correctly") {
+    import spark.implicits._
+    // 2-bit toy: a=(0..3), b=(0..3) over [0,4) — bucket == value
+    val rows = (for { a <- 0 to 3; b <- 0 to 3 } yield (a.toDouble, b.toDouble))
+      .toDF("a", "b")
+    val z = rows.withColumn("z",
+        Layout.zorderKey(col("a"), 0, 4, col("b"), 0, 4, bits = 2))
+      .collect().map(r => ((r.getDouble(0).toInt, r.getDouble(1).toInt), r.getLong(2))).toMap
+    def morton(a: Int, b: Int) =
+      (0 until 2).map(i => (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i))).reduce(_ | _)
+    z.foreach { case ((a, b), zv) => assert(zv == morton(a, b), s"z($a,$b)=$zv") }
+    // distinct inputs -> distinct keys at full resolution
+    assert(z.values.toSet.size == 16)
+  }
+
+  test("z-ordered layout prunes files on BOTH dims; linear sort only on its leading dim") {
+    import spark.implicits._
+    // uniform 2-d grid, 10k points in [0,100)²
+    val pts = spark.range(10000).select(
+      (col("id") % 100).cast("double").as("x"),
+      ((col("id") / 100) % 100).cast("double").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.writeZordered(pts, s"$base/z", "x", 0, 100, "y", 0, 100, files = 16)
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$base/linear")
+    def filesTouched(path: String, filter: org.apache.spark.sql.Column): Int =
+      spark.read.parquet(path).filter(filter)
+        .select(input_file_name()).distinct().count().toInt
+    val box = col("x") >= 10 && col("x") < 20 && col("y") >= 10 && col("y") < 20
+    val yOnly = col("y") >= 10 && col("y") < 20
+    // the box predicate: z-order confines it to a few z-ranges; the
+    // x-sorted layout spreads every x-stripe's y values over all files
+    val zBox = filesTouched(s"$base/z", box)
+    val lBox = filesTouched(s"$base/linear", box)
+    assert(zBox < lBox, s"zorder box touched $zBox files vs linear $lBox")
+    // y-only predicate: linear-by-x cannot prune at all (reads all 16)
+    val zY = filesTouched(s"$base/z", yOnly)
+    val lY = filesTouched(s"$base/linear", yOnly)
+    assert(lY == 16 && zY < lY, s"y-only: zorder $zY vs linear $lY")
+    // layout must not change content
+    assert(spark.read.parquet(s"$base/z").count() == 10000)
+  }
+
   test("bucketed write round-trips and joins without exchange on the bucket key") {
     val df = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
     Layout.writeBucketed(df, "graft_bucketed_t", "k", buckets = 4)
