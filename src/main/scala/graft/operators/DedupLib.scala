@@ -128,6 +128,30 @@ object DedupLib {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Per-ROW MinHash signature, folded to one long: k array_min passes
+    * over the shingle array, hashed together. No explode, no groupBy —
+    * a single codegen'd projection, which makes it legal anywhere a
+    * plain column is (streaming pre-aggregation state included,
+    * [[graft.streaming.DocStream.dedupNear]]). NULL for docs shorter
+    * than `shingleWords` words (no signature ≠ empty signature; also
+    * guards Spark's descending `sequence(1, n)` when n < 1).
+    *
+    * Equality semantics: two docs collide iff ALL k minhashes agree —
+    * P ≈ J^k for Jaccard J, so this catches near-identical docs
+    * (J ≈ 1) at very high precision and deliberately NOT moderately
+    * similar ones (J = 0.7, k = 8 ⇒ P ≈ 0.06). For recall over
+    * moderate similarity use the banded candidate path
+    * ([[minhashCandidates]]); signature equality is the shape whose
+    * dedup state is one 8-byte long per doc. */
+  def rowMinhashSig(text: Column, k: Int = 8, shingleWords: Int = 3): Column = {
+    val w = split(text, " ")
+    val sh = transform(
+      sequence(lit(1), size(w) - (shingleWords - 1)),
+      i => concat_ws(" ", (0 until shingleWords).map(o => element_at(w, i + o)): _*))
+    val mins = (1 to k).map(i => array_min(transform(sh, s => xxhash64(lit(i), s))))
+    when(size(w) >= shingleWords, xxhash64(mins: _*))
+  }
+
   /** Incremental cross-run dedup: filter `incoming` down to rows whose
     * `keyCol` is (probably) NOT already in `seen` — the newcomer gate of
     * a continuously-ingesting corpus, where re-scanning the full

@@ -45,6 +45,33 @@ object DocStream {
       .dropDuplicatesWithinWatermark("graft_dedup_key")
       .drop("graft_dedup_key")
 
+  /** Streaming NEAR-dup dedup: drops documents whose full per-row
+    * MinHash signature ([[graft.operators.DedupLib.rowMinhashSig]] —
+    * one codegen'd projection, no explode/groupBy, so the plan stays a
+    * single stateful operator) matches a document seen within the
+    * watermark horizon. State = one 8-byte long per distinct signature
+    * — even smaller than exact dedup's 16-byte hash.
+    *
+    * Semantics: all-k-minhashes equality ⇒ catches near-IDENTICAL docs
+    * (boilerplate reposts, trailing-edit copies) at very high
+    * precision; moderately-similar pairs intentionally pass (see
+    * rowMinhashSig scaladoc — banded matching would raise recall but
+    * multiply state k-fold and admit band-collision false drops).
+    * Docs too short to shingle (and null text) pass through via a
+    * surrogate id key, like [[dedupExact]]. */
+  def dedupNear(
+      docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "2 hours", k: Int = 8, shingleWords: Int = 3,
+      idCol: String = "doc_id"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("near_sig",
+        graft.operators.DedupLib.rowMinhashSig(col(textCol), k, shingleWords))
+      .withColumn("graft_near_key",
+        coalesce(col("near_sig"),
+          xxhash64(lit("graft:short-doc:"), col(idCol).cast("string"))))
+      .dropDuplicatesWithinWatermark("graft_near_key")
+      .drop("graft_near_key")
+
   /** Stateless quality gate: literally the batch `text_quality` formula
     * ([[graft.operators.TextOps.qualityScore]] — one shared definition,
     * so a gate value means the same thing in both engines), applied per

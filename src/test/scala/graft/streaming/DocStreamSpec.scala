@@ -86,6 +86,42 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup matches batch signature-distinct semantics") {
+    import org.apache.spark.sql.functions.{col => c}
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val txtA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      (1L, new Timestamp(base), txtA),
+      (2L, new Timestamp(base + 60000), txtA), // exact dup → must drop
+      (3L, new Timestamp(base + 120000), txtA + " omega"), // trailing edit
+      (4L, new Timestamp(base + 180000), "lambda mu nu xi omicron pi rho sigma tau"),
+      (5L, new Timestamp(base + 240000), "xy"), // too short to shingle → passes
+      (6L, new Timestamp(base + 300000), "zz")) // also short → passes (no collapse)
+    val dir = Files.createTempDirectory("doc_neardup").toString
+    docsDf(rows).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = DocStream.dedupNear(
+      spark.readStream.schema(schema).parquet(dir), "ingest_ts", "text")
+      .writeStream.format("memory").queryName("near_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val survivors = spark.sql("SELECT doc_id FROM near_stream")
+        .collect().map(_.getLong(0)).toSet
+      // batch oracle: keep first doc per distinct signature, all short docs
+      val batch = docsDf(rows)
+        .withColumn("sig", graft.operators.DedupLib.rowMinhashSig(c("text")))
+      val firstPerSig = batch.filter(c("sig").isNotNull)
+        .groupBy(c("sig")).agg(org.apache.spark.sql.functions.min(c("doc_id")).as("doc_id"))
+        .collect().map(_.getLong(1)).toSet
+      val shortDocs = batch.filter(c("sig").isNull)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == firstPerSig ++ shortDocs,
+        s"stream=$survivors batch=${firstPerSig ++ shortDocs}")
+      assert(!survivors.contains(2L), "exact dup survived near-dedup")
+      assert(Set(5L, 6L).subsetOf(survivors), "short docs must pass through")
+    } finally q.stop()
+  }
+
   test("streaming quality filter matches batch formula") {
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val rows = Seq(
