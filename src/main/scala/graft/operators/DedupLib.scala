@@ -130,11 +130,21 @@ object DedupLib {
 
   /** Per-ROW MinHash signature, folded to one long: k array_min passes
     * over the shingle array, hashed together. No explode, no groupBy —
-    * a single codegen'd projection, which makes it legal anywhere a
-    * plain column is (streaming pre-aggregation state included,
+    * a single projection, which makes it legal anywhere a plain column
+    * is (streaming pre-aggregation state included,
     * [[graft.streaming.DocStream.dedupNear]]). NULL for docs shorter
     * than `shingleWords` words (no signature ≠ empty signature; also
     * guards Spark's descending `sequence(1, n)` when n < 1).
+    *
+    * NOT a batch-side speedup: measured at sf0.1, this shape is ~70×
+    * SLOWER than [[minhashSignatures]]'s explode + groupBy (52 s vs
+    * 0.74 s for the full candidate pipeline) — higher-order functions
+    * (`transform`/`array_min`) stay outside whole-stage codegen and
+    * the k min passes re-evaluate the inner shingle hashing (no
+    * common-subexpression elimination across lambdas). Use it ONLY
+    * where a per-row expression is structurally required (streaming
+    * dedup before any aggregation); batch pipelines keep the exploded
+    * shape.
     *
     * Equality semantics: two docs collide iff ALL k minhashes agree —
     * P ≈ J^k for Jaccard J, so this catches near-identical docs
