@@ -101,13 +101,21 @@ private[sources] class DocGenTable extends Table with SupportsRead {
 }
 
 private[sources] class DocGenScanBuilder(rows: Long, numPartitions: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   // generated id range [lo, hi), narrowed by pushed doc_id predicates
   private[sources] var lo: Long = 0L
   private[sources] var hi: Long = rows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = DocGen.schema
+
+  /** LIMIT n over a generator = generate only the first n ids — fully
+    * absorbed (return true), so Spark drops its own Limit over the scan. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -136,11 +144,30 @@ private[sources] class DocGenScanBuilder(rows: Long, numPartitions: Int, seed: L
 }
 
 private[sources] class DocGenScan(lo: Long, hi: Long, numPartitions: Int, seed: Long,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-docgen range=[$lo,$hi) PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  /** Exact statistics AFTER pushdown (the planner sees the narrowed
+    * range, so a heavily-filtered generator correctly broadcasts):
+    * row count is known exactly; bytes estimate ~360/row full-width
+    * (avg 60 words x ~5.3 chars + metadata), scaled to the pruned
+    * schema since skipped text dominates the width. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(hi - lo, 0L)
+    private val width =
+      required.fieldNames.map {
+        case "text" => 330L
+        case "n_chars" | "doc_id" => 8L
+        case _ => 8L
+      }.sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * math.max(width, 1L))
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val total = math.max(hi - lo, 0L)

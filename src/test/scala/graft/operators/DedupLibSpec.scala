@@ -43,6 +43,26 @@ class DedupLibSpec extends AnyFunSuite {
     assert(strict == Set((3L, 4L)))
   }
 
+  test("rowMinhashSig equals the exploded minhashSignatures pipeline") {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    // exploded shape: k min-aggregates, folded with the same final hash
+    val sig = DedupLib.minhashSignatures(
+      DedupLib.shingles(real, "doc_id", "text"), k = 8)
+    val exploded = sig.select(col("doc_id"),
+        xxhash64((1 to 8).map(i => col(s"h$i")): _*).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRow = real
+      .select(col("doc_id"), DedupLib.rowMinhashSig(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    exploded.foreach { case (id, s) =>
+      assert(perRow(id) == s, s"doc $id: exploded=$s perRow=${perRow(id)}")
+    }
+    // docs the exploded path drops (too short) are exactly the NULLs
+    assert((perRow.keySet -- exploded.keySet).forall(perRow(_) == null))
+  }
+
   test("bloomNewcomers drops all seen keys, passes new and null keys") {
     import spark.implicits._
     val seen = (1L to 500L).map(i => (i, s"doc-$i")).toDF("id", "key")

@@ -83,6 +83,30 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(n1 == n2)
   }
 
+  test("limit pushdown truncates generation; statistics reflect pushdown") {
+    // pushLimit is fully absorbed: a LIMIT over a trillion-row generator
+    // plans only `limit` ids
+    val b = new DocGenScanBuilder(1000000000000L, 4, 42L)
+    assert(b.pushLimit(100))
+    val scan = b.build().asInstanceOf[DocGenScan]
+    assert(scan.estimateStatistics().numRows().getAsLong == 100L)
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[DocGenPartition])
+    assert(parts.map(p => p.end - p.start).sum == 100L)
+    // e2e: limit over the format runs without generating the full range
+    val ltd = spark.read.format("graft-docgen")
+      .option("rows", 100000000L).option("numPartitions", 4).load()
+      .limit(50)
+    assert(ltd.count() == 50)
+    // stats shrink when text is pruned (planner sees pruned width)
+    val b2 = new DocGenScanBuilder(1000L, 4, 42L)
+    b2.pruneColumns(org.apache.spark.sql.types.StructType(
+      DocGen.schema.filter(_.name == "lang")))
+    val slim = b2.build().asInstanceOf[DocGenScan].estimateStatistics().sizeInBytes().getAsLong
+    val full = new DocGenScanBuilder(1000L, 4, 42L).build()
+      .asInstanceOf[DocGenScan].estimateStatistics().sizeInBytes().getAsLong
+    assert(slim < full / 10, s"pruned stats $slim not smaller than full $full")
+  }
+
   test("generated corpus feeds the dedup/text pipeline") {
     val docs = gen(rows = 300, parts = 5)
     val cands = graft.operators.DedupLib.minhashCandidates(docs, "doc_id", "text")
