@@ -39,6 +39,28 @@ object SimilarityOps {
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },
+    // batched-probe ANN: top-3 per probe for a SET of query vectors in
+    // one corpus scan — the realistic serving/dedup shape (queries come
+    // in batches, and per-query scans would read the corpus Q times).
+    // The probe set broadcasts (queries are always the small side);
+    // per-probe top-k is a window over probe_id, so only the scored
+    // pairs shuffle — Q·n rows of (id, id, score), never the vectors.
+    "ann_batch_topk" -> { (s, dir) =>
+      val probeIds = Seq(1, 7, 42)
+      val e = embeddings(s, dir).withColumn("v", col("embedding").cast("array<double>"))
+      val probes = e.filter(col("vec_id").isin(probeIds.map(_.toLong): _*))
+        .select(col("vec_id").as("probe_id"), col("v").as("p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.cosine_sim(col("v"), col("p")), 6)
+            .as("cos_sim"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("probe_id"), col("rk"))
+    },
     // LSH-bucketed ANN: probe's sign-bucket only, top-5
     "ann_lsh_bucket" -> { (s, dir) =>
       val e = embeddings(s, dir)
@@ -68,6 +90,23 @@ object SimilarityOps {
          |WHERE vec_id <> $PROBE_ID
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
+    "ann_batch_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id IN (1, 7, 42)),
+         |scored AS (
+         |  SELECT probe_id, vec_id, ${cosSql("v", "p")} AS cos_sim
+         |  FROM e, probes
+         |  WHERE vec_id <> probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT probe_id, vec_id, cos_sim, rk
+         |FROM ranked
+         |WHERE rk <= 3
+         |ORDER BY probe_id, rk""".stripMargin,
     "ann_lsh_bucket" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
