@@ -54,9 +54,17 @@ object CurationOps {
       val base = documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
       val evalGrams = grams(base.filter(col("doc_id") % 20 === 0))
         .select(col("sh")).distinct()
+      // broadcast-join FIRST, distinct after: the join is a stateless
+      // in-map filter (no shuffle), so the distinct's shuffle carries
+      // only matched grams instead of the full train gram stream —
+      // benchmark contamination is rare by construction, so this drops
+      // the pipeline's one big shuffle by orders of magnitude. Equivalent
+      // because the join key is the distinct key's component `sh` and the
+      // broadcast side is distinct (each gram matches at most once).
       val trainGrams = grams(base.filter(col("doc_id") % 20 =!= 0))
-        .select(col("doc_id"), col("lang"), col("sh")).distinct()
+        .select(col("doc_id"), col("lang"), col("sh"))
       trainGrams.join(broadcast(evalGrams), Seq("sh"))
+        .distinct()
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_shared"))
         .groupBy(col("lang"))

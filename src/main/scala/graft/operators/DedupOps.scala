@@ -139,6 +139,38 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    // shingle CONTAINMENT — inter / min(|A|,|B|) — the asymmetric
+    // near-subset detector Jaccard misses: a short doc pasted inside a
+    // long one scores ~1.0 here but low Jaccard (the union is dominated
+    // by the long doc). Same bounded-group machinery as jaccard, but
+    // blocked by lang ONLY: a length-bucket block would split exactly
+    // the cross-length pairs containment exists to find.
+    "dedup_containment" -> { (s, dir) =>
+      val sh = withShingles(documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+        .select(col("doc_id"), col("lang"), col("sh"))
+      val grouped = sh.groupBy(col("lang"), col("sh"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) <= MaxShingleDf)
+      val inter = grouped
+        .filter(size(col("docs")) >= 2)
+        .select(explode(flatten(transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      val sizes = grouped
+        .select(explode(col("docs")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn("containment", round(col("inter").cast("double") /
+          least(col("sza"), col("szb")), 6))
+        .filter(col("containment") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     // production-speed twins of the two hash-heavy queries above, riding
     // [[DedupLib]]'s xxhash64 family (codegen'd 8-byte longs instead of
     // md5 hex strings). Same plan shape and banding (K=8 into 4 bands),
@@ -233,6 +265,30 @@ object DedupOps {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH grouped AS (
+         |  SELECT lang, sh, list_sort(list(DISTINCT doc_id)) AS docs
+         |  FROM ($shinglesSql)
+         |  GROUP BY lang, sh
+         |  HAVING len(list(DISTINCT doc_id)) <= $MaxShingleDf),
+         |t1 AS (
+         |  SELECT docs, unnest(range(1, len(docs))) AS i
+         |  FROM grouped WHERE len(docs) >= 2),
+         |inter AS (
+         |  SELECT doc_a, doc_b, COUNT(*) AS inter FROM (
+         |    SELECT docs[i] AS doc_a, unnest(docs[i+1:]) AS doc_b FROM t1) t
+         |  GROUP BY doc_a, doc_b),
+         |sizes AS (
+         |  SELECT doc_id, COUNT(*) AS sz
+         |  FROM (SELECT unnest(docs) AS doc_id FROM grouped) u
+         |  GROUP BY doc_id)
+         |SELECT doc_a, doc_b,
+         |  ROUND(inter * 1.0 / least(sa.sz, sb.sz), 6) AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE ROUND(inter * 1.0 / least(sa.sz, sb.sz), 6) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding_cos" ->
       s"""WITH e AS (
