@@ -95,7 +95,11 @@ object Optimizer {
         val denom =
           if (centered) {
             mg(i) := mg(i) * decay + g(i) * (1.0 - decay)
-            bsqrt(ms(i) - (mg(i) *:* mg(i)) + eps)
+            // E[g²] − E[g]² ≥ 0 only in exact, single-writer arithmetic;
+            // float rounding and hogwild races (concurrent steps mutate
+            // ms/mg between the two reads) can drive it negative, and
+            // sqrt(negative) poisons the weights with NaN. Clamp first.
+            bsqrt((ms(i) - (mg(i) *:* mg(i))).mapValues(v => if (v > 0.0) v else 0.0) + eps)
           } else bsqrt(ms(i) + eps)
         mom(i) := mom(i) * momentum + ((g(i) /:/ denom) * lr)
         w(i) :-= mom(i)

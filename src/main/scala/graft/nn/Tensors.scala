@@ -78,7 +78,13 @@ object Tensors {
         var c = 0
         while (c < t.cols) {
           if (c > 0) sb.append(',')
-          sb.append(java.lang.Double.toString(t(r, c)))
+          val v = t(r, c)
+          // bare NaN/Infinity tokens are not legal JSON — quote the
+          // non-finite values so a diverged model still round-trips
+          // (the codec must be total: persistence is not the place to
+          // discover training blew up)
+          if (java.lang.Double.isFinite(v)) sb.append(java.lang.Double.toString(v))
+          else sb.append('"').append(java.lang.Double.toString(v)).append('"')
           c += 1
         }
         sb.append(']')
@@ -101,6 +107,7 @@ object Tensors {
           case JInt(i)     => i.toDouble
           case JLong(l)    => l.toDouble
           case JDecimal(d) => d.toDouble
+          case JString(s)  => java.lang.Double.parseDouble(s) // quoted NaN/±Infinity
           case other       => sys.error(s"bad weight cell: $other")
         }.toArray
       }.toArray

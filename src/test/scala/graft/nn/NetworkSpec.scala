@@ -87,6 +87,16 @@ class NetworkSpec extends AnyFunSuite {
     ts.zip(back).foreach { case (a, b) => assert(bsum((a - b).map(math.abs)) == 0.0) }
   }
 
+  test("weights json round-trip is total: non-finite values survive") {
+    import breeze.linalg.DenseMatrix
+    val ts: Tensors.Tensors = Array(DenseMatrix(
+      (1.5, Double.NaN), (Double.PositiveInfinity, Double.NegativeInfinity)))
+    val back = Tensors.fromJson(Tensors.toJson(ts)) // must parse as legal JSON
+    assert(back(0)(0, 0) == 1.5)
+    assert(back(0)(0, 1).isNaN)
+    assert(back(0)(1, 0).isPosInfinity && back(0)(1, 1).isNegInfinity)
+  }
+
   test("weights binary round-trip preserves values exactly") {
     val net = new Network(NetSpec.input(3).dense(4, "relu").dense(2, "linear").loss("mse"))
     val ts = net.initWeights(6L)
