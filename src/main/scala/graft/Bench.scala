@@ -45,6 +45,25 @@ object Bench {
     // lifecycle can't interfere with the relational timings
     val names = SparkEntry.queries.keys.toSeq.sorted
       .sortBy(n => if (n == "ml_train_predict") 1 else 0)
+    // SPARK_GRAFT_EXPLAIN=<dir>: dump each query's formatted physical
+    // plan (the evidence behind BASELINE.md's plan-shape claims) instead
+    // of timing, then exit.
+    sys.env.get("SPARK_GRAFT_EXPLAIN").filter(_.nonEmpty).foreach { dir =>
+      new java.io.File(dir).mkdirs()
+      names.filter(_ != "ml_train_predict").foreach { name =>
+        try {
+          val plan = SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name.txt"),
+            plan.getBytes("UTF-8"))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] explain $name failed: ${e.getMessage}")
+        }
+      }
+      spark.stop()
+      return
+    }
     // Warm the JVM so the first timed query isn't charged for session
     // startup: run every query once against the tiny sf0.001 tables,
     // which JIT-compiles each plan's codegen classes at negligible data

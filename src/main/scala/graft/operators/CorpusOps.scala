@@ -59,6 +59,29 @@ object CorpusOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("toks")).cast("long").as("bin_tokens"))
         .orderBy(col("lang"), col("source"), col("bin"))
+    },
+    // bounded-memory twin of text_vocab_topk riding the Misra–Gries
+    // aggregate: one ≤4k-entry summary per partition crosses the wire
+    // instead of one row per distinct (lang, word). No oracle (summary
+    // contents are partition-order dependent in the tail by design —
+    // see Sampling.HeavyHitters); the spec pins the MG bounds, and this
+    // entry exercises the operator at bench scale. Summary size is 4096
+    // (≫ the 10 reported) so Zipf-head estimates are near-exact.
+    "text_vocab_mg" -> { (s, dir) =>
+      import s.implicits._
+      val hh = new graft.operators.Sampling.HeavyHitters(4096)
+      documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .as[(String, String)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(hh.toColumn.name("hh"))
+        .flatMap { case (lang, items) =>
+          items.take(10).zipWithIndex.map { case ((wrd, n), i) =>
+            (lang, (i + 1).toLong, wrd, n)
+          }
+        }
+        .toDF("lang", "rk", "word", "n_lower")
+        .orderBy(col("lang"), col("rk"))
     })
 
   val oracles: Map[String, String] = Map(
