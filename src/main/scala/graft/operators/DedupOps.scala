@@ -171,6 +171,25 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"), col("containment"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    // cluster RESOLUTION: candidate pairs are not the end of a dedup
+    // pipeline — (a,b),(b,c) similar means {a,b,c} is ONE cluster and
+    // the corpus keeps one canonical doc. Transitive closure over the
+    // minhash pair graph via [[GraphOps.connectedComponents]]
+    // (large-star/small-star, O(log n) rounds); every doc gets its
+    // cluster's minimum doc_id as cluster_id (singletons: own id).
+    "dedup_clusters" -> { (s, dir) =>
+      val pairs = queries("dedup_minhash_lsh")(s, dir)
+      val labels = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      import org.apache.spark.sql.expressions.Window
+      documents(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cc"), col("doc_id")).as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
+    },
     // production-speed twins of the two hash-heavy queries above, riding
     // [[DedupLib]]'s xxhash64 family (codegen'd 8-byte longs instead of
     // md5 hex strings). Same plan shape and banding (K=8 into 4 bands),
@@ -219,19 +238,47 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private def minhashOracle: String = {
+  /** CTE chain producing the minhash-LSH candidate pairs — shared by the
+    * pair query's oracle and the cluster query's recursive closure. */
+  private def minhashPairsCtes: String = {
     val hs = (1 to K).map(i =>
       s"min(substr(md5(sh), ${(i - 1) * 4 + 1}, 4)) AS h$i").mkString(", ")
     val bandExprs = (0 until K / 2).map(b => s"h${2 * b + 1} || h${2 * b + 2}").mkString(", ")
-    s"""WITH shingles AS ($shinglesSql),
+    s"""shingles AS ($shinglesSql),
        |sig AS (SELECT doc_id, $hs FROM shingles GROUP BY doc_id),
        |bands AS (SELECT doc_id, unnest(generate_series(0, ${K / 2 - 1})) AS band,
-       |                 unnest([$bandExprs]) AS bh FROM sig)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |                 unnest([$bandExprs]) AS bh FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Transitive closure of the pair graph: min reachable doc_id per node
+    * via a recursive CTE (UNION dedups, so the iteration terminates). */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+       |  UNION
+       |  SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.u = e.v),
+       |labels AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(cluster_id AS BIGINT) AS cluster_id,
+       |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM assigned
+       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -240,6 +287,7 @@ object DedupOps {
         |GROUP BY md5(text)
         |ORDER BY h""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_clusters" -> clustersOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" ->
       s"""WITH grouped AS (

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for dedup-cluster resolution.
+  *
+  * A near-dup pipeline does not end at candidate PAIRS: (a,b) and (b,c)
+  * similar means {a,b,c} is one duplicate cluster, and the corpus keeps
+  * exactly one canonical doc per cluster. That closure is connected
+  * components over the pair graph.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+  * is two shuffles of the edge list (a groupBy-min and a join back), and
+  * the edge set contracts toward one star per component rooted at the
+  * component's minimum node id in O(log n) rounds — NOT O(diameter) like
+  * naive hash-min label propagation, so million-node chain-shaped
+  * clusters (boilerplate families) still converge in a handful of rounds.
+  *
+  * Scale notes (100 TB): the per-round plan is partial-aggregated
+  * (map-side combine collapses a hot node's neighbor list to one partial
+  * min per task) and the join back is an equi-join AQE can skew-split.
+  * Each round ends in `localCheckpoint` — without it the iterated plan's
+  * lineage grows linearly and Catalyst re-analysis dominates after ~10
+  * rounds; on a real cluster prefer `spark.sparkContext.setCheckpointDir`
+  * + reliable `checkpoint()` for executor-loss resilience.
+  */
+object GraphOps {
+
+  /** Connected components over an undirected edge list.
+    *
+    * Returns (node, cc) for every node incident to at least one
+    * surviving edge, where `cc` is the minimum node id in the component.
+    * Self-loops and duplicate/reversed edges are tolerated; null
+    * endpoints drop. Isolated nodes never appear (callers coalesce to
+    * the node's own id). Throws if not converged within `maxIter`
+    * rounds — a wrong-but-plausible labeling must never leave silently.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .na.drop()
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // order-independent, overflow-free edge-set fingerprint; a (count,
+    // xor-of-xxhash64) collision between DIFFERENT consecutive edge sets
+    // is ~2^-64 — convergence detection, not correctness-bearing state
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var cur = fp(e)
+    var converged = cur._1 == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nfp = fp(next)
+      converged = nfp == cur
+      e = next; cur = nfp; iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds (edges=${cur._1})")
+
+    e.select(col("u").as("node"), col("v").as("cc"))
+      .union(e.select(col("v").as("node"), col("v").as("cc")))
+      .groupBy(col("node")).agg(min(col("cc")).as("cc"))
+  }
+
+  /** Large-star: every node connects its strictly-larger neighbors to
+    * its minimum neighbor (including itself). Input/output edges are
+    * canonical (u > v). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its strictly-smaller neighbors (and
+    * itself) to the minimum of those. In canonical form the
+    * smaller-neighbor sets are exactly the edge list grouped by u. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(m, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(m.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+}

@@ -141,6 +141,41 @@ object TextOps {
         .select(col("lang"), col("rk"), col("doc_id"))
         .orderBy(col("lang"), col("rk"))
     },
+    // BM25 retrieval: corpus-level IDF (one scalar aggregate row,
+    // broadcast to every doc — no shuffle of the doc stream) + per-doc
+    // term frequencies via the replace-count idiom, Robertson/Sparck
+    // Jones idf = ln((N-df+0.5)/(df+0.5)+1), k1=1.2 b=0.75, top-15 by
+    // rounded score. The one-row stats crossJoin is the scale shape:
+    // score computation stays a single codegen'd projection over the
+    // corpus however large it grows.
+    "text_bm25" -> { (s, dir) =>
+      val terms = BM25.terms
+      val docs = documents(s, dir).select(col("doc_id"), col("text"),
+        tokens(col("text")).as("dl"))
+      val dfCols = terms.map(t =>
+        sum(when(occurrences(col("text"), t) > 0, 1.0).otherwise(0.0)).as(s"df_$t"))
+      val stats = docs.agg(count(lit(1)).as("n"),
+        (avg(col("dl")).as("avgdl") +: dfCols): _*)
+      val score = terms.map { t =>
+        val tf = occurrences(col("text"), t)
+        val idf = log((col("n") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
+        idf * (tf * (BM25.k1 + 1.0)) /
+          (tf + lit(BM25.k1) * (lit(1.0) - BM25.b + lit(BM25.b) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      // orderBy+limit → TakeOrderedAndProject (distributed per-partition
+      // top-k, merge on driver) — NOT a global window, which would drag
+      // the whole corpus through one reducer; rank is assigned over the
+      // 15 survivors only
+      val top = docs.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(score, 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("rank"))
+    },
     // normalized-text fingerprint; distinct fingerprints per source
     "text_fingerprint" -> { (s, dir) =>
       documents(s, dir)
@@ -151,7 +186,39 @@ object TextOps {
         .orderBy(col("source"))
     })
 
+  /** BM25 scoring constants + query-term set, shared between the Spark
+    * query and the generated DuckDB oracle so both fold identically. */
+  object BM25 {
+    val terms = Seq("spark", "vector", "stream")
+    val k1 = 1.2
+    val b = 0.75
+  }
+
+  private def bm25Oracle: String = {
+    val dfSelects = BM25.terms.map(t =>
+      s"SUM(CASE WHEN (${occursSql(t)}) > 0 THEN 1.0 ELSE 0.0 END) AS df_$t").mkString(",\n    ")
+    val scoreSql = BM25.terms.map { t =>
+      val tf = s"(${occursSql(t)})"
+      val idf = s"ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0)"
+      s"$idf * ($tf * ${BM25.k1 + 1.0}) / ($tf + ${BM25.k1} * (1.0 - ${BM25.b} + ${BM25.b} * dl / avgdl))"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text, len(string_split(text, ' ')) AS dl FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+       |    $dfSelects
+       |  FROM d),
+       |scored AS (
+       |  SELECT doc_id, ROUND($scoreSql, 6) AS score
+       |  FROM d CROSS JOIN stats)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, score
+       |FROM scored
+       |ORDER BY score DESC, doc_id
+       |LIMIT 15""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bm25" -> bm25Oracle,
     "text_token_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

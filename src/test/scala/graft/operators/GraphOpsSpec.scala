@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components vs a local union-find reference. */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Plain union-find over the same edges; labels = component min. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => if (a != b) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }}
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .filter(n => edges.exists(e => e._1 != e._2 && (e._1 == n || e._2 == n)))
+    val groups = nodes.groupBy(find)
+    groups.flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }.toMap
+  }
+
+  test("chain converges to the global min (stresses multi-round contraction)") {
+    val chain = (1L until 16L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got == (1L to 16L).map(_ -> 1L).toMap)
+  }
+
+  test("two components + reversed/duplicate/self edges") {
+    val edges = Seq((5L, 3L), (3L, 5L), (3L, 9L), (9L, 9L),
+      (20L, 30L), (30L, 20L), (40L, 20L))
+    val got = cc(edges)
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 30L -> 20L, 40L -> 20L))
+  }
+
+  test("cycle plus pendant") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 7L))
+    assert(cc(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 1L))
+  }
+
+  test("random graph matches union-find (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    assert(cc(edges) == unionFind(edges))
+  }
+
+  test("empty and all-self-loop inputs yield no labels") {
+    assert(cc(Seq.empty) == Map.empty)
+    assert(cc(Seq((4L, 4L), (9L, 9L))) == Map.empty)
+  }
+
+  test("star graph (hot node) resolves in-place") {
+    val edges = (2L to 40L).map(i => (i, 1L))
+    assert(cc(edges) == (1L to 40L).map(_ -> 1L).toMap)
+  }
+}
