@@ -1,0 +1,432 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, SpecializedGetters}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-store` — a DataSource V2 WRITE path with a real commit
+  * protocol, plus the matching read path: a manifest-committed,
+  * snapshot-isolated row store.
+  *
+  * The write side is the point of the exercise (the read-side twin of
+  * [[DocGenSource]]): `df.write.format("graft-store").mode("append"|
+  * "overwrite").save(path)`.
+  *
+  * Commit protocol (the miniature of what Iceberg/Delta do, built on
+  * Spark's V2 write contract):
+  *  - each task's [[DataWriter]] writes one data file with a name unique
+  *    to (query, partition, task attempt) and returns it in its
+  *    [[WriterCommitMessage]] — speculative or retried attempts write
+  *    DIFFERENT files, and Spark delivers exactly one commit message per
+  *    partition, so duplicated attempts can never double-commit;
+  *  - data files are INVISIBLE until the driver's `BatchWrite.commit`
+  *    publishes a new manifest version listing them (append = previous
+  *    snapshot's files + new, overwrite = new only) via
+  *    write-temp-then-atomic-rename — readers see the previous complete
+  *    snapshot or the new complete snapshot, never a partial write;
+  *  - `BatchWrite.abort` deletes the files named in the delivered
+  *    messages; files from attempts that never reported stay orphaned
+  *    but unreferenced (harmless), and [[GraftStore.vacuum]] removes
+  *    anything the latest manifest doesn't reference.
+  *
+  * Scans pin the latest manifest at planning time, so a concurrent
+  * writer cannot change the file set under a running query (snapshot
+  * isolation per query). Overwrite never deletes old files inline — the
+  * previous snapshot stays readable until vacuumed.
+  *
+  * Scale: one data file per write task (no small-file explosion beyond
+  * the writing query's parallelism), commit cost is O(files) manifest
+  * metadata on the driver, and reads parallelize per file with exact
+  * row/byte statistics from the manifest. Executors reach storage
+  * through Hadoop `FileSystem`, so any HDFS-compatible scheme works;
+  * task-side code builds a default `Configuration` (cluster deployments
+  * with non-default FS auth would propagate the conf via broadcast).
+  *
+  * The row codec is schema-driven length-prefixed binary (no per-value
+  * tags): null flag + fixed-width primitives, length-prefixed
+  * strings/binary, one nesting level of arrays — enough for every graft
+  * table shape (documents, events-as-micros, embeddings' array<float>).
+  */
+class GraftStoreSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-store"
+  /** Writes to a brand-new store have no manifest to infer from — accept
+    * the incoming query's schema (Spark then skips inferSchema on the
+    * write path; reads still infer from the pinned manifest). */
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = GraftStore.rootOf(options)
+    GraftStore.latestManifest(root, GraftStore.driverConf()) match {
+      case Some(m) => m.schema
+      case None => throw new IllegalArgumentException(
+        s"graft-store: no manifest under $root — write first or pass an explicit schema")
+    }
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftStoreTable(properties.get("path"), schema)
+}
+
+/** Manifest entry: path relative to the store root (relocatable store). */
+private[sources] case class GsbFile(relPath: String, rows: Long, bytes: Long)
+private[sources] case class GsbManifest(version: Long, schema: StructType, files: Seq[GsbFile])
+
+object GraftStore {
+  private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-store requires a path")
+    p
+  }
+
+  private[sources] def driverConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private[sources] def fs(root: String, conf: Configuration): FileSystem =
+    new HPath(root).getFileSystem(conf)
+
+  private val ManifestRe = "v(\\d{20})\\.manifest".r
+
+  /** Latest committed snapshot, or None for an empty/absent store.
+    * Manifest format is line-oriented text: `version`, `schema=<json>`
+    * (single line — StructType.json never contains newlines), then one
+    * `file=<rel>\t<rows>\t<bytes>` per data file. */
+  private[sources] def latestManifest(root: String, conf: Configuration): Option[GsbManifest] = {
+    val f = fs(root, conf)
+    val dir = new HPath(root, "manifest")
+    if (!f.exists(dir)) return None
+    val versions = f.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(v) => Some((v.toLong, st.getPath))
+        case _ => None
+      }
+    }
+    if (versions.isEmpty) return None
+    val (ver, path) = versions.maxBy(_._1)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(f.open(path), "UTF-8"))
+    try {
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+      val schema = lines.collectFirst { case l if l.startsWith("schema=") =>
+        DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType] }
+        .getOrElse(throw new IllegalStateException(s"graft-store: manifest $path has no schema"))
+      val files = lines.collect { case l if l.startsWith("file=") =>
+        val Array(rel, rows, bytes) = l.stripPrefix("file=").split("\t")
+        GsbFile(rel, rows.toLong, bytes.toLong)
+      }
+      Some(GsbManifest(ver, schema, files))
+    } finally in.close()
+  }
+
+  /** Publish snapshot `version`: write to a temp name, then atomic
+    * rename. A rename collision (concurrent writer won the version)
+    * fails the commit rather than corrupting the store. */
+  private[sources] def writeManifest(
+      root: String, conf: Configuration, version: Long,
+      schema: StructType, files: Seq[GsbFile]): Unit = {
+    val f = fs(root, conf)
+    val dir = new HPath(root, "manifest")
+    f.mkdirs(dir)
+    val tmp = new HPath(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(f.create(tmp, false), "UTF-8"))
+    try {
+      out.println(version)
+      out.println(s"schema=${schema.json}")
+      files.foreach(e => out.println(s"file=${e.relPath}\t${e.rows}\t${e.bytes}"))
+    } finally out.close()
+    val target = new HPath(dir, f"v$version%020d.manifest")
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"graft-store: commit race publishing $target — another writer won this version")
+    }
+  }
+
+  /** Names-and-types (nullability-insensitive) schema signature, used to
+    * reject appends whose schema drifted from the stored snapshot's. */
+  private[sources] def signature(s: StructType): Seq[(String, String)] =
+    s.fields.toSeq.map(fd => (fd.name, fd.dataType.sql))
+
+  /** Delete data files the LATEST manifest doesn't reference (orphans
+    * from aborted/speculative attempts, overwritten snapshots). Readers
+    * of OLDER pinned snapshots lose them — run between queries. */
+  def vacuum(path: String): Long = {
+    val conf = driverConf()
+    val f = fs(path, conf)
+    val dataDir = new HPath(path, "data")
+    if (!f.exists(dataDir)) return 0L
+    val referenced = latestManifest(path, conf).map(_.files.map(_.relPath).toSet).getOrElse(Set.empty)
+    var n = 0L
+    f.listStatus(dataDir).foreach { st =>
+      if (!referenced.contains(s"data/${st.getPath.getName}")) {
+        f.delete(st.getPath, false); n += 1
+      }
+    }
+    n
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-store").load(path)
+
+  def write(df: DataFrame, path: String, overwrite: Boolean = false): Unit =
+    df.write.format("graft-store").mode(if (overwrite) "overwrite" else "append").save(path)
+}
+
+private[sources] class GraftStoreTable(root: String, schema0: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_store($root)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GsbScanBuilder(root)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GsbWriteBuilder(root, info)
+}
+
+// ---------------------------------------------------------------- write
+
+private[sources] class GsbWriteBuilder(root: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      // fail fast on schema drift BEFORE any task writes a byte
+      val conf = GraftStore.driverConf()
+      GraftStore.latestManifest(root, conf) match {
+        case Some(m) if !overwrite &&
+            GraftStore.signature(m.schema) != GraftStore.signature(info.schema()) =>
+          throw new IllegalStateException(
+            s"graft-store: append schema ${info.schema().sql} does not match stored ${m.schema.sql}")
+        case _ => ()
+      }
+      new GsbBatchWrite(root, info.schema(), info.queryId(), overwrite)
+    }
+  }
+}
+
+private[sources] class GsbBatchWrite(
+    root: String, schema: StructType, queryId: String, overwrite: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GsbWriterFactory(root, schema.json, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GraftStore.driverConf()
+    val committed = messages.map(_.asInstanceOf[GsbCommit])
+      .filter(_.rows >= 0) // empty partitions still report; keep all real files
+      .map(c => GsbFile(c.relPath, c.rows, c.bytes)).toSeq
+    val prev = GraftStore.latestManifest(root, conf)
+    val files = if (overwrite) committed
+      else prev.map(_.files).getOrElse(Seq.empty) ++ committed
+    GraftStore.writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
+      schema, files)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = GraftStore.fs(root, GraftStore.driverConf())
+    messages.foreach {
+      case c: GsbCommit => f.delete(new HPath(root, c.relPath), false)
+      case _ => ()
+    }
+  }
+}
+
+private[sources] case class GsbCommit(relPath: String, rows: Long, bytes: Long)
+    extends WriterCommitMessage
+
+private[sources] class GsbWriterFactory(root: String, schemaJson: String, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new GsbDataWriter(root, schema,
+      s"data/$queryId-p$partitionId-t$taskId.gsb")
+  }
+}
+
+private[sources] class GsbDataWriter(root: String, schema: StructType, relPath: String)
+    extends DataWriter[InternalRow] {
+  private val conf = new Configuration()
+  private val f = GraftStore.fs(root, conf)
+  private val path = new HPath(root, relPath)
+  private val out = {
+    f.mkdirs(path.getParent)
+    val o = new DataOutputStream(new java.io.BufferedOutputStream(f.create(path, false), 1 << 16))
+    o.writeUTF("GSB1"); o.writeUTF(schema.json); o
+  }
+  private var rows = 0L
+  private var closed = false
+
+  override def write(row: InternalRow): Unit = {
+    out.writeByte(1)
+    GsbCodec.writeRow(out, row, schema)
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.writeByte(0)
+    out.close(); closed = true
+    GsbCommit(relPath, rows, f.getFileStatus(path).getLen)
+  }
+  override def abort(): Unit = {
+    if (!closed) { out.close(); closed = true }
+    f.delete(path, false)
+  }
+  override def close(): Unit = if (!closed) { out.close(); closed = true }
+}
+
+// ---------------------------------------------------------------- read
+
+private[sources] class GsbScanBuilder(root: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  // pin the snapshot NOW (planning time): concurrent commits after this
+  // point don't change what this query reads
+  private val manifest = GraftStore.latestManifest(root, GraftStore.driverConf())
+    .getOrElse(GsbManifest(0L, StructType(Nil), Seq.empty))
+  private var required: StructType = manifest.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new GsbScan(root, manifest, required)
+}
+
+private[sources] class GsbScan(root: String, manifest: GsbManifest, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-store $root v${manifest.version} files=${manifest.files.size}"
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(manifest.files.map(_.bytes).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(manifest.files.map(_.rows).sum)
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    manifest.files.map(e => GsbPartition(root, e.relPath): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GsbReaderFactory(manifest.schema.json, required.fieldNames)
+}
+
+private[sources] case class GsbPartition(root: String, relPath: String) extends InputPartition
+
+private[sources] class GsbReaderFactory(schemaJson: String, requiredNames: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GsbPartition]
+    new GsbReader(p.root, p.relPath,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], requiredNames)
+  }
+}
+
+private[sources] class GsbReader(
+    root: String, relPath: String, schema: StructType, requiredNames: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val f = GraftStore.fs(root, new Configuration())
+  private val in = new DataInputStream(new java.io.BufferedInputStream(
+    f.open(new HPath(root, relPath)), 1 << 16))
+  require(in.readUTF() == "GSB1", s"graft-store: $relPath is not a GSB1 file")
+  private val fileSchema = DataType.fromJson(in.readUTF()).asInstanceOf[StructType]
+  require(GraftStore.signature(fileSchema) == GraftStore.signature(schema),
+    s"graft-store: $relPath schema drifted from manifest")
+  private val proj = requiredNames.map(schema.fieldIndex)
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (in.readByte() == 1) { row = GsbCodec.readRow(in, schema, proj); true }
+    else { false }
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+// --------------------------------------------------------------- codec
+
+/** Schema-driven binary row codec over `SpecializedGetters` (shared by
+  * rows and array elements): null byte + fixed-width primitive, or
+  * length-prefixed bytes, or count-prefixed array (one nesting level). */
+private[sources] object GsbCodec {
+  def writeRow(out: DataOutputStream, row: InternalRow, schema: StructType): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      writeValue(out, row, i, schema(i).dataType); i += 1
+    }
+  }
+
+  private def writeValue(out: DataOutputStream, g: SpecializedGetters, i: Int, dt: DataType): Unit = {
+    if (g.isNullAt(i)) { out.writeByte(0); return }
+    out.writeByte(1)
+    dt match {
+      case BooleanType => out.writeBoolean(g.getBoolean(i))
+      case IntegerType | DateType => out.writeInt(g.getInt(i))
+      case LongType | TimestampType | TimestampNTZType => out.writeLong(g.getLong(i))
+      case FloatType => out.writeFloat(g.getFloat(i))
+      case DoubleType => out.writeDouble(g.getDouble(i))
+      case StringType =>
+        val b = g.getUTF8String(i).getBytes
+        out.writeInt(b.length); out.write(b)
+      case BinaryType =>
+        val b = g.getBinary(i)
+        out.writeInt(b.length); out.write(b)
+      case ArrayType(et, _) =>
+        val arr = g.getArray(i)
+        out.writeInt(arr.numElements())
+        var j = 0
+        while (j < arr.numElements()) { writeValue(out, arr, j, et); j += 1 }
+      case other =>
+        throw new UnsupportedOperationException(s"graft-store cannot encode $other")
+    }
+  }
+
+  /** Decode one row, projecting to the `proj` ordinals of `schema`
+    * (row stores must decode every field to advance the cursor; the
+    * projection trims what is materialized into Spark). */
+  def readRow(in: DataInputStream, schema: StructType, proj: Array[Int]): InternalRow = {
+    val full = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      full(i) = readValue(in, schema(i).dataType); i += 1
+    }
+    val vals = new Array[Any](proj.length)
+    i = 0
+    while (i < proj.length) { vals(i) = full(proj(i)); i += 1 }
+    new GenericInternalRow(vals)
+  }
+
+  private def readValue(in: DataInputStream, dt: DataType): Any = {
+    if (in.readByte() == 0) return null
+    dt match {
+      case BooleanType => in.readBoolean()
+      case IntegerType | DateType => in.readInt()
+      case LongType | TimestampType | TimestampNTZType => in.readLong()
+      case FloatType => in.readFloat()
+      case DoubleType => in.readDouble()
+      case StringType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        UTF8String.fromBytes(b)
+      case BinaryType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        b
+      case ArrayType(et, _) =>
+        val n = in.readInt()
+        val vals = new Array[Any](n)
+        var j = 0
+        while (j < n) { vals(j) = readValue(in, et); j += 1 }
+        new GenericArrayData(vals)
+      case other =>
+        throw new UnsupportedOperationException(s"graft-store cannot decode $other")
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkFixture
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft-store: manifest-committed snapshot store — round-trips,
+  * append/overwrite snapshot semantics, manifest-gated visibility,
+  * schema-drift rejection, pruning, vacuum. */
+class GraftStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def tmp(): String = Files.createTempDirectory("gstore").toString + "/store"
+
+  private def rows(df: DataFrame): Set[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq.map {
+        case a: Seq[_] => a.mkString("[", ",", "]")
+        case b: Array[Byte] => b.mkString("<", ",", ">")
+        case v => String.valueOf(v)
+      }.mkString("|")).toSet
+  }
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("documents round-trip (strings + longs), read via format shortName") {
+    val dir = tmp()
+    GraftStore.write(docs, dir)
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() == docs.count())
+    assert(rows(back) == rows(docs))
+  }
+
+  test("array<float> embeddings and null values round-trip") {
+    val dir = tmp()
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("maybe", when(col("vec_id") % 2 === 0, col("vec_id").cast("double")))
+    GraftStore.write(df, dir)
+    val back = GraftStore.read(spark, dir)
+    assert(rows(back) == rows(df))
+    assert(back.where(col("maybe").isNull).count() == df.where(col("maybe").isNull).count())
+  }
+
+  test("append adds a snapshot; overwrite replaces it") {
+    val dir = tmp()
+    val a = docs.limit(10)
+    val b = docs.orderBy(col("doc_id").desc).limit(5)
+    GraftStore.write(a, dir)
+    GraftStore.write(b, dir)
+    assert(GraftStore.read(spark, dir).count() == 15)
+    GraftStore.write(b, dir, overwrite = true)
+    assert(rows(GraftStore.read(spark, dir)) == rows(b))
+  }
+
+  test("uncommitted data files are invisible (manifest gates visibility)") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(7), dir)
+    // simulate an orphan from a failed/speculative attempt: copy a real
+    // data file under a new name WITHOUT touching the manifest
+    val data = new java.io.File(dir, "data")
+    val part = data.listFiles().head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(data, "orphan-attempt.gsb").toPath)
+    assert(GraftStore.read(spark, dir).count() == 7)
+  }
+
+  test("append with drifted schema fails before writing") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(3), dir)
+    val bad = docs.limit(2).withColumn("extra", lit(1L))
+    val e = intercept[Exception] { GraftStore.write(bad, dir) }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    assert(GraftStore.read(spark, dir).count() == 3)
+  }
+
+  test("column pruning reports the narrow read schema") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(20), dir)
+    val pruned = GraftStore.read(spark, dir).select("doc_id", "lang")
+    assert(rows(pruned) == rows(docs.limit(20).select("doc_id", "lang")))
+    val scanDesc = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanDesc.contains("doc_id"))
+    assert(!scanDesc.toLowerCase.contains("readschema: struct<doc_id:bigint,text"))
+  }
+
+  test("vacuum removes orphans and overwritten snapshots, keeps live files") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(10), dir)
+    GraftStore.write(docs.limit(4), dir, overwrite = true) // v1 files now dead
+    val data = new java.io.File(dir, "data")
+    // count .gsb only: the local FS keeps hidden .crc sidecars that
+    // vanish together with their data file
+    def gsb() = data.listFiles().count(_.getName.endsWith(".gsb"))
+    val before = gsb()
+    val removed = GraftStore.vacuum(dir)
+    assert(removed > 0 && gsb() == before - removed)
+    assert(rows(GraftStore.read(spark, dir)) == rows(docs.limit(4)))
+  }
+
+  test("exact statistics flow from the manifest to the planner") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(12), dir)
+    val scan = GraftStore.read(spark, dir)
+    // manifest stats make a small store broadcastable: verify the scan
+    // reports the exact committed row count
+    val stats = scan.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_.toLong == 12L), s"stats=$stats")
+  }
+}
