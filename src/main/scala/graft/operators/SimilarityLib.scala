@@ -124,6 +124,139 @@ object SimilarityLib {
     df.withColumn("signature", sig(col(vecCol).cast("array<double>")))
   }
 
+  /** Product-quantization codebooks: the embedding dimension is split
+    * into `m` subspaces and each subspace gets its own `ksub`-centroid
+    * k-means codebook. A vector encodes to `m` BYTES (one centroid id
+    * per subspace) — dim=128 float64 vectors compress 1024→m bytes, the
+    * compression regime (64–256×) that lets a 100 TB corpus's ANN index
+    * live in executor memory, which int8 scalar quantization (8×,
+    * [[quantizeInt8]]) cannot reach.
+    *
+    * Codebooks train on a driver-side sample (`sampleRows` rows — PQ
+    * codebooks are classically trained on ~10⁵ samples regardless of
+    * corpus size; the FULL corpus is never collected), then ride to
+    * executors as a broadcast inside the encode/query closures. */
+  case class PqModel(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks(0).length
+    def dim: Int = m * subDim
+  }
+
+  def trainPq(df: DataFrame, vecCol: String, m: Int, ksub: Int,
+      seed: Long = 42L, sampleRows: Int = 10000): PqModel = {
+    require(ksub <= 256, "one byte per subspace code")
+    val sample = df.select(col(vecCol).cast("array<double>").as("_v"))
+      .limit(sampleRows)
+    val dim = sample.head().getSeq[Double](0).length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subDim = dim / m
+    val codebooks = (0 until m).map { j =>
+      val sub = sample.select(org.apache.spark.ml.functions.array_to_vector(
+        slice(col("_v"), j * subDim + 1, subDim)).as("_features"))
+      new KMeans().setK(ksub).setSeed(seed + j)
+        .setFeaturesCol("_features").setPredictionCol("_cell")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+    PqModel(subDim, codebooks)
+  }
+
+  /** Encode vectors to `m`-byte PQ codes (column `pq_code`, binary).
+    * A typed UDF is the right tool here: per-row argmin over a
+    * broadcast codebook is a tight numeric loop with no builtin
+    * equivalent, and the 100-TB shape is one embarrassingly-parallel
+    * scan — no shuffle, no driver involvement. */
+  def encodePq(df: DataFrame, vecCol: String, model: PqModel): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val enc = udf { (v: Seq[Double]) =>
+      val mdl = bc.value
+      val out = new Array[Byte](mdl.m)
+      var j = 0
+      while (j < mdl.m) {
+        val cb = mdl.codebooks(j)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0; var i = 0
+          val cent = cb(c)
+          while (i < mdl.subDim) {
+            val diff = v(j * mdl.subDim + i) - cent(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best.toByte // raw 0..255, decode with & 0xFF
+        j += 1
+      }
+      out
+    }
+    df.withColumn("pq_code", enc(col(vecCol).cast("array<double>")))
+  }
+
+  /** Asymmetric-distance top-k: the probe stays EXACT and only corpus
+    * vectors are quantized — per subspace, squared distances from the
+    * probe's sub-vector to all `ksub` centroids form an m×ksub lookup
+    * table built once on the driver; each row's approximate squared L2
+    * distance is then m table lookups over its code bytes. For
+    * L2-normalized embeddings min-L2 == max-cosine, so this ranks
+    * cosine too. Ends in orderBy+limit (distributed top-k). */
+  def adcTopK(encoded: DataFrame, idCol: String, model: PqModel,
+      probe: Array[Double], k: Int): DataFrame = {
+    require(probe.length == model.dim, s"probe dim ${probe.length} != ${model.dim}")
+    val lut: Array[Array[Double]] = Array.tabulate(model.m) { j =>
+      model.codebooks(j).map { cent =>
+        var d = 0.0; var i = 0
+        while (i < model.subDim) {
+          val diff = probe(j * model.subDim + i) - cent(i); d += diff * diff; i += 1
+        }
+        d
+      }
+    }
+    val bc = encoded.sparkSession.sparkContext.broadcast(lut)
+    val score = udf { (code: Array[Byte]) =>
+      val t = bc.value
+      var d = 0.0; var j = 0
+      while (j < code.length) { d += t(j)(code(j) & 0xFF); j += 1 }
+      d
+    }
+    encoded.withColumn("adc_dist", score(col("pq_code")))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** The standard PQ serving pipeline: ADC shortlist (cheap, code-only)
+    * → EXACT re-rank of the shortlist against the raw vectors. ADC
+    * cannot rank below its quantization resolution — co-located points
+    * share a code and tie — so production ANN always re-ranks a
+    * `shortlist`-sized ADC cut (typically 5–20×k) with true distances.
+    * Only `shortlist` rows ever touch their raw vectors; the corpus
+    * scan stays code-only. */
+  def pqTopKRerank(encoded: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, probe: Array[Double], k: Int, shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 10 * k
+    val probeCol = lit(probe).cast("array<double>")
+    val exact = aggregate(
+      zip_with(col(vecCol).cast("array<double>"), probeCol, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    adcTopK(encoded, idCol, model, probe, sl)
+      .withColumn("dist", exact)
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .drop("adc_dist")
+  }
+
+  /** Reconstruct the quantized approximation of a coded vector
+    * (codebook centroids concatenated) — the reconstruction error IS
+    * the quantization error ADC pays. */
+  def pqReconstruct(code: Array[Byte], model: PqModel): Array[Double] = {
+    val out = new Array[Double](model.dim)
+    var j = 0
+    while (j < model.m) {
+      System.arraycopy(model.codebooks(j)(code(j) & 0xFF), 0, out, j * model.subDim, model.subDim)
+      j += 1
+    }
+    out
+  }
+
   /** Candidate pairs whose signatures are within `maxHamming` bits, via
     * band-exact match first (bucketed join), then Hamming filter. */
   def hyperplaneCandidates(
