@@ -117,9 +117,20 @@ object DedupOps {
           .select(col("doc_id"), col("lang"), col("n_chars"), col("text")))
         .withColumn("bucket", (col("n_chars") / 100).cast("long"))
         .select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
+      // localCheckpoint: `grouped` feeds BOTH the pair explosion and the
+      // doc-size aggregation, and exchange reuse does not fire across
+      // the copies (collect_set's nondeterminism defeats canonical
+      // equality — verified 0 ReusedExchange in the AQE final plan), so
+      // without it the scan+explode+collect_set subtree runs once per
+      // consumer (3× total). At sf0.1 the materialization roughly breaks
+      // even (warm 1.83→1.72 s); the reason to keep it is scale: the
+      // saved work is two extra full corpus scans + shingle shuffles,
+      // which grow with the corpus while the checkpointed set stays the
+      // POST-aggregation DF-capped group list.
       val grouped = sh.groupBy(col("lang"), col("bucket"), col("sh"))
         .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
         .filter(size(col("docs")) <= MaxShingleDf)
+        .localCheckpoint()
       val inter = grouped
         .filter(size(col("docs")) >= 2)
         .select(explode(flatten(transform(col("docs"), (a, i) =>
@@ -149,9 +160,11 @@ object DedupOps {
       val sh = withShingles(documents(s, dir)
           .select(col("doc_id"), col("lang"), col("n_chars"), col("text")))
         .select(col("doc_id"), col("lang"), col("sh"))
+      // same localCheckpoint rationale as dedup_ngram_jaccard above
       val grouped = sh.groupBy(col("lang"), col("sh"))
         .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
         .filter(size(col("docs")) <= MaxShingleDf)
+        .localCheckpoint()
       val inter = grouped
         .filter(size(col("docs")) >= 2)
         .select(explode(flatten(transform(col("docs"), (a, i) =>
