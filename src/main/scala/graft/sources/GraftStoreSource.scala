@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => wstreaming}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -79,9 +80,12 @@ class GraftStoreSource extends TableProvider with org.apache.spark.sql.sources.D
     new GraftStoreTable(properties.get("path"), schema)
 }
 
-/** Manifest entry: path relative to the store root (relocatable store). */
+/** Manifest entry: path relative to the store root (relocatable store).
+  * `epochs` records committed streaming (queryId, epochId) pairs so a
+  * replayed epoch commit is a detectable no-op (exactly-once sink). */
 private[sources] case class GsbFile(relPath: String, rows: Long, bytes: Long)
-private[sources] case class GsbManifest(version: Long, schema: StructType, files: Seq[GsbFile])
+private[sources] case class GsbManifest(version: Long, schema: StructType,
+    files: Seq[GsbFile], epochs: Set[String] = Set.empty)
 
 object GraftStore {
   private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
@@ -126,7 +130,9 @@ object GraftStore {
         val Array(rel, rows, bytes) = l.stripPrefix("file=").split("\t")
         GsbFile(rel, rows.toLong, bytes.toLong)
       }
-      Some(GsbManifest(ver, schema, files))
+      val epochs = lines.collect { case l if l.startsWith("epoch=") =>
+        l.stripPrefix("epoch=") }.toSet
+      Some(GsbManifest(ver, schema, files, epochs))
     } finally in.close()
   }
 
@@ -135,7 +141,8 @@ object GraftStore {
     * fails the commit rather than corrupting the store. */
   private[sources] def writeManifest(
       root: String, conf: Configuration, version: Long,
-      schema: StructType, files: Seq[GsbFile]): Unit = {
+      schema: StructType, files: Seq[GsbFile],
+      epochs: Set[String] = Set.empty): Unit = {
     val f = fs(root, conf)
     val dir = new HPath(root, "manifest")
     f.mkdirs(dir)
@@ -145,6 +152,7 @@ object GraftStore {
       out.println(version)
       out.println(s"schema=${schema.json}")
       files.foreach(e => out.println(s"file=${e.relPath}\t${e.rows}\t${e.bytes}"))
+      epochs.toSeq.sorted.foreach(e => out.println(s"epoch=$e"))
     } finally out.close()
     val target = new HPath(dir, f"v$version%020d.manifest")
     if (!f.rename(tmp, target)) {
@@ -190,7 +198,7 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GsbScanBuilder(root)
@@ -218,6 +226,51 @@ private[sources] class GsbWriteBuilder(root: String, info: LogicalWriteInfo)
       }
       new GsbBatchWrite(root, info.schema(), info.queryId(), overwrite)
     }
+
+    /** Streaming sink: one snapshot per micro-batch epoch, committed
+      * idempotently. Structured Streaming re-runs the last epoch's
+      * commit after a failure recovery; the manifest records committed
+      * (queryId, epochId) pairs, so a replayed commit is a no-op and
+      * the retried tasks' files stay unreferenced (vacuum fodder) —
+      * end-to-end exactly-once on top of a replayable source. */
+    override def toStreaming: wstreaming.StreamingWrite =
+      new GsbStreamingWrite(root, info.schema(), info.queryId())
+  }
+}
+
+private[sources] class GsbStreamingWrite(root: String, schema: StructType, queryId: String)
+    extends wstreaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : wstreaming.StreamingDataWriterFactory =
+    new GsbStreamingWriterFactory(root, schema.json, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GraftStore.driverConf()
+    val epochKey = s"$queryId:$epochId"
+    val prev = GraftStore.latestManifest(root, conf)
+    if (prev.exists(_.epochs.contains(epochKey))) return // replayed epoch
+    val committed = messages.collect { case c: GsbCommit => GsbFile(c.relPath, c.rows, c.bytes) }.toSeq
+    GraftStore.writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
+      schema, prev.map(_.files).getOrElse(Seq.empty) ++ committed,
+      prev.map(_.epochs).getOrElse(Set.empty) + epochKey)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = GraftStore.fs(root, GraftStore.driverConf())
+    messages.foreach {
+      case c: GsbCommit => f.delete(new HPath(root, c.relPath), false)
+      case _ => ()
+    }
+  }
+}
+
+private[sources] class GsbStreamingWriterFactory(root: String, schemaJson: String, queryId: String)
+    extends wstreaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new GsbDataWriter(root, schema,
+      s"data/$queryId-e$epochId-p$partitionId-t$taskId.gsb")
   }
 }
 
@@ -236,7 +289,7 @@ private[sources] class GsbBatchWrite(
     val files = if (overwrite) committed
       else prev.map(_.files).getOrElse(Seq.empty) ++ committed
     GraftStore.writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
-      schema, files)
+      schema, files, if (overwrite) Set.empty else prev.map(_.epochs).getOrElse(Set.empty))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -102,6 +102,43 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(rows(GraftStore.read(spark, dir)) == rows(docs.limit(4)))
   }
 
+  test("streaming sink appends one snapshot per micro-batch") {
+    val src = Files.createTempDirectory("gstream_src").toString + "/in"
+    val dir = tmp()
+    val cp = Files.createTempDirectory("gstream_cp").toString
+    val cols = docs.select("doc_id", "text")
+    cols.limit(5).write.parquet(src)
+    val q = spark.readStream.schema(cols.schema).parquet(src)
+      .writeStream.format("graft-store")
+      .option("path", dir).option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(GraftStore.read(spark, dir).count() == 5)
+      cols.orderBy(col("doc_id").desc).limit(3).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(GraftStore.read(spark, dir).count() == 8)
+    } finally q.stop()
+    // two epochs committed, both recorded for replay detection
+    val m = GraftStore.latestManifest(dir, GraftStore.driverConf()).get
+    assert(m.epochs.size == 2, m.epochs)
+  }
+
+  test("a replayed epoch commit is a no-op (exactly-once)") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(2), dir) // seed a store
+    val schema = docs.schema
+    val w = new GsbStreamingWrite(dir, schema, "qtest")
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(GsbCommit("data/fake-e7.gsb", 10, 100))
+    w.commit(7L, msgs)
+    val after1 = GraftStore.latestManifest(dir, GraftStore.driverConf()).get
+    w.commit(7L, msgs) // recovery replays the same epoch
+    val after2 = GraftStore.latestManifest(dir, GraftStore.driverConf()).get
+    assert(after1.version == after2.version, "replayed commit must not publish a new snapshot")
+    assert(after2.files.count(_.relPath == "data/fake-e7.gsb") == 1)
+  }
+
   test("exact statistics flow from the manifest to the planner") {
     val dir = tmp()
     GraftStore.write(docs.limit(12), dir)
