@@ -39,7 +39,7 @@ object GraphOps {
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, localThreshold: Long = 1L << 20): DataFrame = {
     var e = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .na.drop()
@@ -57,6 +57,37 @@ object GraphOps {
     }
 
     var cur = fp(e)
+
+    // Small-graph fast path — the same reasoning as a broadcast join:
+    // after candidate generation the PAIR graph is typically orders of
+    // magnitude smaller than the corpus (near-dup pairs, not documents),
+    // and each distributed star round costs ~6 shuffles of fixed
+    // scheduler latency. Below the threshold (default 2^20 edges ≈ 16 MB
+    // of longs) union-find on the driver is exact, O(E α(E)), and one
+    // collect. Above it, the star iteration does the only thing that
+    // scales. Measured at sf0.1 (775 edges): 2.6 s → ~0.1 s.
+    if (cur._1 > 0 && cur._1 <= localThreshold) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val nodes = scala.collection.mutable.SortedSet.empty[Long]
+      e.collect().foreach { row =>
+        val (u, v) = (row.getLong(0), row.getLong(1))
+        nodes += u; nodes += v
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { // min root wins, so roots ARE component minima
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val spark = edges.sparkSession
+      return spark.createDataFrame(nodes.toSeq.map(n => (n, find(n)))).toDF("node", "cc")
+    }
+
     var converged = cur._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {

@@ -8,9 +8,18 @@ class GraphOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    GraphOps.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+  /** Runs BOTH implementations — driver union-find (default threshold)
+    * and the distributed star iteration (threshold 0) — and asserts they
+    * agree before returning. */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    val local = GraphOps.connectedComponents(df, "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = GraphOps.connectedComponents(df, "src", "dst", localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"local/distributed disagree: $local vs $dist")
+    local
+  }
 
   /** Plain union-find over the same edges; labels = component min. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
