@@ -203,6 +203,34 @@ object DedupOps {
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .orderBy(col("doc_id"))
     },
+    // EDIT-DISTANCE near-dup: Levenshtein over a fixed-length text
+    // prefix, within (lang, first-two-words) blocks. Edit distance
+    // catches character-level mutations (typos, OCR noise) that
+    // token-shingle methods miss entirely — but it is O(len²) per
+    // pair, so the scale discipline is double truncation: prefix
+    // BLOCKING bounds who meets whom (near-identical texts share their
+    // opening words; vocabulary² blocks stay small and the DF cap
+    // drops degenerate ones), and the distance runs on a 40-char
+    // prefix, making per-pair cost a constant. Spark's levenshtein()
+    // and DuckDB's agree on ASCII.
+    "dedup_levenshtein" -> { (s, dir) =>
+      val pref = documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("bucket"),
+          substring(col("text"), 1, 40).as("pfx"))
+      val grouped = pref.groupBy(col("lang"), col("bucket"))
+        .agg(sort_array(collect_set(struct(col("doc_id"), col("pfx")))).as("docs"))
+        .filter(size(col("docs")).between(2, MaxShingleDf))
+      grouped
+        .select(explode(flatten(transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+            struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
+              a.getField("pfx").as("pa"), b.getField("pfx").as("pb")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"),
+          levenshtein(col("p.pa"), col("p.pb")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 10)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     // production-speed twins of the two hash-heavy queries above, riding
     // [[DedupLib]]'s xxhash64 family (codegen'd 8-byte longs instead of
     // md5 hex strings). Same plan shape and banding (K=8 into 4 bands),
@@ -301,6 +329,30 @@ object DedupOps {
         |ORDER BY h""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_levenshtein" ->
+      s"""WITH pref AS (
+         |  SELECT doc_id, lang,
+         |         array_to_string(string_split(text, ' ')[1:2], ' ') AS bucket,
+         |         substr(text, 1, 40) AS pfx
+         |  FROM documents),
+         |grouped AS (
+         |  SELECT lang, bucket,
+         |         list_sort(list(DISTINCT {'doc_id': doc_id, 'pfx': pfx})) AS docs
+         |  FROM pref
+         |  GROUP BY lang, bucket
+         |  HAVING len(list(DISTINCT {'doc_id': doc_id, 'pfx': pfx}))
+         |         BETWEEN 2 AND $MaxShingleDf),
+         |t1 AS (
+         |  SELECT docs, unnest(range(1, len(docs))) AS i FROM grouped),
+         |pairs AS (
+         |  SELECT docs[i].doc_id AS doc_a, docs[i].pfx AS pa,
+         |         unnest(docs[i+1:], recursive := false) AS other
+         |  FROM t1)
+         |SELECT doc_a, other.doc_id AS doc_b,
+         |       CAST(levenshtein(pa, other.pfx) AS BIGINT) AS edit_dist
+         |FROM pairs
+         |WHERE levenshtein(pa, other.pfx) <= 10
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" ->
       s"""WITH grouped AS (

@@ -149,6 +149,35 @@ object Relational {
           col("sum_qty"), col("n"))
         .orderBy(col("returnflag"), col("linestatus"))
     },
+    // explicit GROUPING SETS — two disjoint single-dimension slices
+    // that neither ROLLUP nor CUBE produce alone, still one Expand +
+    // one aggregation pass over the fact table (scan it once at 100 TB)
+    "q_grouping_sets" -> { (s, dir) =>
+      orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("revenue"))
+        .orderBy(col("priority"), col("status"))
+    },
+    // anti join: customers with no high-value order, counted per
+    // nation — the NOT EXISTS shape (left_anti shuffles only the key
+    // columns of the big side, and the filter pushes into its scan so
+    // most of the orders table never reaches the shuffle)
+    "q_customers_no_orders" -> { (s, dir) =>
+      val c = customer(s, dir)
+      val o = orders(s, dir).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_inactive"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy(col("nationkey"))
+    },
     // set operations: 1996-buyers vs 1997-buyers key sets
     "q_set_ops" -> { (s, dir) =>
       val o = orders(s, dir)
@@ -265,6 +294,23 @@ object Relational {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY priority, status""".stripMargin,
+    "q_customers_no_orders" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  COUNT(*) AS n_inactive,
+        |  ROUND(AVG(c_acctbal), 4) AS avg_bal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY CAST(c_nationkey AS BIGINT)
+        |ORDER BY nationkey""".stripMargin,
     "q_customer_quartiles" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, quartile, COUNT(*) AS n,
         |  ROUND(MIN(c_acctbal), 2) AS min_bal, ROUND(MAX(c_acctbal), 2) AS max_bal
