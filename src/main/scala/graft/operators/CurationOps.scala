@@ -35,6 +35,29 @@ object CurationOps {
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))
     },
+    // deterministic stratified 80/10/10 split with EXACT per-stratum
+    // proportions: rank by content hash within each lang (data-defined,
+    // not RNG-defined → reproducible across runs/partitionings) and cut
+    // at floor(0.8n)/floor(0.9n). Per-stratum ranking means one
+    // reducer per stratum — fine while strata are bounded (languages,
+    // sources); for unbounded strata at 100 TB use
+    // [[Sampling.hashSample]] thresholds instead (approximate
+    // proportions, no global rank).
+    "sample_stratified_split" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .withColumn("split",
+          when(col("rn") <= floor(col("cnt") * 0.8), "train")
+            .when(col("rn") <= floor(col("cnt") * 0.9), "val")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("split"))
+    },
     // eval-set decontamination: flag training docs sharing word 4-grams
     // with a (deterministic) held-out slice — the standard benchmark-
     // contamination sweep of an LLM data pipeline. The eval gram set is
@@ -102,6 +125,18 @@ object CurationOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "sample_stratified_split" ->
+      """SELECT lang, split, COUNT(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN rn <= floor(cnt * 0.8) THEN 'train'
+        |         WHEN rn <= floor(cnt * 0.9) THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,
+        |          COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |        FROM documents) t) u
+        |GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin,
     "sample_weighted_source" ->
       """SELECT source, COUNT(*) AS n_kept
         |FROM documents
