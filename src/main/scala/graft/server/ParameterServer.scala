@@ -83,7 +83,10 @@ final class ParameterServer(
     server.createContext("/update", new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
         try {
-          val grads = Tensors.fromBytes(ex.getRequestBody.readAllBytes())
+          // accepts dense AND top-k sparse payloads (self-describing
+          // wire header — see GradientCompression.decodeMaybeSparse)
+          val grads = graft.nn.GradientCompression
+            .decodeMaybeSparse(ex.getRequestBody.readAllBytes())
           if (acquireLock) {
             lock.lockWrite()
             try optimizer.step(weights, grads) finally lock.unlock()
@@ -152,14 +155,22 @@ object ParamsClient {
     finally c.disconnect()
   }
 
-  def postGradients(masterUrl: String, grads: Tensors, partitionId: Int): Unit = {
+  def postGradients(masterUrl: String, grads: Tensors, partitionId: Int): Unit =
+    postBytes(masterUrl, Tensors.toBytes(grads), partitionId)
+
+  /** Top-k sparse push — ~50× fewer wire bytes at 1% density; pair with
+    * a worker-local residual via [[graft.nn.GradientCompression.sparsifyTopK]]. */
+  def postSparseGradients(masterUrl: String,
+      sparse: graft.nn.GradientCompression.SparseGrad, partitionId: Int): Unit =
+    postBytes(masterUrl, graft.nn.GradientCompression.toBytes(sparse), partitionId)
+
+  private def postBytes(masterUrl: String, bytes: Array[Byte], partitionId: Int): Unit = {
     try {
       val c = new java.net.URI(s"http://$masterUrl/update").toURL
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       c.setDoOutput(true)
       c.setRequestMethod("POST")
       c.setConnectTimeout(10000); c.setReadTimeout(60000)
-      val bytes = Tensors.toBytes(grads)
       c.setFixedLengthStreamingMode(bytes.length)
       val os = c.getOutputStream
       os.write(bytes); os.close()

@@ -1,0 +1,89 @@
+package graft.nn
+
+import breeze.linalg.DenseMatrix
+import graft.nn.Tensors.Tensors
+import graft.server.{ParameterServer, ParamsClient}
+import org.scalatest.funsuite.AnyFunSuite
+
+class GradientCompressionSpec extends AnyFunSuite {
+  private def mk(vals: Double*): Tensors =
+    Array(new DenseMatrix(2, 2, vals.take(4).toArray),
+      new DenseMatrix(1, 2, vals.drop(4).toArray))
+
+  test("top-k keeps the k largest magnitudes; residual holds the rest exactly") {
+    val grad = mk(1.0, -5.0, 0.5, 3.0, -0.1, 2.0)
+    val residual = Tensors.zerosLike(grad)
+    val s = GradientCompression.sparsifyTopK(grad, residual, k = 2)
+    assert(s.nnz == 2)
+    val dense = s.toDense
+    assert(dense(0).data.toSeq == Seq(0.0, -5.0, 0.0, 3.0))
+    assert(dense(1).data.toSeq == Seq(0.0, 0.0))
+    // kept entries zeroed in residual, unsent entries carried exactly
+    assert(residual(0).data.toSeq == Seq(1.0, 0.0, 0.5, 0.0))
+    assert(residual(1).data.toSeq == Seq(-0.1, 2.0))
+  }
+
+  test("error feedback drains: sum of sparse pushes equals sum of gradients") {
+    val rnd = new scala.util.Random(3)
+    val residual = Tensors.zerosLike(mk(0, 0, 0, 0, 0, 0))
+    val sentTotal = Tensors.zerosLike(residual)
+    val gradTotal = Tensors.zerosLike(residual)
+    (1 to 20).foreach { _ =>
+      val g = mk(Seq.fill(6)(rnd.nextGaussian()): _*)
+      (0 until 2).foreach(i => gradTotal(i) :+= g(i))
+      val s = GradientCompression.sparsifyTopK(g, residual, k = 2).toDense
+      (0 until 2).foreach(i => sentTotal(i) :+= s(i))
+    }
+    // whatever was never sent is still in the residual — nothing lost
+    (0 until 2).foreach { i =>
+      val recon = sentTotal(i) + residual(i)
+      assert(breeze.linalg.max(breeze.numerics.abs(recon - gradTotal(i))) < 1e-12)
+    }
+  }
+
+  test("wire round-trip and self-describing decode of both forms") {
+    val grad = mk(1.0, -5.0, 0.5, 3.0, -0.1, 2.0)
+    val s = GradientCompression.sparsifyTopK(grad, Tensors.zerosLike(grad), 3)
+    val back = GradientCompression.fromBytes(GradientCompression.toBytes(s))
+    assert(back.toDense.zip(s.toDense).forall { case (a, b) => a == b })
+    val viaSparse = GradientCompression.decodeMaybeSparse(GradientCompression.toBytes(s))
+    assert(viaSparse.zip(s.toDense).forall { case (a, b) => a == b })
+    val viaDense = GradientCompression.decodeMaybeSparse(Tensors.toBytes(grad))
+    assert(viaDense.zip(grad).forall { case (a, b) => a == b })
+  }
+
+  test("ties split deterministically and k >= total sends everything") {
+    val grad = mk(2.0, -2.0, 2.0, 2.0, 2.0, 2.0)
+    val r1 = Tensors.zerosLike(grad)
+    val s1 = GradientCompression.sparsifyTopK(grad, r1, 3)
+    assert(s1.nnz == 3)
+    assert(s1.idx(0).toSeq == Seq(0, 1, 2), "earlier linear indices win ties")
+    val r2 = Tensors.zerosLike(grad)
+    val s2 = GradientCompression.sparsifyTopK(grad, r2, 100)
+    assert(s2.nnz == 6 && r2.forall(_.data.forall(_ == 0.0)))
+  }
+
+  test("e2e: sparse pushes through the server converge (quadratic objective)") {
+    val target = mk(1.0, -2.0, 3.0, -4.0, 5.0, -6.0)
+    val w = Tensors.zerosLike(target)
+    val server = new ParameterServer(w, Optimizer.build("sgd", 0.5),
+      port = 9750, acquireLock = true)
+    server.start(); server.awaitReady()
+    try {
+      val url = s"127.0.0.1:${server.boundPort}"
+      val residual = Tensors.zerosLike(target)
+      (1 to 120).foreach { _ =>
+        val cur = ParamsClient.getWeights(url)
+        // grad of 0.5*||w - target||^2 = w - target, sent 2 entries at a time
+        val grad = Array.tabulate(cur.length)(i => cur(i) - target(i))
+        val s = GradientCompression.sparsifyTopK(grad, residual, k = 2)
+        ParamsClient.postSparseGradients(url, s, 0)
+      }
+      val fin = server.currentWeights
+      (0 until fin.length).foreach { i =>
+        assert(breeze.linalg.max(breeze.numerics.abs(fin(i) - target(i))) < 1e-3,
+          s"tensor $i: ${fin(i)} vs ${target(i)}")
+      }
+    } finally server.stop()
+  }
+}
