@@ -40,7 +40,13 @@ object HogwildTrainer {
       partitionShuffles: Int = 1,
       verbose: Int = 0,
       port: Int = 5000,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      /** >0 ⇒ each push sends only the k largest-magnitude gradient
+        * entries, with a worker-local error-feedback residual carrying
+        * the rest to later pushes ([[graft.nn.GradientCompression]]) —
+        * the bandwidth lever once partitions × model size outgrows the
+        * driver NIC. 0 = dense pushes (reference parity). */
+      gradientTopK: Int = 0)
 
   /** Train on an RDD of (features, label-vector) pairs; returns final weights. */
   def fit(rdd: RDD[(Array[Double], Array[Double])], spec: NetSpec, cfg: Config): Tensors = {
@@ -120,7 +126,17 @@ object HogwildTrainer {
       LocalTrainer.Config(cfg.iters, cfg.miniBatchSize, cfg.miniStochasticIters,
         cfg.shufflePerIter, cfg.verbose, cfg.seed + pid),
       pull = () => ParamsClient.getWeights(masterUrl),
-      push = g => ParamsClient.postGradients(masterUrl, g, pid))
+      push =
+        if (cfg.gradientTopK > 0) {
+          // residual persists across this worker's pushes for the whole
+          // partition run — that persistence IS the error feedback
+          var residual: Tensors = null
+          g => {
+            if (residual == null) residual = graft.nn.Tensors.zerosLike(g)
+            ParamsClient.postSparseGradients(masterUrl,
+              graft.nn.GradientCompression.sparsifyTopK(g, residual, cfg.gradientTopK), pid)
+          }
+        } else { g => ParamsClient.postGradients(masterUrl, g, pid) })
   }
 
   /** [[fit]] with the parameter server sharded `shards` ways

@@ -63,6 +63,23 @@ class GradientCompressionSpec extends AnyFunSuite {
     assert(s2.nnz == 6 && r2.forall(_.data.forall(_ == 0.0)))
   }
 
+  test("distributed hogwild fit with gradientTopK trains XOR end to end") {
+    val spark = graft.SparkFixture.spark
+    val xor = Seq(
+      (Array(0.0, 0.0), Array(0.0)), (Array(0.0, 1.0), Array(1.0)),
+      (Array(1.0, 0.0), Array(1.0)), (Array(1.1, 1.0), Array(0.0)))
+    val rdd = spark.sparkContext.parallelize(xor, 2)
+    val spec = NetSpec.input(2).dense(8, "relu").dense(1, "sigmoid").loss("mse")
+    val w = graft.train.HogwildTrainer.fit(rdd, spec,
+      graft.train.HogwildTrainer.Config(optimizerName = "adam", learningRate = 0.1,
+        iters = 80, port = 6500, seed = 7L,
+        gradientTopK = 8)) // 8 of 41 entries per push
+    val net = new Network(spec)
+    val preds = xor.map { case (f, l) => (net.predictRow(f, w)(0), l(0)) }
+    val errs = preds.count { case (p, l) => math.abs(p - l) > 0.5 }
+    assert(errs < xor.size, s"sparse-push training learned nothing: $preds")
+  }
+
   test("e2e: sparse pushes through the server converge (quadratic objective)") {
     val target = mk(1.0, -2.0, 3.0, -4.0, 5.0, -6.0)
     val w = Tensors.zerosLike(target)
