@@ -39,12 +39,17 @@ private[ml] trait AsyncDLParams extends Params
   final val partitionShuffles = new IntParam(this, "partitionShuffles", "full-shuffle training rounds")
   final val optimizerOptions = new Param[String](this, "optimizerOptions", "optimizer options JSON")
   final val port = new IntParam(this, "port", "parameter-server port")
+  /** Extension beyond the reference's 21 params: >0 sends only the k
+    * largest-magnitude gradient entries per push with error-feedback
+    * residuals (graft.nn.GradientCompression); 0 = dense parity. */
+  final val gradientTopK = new IntParam(this, "gradientTopK",
+    "top-k sparse gradient pushes; 0 = dense")
 
   setDefault(tfOptimizer -> "adam", tfLearningRate -> 0.01, iters -> 1000,
     predictionCol -> "predicted", partitions -> 5, miniBatchSize -> 128,
     miniStochasticIters -> -1, acquireLock -> false, shufflePerIter -> true,
     toKeepDropout -> false, verbose -> 0, partitionShuffles -> 1, port -> 5000,
-    optimizerOptions -> "{}")
+    optimizerOptions -> "{}", gradientTopK -> 0)
 
   private[ml] def parsedOptions: Map[String, Double] = {
     import org.json4s._
@@ -113,6 +118,7 @@ class SparkAsyncDL(override val uid: String) extends Estimator[SparkAsyncDLModel
   def setToKeepDropout(v: Boolean): this.type = set(toKeepDropout, v)
   def setVerbose(v: Int): this.type = set(verbose, v)
   def setPartitionShuffles(v: Int): this.type = set(partitionShuffles, v)
+  def setGradientTopK(v: Int): this.type = set(gradientTopK, v)
   def setOptimizerOptions(v: String): this.type = set(optimizerOptions, v)
   def setPort(v: Int): this.type = set(port, v)
 
@@ -153,7 +159,8 @@ class SparkAsyncDL(override val uid: String) extends Estimator[SparkAsyncDLModel
       shufflePerIter = $(shufflePerIter),
       partitionShuffles = $(partitionShuffles),
       verbose = $(verbose),
-      port = $(port)))
+      port = $(port),
+      gradientTopK = $(gradientTopK)))
 
     val model = new SparkAsyncDLModel(uid + "_model")
       .setModelJson($(tensorflowGraph))

@@ -244,6 +244,40 @@ object SimilarityLib {
       .drop("adc_dist")
   }
 
+  /** IVF-PQ composition — the standard billion-scale ANN index layout:
+    * the IVF cell prunes WHICH rows are scanned (partition/file level
+    * when the table is written partitioned by cell), PQ codes shrink
+    * WHAT is scanned to m bytes/row, and the exact re-rank touches raw
+    * vectors for only the shortlist. Encode once with both; query cost
+    * becomes (corpus/cells)×nprobe code lookups + shortlist exact math. */
+  def encodeIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      cells: Int, m: Int, ksub: Int, seed: Long = 42L): (DataFrame, Array[Vector], PqModel) = {
+    val (assigned, centroids) = buildIvf(df, idCol, vecCol, cells, seed)
+    val model = trainPq(assigned, "v", m, ksub, seed)
+    (encodePq(assigned, "v", model), centroids, model)
+  }
+
+  /** Top-k over an [[encodeIvfPq]] index: prune to the `nprobe` nearest
+    * cells, ADC-score their codes, exact-re-rank a `shortlist`. */
+  def queryIvfPq(encoded: DataFrame, idCol: String,
+      centroids: Array[Vector], model: PqModel, probe: Array[Double],
+      k: Int, nprobe: Int, shortlist: Int = 0): DataFrame = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c.toArray, probe) }
+      .take(nprobe).map(_._2)
+    pqTopKRerank(
+      encoded.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*)),
+      idCol, "v", model, probe, k, shortlist)
+  }
+
   /** Reconstruct the quantized approximation of a coded vector
     * (codebook centroids concatenated) — the reconstruction error IS
     * the quantization error ADC pays. */

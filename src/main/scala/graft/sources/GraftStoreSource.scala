@@ -188,6 +188,16 @@ object GraftStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-store").load(path)
 
+  /** Rewrite the current snapshot into `targetFiles` data files — the
+    * small-file compaction a long-lived append store needs (every
+    * micro-batch epoch adds partition-count files; readers pay per
+    * file). Safe against itself: the read pins the pre-compaction
+    * manifest at planning time and overwrite never deletes data files
+    * inline, so the rewrite reads a stable snapshot and the swap is one
+    * atomic manifest publish. Old files become vacuum fodder. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit =
+    write(read(spark, path).repartition(targetFiles), path, overwrite = true)
+
   def write(df: DataFrame, path: String, overwrite: Boolean = false): Unit =
     df.write.format("graft-store").mode(if (overwrite) "overwrite" else "append").save(path)
 }

@@ -74,6 +74,20 @@ class SparkAsyncDLSpec extends AnyFunSuite {
     assert(errorCount(out) < 200, "worse than chance")
   }
 
+  test("gradientTopK sparse pushes train end-to-end and persist the param") {
+    val df = blobsDf()
+    val est = dl(5113).setGradientTopK(16)
+    val model = est.fit(df)
+    val out = model.transform(df)
+    assert(out.count() == 400)
+    assert(errorCount(out) < 200, "sparse-push training worse than chance")
+    // param survives the estimator save/load round-trip
+    val dir = java.nio.file.Files.createTempDirectory("topk_est").toString + "/est"
+    est.write.overwrite().save(dir)
+    val back = SparkAsyncDL.load(dir)
+    assert(back.getOrDefault(back.gradientTopK) == 16)
+  }
+
   test("sparse and dense vectors train identically shaped (test_small_sparse)") {
     val model = new SparkAsyncDL()
       .setInputCol("features").setLabelCol("label")

@@ -84,6 +84,26 @@ class PqSpec extends AnyFunSuite {
     assert(recalls.forall(_ == 1.0), s"re-ranked recall@10 per query: $recalls")
   }
 
+  test("IVF-PQ: cell pruning + ADC + re-rank finds the true neighbors") {
+    val df = clustered.toDF("id", "v")
+    val (encoded, centroids, model) =
+      SimilarityLib.encodeIvfPq(df, "id", "v", cells = 8, m = 4, ksub = 16)
+    val enc = encoded.cache()
+    (0 until 3).foreach { q =>
+      val probe = clustered(q * 53)._2.toArray
+      val got = SimilarityLib.queryIvfPq(enc, "id", centroids, model, probe,
+        k = 10, nprobe = 2, shortlist = 40).select("id").as[Long].collect().toSet
+      val exact = clustered.map { case (id, v) => (id, l2sq(v, probe.toSeq)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      // tight clusters: the probe's whole cluster lives in one IVF cell,
+      // so nprobe=2 must recover the exact top-10
+      assert(got == exact, s"probe ${q * 53}: got $got want $exact")
+    }
+    // pruning is real: nprobe=2 of 8 cells scans a strict subset
+    val cellCounts = enc.groupBy("cell").count().collect()
+    assert(cellCounts.length > 2, "kmeans degenerated to <3 cells")
+  }
+
   test("reconstruction error is small on clustered data and bounds ADC error") {
     val df = clustered.toDF("id", "v")
     val model = SimilarityLib.trainPq(df, "v", m = 4, ksub = 16)

@@ -139,6 +139,19 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(after2.files.count(_.relPath == "data/fake-e7.gsb") == 1)
   }
 
+  test("compaction collapses an append history into few files, rows intact") {
+    val dir = tmp()
+    (0 until 4).foreach(i =>
+      GraftStore.write(docs.limit(40).repartition(3), dir)) // 12 data files
+    val before = GraftStore.latestManifest(dir, GraftStore.driverConf()).get
+    assert(before.files.size == 12)
+    GraftStore.compact(spark, dir, targetFiles = 2)
+    val after = GraftStore.latestManifest(dir, GraftStore.driverConf()).get
+    assert(after.files.size == 2, after.files)
+    assert(GraftStore.read(spark, dir).count() == 160)
+    assert(GraftStore.vacuum(dir) == 12) // the pre-compaction files
+  }
+
   test("exact statistics flow from the manifest to the planner") {
     val dir = tmp()
     GraftStore.write(docs.limit(12), dir)
