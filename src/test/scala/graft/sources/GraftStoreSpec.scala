@@ -124,6 +124,35 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(m.epochs.size == 2, m.epochs)
   }
 
+  test("full streaming ingest: DocStream dedup -> graft-store, duplicates dropped across epochs") {
+    import org.apache.spark.sql.types.StructType
+    val base = Files.createTempDirectory("ingest").toString
+    val (src, store, cp) = (base + "/in", base + "/store", base + "/cp")
+    val schema = StructType.fromDDL("doc_id LONG, ingest_ts TIMESTAMP, text STRING")
+    import spark.implicits._
+    def batch(rows: (Long, String, String)*) =
+      rows.toSeq.map { case (id, ts, t) => (id, java.sql.Timestamp.valueOf(ts), t) }
+        .toDF("doc_id", "ingest_ts", "text")
+    batch((1L, "2024-01-01 00:00:00", "alpha beta gamma"),
+      (2L, "2024-01-01 00:01:00", "delta epsilon zeta"),
+      (3L, "2024-01-01 00:02:00", "alpha beta gamma")).write.parquet(src)
+    val deduped = graft.streaming.DocStream.dedupExact(
+      spark.readStream.schema(schema).parquet(src), "ingest_ts", "text")
+    val q = deduped.drop("content_hash").writeStream.format("graft-store")
+      .option("path", store).option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      assert(GraftStore.read(spark, store).count() == 2) // in-batch dup dropped
+      // epoch 2: one cross-epoch dup, one genuinely new doc
+      batch((4L, "2024-01-01 00:03:00", "delta epsilon zeta"),
+        (5L, "2024-01-01 00:04:00", "eta theta iota")).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val stored = GraftStore.read(spark, store)
+      assert(stored.count() == 3, "cross-epoch duplicate must not land in the store")
+      assert(stored.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("a replayed epoch commit is a no-op (exactly-once)") {
     val dir = tmp()
     GraftStore.write(docs.limit(2), dir) // seed a store
