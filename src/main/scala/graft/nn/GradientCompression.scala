@@ -48,11 +48,25 @@ object GradientCompression {
   def sparsifyTopK(grad: Tensors, residual: Tensors, k: Int): SparseGrad = {
     require(grad.length == residual.length, "grad/residual shape mismatch")
     val acc: Tensors = Array.tabulate(grad.length)(i => grad(i) + residual(i))
+    // drop non-finite entries OUTRIGHT (hogwild races can produce NaN —
+    // see the centered-rmsprop fix): a NaN magnitude would poison the
+    // sort threshold (every comparison false ⇒ nothing ever sent again)
+    // and, parked in the residual, it would stay NaN forever. Zeroing
+    // is the only recoverable choice.
+    acc.foreach { m => val d = m.data; var i = 0
+      while (i < d.length) { if (!java.lang.Double.isFinite(d(i))) d(i) = 0.0; i += 1 } }
     val total = acc.iterator.map(_.size).sum
     val kk = math.min(k, total)
-    if (kk <= 0)
+    if (kk <= 0) {
+      // nothing sent, but the contract stands: the whole accumulated
+      // gradient parks in the residual for a later push
+      var t = 0
+      while (t < acc.length) {
+        System.arraycopy(acc(t).data, 0, residual(t).data, 0, acc(t).data.length); t += 1
+      }
       return SparseGrad(grad.map(_.rows), grad.map(_.cols),
         grad.map(_ => Array.empty[Int]), grad.map(_ => Array.empty[Double]))
+    }
     // threshold = kk-th largest |value| over ALL entries (global top-k,
     // not per-tensor: biases and hot layers compete fairly)
     val mags = new Array[Double](total)

@@ -126,11 +126,13 @@ object DedupOps {
       // even (warm 1.83→1.72 s); the reason to keep it is scale: the
       // saved work is two extra full corpus scans + shingle shuffles,
       // which grow with the corpus while the checkpointed set stays the
-      // POST-aggregation DF-capped group list.
+      // POST-aggregation DF-capped group list. eager=false keeps query
+      // CONSTRUCTION lazy (plan inspection / EXPLAIN must not run jobs);
+      // materialization happens at the first action.
       val grouped = sh.groupBy(col("lang"), col("bucket"), col("sh"))
         .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
         .filter(size(col("docs")) <= MaxShingleDf)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val inter = grouped
         .filter(size(col("docs")) >= 2)
         .select(explode(flatten(transform(col("docs"), (a, i) =>
@@ -164,7 +166,7 @@ object DedupOps {
       val grouped = sh.groupBy(col("lang"), col("sh"))
         .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
         .filter(size(col("docs")) <= MaxShingleDf)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val inter = grouped
         .filter(size(col("docs")) >= 2)
         .select(explode(flatten(transform(col("docs"), (a, i) =>

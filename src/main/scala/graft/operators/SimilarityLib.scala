@@ -145,14 +145,26 @@ object SimilarityLib {
   def trainPq(df: DataFrame, vecCol: String, m: Int, ksub: Int,
       seed: Long = 42L, sampleRows: Int = 10000): PqModel = {
     require(ksub <= 256, "one byte per subspace code")
-    val sample = df.select(col(vecCol).cast("array<double>").as("_v"))
+    // collect the sample ONCE: an unordered limit() re-executes per
+    // job with whatever rows arrive first, so re-scanning it for each
+    // subspace fit would train the m codebooks on m different
+    // nondeterministic samples. The sample is bounded by design
+    // (classical PQ trains on ~10^5 rows), so one driver copy is the
+    // deterministic AND cheaper shape (m+1 scans → 1).
+    val sample: Array[Seq[Double]] = df
+      .select(col(vecCol).cast("array<double>").as("_v"))
       .limit(sampleRows)
-    val dim = sample.head().getSeq[Double](0).length
+      .collect().map(_.getSeq[Double](0))
+    require(sample.nonEmpty, "trainPq: empty input")
+    val dim = sample.head.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subDim = dim / m
+    val spark = df.sparkSession
     val codebooks = (0 until m).map { j =>
-      val sub = sample.select(org.apache.spark.ml.functions.array_to_vector(
-        slice(col("_v"), j * subDim + 1, subDim)).as("_features"))
+      val sub = spark.createDataFrame(sample.toSeq.map(v =>
+        Tuple1(org.apache.spark.ml.linalg.Vectors.dense(
+          v.slice(j * subDim, (j + 1) * subDim).toArray))))
+        .toDF("_features")
       new KMeans().setK(ksub).setSeed(seed + j)
         .setFeaturesCol("_features").setPredictionCol("_cell")
         .fit(sub).clusterCenters.map(_.toArray)
@@ -258,20 +270,23 @@ object SimilarityLib {
   }
 
   /** Top-k over an [[encodeIvfPq]] index: prune to the `nprobe` nearest
-    * cells, ADC-score their codes, exact-re-rank a `shortlist`. */
+    * cells, ADC-score their codes, exact-re-rank a `shortlist`. Cell
+    * ranking uses L2 distance — the SAME metric k-means used to assign
+    * rows and ADC uses to score — so the cells scanned are the ones the
+    * true L2 neighbors actually live in (a cosine ranking here would
+    * probe the wrong cells for non-normalized embeddings). */
   def queryIvfPq(encoded: DataFrame, idCol: String,
       centroids: Array[Vector], model: PqModel, probe: Array[Double],
       k: Int, nprobe: Int, shortlist: Int = 0): DataFrame = {
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
       while (i < math.min(a.length, b.length)) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        val x = a(i) - b(i); d += x * x; i += 1
       }
-      val d = math.sqrt(na) * math.sqrt(nb)
-      if (d == 0.0) 0.0 else dot / d
+      d
     }
     val probeCells = centroids.zipWithIndex
-      .sortBy { case (c, _) => -cos(c.toArray, probe) }
+      .sortBy { case (c, i) => (l2sq(c.toArray, probe), i) }
       .take(nprobe).map(_._2)
     pqTopKRerank(
       encoded.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*)),

@@ -104,10 +104,14 @@ object GraftStore {
 
   private val ManifestRe = "v(\\d{20})\\.manifest".r
 
-  /** Latest committed snapshot, or None for an empty/absent store.
-    * Manifest format is line-oriented text: `version`, `schema=<json>`
-    * (single line — StructType.json never contains newlines), then one
-    * `file=<rel>\t<rows>\t<bytes>` per data file. */
+  /** Latest COMPLETE committed snapshot, or None for an empty/absent
+    * store. Manifest format is line-oriented text: `version`,
+    * `schema=<json>` (single line — StructType.json never contains
+    * newlines), one `file=<rel>\t<rows>\t<bytes>` per data file, then a
+    * literal `end` terminator. A manifest without the terminator is an
+    * in-flight or crashed write and is skipped (readers fall back to
+    * the previous complete version), which is what makes exclusive
+    * CREATE of the final name safe without a rename step. */
   private[sources] def latestManifest(root: String, conf: Configuration): Option[GsbManifest] = {
     val f = fs(root, conf)
     val dir = new HPath(root, "manifest")
@@ -118,27 +122,33 @@ object GraftStore {
         case _ => None
       }
     }
-    if (versions.isEmpty) return None
-    val (ver, path) = versions.maxBy(_._1)
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(f.open(path), "UTF-8"))
-    try {
-      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
-      val schema = lines.collectFirst { case l if l.startsWith("schema=") =>
-        DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType] }
-        .getOrElse(throw new IllegalStateException(s"graft-store: manifest $path has no schema"))
-      val files = lines.collect { case l if l.startsWith("file=") =>
-        val Array(rel, rows, bytes) = l.stripPrefix("file=").split("\t")
-        GsbFile(rel, rows.toLong, bytes.toLong)
-      }
-      val epochs = lines.collect { case l if l.startsWith("epoch=") =>
-        l.stripPrefix("epoch=") }.toSet
-      Some(GsbManifest(ver, schema, files, epochs))
-    } finally in.close()
+    versions.sortBy(-_._1).iterator.flatMap { case (ver, path) =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(f.open(path), "UTF-8"))
+      try {
+        val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+        if (!lines.lastOption.contains("end")) None // incomplete write: skip
+        else {
+          val schema = lines.collectFirst { case l if l.startsWith("schema=") =>
+            DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType] }
+            .getOrElse(throw new IllegalStateException(s"graft-store: manifest $path has no schema"))
+          val files = lines.collect { case l if l.startsWith("file=") =>
+            val Array(rel, rows, bytes) = l.stripPrefix("file=").split("\t")
+            GsbFile(rel, rows.toLong, bytes.toLong)
+          }
+          val epochs = lines.collect { case l if l.startsWith("epoch=") =>
+            l.stripPrefix("epoch=") }.toSet
+          Some(GsbManifest(ver, schema, files, epochs))
+        }
+      } finally in.close()
+    }.nextOption()
   }
 
-  /** Publish snapshot `version`: write to a temp name, then atomic
-    * rename. A rename collision (concurrent writer won the version)
-    * fails the commit rather than corrupting the store. */
+  /** Publish snapshot `version` by EXCLUSIVE create of the final name
+    * (`overwrite=false` — fails if it exists on HDFS and local FS
+    * alike, unlike rename, which POSIX happily lets clobber an existing
+    * target). Partial visibility during the write is handled on the
+    * read side: a manifest is only honored once its `end` terminator
+    * landed, so a concurrent reader sees the previous snapshot. */
   private[sources] def writeManifest(
       root: String, conf: Configuration, version: Long,
       schema: StructType, files: Seq[GsbFile],
@@ -146,20 +156,21 @@ object GraftStore {
     val f = fs(root, conf)
     val dir = new HPath(root, "manifest")
     f.mkdirs(dir)
-    val tmp = new HPath(dir, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(f.create(tmp, false), "UTF-8"))
+    val target = new HPath(dir, f"v$version%020d.manifest")
+    val stream =
+      try f.create(target, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"graft-store: commit race publishing $target — another writer won this version", e)
+      }
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(stream, "UTF-8"))
     try {
       out.println(version)
       out.println(s"schema=${schema.json}")
       files.foreach(e => out.println(s"file=${e.relPath}\t${e.rows}\t${e.bytes}"))
       epochs.toSeq.sorted.foreach(e => out.println(s"epoch=$e"))
+      out.println("end")
     } finally out.close()
-    val target = new HPath(dir, f"v$version%020d.manifest")
-    if (!f.rename(tmp, target)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(
-        s"graft-store: commit race publishing $target — another writer won this version")
-    }
   }
 
   /** Names-and-types (nullability-insensitive) schema signature, used to
@@ -258,6 +269,12 @@ private[sources] class GsbStreamingWrite(root: String, schema: StructType, query
     val conf = GraftStore.driverConf()
     val epochKey = s"$queryId:$epochId"
     val prev = GraftStore.latestManifest(root, conf)
+    // same drift guard as the batch path: publishing a manifest whose
+    // schema disagrees with the existing files would leave the WHOLE
+    // store unreadable (readers check file-vs-manifest signatures)
+    prev.filter(m => GraftStore.signature(m.schema) != GraftStore.signature(schema))
+      .foreach { m => throw new IllegalStateException(
+        s"graft-store: streaming schema ${schema.sql} does not match stored ${m.schema.sql}") }
     if (prev.exists(_.epochs.contains(epochKey))) return // replayed epoch
     val committed = messages.collect { case c: GsbCommit => GsbFile(c.relPath, c.rows, c.bytes) }.toSeq
     GraftStore.writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
@@ -293,7 +310,6 @@ private[sources] class GsbBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GraftStore.driverConf()
     val committed = messages.map(_.asInstanceOf[GsbCommit])
-      .filter(_.rows >= 0) // empty partitions still report; keep all real files
       .map(c => GsbFile(c.relPath, c.rows, c.bytes)).toSeq
     val prev = GraftStore.latestManifest(root, conf)
     val files = if (overwrite) committed

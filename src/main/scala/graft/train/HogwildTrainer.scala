@@ -144,12 +144,17 @@ object HogwildTrainer {
     * pulls and gradient pushes split into per-slice transfers that
     * overlap — the scale path past the single-server NIC/serialization
     * ceiling. Worker loop, batch modes, shuffle rounds, and abort
-    * policy are identical to [[fit]]. */
+    * policy are identical to [[fit]], EXCEPT `gradientTopK`: sparse
+    * pushes are not implemented for per-shard slices yet, and silently
+    * sending dense would defeat the knob's purpose — rejected loudly
+    * instead. */
   def fitSharded(
       rdd: RDD[(Array[Double], Array[Double])],
       spec: NetSpec,
       cfg: Config,
       shards: Int): Tensors = {
+    require(cfg.gradientTopK <= 0,
+      "gradientTopK is not supported with fitSharded (per-shard sparse slicing not implemented); use fit")
     val net = new Network(spec)
     val weights = net.initWeights(cfg.seed)
     val server = new ShardedParameterServer(

@@ -63,6 +63,41 @@ class GradientCompressionSpec extends AnyFunSuite {
     assert(s2.nnz == 6 && r2.forall(_.data.forall(_ == 0.0)))
   }
 
+  test("non-finite gradient entries are dropped, not parked or poisoning selection") {
+    val grad = mk(Double.NaN, -5.0, Double.PositiveInfinity, 3.0, -0.1, 2.0)
+    val residual = Tensors.zerosLike(grad)
+    val s = GradientCompression.sparsifyTopK(grad, residual, k = 2)
+    assert(s.nnz == 2)
+    assert(s.toDense(0).data.toSeq == Seq(0.0, -5.0, 0.0, 3.0))
+    // NaN/Inf neither sent nor parked — residual stays finite
+    assert(residual.forall(_.data.forall(java.lang.Double.isFinite)))
+    // and the worker keeps contributing on the next push
+    val s2 = GradientCompression.sparsifyTopK(mk(1.0, 0, 0, 0, 0, 0), residual, 2)
+    assert(s2.nnz == 2)
+  }
+
+  test("k=0 parks the whole gradient in the residual (nothing lost)") {
+    val grad = mk(1.0, -5.0, 0.5, 3.0, -0.1, 2.0)
+    val residual = Tensors.zerosLike(grad)
+    val s = GradientCompression.sparsifyTopK(grad, residual, k = 0)
+    assert(s.nnz == 0)
+    assert(residual(0).data.toSeq == Seq(1.0, -5.0, 0.5, 3.0))
+    assert(residual(1).data.toSeq == Seq(-0.1, 2.0))
+  }
+
+  test("fitSharded rejects gradientTopK loudly instead of silently sending dense") {
+    val spark = graft.SparkFixture.spark
+    val rdd = spark.sparkContext.parallelize(
+      Seq((Array(0.0, 0.0), Array(0.0))), 1)
+    val spec = NetSpec.input(2).dense(2, "relu").dense(1, "sigmoid").loss("mse")
+    val e = intercept[IllegalArgumentException] {
+      graft.train.HogwildTrainer.fitSharded(rdd, spec,
+        graft.train.HogwildTrainer.Config(iters = 1, port = 6700, gradientTopK = 4),
+        shards = 2)
+    }
+    assert(e.getMessage.contains("gradientTopK"))
+  }
+
   test("distributed hogwild fit with gradientTopK trains XOR end to end") {
     val spark = graft.SparkFixture.spark
     val xor = Seq(

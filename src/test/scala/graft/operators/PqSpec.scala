@@ -117,6 +117,16 @@ class PqSpec extends AnyFunSuite {
     assert(errs.max < 0.5, s"max reconstruction err ${errs.max}")
   }
 
+  test("trainPq is deterministic: same seed, same codebooks, across partitionings") {
+    val df4 = clustered.toDF("id", "v").repartition(4)
+    val a = SimilarityLib.trainPq(df4, "v", m = 4, ksub = 8, seed = 11L)
+    val b = SimilarityLib.trainPq(df4, "v", m = 4, ksub = 8, seed = 11L)
+    (0 until a.m).foreach { j =>
+      assert(a.codebooks(j).map(_.toSeq).toSeq == b.codebooks(j).map(_.toSeq).toSeq,
+        s"subspace $j codebooks differ across identical-seed fits")
+    }
+  }
+
   test("trainPq rejects non-divisible dims and oversize codebooks") {
     val df = clustered.toDF("id", "v")
     intercept[IllegalArgumentException] { SimilarityLib.trainPq(df, "v", m = 5, ksub = 4) }

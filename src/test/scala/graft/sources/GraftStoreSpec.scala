@@ -153,6 +153,34 @@ class GraftStoreSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming write with drifted schema is rejected before publishing") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(3), dir) // schema A
+    val w = new GsbStreamingWrite(dir,
+      docs.limit(1).withColumn("extra", lit(1L)).schema, "qdrift")
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(GsbCommit("data/drift.gsb", 1, 10))
+    val e = intercept[IllegalStateException] { w.commit(0L, msgs) }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    // store still readable at the old schema
+    assert(GraftStore.read(spark, dir).count() == 3)
+  }
+
+  test("an incomplete (terminator-less) manifest is skipped by readers") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(4), dir) // v1, complete
+    // simulate a crashed commit: a higher-version manifest missing `end`
+    val mdir = new java.io.File(dir, "manifest")
+    val v1 = mdir.listFiles().filter(_.getName.endsWith(".manifest")).head
+    val partial = java.nio.file.Files.readString(v1.toPath)
+      .replaceFirst("(?m)^end$", "").replaceFirst("(?m)^1$", "2")
+    java.nio.file.Files.writeString(
+      new java.io.File(mdir, "v00000000000000000002.manifest").toPath, partial)
+    val m = GraftStore.latestManifest(dir, GraftStore.driverConf()).get
+    assert(m.version == 1L, "reader must fall back to the last complete snapshot")
+    assert(GraftStore.read(spark, dir).count() == 4)
+  }
+
   test("a replayed epoch commit is a no-op (exactly-once)") {
     val dir = tmp()
     GraftStore.write(docs.limit(2), dir) // seed a store
