@@ -42,6 +42,26 @@ object EventOps {
           max(col("sess_events")).cast("long").as("max_session_events"))
         .orderBy(col("user_id"))
     },
+    // sessionization via Spark's BUILT-IN session_window — the twin of
+    // the hand-rolled gaps-and-islands `events_sessions` above, proving
+    // the built-in's merge semantics against the same DuckDB islands
+    // oracle. One boundary difference is inherent: session_window's
+    // windows are [ts, ts+gap), so an event exactly `gap` after its
+    // predecessor starts a NEW session (oracle uses >=), while the
+    // lag-based version keeps it (oracle uses >). At scale the built-in
+    // is one session-merging aggregation instead of two window passes +
+    // two aggregations — fewer shuffles, and it works unchanged in
+    // Structured Streaming with a watermark.
+    "events_sessions_sw" -> { (s, dir) =>
+      val perSession = events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("sess_events"))
+      perSession.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("sess_events")).cast("long").as("n_events"),
+          max(col("sess_events")).cast("long").as("max_session_events"))
+        .orderBy(col("user_id"))
+    },
     // as-of join: for each purchase, the most recent prior click by the
     // same user. Spark lacks ASOF JOIN; composed from a running
     // conditional max over an ordered window (preference (a): existing
@@ -197,6 +217,28 @@ object EventOps {
         |m AS (
         |  SELECT user_id, event_id, tsu,
         |    CASE WHEN prev_ts IS NULL OR epoch_us(tsu) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM m),
+        |per AS (SELECT user_id, sess_id, COUNT(*) AS sess_events
+        |        FROM sess GROUP BY user_id, sess_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(sess_events) AS BIGINT) AS n_events,
+        |  CAST(MAX(sess_events) AS BIGINT) AS max_session_events
+        |FROM per
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "events_sessions_sw" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(tsu) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM g),
         |sess AS (
         |  SELECT user_id,
