@@ -162,6 +162,33 @@ object DedupLib {
     when(size(w) >= shingleWords, xxhash64(mins: _*))
   }
 
+  /** The whole near-dup pipeline as one call: MinHash-LSH candidates →
+    * exact-Jaccard verification of candidates only → connected
+    * components over verified pairs → keep each cluster's minimum-id
+    * document. Returns the deduplicated corpus (all original columns).
+    *
+    * This is the operator a corpus pipeline actually wants ("give me
+    * the corpus without near-dups"); the pieces stay public for
+    * pipelines that need to intervene between stages. Every stage is
+    * the bounded shape documented on its function: banded candidate
+    * join (never all-pairs), candidate-restricted verify, DF-capped
+    * shingles, O(log n)-round clustering with the small-graph fast
+    * path. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+      shingleWords: Int = 3, maxShingleDf: Int = 1000): DataFrame = {
+    val sh = capShingleDf(shingles(df, idCol, textCol, shingleWords), maxShingleDf)
+    val pairs = verifyJaccard(
+      minhashCandidates(df, idCol, textCol, k, bands, shingleWords), sh, threshold)
+    val labels = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+    // no broadcast hint: the drop set is the duplicate subset, usually
+    // small but unbounded in principle; a shuffled left_anti is
+    // skew-safe (the anti side of a hot key discards, never multiplies)
+    val drop = labels.filter(col("node") =!= col("cc"))
+      .select(col("node").cast(df.schema(idCol).dataType).as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Incremental cross-run dedup: filter `incoming` down to rows whose
     * `keyCol` is (probably) NOT already in `seen` — the newcomer gate of
     * a continuously-ingesting corpus, where re-scanning the full

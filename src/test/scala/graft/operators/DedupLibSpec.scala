@@ -29,6 +29,29 @@ class DedupLibSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"unrelated doc paired: $pairs")
   }
 
+  test("dedupCorpus keeps one canonical doc per cluster, untouched docs intact") {
+    import spark.implicits._
+    // transitive cluster {10,11,12} (10≈11, 11≈12), exact pair {20,21},
+    // two singletons
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val corpus = Seq(
+      (10L, base),
+      (11L, base.replace("kappa", "KAPPA")),
+      (12L, base.replace("kappa", "KAPPA").replace("mu", "MU")),
+      (20L, "spark engines shuffle data across the cluster network during wide joins"),
+      (21L, "spark engines shuffle data across the cluster network during wide joins"),
+      (30L, "completely unrelated text with its own private vocabulary set here"),
+      (31L, "another standalone document sharing no trigrams with anything else"))
+      .toDF("id", "text")
+    // bands=8 (2 rows/band): J≈0.6 near-dups band-match reliably, same
+    // recall setting as the candidates test above
+    val kept = DedupLib.dedupCorpus(corpus, "id", "text", threshold = 0.5, bands = 8)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L, 30L, 31L), s"kept=$kept")
+    // schema preserved
+    assert(DedupLib.dedupCorpus(corpus, "id", "text").columns.toSeq == Seq("id", "text"))
+  }
+
   test("jaccard verification scores pairs correctly") {
     val sh = DedupLib.shingles(docs, "id", "text")
     val cands = DedupLib.minhashCandidates(docs, "id", "text", k = 16, bands = 8)
