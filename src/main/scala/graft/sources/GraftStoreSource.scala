@@ -122,25 +122,37 @@ object GraftStore {
         case _ => None
       }
     }
-    versions.sortBy(-_._1).iterator.flatMap { case (ver, path) =>
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(f.open(path), "UTF-8"))
-      try {
-        val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
-        if (!lines.lastOption.contains("end")) None // incomplete write: skip
-        else {
-          val schema = lines.collectFirst { case l if l.startsWith("schema=") =>
-            DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType] }
-            .getOrElse(throw new IllegalStateException(s"graft-store: manifest $path has no schema"))
-          val files = lines.collect { case l if l.startsWith("file=") =>
-            val Array(rel, rows, bytes) = l.stripPrefix("file=").split("\t")
-            GsbFile(rel, rows.toLong, bytes.toLong)
-          }
-          val epochs = lines.collect { case l if l.startsWith("epoch=") =>
-            l.stripPrefix("epoch=") }.toSet
-          Some(GsbManifest(ver, schema, files, epochs))
+    versions.sortBy(-_._1).iterator
+      .flatMap { case (ver, path) => parseManifest(f, ver, path) }
+      .nextOption()
+  }
+
+  /** A SPECIFIC committed snapshot — time travel. None if that version
+    * was never completely written. */
+  private[sources] def manifestAt(root: String, conf: Configuration, version: Long): Option[GsbManifest] = {
+    val f = fs(root, conf)
+    val path = new HPath(new HPath(root, "manifest"), f"v$version%020d.manifest")
+    if (!f.exists(path)) None else parseManifest(f, version, path)
+  }
+
+  private def parseManifest(f: FileSystem, ver: Long, path: HPath): Option[GsbManifest] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(f.open(path), "UTF-8"))
+    try {
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+      if (!lines.lastOption.contains("end")) None // incomplete write: skip
+      else {
+        val schema = lines.collectFirst { case l if l.startsWith("schema=") =>
+          DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType] }
+          .getOrElse(throw new IllegalStateException(s"graft-store: manifest $path has no schema"))
+        val files = lines.collect { case l if l.startsWith("file=") =>
+          val Array(rel, rows, bytes) = l.stripPrefix("file=").split("\t")
+          GsbFile(rel, rows.toLong, bytes.toLong)
         }
-      } finally in.close()
-    }.nextOption()
+        val epochs = lines.collect { case l if l.startsWith("epoch=") =>
+          l.stripPrefix("epoch=") }.toSet
+        Some(GsbManifest(ver, schema, files, epochs))
+      }
+    } finally in.close()
   }
 
   /** Publish snapshot `version` by EXCLUSIVE create of the final name
@@ -222,7 +234,7 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType)
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GsbScanBuilder(root)
+    new GsbScanBuilder(root, Option(options.get("version")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GsbWriteBuilder(root, info)
@@ -371,11 +383,17 @@ private[sources] class GsbDataWriter(root: String, schema: StructType, relPath: 
 
 // ---------------------------------------------------------------- read
 
-private[sources] class GsbScanBuilder(root: String)
+private[sources] class GsbScanBuilder(root: String, version: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   // pin the snapshot NOW (planning time): concurrent commits after this
-  // point don't change what this query reads
-  private val manifest = GraftStore.latestManifest(root, GraftStore.driverConf())
+  // point don't change what this query reads. `version` = time travel:
+  // overwrite/compaction never delete data files inline, so any
+  // un-vacuumed historical snapshot stays fully readable.
+  private val manifest = version
+    .map(v => GraftStore.manifestAt(root, GraftStore.driverConf(), v)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-store: no complete manifest version $v under $root")))
+    .orElse(GraftStore.latestManifest(root, GraftStore.driverConf()))
     .getOrElse(GsbManifest(0L, StructType(Nil), Seq.empty))
   private var required: StructType = manifest.schema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema

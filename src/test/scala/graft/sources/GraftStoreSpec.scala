@@ -196,6 +196,19 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(after2.files.count(_.relPath == "data/fake-e7.gsb") == 1)
   }
 
+  test("time travel: option(version) reads a historical snapshot") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(5), dir)                    // v1
+    GraftStore.write(docs.limit(3), dir)                    // v2 (8 rows)
+    GraftStore.write(docs.limit(2), dir, overwrite = true)  // v3 (2 rows)
+    def at(v: Long) =
+      spark.read.format("graft-store").option("version", v).load(dir).count()
+    assert(at(1) == 5 && at(2) == 8 && at(3) == 2)
+    assert(GraftStore.read(spark, dir).count() == 2, "no option = latest")
+    val e = intercept[Exception] { at(9) }
+    assert(e.getMessage.contains("version 9"), e.getMessage)
+  }
+
   test("compaction collapses an append history into few files, rows intact") {
     val dir = tmp()
     (0 until 4).foreach(i =>
