@@ -164,6 +164,13 @@ object ParamsClient {
       sparse: graft.nn.GradientCompression.SparseGrad, partitionId: Int): Unit =
     postBytes(masterUrl, graft.nn.GradientCompression.toBytes(sparse), partitionId)
 
+  /** Top-k + int8-quantized push (5 bytes/entry) — compose via
+    * [[graft.nn.GradientCompression.quantizeSparse]], which charges
+    * rounding error back to the same residual. */
+  def postQuantizedGradients(masterUrl: String,
+      q: graft.nn.GradientCompression.QuantizedSparseGrad, partitionId: Int): Unit =
+    postBytes(masterUrl, graft.nn.GradientCompression.toBytesQ8(q), partitionId)
+
   private def postBytes(masterUrl: String, bytes: Array[Byte], partitionId: Int): Unit = {
     try {
       val c = new java.net.URI(s"http://$masterUrl/update").toURL

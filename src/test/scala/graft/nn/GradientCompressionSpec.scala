@@ -115,6 +115,54 @@ class GradientCompressionSpec extends AnyFunSuite {
     assert(errs < xor.size, s"sparse-push training learned nothing: $preds")
   }
 
+  test("q8 quantization: rounding error lands in the residual; decode handles all 3 forms") {
+    val grad = mk(1.0, -5.0, 0.5, 3.0, -0.1, 2.0)
+    val residual = Tensors.zerosLike(grad)
+    val s = GradientCompression.sparsifyTopK(grad, residual, k = 3)
+    val preResidual = Tensors.copy(residual)
+    val q = GradientCompression.quantizeSparse(s, residual)
+    // sent(dequantized) + residual must still reconstruct the gradient exactly
+    val sent = q.toDense
+    (0 until grad.length).foreach { t =>
+      val recon = sent(t) + residual(t)
+      assert(breeze.linalg.max(breeze.numerics.abs(recon - grad(t))) < 1e-12,
+        s"tensor $t: quantization lost mass")
+      // only kept positions gained residual error
+      (0 until grad(t).size).foreach { i =>
+        if (!s.idx(t).contains(i))
+          assert(residual(t).data(i) == preResidual(t).data(i))
+      }
+    }
+    val back = GradientCompression.fromBytesQ8(GradientCompression.toBytesQ8(q))
+    assert(back.toDense.zip(sent).forall { case (a, b) => a == b })
+    val viaDecode = GradientCompression.decodeMaybeSparse(GradientCompression.toBytesQ8(q))
+    assert(viaDecode.zip(sent).forall { case (a, b) => a == b })
+  }
+
+  test("q8 sparse pushes through the server converge (quadratic objective)") {
+    val target = mk(1.0, -2.0, 3.0, -4.0, 5.0, -6.0)
+    val w = Tensors.zerosLike(target)
+    val server = new ParameterServer(w, Optimizer.build("sgd", 0.5),
+      port = 9770, acquireLock = true)
+    server.start(); server.awaitReady()
+    try {
+      val url = s"127.0.0.1:${server.boundPort}"
+      val residual = Tensors.zerosLike(target)
+      (1 to 160).foreach { _ =>
+        val cur = ParamsClient.getWeights(url)
+        val grad = Array.tabulate(cur.length)(i => cur(i) - target(i))
+        val s = GradientCompression.sparsifyTopK(grad, residual, k = 2)
+        val q = GradientCompression.quantizeSparse(s, residual)
+        ParamsClient.postQuantizedGradients(url, q, 0)
+      }
+      val fin = server.currentWeights
+      (0 until fin.length).foreach { i =>
+        assert(breeze.linalg.max(breeze.numerics.abs(fin(i) - target(i))) < 1e-2,
+          s"tensor $i: ${fin(i)} vs ${target(i)}")
+      }
+    } finally server.stop()
+  }
+
   test("e2e: sparse pushes through the server converge (quadratic objective)") {
     val target = mk(1.0, -2.0, 3.0, -4.0, 5.0, -6.0)
     val w = Tensors.zerosLike(target)
