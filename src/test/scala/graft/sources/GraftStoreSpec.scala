@@ -222,6 +222,18 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(GraftStore.vacuum(dir) == 12) // the pre-compaction files
   }
 
+  test("SQL surface: CREATE TABLE USING graft-store, INSERT INTO, SELECT") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(5).select("doc_id", "lang"), dir)
+    spark.sql(s"""CREATE TABLE gstore_sql USING `graft-store` OPTIONS (path '$dir')""")
+    try {
+      assert(spark.sql("SELECT COUNT(*) FROM gstore_sql").head().getLong(0) == 5)
+      spark.sql("INSERT INTO gstore_sql SELECT doc_id + 1000, lang FROM gstore_sql LIMIT 2")
+      assert(spark.sql("SELECT COUNT(*) FROM gstore_sql").head().getLong(0) == 7)
+      assert(spark.sql("SELECT COUNT(*) FROM gstore_sql WHERE doc_id >= 1000").head().getLong(0) == 2)
+    } finally spark.sql("DROP TABLE gstore_sql")
+  }
+
   test("exact statistics flow from the manifest to the planner") {
     val dir = tmp()
     GraftStore.write(docs.limit(12), dir)
