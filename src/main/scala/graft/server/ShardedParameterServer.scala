@@ -135,4 +135,21 @@ object ShardedParamsClient {
     }
     threads.foreach(_.start()); threads.foreach(_.join())
   }
+
+  /** Sparse twin of [[postGradients]]: shard bounds are whole-tensor
+    * ranges, so a global top-k [[graft.nn.GradientCompression.SparseGrad]]
+    * slices into per-shard sparse payloads with no re-encoding — each
+    * shard's server densifies only its own slice. Composes sharding's
+    * bandwidth×shards with sparsification's bytes÷density. */
+  def postSparseGradients(
+      shardUrls: Seq[String], bounds: Seq[(Int, Int)],
+      sparse: graft.nn.GradientCompression.SparseGrad, partitionId: Int): Unit = {
+    val threads = shardUrls.zip(bounds).map { case (u, (from, until)) =>
+      val slice = graft.nn.GradientCompression.SparseGrad(
+        sparse.rows.slice(from, until), sparse.cols.slice(from, until),
+        sparse.idx.slice(from, until), sparse.vals.slice(from, until))
+      new Thread(() => ParamsClient.postSparseGradients(u, slice, partitionId))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+  }
 }

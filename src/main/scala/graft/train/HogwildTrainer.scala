@@ -143,18 +143,15 @@ object HogwildTrainer {
     * ([[ShardedParameterServer]]): same hogwild semantics, but weight
     * pulls and gradient pushes split into per-slice transfers that
     * overlap — the scale path past the single-server NIC/serialization
-    * ceiling. Worker loop, batch modes, shuffle rounds, and abort
-    * policy are identical to [[fit]], EXCEPT `gradientTopK`: sparse
-    * pushes are not implemented for per-shard slices yet, and silently
-    * sending dense would defeat the knob's purpose — rejected loudly
-    * instead. */
+    * ceiling. Worker loop, batch modes, shuffle rounds, abort policy,
+    * and `gradientTopK` sparse pushes are identical to [[fit]] — the
+    * global top-k selection runs once per push and the sparse payload
+    * slices along the same whole-tensor shard bounds as dense. */
   def fitSharded(
       rdd: RDD[(Array[Double], Array[Double])],
       spec: NetSpec,
       cfg: Config,
       shards: Int): Tensors = {
-    require(cfg.gradientTopK <= 0,
-      "gradientTopK is not supported with fitSharded (per-shard sparse slicing not implemented); use fit")
     val net = new Network(spec)
     val weights = net.initWeights(cfg.seed)
     val server = new ShardedParameterServer(
@@ -185,7 +182,16 @@ object HogwildTrainer {
                 workerCfg.miniStochasticIters, workerCfg.shufflePerIter,
                 workerCfg.verbose, workerCfg.seed + pid),
               pull = () => ShardedParamsClient.getWeights(urls),
-              push = g => ShardedParamsClient.postGradients(urls, bounds, g, pid))
+              push =
+                if (workerCfg.gradientTopK > 0) {
+                  var residual: Tensors = null
+                  g => {
+                    if (residual == null) residual = graft.nn.Tensors.zerosLike(g)
+                    ShardedParamsClient.postSparseGradients(urls, bounds,
+                      graft.nn.GradientCompression.sparsifyTopK(
+                        g, residual, workerCfg.gradientTopK), pid)
+                  }
+                } else { g => ShardedParamsClient.postGradients(urls, bounds, g, pid) })
           }
         }
         if (server.isAborted) throw new IllegalStateException(

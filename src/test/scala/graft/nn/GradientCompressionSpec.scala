@@ -85,17 +85,42 @@ class GradientCompressionSpec extends AnyFunSuite {
     assert(residual(1).data.toSeq == Seq(-0.1, 2.0))
   }
 
-  test("fitSharded rejects gradientTopK loudly instead of silently sending dense") {
+  test("sharded sparse pushes: slices land on the right shards (step equality)") {
+    import graft.server.{ShardedParameterServer, ShardedParamsClient}
+    val w0 = mk(0, 0, 0, 0, 0, 0)
+    val sharded = new ShardedParameterServer(Tensors.copy(w0),
+      () => Optimizer.build("sgd", 1.0), 9780, shards = 2, acquireLock = true)
+    sharded.start(); sharded.awaitReady()
+    try {
+      val urls = sharded.boundPorts.map(p => s"127.0.0.1:$p").toSeq
+      val grad = mk(1.0, -5.0, 0.5, 3.0, -0.1, 2.0)
+      val residual = Tensors.zerosLike(grad)
+      val s = GradientCompression.sparsifyTopK(grad, residual, k = 3)
+      ShardedParamsClient.postSparseGradients(urls, sharded.sliceBounds.toSeq, s, 0)
+      val expectStep = s.toDense // sgd lr=1: w = 0 - densified sparse grad
+      val got = sharded.currentWeights
+      (0 until got.length).foreach { i =>
+        assert(breeze.linalg.max(breeze.numerics.abs(got(i) + expectStep(i))) < 1e-12,
+          s"tensor $i stepped wrong: ${got(i)} vs -${expectStep(i)}")
+      }
+    } finally sharded.stop()
+  }
+
+  test("fitSharded with gradientTopK trains XOR end to end") {
     val spark = graft.SparkFixture.spark
-    val rdd = spark.sparkContext.parallelize(
-      Seq((Array(0.0, 0.0), Array(0.0))), 1)
-    val spec = NetSpec.input(2).dense(2, "relu").dense(1, "sigmoid").loss("mse")
-    val e = intercept[IllegalArgumentException] {
-      graft.train.HogwildTrainer.fitSharded(rdd, spec,
-        graft.train.HogwildTrainer.Config(iters = 1, port = 6700, gradientTopK = 4),
-        shards = 2)
-    }
-    assert(e.getMessage.contains("gradientTopK"))
+    val xor = Seq(
+      (Array(0.0, 0.0), Array(0.0)), (Array(0.0, 1.0), Array(1.0)),
+      (Array(1.0, 0.0), Array(1.0)), (Array(1.0, 1.0), Array(0.0)))
+    val rdd = spark.sparkContext.parallelize(xor, 2)
+    val spec = NetSpec.input(2).dense(8, "relu").dense(1, "sigmoid").loss("mse")
+    val w = graft.train.HogwildTrainer.fitSharded(rdd, spec,
+      graft.train.HogwildTrainer.Config(optimizerName = "adam", learningRate = 0.1,
+        iters = 80, port = 6700, seed = 7L, gradientTopK = 8),
+      shards = 2)
+    val net = new Network(spec)
+    val preds = xor.map { case (f, l) => (net.predictRow(f, w)(0), l(0)) }
+    assert(preds.count { case (p, l) => math.abs(p - l) > 0.5 } < xor.size,
+      s"sharded sparse training learned nothing: $preds")
   }
 
   test("distributed hogwild fit with gradientTopK trains XOR end to end") {
