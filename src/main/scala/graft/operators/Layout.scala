@@ -75,6 +75,72 @@ object Layout {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Hilbert-curve key over two numeric dimensions — the z-order
+    * sibling with strictly better locality: the Hilbert curve is
+    * CONTINUOUS (consecutive keys are always Manhattan-adjacent cells,
+    * asserted in spec), so a file owning a contiguous key range covers
+    * one compact blob of the plane, while Morton order teleports across
+    * half the domain at power-of-two boundaries and drags a file's
+    * min-max box with it. Same contract as [[zorderKey]]: equal-width
+    * bucketing to `bits` bits per dim, caller-supplied bounds.
+    *
+    * The iterative rotate/flip state of the Hilbert mapping would
+    * explode as a Catalyst expression tree (each of the `bits` steps
+    * rewrites both coordinates), so the whole 2-D mapping is
+    * precomputed into a 4^bits lookup table evaluated UDF-free via
+    * `element_at(lit(table), bucketA * n + bucketB + 1)` — ≤ 256 KB in
+    * the plan at the bits=8 cap, a one-time cost in a write-path job. */
+  def hilbertKey(a: Column, aLo: Double, aHi: Double,
+      b: Column, bLo: Double, bHi: Double, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 8, s"bits=$bits out of [1,8]")
+    val n = 1 << bits
+    def bucket(c: Column, lo: Double, hi: Double): Column =
+      least(greatest(width_bucket(c.cast("double"), lit(lo), lit(hi), lit(n)) - 1,
+        lit(0L)), lit((n - 1).toLong))
+    val table: Array[Long] = {
+      val t = new Array[Long](n * n)
+      var x = 0
+      while (x < n) {
+        var y = 0
+        while (y < n) { t(x * n + y) = hilbertD(n, x, y); y += 1 }
+        x += 1
+      }
+      t
+    }
+    element_at(lit(table), (bucket(a, aLo, aHi) * n + bucket(b, bLo, bHi) + 1).cast("int"))
+  }
+
+  /** Standard xy→d Hilbert walk (rotate/flip per scale level). */
+  private[operators] def hilbertD(n: Int, x0: Int, y0: Int): Long = {
+    var (x, y) = (x0, y0)
+    var d = 0L
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) { // rotate quadrant
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  /** [[writeZordered]]'s Hilbert twin. */
+  def writeHilbertOrdered(df: DataFrame, path: String,
+      colA: String, aLo: Double, aHi: Double,
+      colB: String, bLo: Double, bHi: Double,
+      files: Int, bits: Int = 8): Unit = {
+    val hk = "__graft_hkey"
+    df.withColumn(hk, hilbertKey(col(colA), aLo, aHi, col(colB), bLo, bHi, bits))
+      .repartitionByRange(files, col(hk))
+      .sortWithinPartitions(col(hk))
+      .drop(hk)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write `df` clustered by the z-order of (`colA`, `colB`):
     * range-partition on the z-key (so files own contiguous z-ranges),
     * sort within partitions, drop the key. `files` controls output file

@@ -73,6 +73,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/z").count() == 10000)
   }
 
+  test("hilbert walk is continuous: consecutive keys are Manhattan-adjacent cells") {
+    val n = 16 // bits=4
+    val byD = (for (x <- 0 until n; y <- 0 until n)
+      yield (Layout.hilbertD(n, x, y), (x, y))).sortBy(_._1)
+    assert(byD.map(_._1) == (0L until (n.toLong * n)), "keys must be a permutation of 0..n²-1")
+    byD.map(_._2).sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d-consecutive cells ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("hilbert layout prunes a box at least as well as z-order") {
+    import spark.implicits._
+    val pts = spark.range(10000).select(
+      (col("id") % 100).cast("double").as("x"),
+      ((col("id") / 100) % 100).cast("double").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("hilb").toString
+    Layout.writeHilbertOrdered(pts, s"$base/h", "x", 0, 100, "y", 0, 100, files = 16)
+    Layout.writeZordered(pts, s"$base/z", "x", 0, 100, "y", 0, 100, files = 16)
+    def filesTouched(path: String, filter: org.apache.spark.sql.Column): Int =
+      spark.read.parquet(path).filter(filter)
+        .select(input_file_name()).distinct().count().toInt
+    val box = col("x") >= 10 && col("x") < 20 && col("y") >= 10 && col("y") < 20
+    val h = filesTouched(s"$base/h", box)
+    val z = filesTouched(s"$base/z", box)
+    assert(h <= z, s"hilbert touched $h files vs zorder $z")
+    assert(h < 16, "box must prune at least some files")
+    // rows are identical regardless of layout
+    assert(spark.read.parquet(s"$base/h").count() == 10000)
+  }
+
   test("bucketed write round-trips and joins without exchange on the bucket key") {
     val df = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
     Layout.writeBucketed(df, "graft_bucketed_t", "k", buckets = 4)
