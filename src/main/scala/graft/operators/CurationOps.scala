@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators over `documents` — the oracle-checked
@@ -34,6 +34,32 @@ object CurationOps {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))
+    },
+    // weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    // priorities: each doc draws u ∈ (0,1] deterministically from its
+    // content hash and scores u^(1/w) with w = n_chars — the top-k by
+    // priority IS an exact weighted sample, computable as one
+    // projection + distributed top-k (TakeOrderedAndProject), no
+    // sequential reservoir state. u is built from the first 8 md5 hex
+    // digits by exact integer arithmetic so both engines agree
+    // bit-for-bit before the one pow() call.
+    "sample_weighted_reservoir" -> { (s, dir) =>
+      val hexVal: Int => Column = p => {
+        val a = ascii(substring(md5(col("text")), p, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      val uNum = (1 to 8).map(p => hexVal(p) * lit(math.pow(16, 8 - p))).reduce(_ + _)
+      val u = (uNum + 1.0) / lit(math.pow(16, 8)) // +1: u in (0,1], never pow(0)
+      val priority = pow(u, lit(1.0) / col("n_chars"))
+      val top = documents(s, dir)
+        .select(col("doc_id"), round(priority, 6).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(20)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("priority").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("priority"))
+        .orderBy(col("rank"))
     },
     // deterministic stratified 80/10/10 split with EXACT per-stratum
     // proportions: rank by content hash within each lang (data-defined,
@@ -124,7 +150,22 @@ object CurationOps {
         .orderBy(col("lang"))
     })
 
+  private def weightedReservoirOracle: String = {
+    val hexVal: Int => String = p =>
+      s"(CASE WHEN ascii(substr(md5(text),$p,1)) >= 97 THEN ascii(substr(md5(text),$p,1)) - 87 ELSE ascii(substr(md5(text),$p,1)) - 48 END)"
+    val uNum = (1 to 8).map(p => s"${hexVal(p)} * ${math.pow(16, 8 - p)}").mkString(" + ")
+    s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, priority
+       |FROM (
+       |  SELECT doc_id,
+       |    ROUND(pow(($uNum + 1.0) / ${math.pow(16, 8)}, 1.0 / n_chars), 6) AS priority
+       |  FROM documents)
+       |ORDER BY priority DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sample_weighted_reservoir" -> weightedReservoirOracle,
     "sample_stratified_split" ->
       """SELECT lang, split, COUNT(*) AS n FROM (
         |  SELECT lang,

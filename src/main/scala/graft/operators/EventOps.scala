@@ -42,6 +42,25 @@ object EventOps {
           max(col("sess_events")).cast("long").as("max_session_events"))
         .orderBy(col("user_id"))
     },
+    // conversion FUNNEL: users reaching view → click-after-view →
+    // purchase-after-click, each stage ordered by event time. The
+    // min-timestamp chaining shape (aggregate per stage, join, strict
+    // ts inequality) is one scan per stage with partial aggregation —
+    // no per-user event sorting, no window over the full stream.
+    "events_funnel" -> { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("clicked_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("purchased_after_click")))
+    },
     // sessionization via Spark's BUILT-IN session_window — the twin of
     // the hand-rolled gaps-and-islands `events_sessions` above, proving
     // the built-in's merge semantics against the same DuckDB islands
@@ -231,6 +250,16 @@ object EventOps {
         |FROM per
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |v AS (SELECT user_id, MIN(tsu) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(tsu) AS c_ts FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE event_type = 'click' AND tsu > v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(tsu) AS p_ts FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE event_type = 'purchase' AND tsu > c_ts GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS viewed,
+        |       (SELECT COUNT(*) FROM c) AS clicked_after_view,
+        |       (SELECT COUNT(*) FROM p) AS purchased_after_click""".stripMargin,
     "events_sessions_sw" ->
       """WITH g AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
