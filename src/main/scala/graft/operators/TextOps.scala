@@ -176,6 +176,35 @@ object TextOps {
         .select(col("rank"), col("doc_id"), col("score"))
         .orderBy(col("rank"))
     },
+    // perplexity-style LM quality filter (the CCNet recipe): score each
+    // doc by its average bigram cross-entropy under the corpus's own
+    // bigram model — ln c(w1) - ln c(w1,w2), counts from one pass each
+    // — and surface the most-surprising docs (highest CE = candidates
+    // for junk/outlier review). Per-term rounding to 6dp before a
+    // DECIMAL sum makes the aggregate order-independent AND tolerant of
+    // last-ulp ln() differences between engines; counts themselves are
+    // exact integers on both sides. Shuffles: two count aggregations +
+    // one counts join back onto the gram stream (corpus-sized keys,
+    // partial-aggregated).
+    "text_perplexity" -> { (s, dir) =>
+      val w = split(col("text"), " ")
+      val grams = documents(s, dir)
+        .filter(size(w) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))).as("g"))
+        .select(col("doc_id"), col("g.w1"), col("g.w2"))
+      val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val term = round(log(col("c1")) - log(col("c12")), 6)
+      grams
+        .join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(term.cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("ce"))
+        .orderBy(col("ce").desc, col("doc_id"))
+        .limit(10)
+    },
     // normalized-text fingerprint; distinct fingerprints per source
     "text_fingerprint" -> { (s, dir) =>
       documents(s, dir)
@@ -219,6 +248,21 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> bm25Oracle,
+    "text_perplexity" ->
+      """WITH grams AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2) d,
+        |       unnest(range(1, len(w))) AS t(i)),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY w1, w2),
+        |uni AS (SELECT w1, COUNT(*) AS c1 FROM grams GROUP BY w1)
+        |SELECT doc_id,
+        |  ROUND(SUM(CAST(ROUND(ln(c1) - ln(c12), 6) AS DECIMAL(18,6))) * 1.0
+        |        / COUNT(*), 6) AS ce
+        |FROM grams JOIN big USING (w1, w2) JOIN uni USING (w1)
+        |GROUP BY doc_id
+        |ORDER BY ce DESC, doc_id
+        |LIMIT 10""".stripMargin,
     "text_token_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
