@@ -126,20 +126,28 @@ object CurationOps {
     // 2-gram / all 2-grams). Per-doc fractions are rounded then summed
     // as DECIMAL so the cross-engine aggregate is order-independent.
     "text_repetition" -> { (s, dir) =>
-      val w = split(col("text"), " ")
+      // w and grams materialize as projected columns: expressions
+      // referenced INSIDE a higher-order-function lambda re-evaluate
+      // per element (no CSE across lambdas), which made gram extraction
+      // O(words²) and the top-gram scan O(grams³). Neutral on this
+      // short-doc corpus (~0.38 s either way at sf0.1 — the quadratic
+      // term is tiny at 60 words) but the degree matters for long-doc
+      // corpora; text_perplexity measured the same fix at 3.7×.
+      val w = col("w")
       val nW = size(w)
       val dupFrac = round(lit(1.0) -
         size(array_distinct(w)).cast("double") / nW, 6)
-      val grams = transform(sequence(lit(1), nW - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
       // top-bigram count without a second aggregation: for each distinct
       // gram, count its occurrences inside the doc's own gram array —
       // per-doc work only (O(grams²) in the doc, zero shuffles)
-      val topCnt = array_max(transform(array_distinct(grams),
-        g => size(filter(grams, x => x === g))))
-      val topFrac = round(topCnt.cast("double") / size(grams), 6)
+      val topCnt = array_max(transform(array_distinct(col("grams")),
+        g => size(filter(col("grams"), x => x === g))))
+      val topFrac = round(topCnt.cast("double") / size(col("grams")), 6)
       documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
         .filter(nW >= 2)
+        .withColumn("grams", transform(sequence(lit(1), nW - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
         .select(col("lang"), dupFrac.as("dup_frac"), topFrac.as("top_frac"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
