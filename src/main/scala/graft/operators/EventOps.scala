@@ -42,6 +42,24 @@ object EventOps {
           max(col("sess_events")).cast("long").as("max_session_events"))
         .orderBy(col("user_id"))
     },
+    // weekly COHORT RETENTION: users grouped by their first-activity
+    // week, counted active per subsequent week offset — the retention
+    // matrix every activation dashboard draws. Week offsets come from
+    // integer day arithmetic (both endpoints week-truncated, so the /7
+    // is exact), not engine-specific week-diff semantics.
+    "events_cohort_retention" -> { (s, dir) =>
+      val e = events(s, dir)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      e.join(cohort, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    },
     // conversion FUNNEL: users reaching view → click-after-view →
     // purchase-after-click, each stage ordered by event time. The
     // min-timestamp chaining shape (aggregate per stage, join, strict
@@ -250,6 +268,18 @@ object EventOps {
         |FROM per
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "events_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+        |SELECT cohort_wk,
+        |  CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_active
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY cohort_wk, week_offset
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
         |v AS (SELECT user_id, MIN(tsu) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
