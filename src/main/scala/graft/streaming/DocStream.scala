@@ -76,6 +76,41 @@ object DocStream {
     * ([[graft.operators.TextOps.qualityScore]] — one shared definition,
     * so a gate value means the same thing in both engines), applied per
     * document as it streams in. */
+  /** Perplexity filtering at INGEST: score each streaming document's
+    * average bigram cross-entropy against a static language model
+    * (reference counts from a trusted corpus, e.g. the batch
+    * `text_perplexity` machinery) and keep docs at or below `maxCe`.
+    *
+    * The model rides as vocabulary-bounded MAP LITERALS evaluated
+    * per-row (`element_at` lookups inside one projection) — no join, no
+    * aggregation, NO STATE: a per-doc groupBy would turn this into an
+    * unbounded streaming aggregation, while a pure projection stays
+    * append-mode legal and composes freely with the stateful dedup
+    * gates. Unseen bigrams score `unseenCe` (fixed penalty — an ingest
+    * filter cannot consult corpus-global smoothing it hasn't seen);
+    * docs shorter than 2 words score `unseenCe` too. Appends `ce`. */
+  def perplexityFilter(docs: DataFrame, textCol: String,
+      bigramCounts: Map[String, Long], unigramCounts: Map[String, Long],
+      maxCe: Double, unseenCe: Double = 10.0): DataFrame = {
+    val bm = typedlit(bigramCounts)
+    val um = typedlit(unigramCounts)
+    val w = col("__w") // attribute reference: cheap inside lambdas
+    val terms = transform(sequence(lit(1), size(w) - 1), i => {
+      val c1 = element_at(um, element_at(w, i))
+      val c12 = element_at(bm,
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+      when(c1.isNull || c12.isNull, lit(unseenCe))
+        .otherwise(round(log(c1) - log(c12), 6))
+    })
+    val ce = when(size(w) >= 2,
+      aggregate(terms, lit(0.0), (a, x) => a + x) / size(terms))
+      .otherwise(lit(unseenCe))
+    docs.withColumn("__w", split(col(textCol), " "))
+      .withColumn("ce", ce)
+      .filter(col("ce") <= maxCe)
+      .drop("__w")
+  }
+
   def qualityFilter(docs: DataFrame, textCol: String, minScore: Double): DataFrame =
     docs.withColumn("quality",
         round(graft.operators.TextOps.qualityScore(col(textCol)), 4))

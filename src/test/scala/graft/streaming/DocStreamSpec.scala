@@ -122,6 +122,42 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming perplexity filter scores against a static LM, stateless") {
+    import org.apache.spark.sql.functions.{col => c}
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // reference model from a tiny trusted corpus
+    val ref = Seq("the cat sat", "the cat ran", "the dog sat")
+    val refGrams = ref.flatMap(_.split(" ").sliding(2).map(_.toSeq))
+    val bigrams = refGrams.groupBy(g => s"${g(0)} ${g(1)}").map { case (k, v) => k -> v.size.toLong }
+    val unigrams = refGrams.groupBy(_.head).map { case (k, v) => k -> v.size.toLong }
+    val rows = Seq(
+      (1L, new Timestamp(base), "the cat sat"),       // in-model: low ce
+      (2L, new Timestamp(base), "zz qq ww ee rr tt"), // all unseen: ce = unseenCe
+      (3L, new Timestamp(base), "the dog ran"))       // "dog ran" unseen: mixed
+    val dir = Files.createTempDirectory("doc_ppx").toString
+    docsDf(rows).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = DocStream.perplexityFilter(
+      spark.readStream.schema(schema).parquet(dir), "text",
+      bigrams, unigrams, maxCe = 5.0)
+      .writeStream.format("memory").queryName("ppx_stream")
+      .outputMode("append").start() // append legal: zero streaming state
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id, ce FROM ppx_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(kept.contains(1L) && !kept.contains(2L), s"kept=$kept")
+      // doc 1: P(cat|the)=2/3? no — ce = avg(ln c1 - ln c12):
+      // "the cat": ln(3)-ln(2); "cat sat": ln(2)-ln(1)
+      val expect1 = (math.log(3) - math.log(2) + math.log(2) - math.log(1)) / 2
+      assert(math.abs(kept(1L) - expect1) < 1e-5, s"ce(1)=${kept(1L)} want $expect1")
+      // batch parity: same function on a batch frame gives identical ce
+      val batchCe = DocStream.perplexityFilter(docsDf(rows), "text",
+        bigrams, unigrams, maxCe = 5.0)
+        .select(c("doc_id"), c("ce")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(batchCe == kept, s"stream=$kept batch=$batchCe")
+    } finally q.stop()
+  }
+
   test("streaming quality filter matches batch formula") {
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val rows = Seq(
