@@ -26,6 +26,12 @@ object CorpusOps {
     * small enough that sf0.01 groups still split into multiple bins. */
   val PackBudget = 256
 
+  /** `text_chunk_overlap` window geometry: 32-token chunks every 24
+    * tokens (8-token overlap) — small enough that ~60-word synthetic
+    * docs still produce several chunks each. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // vocabulary with counts, top-10 words per language (count desc,
     // word asc tiebreak — fully deterministic)
@@ -60,6 +66,51 @@ object CorpusOps {
           sum(col("toks")).cast("long").as("bin_tokens"))
         .orderBy(col("lang"), col("source"), col("bin"))
     },
+    // corpus-level duplicated n-gram spans (the substring-dedup signal of
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better": verbatim spans repeated across documents are memorization
+    // hot-spots): explode word 4-grams, count distinct docs and total
+    // occurrences per gram, surface the grams shared by ≥2 documents.
+    // Scale shape: explode → partial (map-side) aggregate → final
+    // aggregate, so the shuffle carries distinct grams per partition,
+    // not one row per token; top-k is orderBy+limit →
+    // TakeOrderedAndProject, never a global sort of the gram table.
+    "text_dup_ngrams" -> { (s, dir) =>
+      val w = col("w")
+      val grams = documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(w) >= 4)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(w) - 3),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2), element_at(w, i + 3)))).as("gram"))
+      grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+        .limit(15)
+    },
+    // overlapping retrieval chunking (the RAG indexing shape): fixed
+    // ChunkSize-token windows every ChunkStride tokens, one output row
+    // per (doc, chunk) with its token count and content hash. Pure
+    // per-doc projection + explode — no shuffle at all except the
+    // presentation sort; at corpus scale the chunk stream feeds the
+    // embedding/ANN stages downstream without ever leaving its input
+    // partition.
+    "text_chunk_overlap" -> { (s, dir) =>
+      val w = col("w")
+      documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(1), size(w), lit(ChunkStride))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          slice(w, col("col"), lit(ChunkSize)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
     // bounded-memory twin of text_vocab_topk riding the Misra–Gries
     // aggregate: one ≤4k-entry summary per partition crosses the wire
     // instead of one row per distinct (lang, word). No oracle (summary
@@ -85,6 +136,31 @@ object CorpusOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "text_dup_ngrams" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 4)
+        |SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        |FROM g
+        |GROUP BY gram
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occ DESC, gram
+        |LIMIT 15""".stripMargin,
+    "text_chunk_overlap" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, $ChunkStride)) AS start
+        |      FROM d),
+        |c AS (SELECT doc_id,
+        |        CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+        |        w[start : least(start + ${ChunkSize - 1}, len(w))] AS chunk
+        |      FROM s)
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "text_vocab_topk" ->
       """SELECT lang, rk, word, n FROM (
         |  SELECT lang, word, n,

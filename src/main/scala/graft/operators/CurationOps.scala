@@ -156,6 +156,35 @@ object CurationOps {
           round(sum(col("top_frac").cast("decimal(18,6)")).cast("double") /
             count(lit(1)), 6).as("avg_top_bigram_frac"))
         .orderBy(col("lang"))
+    },
+    // temperature-scaled source mixing (the multilingual-sampling recipe
+    // of mBERT/XLM-R: sample sources ∝ tokens^α with α=0.5, upweighting
+    // tail domains the raw token distribution would starve). Per-source
+    // sqrt(token-count) weights are cast to DECIMAL before the
+    // denominator sum so the normalizer is order-independent across
+    // partitions/engines; quotas draw from a 10k-doc budget. The
+    // one-row stats table broadcasts onto the (tiny) per-source table —
+    // at 100 TB the only corpus-sized work is the first token count,
+    // one partial→final aggregate.
+    "sample_temperature_mix" -> { (s, dir) =>
+      val toks = size(split(col("text"), " ")).cast("long")
+      val src = documents(s, dir)
+        .select(col("source"), toks.as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("total_tokens"))
+        .withColumn("w_temp",
+          sqrt(col("total_tokens").cast("double")).cast("decimal(28,10)"))
+      val denom = src.agg(sum(col("w_temp")).as("denom"),
+        sum(col("total_tokens")).cast("long").as("all_tokens"))
+      src.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          round(col("total_tokens").cast("double") /
+            col("all_tokens").cast("double"), 6).as("p_raw"),
+          round(col("w_temp").cast("double") /
+            col("denom").cast("double"), 6).as("p_temp"))
+        .withColumn("quota", round(col("p_temp") * 10000).cast("long"))
+        .orderBy(col("source"))
     })
 
   private def weightedReservoirOracle: String = {
@@ -174,6 +203,22 @@ object CurationOps {
 
   val oracles: Map[String, String] = Map(
     "sample_weighted_reservoir" -> weightedReservoirOracle,
+    "sample_temperature_mix" ->
+      """WITH src AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(sqrt(total_tokens) AS DECIMAL(28,10)) AS w_temp
+        |      FROM src),
+        |d AS (SELECT SUM(w_temp) AS denom,
+        |        CAST(SUM(total_tokens) AS BIGINT) AS all_tokens FROM w)
+        |SELECT source, n_docs, total_tokens,
+        |  ROUND(total_tokens * 1.0 / all_tokens, 6) AS p_raw,
+        |  ROUND(CAST(w_temp AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS p_temp,
+        |  CAST(ROUND(ROUND(CAST(w_temp AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+        |       * 10000) AS BIGINT) AS quota
+        |FROM w CROSS JOIN d
+        |ORDER BY source""".stripMargin,
     "sample_stratified_split" ->
       """SELECT lang, split, COUNT(*) AS n FROM (
         |  SELECT lang,

@@ -227,9 +227,38 @@ object Relational {
         .groupBy(col("c_nationkey").cast("long").as("nationkey"))
         .agg(count(lit(1)).as("n_rich"))
         .orderBy(col("nationkey"))
+    },
+    // RANGE-frame rolling window: per-customer trailing-30-day revenue at
+    // each order. The frame is value-based (days), not row-based — peers
+    // on the same day aggregate together regardless of row order, so the
+    // result is deterministic under any partitioning. Spark's
+    // rangeBetween needs a numeric sort key → days-since-epoch; revenue
+    // sums as DECIMAL (order-independent). The window shuffles once on
+    // o_custkey; per-task state is one customer's orders.
+    "q_rolling_revenue_30d" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-29, 0)
+      orders(s, dir)
+        .filter(col("o_custkey") <= 150)
+        .withColumn("day",
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+        .withColumn("roll_rev_30d",
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          col("roll_rev_30d"))
+        .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_revenue_30d" ->
+      """SELECT o_custkey, o_orderkey, day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_rev_30d
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        |      FROM orders WHERE o_custkey <= 150)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -72,10 +72,6 @@ object DocStream {
       .dropDuplicatesWithinWatermark("graft_near_key")
       .drop("graft_near_key")
 
-  /** Stateless quality gate: literally the batch `text_quality` formula
-    * ([[graft.operators.TextOps.qualityScore]] — one shared definition,
-    * so a gate value means the same thing in both engines), applied per
-    * document as it streams in. */
   /** Perplexity filtering at INGEST: score each streaming document's
     * average bigram cross-entropy against a static language model
     * (reference counts from a trusted corpus, e.g. the batch
@@ -111,6 +107,10 @@ object DocStream {
       .drop("__w")
   }
 
+  /** Stateless quality gate: literally the batch `text_quality` formula
+    * ([[graft.operators.TextOps.qualityScore]] — one shared definition,
+    * so a gate value means the same thing in both engines), applied per
+    * document as it streams in. */
   def qualityFilter(docs: DataFrame, textCol: String, minScore: Double): DataFrame =
     docs.withColumn("quality",
         round(graft.operators.TextOps.qualityScore(col(textCol)), 4))

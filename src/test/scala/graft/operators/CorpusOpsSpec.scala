@@ -41,6 +41,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_chunk_overlap: chunk geometry reconstructs from token counts") {
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = CorpusOps.queries("text_chunk_overlap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == lens.keySet, "every doc must chunk")
+    byDoc.foreach { case (doc, cs) =>
+      val len = lens(doc)
+      val ids = cs.map(_._2).sorted.toSeq
+      // dense ids; one chunk per stride-start ≤ len
+      val expectChunks = (len - 1) / CorpusOps.ChunkStride + 1
+      assert(ids == (0L until expectChunks.toLong), s"doc $doc ids $ids")
+      cs.foreach { case (_, id, n) =>
+        val start = id * CorpusOps.ChunkStride + 1
+        val expect = math.min(CorpusOps.ChunkSize.toLong, len - start + 1)
+        assert(n == expect, s"doc $doc chunk $id tokens $n != $expect")
+      }
+    }
+  }
+
+  test("text_dup_ngrams: grams are 4-word, doc counts ≥ 2, occ ≥ docs") {
+    val rows = CorpusOps.queries("text_dup_ngrams")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.size <= 15)
+    rows.foreach { case (gram, nDocs, nOcc) =>
+      assert(gram.split(" ").length == 4, s"not a 4-gram: '$gram'")
+      assert(nDocs >= 2 && nOcc >= nDocs, s"$gram counts: $nDocs/$nOcc")
+    }
+    // ordering is (n_docs desc, n_occ desc, gram asc) — deterministic top-k
+    val key = rows.map { case (g, d, o) => (-d, -o, g) }
+    assert(key.sameElements(key.sorted), "rows not in deterministic order")
+  }
+
   test("events_range_join: banded join equals the naive inequality join") {
     val banded = EventOps.queries("events_range_join")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
