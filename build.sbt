@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: the bench/verify surface is 60+ queries in one JVM, and
+  // leftover block-manager state (localCheckpoints, broadcasts) between
+  // queries plus 32-thread execution needs headroom — an 8g heap measured
+  // 10x timing variance under GC pressure on the full surface.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
