@@ -265,7 +265,57 @@ object DedupOps {
         .filter(col("cos_sim") >= 0.25)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
         .orderBy(col("vec_a"), col("vec_b"))
+    },
+    // SemDeDup-style semantic dedup: assign every embedding to its
+    // nearest cell, then mark as duplicate any vector that has a
+    // same-cell neighbor with smaller id and cosine >= tau (keep-min-id
+    // rule — deterministic, no iteration). Cells here are one Lloyd
+    // assignment step against K deterministic seed centroids (the K
+    // smallest vec_ids) so the DuckDB oracle can replay the clustering
+    // bit-for-bit; production swaps in [[SimilarityLib]] IVF-trained
+    // centroids with K ~ n/targetCellSize — the plan shape (broadcast
+    // K-row centroid join, per-cell pair join) is identical. Scale: the
+    // pair join is keyed on cell, so pair generation is O(sum cell²),
+    // never global O(n²); K grows with the corpus to bound cell size.
+    "dedup_semantic" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // The K centroid rows are collected to the driver — bounded by
+      // SemK by construction, the same bounded-collect contract as
+      // SimilarityLib codebook training — and re-enter the plan as
+      // literals, so cell assignment is a pure whole-stage-codegen
+      // projection: no join, no aggregate, no shuffle for the
+      // corpus-sized side. This is exactly how a trained IVF/KMeans
+      // codebook is applied at 100 TB.
+      val cents = e.filter(col("vec_id") < SemK).collect().sortBy(_.getLong(0))
+      val centArr = array(cents.map { r =>
+        struct(lit(r.getLong(0)).as("cell"),
+          typedLit(r.getSeq[Double](1)).as("cv"))
+      }.toIndexedSeq: _*)
+      // argmax by (rounded cosine desc, cell asc) via lexicographic
+      // struct max — negc makes ties resolve to the smallest cell id
+      val best = array_max(transform(centArr, c =>
+        struct(round(cos(col("v"), c.getField("cv")), 6).as("sim"),
+          (-c.getField("cell")).as("negc"), c.getField("cell").as("cell"))))
+      val assigned = e.select(col("vec_id"), col("v"),
+        best.getField("cell").as("cell"))
+      val a = assigned.as("a"); val b = assigned.as("b")
+      val dups = a.join(b, col("a.cell") === col("b.cell") &&
+          col("b.vec_id") < col("a.vec_id"))
+        .filter(round(cos(col("a.v"), col("b.v")), 6) >= SemTau)
+        .select(col("a.vec_id")).distinct()
+      assigned.select(col("vec_id"), col("cell"))
+        .join(dups.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("is_dup"), lit(0)).as("is_dup"))
+        .orderBy(col("vec_id"))
     })
+
+  /** Semantic-dedup constants shared by query and oracle: K seed cells,
+    * within-cell cosine duplicate threshold. */
+  private val SemK = 8
+  private val SemTau = 0.25
 
   private def simhashOracle: String = {
     val hexVal: Int => String = p =>
@@ -415,7 +465,29 @@ object DedupOps {
          |  ROUND(${VectorOps.dotSql("a.v", "b.v")} / (a.norm * b.norm), 6) AS cos_sim
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ROUND(${VectorOps.dotSql("a.v", "b.v")} / (a.norm * b.norm), 6) >= 0.25
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, v, sqrt(${VectorOps.dotSql("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $SemK),
+         |sims AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.cell,
+         |    ROUND(${VectorOps.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) AS sim
+         |  FROM n CROSS JOIN c),
+         |a AS (
+         |  SELECT vec_id, v, nrm, cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+         |    FROM sims) t
+         |  WHERE rn = 1),
+         |d AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id < x.vec_id
+         |  WHERE ROUND(${VectorOps.dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) >= $SemTau)
+         |SELECT a.vec_id, a.cell, CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+         |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin)
 }
 
 /** Array-as-vector helpers shared by dedup + similarity search. Pure

@@ -222,7 +222,43 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fp")).as("n_distinct"))
         .orderBy(col("source"))
+    },
+    // logistic quality classifier: sigmoid over 5 per-doc features
+    // (length, word-length, stopword, vocab-diversity, digit-ratio) with
+    // literal weights — the shape of a trained fastText/linear quality
+    // gate applied at scale. A pure projection (zero shuffles beyond the
+    // output sort): per-doc score + keep flag, whole-stage-codegen'd,
+    // O(corpus) with no state — the cheapest possible 100 TB filter.
+    // The pre-sigmoid logit is rounded to 6dp so both engines take
+    // sigmoid of identical doubles.
+    "text_quality_score" -> { (s, dir) =>
+      val t = tokens(col("text")).cast("double")
+      val fLen = least(t / 100.0, lit(1.0))
+      val awl = (length(col("text")) - t + 1) / t
+      val fWl = greatest(lit(0.0), lit(1.0) - abs(awl - 5.0) / 5.0)
+      val fStop = least(occurrences(col("text"), "the").cast("double") /
+        greatest(t, lit(1.0)) * 10.0, lit(1.0))
+      val fRep = size(array_distinct(split(col("text"), " "))).cast("double") / t
+      val fNum = (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")
+      val z = round(lit(QW.b) + fLen * QW.wLen + fWl * QW.wWl +
+        fStop * QW.wStop + fRep * QW.wRep - fNum * QW.wNum, 6)
+      documents(s, dir)
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+        .withColumn("keep",
+          when(col("quality_score") >= 0.5, 1).otherwise(0))
+        .orderBy(col("doc_id"))
     })
+
+  /** Quality-classifier weights, shared by the Spark query and the DuckDB
+    * oracle so both fold the same literals. */
+  private object QW {
+    val b = -3.5
+    val wLen = 2.0; val wWl = 1.5; val wStop = 2.5; val wRep = 2.0
+    val wNum = 1.0
+  }
 
   /** BM25 scoring constants + query-term set, shared between the Spark
     * query and the generated DuckDB oracle so both fold identically. */
@@ -329,5 +365,24 @@ object TextOps {
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(lower(text))) AS n_distinct
         |FROM documents
         |GROUP BY source
-        |ORDER BY source""".stripMargin)
+        |ORDER BY source""".stripMargin,
+    "text_quality_score" -> {
+      val t = "len(string_split(text, ' '))"
+      val fLen = s"least($t / 100.0, 1.0)"
+      val awl = s"(length(text) - $t + 1) * 1.0 / $t"
+      val fWl = s"greatest(0.0, 1.0 - abs($awl - 5.0) / 5.0)"
+      val fStop = s"least((${occursSql("the")}) * 1.0 / greatest($t * 1.0, 1.0) * 10.0, 1.0)"
+      val fRep = s"len(list_distinct(string_split(text, ' '))) * 1.0 / $t"
+      val fNum = "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / greatest(length(text), 1)"
+      s"""SELECT doc_id, quality_score,
+         |  CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS keep
+         |FROM (
+         |  SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_score
+         |  FROM (
+         |    SELECT doc_id, ROUND(${QW.b} + ($fLen) * ${QW.wLen} + ($fWl) * ${QW.wWl}
+         |      + ($fStop) * ${QW.wStop} + ($fRep) * ${QW.wRep}
+         |      - ($fNum) * ${QW.wNum}, 6) AS z
+         |    FROM documents) zs) ss
+         |ORDER BY doc_id""".stripMargin
+    })
 }

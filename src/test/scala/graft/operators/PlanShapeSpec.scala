@@ -40,4 +40,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scanLine.contains("doc_id") && scanLine.contains("text") && !scanLine.contains("lang"),
       scanLine)
   }
+
+  private def exchanges(p: String): Int =
+    p.linesIterator.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  test("sample_temperature_mix: one-row denominator broadcasts onto the per-source table") {
+    val p = plan("sample_temperature_mix")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"), p)
+  }
+
+  test("text_dup_ngrams: top-k is TakeOrderedAndProject over a partial-aggregated gram stream") {
+    val p = plan("text_dup_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the gram explosion must partial-aggregate map-side before its shuffle
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("text_chunk_overlap: zero shuffles except the presentation sort") {
+    val p = plan("text_chunk_overlap")
+    assert(exchanges(p) == 1, p)
+  }
+
+  test("q_rolling_revenue_30d: custkey filter pushes to scan; one window shuffle + one sort") {
+    val p = plan("q_rolling_revenue_30d")
+    assert(p.contains("LessThanOrEqual(o_custkey,150)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(exchanges(p) == 2, p)
+  }
+
+  test("dedup_semantic: cell assignment is a pure projection (no cross join, no pre-join aggregate)") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // embeddings scan pruned to the two columns the operator needs
+    val scanLine = p.linesIterator.find(l => l.contains("ReadSchema") && l.contains("embedding"))
+      .getOrElse("")
+    assert(scanLine.contains("vec_id") && scanLine.contains("embedding") && !scanLine.contains("label"),
+      scanLine)
+  }
+
+  test("text_quality_score: a pure projection — no aggregate, no join, one presentation sort") {
+    val p = plan("text_quality_score")
+    assert(!p.contains("Join") && !p.contains("Aggregate"), p)
+    assert(exchanges(p) == 1, p)
+  }
 }

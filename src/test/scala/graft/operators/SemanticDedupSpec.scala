@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkFixture}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the SemDeDup-style embedding dedup and the logistic
+  * quality scorer (the oracle harness checks exact values; these pin the
+  * invariants that make the operators well-defined). */
+class SemanticDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_semantic: total assignment, valid cells, centroids own their cell and never drop") {
+    val out = SparkEntry.queries("dedup_semantic")(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.length == n) // every vector assigned exactly once
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+    assert(out.forall(r => r.getInt(2) == 0 || r.getInt(2) == 1))
+    // a centroid has cosine 1.0 with itself, so it lands in its own cell,
+    // where no smaller id exists -> keep-min-id can never drop it
+    out.filter(_.getLong(0) < 8).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) && r.getInt(2) == 0, r)
+    }
+    // the threshold is neither vacuous nor total
+    val dups = out.count(_.getInt(2) == 1)
+    assert(dups > 0 && dups < n, s"dups=$dups")
+  }
+
+  test("dedup_semantic: every dropped vector has a kept same-cell representative with smaller id") {
+    val out = SparkEntry.queries("dedup_semantic")(spark, dir)
+    val byCell = out.collect().groupBy(_.getLong(1))
+    byCell.values.foreach { rows =>
+      val minId = rows.map(_.getLong(0)).min
+      // the smallest id in a cell can have no smaller neighbor
+      assert(rows.find(_.getLong(0) == minId).get.getInt(2) == 0)
+    }
+  }
+
+  test("text_quality_score: sigmoid range, keep-gate consistency, one row per doc") {
+    val out = SparkEntry.queries("text_quality_score")(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == n)
+    out.foreach { r =>
+      val score = r.getDouble(1); val keep = r.getInt(2)
+      assert(score > 0.0 && score < 1.0, r)
+      assert(keep == (if (score >= 0.5) 1 else 0), r)
+    }
+    // the gate is a real split on this corpus, not a constant
+    val kept = out.count(_.getInt(2) == 1)
+    assert(kept > 0 && kept < n, s"kept=$kept")
+  }
+
+  test("text_quality_score: score is monotone in the stopword feature, all else equal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "the beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // same token count, word lengths differ slightly, but the stopword
+    // component dominates: adding "the" must not lower the score. Run the
+    // public query against a scratch table dir to reuse the exact
+    // production expression.
+    val q = SparkEntry.queries("text_quality_score")
+    val tmp = java.nio.file.Files.createTempDirectory("qsdocs").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = q(spark, tmp).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) >= out(1L), out.toString)
+  }
+}
