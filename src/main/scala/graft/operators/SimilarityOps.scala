@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
@@ -75,7 +75,53 @@ object SimilarityOps {
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(5)
+    },
+    // IVF ANN with a deterministic literal codebook: every vector is
+    // assigned to its nearest of IvfCells seed cells as a pure codegen
+    // projection (the bounded-collect codebook shape, see dedup_semantic),
+    // each probe searches only its IvfNProbe nearest cells, and the exact
+    // top-IvfTopK is ranked inside the probed cells. The corpus side is
+    // filtered by cell key BEFORE any distance work — the IVF speedup —
+    // and with a persisted cell column this becomes partition pruning on
+    // the scan. Deterministic seed cells (vec_id < IvfCells) make it
+    // oracle-exact, unlike the sampled-KMeans SimilarityLib twin.
+    "ann_ivf_probe" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = e.filter(col("vec_id") < IvfCells).collect().sortBy(_.getLong(0))
+      val centArr = array(cents.map { r =>
+        struct(lit(r.getLong(0)).as("cell"),
+          typedLit(r.getSeq[Double](1)).as("cv"))
+      }.toIndexedSeq: _*)
+      // per-cell similarity structs, lexicographically ordered so that
+      // max/sort mean (sim desc, then smallest cell id)
+      def cellSims(v: Column) = transform(centArr, c =>
+        struct(round(cos(v, c.getField("cv")), 6).as("sim"),
+          (-c.getField("cell")).as("negc"), c.getField("cell").as("cell")))
+      val assigned = e.withColumn("cell",
+        array_max(cellSims(col("v"))).getField("cell"))
+      val probes = e.filter(col("vec_id").isin(IvfProbeIds.map(_.toLong): _*))
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          explode(transform(
+            slice(reverse(array_sort(cellSims(col("v")))), 1, IvfNProbe),
+            c => c.getField("cell"))).as("pcell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      assigned.join(broadcast(probes), col("cell") === col("pcell") &&
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cos(col("v"), col("p")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= IvfTopK)
+        .orderBy(col("probe_id"), col("rk"))
     })
+
+  /** ann_ivf_probe geometry, shared by query and oracle. */
+  private val IvfCells = 8
+  private val IvfNProbe = 2
+  private val IvfTopK = 5
+  private val IvfProbeIds = Seq(3, 11, 42)
 
   private def cosSql(v: String, p: String): String =
     s"ROUND(${dotSql(v, p)} / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(p, p)})), 6)"
@@ -116,5 +162,32 @@ object SimilarityOps {
          |FROM eb, probe
          |WHERE vec_id <> $PROBE_ID AND bucket = pbucket
          |ORDER BY cos_sim DESC, vec_id
-         |LIMIT 5""".stripMargin)
+         |LIMIT 5""".stripMargin,
+    "ann_ivf_probe" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells),
+         |sims AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.cell,
+         |    ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rn
+         |  FROM n CROSS JOIN c),
+         |assigned AS (SELECT vec_id, v, nrm, cell FROM sims WHERE rn = 1),
+         |pcells AS (
+         |  SELECT vec_id AS probe_id, v AS p, nrm AS pnrm, cell AS pcell
+         |  FROM sims
+         |  WHERE rn <= $IvfNProbe AND vec_id IN (${IvfProbeIds.mkString(", ")})),
+         |ranked AS (
+         |  SELECT probe_id, a.vec_id,
+         |    ROUND(${dotSql("a.v", "p")} / (a.nrm * pnrm), 6) AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+         |      ROUND(${dotSql("a.v", "p")} / (a.nrm * pnrm), 6) DESC, a.vec_id) AS rk
+         |  FROM assigned a JOIN pcells ON a.cell = pcell AND a.vec_id <> probe_id)
+         |SELECT probe_id, vec_id, cos_sim, rk
+         |FROM ranked
+         |WHERE rk <= $IvfTopK
+         |ORDER BY probe_id, rk""".stripMargin)
 }

@@ -78,6 +78,12 @@ class PlanShapeSpec extends AnyFunSuite {
       scanLine)
   }
 
+  test("ann_ivf_probe: probes broadcast onto the cell-assigned corpus, no cross join") {
+    val p = plan("ann_ivf_probe")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("text_quality_score: a pure projection — no aggregate, no join, one presentation sort") {
     val p = plan("text_quality_score")
     assert(!p.contains("Join") && !p.contains("Aggregate"), p)
