@@ -133,9 +133,63 @@ object CorpusOps {
         }
         .toDF("lang", "rk", "word", "n_lower")
         .orderBy(col("lang"), col("rk"))
+    },
+    // vocabulary token-id encoding: the tokenize step between curated
+    // text and trainer input. Ids are frequency ranks over the corpus's
+    // own top-VocabSize vocabulary (count desc, word asc — fully
+    // deterministic); out-of-vocabulary words map to UNK id 0. Output is
+    // a per-doc encoding manifest: token/UNK counts plus an md5 over the
+    // position-ordered id sequence, so the oracle pins the EXACT id
+    // stream without shipping it. Scale: the vocab table is bounded by
+    // VocabSize after a distributed top-k (TakeOrderedAndProject), so it
+    // broadcasts; the corpus-sized token stream joins map-side and
+    // re-aggregates per doc — explode → broadcast join → partial agg,
+    // no corpus-wide shuffle beyond the per-doc aggregate.
+    "text_encode_ids" -> { (s, dir) =>
+      val toks = documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("word"))
+      val topV = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(VocabSize)
+      // rank the ≤VocabSize survivors (bounded window, same shape as
+      // text_bm25's post-limit rank)
+      val vocab = topV.withColumn("id", row_number().over(
+        Window.orderBy(col("n").desc, col("word"))).cast("long"))
+        .select(col("word"), col("id"))
+      toks.join(broadcast(vocab), Seq("word"), "left")
+        .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_unk"),
+          md5(concat_ws(",", transform(
+            array_sort(collect_list(struct(col("pos"), col("id")))),
+            p => p.getField("id")))).as("ids_md5"))
+        .orderBy(col("doc_id"))
     })
 
+  /** text_encode_ids vocabulary budget — deliberately smaller than the
+    * synthetic corpus's ~31 distinct words so the UNK path is real. */
+  val VocabSize = 16
+
   val oracles: Map[String, String] = Map(
+    "text_encode_ids" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, i AS pos, w[i] AS word
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+         |       unnest(range(1, len(w) + 1)) AS t(i)),
+         |vocab AS (
+         |  SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT) AS id
+         |  FROM (SELECT word, COUNT(*) AS n FROM toks GROUP BY word
+         |        ORDER BY n DESC, word LIMIT $VocabSize) v),
+         |ids AS (
+         |  SELECT doc_id, pos, COALESCE(vocab.id, 0) AS id
+         |  FROM toks LEFT JOIN vocab USING (word))
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+         |  md5(string_agg(id, ',' ORDER BY pos)) AS ids_md5
+         |FROM ids
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "text_dup_ngrams" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -266,6 +266,19 @@ object DedupOps {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
+    // duplication spectrum: how many clusters exist at each multiplicity
+    // — the report a curation run reads to decide how aggressive dedup
+    // must be (a heavy tail of big clusters = mine the corpus harder).
+    // One extra vocabulary-bounded aggregate over the dedup_clusters
+    // labels; singletons included, so the n_docs column sums back to the
+    // corpus size as a built-in sanity check.
+    "dedup_cluster_sizes" -> { (s, dir) =>
+      queries("dedup_clusters")(s, dir)
+        .groupBy(col("cluster_size"))
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    },
     // SemDeDup-style semantic dedup: assign every embedding to its
     // nearest cell, then mark as duplicate any vector that has a
     // same-cell neighbor with smaller id and cosine >= tau (keep-min-id
@@ -381,6 +394,13 @@ object DedupOps {
         |ORDER BY h""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_cluster_sizes" ->
+      s"""SELECT cluster_size,
+         |  COUNT(DISTINCT cluster_id) AS n_clusters,
+         |  COUNT(*) AS n_docs
+         |FROM ($clustersOracle) labeled
+         |GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin,
     "dedup_levenshtein" ->
       s"""WITH pref AS (
          |  SELECT doc_id, lang,
