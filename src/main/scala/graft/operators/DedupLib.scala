@@ -220,4 +220,47 @@ object DedupLib {
     val mightContain = udf((k: String) => k != null && bcast.value.mightContainString(k))
     incoming.filter(col(keyCol).isNull || !mightContain(col(keyCol).cast("string")))
   }
+
+  /** SemDeDup-style semantic dedup against an explicit codebook (Abbas
+    * et al. 2023, arXiv:2303.09540). `centroids` is bounded — it enters
+    * the plan as LITERALS, the shape of applying a trained KMeans/IVF
+    * codebook at 100 TB: cell assignment is a pure whole-stage-codegen
+    * projection with no join, no aggregate, no shuffle of the corpus.
+    *
+    * Every row of `df` (`idCol: long`, `vecCol: array<float|double>`) is
+    * assigned to its nearest-cosine cell (cosines rounded to 6dp so any
+    * engine replays the argmax; ties go to the smallest cell id). A row
+    * is a duplicate iff a same-cell row with smaller id has cosine >=
+    * `tau` — keep-min-id: deterministic, one pass, no iteration. Returns
+    * (`idCol`, `cell`, `is_dup`). Pair generation is keyed on `cell`, so
+    * it is O(sum cell²) and never global O(n²); size the codebook as
+    * cells ~ n/targetCellSize to keep cells bounded as the corpus grows.
+    *
+    * Compose with [[SimilarityLib.buildIvf]] for trained centroids, or
+    * pass deterministic seed rows for an oracle-replayable variant (the
+    * `dedup_semantic` query). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Double])], tau: Double): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedup needs a non-empty codebook")
+    val cos = graft.functions.VectorFunctions.cosine_sim _
+    val centArr = array(centroids.sortBy(_._1).map { case (id, cv) =>
+      struct(lit(id).as("cell"), typedLit(cv.toSeq).as("cv"))
+    }.toIndexedSeq: _*)
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    // lexicographic struct max = (sim desc, then smallest cell id)
+    val best = array_max(transform(centArr, c =>
+      struct(round(cos(col("_v"), c.getField("cv")), 6).as("sim"),
+        (-c.getField("cell")).as("negc"), c.getField("cell").as("cell"))))
+    val assigned = e.select(col(idCol), col("_v"),
+      best.getField("cell").as("cell"))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    val dups = a.join(b, col("a.cell") === col("b.cell") &&
+        col(s"b.$idCol") < col(s"a.$idCol"))
+      .filter(round(cos(col("a._v"), col("b._v")), 6) >= tau)
+      .select(col(s"a.$idCol").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cell"))
+      .join(dups.withColumn("is_dup", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("is_dup"), lit(0)).as("is_dup"))
+  }
 }

@@ -291,37 +291,18 @@ object DedupOps {
     // pair join is keyed on cell, so pair generation is O(sum cell²),
     // never global O(n²); K grows with the corpus to bound cell size.
     "dedup_semantic" -> { (s, dir) =>
-      val cos = graft.functions.VectorFunctions.cosine_sim _
       val e = embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // The K centroid rows are collected to the driver — bounded by
-      // SemK by construction, the same bounded-collect contract as
-      // SimilarityLib codebook training — and re-enter the plan as
-      // literals, so cell assignment is a pure whole-stage-codegen
-      // projection: no join, no aggregate, no shuffle for the
-      // corpus-sized side. This is exactly how a trained IVF/KMeans
-      // codebook is applied at 100 TB.
-      val cents = e.filter(col("vec_id") < SemK).collect().sortBy(_.getLong(0))
-      val centArr = array(cents.map { r =>
-        struct(lit(r.getLong(0)).as("cell"),
-          typedLit(r.getSeq[Double](1)).as("cv"))
-      }.toIndexedSeq: _*)
-      // argmax by (rounded cosine desc, cell asc) via lexicographic
-      // struct max — negc makes ties resolve to the smallest cell id
-      val best = array_max(transform(centArr, c =>
-        struct(round(cos(col("v"), c.getField("cv")), 6).as("sim"),
-          (-c.getField("cell")).as("negc"), c.getField("cell").as("cell"))))
-      val assigned = e.select(col("vec_id"), col("v"),
-        best.getField("cell").as("cell"))
-      val a = assigned.as("a"); val b = assigned.as("b")
-      val dups = a.join(b, col("a.cell") === col("b.cell") &&
-          col("b.vec_id") < col("a.vec_id"))
-        .filter(round(cos(col("a.v"), col("b.v")), 6) >= SemTau)
-        .select(col("a.vec_id")).distinct()
-      assigned.select(col("vec_id"), col("cell"))
-        .join(dups.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          coalesce(col("is_dup"), lit(0)).as("is_dup"))
+      // The SemK centroid rows are collected to the driver — bounded by
+      // construction, the same bounded-collect contract as SimilarityLib
+      // codebook training — and re-enter the plan as literals inside
+      // [[DedupLib.semanticDedup]]: cell assignment is a pure
+      // whole-stage-codegen projection. Deterministic seeds (the SemK
+      // smallest vec_ids) keep the whole query DuckDB-replayable;
+      // production swaps in SimilarityLib.buildIvf centroids.
+      val cents = e.filter(col("vec_id") < SemK).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      DedupLib.semanticDedup(e, "vec_id", "v", cents, SemTau)
         .orderBy(col("vec_id"))
     })
 

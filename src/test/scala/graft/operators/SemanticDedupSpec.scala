@@ -37,6 +37,22 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("DedupLib.semanticDedup composes with SimilarityLib-trained IVF centroids") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (_, centers) = SimilarityLib.buildIvf(e, "vec_id", "v", cells = 4)
+    val codebook = centers.zipWithIndex.map { case (c, i) => (i.toLong, c.toArray) }.toSeq
+    val out = DedupLib.semanticDedup(e, "vec_id", "v", codebook, 0.25).collect()
+    assert(out.length == e.count())
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 4))
+    // keep-min-id invariant holds under ANY codebook: the smallest id in
+    // a cell has no smaller neighbor, so it can never be dropped
+    out.groupBy(_.getLong(1)).values.foreach { rows =>
+      val minId = rows.map(_.getLong(0)).min
+      assert(rows.find(_.getLong(0) == minId).get.getInt(2) == 0)
+    }
+  }
+
   test("text_quality_score: sigmoid range, keep-gate consistency, one row per doc") {
     val out = SparkEntry.queries("text_quality_score")(spark, dir).collect()
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
