@@ -239,20 +239,29 @@ object DedupLib {
     * Compose with [[SimilarityLib.buildIvf]] for trained centroids, or
     * pass deterministic seed rows for an oracle-replayable variant (the
     * `dedup_semantic` query). */
-  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Long, Array[Double])], tau: Double): DataFrame = {
-    require(centroids.nonEmpty, "semanticDedup needs a non-empty codebook")
+  /** Nearest-cosine codebook cell of `v` as a pure codegen expression:
+    * the bounded `centroids` enter the plan as literals, so assignment
+    * is a projection — streaming-legal (stateless) and shuffle-free.
+    * Cosines round to 6dp so any engine replays the argmax; ties go to
+    * the smallest cell id (lexicographic struct max on (sim, -cell)). */
+  def nearestCell(v: Column, centroids: Seq[(Long, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "nearestCell needs a non-empty codebook")
     val cos = graft.functions.VectorFunctions.cosine_sim _
     val centArr = array(centroids.sortBy(_._1).map { case (id, cv) =>
       struct(lit(id).as("cell"), typedLit(cv.toSeq).as("cv"))
     }.toIndexedSeq: _*)
-    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
-    // lexicographic struct max = (sim desc, then smallest cell id)
-    val best = array_max(transform(centArr, c =>
-      struct(round(cos(col("_v"), c.getField("cv")), 6).as("sim"),
+    array_max(transform(centArr, c =>
+      struct(round(cos(v, c.getField("cv")), 6).as("sim"),
         (-c.getField("cell")).as("negc"), c.getField("cell").as("cell"))))
+      .getField("cell")
+  }
+
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Double])], tau: Double): DataFrame = {
+    val cos = graft.functions.VectorFunctions.cosine_sim _
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
     val assigned = e.select(col(idCol), col("_v"),
-      best.getField("cell").as("cell"))
+      nearestCell(col("_v"), centroids).as("cell"))
     val a = assigned.as("a"); val b = assigned.as("b")
     val dups = a.join(b, col("a.cell") === col("b.cell") &&
         col(s"b.$idCol") < col(s"a.$idCol"))

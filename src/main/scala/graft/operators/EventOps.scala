@@ -215,6 +215,22 @@ object EventOps {
         .select(col("user_id"), col("event_id"), col("event_type"),
           round(col("value"), 2).as("top_value"))
         .orderBy(col("user_id"))
+    },
+    // skew-safe dimension join under the oracle gate: Layout.saltedJoin
+    // spreads each user_id over 8 subkeys before the shuffle — the knob
+    // for when one hot key (a bot user) would pin a single reducer. The
+    // oracle is the PLAIN join, so this row staying green proves salting
+    // is semantics-free; the plan shows the join keyed on
+    // (user_id, __graft_salt). At 100 TB you'd reserve this for measured
+    // hot keys (Layout.skewReport) and let AQE handle the long tail.
+    "events_salted_join" -> { (s, dir) =>
+      val cust = customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      Layout.saltedJoin(events(s, dir), cust, "user_id", salts = 8)
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy(col("nationkey"))
     })
 
   private val asOfOracle: String =
@@ -239,6 +255,13 @@ object EventOps {
       |ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_salted_join" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1
+        |ORDER BY nationkey""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  COUNT(*) AS n,

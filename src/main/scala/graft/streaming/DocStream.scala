@@ -115,4 +115,34 @@ object DocStream {
     docs.withColumn("quality",
         round(graft.operators.TextOps.qualityScore(col(textCol)), 4))
       .filter(col("quality") >= minScore)
+
+  /** Streaming SEMANTIC dedup over an embedding column: drops vectors
+    * whose quantized semantic key — nearest codebook cell
+    * ([[graft.operators.DedupLib.nearestCell]], a stateless literal-
+    * codebook projection) concatenated with the sign pattern of the
+    * first `bits` dimensions — matches one seen within the watermark.
+    *
+    * The batch SemDeDup ([[graft.operators.DedupLib.semanticDedup]])
+    * verifies exact in-cell pairwise cosines; a stream cannot look
+    * across rows, so this is the quantized-key relaxation — the same
+    * design trade as [[dedupNear]] vs the banded batch minhash:
+    * near-identical embeddings collide on the key at high precision,
+    * moderately-similar pairs intentionally pass. State = one compact
+    * string key per distinct (cell, sign-bucket) inside the horizon.
+    * Null/empty vectors pass through via a surrogate id key. */
+  def dedupSemantic(vecs: DataFrame, tsCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Double])], bits: Int = 8,
+      watermark: String = "2 hours", idCol: String = "vec_id"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val key = concat(
+      graft.operators.DedupLib.nearestCell(v, centroids).cast("string"),
+      lit(":"), graft.operators.VectorOps.signBucket(v, bits))
+    vecs.withWatermark(tsCol, watermark)
+      .withColumn("graft_sem_key",
+        when(v.isNull || size(v) === 0,
+          concat(lit("graft:null-vec:"), col(idCol).cast("string")))
+          .otherwise(key))
+      .dropDuplicatesWithinWatermark("graft_sem_key")
+      .drop("graft_sem_key")
+  }
 }

@@ -182,4 +182,46 @@ class DocStreamSpec extends AnyFunSuite {
       assert(!streamed.map(_._1).contains(2L), "short doc must be filtered")
     } finally q.stop()
   }
+
+  test("streaming semantic dedup drops same-cell same-sign-bucket vectors, null vecs pass") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val centroids = Seq(
+      0L -> Array(1.0, 0.0, 0.0, 0.0),
+      1L -> Array(0.0, 1.0, 0.0, 0.0))
+    val rows = Seq(
+      (1L, new Timestamp(base), Seq(1.0, 0.1, 0.2, 0.3)),   // cell 0, bucket 1111
+      (2L, new Timestamp(base + 60000), Seq(1.0, 0.1, 0.2, 0.3)),  // exact dup → drop
+      (3L, new Timestamp(base + 120000), Seq(2.0, 0.2, 0.4, 0.6)), // scaled copy: same cosine, same signs → drop
+      (4L, new Timestamp(base + 180000), Seq(0.1, 1.0, -0.5, 0.2)), // cell 1, different bucket → survives
+      (5L, new Timestamp(base + 240000), null: Seq[Double]),        // null vec → passes
+      (6L, new Timestamp(base + 300000), Seq(-1.0, -0.1, -0.2, -0.3))) // bucket 0000 → survives
+    val vecsDf = rows.toDF("vec_id", "ingest_ts", "embedding")
+    val dir = Files.createTempDirectory("vec_semdedup").toString
+    vecsDf.coalesce(1).write.mode("overwrite").parquet(dir)
+    val vschema = StructType.fromDDL(
+      "vec_id LONG, ingest_ts TIMESTAMP, embedding ARRAY<DOUBLE>")
+    val q = DocStream.dedupSemantic(
+      spark.readStream.schema(vschema).parquet(dir), "ingest_ts", "embedding",
+      centroids, bits = 4)
+      .writeStream.format("memory").queryName("sem_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val survivors = spark.sql("SELECT vec_id FROM sem_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 4L, 5L, 6L), survivors.toString)
+      // batch cross-check: survivors = min id per (cell, bucket) + null vecs
+      val v = col("embedding")
+      val keyed = vecsDf.filter(v.isNotNull)
+        .withColumn("key", concat(
+          graft.operators.DedupLib.nearestCell(v, centroids).cast("string"),
+          lit(":"), graft.operators.VectorOps.signBucket(v, 4)))
+        .groupBy(col("key")).agg(min(col("vec_id")).as("vec_id"))
+        .collect().map(_.getLong(1)).toSet
+      val nullVecs = vecsDf.filter(v.isNull)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == keyed ++ nullVecs, s"stream=$survivors batch=${keyed ++ nullVecs}")
+    } finally q.stop()
+  }
 }
