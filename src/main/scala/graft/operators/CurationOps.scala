@@ -185,7 +185,44 @@ object CurationOps {
             col("denom").cast("double"), 6).as("p_temp"))
         .withColumn("quota", round(col("p_temp") * 10000).cast("long"))
         .orderBy(col("source"))
+    },
+    // materialize the temperature mix: the sample_temperature_mix
+    // formula's per-source quotas (over a MixBudget-doc budget) applied
+    // as an ACTUAL sample — rank docs within each source by content hash
+    // (reproducible, data-defined, not RNG) and keep rank <= quota. The
+    // per-source manifest (count + md5 of the ordered kept-id list) pins
+    // the exact kept set without shipping it. Scale: quotas are a
+    // broadcast few-row table; ranking is one window per source
+    // (bounded strata — for unbounded strata switch to hash-threshold
+    // quantile cuts); the rest is projection.
+    "sample_mix_materialize" -> { (s, dir) =>
+      val toks = size(split(col("text"), " ")).cast("long")
+      val src = documents(s, dir)
+        .select(col("source"), toks.as("toks"))
+        .groupBy(col("source"))
+        .agg(sum(col("toks")).cast("long").as("total_tokens"))
+        .withColumn("w_temp",
+          sqrt(col("total_tokens").cast("double")).cast("decimal(28,10)"))
+      val denom = src.agg(sum(col("w_temp")).as("denom"))
+      val quotas = src.crossJoin(broadcast(denom))
+        .select(col("source"),
+          round(round(col("w_temp").cast("double") /
+            col("denom").cast("double"), 6) * MixBudget).cast("long").as("quota"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))
+      documents(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          md5(concat_ws(",", sort_array(collect_list(col("doc_id"))))).as("ids_md5"))
+        .orderBy(col("source"))
     })
+
+  /** Document budget for `sample_mix_materialize` — smaller than any
+    * source's corpus share at sf0.01+ so quotas genuinely subset. */
+  val MixBudget = 200
 
   private def weightedReservoirOracle: String = {
     val hexVal: Int => String = p =>
@@ -219,6 +256,31 @@ object CurationOps {
         |       * 10000) AS BIGINT) AS quota
         |FROM w CROSS JOIN d
         |ORDER BY source""".stripMargin,
+    "sample_mix_materialize" ->
+      s"""WITH src AS (
+         |  SELECT source,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT *, CAST(sqrt(total_tokens) AS DECIMAL(28,10)) AS w_temp
+         |      FROM src),
+         |d AS (SELECT SUM(w_temp) AS denom FROM w),
+         |q AS (SELECT source,
+         |        CAST(ROUND(ROUND(CAST(w_temp AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+         |             * $MixBudget) AS BIGINT) AS quota
+         |      FROM w CROSS JOIN d),
+         |ranked AS (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+         |  FROM documents),
+         |kept AS (
+         |  SELECT r.source, r.doc_id
+         |  FROM ranked r JOIN q USING (source)
+         |  WHERE rk <= quota)
+         |SELECT source, COUNT(*) AS n_sampled,
+         |  md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS ids_md5
+         |FROM kept
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
     "sample_stratified_split" ->
       """SELECT lang, split, COUNT(*) AS n FROM (
         |  SELECT lang,
