@@ -231,6 +231,13 @@ object EventOps {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("nationkey"))
+    },
+    // the pre-salting diagnostic under the same gate: Layout.skewReport's
+    // hottest keys with counts — the report that decides whether
+    // events_salted_join's treatment is warranted. One partial-aggregated
+    // pass + distributed top-k (TakeOrderedAndProject).
+    "events_skew_report" -> { (s, dir) =>
+      Layout.skewReport(events(s, dir), "user_id", topN = 10)
     })
 
   private val asOfOracle: String =
@@ -262,6 +269,12 @@ object EventOps {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1
         |ORDER BY nationkey""".stripMargin,
+    "events_skew_report" ->
+      """SELECT user_id, COUNT(*) AS n
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY n DESC, user_id
+        |LIMIT 10""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  COUNT(*) AS n,
