@@ -218,11 +218,42 @@ object CurationOps {
         .agg(count(lit(1)).as("n_sampled"),
           md5(concat_ws(",", sort_array(collect_list(col("doc_id"))))).as("ids_md5"))
         .orderBy(col("source"))
+    },
+    // end-to-end curation capstone in ONE declarative plan: quality gate
+    // (the shared batch/stream formula, rounded to 4dp like the stream
+    // gate) → near-dup drop (minhash-LSH candidate pairs, keep-min-id
+    // among gated docs) → per-lang quota (hash-ranked, top CurateQuota)
+    // → per-lang manifest pinning the exact kept-id set. Every stage is
+    // an operator already green on its own; this row pins their
+    // COMPOSITION — the thing a real pipeline actually ships. Scale:
+    // the gate is a projection, pair generation is banded (never
+    // O(n²)), the quota is one window per bounded stratum.
+    "pipeline_curate" -> { (s, dir) =>
+      val gated = documents(s, dir)
+        .filter(round(TextOps.qualityScore(col("text")), 4) >= 0.5)
+      val pairs = DedupOps.queries("dedup_minhash_lsh")(s, dir)
+      val gIds = gated.select(col("doc_id"))
+      val dropped = pairs
+        .join(gIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(gIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .select(col("doc_b").as("doc_id")).distinct()
+      val kept = gated.join(dropped, Seq("doc_id"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+      kept.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= CurateQuota)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(",", sort_array(collect_list(col("doc_id"))))).as("ids_md5"))
+        .orderBy(col("lang"))
     })
 
   /** Document budget for `sample_mix_materialize` — smaller than any
     * source's corpus share at sf0.01+ so quotas genuinely subset. */
   val MixBudget = 200
+
+  /** Per-language keep budget for `pipeline_curate`. */
+  val CurateQuota = 30
 
   private def weightedReservoirOracle: String = {
     val hexVal: Int => String = p =>
@@ -281,6 +312,30 @@ object CurationOps {
          |FROM kept
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+    "pipeline_curate" ->
+      s"""WITH ${DedupOps.minhashPairsCtes},
+         |gated AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE ROUND(${TextOps.qualityScoreSql}, 4) >= 0.5),
+         |dropped AS (
+         |  SELECT DISTINCT p.doc_b AS doc_id
+         |  FROM pairs p
+         |  JOIN gated ga ON p.doc_a = ga.doc_id
+         |  JOIN gated gb ON p.doc_b = gb.doc_id),
+         |kept AS (
+         |  SELECT g.lang, g.doc_id, g.text
+         |  FROM gated g LEFT JOIN dropped d ON g.doc_id = d.doc_id
+         |  WHERE d.doc_id IS NULL),
+         |ranked AS (
+         |  SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+         |  FROM kept)
+         |SELECT lang, COUNT(*) AS n_kept,
+         |  md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS ids_md5
+         |FROM ranked
+         |WHERE rk <= $CurateQuota
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
     "sample_stratified_split" ->
       """SELECT lang, split, COUNT(*) AS n FROM (
         |  SELECT lang,

@@ -326,8 +326,9 @@ object DedupOps {
   }
 
   /** CTE chain producing the minhash-LSH candidate pairs — shared by the
-    * pair query's oracle and the cluster query's recursive closure. */
-  private def minhashPairsCtes: String = {
+    * pair query's oracle, the cluster query's recursive closure, and the
+    * `pipeline_curate` capstone in [[CurationOps]]. */
+  private[operators] def minhashPairsCtes: String = {
     val hs = (1 to K).map(i =>
       s"min(substr(md5(sh), ${(i - 1) * 4 + 1}, 4)) AS h$i").mkString(", ")
     val bandExprs = (0 until K / 2).map(b => s"h${2 * b + 1} || h${2 * b + 2}").mkString(", ")

@@ -50,6 +50,18 @@ object TextOps {
     lenScore * 0.4 + wordLenScore * 0.4 + stopScore * 0.2
   }
 
+  /** DuckDB SQL text of [[qualityScore]] — one definition, mirrored
+    * verbatim wherever a gate must mean the same thing in both engines
+    * (the `text_quality` oracle and the `pipeline_curate` capstone). */
+  private[operators] def qualityScoreSql: String = {
+    val t = "len(string_split(text, ' '))"
+    val lenScore = s"least($t / 100.0, 1.0)"
+    val awl = s"(length(text) - $t + 1) * 1.0 / $t"
+    val wls = s"greatest(0.0, 1.0 - abs($awl - 5.0) / 5.0)"
+    val stop = s"least((${occursSql("the")}) * 1.0 / greatest($t * 1.0, 1.0) * 10.0, 1.0)"
+    s"($lenScore * 0.4 + $wls * 0.4 + $stop * 0.2)"
+  }
+
   // language marker words (the corpus vocab is shared across langs, so
   // these exist to exercise the operator shape deterministically, not to
   // be linguistically meaningful)
@@ -326,18 +338,12 @@ object TextOps {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
-    "text_quality" -> {
-      val t = "len(string_split(text, ' '))"
-      val lenScore = s"least($t / 100.0, 1.0)"
-      val awl = s"(length(text) - $t + 1) * 1.0 / $t"
-      val wls = s"greatest(0.0, 1.0 - abs($awl - 5.0) / 5.0)"
-      val stop = s"least((${occursSql("the")}) * 1.0 / greatest($t * 1.0, 1.0) * 10.0, 1.0)"
-      s"""SELECT ROUND($lenScore * 0.4 + $wls * 0.4 + $stop * 0.2, 1) AS quality_bucket,
+    "text_quality" ->
+      s"""SELECT ROUND($qualityScoreSql, 1) AS quality_bucket,
          |  COUNT(*) AS n_docs
          |FROM documents
          |GROUP BY 1
-         |ORDER BY quality_bucket""".stripMargin
-    },
+         |ORDER BY quality_bucket""".stripMargin,
     "text_langid" -> {
       val (sde, sen, ses, sfr, szh) = (langScoreSql("de"), langScoreSql("en"),
         langScoreSql("es"), langScoreSql("fr"), langScoreSql("zh"))

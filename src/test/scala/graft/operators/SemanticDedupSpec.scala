@@ -53,6 +53,27 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup: an exact copy with larger id always drops (seeded random inputs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(8)(rnd.nextGaussian())
+    val originals = (0L until 40L).map(i => (i, vec()))
+    // 5 exact copies under fresh larger ids — cosine(v, v) rounds to 1.0,
+    // so every copy must be marked duplicate regardless of codebook
+    val copies = (0 until 5).map(i => (100L + i, originals(i * 7)._2.clone()))
+    val df = (originals ++ copies).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "v")
+    val codebook = (0 until 3).map(c => (c.toLong, vec()))
+    val out = DedupLib.semanticDedup(df, "vec_id", "v", codebook, tau = 0.9999).collect()
+    assert(out.length == 45)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    copies.zipWithIndex.foreach { case ((id, _), i) =>
+      assert(byId(id).getInt(2) == 1, s"exact copy $id not dropped")
+      // and the copy landed in the same cell as its original
+      assert(byId(id).getLong(1) == byId(originals(i * 7)._1).getLong(1))
+    }
+  }
+
   test("text_quality_score: sigmoid range, keep-gate consistency, one row per doc") {
     val out = SparkEntry.queries("text_quality_score")(spark, dir).collect()
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
