@@ -22,6 +22,18 @@ object Relational {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** Discounted-revenue sum: exact decimal product-sum, ROUNDED TO MONEY
+    * SCALE before the double cast. The product carries scale 8, and a
+    * scale-8 sum's integer form can exceed 2^53 — where DuckDB's and
+    * Java's decimal→double conversions legitimately differ by 1 ulp
+    * (observed on q1's sum_disc_price at sf0.1). At 2dp the integer form
+    * fits in a double's mantissa and both conversions are exact. */
+  private def revenueSum(price: org.apache.spark.sql.Column,
+      disc: org.apache.spark.sql.Column) =
+    round(sum(price.cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - disc.cast("decimal(18,4)"))), 2)
+      .cast("double")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1: pricing summary report
     "q1_pricing_summary" -> { (s, dir) =>
@@ -31,9 +43,7 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,4)") *
-              (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("double").as("sum_disc_price"),
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -48,9 +58,7 @@ object Relational {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
-            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("revenue"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -69,9 +77,7 @@ object Relational {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
-            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("revenue"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
     // TPC-H Q4-style: orders with at least one late-shipped line, by priority
@@ -263,7 +269,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
         |  ROUND(AVG(l_quantity), 6) AS avg_qty,
         |  ROUND(AVG(l_discount), 6) AS avg_disc,
         |  COUNT(*) AS count_order
@@ -273,7 +279,7 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -283,7 +289,7 @@ object Relational {
         |LIMIT 10""".stripMargin,
     "q5_nation_revenue" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
