@@ -28,8 +28,10 @@ import org.apache.spark.sql.SparkSession
   * would set per executor count.
   */
 object Bench {
-  /** Best (minimum) of the successful timings; -1 if every run failed. */
-  private def best(xs: Seq[Double]): Double = {
+  /** Best (minimum) of the successful timings; -1 if every run failed.
+    * Package-visible so BenchSpec pins the estimator (round 6 shipped a
+    * broken call site of this exact helper — it now has a test). */
+  private[graft] def best(xs: Seq[Double]): Double = {
     val ok = xs.filter(_ >= 0)
     if (ok.isEmpty) -1.0 else ok.min
   }
