@@ -115,6 +115,34 @@ object SimilarityOps {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= IvfTopK)
         .orderBy(col("probe_id"), col("rk"))
+    },
+    // recall@k of the IVF probe against exact brute-force ground truth —
+    // ANN quality measurement as an operator, the report an index owner
+    // reads before widening nprobe. Both arms are deterministic, so the
+    // recall itself is oracle-exact. One corpus scan per arm; the IVF
+    // arm's scan prunes to the probed cells.
+    "ann_ivf_recall" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val ivf = queries("ann_ivf_probe")(s, dir)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = e.filter(col("vec_id").isin(IvfProbeIds.map(_.toLong): _*))
+        .select(col("vec_id").as("probe_id"), col("v").as("p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      val exact = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cos(col("v"), col("p")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= IvfTopK)
+        .select(col("probe_id"), col("vec_id"))
+      exact.join(ivf, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(IvfTopK.toDouble), 2))
+        .orderBy(col("probe_id"))
     })
 
   /** ann_ivf_probe geometry, shared by query and oracle. */
@@ -163,31 +191,56 @@ object SimilarityOps {
          |WHERE vec_id <> $PROBE_ID AND bucket = pbucket
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 5""".stripMargin,
-    "ann_ivf_probe" ->
-      s"""WITH n AS (
+    "ann_ivf_probe" -> ivfProbeOracle,
+    "ann_ivf_recall" ->
+      s"""WITH ivf AS (SELECT probe_id, vec_id FROM ($ivfProbeOracle) iv),
+         |en AS (
          |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm
          |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |        FROM embeddings)),
-         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells),
-         |sims AS (
-         |  SELECT n.vec_id, n.v, n.nrm, c.cell,
-         |    ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) AS sim,
-         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-         |      ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rn
-         |  FROM n CROSS JOIN c),
-         |assigned AS (SELECT vec_id, v, nrm, cell FROM sims WHERE rn = 1),
-         |pcells AS (
-         |  SELECT vec_id AS probe_id, v AS p, nrm AS pnrm, cell AS pcell
-         |  FROM sims
-         |  WHERE rn <= $IvfNProbe AND vec_id IN (${IvfProbeIds.mkString(", ")})),
-         |ranked AS (
-         |  SELECT probe_id, a.vec_id,
-         |    ROUND(${dotSql("a.v", "p")} / (a.nrm * pnrm), 6) AS cos_sim,
+         |eprobes AS (
+         |  SELECT vec_id AS probe_id, v AS p, nrm AS pnrm FROM en
+         |  WHERE vec_id IN (${IvfProbeIds.mkString(", ")})),
+         |eranked AS (
+         |  SELECT probe_id, en.vec_id,
          |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
-         |      ROUND(${dotSql("a.v", "p")} / (a.nrm * pnrm), 6) DESC, a.vec_id) AS rk
-         |  FROM assigned a JOIN pcells ON a.cell = pcell AND a.vec_id <> probe_id)
-         |SELECT probe_id, vec_id, cos_sim, rk
-         |FROM ranked
-         |WHERE rk <= $IvfTopK
-         |ORDER BY probe_id, rk""".stripMargin)
+         |      ROUND(${dotSql("en.v", "p")} / (en.nrm * pnrm), 6) DESC, en.vec_id) AS rk
+         |  FROM en CROSS JOIN eprobes
+         |  WHERE en.vec_id <> probe_id),
+         |exact AS (SELECT probe_id, vec_id FROM eranked WHERE rk <= $IvfTopK)
+         |SELECT e.probe_id,
+         |  CAST(SUM(CASE WHEN i.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+         |  ROUND(SUM(CASE WHEN i.vec_id IS NULL THEN 0 ELSE 1 END) * 1.0 / $IvfTopK, 2) AS recall
+         |FROM exact e
+         |LEFT JOIN ivf i ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
+         |GROUP BY e.probe_id
+         |ORDER BY e.probe_id""".stripMargin)
+
+  private def ivfProbeOracle: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings)),
+       |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells),
+       |sims AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cell,
+       |    ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rn
+       |  FROM n CROSS JOIN c),
+       |assigned AS (SELECT vec_id, v, nrm, cell FROM sims WHERE rn = 1),
+       |pcells AS (
+       |  SELECT vec_id AS probe_id, v AS p, nrm AS pnrm, cell AS pcell
+       |  FROM sims
+       |  WHERE rn <= $IvfNProbe AND vec_id IN (${IvfProbeIds.mkString(", ")})),
+       |ranked AS (
+       |  SELECT probe_id, a.vec_id,
+       |    ROUND(${dotSql("a.v", "p")} / (a.nrm * pnrm), 6) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+       |      ROUND(${dotSql("a.v", "p")} / (a.nrm * pnrm), 6) DESC, a.vec_id) AS rk
+       |  FROM assigned a JOIN pcells ON a.cell = pcell AND a.vec_id <> probe_id)
+       |SELECT probe_id, vec_id, cos_sim, rk
+       |FROM ranked
+       |WHERE rk <= $IvfTopK
+       |ORDER BY probe_id, rk""".stripMargin
 }
