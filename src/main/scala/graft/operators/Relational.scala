@@ -80,6 +80,28 @@ object Relational {
         .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
+    // FULL OUTER join: per-nation high-balance customer vs supplier
+    // rollups, keeping nations that survive on EITHER side. Thresholds
+    // chosen so both null-extended sides are non-empty at the sf0.01
+    // correctness gate (10 customer-only + 4 supplier-only nations).
+    // Both inputs pre-aggregate to ≤25 rows before the join — the right
+    // shape at any scale: full-outer inputs should reduce first, because
+    // a full outer join can't prune either side's scan.
+    "q_fullouter_balance" -> { (s, dir) =>
+      val c = customer(s, dir).filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("cust_bal"))
+      val su = supplier(s, dir).filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"), dsum(col("s_acctbal")).as("supp_bal"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"))
+        .orderBy(col("nationkey"))
+    },
     // TPC-H Q4-style: orders with at least one late-shipped line, by priority
     "q4_order_priority" -> { (s, dir) =>
       val o = orders(s, dir)
@@ -307,6 +329,20 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_fullouter_balance" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_cust,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS cust_bal
+        |  FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_supp,
+        |    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS supp_bal
+        |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(cust_bal, 0.0) AS cust_bal,
+        |  COALESCE(n_supp, 0) AS n_supp, COALESCE(supp_bal, 0.0) AS supp_bal
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
     "q_top_customers_window" ->
       """SELECT c_mktsegment, rk, c_custkey, acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
