@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver contract's shape: every oracle belongs to a real
+  * query, and the no-oracle set stays EXACTLY the documented five —
+  * adding a query without a DuckDB oracle must be a deliberate,
+  * test-visible decision, not an accident (the driver records a weaker
+  * rows-only check for those). */
+class SparkEntryContractSpec extends AnyFunSuite {
+  test("every oracle key has a matching query") {
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
+  }
+
+  test("the no-oracle set is exactly the five contractual exceptions") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val contractual = Set(
+      "ml_train_predict",    // hogwild: nondeterministic by reference semantics
+      "q_sketches",          // HLL/quantile sketch internals differ by engine
+      "text_vocab_mg",       // Misra-Gries tail is partition-order dependent
+      "dedup_minhash_fast",  // xxhash64 has no DuckDB counterpart
+      "dedup_simhash_fast")  // xxhash64 has no DuckDB counterpart
+    assert(noOracle == contractual,
+      s"unexpected no-oracle queries: ${noOracle -- contractual}; " +
+        s"missing expected: ${contractual -- noOracle}")
+  }
+
+  test("no query name collisions across operator modules") {
+    import graft.operators._
+    val maps = Seq(
+      Relational.queries, TextOps.queries, DedupOps.queries,
+      SimilarityOps.queries, EventOps.queries, MlOps.queries,
+      MultimodalOps.queries, CurationOps.queries, CorpusOps.queries)
+    val all = maps.flatMap(_.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"query defined in more than one module: $dups")
+    assert(all.size == SparkEntry.queries.size)
+  }
+}
