@@ -58,4 +58,43 @@ object Sources {
       case other => w.format(other).save(path)
     }
   }
+
+  /** Raw media ingestion via Spark's built-in `binaryFile` source: one
+    * row per file — (path, modificationTime, length, content) — the
+    * entry point that turns a directory of image/audio/video blobs into
+    * a [[graft.multimodal.Multimodal]]-shaped table. `pathGlob` prunes
+    * AT THE LISTING (pathGlobFilter), so non-matching files are never
+    * opened; `maxBytes` guards against a stray multi-GB asset poisoning
+    * task memory (the filter is on the `length` METADATA column —
+    * pushed to the file index, oversized files are skipped unread).
+    * Scale: each file is one task input; pack small assets into larger
+    * archives upstream, because a 100 TB corpus of 10 KB files is a
+    * listing problem before it is a read problem. */
+  def readBinaryDir(spark: SparkSession, dir: String,
+      pathGlob: String = "*", maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+  }
+
+  /** [[readBinaryDir]] shaped into the multimodal table contract:
+    * (media_id, media_type, payload, meta) with a stable content-derived
+    * id (xxhash64 of the path — deterministic across re-ingests of the
+    * same layout, unlike monotonically_increasing_id). */
+  def binaryDirAsMedia(spark: SparkSession, dir: String,
+      mediaType: String, pathGlob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    readBinaryDir(spark, dir, pathGlob)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lit(mediaType).as("media_type"),
+        col("content").as("payload"),
+        struct(
+          col("length").as("n_bytes"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+  }
 }

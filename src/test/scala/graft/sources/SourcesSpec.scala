@@ -64,4 +64,32 @@ class SourcesSpec extends AnyFunSuite {
       s"filter not pushed to ORC scan:\n$scan")
     assert(filtered.count() == 1)
   }
+
+  test("binaryFile ingestion: glob prunes at listing, size guard on metadata, media contract") {
+    val dir = java.nio.file.Files.createTempDirectory("src_bin")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.img", Array.fill[Byte](64)(1))
+    put("b.img", Array.fill[Byte](32)(2))
+    put("skip.txt", Array.fill[Byte](8)(3))    // wrong extension: never listed
+    put("huge.img", Array.fill[Byte](4096)(4)) // over maxBytes: skipped unread
+
+    val raw = Sources.readBinaryDir(spark, dir.toString, pathGlob = "*.img", maxBytes = 1024)
+    val names = raw.collect().map(_.getAs[String]("path").split('/').last).toSet
+    assert(names == Set("a.img", "b.img"), names)
+
+    val media = Sources.binaryDirAsMedia(spark, dir.toString, "image/test", pathGlob = "*.img")
+      .filter(org.apache.spark.sql.functions.col("meta.n_bytes") <= 1024)
+    val got = media.collect()
+    assert(got.length == 2)
+    assert(got.forall(_.getAs[String]("media_type") == "image/test"))
+    // stable ids: re-ingest yields the same media_id set
+    val again = Sources.binaryDirAsMedia(spark, dir.toString, "image/test", pathGlob = "*.img")
+      .filter(org.apache.spark.sql.functions.col("meta.n_bytes") <= 1024)
+    assert(got.map(_.getAs[Long]("media_id")).toSet ==
+      again.collect().map(_.getAs[Long]("media_id")).toSet)
+    // composes with the multimodal frame sampler (payloads stay distributed)
+    val frames = graft.multimodal.Multimodal.sampleFrames(media, n = 4)
+    assert(frames.count() == 8) // 4 frames per 2 payloads
+  }
 }
