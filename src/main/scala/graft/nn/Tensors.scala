@@ -100,23 +100,27 @@ object Tensors {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val JArray(tensors) = JsonMethods.parse(json): @unchecked
-    tensors.map { case JArray(rows) =>
-      val rowArrays = rows.map { case JArray(cells) =>
-        cells.map {
-          case JDouble(d)  => d
-          case JInt(i)     => i.toDouble
-          case JLong(l)    => l.toDouble
-          case JDecimal(d) => d.toDouble
-          case JString(s)  => java.lang.Double.parseDouble(s) // quoted NaN/±Infinity
-          case other       => sys.error(s"bad weight cell: $other")
+    tensors.map {
+      case JArray(rows) =>
+        val rowArrays = rows.map {
+          case JArray(cells) =>
+            cells.map {
+              case JDouble(d)  => d
+              case JInt(i)     => i.toDouble
+              case JLong(l)    => l.toDouble
+              case JDecimal(d) => d.toDouble
+              case JString(s)  => java.lang.Double.parseDouble(s) // quoted NaN/±Infinity
+              case other       => sys.error(s"bad weight cell: $other")
+            }.toArray
+          case other => sys.error(s"bad weight row (expected array): $other")
         }.toArray
-      }.toArray
-      val r = rowArrays.length
-      val c = if (r == 0) 0 else rowArrays(0).length
-      val m = DenseMatrix.zeros[Double](r, c)
-      var i = 0
-      while (i < r) { var j = 0; while (j < c) { m(i, j) = rowArrays(i)(j); j += 1 }; i += 1 }
-      m
+        val r = rowArrays.length
+        val c = if (r == 0) 0 else rowArrays(0).length
+        val m = DenseMatrix.zeros[Double](r, c)
+        var i = 0
+        while (i < r) { var j = 0; while (j < c) { m(i, j) = rowArrays(i)(j); j += 1 }; i += 1 }
+        m
+      case other => sys.error(s"bad tensor (expected array of rows): $other")
     }.toArray
   }
 

@@ -74,7 +74,7 @@ object SimilarityLib {
     val probeCol = lit(probe).cast("array<double>")
     val idCol = assigned.columns.head // buildIvf puts the id first
     assigned
-      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
       .withColumn("cos_sim", cosine_sim(col("v"), probeCol))
       .orderBy(col("cos_sim").desc, col(idCol)) // id tiebreak: ties (e.g.
       .limit(k)                                 // duplicate embeddings) must
@@ -289,7 +289,7 @@ object SimilarityLib {
       .sortBy { case (c, i) => (l2sq(c.toArray, probe), i) }
       .take(nprobe).map(_._2)
     pqTopKRerank(
-      encoded.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*)),
+      encoded.filter(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*)),
       idCol, "v", model, probe, k, shortlist)
   }
 
