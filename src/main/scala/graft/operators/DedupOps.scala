@@ -304,12 +304,92 @@ object DedupOps {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       DedupLib.semanticDedup(e, "vec_id", "v", cents, SemTau)
         .orderBy(col("vec_id"))
+    },
+    // winnowing (the MOSS scheme): per-doc fingerprints from
+    // [[winnowFingerprints]], then pairs sharing >= WinnowMinShared
+    // fingerprints via the same DF-capped collect_set explosion as
+    // dedup_ngram_jaccard — no self-join of the fingerprint stream, and
+    // a boilerplate fingerprint shared by >MaxShingleDf docs is dropped
+    // before it can fan out quadratically. Winnowing's claim vs plain
+    // minhash: selection is LOCAL (any shared window of text guarantees
+    // a shared fingerprint), so it localizes copied PASSAGES, not just
+    // whole-doc similarity — while keeping ~2/W of grams.
+    "dedup_winnowing" -> { (s, dir) =>
+      val fps = winnowFingerprints(
+          documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("h")).distinct()
+      val grouped = fps.groupBy(col("h"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")).between(2, MaxShingleDf))
+      grouped
+        .select(explode(flatten(transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowMinShared)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
 
   /** Semantic-dedup constants shared by query and oracle: K seed cells,
     * within-cell cosine duplicate threshold. */
   private val SemK = 8
   private val SemTau = 0.25
+
+  /** Winnowing window width (in grams) and the minimum shared-fingerprint
+    * count for a pair to surface. Shared by query, oracle, and spec. */
+  private[operators] val WinnowW = 4
+  private val WinnowMinShared = 2
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003): hash every word-3-gram positionally, then for every sliding
+    * window of [[WinnowW]] consecutive grams select the window's MINIMUM
+    * hash (rightmost position on ties — the paper's rule). The guarantee:
+    * every window of text contributes a fingerprint, so any sufficiently
+    * long shared passage between two documents yields a shared
+    * fingerprint — while only ~2/(W+1) of grams are kept, shrinking the
+    * corpus-sized gram stream before it ever shuffles toward the pair
+    * join.
+    *
+    * The argmin-with-tiebreak is expressed engine-agnostically as
+    * `min(hash || zero-padded(BIG - pos))` over the window: the string
+    * min picks the smallest hash first, then (inverted pos) the RIGHTMOST
+    * among equal hashes, and the winning position decodes back out of the
+    * key. A plain `min(hash)` compared to the current row is NOT
+    * winnowing — a monotonically increasing hash run would select
+    * nothing and void the coverage guarantee.
+    *
+    * Expects (`doc_id`, `text`); returns the selected distinct
+    * (`doc_id`, `pos`, `h`) rows (positions retained so WinnowingSpec can
+    * assert the gap-≤-W coverage property). Scale shape: the window is
+    * partitioned per doc_id — embarrassingly parallel, no global sort. */
+  private[operators] def winnowFingerprints(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => struct(i.as("pos"), substring(md5(concat_ws(" ",
+          element_at(col("w"), i), element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2))), 1, 8).as("h")))).as("g"))
+      .select(col("doc_id"), col("g.pos"), col("g.h"))
+    val key = concat(col("h"),
+      lpad((lit(PosBase) - col("pos")).cast("string"), 10, "0"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WinnowW - 1), 0)
+    grams
+      .withColumn("mk", min(key).over(win))
+      .filter(col("pos") >= WinnowW)
+      .select(col("doc_id"),
+        (lit(PosBase) - substring(col("mk"), 9, 10).cast("long")).as("pos"),
+        substring(col("mk"), 1, 8).as("h"))
+      .distinct()
+  }
+
+  /** Position-inversion base for the winnowing argmin key (any constant
+    * larger than the max gram count per document works). */
+  private val PosBase = 1000000000
 
   private def simhashOracle: String = {
     val hexVal: Int => String = p =>
@@ -468,6 +548,33 @@ object DedupOps {
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ROUND(${VectorOps.dotSql("a.v", "b.v")} / (a.norm * b.norm), 6) >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_winnowing" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, i AS pos,
+         |         substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8) AS h
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |        WHERE len(string_split(text, ' ')) >= 3) d,
+         |       unnest(range(1, len(w)-1)) AS t(i)),
+         |winmin AS (
+         |  SELECT doc_id, pos,
+         |         MIN(h || lpad(CAST($PosBase - pos AS VARCHAR), 10, '0'))
+         |           OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS mk
+         |  FROM grams),
+         |fps AS (
+         |  SELECT DISTINCT doc_id, substr(mk, 1, 8) AS h
+         |  FROM winmin WHERE pos >= $WinnowW),
+         |grouped AS (
+         |  SELECT h, list_sort(list(DISTINCT doc_id)) AS docs
+         |  FROM fps GROUP BY h
+         |  HAVING len(list(DISTINCT doc_id)) BETWEEN 2 AND $MaxShingleDf),
+         |t1 AS (SELECT docs, unnest(range(1, len(docs))) AS i FROM grouped),
+         |pairs AS (SELECT docs[i] AS doc_a, unnest(docs[i+1:]) AS doc_b FROM t1)
+         |SELECT doc_a, doc_b, COUNT(*) AS n_shared
+         |FROM pairs
+         |GROUP BY doc_a, doc_b
+         |HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_semantic" ->
       s"""WITH n AS (
          |  SELECT vec_id, v, sqrt(${VectorOps.dotSql("v", "v")}) AS nrm

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Properties of the winnowing fingerprint selection (exact pair values
+  * are DuckDB-checked at sf0.01 via the `dedup_winnowing` oracle; these
+  * pin the scheme's structural guarantees on crafted inputs). */
+class WinnowingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def fingerprints(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    DedupOps.winnowFingerprints(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+  }
+
+  test("identical documents produce identical fingerprint sets") {
+    val text = "spark window merge sort filter join scan batch stream " +
+      "table key order group agg row line data value part column"
+    val fps = fingerprints(Seq(1L -> text, 2L -> text))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(f => (f._2, f._3)).toSet)
+    assert(byDoc(1L).nonEmpty)
+    assert(byDoc(1L) == byDoc(2L))
+  }
+
+  test("disjoint-vocabulary documents share no fingerprints") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten eleven"
+    val fps = fingerprints(Seq(1L -> a, 2L -> b))
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert(h1.nonEmpty && h2.nonEmpty)
+    assert((h1 & h2).isEmpty)
+  }
+
+  test("coverage guarantee: consecutive selected positions gap <= W") {
+    // every sliding window of W grams selects its argmin, so two adjacent
+    // selections can never be more than W positions apart — the property
+    // that makes winnowing localize shared passages (a naive
+    // current-row-is-min rule fails this on increasing hash runs)
+    val fps = fingerprints(
+      Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), col("text"))
+        .limit(200).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    assert(fps.nonEmpty)
+    fps.groupBy(_._1).foreach { case (doc, sel) =>
+      val ps = sel.map(_._2).sorted
+      // first selection must cover the first full window
+      assert(ps.head <= DedupOps.WinnowW, s"doc $doc: first selection ${ps.head}")
+      ps.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b - a <= DedupOps.WinnowW, s"doc $doc: gap $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("a shared passage inside otherwise-different documents is detected") {
+    val passage = "merge sort filter join scan batch stream table key order"
+    val a = s"alpha beta gamma delta $passage epsilon zeta eta theta"
+    val b = s"one two three four five $passage six seven eight nine"
+    val fps = fingerprints(Seq(1L -> a, 2L -> b))
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, "shared 10-word passage must share a fingerprint")
+  }
+}
