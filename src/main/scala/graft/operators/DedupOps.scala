@@ -361,30 +361,35 @@ object DedupOps {
     *
     * Expects (`doc_id`, `text`); returns the selected distinct
     * (`doc_id`, `pos`, `h`) rows (positions retained so WinnowingSpec can
-    * assert the gap-≤-W coverage property). Scale shape: the window is
-    * partitioned per doc_id — embarrassingly parallel, no global sort. */
+    * assert the gap-≤-W coverage property).
+    *
+    * Scale shape: winnowing is INTRA-document, so selection runs as a
+    * pure per-row array projection — gram keys and window minima are
+    * arrays inside one whole-stage-codegen'd stage, ZERO shuffle before
+    * the downstream pair join. (A first cut used a per-doc_id window
+    * function: same output, but it paid a corpus-sized Exchange + Sort
+    * just to line up grams the row already holds — the formulation the
+    * DuckDB oracle still uses, since SQL has no per-row array windows.)
+    * Stateless by the same token: streaming-legal, composable at
+    * ingest like [[graft.streaming.DocStream]]'s gates. */
   private[operators] def winnowFingerprints(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = df
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("w")) - 2),
-        i => struct(i.as("pos"), substring(md5(concat_ws(" ",
+    val keys = transform(
+      sequence(lit(1), size(col("w")) - 2),
+      i => concat(substring(md5(concat_ws(" ",
           element_at(col("w"), i), element_at(col("w"), i + 1),
-          element_at(col("w"), i + 2))), 1, 8).as("h")))).as("g"))
-      .select(col("doc_id"), col("g.pos"), col("g.h"))
-    val key = concat(col("h"),
-      lpad((lit(PosBase) - col("pos")).cast("string"), 10, "0"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-(WinnowW - 1), 0)
-    grams
-      .withColumn("mk", min(key).over(win))
-      .filter(col("pos") >= WinnowW)
+          element_at(col("w"), i + 2))), 1, 8),
+        lpad((lit(PosBase) - i).cast("string"), 10, "0")))
+    val winMins = transform(
+      sequence(lit(WinnowW), size(col("k"))),
+      p => array_min(slice(col("k"), p - (WinnowW - 1), lit(WinnowW))))
+    df.withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= WinnowW + 2)
+      .withColumn("k", keys)
+      .select(col("doc_id"),
+        explode(array_distinct(winMins)).as("mk"))
       .select(col("doc_id"),
         (lit(PosBase) - substring(col("mk"), 9, 10).cast("long")).as("pos"),
         substring(col("mk"), 1, 8).as("h"))
-      .distinct()
   }
 
   /** Position-inversion base for the winnowing argmin key (any constant
