@@ -162,6 +162,50 @@ object DedupLib {
     when(size(w) >= shingleWords, xxhash64(mins: _*))
   }
 
+  /** Winnowing fingerprints, production hash family: the row-local
+    * selection of [[DedupOps.winnowFingerprints]] with xxhash64 longs in
+    * place of md5 hex prefixes — 8 bytes per gram key instead of 18
+    * chars, and no hex encode. Selection per window is the plain MIN
+    * hash (no position tiebreak key: the emitted fingerprint SET is
+    * unambiguous under equal values, and production callers don't need
+    * positions), so any shared W-gram window still shares a fingerprint.
+    * Emits distinct (`doc_id`, `fp`) rows; docs too short for one full
+    * window drop. Zero shuffle — a pure map stage, streaming-legal. */
+  def winnowFingerprints64(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, shingleWords: Int = 3): DataFrame = {
+    val words = split(col(textCol), " ")
+    val hashes = transform(
+      sequence(lit(1), size(col("__w")) - (shingleWords - 1)),
+      i => xxhash64(concat_ws(" ",
+        (0 until shingleWords).map(o => element_at(col("__w"), i + o)): _*)))
+    val mins = transform(
+      sequence(lit(w), size(col("__h"))),
+      p => array_min(slice(col("__h"), p - (w - 1), lit(w))))
+    df.select(col(idCol).as("doc_id"), words.as("__w"))
+      .filter(size(col("__w")) >= shingleWords + w - 1)
+      .withColumn("__h", hashes)
+      .select(col("doc_id"), explode(array_distinct(mins)).as("fp"))
+  }
+
+  /** Winnowing overlap pairs: docs sharing at least `minShared`
+    * fingerprints, with the standard DF cap bounding any fingerprint's
+    * pair fanout (same collect_set + array-pair explosion as the other
+    * bounded-group joins — no fingerprint self-join). */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    val grouped = winnowFingerprints64(df, idCol, textCol, w)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxDf))
+    grouped
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The whole near-dup pipeline as one call: MinHash-LSH candidates →
     * exact-Jaccard verification of candidates only → connected
     * components over verified pairs → keep each cluster's minimum-id

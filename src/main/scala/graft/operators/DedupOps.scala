@@ -233,7 +233,7 @@ object DedupOps {
         .filter(col("edit_dist") <= 10)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    // production-speed twins of the two hash-heavy queries above, riding
+    // production-speed twins of the hash-heavy queries, riding
     // [[DedupLib]]'s xxhash64 family (codegen'd 8-byte longs instead of
     // md5 hex strings). Same plan shape and banding (K=8 into 4 bands),
     // no DuckDB counterpart (xxhash64 doesn't exist there) → no oracle;
@@ -249,6 +249,10 @@ object DedupOps {
       DedupLib.simhash64(
           documents(s, dir).select(col("doc_id"), col("text")), "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+    "dedup_winnowing_fast" -> { (s, dir) =>
+      DedupLib.winnowPairs(documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))
     },
     // embedding near-dup: 4-bit sign-bucket LSH then exact cosine
     // (native fused Expression — same fold order as the oracle's
@@ -365,7 +369,10 @@ object DedupOps {
     *
     * Scale shape: winnowing is INTRA-document, so selection runs as a
     * pure per-row array projection — gram keys and window minima are
-    * arrays inside one whole-stage-codegen'd stage, ZERO shuffle before
+    * arrays inside one map stage (higher-order fns are CodegenFallback,
+    * but the stage is shuffle-free and single-pass: the keys array is
+    * materialized ONCE via a projected column, so lambdas never
+    * re-evaluate the md5s), ZERO shuffle before
     * the downstream pair join. (A first cut used a per-doc_id window
     * function: same output, but it paid a corpus-sized Exchange + Sort
     * just to line up grams the row already holds — the formulation the

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the driver contract's shape: every oracle belongs to a real
-  * query, and the no-oracle set stays EXACTLY the documented five —
+  * query, and the no-oracle set stays EXACTLY the documented six —
   * adding a query without a DuckDB oracle must be a deliberate,
   * test-visible decision, not an accident (the driver records a weaker
   * rows-only check for those). */
@@ -13,14 +13,15 @@ class SparkEntryContractSpec extends AnyFunSuite {
     assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
   }
 
-  test("the no-oracle set is exactly the five contractual exceptions") {
+  test("the no-oracle set is exactly the six contractual exceptions") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val contractual = Set(
       "ml_train_predict",    // hogwild: nondeterministic by reference semantics
       "q_sketches",          // HLL/quantile sketch internals differ by engine
       "text_vocab_mg",       // Misra-Gries tail is partition-order dependent
       "dedup_minhash_fast",  // xxhash64 has no DuckDB counterpart
-      "dedup_simhash_fast")  // xxhash64 has no DuckDB counterpart
+      "dedup_simhash_fast",  // xxhash64 has no DuckDB counterpart
+      "dedup_winnowing_fast") // xxhash64 has no DuckDB counterpart
     assert(noOracle == contractual,
       s"unexpected no-oracle queries: ${noOracle -- contractual}; " +
         s"missing expected: ${contractual -- noOracle}")

@@ -58,6 +58,33 @@ class WinnowingSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint extraction is stateless: stream == batch") {
+    // the row-local formulation has no window/aggregate, so the same
+    // code runs unchanged on an unbounded stream (the scaladoc's
+    // streaming-legality claim); fingerprints must match batch exactly
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "spark window merge sort filter join scan batch stream table key",
+      2L -> "one two three four five six seven eight nine ten eleven twelve",
+      3L -> "al be ga")  // too short to fingerprint: must vanish, not fail
+    val dir = Files.createTempDirectory("winnow_stream").toString
+    docs.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    val sdf = DedupOps.winnowFingerprints(
+      spark.readStream.schema(StructType.fromDDL("doc_id LONG, text STRING"))
+        .parquet(dir))
+    val q = sdf.writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("winnow_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == fingerprints(docs).toSet)
+      assert(!streamed.exists(_._1 == 3L))
+    } finally q.stop()
+  }
+
   test("a shared passage inside otherwise-different documents is detected") {
     val passage = "merge sort filter join scan batch stream table key order"
     val a = s"alpha beta gamma delta $passage epsilon zeta eta theta"
@@ -66,5 +93,18 @@ class WinnowingSpec extends AnyFunSuite {
     val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
     val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
     assert((h1 & h2).nonEmpty, "shared 10-word passage must share a fingerprint")
+  }
+
+  test("xxhash64 twin surfaces the planted passage pair and skips strangers") {
+    import spark.implicits._
+    val passage = "merge sort filter join scan batch stream table key order more words here"
+    val docs = Seq(
+      1L -> s"alpha beta gamma delta $passage epsilon zeta eta theta",
+      2L -> s"one two three four five $passage six seven eight nine",
+      3L -> "totally unrelated vocabulary nothing shared with anyone else at all today")
+      .toDF("doc_id", "text")
+    val pairs = DedupLib.winnowPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 }
