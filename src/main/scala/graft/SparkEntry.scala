@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ EventOps.queries ++ MlOps.queries ++
-      MultimodalOps.queries ++ CurationOps.queries ++ CorpusOps.queries
+      MultimodalOps.queries ++ CurationOps.queries ++ CorpusOps.queries ++
+      SourceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ EventOps.oracles ++ MlOps.oracles ++
-      MultimodalOps.oracles ++ CurationOps.oracles ++ CorpusOps.oracles
+      MultimodalOps.oracles ++ CurationOps.oracles ++ CorpusOps.oracles ++
+      SourceOps.oracles
 }

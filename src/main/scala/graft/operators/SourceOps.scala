@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.GraftStore
+
+/** Oracle-gated query surface for the two DataSource V2 components
+  * ([[graft.sources.DocGenSource]] read path, [[graft.sources.GraftStoreSource]]
+  * write+read path) — promoting them from unit-only evidence to the same
+  * DuckDB hash-match gate every other operator passes.
+  *
+  * `src_docgen_agg` exercises the full Catalyst integration story of the
+  * generator source: the doc_id range predicate is ABSORBED into the
+  * generated id range (pushdown narrows generation itself, not a
+  * post-filter), and the projection prunes the `text` column out of the
+  * scan's output schema. The DuckDB oracle replays the generator's
+  * splitmix64 arithmetic exactly — 64-bit wrapping multiplies emulated in
+  * HUGEINT via 32-bit half-products, signed `%` semantics reproduced from
+  * the unsigned hash — so every lang/source/n_chars cell is hash-checked
+  * against an independent implementation, not against the source itself.
+  *
+  * `src_store_roundtrip` drives the manifest-committed store end to end
+  * IN the gated query: write a filtered projection of `orders` into a
+  * fresh snapshot (overwrite → exactly one live snapshot), read it back
+  * through the pinned-manifest scan, aggregate. The oracle computes the
+  * same aggregate on the parquet directly, so a hash match proves the
+  * DSv2 write commit protocol + row codec + read path preserve data
+  * bit-exactly, not merely that GraftStoreSpec's fixtures round-trip.
+  */
+object SourceOps {
+  import Tables._
+
+  /** Deterministic scratch root per sf dir (Verify at sf0.01 and Bench at
+    * sf0.1 must not clobber each other's in-flight store). */
+  private def storeRoot(dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-store-rt-${new java.io.File(dir).getName}").getAbsolutePath
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DSv2 generator scan: range pushdown narrows generation to
+    // [2000, 12000) out of a declared 20000-row table; pruning drops
+    // `text` from the scan schema (n_chars still forces generation
+    // internally — the pruning win is wire width; the full
+    // skip-text-compute win is pinned in DocGenSourceSpec).
+    "src_docgen_agg" -> { (s, _) =>
+      s.read.format("graft-docgen")
+        .option("rows", 20000).option("numPartitions", 8).option("seed", 42)
+        .load()
+        .filter(col("doc_id") >= 2000 && col("doc_id") < 12000)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"), col("source"))
+    },
+    // DSv2 store round-trip: write-commit-read inside the gated query.
+    "src_store_roundtrip" -> { (s, dir) =>
+      val root = storeRoot(dir)
+      val src = orders(s, dir)
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+      GraftStore.write(src, root, overwrite = true)
+      GraftStore.read(s, root)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          // decimal-exact, order-independent money sum (Relational.dsum
+          // convention), rounded to 2dp before the double cast so the
+          // decimal→double conversion is exact on both engines
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    })
+
+  /** The docgen oracle replays `DocGen`'s splitmix64 chain in DuckDB.
+    * Structure: each mix step is its own MATERIALIZED CTE — DuckDB
+    * inlines lateral column aliases by substitution, so chaining the six
+    * steps inside one SELECT expands the expression tree exponentially
+    * (measured: planner OOM); per-step materialization keeps it linear.
+    * Wrapping 64-bit multiply: (a*C) mod 2^64 via 32-bit half products in
+    * HUGEINT (full 64x64 products can exceed HUGEINT's 2^127-1). Scala's
+    * signed `Long % m` is reproduced by re-centering the unsigned hash
+    * into signed range before `%` (DuckDB HUGEINT % truncates toward
+    * zero, same as the JVM). Inner-mix constants `mix(seed ^ salt)` are
+    * precomputed for the three metadata salts; per-word salts (100+i)
+    * vary, so the word chain runs the double mix over an unnested
+    * (doc_id, i) table. */
+  val oracles: Map[String, String] = Map(
+    "src_docgen_agg" ->
+      """WITH ids AS MATERIALIZED (SELECT range::UBIGINT AS doc_id FROM range(2000, 12000)),
+        |as1 AS MATERIALIZED (SELECT doc_id, ((((xor(doc_id, 13432527470776545160::UBIGINT)))::HUGEINT + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT AS z1 FROM ids),
+        |as2 AS MATERIALIZED (SELECT doc_id, xor(z1, z1 >> 30) AS z2 FROM as1),
+        |as3 AS MATERIALIZED (SELECT doc_id, (((z2 & 4294967295)::HUGEINT * 484763065 + (((z2 & 4294967295)::HUGEINT * 3210233709 + (z2 >> 32)::HUGEINT * 484763065) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT AS z3 FROM as2),
+        |as4 AS MATERIALIZED (SELECT doc_id, xor(z3, z3 >> 27) AS z4 FROM as3),
+        |as5 AS MATERIALIZED (SELECT doc_id, (((z4 & 4294967295)::HUGEINT * 321982955 + (((z4 & 4294967295)::HUGEINT * 2496678331 + (z4 >> 32)::HUGEINT * 321982955) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT AS z5 FROM as4),
+        |as6 AS MATERIALIZED (SELECT doc_id, xor(z5, z5 >> 31) AS af FROM as5),
+        |bs1 AS MATERIALIZED (SELECT doc_id, af, ((((xor(doc_id, 3935774486848180498::UBIGINT)))::HUGEINT + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT AS z1 FROM as6),
+        |bs2 AS MATERIALIZED (SELECT doc_id, af, xor(z1, z1 >> 30) AS z2 FROM bs1),
+        |bs3 AS MATERIALIZED (SELECT doc_id, af, (((z2 & 4294967295)::HUGEINT * 484763065 + (((z2 & 4294967295)::HUGEINT * 3210233709 + (z2 >> 32)::HUGEINT * 484763065) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT AS z3 FROM bs2),
+        |bs4 AS MATERIALIZED (SELECT doc_id, af, xor(z3, z3 >> 27) AS z4 FROM bs3),
+        |bs5 AS MATERIALIZED (SELECT doc_id, af, (((z4 & 4294967295)::HUGEINT * 321982955 + (((z4 & 4294967295)::HUGEINT * 2496678331 + (z4 >> 32)::HUGEINT * 321982955) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT AS z5 FROM bs4),
+        |bs6 AS MATERIALIZED (SELECT doc_id, af, xor(z5, z5 >> 31) AS bf FROM bs5),
+        |cs1 AS MATERIALIZED (SELECT doc_id, af, bf, ((((xor(doc_id, 1265094156158224713::UBIGINT)))::HUGEINT + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT AS z1 FROM bs6),
+        |cs2 AS MATERIALIZED (SELECT doc_id, af, bf, xor(z1, z1 >> 30) AS z2 FROM cs1),
+        |cs3 AS MATERIALIZED (SELECT doc_id, af, bf, (((z2 & 4294967295)::HUGEINT * 484763065 + (((z2 & 4294967295)::HUGEINT * 3210233709 + (z2 >> 32)::HUGEINT * 484763065) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT AS z3 FROM cs2),
+        |cs4 AS MATERIALIZED (SELECT doc_id, af, bf, xor(z3, z3 >> 27) AS z4 FROM cs3),
+        |cs5 AS MATERIALIZED (SELECT doc_id, af, bf, (((z4 & 4294967295)::HUGEINT * 321982955 + (((z4 & 4294967295)::HUGEINT * 2496678331 + (z4 >> 32)::HUGEINT * 321982955) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT AS z5 FROM cs4),
+        |cs6 AS MATERIALIZED (SELECT doc_id, af, bf, xor(z5, z5 >> 31) AS cf FROM cs5),
+        |meta AS MATERIALIZED (SELECT doc_id, ['de','en','es','fr','zh'][((((CASE WHEN af >= 9223372036854775808::UBIGINT THEN af::HUGEINT - 18446744073709551616::HUGEINT ELSE af::HUGEINT END) % 5) + 5) % 5)::INT + 1] AS lang, 'src' || ((((CASE WHEN bf >= 9223372036854775808::UBIGINT THEN bf::HUGEINT - 18446744073709551616::HUGEINT ELSE bf::HUGEINT END) % 20) + 20) % 20)::INT AS source, (20 + ((((CASE WHEN cf >= 9223372036854775808::UBIGINT THEN cf::HUGEINT - 18446744073709551616::HUGEINT ELSE cf::HUGEINT END) % 81) + 81) % 81)::INT) AS n_words FROM cs6),
+        |wid AS MATERIALIZED (SELECT doc_id, n_words, unnest(range(0, n_words)) AS i FROM meta),
+        |ws1 AS MATERIALIZED (SELECT doc_id, i, ((((xor(42::UBIGINT, (100 + i)::UBIGINT)))::HUGEINT + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT AS z1 FROM wid),
+        |ws2 AS MATERIALIZED (SELECT doc_id, i, xor(z1, z1 >> 30) AS z2 FROM ws1),
+        |ws3 AS MATERIALIZED (SELECT doc_id, i, (((z2 & 4294967295)::HUGEINT * 484763065 + (((z2 & 4294967295)::HUGEINT * 3210233709 + (z2 >> 32)::HUGEINT * 484763065) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT AS z3 FROM ws2),
+        |ws4 AS MATERIALIZED (SELECT doc_id, i, xor(z3, z3 >> 27) AS z4 FROM ws3),
+        |ws5 AS MATERIALIZED (SELECT doc_id, i, (((z4 & 4294967295)::HUGEINT * 321982955 + (((z4 & 4294967295)::HUGEINT * 2496678331 + (z4 >> 32)::HUGEINT * 321982955) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT AS z5 FROM ws4),
+        |ws6 AS MATERIALIZED (SELECT doc_id, i, xor(z5, z5 >> 31) AS wf FROM ws5),
+        |xs1 AS MATERIALIZED (SELECT doc_id, ((((xor(wf, doc_id)))::HUGEINT + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT AS z1 FROM ws6),
+        |xs2 AS MATERIALIZED (SELECT doc_id, xor(z1, z1 >> 30) AS z2 FROM xs1),
+        |xs3 AS MATERIALIZED (SELECT doc_id, (((z2 & 4294967295)::HUGEINT * 484763065 + (((z2 & 4294967295)::HUGEINT * 3210233709 + (z2 >> 32)::HUGEINT * 484763065) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT AS z3 FROM xs2),
+        |xs4 AS MATERIALIZED (SELECT doc_id, xor(z3, z3 >> 27) AS z4 FROM xs3),
+        |xs5 AS MATERIALIZED (SELECT doc_id, (((z4 & 4294967295)::HUGEINT * 321982955 + (((z4 & 4294967295)::HUGEINT * 2496678331 + (z4 >> 32)::HUGEINT * 321982955) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)::UBIGINT AS z5 FROM xs4),
+        |xs6 AS MATERIALIZED (SELECT doc_id, xor(z5, z5 >> 31) AS xf FROM xs5),
+        |words AS MATERIALIZED (SELECT doc_id, len(['key','agg','row','scan','slow','fast','table','value','part','hash','merge','batch','spark','line','sort','window','order','data','column','join','small','customer','query','big','the','a','group','stream','filter','vector'][((((CASE WHEN xf >= 9223372036854775808::UBIGINT THEN xf::HUGEINT - 18446744073709551616::HUGEINT ELSE xf::HUGEINT END) % 30) + 30) % 30)::INT + 1]) AS wlen FROM xs6),
+        |chars AS MATERIALIZED (SELECT doc_id, sum(wlen)::BIGINT + count(*)::BIGINT - 1 AS n_chars FROM words GROUP BY doc_id)
+        |SELECT m.lang, m.source, COUNT(*) AS n_docs, CAST(SUM(c.n_chars) AS BIGINT) AS sum_chars, CAST(MIN(m.doc_id) AS BIGINT) AS min_id, CAST(MAX(m.doc_id) AS BIGINT) AS max_id
+        |FROM meta m JOIN chars c USING (doc_id)
+        |GROUP BY m.lang, m.source
+        |ORDER BY m.lang, m.source""".stripMargin,
+    // the round-trip oracle never sees the store: it aggregates the
+    // parquet input directly, so a hash match certifies write→read
+    // fidelity of the DSv2 path
+    "src_store_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_custs,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+}

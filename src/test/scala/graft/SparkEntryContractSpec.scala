@@ -32,7 +32,8 @@ class SparkEntryContractSpec extends AnyFunSuite {
     val maps = Seq(
       Relational.queries, TextOps.queries, DedupOps.queries,
       SimilarityOps.queries, EventOps.queries, MlOps.queries,
-      MultimodalOps.queries, CurationOps.queries, CorpusOps.queries)
+      MultimodalOps.queries, CurationOps.queries, CorpusOps.queries,
+      SourceOps.queries)
     val all = maps.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"query defined in more than one module: $dups")

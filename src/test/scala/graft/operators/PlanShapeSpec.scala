@@ -102,4 +102,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Aggregate"), p)
     assert(exchanges(p) == 1, p)
   }
+
+  /** Formatted plan — scan descriptions (DSv2 pushdown evidence) only
+    * surface in FormattedMode, not in the tree toString. */
+  private def fplan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("src_docgen_agg: doc_id range is absorbed into generation; text pruned from the scan") {
+    val p = fplan("src_docgen_agg")
+    // pushdown narrows the generated range itself — [2000,12000) out of
+    // the declared 20000 rows, with both bounds reported as pushed
+    assert(p.contains("range=[2000,12000)"), p)
+    assert(p.contains("GreaterThanOrEqual(doc_id,2000)") && p.contains("LessThan(doc_id,12000)"), p)
+    // pruning drops `text` from the scan output (the ~330-bytes/row column)
+    val scanOut = p.linesIterator.dropWhile(!_.startsWith("(1) BatchScan"))
+      .drop(1).take(1).mkString
+    assert(scanOut.contains("doc_id") && !scanOut.contains("text"), scanOut)
+  }
+
+  test("src_store_roundtrip: read pins one committed snapshot; scan carries only projected columns") {
+    val p = fplan("src_store_roundtrip")
+    // exactly-one-snapshot evidence: overwrite publishes v1 with the
+    // write parallelism's file count; the scan reports the pinned version
+    assert(p.contains("BatchScan graft_store"), p)
+    assert("graft-store \\S+ v\\d+ files=\\d+".r.findFirstIn(p).isDefined, p)
+    val scanOut = p.linesIterator.dropWhile(!_.startsWith("(1) BatchScan"))
+      .drop(1).take(1).mkString
+    assert(scanOut.contains("o_orderkey") && !scanOut.contains("o_orderdate"), scanOut)
+  }
+
+  test("pipeline_curate: gates stay semi/anti + banded — no quadratic joins in the capstone") {
+    val p = plan("pipeline_curate")
+    // the composite must keep its component shapes: semi-join gate,
+    // anti-join dedup survivors, and zero quadratic fan-out
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // fingerprint agg + dedup pair agg + quota window + presentation sort:
+    // the heaviest composite plan is the one most likely to silently
+    // regress, so pin a shuffle budget (6 at sf0.001 stats)
+    assert(exchanges(p) <= 7, s"exchanges=${exchanges(p)}\n$p")
+  }
+
+  test("ann_ivf_recall: probes broadcast; ground truth and IVF sides never cartesian") {
+    val p = plan("ann_ivf_recall")
+    // the few-row probe set must broadcast onto the corpus (build side of
+    // the nested-loop join), never a CartesianProduct over embeddings
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BuildRight"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(exchanges(p) <= 7, s"exchanges=${exchanges(p)}\n$p")
+  }
 }
