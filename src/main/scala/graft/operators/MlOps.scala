@@ -111,8 +111,45 @@ object MultimodalOps {
           max(col("fake_width")).cast("long").as("max_width"))
         .orderBy(col("source"))
     },
+    // real PNG encode→decode through javax.imageio, per document row:
+    // dimensions/alpha derive from doc_id by fixed formulas, the payload
+    // is a REAL PNG (zlib-compressed, CRC-checked), and the output rows
+    // carry a three-way consistency proof — full ImageIO pixel decode
+    // (width/height/channels/corner pixel), an ImageIO-independent IHDR
+    // byte parse (hdr_*), and the DuckDB oracle replaying the formulas.
+    // If any codec layer lied, the three disagree and the hash gate
+    // fails. Capped at 200 docs: the value is codec coverage, not volume
+    // (the batch plumbing is load-tested by mm_frame_stats).
+    "mm_image_meta" -> { (s, dir) =>
+      import graft.multimodal.Multimodal.ImageCodec
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("width", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("height", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("channels", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("hdr_width", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("hdr_height", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("hdr_channels", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("px00", org.apache.spark.sql.types.IntegerType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      documents(s, dir)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val w = 8 + (id % 57).toInt
+            val h = 8 + (id % 41).toInt
+            val png = ImageCodec.encodePng(w, h, seed = id, alpha = id % 2 == 1)
+            val (dw, dh, dc) = ImageCodec.decodeMeta(png).get
+            val (hw, hh, hc) = ImageCodec.parsePngHeader(png).get
+            val px = ImageCodec.decodePixel(png, 0, 0).get
+            org.apache.spark.sql.Row(id, dw, dh, dc, hw, hh, hc, px)
+          }
+        }(enc)
+        .orderBy(col("doc_id"))
+    },
     // frame-sampling through the REAL batched mapPartitions path
-    // (graft.multimodal.Multimodal.sampleFrames over the stub codec):
+    // (graft.multimodal.Multimodal.sampleFrames over the byte codec):
     // each payload splits into min(4, len) frames of max(1, len/4)
     // bytes — deterministic arithmetic the oracle replays in SQL, so
     // the batch plumbing (schema, flatMap fan-out, per-partition codec)
@@ -132,6 +169,20 @@ object MultimodalOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // replays encodePng's dimension/alpha/pixel formulas; a match proves
+    // the Spark side's real PNG encode→decode returned the true values
+    "mm_image_meta" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 57 AS INT) AS width,
+        |  CAST(8 + doc_id % 41 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS INT) AS channels,
+        |  CAST(8 + doc_id % 57 AS INT) AS hdr_width,
+        |  CAST(8 + doc_id % 41 AS INT) AS hdr_height,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS INT) AS hdr_channels,
+        |  CAST((doc_id % 256) * 65536 + ((doc_id * 7) % 256) * 256 + (doc_id * 13) % 256 AS INT) AS px00
+        |FROM documents
+        |WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT source, COUNT(*) AS n_payloads,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -50,6 +50,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("payload"), s"payload not pruned:\n$plan")
   }
 
+  test("ImageCodec: PNG encode→decode round-trips dimensions, channels, and exact pixels") {
+    import Multimodal.ImageCodec
+    val png = ImageCodec.encodePng(13, 7, seed = 99L, alpha = false)
+    assert(ImageCodec.decodeMeta(png).contains((13, 7, 3)))
+    // lossless: every sampled pixel decodes to the formula value
+    for ((x, y) <- Seq((0, 0), (12, 6), (5, 3)))
+      assert(ImageCodec.decodePixel(png, x, y).contains(ImageCodec.pixelRgb(99L, x, y)))
+    val argb = ImageCodec.encodePng(4, 4, seed = 5L, alpha = true)
+    assert(ImageCodec.decodeMeta(argb).contains((4, 4, 4)))
+  }
+
+  test("ImageCodec: IHDR byte parse agrees with the full ImageIO decode") {
+    import Multimodal.ImageCodec
+    for (seed <- 0L until 8L) {
+      val png = ImageCodec.encodePng(8 + seed.toInt, 31 - seed.toInt, seed, alpha = seed % 2 == 0)
+      assert(ImageCodec.parsePngHeader(png) == ImageCodec.decodeMeta(png))
+    }
+  }
+
+  test("ImageCodec: JPEG decodes through the same path (different ImageIO plugin)") {
+    import Multimodal.ImageCodec
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(17, 11, BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jpeg = out.toByteArray
+    assert(ImageCodec.decodeMeta(jpeg).contains((17, 11, 3)))
+    assert(ImageCodec.parsePngHeader(jpeg).isEmpty) // not a PNG header
+  }
+
+  test("ImageCodec: resize re-encodes to the target dimensions; corrupt bytes pass through") {
+    import Multimodal.ImageCodec
+    val png = ImageCodec.encodePng(16, 16, seed = 3L, alpha = false)
+    val small = ImageCodec.resizeImage(png, 4, 6)
+    assert(ImageCodec.decodeMeta(small).contains((4, 6, 3)))
+    val junk = Array[Byte](1, 2, 3, 4)
+    assert(ImageCodec.resizeImage(junk, 4, 6) sameElements junk)
+    assert(ImageCodec.decodeMeta(junk).isEmpty)
+    assert(ImageCodec.decodeMeta(null).isEmpty)
+  }
+
   test("sampleFrames explodes payloads into frame rows") {
     val m = Multimodal.fromDocuments(docs)
     val frames = Multimodal.sampleFrames(m, 4)
