@@ -333,6 +333,15 @@ object DedupOps {
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= WinnowMinShared)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+    // winnowing's advantage over whole-doc minhash, cashed: the retained
+    // fingerprint POSITIONS localize each copied passage to its actual
+    // offsets in both documents — [[winnowSpans]] aligns shared
+    // fingerprints by constant offset and emits per-pair runs
+    // (start_a, start_b, len).
+    "dedup_winnowing_spans" -> { (s, dir) =>
+      winnowSpans(documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
     })
 
   /** Semantic-dedup constants shared by query and oracle: K seed cells,
@@ -397,6 +406,58 @@ object DedupOps {
       .select(col("doc_id"),
         (lit(PosBase) - substring(col("mk"), 9, 10).cast("long")).as("pos"),
         substring(col("mk"), 1, 8).as("h"))
+  }
+
+  /** Localize copied passages: align shared winnowing fingerprints by
+    * constant positional offset and merge them into runs.
+    *
+    * A passage copied between two documents shows up as a sequence of
+    * shared fingerprints whose `pos_a - pos_b` is CONSTANT (the relative
+    * shift of the copy), with consecutive `pos_a` gaps ≤ [[WinnowW]]
+    * (the winnowing coverage guarantee: every window of W grams selects
+    * one fingerprint, so inside a shared passage selections can never be
+    * farther apart than W). So: per (doc_a, doc_b, offset) group, split
+    * the matched positions into gap-≤-W islands and emit each island
+    * with ≥ [[WinnowMinShared]] fingerprints as a span —
+    * (start_a, start_b, len, n_fp), `len` in word positions (gram span
+    * + the 3-word gram width).
+    *
+    * Scale shape: pair generation reuses the banded DF-capped explosion
+    * of `dedup_winnowing` (never a fingerprint-stream self-join); the
+    * island windows partition by (pair, offset) — match-level volume,
+    * already past the band cap, orders of magnitude below corpus size —
+    * so the Window here is pair-local postprocessing, not a corpus
+    * shuffle. */
+  private[operators] def winnowSpans(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(df)
+      .select(col("doc_id"), col("pos"), col("h")).distinct()
+    val grouped = fps.groupBy(col("h"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("pos")))).as("es"))
+      .filter(size(array_distinct(transform(col("es"), e => e("doc_id"))))
+        .between(2, MaxShingleDf))
+    val matches = grouped
+      .select(explode(flatten(transform(col("es"), (a, i) =>
+        transform(slice(col("es"), i + 2, size(col("es"))), b =>
+          struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+            a("pos").as("pos_a"), b("pos").as("pos_b")))))).as("m"))
+      .select(col("m.doc_a"), col("m.doc_b"), col("m.pos_a"), col("m.pos_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("off", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("off"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("gap", col("pos_a") - lag(col("pos_a"), 1).over(w))
+      .withColumn("brk",
+        when(col("gap").isNull || col("gap") > WinnowW, 1).otherwise(0))
+      .withColumn("run_id", sum(col("brk")).over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("off"), col("run_id"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (max(col("pos_a")) - min(col("pos_a")) + lit(3)).as("len"),
+        count(lit(1)).as("n_fp"))
+      .filter(col("n_fp") >= WinnowMinShared)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("len"), col("n_fp"))
   }
 
   /** Position-inversion base for the winnowing argmin key (any constant
@@ -587,6 +648,51 @@ object DedupOps {
          |GROUP BY doc_a, doc_b
          |HAVING COUNT(*) >= $WinnowMinShared
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the spans oracle replays fingerprints WITH their decoded positions,
+    // then the same offset-aligned gaps-and-islands (classic SQL form:
+    // LAG + running-sum run ids) the Spark side computes
+    "dedup_winnowing_spans" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, i AS pos,
+         |         substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8) AS h
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |        WHERE len(string_split(text, ' ')) >= 3) d,
+         |       unnest(range(1, len(w)-1)) AS t(i)),
+         |winmin AS (
+         |  SELECT doc_id, pos,
+         |         MIN(h || lpad(CAST($PosBase - pos AS VARCHAR), 10, '0'))
+         |           OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS mk
+         |  FROM grams),
+         |fps AS (
+         |  SELECT DISTINCT doc_id,
+         |         $PosBase - CAST(substr(mk, 9, 10) AS BIGINT) AS spos,
+         |         substr(mk, 1, 8) AS h
+         |  FROM winmin WHERE pos >= $WinnowW),
+         |df AS (
+         |  SELECT h FROM fps GROUP BY h
+         |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $MaxShingleDf),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.spos AS pos_a, b.spos AS pos_b
+         |  FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  JOIN df ON a.h = df.h),
+         |w1 AS (
+         |  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS off,
+         |         LAG(pos_a) OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+         |                          ORDER BY pos_a) AS prev
+         |  FROM m),
+         |w2 AS (
+         |  SELECT *, SUM(CASE WHEN prev IS NULL OR pos_a - prev > $WinnowW
+         |                     THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY doc_a, doc_b, off ORDER BY pos_a) AS run_id
+         |  FROM w1)
+         |SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+         |       MAX(pos_a) - MIN(pos_a) + 3 AS len, COUNT(*) AS n_fp
+         |FROM w2
+         |GROUP BY doc_a, doc_b, off, run_id
+         |HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     "dedup_semantic" ->
       s"""WITH n AS (
          |  SELECT vec_id, v, sqrt(${VectorOps.dotSql("v", "v")}) AS nrm

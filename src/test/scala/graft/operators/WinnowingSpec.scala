@@ -95,6 +95,32 @@ class WinnowingSpec extends AnyFunSuite {
     assert((h1 & h2).nonEmpty, "shared 10-word passage must share a fingerprint")
   }
 
+  test("winnowSpans localizes a planted copied paragraph to its actual offsets") {
+    import spark.implicits._
+    // 16-word passage planted at word 4 (1-based) of doc 1 and word 8 of
+    // doc 2: shared grams sit at positions 4..17 and 8..21, offset -4
+    val passage = "merge sort filter join scan batch stream table key " +
+      "order alpha more words follow here now"
+    val docs = Seq(
+      1L -> s"pre1 pre2 pre3 $passage sufa suga",
+      2L -> s"x1 x2 x3 x4 x5 x6 x7 $passage tail1",
+      3L -> "totally unrelated vocabulary nothing shared with anybody today friend")
+      .toDF("doc_id", "text")
+    val spans = DedupOps.winnowSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.forall(s => s._1 == 1L && s._2 == 2L), s"stranger in spans: ${spans.toSeq}")
+    assert(spans.length == 1, s"one passage → one span, got ${spans.toSeq}")
+    val (_, _, startA, startB, len) = spans.head
+    // the run must lie inside the shared-gram ranges and keep the copy's
+    // constant alignment shift
+    assert(startB - startA == 4, s"offset drifted: $startA → $startB")
+    assert(startA >= 4 && startA <= 4 + DedupOps.WinnowW, s"start_a=$startA")
+    assert(startA + len - 3 <= 17, s"span end past shared grams: start=$startA len=$len")
+    // coverage guarantee bounds how late the first and how early the last
+    // selection can fall: the span covers most of the 16-word passage
+    assert(len >= 16 - 2 * DedupOps.WinnowW + 3, s"span too short: len=$len")
+  }
+
   test("xxhash64 twin surfaces the planted passage pair and skips strangers") {
     import spark.implicits._
     val passage = "merge sort filter join scan batch stream table key order more words here"
