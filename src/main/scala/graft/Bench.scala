@@ -128,6 +128,14 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","repeat":$repeat}"""
     println(line)
+    // The full line above grew past the driver's tail-capture window as
+    // the query surface did (BENCH_r07 scraped a decapitated line →
+    // parsed:null). Print a compact total-only record LAST so a
+    // tail-anchored scraper always gets one complete JSON line; the full
+    // per-query record stays in the line above and in SPARK_GRAFT_BENCH_OUT.
+    val nFailed = results.count(_._3 > 0)
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","repeat":$repeat,"full":"$outPath"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

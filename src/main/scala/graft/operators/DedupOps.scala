@@ -304,8 +304,18 @@ object DedupOps {
       // whole-stage-codegen projection. Deterministic seeds (the SemK
       // smallest vec_ids) keep the whole query DuckDB-replayable;
       // production swaps in SimilarityLib.buildIvf centroids.
-      val cents = e.filter(col("vec_id") < SemK).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      // SPARK_GRAFT_SEM_TRAINED=1 swaps in KMeans-trained centroids
+      // ([[SimilarityLib.buildIvf]]) — the production path. NOT for
+      // oracle runs (trained centroids aren't SQL-replayable); it exists
+      // so SemanticDedupSpec can assert the swap changes ZERO plan nodes,
+      // making the "production swaps in trained centroids" claim a
+      // tested property instead of a comment.
+      val cents =
+        if (sys.env.contains("SPARK_GRAFT_SEM_TRAINED"))
+          trainedSemCentroids(e)
+        else
+          e.filter(col("vec_id") < SemK).collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       DedupLib.semanticDedup(e, "vec_id", "v", cents, SemTau)
         .orderBy(col("vec_id"))
     },
@@ -348,6 +358,15 @@ object DedupOps {
     * within-cell cosine duplicate threshold. */
   private val SemK = 8
   private val SemTau = 0.25
+
+  /** KMeans-trained codebook for `dedup_semantic`'s production path:
+    * same K, same bounded-centroid contract, different (trained) cell
+    * geometry. Package-visible so SemanticDedupSpec can drive the swap
+    * directly. */
+  private[operators] def trainedSemCentroids(e: DataFrame): Seq[(Long, Array[Double])] = {
+    val (_, centers) = SimilarityLib.buildIvf(e, "vec_id", "v", SemK)
+    centers.zipWithIndex.map { case (c, i) => (i.toLong, c.toArray) }.toSeq
+  }
 
   /** Winnowing window width (in grams) and the minimum shared-fingerprint
     * count for a pair to surface. Shared by query, oracle, and spec. */

@@ -19,6 +19,13 @@ import graft.sources.GraftStore
   * the unsigned hash — so every lang/source/n_chars cell is hash-checked
   * against an independent implementation, not against the source itself.
   *
+  * `layout_bucketed_join` does the same promotion for the physical-layout
+  * tier: it writes bucketed+sorted copies of `orders` and `customer`
+  * ([[Layout.writeBucketed]]) and joins them on the bucket key — the
+  * 100×-scale join shape where the per-query shuffle is prepaid at write
+  * time. The oracle aggregates the same join on the raw parquet, and the
+  * plan gate pins the shuffle-free join (no Exchange on either join key).
+  *
   * `src_store_roundtrip` drives the manifest-committed store end to end
   * IN the gated query: write a filtered projection of `orders` into a
   * fresh snapshot (overwrite → exactly one live snapshot), read it back
@@ -53,6 +60,43 @@ object SourceOps {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"), col("source"))
+    },
+    // pre-bucketed co-located join: both sides bucketed+sorted on their
+    // join key at write time (8 buckets — matched counts, so bucket i
+    // joins bucket i with no repartitioning), then a sort-merge join that
+    // must read co-located buckets shuffle-free. hint("merge") keeps the
+    // sf-independent SMJ shape (a broadcast would also skip the shuffle,
+    // but it is exactly the plan that DIES at 100× when the "small" side
+    // stops fitting — the bucketed layout is the scale-proof alternative
+    // this query exists to pin).
+    "layout_bucketed_join" -> { (s, dir) =>
+      val sfTag = new java.io.File(dir).getName.replace('.', '_')
+      val ot = s"graft_bucketed_orders_$sfTag"
+      val ct = s"graft_bucketed_customer_$sfTag"
+      // a prior JVM's run leaves the managed location on disk while the
+      // fresh in-memory catalog has forgotten the table — saveAsTable
+      // then refuses the name (LOCATION_ALREADY_EXISTS). Reset both.
+      def reset(table: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+      reset(ot); reset(ct)
+      Layout.writeBucketed(orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        ot, "o_custkey", buckets = 8)
+      Layout.writeBucketed(customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        ct, "c_custkey", buckets = 8)
+      s.table(ot).hint("merge")
+        .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"))
+        .orderBy(col("c_mktsegment"))
     },
     // DSv2 store round-trip: write-commit-read inside the gated query.
     "src_store_roundtrip" -> { (s, dir) =>
@@ -129,6 +173,16 @@ object SourceOps {
         |FROM meta m JOIN chars c USING (doc_id)
         |GROUP BY m.lang, m.source
         |ORDER BY m.lang, m.source""".stripMargin,
+    // the bucketed-join oracle joins the raw parquet directly: a hash
+    // match certifies the bucketed write+read layout changed nothing but
+    // the plan
+    "layout_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_custs,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // the round-trip oracle never sees the store: it aggregates the
     // parquet input directly, so a hash match certifies write→read
     // fidelity of the DSv2 path

@@ -132,6 +132,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scanOut.contains("o_orderkey") && !scanOut.contains("o_orderdate"), scanOut)
   }
 
+  test("layout_bucketed_join: co-located buckets join with zero shuffle on the join keys") {
+    // pre-AQE plan: AQE may legitimately re-plan around the SMJ, but the
+    // bucketed layout's contract is that NO Exchange ever partitions on
+    // either join key — the shuffle was prepaid at write time
+    val p = SparkEntry.queries("layout_bucketed_join")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pipeline_curate: gates stay semi/anti + banded — no quadratic joins in the capstone") {
     val p = plan("pipeline_curate")
     // the composite must keep its component shapes: semi-join gate,

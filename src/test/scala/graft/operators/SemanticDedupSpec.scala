@@ -53,6 +53,26 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("production swap: trained codebook yields a byte-identical plan shape to literal seeds") {
+    // the advertised swap (deterministic seed centroids → buildIvf-trained
+    // centroids, the SPARK_GRAFT_SEM_TRAINED path in dedup_semantic) must
+    // change the plan's DATA, not its SHAPE: same broadcast K-row
+    // codebook-as-literals projection, same per-cell pair join. Compared
+    // on the pre-AQE physical plan's full node sequence.
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seeded = e.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val trained = DedupOps.trainedSemCentroids(e)
+    assert(trained.size == seeded.size)
+    assert(trained.map(_._2.toSeq) != seeded.map(_._2.toSeq)) // genuinely different geometry
+    def shape(cb: Seq[(Long, Array[Double])]): Seq[String] =
+      DedupLib.semanticDedup(e, "vec_id", "v", cb, 0.25)
+        .queryExecution.sparkPlan.collect { case p => p.nodeName }
+    assert(shape(trained) == shape(seeded),
+      s"trained=${shape(trained)}\nseeded=${shape(seeded)}")
+  }
+
   test("semanticDedup: an exact copy with larger id always drops (seeded random inputs)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
