@@ -165,6 +165,32 @@ object CorpusOps {
             array_sort(collect_list(struct(col("pos"), col("id")))),
             p => p.getField("id")))).as("ids_md5"))
         .orderBy(col("doc_id"))
+    },
+    // content-addressed shard plan: every document lands in one of 256
+    // shards by the first md5 byte of its doc_id — a pure projection, so
+    // assignment is STABLE as the corpus grows (new docs never move old
+    // ones between shards, unlike round-robin or rank-based splits whose
+    // assignments all shift on every ingest) and reproducible from the
+    // id alone on any engine. Output is the shard manifest a distributed
+    // trainer consumes: per-shard doc/token/byte totals to verify
+    // balance before launching readers. Scale: projection → partial agg
+    // → 256-row final agg; the write side is `repartition(shard)` +
+    // partitionBy using the same expression, so the manifest and the
+    // physical layout derive from one definition.
+    "corpus_shard_plan" -> { (s, dir) =>
+      documents(s, dir)
+        .select(
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("shard"),
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          col("n_chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("shard_tokens"),
+          sum(col("n_chars")).as("shard_bytes"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"))
     })
 
   /** text_encode_ids vocabulary budget — deliberately smaller than the
@@ -172,6 +198,15 @@ object CorpusOps {
   val VocabSize = 16
 
   val oracles: Map[String, String] = Map(
+    "corpus_shard_plan" ->
+      """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS shard_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
     "text_encode_ids" ->
       s"""WITH toks AS (
          |  SELECT doc_id, i AS pos, w[i] AS word

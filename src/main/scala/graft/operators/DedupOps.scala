@@ -319,6 +319,30 @@ object DedupOps {
       DedupLib.semanticDedup(e, "vec_id", "v", cents, SemTau)
         .orderBy(col("vec_id"))
     },
+    // the MATERIALIZED dedup decision — what a pipeline actually ships:
+    // per document, its cluster label and whether it is the cluster's
+    // survivor. Survivor rule = highest [[TextOps.classifierScore]] (ties →
+    // smallest doc_id), so dedup keeps the BEST copy, not an arbitrary
+    // one — min-id keep rules systematically prefer whichever copy was
+    // crawled first, which at corpus scale biases retention toward older
+    // (often worse) variants. Scale shape: clusters come from the
+    // LSH+connected-components path (never O(n²)); the quality score is
+    // a pure projection joined on doc_id; the survivor pick is one
+    // window over cluster_id — match-level cardinality, one shuffle.
+    "dedup_keep_best" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val labeled = queries("dedup_clusters")(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val scored = documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.classifierScore(col("text")).as("quality_score"))
+      val pick = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      labeled.join(scored, Seq("doc_id"))
+        .withColumn("keep",
+          when(row_number().over(pick) === 1, 1).otherwise(0))
+        .orderBy(col("doc_id"))
+    },
     // winnowing (the MOSS scheme): per-doc fingerprints from
     // [[winnowFingerprints]], then pairs sharing >= WinnowMinShared
     // fingerprints via the same DF-capped collect_set explosion as
@@ -519,10 +543,12 @@ object DedupOps {
        |SELECT doc_a, doc_b FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Transitive closure of the pair graph: min reachable doc_id per node
-    * via a recursive CTE (UNION dedups, so the iteration terminates). */
-  private def clustersOracle: String =
-    s"""WITH RECURSIVE $minhashPairsCtes,
+  /** Recursive-CTE chain ending in `assigned(doc_id, cluster_id)` — the
+    * transitive closure of the LSH pair graph (min reachable doc_id per
+    * node; UNION dedups, so the iteration terminates). Shared by the
+    * cluster labeling, size-spectrum, and keep-best oracles. */
+  private def clusterCtes: String =
+    s"""$minhashPairsCtes,
        |edges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -533,7 +559,10 @@ object DedupOps {
        |labels AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
        |assigned AS (
        |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)""".stripMargin
+
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE $clusterCtes
        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |       CAST(cluster_id AS BIGINT) AS cluster_id,
        |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
@@ -548,6 +577,17 @@ object DedupOps {
         |ORDER BY h""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |quality AS (${TextOps.classifierScoreSql})
+         |SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+         |       CAST(a.cluster_id AS BIGINT) AS cluster_id,
+         |       q.quality_score,
+         |       CASE WHEN ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+         |         ORDER BY q.quality_score DESC, a.doc_id) = 1
+         |         THEN 1 ELSE 0 END AS keep
+         |FROM assigned a JOIN quality q ON q.doc_id = a.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "dedup_cluster_sizes" ->
       s"""SELECT cluster_size,
          |  COUNT(DISTINCT cluster_id) AS n_clusters,

@@ -117,6 +117,38 @@ object SourceOps {
             .cast("double").as("sum_price"),
           max(col("o_orderkey")).cast("long").as("max_key"))
         .orderBy(col("o_orderpriority"))
+    },
+    // snapshot isolation + time travel, end to end under the oracle:
+    // overwrite publishes v1 (finished orders only), append publishes v2
+    // (v1's files + open orders — append REFERENCES v1's data files, it
+    // never rewrites them), then BOTH snapshots are read back in one
+    // query — v1 via `option("version", 1)` pinning, v2 as latest. A
+    // hash match proves the append left v1 byte-stable (the audit/
+    // reproducibility contract of a training-data store: yesterday's
+    // dataset version stays exactly readable after today's ingest) and
+    // that version pinning selects the right file set. Scale: commit
+    // cost is O(new files) manifest lines regardless of store size, and
+    // each scan reads only its manifest's files.
+    "src_store_timetravel" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-tt"
+      // fresh store each run → deterministic version numbers (1, 2)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+      GraftStore.write(base.filter(col("o_orderstatus") === "F"), root,
+        overwrite = true)
+      GraftStore.write(base.filter(col("o_orderstatus") === "O"), root)
+      def snapAgg(df: DataFrame, tag: String): DataFrame =
+        df.groupBy(lit(tag).as("snapshot"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+              .cast("double").as("sum_price"),
+            max(col("o_orderkey")).cast("long").as("max_key"))
+      val v1 = s.read.format("graft-store").option("version", 1).load(root)
+      val v2 = GraftStore.read(s, root)
+      snapAgg(v1, "v1").unionByName(snapAgg(v2, "v2"))
+        .orderBy(col("snapshot"), col("o_orderstatus"))
     })
 
   /** The docgen oracle replays `DocGen`'s splitmix64 chain in DuckDB.
@@ -194,5 +226,21 @@ object SourceOps {
         |FROM orders
         |WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+    // v1 = the F-only snapshot, v2 = F+O after the append; the oracle
+    // recomputes both directly from the parquet, so any append-time
+    // mutation of v1's files or version-pinning mistake hash-mismatches
+    "src_store_timetravel" ->
+      """WITH snap AS (
+        |  SELECT 'v1' AS snapshot, o_orderstatus, o_totalprice, o_orderkey
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'v2', o_orderstatus, o_totalprice, o_orderkey
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O'))
+        |SELECT snapshot, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM snap
+        |GROUP BY snapshot, o_orderstatus
+        |ORDER BY snapshot, o_orderstatus""".stripMargin)
 }

@@ -244,25 +244,33 @@ object TextOps {
     // The pre-sigmoid logit is rounded to 6dp so both engines take
     // sigmoid of identical doubles.
     "text_quality_score" -> { (s, dir) =>
-      val t = tokens(col("text")).cast("double")
-      val fLen = least(t / 100.0, lit(1.0))
-      val awl = (length(col("text")) - t + 1) / t
-      val fWl = greatest(lit(0.0), lit(1.0) - abs(awl - 5.0) / 5.0)
-      val fStop = least(occurrences(col("text"), "the").cast("double") /
-        greatest(t, lit(1.0)) * 10.0, lit(1.0))
-      val fRep = size(array_distinct(split(col("text"), " "))).cast("double") / t
-      val fNum = (length(col("text")) -
-          length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
-        greatest(length(col("text")), lit(1)).cast("double")
-      val z = round(lit(QW.b) + fLen * QW.wLen + fWl * QW.wWl +
-        fStop * QW.wStop + fRep * QW.wRep - fNum * QW.wNum, 6)
       documents(s, dir)
-        .select(col("doc_id"),
-          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+        .select(col("doc_id"), classifierScore(col("text")).as("quality_score"))
         .withColumn("keep",
           when(col("quality_score") >= 0.5, 1).otherwise(0))
         .orderBy(col("doc_id"))
     })
+
+  /** The logistic classifier score of one text column — shared with
+    * [[DedupOps]]'s `dedup_keep_best` (cluster representative = highest
+    * classifier score) so the quality gate and the dedup survivor rule
+    * are literally the same model. Distinct from [[qualityScore]], the
+    * simpler 3-feature streaming gate. */
+  private[operators] def classifierScore(text: Column): Column = {
+    val t = tokens(text).cast("double")
+    val fLen = least(t / 100.0, lit(1.0))
+    val awl = (length(text) - t + 1) / t
+    val fWl = greatest(lit(0.0), lit(1.0) - abs(awl - 5.0) / 5.0)
+    val fStop = least(occurrences(text, "the").cast("double") /
+      greatest(t, lit(1.0)) * 10.0, lit(1.0))
+    val fRep = size(array_distinct(split(text, " "))).cast("double") / t
+    val fNum = (length(text) -
+        length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val z = round(lit(QW.b) + fLen * QW.wLen + fWl * QW.wWl +
+      fStop * QW.wStop + fRep * QW.wRep - fNum * QW.wNum, 6)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
 
   /** Quality-classifier weights, shared by the Spark query and the DuckDB
     * oracle so both fold the same literals. */
@@ -372,23 +380,28 @@ object TextOps {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
-    "text_quality_score" -> {
-      val t = "len(string_split(text, ' '))"
-      val fLen = s"least($t / 100.0, 1.0)"
-      val awl = s"(length(text) - $t + 1) * 1.0 / $t"
-      val fWl = s"greatest(0.0, 1.0 - abs($awl - 5.0) / 5.0)"
-      val fStop = s"least((${occursSql("the")}) * 1.0 / greatest($t * 1.0, 1.0) * 10.0, 1.0)"
-      val fRep = s"len(list_distinct(string_split(text, ' '))) * 1.0 / $t"
-      val fNum = "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / greatest(length(text), 1)"
+    "text_quality_score" ->
       s"""SELECT doc_id, quality_score,
          |  CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS keep
-         |FROM (
-         |  SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_score
-         |  FROM (
-         |    SELECT doc_id, ROUND(${QW.b} + ($fLen) * ${QW.wLen} + ($fWl) * ${QW.wWl}
-         |      + ($fStop) * ${QW.wStop} + ($fRep) * ${QW.wRep}
-         |      - ($fNum) * ${QW.wNum}, 6) AS z
-         |    FROM documents) zs) ss
-         |ORDER BY doc_id""".stripMargin
-    })
+         |FROM ($classifierScoreSql) ss
+         |ORDER BY doc_id""".stripMargin)
+
+  /** DuckDB replay of [[classifierScore]] — a `SELECT doc_id,
+    * quality_score FROM documents`-shaped subquery, shared with
+    * [[DedupOps]]'s `dedup_keep_best` oracle. */
+  private[operators] def classifierScoreSql: String = {
+    val t = "len(string_split(text, ' '))"
+    val fLen = s"least($t / 100.0, 1.0)"
+    val awl = s"(length(text) - $t + 1) * 1.0 / $t"
+    val fWl = s"greatest(0.0, 1.0 - abs($awl - 5.0) / 5.0)"
+    val fStop = s"least((${occursSql("the")}) * 1.0 / greatest($t * 1.0, 1.0) * 10.0, 1.0)"
+    val fRep = s"len(list_distinct(string_split(text, ' '))) * 1.0 / $t"
+    val fNum = "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / greatest(length(text), 1)"
+    s"""SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_score
+       |FROM (
+       |  SELECT doc_id, ROUND(${QW.b} + ($fLen) * ${QW.wLen} + ($fWl) * ${QW.wWl}
+       |    + ($fStop) * ${QW.wStop} + ($fRep) * ${QW.wRep}
+       |    - ($fNum) * ${QW.wNum}, 6) AS z
+       |  FROM documents) zs""".stripMargin
+  }
 }

@@ -95,4 +95,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(banded == naive, s"banded != naive: ${banded.diff(naive)} / ${naive.diff(banded)}")
     assert(banded.nonEmpty, "expected at least one click→purchase conversion")
   }
+
+  test("corpus_shard_plan: shards partition the corpus and assignment is id-stable") {
+    val shards = CorpusOps.queries("corpus_shard_plan")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf)
+    assert(shards.map(_._2).sum == docs.count(), "shard doc counts don't total the corpus")
+    val tokTotal = docs.agg(sum(size(split(col("text"), " ")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(shards.map(_._3).sum == tokTotal, "shard token counts don't total the corpus")
+    assert(shards.forall(_._1.matches("[0-9a-f]{2}")), "shard labels must be 2 hex chars")
+    // stability: a doc's shard is a pure function of doc_id — growing the
+    // corpus (here: dropping half of it) never reassigns surviving docs
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val assign = (d: org.apache.spark.sql.DataFrame) => d
+      .select(col("doc_id"), substring(md5(col("doc_id").cast("string")), 1, 2).as("shard"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val full = assign(docs)
+    assign(half).foreach { case (id, sh) => assert(full(id) == sh, s"doc $id moved") }
+  }
 }

@@ -156,6 +156,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges(p) <= 7, s"exchanges=${exchanges(p)}\n$p")
   }
 
+  test("dedup_keep_best: cluster labels join map-side, no quadratic fan-out") {
+    val p = plan("dedup_keep_best")
+    // pairs come from the banded LSH path; the quality join is keyed on
+    // doc_id — nothing in the composite may degrade to a cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the survivor pick is one window over cluster_id
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("corpus_shard_plan: pure projection -> partial agg -> 256-row final agg") {
+    val p = plan("corpus_shard_plan")
+    assert(!p.contains("Join"), p)
+    // one aggregation shuffle + the presentation sort, nothing else
+    assert(exchanges(p) <= 2, s"exchanges=${exchanges(p)}\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("src_store_timetravel: the two scans pin DIFFERENT manifest versions") {
+    val p = plan("src_store_timetravel")
+    // scan description prints "graft-store <root> v<version>" — the v1
+    // read must survive the append that published v2
+    assert(p.contains(" v1 ") && p.contains(" v2 "), p)
+  }
+
   test("ann_ivf_recall: probes broadcast; ground truth and IVF sides never cartesian") {
     val p = plan("ann_ivf_recall")
     // the few-row probe set must broadcast onto the corpus (build side of
