@@ -102,6 +102,26 @@ object Relational {
           coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"))
         .orderBy(col("nationkey"))
     },
+    // correlated LATERAL subquery (top-2 orders per customer by price):
+    // written as the per-row subquery a user would write, NOT as a
+    // hand-rewritten window — the point is that Catalyst DECORRELATES
+    // it: the executed plan is WindowGroupLimit (partial map-side top-k
+    // per o_custkey, so the shuffle carries ≤2 rows per customer, not
+    // every order) + one join, never a per-outer-row re-execution and
+    // never a cartesian. The plan gate pins that rewrite. SQL-first
+    // here exercises the parser/analyzer path the DataFrame queries
+    // skip.
+    "q_lateral_topn" -> { (s, dir) =>
+      customer(s, dir).createOrReplaceTempView("customer")
+      orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c.c_custkey, o.o_orderkey""")
+    },
     // TPC-H Q4-style: orders with at least one late-shipped line, by priority
     "q4_order_priority" -> { (s, dir) =>
       val o = orders(s, dir)
@@ -329,6 +349,13 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
     "q_fullouter_balance" ->
       """WITH c AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_cust,

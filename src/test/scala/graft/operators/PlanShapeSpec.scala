@@ -180,6 +180,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains(" v1 ") && p.contains(" v2 "), p)
   }
 
+  test("q_lateral_topn: Catalyst decorrelates the lateral subquery to WindowGroupLimit") {
+    val p = plan("q_lateral_topn")
+    // the per-row ORDER BY+LIMIT subquery must become a partial map-side
+    // top-k (≤2 rows per customer cross the shuffle) + one join — never
+    // a per-outer-row re-execution or a cartesian
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("runtime bloom filter prunes the big join side when broadcast is off") {
+    // the 100×-scale shape: when neither side broadcasts, AQE injects a
+    // bloom filter built from the selective dimension side into the fact
+    // scan, so the shuffle carries only rows that can possibly join.
+    // Thresholds are scaled down because local test data is tiny; the
+    // conf mutations live in an isolated newSession (shared context,
+    // independent SQLConf).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+    val o = Tables.orders(s, dir)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val q = l.join(o, l("l_orderkey") === o("o_orderkey"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain") || p.contains("bloom"), p)
+  }
+
   test("ann_ivf_recall: probes broadcast; ground truth and IVF sides never cartesian") {
     val p = plan("ann_ivf_recall")
     // the few-row probe set must broadcast onto the corpus (build side of
