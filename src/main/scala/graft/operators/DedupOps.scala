@@ -44,6 +44,23 @@ object DedupOps {
     * precisely what keeps the hottest shuffle key bounded at 100× scale. */
   private val MaxShingleDf = 100
 
+  /** MinHash LSH band keys per document — `(doc_id, band, bh)`, K/2
+    * bands of two 16-bit md5-slice minhashes each. One md5 per shingle
+    * sliced into K sub-hashes (not K md5 calls — 8× less hashing, same
+    * oracle replayability). Shared by the full-corpus pair query and the
+    * incremental ingest gate, which probes these keys instead of
+    * generating pairs. */
+  private def lshBands(docs: DataFrame): DataFrame = {
+    val sh = withShingles(docs).withColumn("m", md5(col("sh")))
+    val sigCols = (1 to K).map(i =>
+      min(substring(col("m"), (i - 1) * 4 + 1, 4)).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    sig.select(col("doc_id"), posexplode(array(
+      (0 until K / 2).map(b =>
+        concat(col(s"h${2 * b + 1}"), col(s"h${2 * b + 2}"))): _*)))
+      .toDF("doc_id", "band", "bh")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash groups with representative + multiplicity
     "dedup_exact" -> { (s, dir) =>
@@ -60,15 +77,7 @@ object DedupOps {
     // sf0.1 the join beats the collect_set+explode shape there
     // (1.45 s vs 1.65 s warm) — group size decides which shape wins.
     "dedup_minhash_lsh" -> { (s, dir) =>
-      val sh = withShingles(documents(s, dir).select(col("doc_id"), col("text")))
-        .withColumn("m", md5(col("sh")))
-      val sigCols = (1 to K).map(i =>
-        min(substring(col("m"), (i - 1) * 4 + 1, 4)).as(s"h$i"))
-      val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      val bands = sig.select(col("doc_id"), posexplode(array(
-        (0 until K / 2).map(b =>
-          concat(col(s"h${2 * b + 1}"), col(s"h${2 * b + 2}"))): _*)))
-        .toDF("doc_id", "band", "bh")
+      val bands = lshBands(documents(s, dir).select(col("doc_id"), col("text")))
       val a = bands.as("a"); val b = bands.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -343,6 +352,41 @@ object DedupOps {
           when(row_number().over(pick) === 1, 1).otherwise(0))
         .orderBy(col("doc_id"))
     },
+    // INCREMENTAL ingest dedup — the shape real pipelines run daily:
+    // classify a new batch (here the doc_id%5==0 slice) against the
+    // EXISTING corpus without ever re-deduping the corpus itself.
+    // exact_dup = content hash already present; near_dup = shares an
+    // LSH band key with an existing doc; new = neither. The existing
+    // side reduces to two small indexes (distinct content hashes,
+    // distinct band keys — both corpus-sublinear) that the batch SEMI-
+    // joins against: no pair explosion, no quadratic term, and at 100 TB
+    // the indexes are exactly what a graft-store table would persist
+    // between ingests (the streaming twin keeps them as state —
+    // [[graft.streaming.DocStream]]). Batch-internal duplicates are
+    // deliberately NOT classified here: they are the previous queries'
+    // job once the batch is admitted.
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val isBatch = col("doc_id") % 5 === 0
+      val hashed = docs.withColumn("h", md5(col("text")))
+      val batch = hashed.filter(isBatch)
+      val bands = lshBands(docs)
+      val exactIds = batch
+        .join(hashed.filter(!isBatch).select(col("h")), Seq("h"), "left_semi")
+        .select(col("doc_id")).withColumn("is_exact", lit(1))
+      val nearIds = bands.filter(isBatch)
+        .join(bands.filter(!isBatch).select(col("band"), col("bh")),
+          Seq("band", "bh"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("is_near", lit(1))
+      batch.select(col("doc_id"))
+        .join(exactIds, Seq("doc_id"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact") === 1, "exact_dup")
+            .when(col("is_near") === 1, "near_dup")
+            .otherwise("new").as("status"))
+        .orderBy(col("doc_id"))
+    },
     // winnowing (the MOSS scheme): per-doc fingerprints from
     // [[winnowFingerprints]], then pairs sharing >= WinnowMinShared
     // fingerprints via the same DF-capped collect_set explosion as
@@ -577,6 +621,25 @@ object DedupOps {
         |ORDER BY h""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_incremental" ->
+      s"""WITH $minhashPairsCtes,
+         |batch AS (
+         |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+         |existing AS (
+         |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+         |exact_ids AS (
+         |  SELECT DISTINCT b.doc_id FROM batch b
+         |  JOIN existing e ON e.h = b.h),
+         |near_ids AS (
+         |  SELECT DISTINCT bb.doc_id FROM bands bb
+         |  JOIN bands eb ON bb.band = eb.band AND bb.bh = eb.bh
+         |  WHERE bb.doc_id % 5 = 0 AND eb.doc_id % 5 <> 0)
+         |SELECT b.doc_id,
+         |  CASE WHEN b.doc_id IN (SELECT doc_id FROM exact_ids) THEN 'exact_dup'
+         |       WHEN b.doc_id IN (SELECT doc_id FROM near_ids) THEN 'near_dup'
+         |       ELSE 'new' END AS status
+         |FROM batch b
+         |ORDER BY doc_id""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $clusterCtes,
          |quality AS (${TextOps.classifierScoreSql})

@@ -180,6 +180,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains(" v1 ") && p.contains(" v2 "), p)
   }
 
+  test("dedup_incremental: the batch probes existing-side indexes via semi joins only") {
+    val p = plan("dedup_incremental")
+    // exact tier and near tier must both be LeftSemi probes of reduced
+    // existing-side sets — never a pair-generating inner join of the
+    // batch against the corpus, never a cartesian
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_lateral_topn: Catalyst decorrelates the lateral subquery to WindowGroupLimit") {
     val p = plan("q_lateral_topn")
     // the per-row ORDER BY+LIMIT subquery must become a partial map-side
