@@ -517,8 +517,14 @@ object DedupOps {
     * shuffle. */
   private[operators] def winnowSpans(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // no distinct(): winnowFingerprints dedups per-doc selections via
+    // array_distinct on the encoded keys (one row per (doc_id,pos,h) by
+    // construction), and the collect_set below dedups again anyway.
+    // Verified plan-identical with and without (the optimizer was
+    // already collapsing it) — dropped so the intent is in the code,
+    // not in an optimizer rewrite.
     val fps = winnowFingerprints(df)
-      .select(col("doc_id"), col("pos"), col("h")).distinct()
+      .select(col("doc_id"), col("pos"), col("h"))
     val grouped = fps.groupBy(col("h"))
       .agg(sort_array(collect_set(struct(col("doc_id"), col("pos")))).as("es"))
       .filter(size(array_distinct(transform(col("es"), e => e("doc_id"))))
