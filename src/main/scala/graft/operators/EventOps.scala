@@ -23,6 +23,31 @@ object EventOps {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
     },
+    // engagement: DAU + trailing-7-day distinct actives per day. The
+    // scale discipline is the ORDER of reduction: events collapse to
+    // one row per (day, user) FIRST — corpus-sized work, one exact
+    // aggregation — and every rolling computation runs on that user-day
+    // table, which is bounded by users × days, orders of magnitude
+    // below event count. The trailing window is then a broadcast of the
+    // tiny day grid (365 rows/year regardless of data size) onto the
+    // user-day table: the big side streams map-side, no range shuffle.
+    // (A per-day distinct-over-ROWS window can't express distinct-over-
+    // time-range; recomputing from user-days is the exact formulation
+    // that parallelizes.)
+    "events_active_users" -> { (s, dir) =>
+      val ud = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val dau = ud.groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val grid = dau.select(col("d").as("gd"))
+      val wau = broadcast(grid)
+        .join(ud, datediff(col("gd"), col("d")).between(0, 6))
+        .groupBy(col("gd"))
+        .agg(countDistinct(col("user_id")).as("wau7"))
+      dau.join(wau, col("d") === col("gd"))
+        .select(col("d"), col("dau"), col("wau7"))
+        .orderBy(col("d"))
+    },
     // sessionization: 30-minute inactivity gap splits sessions
     "events_sessions" -> { (s, dir) =>
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -282,6 +307,20 @@ object EventOps {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+    "events_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+        |    user_id
+        |  FROM events),
+        |dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+        |wau AS (
+        |  SELECT g.d, COUNT(DISTINCT ud.user_id) AS wau7
+        |  FROM (SELECT d FROM dau) g
+        |  JOIN ud ON ud.d BETWEEN g.d - 6 AND g.d
+        |  GROUP BY g.d)
+        |SELECT dau.d AS d, dau.dau, wau.wau7
+        |FROM dau JOIN wau ON wau.d = dau.d
+        |ORDER BY dau.d""".stripMargin,
     "events_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,

@@ -113,6 +113,37 @@ object TextOps {
           sum(col("bpe")).cast("long").as("bpe_tokens"))
         .orderBy(col("lang"))
     },
+    // first BPE merge iteration — the corpus-scale step of tokenizer
+    // TRAINING: count adjacent symbol (character) pairs across the
+    // corpus, weighted by word frequency, and rank the merge
+    // candidates. The scale shape is the tokenizer-training discipline:
+    // reduce the corpus to its word VOCABULARY first (distinct words ×
+    // counts — sublinear in the corpus, the same trick every BPE
+    // trainer uses), then explode each vocab word's ≤len-1 pairs and
+    // re-aggregate — pair counting never touches the raw token stream.
+    // Top-k by orderBy+limit → TakeOrderedAndProject, no global sort.
+    // Subsequent merge rounds re-run the same plan on the re-symbolized
+    // vocab (driver loop over K merges, each one aggregation — standard
+    // practice; the per-round plan is what must scale, and is what this
+    // query pins).
+    "text_bpe_merges" -> { (s, dir) =>
+      val vocab = documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      val pairs = vocab
+        .filter(length(col("word")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => concat(col("word").substr(i, lit(1)),
+            col("word").substr(i + 1, lit(1))))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      pairs.orderBy(col("n").desc, col("pair")).limit(20)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("pair"))).cast("long"))
+        .select(col("rk"), col("pair"), col("n"))
+        .orderBy(col("rk"))
+    },
     // quality score: length + vocab-diversity + stopword components,
     // bucketed to one decimal; counts per bucket
     "text_quality" -> { (s, dir) =>
@@ -346,6 +377,22 @@ object TextOps {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "text_bpe_merges" ->
+      """WITH vocab AS (
+        |  SELECT word, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+        |  GROUP BY word),
+        |pairs AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM (
+        |    SELECT wc, unnest(list_transform(range(1, length(word)),
+        |      i -> word[i] || word[i+1])) AS pair
+        |    FROM vocab WHERE length(word) >= 2) p
+        |  GROUP BY pair),
+        |ranked AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk, pair, n
+        |  FROM pairs)
+        |SELECT rk, pair, n FROM ranked WHERE rk <= 20
+        |ORDER BY rk""".stripMargin,
     "text_quality" ->
       s"""SELECT ROUND($qualityScoreSql, 1) AS quality_bucket,
          |  COUNT(*) AS n_docs

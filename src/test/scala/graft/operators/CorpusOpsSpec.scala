@@ -114,4 +114,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     val full = assign(docs)
     assign(half).foreach { case (id, sh) => assert(full(id) == sh, s"doc $id moved") }
   }
+
+  test("events_active_users: wau7 brackets dau and matches brute-force recomputation") {
+    val out = EventOps.queries("events_active_users")(spark, sf)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val userDays = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).distinct
+    out.foreach { case (d, dau, wau7) =>
+      assert(wau7 >= dau, s"$d: wau7 $wau7 < dau $dau")
+      val brute = userDays.filter { case (ud, _) =>
+        !ud.isAfter(d) && !ud.isBefore(d.minusDays(6)) }.map(_._2).distinct.length
+      assert(wau7 == brute, s"$d: wau7 $wau7 != brute $brute")
+    }
+  }
+
+  test("text_bpe_merges: ranks dense, counts non-increasing, top pair matches brute force") {
+    val out = TextOps.queries("text_bpe_merges")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == (1L to out.size).toSeq, "ranks not dense")
+    val ns = out.map(_._3).toSeq
+    assert(ns == ns.sorted.reverse, "counts not non-increasing")
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .collect().map(_.getString(0))
+    val brute = words.flatMap(w => w.sliding(2).filter(_.length == 2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (rk1, pair1, n1) = out.head
+    assert(rk1 == 1L && brute(pair1) == n1,
+      s"top merge $pair1=$n1 disagrees with brute ${brute.get(pair1)}")
+    assert(brute.values.max == n1, "top pair is not the global max")
+  }
 }

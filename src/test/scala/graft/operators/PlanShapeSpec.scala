@@ -180,6 +180,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains(" v1 ") && p.contains(" v2 "), p)
   }
 
+  test("events_active_users: the day grid broadcasts onto the user-day table") {
+    val p = plan("events_active_users")
+    // the trailing-window join must build on the tiny day grid
+    // (365 rows/year regardless of scale) and stream the user-day side
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BuildLeft"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_bpe_merges: candidate ranking is TakeOrderedAndProject over the pair table") {
+    val p = plan("text_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("dedup_incremental: the batch probes existing-side indexes via semi joins only") {
     val p = plan("dedup_incremental")
     // exact tier and near tier must both be LeftSemi probes of reduced
