@@ -39,6 +39,26 @@ object SimilarityOps {
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },
+    // per-label embedding centroids over the first 8 dims — the vector
+    // AGGREGATION shape (class prototypes, cluster re-centering,
+    // drift monitoring): slice the dims you need FIRST (pruning before
+    // explosion — the explode multiplies rows by dim count, so slicing
+    // is a dim-count× row reduction), posexplode, then one partial-
+    // aggregated groupBy (label, pos). The shuffle carries
+    // labels × dims rows, never vectors; at 100 TB this is the same
+    // map-side-combine discipline as vocabulary counting. Floats cast
+    // to double BEFORE averaging so both engines accumulate in f64;
+    // 6dp round absorbs summation-order ULPs.
+    "emb_label_centroids" -> { (s, dir) =>
+      embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(slice(col("embedding").cast("array<double>"), 1, 8)))
+        .withColumnRenamed("col", "v")
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("v")), 6).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy(col("label"), col("pos"))
+    },
     // batched-probe ANN: top-3 per probe for a SET of query vectors in
     // one corpus scan — the realistic serving/dedup shape (queries come
     // in batches, and per-query scans would read the corpus Q times).
@@ -164,6 +184,18 @@ object SimilarityOps {
          |WHERE vec_id <> $PROBE_ID
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
+    "emb_label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(pos0 AS BIGINT) AS pos,
+        |  ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid,
+        |  COUNT(*) AS n_vecs
+        |FROM (
+        |  SELECT label,
+        |    generate_subscripts(embedding[1:8], 1) - 1 AS pos0,
+        |    unnest(embedding[1:8]) AS v
+        |  FROM embeddings) t
+        |GROUP BY 1, 2
+        |ORDER BY label, pos""".stripMargin,
     "ann_batch_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

@@ -118,6 +118,32 @@ object SourceOps {
           max(col("o_orderkey")).cast("long").as("max_key"))
         .orderBy(col("o_orderpriority"))
     },
+    // z-ordered layout under the oracle: write an events copy clustered
+    // by the z-interleave of (user_id, value), then run a 2-D box query
+    // against it. Correctness comes from the oracle (same box on the
+    // raw parquet); the 100× claim is the layout itself — files own
+    // contiguous z-ranges, so BOTH dimensions' min-max stats become
+    // selective and the box reads a handful of files (file-level
+    // pruning is pinned quantitatively in LayoutSpec; this query pins
+    // that the clustered copy is byte-faithful). Bounds cover every sf
+    // (bucketing clamps outliers); pruning needs no reader cooperation
+    // — it rides ordinary parquet min-max stats, which is what makes
+    // z-ordering a pure write-time decision.
+    "layout_zorder_scan" -> { (s, dir) =>
+      val path = storeRoot(dir) + "-zorder"
+      Layout.writeZordered(
+        events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value")),
+        path, "user_id", 0, 1500, "value", 0, 600, files = 8)
+      s.read.parquet(path)
+        .filter(col("user_id").between(5, 10) && col("value").between(50, 150))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    },
     // snapshot isolation + time travel, end to end under the oracle:
     // overwrite publishes v1 (finished orders only), append publishes v2
     // (v1's files + open orders — append REFERENCES v1's data files, it
@@ -227,6 +253,14 @@ object SourceOps {
         |WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "layout_zorder_scan" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 5 AND 10 AND value BETWEEN 50 AND 150
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // v1 = the F-only snapshot, v2 = F+O after the append; the oracle
     // recomputes both directly from the parquet, so any append-time
     // mutation of v1's files or version-pinning mistake hash-mismatches

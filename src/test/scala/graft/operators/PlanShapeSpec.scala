@@ -180,6 +180,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains(" v1 ") && p.contains(" v2 "), p)
   }
 
+  test("profile_orders: no Expand, no corpus-wide sort — distincts stay hash-aggregated") {
+    val p = plan("profile_orders")
+    // the naive multi-countDistinct shape (Expand × columns into
+    // SortAggregates) measured 5× slower; pin its absence
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+    // the only SortAggregate allowed is the grouping-free min/max row
+    assert(!"SortAggregate\\(key=\\[[^\\]]".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("layout_zorder_scan: both box dimensions push into the clustered scan") {
+    // formatted mode: toString truncates long PushedFilters lists
+    val p = SparkEntry.queries("layout_zorder_scan")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(user_id") &&
+      pushed.contains("GreaterThanOrEqual(value"), pushed)
+  }
+
+  test("emb_label_centroids: explode -> partial agg, no joins, bounded shuffle") {
+    val p = plan("emb_label_centroids")
+    assert(!p.contains("Join"), p)
+    assert(exchanges(p) <= 2, s"exchanges=${exchanges(p)}\n$p")
+  }
+
   test("events_active_users: the day grid broadcasts onto the user-day table") {
     val p = plan("events_active_users")
     // the trailing-window join must build on the tiny day grid

@@ -144,4 +144,26 @@ class SimilarityLibSpec extends AnyFunSuite {
     // probe's own vector should rank first with cos_sim ~ 1
     assert(top.head().getAs[Double]("cos_sim") > 0.999999)
   }
+
+  test("emb_label_centroids matches a brute-force driver computation at 6dp") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SimilarityOps.queries("emb_label_centroids")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3)))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getInt(2).toLong, r.getSeq[Float](1).take(8).map(_.toDouble)))
+    val brute = vecs.groupBy(_._1).flatMap { case (label, vs) =>
+      (0 until 8).map { pos =>
+        val col = vs.map(_._2(pos))
+        ((label, pos.toLong),
+          (BigDecimal(col.sum / col.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            vs.size.toLong))
+      }
+    }
+    assert(out.keySet == brute.keySet)
+    brute.foreach { case (k, (c, n)) =>
+      val (oc, on) = out(k)
+      assert(on == n, s"$k count $on != $n")
+      assert(math.abs(oc - c) <= 1e-6, s"$k centroid $oc != $c")
+    }
+  }
 }
