@@ -118,6 +118,35 @@ object SourceOps {
           max(col("o_orderkey")).cast("long").as("max_key"))
         .orderBy(col("o_orderpriority"))
     },
+    // small-file compaction under the oracle: three appends (each adds
+    // its own data files — the micro-batch ingest pathology), then
+    // compact() rewrites the snapshot into 2 files via one atomic
+    // manifest publish, then the aggregate reads the COMPACTED
+    // snapshot. A hash match proves compaction is a pure layout move
+    // (bit-identical data, DuckDB recomputes from raw parquet); the
+    // file-count collapse itself is asserted in the plan gate via the
+    // scan's manifest description. At scale this is the maintenance
+    // job a streaming store runs continuously: readers pay per file,
+    // so compaction converts O(epochs) open costs into O(targetFiles).
+    "src_store_compact" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-compact"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      def slice(pfx: String) = base.filter(col("o_orderpriority").startsWith(pfx))
+      GraftStore.write(slice("1"), root, overwrite = true)
+      GraftStore.write(slice("2"), root)
+      GraftStore.write(slice("3"), root)
+      GraftStore.compact(s, root, targetFiles = 2)
+      GraftStore.read(s, root)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    },
     // z-ordered layout under the oracle: write an events copy clustered
     // by the z-interleave of (user_id, value), then run a 2-D box query
     // against it. Correctness comes from the oracle (same box on the
@@ -251,6 +280,15 @@ object SourceOps {
         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
         |FROM orders
         |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "src_store_compact" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+        |   OR o_orderpriority LIKE '3%'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "layout_zorder_scan" ->

@@ -173,6 +173,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("src_store_compact: the scan reads the post-compaction snapshot with few files") {
+    val p = plan("src_store_compact")
+    // three appends publish v1..v3; compact publishes v4 with exactly
+    // targetFiles files — the scan description prints both
+    assert(p.contains(" v4 ") && p.contains("files=2"), p)
+  }
+
   test("src_store_timetravel: the two scans pin DIFFERENT manifest versions") {
     val p = plan("src_store_timetravel")
     // scan description prints "graft-store <root> v<version>" — the v1
