@@ -264,6 +264,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("might_contain") || p.contains("bloom"), p)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the other 100×-scale knob next to salting: when one key owns most
+    // of a shuffle join's rows, AQE re-plans the sort-merge join to
+    // split the oversized partition. Thresholds scaled down for local
+    // data; production keeps defaults. Session-isolated like the bloom
+    // test.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    import s.implicits._
+    val hot = (1 to 20000).map(i => (if (i % 10 == 0) i.toLong else 1L, i.toLong))
+      .toDF("k", "va")
+    val dim = (1L to 20000L).map(k => (k, s"d$k")).toDF("k", "vb")
+    val q = hot.join(dim, "k")
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("ann_ivf_recall: probes broadcast; ground truth and IVF sides never cartesian") {
     val p = plan("ann_ivf_recall")
     // the few-row probe set must broadcast onto the corpus (build side of
