@@ -253,6 +253,28 @@ object DedupLib {
     * duplicate, the standard direction. Exact-or-nothing callers should
     * use a `left_anti` join instead (shuffles both sides). Null keys in
     * `incoming` pass through (a null is never a known duplicate). */
+  /** Row-local md5-family LSH band keys — the SAME banded grouping as
+    * the batch `dedup_minhash_lsh`/`dedup_incremental` path (one md5
+    * per 3-gram shingle, K 16-bit slices, K/2 two-slice bands) computed
+    * inside one projection: no explode, no groupBy, so it is
+    * streaming-legal and composes with stateless ingest gates. Docs too
+    * short to shingle (and null text) get an empty array — exactly the
+    * rows the batch path never bands. */
+  def rowLshBands(text: Column, k: Int = 8): Column = {
+    val w = split(text, " ")
+    // ascending guard: sequence(1, n) with a filter, because
+    // sequence(1, size-2) runs DESCENDING when size < 3
+    val idx = filter(sequence(lit(1), greatest(size(w), lit(1))),
+      i => i <= size(w) - 2)
+    val ms = transform(idx, i => md5(concat_ws(" ",
+      element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+    val mins = (1 to k).map(j =>
+      array_min(transform(ms, m => substring(m, (j - 1) * 4 + 1, 4))))
+    when(size(w) >= 3,
+      array((0 until k / 2).map(b => concat(mins(2 * b), mins(2 * b + 1))): _*))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
   def bloomNewcomers(
       seen: DataFrame, incoming: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {

@@ -72,6 +72,47 @@ object DocStream {
       .dropDuplicatesWithinWatermark("graft_near_key")
       .drop("graft_near_key")
 
+  /** Streaming twin of the batch `dedup_incremental` gate: classify
+    * each arriving document against a STATIC existing corpus as
+    * `exact_dup` (content hash present), `near_dup` (shares an md5-
+    * family LSH band key — [[graft.operators.DedupLib.rowLshBands]],
+    * the same banding as the batch path), or `new`, with the same
+    * exact > near precedence.
+    *
+    * The existing-side indexes ride as two BROADCAST BLOOM FILTERS
+    * (content hashes; band keys) built once at composition time from
+    * the static frame — at 100 TB that frame is the hash/band-key table
+    * a graft-store persists between ingests, and the blooms are MBs
+    * regardless of corpus size. Classification itself is a pure
+    * stateless projection (hash probe + `exists` over the row-local
+    * band array): append-mode legal, no join, no state, composes with
+    * the stateful dedup gates downstream. Bloom semantics: no false
+    * negatives — a true duplicate is never classified `new`; false
+    * positives at ≈`fpp` can upgrade a genuinely-new doc to dup status
+    * (the safe direction for an ingest gate; exact-or-nothing callers
+    * run the batch query's semi joins instead). Appends `status`. */
+  def classifyIncremental(docs: DataFrame, textCol: String,
+      existing: DataFrame, existingTextCol: String,
+      expectedItems: Long, fpp: Double = 1e-4): DataFrame = {
+    import graft.operators.DedupLib
+    val sc = existing.sparkSession.sparkContext
+    val hashBf = existing
+      .select(md5(col(existingTextCol)).as("k")).na.drop()
+      .stat.bloomFilter("k", math.max(expectedItems, 1), fpp)
+    val bandBf = existing
+      .select(explode(DedupLib.rowLshBands(col(existingTextCol))).as("k"))
+      .stat.bloomFilter("k", math.max(expectedItems, 1) * 4, fpp)
+    val hB = sc.broadcast(hashBf)
+    val bB = sc.broadcast(bandBf)
+    val hasHash = udf((k: String) => k != null && hB.value.mightContainString(k))
+    val hasBand = udf((k: String) => k != null && bB.value.mightContainString(k))
+    docs.withColumn("status",
+      when(hasHash(md5(col(textCol))), "exact_dup")
+        .when(exists(DedupLib.rowLshBands(col(textCol)), b => hasBand(b)),
+          "near_dup")
+        .otherwise("new"))
+  }
+
   /** Perplexity filtering at INGEST: score each streaming document's
     * average bigram cross-entropy against a static language model
     * (reference counts from a trusted corpus, e.g. the batch

@@ -224,4 +224,52 @@ class DocStreamSpec extends AnyFunSuite {
       assert(survivors == keyed ++ nullVecs, s"stream=$survivors batch=${keyed ++ nullVecs}")
     } finally q.stop()
   }
+
+  test("classifyIncremental matches the batch dedup_incremental tiers on the real corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.operators.Tables.documents(spark, sf)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    // fpp tiny enough that a bloom false positive is effectively
+    // impossible at 400 keys — the parity assert is exact
+    val out = DocStream.classifyIncremental(
+        batch, "text", existing, "text", expectedItems = 1000, fpp = 1e-9)
+      .select("doc_id", "status")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val oracle = graft.operators.DedupOps.queries("dedup_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == oracle, {
+      val diff = (out.keySet ++ oracle.keySet)
+        .filter(k => out.get(k) != oracle.get(k))
+      s"mismatch at $diff: stream ${diff.map(out.get)}, batch ${diff.map(oracle.get)}"
+    })
+    assert(oracle.values.exists(_ == "near_dup"), "corpus should exercise the near tier")
+  }
+
+  test("classifyIncremental is streaming-legal and classifies across micro-batches") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dir = Files.createTempDirectory("doc_stream_incr").toString
+    val existing = docsDf(Seq(
+      (1L, new Timestamp(base), "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, new Timestamp(base), "some shared paragraph that will be lightly edited in the new batch soon")))
+    docsDf(Seq(
+      (10L, new Timestamp(base + 60000), "the quick brown fox jumps over the lazy dog again and again today")))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = DocStream.classifyIncremental(
+      spark.readStream.schema(schema).parquet(dir), "text",
+      existing, "text", expectedItems = 100, fpp = 1e-9)
+    val q = stream.writeStream.format("memory").queryName("incr_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      docsDf(Seq(
+        (15L, new Timestamp(base + 120000), "some shared paragraph that will be lightly edited in the new batch now"),
+        (20L, new Timestamp(base + 180000), "entirely fresh material mentioning neither foxes nor paragraphs at all whatsoever")))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, status FROM incr_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out == Map(10L -> "exact_dup", 15L -> "near_dup", 20L -> "new"), out.toString)
+    } finally q.stop()
+  }
 }
