@@ -147,6 +147,78 @@ object Multimodal {
       }
   }
 
+  /** Real audio codec for RIFF/WAVE — the audio sibling of
+    * [[ImageCodec]]: hand-rolled byte-level container parsing (no
+    * javax.sound dependency), executor-side pure functions over payload
+    * bytes, safe under retries. The parser walks the chunk list (not
+    * fixed offsets), so files with extra LIST/INFO chunks or reordered
+    * chunks parse correctly — the robustness real crawled audio needs. */
+  object WavCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Encode a 16-bit PCM WAV with `nSamples` frames of deterministic
+      * LCG noise per channel — the synthetic payload the oracle can
+      * reason about by formula. */
+    def encodeWav(sampleRate: Int, channels: Int, nSamples: Int, seed: Long): Array[Byte] = {
+      val bits = 16
+      val blockAlign = channels * bits / 8
+      val dataLen = nSamples * blockAlign
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(sampleRate)
+      bb.putInt(sampleRate * blockAlign); bb.putShort(blockAlign.toShort)
+      bb.putShort(bits.toShort)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      var x = seed
+      var i = 0
+      while (i < nSamples * channels) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        bb.putShort((x >>> 48).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** Parse the container: (sampleRate, channels, bitsPerSample,
+      * nSampleFrames). None for anything that is not a complete WAV —
+      * corrupt payloads become null metadata rows, not task failures.
+      * Walks chunks with the even-byte padding rule rather than
+      * assuming fmt/data at fixed offsets. */
+    def parseWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (p == null || p.length < 12) return None
+      def str(off: Int) = new String(p, off, 4, "US-ASCII")
+      def u32(off: Int) =
+        ByteBuffer.wrap(p, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+      def u16(off: Int) =
+        ByteBuffer.wrap(p, off, 2).order(ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+      if (str(0) != "RIFF" || str(8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataLen = -1L
+      while (off + 8 <= p.length) {
+        val id = str(off)
+        val len = u32(off + 4)
+        if (id == "fmt " && off + 24 <= p.length)
+          fmt = Some((u32(off + 12).toInt, u16(off + 10), u16(off + 22)))
+        else if (id == "data") dataLen = len
+        off += 8 + len.toInt + (len.toInt & 1) // chunks pad to even length
+      }
+      fmt.collect {
+        case (rate, ch, bits) if dataLen >= 0 && ch > 0 && bits >= 8 =>
+          (rate, ch, bits, dataLen / (ch.toLong * bits / 8))
+      }
+    }
+
+    /** Duration in whole milliseconds — the metadata column a media
+      * table carries without ever decoding samples. */
+    def durationMs(p: Array[Byte]): Option[Long] =
+      parseWavHeader(p).collect {
+        case (rate, _, _, n) if rate > 0 => n * 1000L / rate
+      }
+  }
+
   /** Container-agnostic byte-level operators — the fallback tier for
     * payloads the JVM has no codec for (audio/video containers). */
   object ByteCodec {

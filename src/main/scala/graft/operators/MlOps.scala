@@ -148,6 +148,40 @@ object MultimodalOps {
         }(enc)
         .orderBy(col("doc_id"))
     },
+    // audio sibling of mm_image_meta: per doc, synthesize a 16-bit PCM
+    // WAV whose parameters derive from doc_id, run it through the REAL
+    // RIFF chunk-walking parser (WavCodec — no fixed offsets, no
+    // javax.sound), and emit the PARSED fields; the oracle recomputes
+    // them from the doc_id formula, so a hash match proves the
+    // container round-trip (encode → parse) is bit-faithful for every
+    // row. Same executor-pure mapPartitions shape as the image path:
+    // payloads never reach the driver.
+    "mm_audio_meta" -> { (s, dir) =>
+      import graft.multimodal.Multimodal.WavCodec
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sample_rate", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("channels", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bits", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_samples", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("duration_ms", org.apache.spark.sql.types.LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      documents(s, dir)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .mapPartitions { rows =>
+          val rates = Array(8000, 16000, 44100)
+          rows.map { r =>
+            val id = r.getLong(0)
+            val wav = WavCodec.encodeWav(
+              rates((id % 3).toInt), 1 + (id % 2).toInt,
+              100 + (id % 400).toInt, seed = id)
+            val (rate, ch, bits, n) = WavCodec.parseWavHeader(wav).get
+            val dur = WavCodec.durationMs(wav).get
+            org.apache.spark.sql.Row(id, rate, ch, bits, n, dur)
+          }
+        }(enc)
+        .orderBy(col("doc_id"))
+    },
     // frame-sampling through the REAL batched mapPartitions path
     // (graft.multimodal.Multimodal.sampleFrames over the byte codec):
     // each payload splits into min(4, len) frames of max(1, len/4)
@@ -171,6 +205,17 @@ object MultimodalOps {
   val oracles: Map[String, String] = Map(
     // replays encodePng's dimension/alpha/pixel formulas; a match proves
     // the Spark side's real PNG encode→decode returned the true values
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+        |  CAST((100 + doc_id % 400) * 1000 //
+        |    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS duration_ms
+        |FROM documents
+        |WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
     "mm_image_meta" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 57 AS INT) AS width,

@@ -100,4 +100,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(1L) == 4)
     assert(!byId.contains(3L)) // empty payload → no frames
   }
+
+  test("WavCodec: encode -> parse round-trips every header field") {
+    import Multimodal.WavCodec
+    val wav = WavCodec.encodeWav(sampleRate = 16000, channels = 2, nSamples = 321, seed = 7L)
+    assert(WavCodec.parseWavHeader(wav).contains((16000, 2, 16, 321L)))
+    assert(WavCodec.durationMs(wav).contains(321L * 1000 / 16000))
+    // byte-level sanity: RIFF size field covers the whole file
+    assert(wav.length == 44 + 321 * 2 * 2)
+  }
+
+  test("WavCodec: chunk walker survives extra chunks before fmt/data") {
+    import Multimodal.WavCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    val base = WavCodec.encodeWav(8000, 1, 10, seed = 1L)
+    // splice a LIST chunk (odd length -> exercises even-padding rule)
+    val extra = ByteBuffer.allocate(8 + 6).order(ByteOrder.LITTLE_ENDIAN)
+    extra.put("LIST".getBytes("US-ASCII")); extra.putInt(5)
+    extra.put(Array[Byte](1, 2, 3, 4, 5, 0)) // 5 bytes + pad
+    val spliced = base.take(12) ++ extra.array() ++ base.drop(12)
+    assert(WavCodec.parseWavHeader(spliced).contains((8000, 1, 16, 10L)))
+  }
+
+  test("WavCodec: corrupt and truncated payloads parse to None, not failures") {
+    import Multimodal.WavCodec
+    assert(WavCodec.parseWavHeader(null).isEmpty)
+    assert(WavCodec.parseWavHeader(Array[Byte](1, 2, 3)).isEmpty)
+    assert(WavCodec.parseWavHeader("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
+    val wav = WavCodec.encodeWav(8000, 1, 10, seed = 1L)
+    wav(0) = 'X'.toByte // break the magic
+    assert(WavCodec.parseWavHeader(wav).isEmpty)
+  }
 }
