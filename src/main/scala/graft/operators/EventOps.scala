@@ -23,6 +23,32 @@ object EventOps {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
     },
+    // calendar densification (gap filling): purchase counts per hour
+    // INCLUDING the silent hours as explicit zero rows — time-series
+    // consumers (charting, anomaly detection, forecasting feeds) need
+    // the gaps materialized, and a groupBy alone cannot produce rows
+    // for hours it never saw. The hour grid is generated from the
+    // observed min/max (one 1-row aggregate, broadcast) via sequence +
+    // explode — bounded by the calendar, not the data — and the
+    // per-hour aggregate left-joins onto it. Same grid-broadcast
+    // discipline as events_active_users: the big side is reduced
+    // BEFORE it meets the grid.
+    "events_gap_fill" -> { (s, dir) =>
+      val purch = events(s, dir).filter(col("event_type") === "purchase")
+        .select(date_trunc("hour", col("ts")).as("h"), col("value"))
+      val agg = purch.groupBy(col("h"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))
+      val bounds = purch.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      val grid = bounds.select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+      grid.join(agg, Seq("h"), "left")
+        .select(col("h"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy(col("h"))
+    },
     // engagement: DAU + trailing-7-day distinct actives per day. The
     // scale discipline is the ORDER of reduction: events collapse to
     // one row per (day, user) FIRST — corpus-sized work, one exact
@@ -307,6 +333,21 @@ object EventOps {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+    "events_gap_fill" ->
+      """WITH p AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |agg AS (
+        |  SELECT h, COUNT(*) AS n,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |  FROM p GROUP BY h),
+        |grid AS (
+        |  SELECT unnest(generate_series((SELECT MIN(h) FROM p),
+        |    (SELECT MAX(h) FROM p), INTERVAL 1 HOUR)) AS h)
+        |SELECT grid.h AS h, COALESCE(agg.n, 0) AS n,
+        |  COALESCE(agg.sum_value, 0.0) AS sum_value
+        |FROM grid LEFT JOIN agg ON agg.h = grid.h
+        |ORDER BY grid.h""".stripMargin,
     "events_active_users" ->
       """WITH ud AS (
         |  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,

@@ -267,6 +267,46 @@ object Relational {
           round(avg(col("c_acctbal")), 4).as("avg_bal"))
         .orderBy(col("nationkey"))
     },
+    // UNPIVOT (melt): the wide per-nation balance rollup turned into
+    // tidy (nationkey, metric, value) rows — the inverse of
+    // events_pivot_types' PIVOT, and like it a pure Expand projection:
+    // rows × metric count, no shuffle beyond the input aggregation and
+    // the presentation sort. At scale melting is how wide feature
+    // tables feed long-format consumers without per-metric scans.
+    "q_unpivot_balance" -> { (s, dir) =>
+      val wide = customer(s, dir)
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).cast("double").as("n_cust"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"),
+          round(max(col("c_acctbal")), 4).as("max_bal"))
+      wide.unpivot(
+          Array(col("nationkey")),
+          Array(col("n_cust"), col("avg_bal"), col("max_bal")),
+          "metric", "value")
+        .orderBy(col("nationkey"), col("metric"))
+    },
+    // MULTISET set ops: INTERSECT ALL / EXCEPT ALL preserve
+    // multiplicity — per-customer order-date keys where a customer
+    // ordering twice in 1996 and once in 1997 contributes one surviving
+    // duplicate to the intersection, which DISTINCT set ops erase.
+    // Spark plans both as aggregate + join on (row, count) — no
+    // row-by-row bag subtraction, same partial-agg scale shape as any
+    // groupBy.
+    "q_set_ops_all" -> { (s, dir) =>
+      val o = orders(s, dir)
+      def keys(y: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val inter = keys(1996).intersectAll(keys(1997))
+        .select(lit("intersect_all").as("op"), col("o_custkey"))
+      val diff = keys(1996).exceptAll(keys(1997))
+        .select(lit("except_all").as("op"), col("o_custkey"))
+      inter.union(diff)
+        .groupBy(col("op")).agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy(col("op"))
+    },
     // set operations: 1996-buyers vs 1997-buyers key sets
     "q_set_ops" -> { (s, dir) =>
       val o = orders(s, dir)
@@ -477,6 +517,31 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_unpivot_balance" ->
+      """WITH wide AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_cust,
+        |    ROUND(AVG(c_acctbal), 4) AS avg_bal,
+        |    ROUND(MAX(c_acctbal), 4) AS max_bal
+        |  FROM customer GROUP BY 1)
+        |SELECT nationkey, metric, value
+        |FROM wide
+        |UNPIVOT (value FOR metric IN (n_cust, avg_bal, max_bal))
+        |ORDER BY nationkey, metric""".stripMargin,
+    "q_set_ops_all" ->
+      """WITH k96 AS (SELECT o_custkey FROM orders
+        |             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |k97 AS (SELECT o_custkey FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |u AS (
+        |  SELECT 'intersect_all' AS op, o_custkey FROM (
+        |    SELECT o_custkey FROM k96 INTERSECT ALL SELECT o_custkey FROM k97) t1
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, o_custkey FROM (
+        |    SELECT o_custkey FROM k96 EXCEPT ALL SELECT o_custkey FROM k97) t2)
+        |SELECT op, COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_custs
+        |FROM u GROUP BY op
+        |ORDER BY op""".stripMargin,
     "q_set_ops" ->
       """WITH b96 AS (SELECT o_custkey FROM orders
         |             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),

@@ -213,6 +213,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges(p) <= 2, s"exchanges=${exchanges(p)}\n$p")
   }
 
+  test("q_unpivot_balance: melt is a pure Expand projection, no extra shuffle") {
+    val p = plan("q_unpivot_balance")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("events_gap_fill: the hour grid joins broadcast, reduced side first") {
+    val p = plan("events_gap_fill")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("events_active_users: the day grid broadcasts onto the user-day table") {
     val p = plan("events_active_users")
     // the trailing-window join must build on the tiny day grid

@@ -36,4 +36,36 @@ class RelationalSpec extends AnyFunSuite {
         s"order $ok: ${rolled(ok)._3} != $expect")
     }
   }
+
+  test("q_set_ops_all: multiset counts match a brute-force bag computation") {
+    val o = Tables.orders(spark, sf)
+    def keys(y: Int) = o
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSeq
+    val (k96, k97) = (keys(1996), keys(1997))
+    val c96 = k96.groupBy(identity).view.mapValues(_.size).toMap
+    val c97 = k97.groupBy(identity).view.mapValues(_.size).toMap
+    val interRows = c96.map { case (k, n) => math.min(n, c97.getOrElse(k, 0)) }.sum
+    val exceptRows = c96.map { case (k, n) => math.max(0, n - c97.getOrElse(k, 0)) }.sum
+    val out = Relational.queries("q_set_ops_all")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("intersect_all") == interRows.toLong, out.toString)
+    assert(out("except_all") == exceptRows.toLong, out.toString)
+    // the ALL variants must actually see multiplicity on this corpus
+    assert(interRows > c96.keySet.count(c97.contains), "no duplicate survived — weak fixture")
+  }
+
+  test("events_gap_fill: the hour grid is dense and zeros mark real gaps") {
+    val rows = EventOps.queries("events_gap_fill")(spark, sf)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    val hour = 3600000L
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach { case Array((a, _), (b, _)) =>
+      assert(b - a == hour, s"grid gap between $a and $b")
+    }
+    assert(rows.exists(_._2 == 0L), "expected at least one silent hour as a zero row")
+    assert(rows.map(_._2).sum ==
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+  }
 }
