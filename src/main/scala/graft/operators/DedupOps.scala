@@ -50,16 +50,21 @@ object DedupOps {
     * oracle replayability). Shared by the full-corpus pair query and the
     * incremental ingest gate, which probes these keys instead of
     * generating pairs. */
-  private def lshBands(docs: DataFrame): DataFrame = {
+  /** Per-doc K-column minhash signature (doc_id, h1..hK) — the md5
+    * 16-bit-slice family shared by the band keys and the estimator-
+    * quality report. */
+  private def minhashSig(docs: DataFrame): DataFrame = {
     val sh = withShingles(docs).withColumn("m", md5(col("sh")))
     val sigCols = (1 to K).map(i =>
       min(substring(col("m"), (i - 1) * 4 + 1, 4)).as(s"h$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    sig.select(col("doc_id"), posexplode(array(
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  private def lshBands(docs: DataFrame): DataFrame =
+    minhashSig(docs).select(col("doc_id"), posexplode(array(
       (0 until K / 2).map(b =>
         concat(col(s"h${2 * b + 1}"), col(s"h${2 * b + 2}"))): _*)))
       .toDF("doc_id", "band", "bh")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash groups with representative + multiplicity
@@ -352,6 +357,38 @@ object DedupOps {
           when(row_number().over(pick) === 1, 1).otherwise(0))
         .orderBy(col("doc_id"))
     },
+    // estimator-quality report: per LSH candidate pair, the MinHash
+    // Jaccard ESTIMATE (fraction of agreeing signature slots) next to
+    // the TRUE shingle-set Jaccard and the absolute error — the tuning
+    // report that justifies K and the banding (too few hashes → noisy
+    // estimates → band false positives/negatives). Scale shape: the
+    // pair set is already band-bounded (corpus-sublinear); true-Jaccard
+    // shingle sets join per pair doc, so exact verification cost scales
+    // with CANDIDATES, never the corpus — the same candidates-only
+    // discipline as dedup_ngram_jaccard's verify stage.
+    "dedup_minhash_est" -> { (s, dir) =>
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val pairs = queries("dedup_minhash_lsh")(s, dir)
+      val sig = minhashSig(docs)
+      val sigA = sig.toDF("doc_a" +: (1 to K).map(i => s"a$i"): _*)
+      val sigB = sig.toDF("doc_b" +: (1 to K).map(i => s"b$i"): _*)
+      val agree = (1 to K).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      val est = pairs.join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(agree.cast("double") / K, 6).as("est_jaccard"))
+      val sets = withShingles(docs)
+        .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("s"))
+      val setA = sets.toDF("doc_a", "sa")
+      val setB = sets.toDF("doc_b", "sb")
+      est.join(setA, Seq("doc_a")).join(setB, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))), 6).as("true_jaccard"))
+        .withColumn("abs_err",
+          round(abs(col("est_jaccard") - col("true_jaccard")), 6))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     // INCREMENTAL ingest dedup — the shape real pipelines run daily:
     // classify a new batch (here the doc_id%5==0 slice) against the
     // EXISTING corpus without ever re-deduping the corpus itself.
@@ -627,6 +664,30 @@ object DedupOps {
         |ORDER BY h""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_minhash_est" -> {
+      val agree = (1 to K).map(i =>
+        s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $minhashPairsCtes,
+         |sh_sets AS (
+         |  SELECT doc_id, list_distinct(list(sh)) AS s FROM shingles GROUP BY doc_id),
+         |est AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    ROUND(($agree) / ${K}.0, 6) AS est_jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON a.doc_id = p.doc_a
+         |  JOIN sig b ON b.doc_id = p.doc_b),
+         |tru AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    ROUND(len(list_intersect(sa.s, sb.s)) * 1.0 /
+         |      len(list_distinct(sa.s || sb.s)), 6) AS true_jaccard
+         |  FROM pairs p
+         |  JOIN sh_sets sa ON sa.doc_id = p.doc_a
+         |  JOIN sh_sets sb ON sb.doc_id = p.doc_b)
+         |SELECT e.doc_a, e.doc_b, e.est_jaccard, t.true_jaccard,
+         |  ROUND(ABS(e.est_jaccard - t.true_jaccard), 6) AS abs_err
+         |FROM est e JOIN tru t ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin
+    },
     "dedup_incremental" ->
       s"""WITH $minhashPairsCtes,
          |batch AS (

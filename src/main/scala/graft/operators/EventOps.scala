@@ -49,6 +49,27 @@ object EventOps {
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
         .orderBy(col("h"))
     },
+    // anomaly flagging over the densified series: per hour, z-score of
+    // the purchase count against the TRAILING 24h window (gap-filled
+    // first — without zero rows a silent hour would vanish from both
+    // the window and the verdict, exactly the hours an anomaly monitor
+    // exists to catch). Emits flagged hours (|z| >= 2). The window is
+    // a single ordered series — grid-sized input (the per-hour
+    // aggregate), not events; with many series the same window
+    // partitions by series id and scales horizontally. Counts are
+    // integers, so mean/stddev sums are exact in double and both
+    // engines compute identical z at 4dp.
+    "events_anomaly_zscore" -> { (s, dir) =>
+      val w = Window.orderBy(col("h")).rowsBetween(-24, -1)
+      queries("events_gap_fill")(s, dir)
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sd", stddev_samp(col("n")).over(w))
+        .filter(col("sd").isNotNull && col("sd") > 0)
+        .withColumn("z", round((col("n") - col("mu")) / col("sd"), 4))
+        .filter(abs(col("z")) >= 2)
+        .select(col("h"), col("n"), round(col("mu"), 4).as("mu_24h"), col("z"))
+        .orderBy(col("h"))
+    },
     // engagement: DAU + trailing-7-day distinct actives per day. The
     // scale discipline is the ORDER of reduction: events collapse to
     // one row per (day, user) FIRST — corpus-sized work, one exact
@@ -333,6 +354,28 @@ object EventOps {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+    "events_anomaly_zscore" ->
+      """WITH p AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |agg AS (
+        |  SELECT h, COUNT(*) AS n FROM p GROUP BY h),
+        |grid AS (
+        |  SELECT unnest(generate_series((SELECT MIN(h) FROM p),
+        |    (SELECT MAX(h) FROM p), INTERVAL 1 HOUR)) AS h),
+        |filled AS (
+        |  SELECT grid.h AS h, COALESCE(agg.n, 0) AS n
+        |  FROM grid LEFT JOIN agg ON agg.h = grid.h),
+        |scored AS (
+        |  SELECT h, n,
+        |    AVG(n) OVER w AS mu,
+        |    STDDEV_SAMP(n) OVER w AS sd
+        |  FROM filled
+        |  WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT h, n, ROUND(mu, 4) AS mu_24h, ROUND((n - mu) / sd, 4) AS z
+        |FROM scored
+        |WHERE sd IS NOT NULL AND sd > 0 AND ABS(ROUND((n - mu) / sd, 4)) >= 2
+        |ORDER BY h""".stripMargin,
     "events_gap_fill" ->
       """WITH p AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value

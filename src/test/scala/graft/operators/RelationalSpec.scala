@@ -68,4 +68,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum ==
       Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
   }
+
+  test("events_anomaly_zscore: flags are |z|>=2 rows of the densified series") {
+    val flagged = EventOps.queries("events_anomaly_zscore")(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(3)))
+    val gridHours = EventOps.queries("events_gap_fill")(spark, sf)
+      .collect().map(_.getTimestamp(0)).toSet
+    flagged.foreach { case (h, _, z) =>
+      assert(math.abs(z) >= 2.0, s"$h flagged with |z|=$z < 2")
+      assert(gridHours.contains(h), s"$h not on the densified grid")
+    }
+  }
+
+  test("dedup_minhash_est: estimates are valid probabilities with bounded mean error") {
+    val rows = DedupOps.queries("dedup_minhash_est")(spark, sf)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, tru, err) =>
+      assert(est >= 0 && est <= 1 && tru >= 0 && tru <= 1)
+      assert(math.abs(err - math.abs(est - tru)) < 1e-9)
+    }
+    // K=8 gives stderr ~ sqrt(j(1-j)/8) <= 0.18; candidates skew to
+    // high-j pairs, so the mean error should sit well under 0.35
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean < 0.35, s"mean |est-true| = $mean — estimator broken?")
+  }
 }
