@@ -368,8 +368,26 @@ object DedupOps {
     // discipline as dedup_ngram_jaccard's verify stage.
     "dedup_minhash_est" -> { (s, dir) =>
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
-      val pairs = queries("dedup_minhash_lsh")(s, dir)
-      val sig = minhashSig(docs)
+      // ONE signature computation feeds band keys AND both estimate
+      // sides — the naive composition (reusing the pair QUERY) rebuilt
+      // the shingle+md5+groupBy subtree three times, since exchange
+      // reuse does not fire across self-join aliases. At sf0.1 the win
+      // is modest (1.78 → 1.65 s best-of-N; the sig subtree is cheap
+      // at 5k docs) but structural at scale: the saved work is two
+      // extra corpus-sized shingle scans, which grow with the corpus
+      // while the checkpointed signature table stays |docs| × K slices.
+      // eager=false keeps EXPLAIN job-free; materializes at first use.
+      val sig = minhashSig(docs).localCheckpoint(eager = false)
+      val bands = sig.select(col("doc_id"), posexplode(array(
+        (0 until K / 2).map(b =>
+          concat(col(s"h${2 * b + 1}"), col(s"h${2 * b + 2}"))): _*)))
+        .toDF("doc_id", "band", "bh")
+      val a = bands.as("a"); val b = bands.as("b")
+      val pairs = a.join(b,
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
       val sigA = sig.toDF("doc_a" +: (1 to K).map(i => s"a$i"): _*)
       val sigB = sig.toDF("doc_b" +: (1 to K).map(i => s"b$i"): _*)
       val agree = (1 to K).map(i =>
