@@ -376,6 +376,143 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("day"),
           col("roll_rev_30d"))
         .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+    },
+    // TPC-H Q6: forecast revenue change — the pushdown benchmark. The
+    // whole query is filter + one-row sum: every predicate reaches the
+    // parquet scan (PushedFilters) and ReadSchema prunes to the four
+    // referenced columns, so at 100 TB the scan row-group-skips on
+    // l_shipdate statistics and never materializes the other columns.
+    "q6_forecast_revenue" -> { (s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            col("l_discount").cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+    },
+    // TPC-H Q7: volume shipped between two nations, by year. The nation
+    // restriction is applied to the 2-row DIMS first and broadcast onto
+    // supplier/customer BEFORE the fact joins — the literal TPC-H text
+    // filters the OR-mirror after joining, which Catalyst cannot
+    // decompose into per-side pushdowns; pre-restricting kills ~23/25 of
+    // both dimension sides up front. With only two nations kept, the
+    // mirror condition reduces to supp_nation != cust_nation.
+    "q7_volume_shipping" -> { (s, dir) =>
+      val picked = Seq("NATION_18", "NATION_19")
+      val n1 = nation(s, dir).filter(col("n_name").isin(picked: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, dir).filter(col("n_name").isin(picked: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val l = lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      l.join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    // TPC-H Q10: returned-item reporting — revenue lost to returns per
+    // customer in one quarter, top 20. Orders prune on date and lineitem
+    // on returnflag AT THE SCAN (both pushed), nation broadcasts, and
+    // the final top-k is TakeOrderedAndProject — never a global sort.
+    "q10_returned_items" -> { (s, dir) =>
+      val o = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = lineitem(s, dir).filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    // TPC-H Q14: promo revenue share — conditional aggregation over a
+    // broadcast part join; one fact-scan pass, one row out. Each sum is
+    // rounded to money scale as DECIMAL before the double cast (the
+    // [[revenueSum]] discipline — scale-8 decimal→double conversion can
+    // differ by 1 ulp between engines past 2^53), so the ratio divides
+    // two bit-deterministic doubles.
+    "q14_promo_revenue" -> { (s, dir) =>
+      val disc = col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * round(sum(when(col("p_type") === "PROMO", disc)
+            .otherwise(lit(0).cast("decimal(18,4)"))), 2).cast("double") /
+            round(sum(disc), 2).cast("double"), 6).as("promo_revenue"))
+    },
+    // TPC-H Q15: top supplier — the per-supplier revenue aggregate is
+    // computed ONCE (checkpointed at |suppliers| rows, the same
+    // exchange-reuse-across-self-join-aliases limitation as
+    // dedup_minhash_est), then its one-row max broadcasts back onto it:
+    // the corpus-sized lineitem scan happens exactly once. Equality on
+    // the pre-rounded decimal total makes the tie-safe argmax
+    // deterministic in both engines.
+    "q15_top_supplier" -> { (s, dir) =>
+      val rev = lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("total_revenue"))
+        .localCheckpoint(eager = false)
+      val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.join(broadcast(mx), col("total_revenue") === col("max_rev"))
+        .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    // TPC-H Q17: small-quantity-order revenue — SQL-first so the
+    // correlated scalar subquery (per-part average quantity) exercises
+    // Catalyst's DECORRELATION: the executed plan is one extra aggregate
+    // over lineitem joined back on partkey, never a per-outer-row
+    // re-execution (the plan gate pins no-CartesianProduct). The 0.2×
+    // threshold compare is deterministic: quantities are integral, so
+    // their sums (and hence avg) are exact doubles in both engines.
+    "q17_small_qty_revenue" -> { (s, dir) =>
+      lineitem(s, dir).createOrReplaceTempView("lineitem")
+      part(s, dir).createOrReplaceTempView("part")
+      s.sql("""
+        SELECT ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                 AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+    },
+    // TPC-H Q18: large-volume customers. Unlike the literal TPC-H text
+    // (IN-subquery plus a SECOND lineitem pass for the displayed sum),
+    // the aggregate IS the driving table: group once, having-filter,
+    // join the small survivor set to orders/customer — the corpus is
+    // scanned exactly once and everything downstream of the filter is
+    // match-level cardinality.
+    "q18_large_volume" -> { (s, dir) =>
+      val big = lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
     })
 
   val oracles: Map[String, String] = Map(
@@ -572,7 +709,75 @@ object Relational {
         |      FROM customer GROUP BY c_nationkey) a ON c.c_nationkey = a.nk
         |WHERE c_acctbal > nation_avg * 1.5
         |GROUP BY CAST(c_nationkey AS BIGINT)
-        |ORDER BY nationkey""".stripMargin)
+        |ORDER BY nationkey""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal, n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT ROUND(100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+        |  / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q18_large_volume" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300) b
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
 }
 
 /** Table loaders (one parquet per table, TESTDATA.md). */

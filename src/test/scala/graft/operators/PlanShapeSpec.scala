@@ -305,4 +305,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(exchanges(p) <= 7, s"exchanges=${exchanges(p)}\n$p")
   }
+
+  test("q6_forecast_revenue: every predicate pushes to the scan; schema prunes to 4 columns") {
+    // the pushdown benchmark: at 100 TB this query IS its scan, so all
+    // four predicates must reach the parquet reader and the ReadSchema
+    // must carry only the referenced columns
+    val p = SparkEntry.queries("q6_forecast_revenue")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach(f => assert(pushed.contains(f), pushed))
+    val schema = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(schema.contains("l_quantity") && !schema.contains("l_orderkey"), schema)
+  }
+
+  test("q17_small_qty_revenue: correlated scalar subquery decorrelates to an aggregate join") {
+    // Catalyst must rewrite the per-part avg into one grouped aggregate
+    // joined back on partkey — never a per-outer-row re-execution and
+    // never a cartesian
+    val p = plan("q17_small_qty_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q18_large_volume: single lineitem pass; top-k is TakeOrderedAndProject") {
+    // the aggregate drives the join, so lineitem is scanned exactly once
+    // (the literal TPC-H IN-subquery formulation scans it twice)
+    val p = plan("q18_large_volume")
+    assert(p.linesIterator.count(l =>
+      l.contains("parquet") && l.contains("lineitem")) == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q15_top_supplier: the revenue aggregate is reused, not recomputed per alias") {
+    // the checkpointed per-supplier aggregate feeds both the max and the
+    // argmax filter: the plan must show NO parquet lineitem scan (it sits
+    // once behind the checkpoint) and broadcast the one-row max
+    val p = plan("q15_top_supplier")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("parquet") && l.contains("lineitem")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -93,4 +93,40 @@ class RelationalSpec extends AnyFunSuite {
     val mean = rows.map(_._3).sum / rows.length
     assert(mean < 0.35, s"mean |est-true| = $mean — estimator broken?")
   }
+
+  test("TPC-H classics: invariants hold on sf0.001 (values are DuckDB-checked at sf0.01)") {
+    val q = Relational.queries
+    // q6: one row, positive revenue (the filter window is non-empty)
+    val q6 = q("q6_forecast_revenue")(spark, sf).collect()
+    assert(q6.length == 1 && q6(0).getDouble(0) > 0)
+    // q7: at most 2 nations × 2 years, never a same-nation pair
+    val q7 = q("q7_volume_shipping")(spark, sf).collect()
+    assert(q7.nonEmpty && q7.length <= 4)
+    q7.foreach(r => assert(r.getString(0) != r.getString(1)))
+    // q10: 20 returned-revenue customers, sorted descending
+    val q10 = q("q10_returned_items")(spark, sf)
+      .collect().map(_.getDouble(4))
+    assert(q10.length == 20 && q10.sameElements(q10.sortBy(-_)))
+    // q14: promo share is a percentage strictly inside (0, 100) — PROMO
+    // is one of six part types, so neither degenerate end can occur
+    val q14 = q("q14_promo_revenue")(spark, sf).collect()(0).getDouble(0)
+    assert(q14 > 0 && q14 < 100, s"promo_revenue=$q14")
+    // q15: the selected supplier's revenue equals the global max of the
+    // same per-supplier aggregate computed independently
+    val q15 = q("q15_top_supplier")(spark, sf).collect()
+    assert(q15.nonEmpty)
+    val indep = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 2)
+        .cast("double").as("rev"))
+      .agg(max(col("rev"))).collect()(0).getDouble(0)
+    q15.foreach(r => assert(r.getDouble(2) == indep))
+    // q18: every surviving order's quantity exceeds the having threshold
+    val q18 = q("q18_large_volume")(spark, sf).collect()
+    assert(q18.nonEmpty)
+    q18.foreach(r => assert(r.getDouble(5) > 300))
+  }
 }
