@@ -513,6 +513,140 @@ object Relational {
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
+    },
+    // TPC-H Q8: national market share — one nation's share of a region's
+    // ECONOMY-part market, by year. The region restriction collapses to
+    // a customer-key set via broadcast(nation⋈region) BEFORE the fact
+    // joins (25-row dim chain, never a shuffle); the part filter prunes
+    // at its scan and broadcasts; the supplier nation lookup broadcasts.
+    // Share = two rounded decimal sums divided as exact doubles (the
+    // [[revenueSum]] discipline), so the ratio is bit-deterministic.
+    "q8_market_share" -> { (s, dir) =>
+      val vol = col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+      val asiaCust = customer(s, dir)
+        .join(broadcast(nation(s, dir)
+            .join(region(s, dir).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNat = nation(s, dir)
+        .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir).filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNat), col("s_nationkey") === col("sn_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          round(sum(when(col("supp_nation") === "NATION_7", vol)
+            .otherwise(lit(0).cast("decimal(18,4)"))), 2).cast("double") /
+            round(sum(vol), 2).cast("double"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+    // TPC-H Q12 (adapted: the testdata carries no shipmode/commitdate, so
+    // "late" is ship-lag > 60 days after the order date): order-priority
+    // mix by shipping punctuality. One fact join, conditional counts —
+    // the severity×class matrix shape every SLA dashboard runs.
+    "q12_ship_lag" -> { (s, dir) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(when(datediff(col("l_shipdate"), col("o_orderdate")) > 60,
+          "late").otherwise("ontime").as("lag_class"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("lag_class"))
+    },
+    // TPC-H Q13: customer order-count distribution. Reduce-before-join:
+    // orders collapse to per-customer counts FIRST (the only corpus-sized
+    // aggregation), then the count table left-joins onto customer so
+    // zero-order customers surface as the c_count=0 bucket — the literal
+    // TPC-H left join carries every order row through the join instead.
+    "q13_customer_distribution" -> { (s, dir) =>
+      val per = orders(s, dir)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      customer(s, dir)
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    // TPC-H Q19: discounted revenue under three OR'd brand/size/quantity
+    // predicate groups — the disjunctive-pushdown benchmark. Catalyst's
+    // BooleanSimplification + per-side predicate extraction must derive
+    // scan-level filters from the cross-table OR (the plan gate pins
+    // l_quantity bounds reaching the lineitem scan); part broadcasts.
+    "q19_disjunctive_revenue" -> { (s, dir) =>
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#21" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+    },
+    // TPC-H Q21 (adapted: "late" is ship-lag > 90 days — no receipt/
+    // commit dates in the testdata): suppliers who were the SOLE late
+    // supplier on a finished multi-supplier order. SQL-first so the
+    // EXISTS / NOT EXISTS pair exercises Catalyst's subquery planning:
+    // both rewrite to semi/anti self-joins on l_orderkey (never
+    // per-outer-row re-execution; the gate pins semi+anti, no cartesian).
+    "q21_waiting_suppliers" -> { (s, dir) =>
+      lineitem(s, dir).createOrReplaceTempView("lineitem")
+      orders(s, dir).createOrReplaceTempView("orders")
+      supplier(s, dir).createOrReplaceTempView("supplier")
+      s.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20""")
+    },
+    // TPC-H Q22 (adapted: nation stands in for the phone country code,
+    // and "never ordered" becomes "no order since 1999" — every testdata
+    // customer has SOME order, which Q22's 7-year-dormancy intent
+    // anticipates): wealthy dormant customers, by nation. The global
+    // positive-balance average is ONE broadcast row (sum-decimal /
+    // count as a single exact-double division — bit-identical in both
+    // engines, so the > threshold can't flip rows), then a NOT EXISTS
+    // anti join — with the date filter pushed to the orders SCAN, not
+    // the join — drops everyone recently active.
+    "q22_sleeping_customers" -> { (s, dir) =>
+      val c = customer(s, dir)
+      val thr = c.filter(col("c_acctbal") > 0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("thr"))
+      c.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("nationkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -777,7 +911,78 @@ object Relational {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_7'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+        |    / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY CAST(year(o_orderdate) AS BIGINT)
+        |ORDER BY o_year""".stripMargin,
+    "q12_ship_lag" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+        |         THEN 'late' ELSE 'ontime' END AS lag_class,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |ORDER BY lag_class""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer
+        |      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '4-NOT SPECIFIED'
+        |      GROUP BY c_custkey) a
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+    "q22_sleeping_customers" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY nationkey""".stripMargin)
 }
 
 /** Table loaders (one parquet per table, TESTDATA.md). */

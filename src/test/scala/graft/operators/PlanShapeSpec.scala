@@ -348,4 +348,67 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("parquet") && l.contains("lineitem")), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q19_disjunctive_revenue: the cross-table OR decomposes into per-side scan filters") {
+    // the disjunctive-pushdown benchmark: Catalyst must derive a
+    // lineitem-only OR (quantity bands) and a part-only OR (brand/size
+    // bands) from the three mixed predicate groups and push BOTH to
+    // their scans — otherwise 100 TB of lineitem reaches the join filter
+    val p = SparkEntry.queries("q19_disjunctive_revenue")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      pushed.contains("LessThanOrEqual(l_quantity,30.0)"), pushed)
+    assert(pushed.contains("EqualTo(p_brand,Brand#12)") &&
+      pushed.contains("LessThanOrEqual(p_size,15)"), pushed)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q21_waiting_suppliers: EXISTS/NOT EXISTS plan as semi+anti self-joins") {
+    // subquery decorrelation, not per-outer-row re-execution: the pair
+    // becomes one LeftSemi and one LeftAnti on l_orderkey
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q13_customer_distribution: orders reduce to per-customer counts BELOW the outer join") {
+    // reduce-before-join: the corpus-sized aggregation happens on the
+    // orders side first; the left-outer join then carries one row per
+    // customer, not one per order — and the priority filter is pushed
+    // to the orders scan
+    val p = SparkEntry.queries("q13_customer_distribution")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("LeftOuter"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))"), pushed)
+    // the aggregate node id must be larger (deeper) than the outer
+    // join's in formatted order — cheap proxy: HashAggregate appears in
+    // the tree section before the join consumes it
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q22_sleeping_customers: dormancy cutoff pushes to the orders scan; anti join prunes") {
+    val p = SparkEntry.queries("q22_sleeping_customers")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("LeftAnti"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"), pushed)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q8_market_share: dimension chain broadcasts; only the fact join shuffles") {
+    val p = plan("q8_market_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // at most the lineitem⋈orders pair may sort-merge; everything else
+    // rides broadcast
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
+  }
 }

@@ -129,4 +129,58 @@ class RelationalSpec extends AnyFunSuite {
     assert(q18.nonEmpty)
     q18.foreach(r => assert(r.getDouble(5) > 300))
   }
+
+  test("TPC-H classics II: invariants hold on sf0.001 (values DuckDB-checked at sf0.01)") {
+    val q = Relational.queries
+    // q8: at most 2 year rows, share is a proper fraction
+    val q8 = q("q8_market_share")(spark, sf).collect()
+    assert(q8.nonEmpty && q8.length <= 2)
+    q8.foreach(r => assert(r.getDouble(1) >= 0 && r.getDouble(1) <= 1))
+    // q12: late/ontime partition the fact join — high+low counts sum to
+    // the full lineitem count (every lineitem has a parent order)
+    val q12 = q("q12_ship_lag")(spark, sf).collect()
+    assert(q12.map(_.getString(0)).sorted.sameElements(Array("late", "ontime")))
+    val total = Tables.lineitem(spark, sf).count()
+    assert(q12.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    // q13: the histogram is complete — custdist sums to the customer
+    // count, and c_count-weighted mass equals the filtered order count
+    val q13 = q("q13_customer_distribution")(spark, sf).collect()
+    assert(q13.map(_.getLong(1)).sum == Tables.customer(spark, sf).count())
+    assert(q13.map(r => r.getLong(0) * r.getLong(1)).sum ==
+      Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED").count())
+    // q19: the OR'd predicate groups select a non-empty revenue
+    val q19 = q("q19_disjunctive_revenue")(spark, sf).collect()
+    assert(q19.length == 1 && !q19(0).isNullAt(0) && q19(0).getDouble(0) > 0)
+    // q21: descending wait counts; each flagged supplier re-verifies
+    // against a direct per-order recount (sole late supplier on a
+    // finished multi-supplier order)
+    val q21 = q("q21_waiting_suppliers")(spark, sf).collect()
+    assert(q21.nonEmpty && q21.length <= 20)
+    val waits = q21.map(_.getLong(1))
+    assert(waits.sameElements(waits.sortBy(-_)) && waits.forall(_ > 0))
+    val perOrder = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nl"),
+        first(when(col("late"), col("l_suppkey")), ignoreNulls = true).as("lone"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("lateLines"))
+      .filter(col("ns") >= 2 && col("nl") === 1)
+      .groupBy(col("lone")).agg(sum(col("lateLines")).as("numwait"))
+      .join(Tables.supplier(spark, sf), col("lone") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q21.foreach(r => assert(perOrder(r.getString(0)) == r.getLong(1),
+      s"${r.getString(0)}: query=${r.getLong(1)} recount=${perOrder.get(r.getString(0))}"))
+    // q22: dormant-wealthy rows exist even at sf0.001 and every nation
+    // key is a real nation
+    val q22 = q("q22_sleeping_customers")(spark, sf).collect()
+    assert(q22.nonEmpty)
+    q22.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < 25 &&
+      r.getLong(1) >= 1))
+  }
 }
