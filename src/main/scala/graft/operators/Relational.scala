@@ -647,7 +647,55 @@ object Relational {
         .agg(count(lit(1)).as("numcust"),
           dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("nationkey"))
+    },
+    // Declarative data-quality suite (the Deequ shape): five scalar
+    // constraints — uniqueness, completeness, positivity, date range,
+    // status domain — evaluated in ONE aggregation over ONE orders scan
+    // (stack unpivots the single report row), plus a referential-
+    // integrity probe into customer as a left-anti join on the key.
+    // The (check_name, violations, passed) report is what a pipeline
+    // gates on before a training run; at 100 TB the scalar block is
+    // still one scan + one 1-row exchange, and the FK check shuffles
+    // only on the key.
+    "quality_constraints" -> { (s, dir) =>
+      qualityReport(orders(s, dir), customer(s, dir))
     })
+
+  /** The constraint engine behind `quality_constraints`, factored so the
+    * spec can run it against a planted-violation table. */
+  def qualityReport(o: DataFrame, c: DataFrame): DataFrame = {
+    val scalars = o.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey")))
+        .as("o_orderkey_unique"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+        .as("o_custkey_complete"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+        .as("o_totalprice_positive"),
+      sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2002-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("o_orderdate_in_range"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+        .as("o_orderstatus_domain"))
+      .select(expr("""stack(5,
+        'o_orderkey_unique', o_orderkey_unique,
+        'o_custkey_complete', o_custkey_complete,
+        'o_totalprice_positive', o_totalprice_positive,
+        'o_orderdate_in_range', o_orderdate_in_range,
+        'o_orderstatus_domain', o_orderstatus_domain)
+        as (check_name, violations)"""))
+    // nulls are the completeness constraint's finding, not a dangling
+    // key: a null never matches, so an unfiltered anti join would
+    // double-count it here
+    val fk = o.filter(col("o_custkey").isNotNull)
+      .join(c.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("o_custkey_fk_customer").as("check_name"),
+        col("violations"))
+    scalars.unionByName(fk)
+      .withColumn("passed", col("violations") === 0)
+      .orderBy(col("check_name"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_rolling_revenue_30d" ->
@@ -982,7 +1030,27 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey
-        |ORDER BY nationkey""".stripMargin)
+        |ORDER BY nationkey""".stripMargin,
+    "quality_constraints" ->
+      """WITH s AS (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS u,
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c,
+        |  SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS tp,
+        |  SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+        |        OR o_orderdate >= TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END) AS dr,
+        |  SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS dom
+        |  FROM orders),
+        |fk AS (SELECT COUNT(*) AS v FROM orders o
+        |       WHERE o_custkey IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey))
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS passed
+        |FROM (SELECT 'o_orderkey_unique' AS check_name, u AS violations FROM s
+        |      UNION ALL SELECT 'o_custkey_complete', c FROM s
+        |      UNION ALL SELECT 'o_totalprice_positive', tp FROM s
+        |      UNION ALL SELECT 'o_orderdate_in_range', dr FROM s
+        |      UNION ALL SELECT 'o_orderstatus_domain', dom FROM s
+        |      UNION ALL SELECT 'o_custkey_fk_customer', v FROM fk) t
+        |ORDER BY check_name""".stripMargin)
 }
 
 /** Table loaders (one parquet per table, TESTDATA.md). */

@@ -204,6 +204,47 @@ object SourceOps {
       val v2 = GraftStore.read(s, root)
       snapAgg(v1, "v1").unionByName(snapAgg(v2, "v2"))
         .orderBy(col("snapshot"), col("o_orderstatus"))
+    },
+    // snapshot DIFF — the reconcile primitive between two store
+    // versions: which keys were added, removed, or changed between
+    // yesterday's dataset and today's, and the net value drift. Both
+    // versions are materialized through the store (two overwrite
+    // commits → manifest versions 1 and 2, each read back via time
+    // travel), then compared with ONE hash-partitioned full-outer join
+    // on the key — the single-shuffle reconcile; the naive
+    // added/removed/changed formulation is three corpus passes. The
+    // simulated day-2 state adds every %10 key, drops every %13 key,
+    // and doubles the price of every %7 key, so all three statuses are
+    // exercised with deterministic counts.
+    "src_store_diff" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-diff"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      GraftStore.write(base.filter(col("o_orderkey") % 10 =!= 0), root,
+        overwrite = true)
+      GraftStore.write(base.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice"))),
+        root, overwrite = true)
+      val v1 = s.read.format("graft-store").option("version", 1).load(root)
+        .select(col("o_orderkey").as("k1"), col("o_totalprice").as("p1"))
+      val v2 = s.read.format("graft-store").option("version", 2).load(root)
+        .select(col("o_orderkey").as("k2"), col("o_totalprice").as("p2"))
+      v1.join(v2, col("k1") === col("k2"), "full_outer")
+        .withColumn("status",
+          when(col("k1").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .when(col("p1") =!= col("p2"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("status") =!= "unchanged")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("p2"), lit(0)).cast("decimal(18,4)") -
+            coalesce(col("p1"), lit(0)).cast("decimal(18,4)")), 2)
+            .cast("double").as("price_delta"))
+        .orderBy(col("status"))
     })
 
   /** The docgen oracle replays `DocGen`'s splitmix64 chain in DuckDB.
@@ -314,5 +355,24 @@ object SourceOps {
         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
         |FROM snap
         |GROUP BY snapshot, o_orderstatus
-        |ORDER BY snapshot, o_orderstatus""".stripMargin)
+        |ORDER BY snapshot, o_orderstatus""".stripMargin,
+    "src_store_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p
+        |            FROM orders WHERE o_orderkey % 10 <> 0),
+        |v2 AS (SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS p
+        |       FROM orders WHERE o_orderkey % 13 <> 0),
+        |d AS (SELECT v1.k AS k1, v2.k AS k2, v1.p AS p1, v2.p AS p2
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT CASE WHEN k1 IS NULL THEN 'added'
+        |            WHEN k2 IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(COALESCE(p2, 0) AS DECIMAL(18,4))
+        |    - CAST(COALESCE(p1, 0) AS DECIMAL(18,4))), 2) AS DOUBLE) AS price_delta
+        |FROM d
+        |WHERE k1 IS NULL OR k2 IS NULL OR p1 <> p2
+        |GROUP BY 1
+        |ORDER BY status""".stripMargin)
 }

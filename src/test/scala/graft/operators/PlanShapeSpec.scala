@@ -402,6 +402,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("src_store_diff: the reconcile is ONE full-outer join over two pinned snapshots") {
+    // single-shuffle reconcile: exactly one join in the plan, type
+    // FullOuter, reading manifest versions 1 and 2 — never the naive
+    // three-pass added/removed/changed formulation
+    val p = plan("src_store_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) +
+      p.linesIterator.count(_.contains("BroadcastHashJoin")) +
+      p.linesIterator.count(_.contains("ShuffledHashJoin")) == 1, p)
+    assert(p.contains(" v1 ") && p.contains(" v2 "), p)
+  }
+
+  test("quality_constraints: the five scalar checks share one scan; FK rides a single anti join") {
+    val p = plan("quality_constraints")
+    // two orders scans total (scalar block + FK probe side), one anti
+    assert(p.linesIterator.count(l =>
+      l.contains("parquet") && l.contains("orders")) == 2, p)
+    assert(p.linesIterator.count(_.contains("LeftAnti")) == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q8_market_share: dimension chain broadcasts; only the fact join shuffles") {
     val p = plan("q8_market_share")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -183,4 +183,58 @@ class RelationalSpec extends AnyFunSuite {
     q22.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < 25 &&
       r.getLong(1) >= 1))
   }
+
+  test("qualityReport: a planted-violation table fires every constraint with exact counts") {
+    // the oracle proves the clean-data report (all zeros); this proves
+    // the detectors actually detect — each constraint violated a known
+    // number of times in a synthetic orders table
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val dirty = Seq(
+      // (orderkey, custkey, totalprice, orderdate, status)
+      (1L, Some(10L), 100.0, "1996-01-01 00:00:00", "F"),   // clean
+      (1L, Some(10L), 100.0, "1996-01-01 00:00:00", "F"),   // dup key
+      (2L, None: Option[Long], 50.0, "1996-01-01 00:00:00", "O"), // null cust
+      (3L, Some(10L), -5.0, "1996-01-01 00:00:00", "P"),    // neg price
+      (4L, Some(10L), 1.0, "1980-01-01 00:00:00", "F"),     // date low
+      (5L, Some(10L), 1.0, "2010-01-01 00:00:00", "F"),     // date high
+      (6L, Some(10L), 1.0, "1996-01-01 00:00:00", "X"),     // bad status
+      (7L, Some(99L), 1.0, "1996-01-01 00:00:00", "F"))     // FK miss
+      .map { case (k, c, p, d, st) => (k, c, p, ts(d), st) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderstatus")
+    val cust = Seq(10L).toDF("c_custkey")
+    val rep = Relational.qualityReport(dirty, cust)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rep("o_orderkey_unique") == (1L, false))
+    assert(rep("o_custkey_complete") == (1L, false))
+    assert(rep("o_totalprice_positive") == (1L, false))
+    assert(rep("o_orderdate_in_range") == (2L, false))
+    assert(rep("o_orderstatus_domain") == (1L, false))
+    // null custkey rows don't match the FK anti-join condition (null
+    // equality is never true) — completeness owns them; FK counts only
+    // the present-but-dangling key
+    assert(rep("o_custkey_fk_customer") == (1L, false))
+    // and the real orders table is clean: every constraint passes
+    val clean = Relational.queries("quality_constraints")(spark, sf).collect()
+    assert(clean.length == 6 && clean.forall(_.getBoolean(2)))
+  }
+
+  test("src_store_diff: statuses and counts match a direct recompute from raw orders") {
+    val got = graft.SparkEntry.queries("src_store_diff")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val v1 = rows.collect { case (k, _) if k % 10 != 0 => k }.toSet
+    val v2 = rows.collect { case (k, _) if k % 13 != 0 => k }.toSet
+    assert(got("added") == (v2 -- v1).size)
+    assert(got("removed") == (v1 -- v2).size)
+    // changed = in both versions with a doubled (%7), nonzero price
+    val changed = rows.count { case (k, p) =>
+      v1(k) && v2(k) && k % 7 == 0 && p != 0.0 }
+    assert(got("changed") == changed,
+      s"changed=${got("changed")} expected=$changed")
+  }
 }
