@@ -219,6 +219,42 @@ object DedupOps {
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .orderBy(col("doc_id"))
     },
+    // the same closure as a RECURSIVE CTE (Spark 4's WITH RECURSIVE →
+    // UnionLoopExec): path enumeration from every doc, label = min
+    // reached root. Spark's recursion supports UNION ALL only, so
+    // termination comes from the level bound — sound here because the
+    // DF cap bounds cluster size (≤ MaxShingleDf per band group), hence
+    // diameter, well under the 6 hops. This is the SQL-surface twin for
+    // ad-hoc use; the production path is [[GraphOps.connectedComponents]]
+    // (large-star/small-star — no path explosion on dense clusters).
+    // The spec asserts both produce identical labels.
+    "dedup_clusters_rec" -> { (s, dir) =>
+      queries("dedup_minhash_lsh")(s, dir).select(col("doc_a"), col("doc_b"))
+        .createOrReplaceTempView("lsh_pairs")
+      documents(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+        .createOrReplaceTempView("docs_all")
+      s.sql("""
+        WITH RECURSIVE edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+          UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+        -- anchor on PAIRED nodes only: singletons need no recursion,
+        -- and they dominate the corpus
+        reach (node, root, lvl) AS (
+          SELECT DISTINCT a, a, 0 FROM edges
+          UNION ALL
+          SELECT e.b, r.root, r.lvl + 1 FROM reach r
+          JOIN edges e ON e.a = r.node
+          WHERE r.lvl < 6),
+        labels AS (
+          SELECT node AS doc_id, MIN(root) AS cluster_id
+          FROM reach GROUP BY node)
+        SELECT d.doc_id,
+          COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+          CAST(COUNT(*) OVER (PARTITION BY COALESCE(l.cluster_id, d.doc_id))
+            AS BIGINT) AS cluster_size
+        FROM docs_all d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        ORDER BY d.doc_id""")
+    },
     // EDIT-DISTANCE near-dup: Levenshtein over a fixed-length text
     // prefix, within (lang, first-two-words) blocks. Edit distance
     // catches character-level mutations (typos, OCR noise) that
@@ -682,6 +718,7 @@ object DedupOps {
         |ORDER BY h""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_clusters_rec" -> clustersOracle,
     "dedup_minhash_est" -> {
       val agree = (1 to K).map(i =>
         s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")

@@ -648,6 +648,23 @@ object Relational {
           dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("nationkey"))
     },
+    // NOT IN with a nullable subquery — the classic three-valued-logic
+    // trap: if the subquery ever yields a NULL, SQL says the whole NOT
+    // IN is never true. Spark plans the single-column case as a
+    // null-aware anti join (a broadcast hash anti join with the
+    // one-extra-null check) instead of the quadratic
+    // BroadcastNestedLoopJoin — the plan gate pins that. SQL-first so
+    // the parser path (and DuckDB's identical semantics) is exercised.
+    "q_not_in_nulls" -> { (s, dir) =>
+      customer(s, dir).createOrReplaceTempView("customer")
+      orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        ORDER BY c_custkey""")
+    },
     // Declarative data-quality suite (the Deequ shape): five scalar
     // constraints — uniqueness, completeness, positivity, date range,
     // status domain — evaluated in ONE aggregation over ONE orders scan
@@ -1031,6 +1048,12 @@ object Relational {
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey
         |ORDER BY nationkey""".stripMargin,
+    "q_not_in_nulls" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
     "quality_constraints" ->
       """WITH s AS (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS u,
         |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c,

@@ -245,6 +245,43 @@ object SourceOps {
             coalesce(col("p1"), lit(0)).cast("decimal(18,4)")), 2)
             .cast("double").as("price_delta"))
         .orderBy(col("status"))
+    },
+    // MERGE-style upsert — the lakehouse write primitive: a change
+    // batch lands on a base snapshot as "update matched keys, insert
+    // new ones", published atomically as the next manifest version.
+    // Implementation is the same single-shuffle reconcile as
+    // `src_store_diff`: ONE full-outer join between snapshot and batch
+    // with batch-wins column selection, then one overwrite commit (v2).
+    // Readers of v1 are untouched mid-merge — the commit either
+    // publishes whole or not at all (GraftStoreSpec's orphan
+    // invisibility). Base = keys %3 ≠ 0; batch = keys %5 = 0 with
+    // price+1000 → the batch both updates (keys in base) and inserts
+    // (keys %15 ∈ {0,3,6,9,12} patterns where %3 = 0), deterministic at
+    // every sf. The aggregate reads v2 back per merge-outcome class.
+    "src_store_merge" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-merge"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      GraftStore.write(base.filter(col("o_orderkey") % 3 =!= 0), root,
+        overwrite = true)
+      val batch = base.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("bk"),
+          (col("o_totalprice") + 1000).as("bp"))
+      val snap = s.read.format("graft-store").option("version", 1).load(root)
+      val merged = snap.join(batch, col("o_orderkey") === col("bk"),
+          "full_outer")
+        .select(coalesce(col("o_orderkey"), col("bk")).as("o_orderkey"),
+          coalesce(col("bp"), col("o_totalprice")).as("o_totalprice"))
+      GraftStore.write(merged, root, overwrite = true)
+      s.read.format("graft-store").option("version", 2).load(root)
+        .groupBy(when(col("o_orderkey") % 5 =!= 0, "untouched")
+          .when(col("o_orderkey") % 3 === 0, "inserted")
+          .otherwise("updated").as("outcome"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"))
+        .orderBy(col("outcome"))
     })
 
   /** The docgen oracle replays `DocGen`'s splitmix64 chain in DuckDB.
@@ -374,5 +411,20 @@ object SourceOps {
         |FROM d
         |WHERE k1 IS NULL OR k2 IS NULL OR p1 <> p2
         |GROUP BY 1
-        |ORDER BY status""".stripMargin)
+        |ORDER BY status""".stripMargin,
+    "src_store_merge" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p
+        |              FROM orders WHERE o_orderkey % 3 <> 0),
+        |batch AS (SELECT o_orderkey AS bk, o_totalprice + 1000 AS bp
+        |          FROM orders WHERE o_orderkey % 5 = 0),
+        |merged AS (SELECT COALESCE(k, bk) AS k, COALESCE(bp, p) AS p
+        |           FROM base FULL OUTER JOIN batch ON k = bk)
+        |SELECT CASE WHEN k % 5 <> 0 THEN 'untouched'
+        |            WHEN k % 3 = 0 THEN 'inserted'
+        |            ELSE 'updated' END AS outcome,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(p AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM merged
+        |GROUP BY 1
+        |ORDER BY outcome""".stripMargin)
 }

@@ -423,6 +423,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_not_in_nulls: NOT IN plans as a null-aware anti join, not a nested loop") {
+    // single-column NOT IN must become BroadcastHashJoin LeftAnti with
+    // the isNullAware flag (printed as the trailing `true`) — the
+    // three-valued-logic-correct hash path; BroadcastNestedLoopJoin
+    // here would be the quadratic fallback
+    val p = plan("q_not_in_nulls")
+    assert(p.linesIterator.exists(l =>
+      l.contains("LeftAnti") && l.trim.endsWith("true")), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_clusters_rec: the closure runs as UnionLoop, anchored on paired nodes only") {
+    val p = plan("dedup_clusters_rec")
+    assert(p.contains("UnionLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("src_store_merge: the final aggregate reads the merged v2 snapshot") {
+    val p = plan("src_store_merge")
+    assert(p.contains(" v2 "), p)
+  }
+
   test("q8_market_share: dimension chain broadcasts; only the fact join shuffles") {
     val p = plan("q8_market_share")
     assert(p.contains("BroadcastHashJoin"), p)
