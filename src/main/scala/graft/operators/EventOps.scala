@@ -49,6 +49,36 @@ object EventOps {
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
         .orderBy(col("h"))
     },
+    // LOCF forward fill — the OTHER densification semantics: where
+    // `events_gap_fill` writes zeros into silent hours, sensor/balance
+    // series want the last observation carried forward. Per-user DAILY
+    // grid (users × observed day span), left-joined with the per-day
+    // aggregate, then `last(..., ignoreNulls)` over an unbounded-
+    // preceding row frame picks the most recent real value. The window
+    // partitions by user_id — grid-sized input, embarrassingly parallel
+    // across series at any scale; days before a user's first
+    // observation stay 0 via the coalesce.
+    "events_locf" -> { (s, dir) =>
+      val f = events(s, dir)
+        .filter(col("user_id") < 50 && col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d"),
+          col("value"))
+      val daily = f.groupBy(col("user_id"), col("d"))
+        .agg(round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("day_value"))
+      val bounds = f.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("d"))
+      val grid = f.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          coalesce(last(col("day_value"), ignoreNulls = true).over(w),
+            lit(0.0)).as("locf_value"))
+        .orderBy(col("user_id"), col("d"))
+    },
     // anomaly flagging over the densified series: per hour, z-score of
     // the purchase count against the TRAILING 24h window (gap-filled
     // first — without zero rows a silent hour would vanish from both
@@ -376,6 +406,26 @@ object EventOps {
         |FROM scored
         |WHERE sd IS NOT NULL AND sd > 0 AND ABS(ROUND((n - mu) / sd, 4)) >= 2
         |ORDER BY h""".stripMargin,
+    "events_locf" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, value
+        |  FROM events WHERE user_id < 50 AND event_type = 'purchase'),
+        |daily AS (
+        |  SELECT user_id, d,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS day_value
+        |  FROM f GROUP BY user_id, d),
+        |grid AS (
+        |  SELECT unnest(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY)) AS d
+        |  FROM f),
+        |g AS (
+        |  SELECT u.user_id, grid.d
+        |  FROM (SELECT DISTINCT user_id FROM f) u CROSS JOIN grid)
+        |SELECT g.user_id, g.d,
+        |  COALESCE(LAST_VALUE(daily.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS locf_value
+        |FROM g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d
+        |ORDER BY g.user_id, g.d""".stripMargin,
     "events_gap_fill" ->
       """WITH p AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value

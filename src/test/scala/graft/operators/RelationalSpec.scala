@@ -69,6 +69,36 @@ class RelationalSpec extends AnyFunSuite {
       Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
   }
 
+  test("events_locf: observed days keep their value; silent days inherit the last one") {
+    val rows = EventOps.queries("events_locf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val observed = Tables.events(spark, sf)
+      .filter(col("user_id") < 50 && col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,4)")), 2)
+        .cast("double").as("v"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+        r.getDouble(2)).toMap
+    val users = rows.map(_._1).distinct
+    val days = rows.map(_._2).distinct.sorted
+    // dense grid: every user × every day exactly once
+    assert(rows.length == users.length * days.length)
+    rows.groupBy(_._1).foreach { case (u, series) =>
+      var carry = 0.0
+      series.sortBy(_._2).foreach { case (_, d, v) =>
+        observed.get((u, d)) match {
+          case Some(obs) => assert(v == obs); carry = obs
+          case None => assert(v == carry, s"user $u day $d: $v != carried $carry")
+        }
+      }
+    }
+    // and at least one real gap was filled with a nonzero carry
+    assert(rows.exists { case (u, d, v) =>
+      !observed.contains((u, d)) && v != 0.0 })
+  }
+
   test("events_anomaly_zscore: flags are |z|>=2 rows of the densified series") {
     val flagged = EventOps.queries("events_anomaly_zscore")(spark, sf)
       .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(3)))
