@@ -282,6 +282,34 @@ object SourceOps {
           round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
             .cast("double").as("sum_price"))
         .orderBy(col("outcome"))
+    },
+    // schema EVOLUTION under the oracle: v1 lands (key, price); the
+    // append adds a nullable `o_band` column — a legal widening, so the
+    // commit publishes the union schema and v1's files stay valid, read
+    // back with nulls for the column they predate. The aggregate proves
+    // the null-fill lands exactly on pre-evolution rows (n_banded
+    // counts only v2's qualifying rows) and that both writers' data
+    // survives byte-exactly. Evolution cost at scale: zero data
+    // movement — one manifest line; old files are never rewritten.
+    "src_store_evolve" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-evolve"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      GraftStore.write(base.filter(col("o_orderkey") % 2 === 0), root,
+        overwrite = true)
+      GraftStore.write(base.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_band",
+            when(col("o_totalprice") >= 250000, lit("high"))),
+        root)
+      s.read.format("graft-store").load(root)
+        .groupBy(when(col("o_orderkey") % 2 === 0, "v1").otherwise("v2")
+          .as("writer"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_band")).as("n_banded"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"))
+        .orderBy(col("writer"))
     })
 
   /** The docgen oracle replays `DocGen`'s splitmix64 chain in DuckDB.
@@ -426,5 +454,14 @@ object SourceOps {
         |  CAST(ROUND(SUM(CAST(p AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM merged
         |GROUP BY 1
-        |ORDER BY outcome""".stripMargin)
+        |ORDER BY outcome""".stripMargin,
+    "src_store_evolve" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS writer,
+        |  COUNT(*) AS n,
+        |  COUNT(CASE WHEN o_orderkey % 2 = 1 AND o_totalprice >= 250000
+        |        THEN 1 END) AS n_banded,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY writer""".stripMargin)
 }

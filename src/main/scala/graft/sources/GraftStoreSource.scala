@@ -69,10 +69,17 @@ class GraftStoreSource extends TableProvider with org.apache.spark.sql.sources.D
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = GraftStore.rootOf(options)
-    GraftStore.latestManifest(root, GraftStore.driverConf()) match {
-      case Some(m) => m.schema
-      case None => throw new IllegalArgumentException(
-        s"graft-store: no manifest under $root — write first or pass an explicit schema")
+    // a version-pinned read must surface THAT snapshot's schema — after
+    // an evolving append, v1 still presents its original columns
+    Option(options.get("version")).map(_.toLong) match {
+      case Some(v) =>
+        GraftStore.manifestAt(root, GraftStore.driverConf(), v)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-store: no complete manifest version $v under $root")).schema
+      case None =>
+        GraftStore.latestManifest(root, GraftStore.driverConf())
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-store: no manifest under $root — write first or pass an explicit schema")).schema
     }
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -190,6 +197,38 @@ object GraftStore {
   private[sources] def signature(s: StructType): Seq[(String, String)] =
     s.fields.toSeq.map(fd => (fd.name, fd.dataType.sql))
 
+  /** Schema EVOLUTION check for appends: legal iff every stored field is
+    * present in `incoming` with the same type (by name — column order
+    * may differ), and every NEW field is nullable (old files have no
+    * value for it, so reads must be able to fill null). Returns an error
+    * description, or None if the append may proceed. */
+  private[sources] def evolutionError(
+      stored: StructType, incoming: StructType): Option[String] = {
+    val in = incoming.fields.map(f => f.name -> f).toMap
+    val missing = stored.fields.filter(f => !in.contains(f.name))
+    if (missing.nonEmpty)
+      return Some(s"stored column(s) ${missing.map(_.name).mkString(", ")} " +
+        "absent from the append")
+    val retyped = stored.fields.filter(f =>
+      in(f.name).dataType.sql != f.dataType.sql)
+    if (retyped.nonEmpty)
+      return Some(s"column(s) ${retyped.map(_.name).mkString(", ")} change type")
+    val newNonNull = incoming.fields.filter(f =>
+      !stored.fieldNames.contains(f.name) && !f.nullable)
+    if (newNonNull.nonEmpty)
+      return Some(s"new column(s) ${newNonNull.map(_.name).mkString(", ")} " +
+        "must be nullable (existing files cannot supply a value)")
+    None
+  }
+
+  /** The widened snapshot schema an evolving append publishes: stored
+    * fields keep their order and types; genuinely new fields append in
+    * the incoming order, forced nullable. */
+  private[sources] def widen(stored: StructType, incoming: StructType): StructType =
+    StructType(stored.fields ++
+      incoming.fields.filter(f => !stored.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true)))
+
   /** Delete data files the LATEST manifest doesn't reference (orphans
     * from aborted/speculative attempts, overwritten snapshots). Readers
     * of OLDER pinned snapshots lose them — run between queries. */
@@ -248,13 +287,18 @@ private[sources] class GsbWriteBuilder(root: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      // fail fast on schema drift BEFORE any task writes a byte
+      // fail fast on ILLEGAL schema drift BEFORE any task writes a byte;
+      // legal EVOLUTION (same-typed stored columns + nullable new ones)
+      // proceeds and publishes the widened schema at commit
       val conf = GraftStore.driverConf()
       GraftStore.latestManifest(root, conf) match {
         case Some(m) if !overwrite &&
             GraftStore.signature(m.schema) != GraftStore.signature(info.schema()) =>
-          throw new IllegalStateException(
-            s"graft-store: append schema ${info.schema().sql} does not match stored ${m.schema.sql}")
+          GraftStore.evolutionError(m.schema, info.schema()).foreach { err =>
+            throw new IllegalStateException(
+              s"graft-store: append schema ${info.schema().sql} is not a legal " +
+                s"evolution of stored ${m.schema.sql}: $err")
+          }
         case _ => ()
       }
       new GsbBatchWrite(root, info.schema(), info.queryId(), overwrite)
@@ -326,8 +370,15 @@ private[sources] class GsbBatchWrite(
     val prev = GraftStore.latestManifest(root, conf)
     val files = if (overwrite) committed
       else prev.map(_.files).getOrElse(Seq.empty) ++ committed
+    // evolving append: the published snapshot schema is the WIDENING of
+    // stored ∪ incoming (stored column order preserved, new columns
+    // appended nullable); old files stay valid — readers null-fill
+    val outSchema = prev match {
+      case Some(m) if !overwrite => GraftStore.widen(m.schema, schema)
+      case _ => schema
+    }
     GraftStore.writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
-      schema, files, if (overwrite) Set.empty else prev.map(_.epochs).getOrElse(Set.empty))
+      outSchema, files, if (overwrite) Set.empty else prev.map(_.epochs).getOrElse(Set.empty))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -437,13 +488,20 @@ private[sources] class GsbReader(
     f.open(new HPath(root, relPath)), 1 << 16))
   require(in.readUTF() == "GSB1", s"graft-store: $relPath is not a GSB1 file")
   private val fileSchema = DataType.fromJson(in.readUTF()).asInstanceOf[StructType]
-  require(GraftStore.signature(fileSchema) == GraftStore.signature(schema),
-    s"graft-store: $relPath schema drifted from manifest")
-  private val proj = requiredNames.map(schema.fieldIndex)
+  // evolution-aware: a file written before a column was added carries a
+  // SUBSET of the manifest schema — every file field must still match
+  // its manifest field by name+type, and absent columns read as null
+  require(GraftStore.signature(fileSchema)
+      .forall(GraftStore.signature(schema).contains),
+    s"graft-store: $relPath schema drifted from manifest " +
+      s"(${fileSchema.sql} vs ${schema.sql})")
+  // projection by NAME into the file's own layout; -1 → null-fill
+  private val proj = requiredNames.map(n =>
+    fileSchema.fieldNames.indexOf(n))
   private var row: InternalRow = _
 
   override def next(): Boolean =
-    if (in.readByte() == 1) { row = GsbCodec.readRow(in, schema, proj); true }
+    if (in.readByte() == 1) { row = GsbCodec.readRow(in, fileSchema, proj); true }
     else { false }
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
@@ -489,7 +547,8 @@ private[sources] object GsbCodec {
 
   /** Decode one row, projecting to the `proj` ordinals of `schema`
     * (row stores must decode every field to advance the cursor; the
-    * projection trims what is materialized into Spark). */
+    * projection trims what is materialized into Spark). A negative
+    * ordinal null-fills — a column the file predates (schema evolution). */
   def readRow(in: DataInputStream, schema: StructType, proj: Array[Int]): InternalRow = {
     val full = new Array[Any](schema.length)
     var i = 0
@@ -498,7 +557,9 @@ private[sources] object GsbCodec {
     }
     val vals = new Array[Any](proj.length)
     i = 0
-    while (i < proj.length) { vals(i) = full(proj(i)); i += 1 }
+    while (i < proj.length) {
+      vals(i) = if (proj(i) < 0) null else full(proj(i)); i += 1
+    }
     new GenericInternalRow(vals)
   }
 

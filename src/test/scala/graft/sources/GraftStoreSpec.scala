@@ -72,10 +72,42 @@ class GraftStoreSpec extends AnyFunSuite {
   test("append with drifted schema fails before writing") {
     val dir = tmp()
     GraftStore.write(docs.limit(3), dir)
+    // lit(1L) is non-nullable: NOT a legal evolution (old files could
+    // never supply a value), so the append must still fail fast
     val bad = docs.limit(2).withColumn("extra", lit(1L))
     val e = intercept[Exception] { GraftStore.write(bad, dir) }
     assert(e.getMessage.contains("schema"), e.getMessage)
     assert(GraftStore.read(spark, dir).count() == 3)
+    // a type change on a stored column is equally illegal
+    val retyped = docs.limit(2)
+      .withColumn("doc_id", col("doc_id").cast("string"))
+    val e2 = intercept[Exception] { GraftStore.write(retyped, dir) }
+    assert(e2.getMessage.contains("schema"), e2.getMessage)
+    // and so is dropping a stored column
+    val dropped = docs.limit(2).drop("lang")
+    val e3 = intercept[Exception] { GraftStore.write(dropped, dir) }
+    assert(e3.getMessage.contains("schema"), e3.getMessage)
+  }
+
+  test("schema evolution: a nullable new column widens the snapshot; old files null-fill") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(3), dir)                       // v1: base schema
+    val evolved = docs.limit(2)
+      .withColumn("score", when(col("doc_id") >= 0, col("doc_id") * 2.0))
+    GraftStore.write(evolved, dir)                             // v2: + nullable score
+    val latest = GraftStore.read(spark, dir)
+    assert(latest.columns.toSeq ==
+      docs.columns.toSeq :+ "score") // stored order kept, new col appended
+    assert(latest.count() == 5)
+    // the 2 evolved rows carry values; the 3 pre-evolution rows are null
+    assert(latest.filter(col("score").isNull).count() == 3)
+    assert(latest.filter(col("score") === col("doc_id") * 2.0).count() == 2)
+    // time travel: v1 still reads with the ORIGINAL schema
+    val v1 = spark.read.format("graft-store").option("version", 1).load(dir)
+    assert(v1.columns.toSeq == docs.columns.toSeq && v1.count() == 3)
+    // and a post-evolution append using the widened schema is plain
+    GraftStore.write(evolved, dir)                             // v3
+    assert(GraftStore.read(spark, dir).count() == 7)
   }
 
   test("column pruning reports the narrow read schema") {
