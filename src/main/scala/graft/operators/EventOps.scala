@@ -249,6 +249,32 @@ object EventOps {
           coalesce(sum(col("gap_us")), lit(0L)).cast("long").as("sum_gap_us"))
         .orderBy(col("user_id"))
     },
+    // FORWARD as-of with a tolerance through the same custom operator —
+    // the click-to-conversion shape: for each click, the EARLIEST
+    // purchase at-or-after it, but only within 1 hour (pandas
+    // merge_asof direction='forward', tolerance). Promotes the exec's
+    // direction/tolerance parameters (unit-tested in AsOfJoinSpec)
+    // under the DuckDB oracle: a correlated MIN-subquery with the same
+    // inclusive bounds. Same O(n+m)-per-partition merge at scale.
+    "events_asof_fwd" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      graft.plans.AsOfJoin.asof(clicks, purchases,
+          "c_user", "p_user", "c_ts", "p_ts",
+          tolerance = 3600L * 1000000L, direction = "forward")
+        .withColumn("gap_us",
+          when(col("p_ts").isNotNull,
+            unix_micros(col("p_ts")) - unix_micros(col("c_ts"))))
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("gap_us")).as("n_converted"),
+          coalesce(sum(col("gap_us")), lit(0L)).cast("long").as("sum_gap_us"))
+        .orderBy(col("user_id"))
+    },
     // scalar JSON + date functions over the props column
     "events_json_props" -> { (s, dir) =>
       events(s, dir)
@@ -537,6 +563,25 @@ object EventOps {
         |                       WHERE c.user_id = p.user_id AND c.tsu < p.tsu) AS gap_us
         |  FROM purchases p)
         |SELECT user_id, COUNT(*) AS n_purchases, COUNT(gap_us) AS n_matched,
+        |  CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us
+        |FROM g
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "events_asof_fwd" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT c.user_id,
+        |    (SELECT MIN(epoch_us(p.tsu)) FROM purchases p
+        |     WHERE p.user_id = c.user_id AND p.tsu >= c.tsu
+        |       AND p.tsu <= c.tsu + INTERVAL 1 HOUR)
+        |      - epoch_us(c.tsu) AS gap_us
+        |  FROM clicks c)
+        |SELECT user_id, COUNT(*) AS n_clicks, COUNT(gap_us) AS n_converted,
         |  CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us
         |FROM g
         |GROUP BY user_id
