@@ -325,16 +325,26 @@ private[sources] class GsbStreamingWrite(root: String, schema: StructType, query
     val conf = GraftStore.driverConf()
     val epochKey = s"$queryId:$epochId"
     val prev = GraftStore.latestManifest(root, conf)
-    // same drift guard as the batch path: publishing a manifest whose
-    // schema disagrees with the existing files would leave the WHOLE
-    // store unreadable (readers check file-vs-manifest signatures)
+    // same drift rules as the batch path: legal EVOLUTION (same-typed
+    // stored columns + nullable new ones — a restarted stream with a
+    // widened projection) publishes the union schema; anything else
+    // would leave the store unreadable and must fail the epoch
     prev.filter(m => GraftStore.signature(m.schema) != GraftStore.signature(schema))
-      .foreach { m => throw new IllegalStateException(
-        s"graft-store: streaming schema ${schema.sql} does not match stored ${m.schema.sql}") }
+      .foreach { m =>
+        GraftStore.evolutionError(m.schema, schema).foreach { err =>
+          throw new IllegalStateException(
+            s"graft-store: streaming schema ${schema.sql} is not a legal " +
+              s"evolution of stored ${m.schema.sql}: $err")
+        }
+      }
     if (prev.exists(_.epochs.contains(epochKey))) return // replayed epoch
     val committed = messages.collect { case c: GsbCommit => GsbFile(c.relPath, c.rows, c.bytes) }.toSeq
+    val outSchema = prev match {
+      case Some(m) => GraftStore.widen(m.schema, schema)
+      case None => schema
+    }
     GraftStore.writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
-      schema, prev.map(_.files).getOrElse(Seq.empty) ++ committed,
+      outSchema, prev.map(_.files).getOrElse(Seq.empty) ++ committed,
       prev.map(_.epochs).getOrElse(Set.empty) + epochKey)
   }
 

@@ -156,6 +156,44 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(m.epochs.size == 2, m.epochs)
   }
 
+  test("streaming evolution: a restarted stream with a widened schema appends; old rows null-fill") {
+    val src = Files.createTempDirectory("gstream_ev_src").toString + "/in"
+    val dir = tmp()
+    val cp = Files.createTempDirectory("gstream_ev_cp").toString
+    // v1 lands via a BATCH write with the base schema
+    GraftStore.write(docs.limit(4).select("doc_id", "text"), dir)
+    // the "restarted pipeline" streams with a widened projection
+    val widened = docs.select("doc_id", "text")
+      .withColumn("rev", when(col("doc_id") >= 0, col("doc_id") + 100L))
+    widened.limit(2).write.parquet(src)
+    val q = spark.readStream.schema(widened.schema).parquet(src)
+      .writeStream.format("graft-store")
+      .option("path", dir).option("checkpointLocation", cp)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val latest = GraftStore.read(spark, dir)
+    assert(latest.columns.toSeq == Seq("doc_id", "text", "rev"))
+    assert(latest.count() == 6)
+    assert(latest.filter(col("rev").isNull).count() == 4)   // batch rows
+    assert(latest.filter(col("rev") === col("doc_id") + 100L).count() == 2)
+    // an ILLEGAL streaming drift (type change) still fails the epoch
+    val bad = Files.createTempDirectory("gstream_bad_src").toString + "/in"
+    val cpBad = Files.createTempDirectory("gstream_bad_cp").toString
+    val retyped = docs.limit(1)
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    retyped.write.parquet(bad)
+    val qb = spark.readStream.schema(retyped.schema).parquet(bad)
+      .writeStream.format("graft-store")
+      .option("path", dir).option("checkpointLocation", cpBad)
+      .start()
+    val e = intercept[Exception] {
+      try qb.processAllAvailable() finally qb.stop()
+    }
+    assert(e.getMessage.contains("schema") || e.getMessage.contains("evolution"),
+      e.getMessage)
+    assert(GraftStore.read(spark, dir).count() == 6) // store unharmed
+  }
+
   test("full streaming ingest: DocStream dedup -> graft-store, duplicates dropped across epochs") {
     import org.apache.spark.sql.types.StructType
     val base = Files.createTempDirectory("ingest").toString
