@@ -310,6 +310,32 @@ object SourceOps {
           round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
             .cast("double").as("sum_price"))
         .orderBy(col("writer"))
+    },
+    // DATA SKIPPING under the oracle: the store is written range-
+    // clustered on the key (8 files with disjoint key ranges — per-file
+    // min/max stats land in the manifest at commit, zero extra pass),
+    // and the key-range query drops non-overlapping FILES at planning
+    // time, before any task launches (the plan gate reads the kept/total
+    // count from the scan description). At 100 TB this is the difference
+    // between scanning the table and scanning the slice — the same
+    // mechanism as Delta/Iceberg file stats, and it composes with the
+    // z-order/Hilbert layouts for multi-dimensional keys. The oracle
+    // replays the filter+aggregate on the raw parquet.
+    "src_store_skip" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-skip"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      GraftStore.write(
+        orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")).repartitionByRange(8, col("o_orderkey")),
+        root, overwrite = true)
+      s.read.format("graft-store").load(root)
+        .filter(col("o_orderkey").between(100L, 300L))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"),
+          min(col("o_orderkey")).cast("long").as("min_key"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
     })
 
   /** The docgen oracle replays `DocGen`'s splitmix64 chain in DuckDB.
@@ -463,5 +489,12 @@ object SourceOps {
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY 1
-        |ORDER BY writer""".stripMargin)
+        |ORDER BY writer""".stripMargin,
+    "src_store_skip" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 100 AND 300""".stripMargin)
 }

@@ -90,7 +90,8 @@ class GraftStoreSource extends TableProvider with org.apache.spark.sql.sources.D
 /** Manifest entry: path relative to the store root (relocatable store).
   * `epochs` records committed streaming (queryId, epochId) pairs so a
   * replayed epoch commit is a detectable no-op (exactly-once sink). */
-private[sources] case class GsbFile(relPath: String, rows: Long, bytes: Long)
+private[sources] case class GsbFile(relPath: String, rows: Long, bytes: Long,
+    stats: Map[String, (String, String)] = Map.empty)
 private[sources] case class GsbManifest(version: Long, schema: StructType,
     files: Seq[GsbFile], epochs: Set[String] = Set.empty)
 
@@ -152,8 +153,16 @@ object GraftStore {
           DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType] }
           .getOrElse(throw new IllegalStateException(s"graft-store: manifest $path has no schema"))
         val files = lines.collect { case l if l.startsWith("file=") =>
-          val Array(rel, rows, bytes) = l.stripPrefix("file=").split("\t")
-          GsbFile(rel, rows.toLong, bytes.toLong)
+          // 4th tab field (per-column min/max stats) is optional —
+          // manifests written before data skipping parse unchanged
+          l.stripPrefix("file=").split("\t", -1) match {
+            case Array(rel, rows, bytes) =>
+              GsbFile(rel, rows.toLong, bytes.toLong)
+            case Array(rel, rows, bytes, stats) =>
+              GsbFile(rel, rows.toLong, bytes.toLong, GsbStats.parse(stats))
+            case other => throw new IllegalStateException(
+              s"graft-store: malformed file line in $path: ${other.mkString("|")}")
+          }
         }
         val epochs = lines.collect { case l if l.startsWith("epoch=") =>
           l.stripPrefix("epoch=") }.toSet
@@ -186,7 +195,10 @@ object GraftStore {
     try {
       out.println(version)
       out.println(s"schema=${schema.json}")
-      files.foreach(e => out.println(s"file=${e.relPath}\t${e.rows}\t${e.bytes}"))
+      files.foreach { e =>
+        val tail = if (e.stats.isEmpty) "" else "\t" + GsbStats.render(e.stats)
+        out.println(s"file=${e.relPath}\t${e.rows}\t${e.bytes}$tail")
+      }
       epochs.toSeq.sorted.foreach(e => out.println(s"epoch=$e"))
       out.println("end")
     } finally out.close()
@@ -338,7 +350,8 @@ private[sources] class GsbStreamingWrite(root: String, schema: StructType, query
         }
       }
     if (prev.exists(_.epochs.contains(epochKey))) return // replayed epoch
-    val committed = messages.collect { case c: GsbCommit => GsbFile(c.relPath, c.rows, c.bytes) }.toSeq
+    val committed = messages.collect { case c: GsbCommit =>
+      GsbFile(c.relPath, c.rows, c.bytes, c.stats) }.toSeq
     val outSchema = prev match {
       case Some(m) => GraftStore.widen(m.schema, schema)
       case None => schema
@@ -376,7 +389,7 @@ private[sources] class GsbBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GraftStore.driverConf()
     val committed = messages.map(_.asInstanceOf[GsbCommit])
-      .map(c => GsbFile(c.relPath, c.rows, c.bytes)).toSeq
+      .map(c => GsbFile(c.relPath, c.rows, c.bytes, c.stats)).toSeq
     val prev = GraftStore.latestManifest(root, conf)
     val files = if (overwrite) committed
       else prev.map(_.files).getOrElse(Seq.empty) ++ committed
@@ -400,7 +413,8 @@ private[sources] class GsbBatchWrite(
   }
 }
 
-private[sources] case class GsbCommit(relPath: String, rows: Long, bytes: Long)
+private[sources] case class GsbCommit(relPath: String, rows: Long, bytes: Long,
+    stats: Map[String, (String, String)] = Map.empty)
     extends WriterCommitMessage
 
 private[sources] class GsbWriterFactory(root: String, schemaJson: String, queryId: String)
@@ -424,16 +438,40 @@ private[sources] class GsbDataWriter(root: String, schema: StructType, relPath: 
   }
   private var rows = 0L
   private var closed = false
+  // per-column min/max, tracked inline while writing (internal reprs);
+  // null until the first non-null value of that column
+  private val statIdx = schema.fields.zipWithIndex
+    .filter { case (fd, _) => GsbStats.eligible(fd.dataType) }
+  private val mins = new Array[Any](schema.length)
+  private val maxs = new Array[Any](schema.length)
 
   override def write(row: InternalRow): Unit = {
     out.writeByte(1)
     GsbCodec.writeRow(out, row, schema)
+    statIdx.foreach { case (fd, i) =>
+      if (!row.isNullAt(i)) {
+        val v = row.get(i, fd.dataType) match {
+          // copy buffer-backed strings — InternalRow may be reused
+          case s: UTF8String => s.clone()
+          case other => other
+        }
+        if (mins(i) == null || GsbStats.cmp(v, mins(i), fd.dataType) < 0)
+          mins(i) = v
+        if (maxs(i) == null || GsbStats.cmp(v, maxs(i), fd.dataType) > 0)
+          maxs(i) = v
+      }
+    }
     rows += 1
   }
   override def commit(): WriterCommitMessage = {
     out.writeByte(0)
     out.close(); closed = true
-    GsbCommit(relPath, rows, f.getFileStatus(path).getLen)
+    val stats = statIdx.flatMap { case (fd, i) =>
+      if (mins(i) == null) None
+      else Some(fd.name -> (GsbStats.canonical(mins(i), fd.dataType),
+        GsbStats.canonical(maxs(i), fd.dataType)))
+    }.toMap
+    GsbCommit(relPath, rows, f.getFileStatus(path).getLen, stats)
   }
   override def abort(): Unit = {
     if (!closed) { out.close(); closed = true }
@@ -445,7 +483,8 @@ private[sources] class GsbDataWriter(root: String, schema: StructType, relPath: 
 // ---------------------------------------------------------------- read
 
 private[sources] class GsbScanBuilder(root: String, version: Option[Long])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   // pin the snapshot NOW (planning time): concurrent commits after this
   // point don't change what this query reads. `version` = time travel:
   // overwrite/compaction never delete data files inline, so any
@@ -457,24 +496,42 @@ private[sources] class GsbScanBuilder(root: String, version: Option[Long])
     .orElse(GraftStore.latestManifest(root, GraftStore.driverConf()))
     .getOrElse(GsbManifest(0L, StructType(Nil), Seq.empty))
   private var required: StructType = manifest.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new GsbScan(root, manifest, required)
+  // filters are accepted for FILE SKIPPING only (manifest min/max
+  // stats); every filter stays residual — Spark re-evaluates row-level,
+  // so the skip layer only ever has to be conservative, never exact
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters; filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new GsbScan(root, manifest, required, pushed)
 }
 
-private[sources] class GsbScan(root: String, manifest: GsbManifest, required: StructType)
+private[sources] class GsbScan(root: String, manifest: GsbManifest,
+    required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
+  // DATA SKIPPING: keep only files whose min/max stats admit a match
+  // for every pushed (conjunctive) filter — at planning time, before a
+  // single task launches. A range-clustered table turns a point/range
+  // query into a files=1/N scan.
+  private val kept = manifest.files.filter(e =>
+    filters.forall(GsbStats.mayMatch(_, manifest.schema, e.stats)))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-store $root v${manifest.version} files=${manifest.files.size}"
+    s"graft-store $root v${manifest.version} " +
+      s"files=${kept.size}/${manifest.files.size}"
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(manifest.files.map(_.bytes).sum)
+      java.util.OptionalLong.of(kept.map(_.bytes).sum)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(manifest.files.map(_.rows).sum)
+      java.util.OptionalLong.of(kept.map(_.rows).sum)
   }
   override def planInputPartitions(): Array[InputPartition] =
-    manifest.files.map(e => GsbPartition(root, e.relPath): InputPartition).toArray
+    kept.map(e => GsbPartition(root, e.relPath): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GsbReaderFactory(manifest.schema.json, required.fieldNames)
 }
@@ -522,6 +579,122 @@ private[sources] class GsbReader(
 /** Schema-driven binary row codec over `SpecializedGetters` (shared by
   * rows and array elements): null byte + fixed-width primitive, or
   * length-prefixed bytes, or count-prefixed array (one nesting level). */
+/** Per-file column min/max statistics — the data-skipping layer. Stats
+  * are collected while a task writes (zero extra pass), ride the commit
+  * message into the manifest (one line per file regardless of rows), and
+  * let the scan DROP whole files whose [min,max] provably cannot satisfy
+  * the pushed conjunctive filters — the same mechanism parquet row-group
+  * stats / Delta file stats provide, at file granularity. Values are
+  * Base64-wrapped canonical strings so strings with tabs/newlines can't
+  * corrupt the line-oriented manifest. */
+private[sources] object GsbStats {
+  import org.apache.spark.sql.sources._
+  private val B64e = java.util.Base64.getEncoder
+  private val B64d = java.util.Base64.getDecoder
+
+  /** Types we track (and can compare against pushed filter literals). */
+  def eligible(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | FloatType | StringType |
+         DateType | TimestampType | TimestampNTZType | BooleanType => true
+    case _ => false
+  }
+
+  /** Compare two INTERNAL representations of `dt`. */
+  def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
+    case IntegerType | DateType => java.lang.Integer.compare(
+      a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType => java.lang.Long.compare(
+      a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case DoubleType => java.lang.Double.compare(
+      a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case FloatType => java.lang.Float.compare(
+      a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case BooleanType => java.lang.Boolean.compare(
+      a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case StringType => a.asInstanceOf[UTF8String]
+      .compareTo(b.asInstanceOf[UTF8String])
+    case other => throw new IllegalStateException(s"no stats order for $other")
+  }
+
+  def canonical(v: Any, dt: DataType): String = dt match {
+    case StringType => B64e.encodeToString(
+      v.asInstanceOf[UTF8String].getBytes)
+    case _ => v.toString
+  }
+  private def fromCanonical(s: String, dt: DataType): Any = dt match {
+    case IntegerType | DateType => s.toInt
+    case LongType | TimestampType | TimestampNTZType => s.toLong
+    case DoubleType => s.toDouble
+    case FloatType => s.toFloat
+    case BooleanType => s.toBoolean
+    case StringType => UTF8String.fromBytes(B64d.decode(s))
+    case other => throw new IllegalStateException(s"no stats codec for $other")
+  }
+
+  /** Manifest wire form: `col:b64(min):b64(max)` triples joined by `;`
+    * (column names and canonical values Base64'd uniformly). */
+  def render(stats: Map[String, (String, String)]): String =
+    stats.toSeq.sorted.map { case (c, (mn, mx)) =>
+      Seq(c, mn, mx).map(s =>
+        B64e.encodeToString(s.getBytes("UTF-8"))).mkString(":")
+    }.mkString(";")
+  def parse(s: String): Map[String, (String, String)] =
+    if (s.isEmpty) Map.empty
+    else s.split(";").map { t =>
+      val Array(c, mn, mx) = t.split(":").map(x => new String(B64d.decode(x), "UTF-8"))
+      c -> (mn, mx)
+    }.toMap
+
+  /** Convert a pushed filter LITERAL to the column's internal repr; None
+    * if the literal's type is unexpected (then never skip on it). */
+  private def literal(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (x: java.lang.Integer, IntegerType) => Some(x.intValue)
+    case (x: java.lang.Long, LongType) => Some(x.longValue)
+    case (x: java.lang.Double, DoubleType) => Some(x.doubleValue)
+    case (x: java.lang.Float, FloatType) => Some(x.floatValue)
+    case (x: java.lang.Boolean, BooleanType) => Some(x.booleanValue)
+    case (x: String, StringType) => Some(UTF8String.fromString(x))
+    case (x: java.sql.Timestamp, TimestampType) => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(x))
+    case (x: java.time.Instant, TimestampType) => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(x))
+    case (x: java.sql.Date, DateType) => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(x))
+    case (x: java.time.LocalDate, DateType) => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(x))
+    case _ => None
+  }
+
+  /** Conservative skip test: false ONLY when [min,max] proves no row of
+    * the file can satisfy `f`. Unknown filter shapes / columns without
+    * stats / literal conversion failures keep the file. */
+  def mayMatch(f: Filter, schema: StructType,
+      stats: Map[String, (String, String)]): Boolean = {
+    def range(col: String): Option[(Any, Any, DataType)] = for {
+      fld <- schema.fields.find(_.name == col)
+      if eligible(fld.dataType)
+      (mn, mx) <- stats.get(col)
+    } yield (fromCanonical(mn, fld.dataType),
+      fromCanonical(mx, fld.dataType), fld.dataType)
+    def test(col: String, v: Any)(p: (Int, Int) => Boolean): Boolean =
+      range(col).flatMap { case (mn, mx, dt) =>
+        literal(v, dt).map(l => p(cmp(mn, l, dt), cmp(mx, l, dt)))
+      }.getOrElse(true)
+    f match {
+      case And(l, r) => mayMatch(l, schema, stats) && mayMatch(r, schema, stats)
+      case Or(l, r) => mayMatch(l, schema, stats) || mayMatch(r, schema, stats)
+      case EqualTo(c, v) => test(c, v)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+      case GreaterThan(c, v) => test(c, v)((_, cMax) => cMax > 0)
+      case GreaterThanOrEqual(c, v) => test(c, v)((_, cMax) => cMax >= 0)
+      case LessThan(c, v) => test(c, v)((cMin, _) => cMin < 0)
+      case LessThanOrEqual(c, v) => test(c, v)((cMin, _) => cMin <= 0)
+      case In(c, vs) => vs.exists(v =>
+        test(c, v)((cMin, cMax) => cMin <= 0 && cMax >= 0))
+      case _ => true
+    }
+  }
+}
+
 private[sources] object GsbCodec {
   def writeRow(out: DataOutputStream, row: InternalRow, schema: StructType): Unit = {
     var i = 0

@@ -445,6 +445,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains(" v2 "), p)
   }
 
+  test("src_store_skip: the key-range query drops files at planning time") {
+    // range-clustered 8-file store + key range → the scan description
+    // must show fewer than 8 files kept (manifest min/max skipping)
+    val p = plan("src_store_skip")
+    val m = "files=(\\d+)/8".r.findFirstMatchIn(p)
+    assert(m.isDefined, p)
+    assert(m.get.group(1).toInt < 8, p)
+  }
+
   test("q8_market_share: dimension chain broadcasts; only the fact join shuffles") {
     val p = plan("q8_market_share")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -194,6 +194,41 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(GraftStore.read(spark, dir).count() == 6) // store unharmed
   }
 
+  test("data skipping: range-clustered files prune at planning time, results exact") {
+    val dir = tmp()
+    GraftStore.write(docs.repartitionByRange(8, col("doc_id")), dir)
+    def desc(df: DataFrame): String =
+      df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // a point query on the clustering key reads ONE file of eight
+    val point = GraftStore.read(spark, dir).filter(col("doc_id") === 5L)
+    assert(desc(point).contains("files=1/8"), desc(point))
+    assert(rows(point) == rows(docs.filter(col("doc_id") === 5L)))
+    // an out-of-range predicate reads ZERO files
+    val none = GraftStore.read(spark, dir).filter(col("doc_id") === -1L)
+    assert(desc(none).contains("files=0/8"), desc(none))
+    assert(none.count() == 0)
+    // a range query keeps only the overlapping files, and the kept set
+    // still returns exactly the right rows (skip is conservative)
+    val ids = docs.select(min(col("doc_id")), max(col("doc_id")))
+      .collect()(0)
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val mid = (lo + hi) / 2
+    val range = GraftStore.read(spark, dir)
+      .filter(col("doc_id") >= lo && col("doc_id") <= mid)
+    val m = "files=(\\d+)/8".r.findFirstMatchIn(desc(range))
+    assert(m.exists(_.group(1).toInt < 8), desc(range))
+    assert(rows(range) ==
+      rows(docs.filter(col("doc_id") >= lo && col("doc_id") <= mid)))
+    // boundary inclusivity: filtering on the exact global max keeps it
+    val edge = GraftStore.read(spark, dir).filter(col("doc_id") === hi)
+    assert(edge.count() == 1)
+    // filters on columns without helpful stats (lang spans every file)
+    // skip nothing and stay correct
+    val lang = GraftStore.read(spark, dir).filter(col("lang") === "nosuch")
+    assert(lang.count() == 0)
+    assert(desc(lang).contains("files=8/8"), desc(lang))
+  }
+
   test("full streaming ingest: DocStream dedup -> graft-store, duplicates dropped across epochs") {
     import org.apache.spark.sql.types.StructType
     val base = Files.createTempDirectory("ingest").toString
