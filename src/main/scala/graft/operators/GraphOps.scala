@@ -128,4 +128,45 @@ object GraphOps {
       .union(m.select(col("u"), col("m").as("v")))
       .distinct()
   }
+
+  /** PageRank over a directed edge list (`src`, `dst`), `iters` power
+    * iterations from a uniform start.
+    *
+    * Contract: every node must appear as a `src` (symmetrize an
+    * undirected graph first) — a node with in-edges but no out-edges
+    * would otherwise leak its mass, and a node with no in-edges drops
+    * from the rank vector after one iteration.
+    *
+    * `damping` and `teleport` are passed SEPARATELY instead of deriving
+    * teleport = 1 − damping: the caller supplies both as decimal
+    * literals so an external SQL replay that parses the same literals
+    * (e.g. `CAST(0.15 AS DOUBLE)`) lands on bit-identical doubles —
+    * `1 - 0.85` computed in binary is one ULP off the parsed `0.15`.
+    * Ranks round to 12 dp each iteration, collapsing cross-engine
+    * summation-order noise (~1e-20 at rank scale) so iterated results
+    * stay exactly replayable.
+    *
+    * Scale shape (100 TB): one shuffle per iteration — the contribution
+    * groupBy on `dst`; the rank join is an equi-join on `src` that AQE
+    * can skew-split, and the degree-annotated edge list is computed once
+    * and localCheckpointed (on a real cluster: reliable `checkpoint()`)
+    * so each iteration re-reads a materialized, already-partitioned
+    * edge table instead of replaying the upstream join lineage. */
+  def pagerank(edges: DataFrame, damping: Double, teleport: Double,
+      iters: Int): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val er = edges.join(outdeg, "src").localCheckpoint()
+    val n = er.select(col("src")).distinct().count()
+    var ranks = er.select(col("src").as("node")).distinct()
+      .withColumn("rank", round(lit(1.0 / n), 12))
+    for (_ <- 1 to iters) {
+      ranks = er.join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          round(lit(teleport / n) + lit(damping) * col("s"), 12).as("rank"))
+    }
+    ranks
+  }
 }

@@ -346,6 +346,28 @@ object Relational {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
         .orderBy(col("l_returnflag"))
     },
+    // PageRank over the customer↔supplier purchase graph (edges = who
+    // bought from whom, via orders⋈lineitem, symmetrized) — relational
+    // tables ARE graphs, and "which suppliers sit at the center of the
+    // purchase network" is the graph-centrality question a sourcing
+    // analyst asks. Three power iterations via [[GraphOps.pagerank]]:
+    // one dst-keyed shuffle per iteration over a localCheckpointed
+    // degree-annotated edge list; ranks round to 12 dp per iteration so
+    // the oracle's unrolled replay lands on identical doubles. Top-20
+    // nodes, rank desc (node id tie-break) — rank is left at corpus
+    // scale (Σ=1) since the 12 dp discipline already pins the values.
+    "graph_pagerank" -> { (s, dir) =>
+      val pairs = orders(s, dir).join(lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
+          concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      GraphOps.pagerank(edges, damping = 0.85, teleport = 0.15, iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    },
     // set op + subquery shape: customers with above-average balance per nation
     "q_above_avg_customers" -> { (s, dir) =>
       val c = customer(s, dir)
@@ -714,7 +736,36 @@ object Relational {
       .orderBy(col("check_name"))
   }
 
+  /** One unrolled [[GraphOps.pagerank]] power iteration (oracle replay):
+    * reads CTE `prev`, emits CTE `out`. Literals mirror the Scala side
+    * exactly (see pagerank's Scaladoc on literal-parse parity). */
+  private def prIterSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT e.dst AS node,
+       |    ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+       |      + CAST(0.85 AS DOUBLE) * SUM(r.rank / d.deg), 12) AS rank
+       |  FROM edges e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+       |  GROUP BY e.dst)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+         |                  's:' || CAST(l_suppkey AS VARCHAR) AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |n AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+         |r0 AS (SELECT DISTINCT src AS node,
+         |         ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM n), 12) AS rank
+         |       FROM edges),
+         |${prIterSql("r0", "r1")},
+         |${prIterSql("r1", "r2")},
+         |${prIterSql("r2", "r3")}
+         |SELECT node, rank FROM r3
+         |ORDER BY rank DESC, node
+         |LIMIT 20""".stripMargin,
     "q_rolling_revenue_30d" ->
       """SELECT o_custkey, o_orderkey, day,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (

@@ -136,6 +136,85 @@ object SimilarityOps {
         .filter(col("rk") <= IvfTopK)
         .orderBy(col("probe_id"), col("rk"))
     },
+    // two unrolled Lloyd iterations of k-means over the full 64-dim
+    // embeddings — the cluster-training step behind IVF/SemDeDup
+    // codebooks, expressed in the bounded-collect-codebook shape: seeds
+    // (vec_id < KmK) are a literal codebook, the re-estimated centroids
+    // are a second K×d literal (collected rounded to 6dp so both engines
+    // share the exact iteration-2 input), and BOTH assignments happen in
+    // one codegen projection per row — so the corpus is scanned twice,
+    // shuffled never (the only shuffles carry K×d centroid parts and K
+    // result rows). `n_moved` is the assignment-churn convergence signal
+    // an operator owner watches across iterations. At 100 TB this is the
+    // canonical k-means-on-Spark discipline: per-row argmin against a
+    // broadcast codebook + map-side-combined partial sums.
+    "emb_kmeans" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def argmin(codebook: Column, v: Column): Column =
+        array_min(transform(codebook, c =>
+          struct(round(sqDist(v, c.getField("cv")), 6).as("d"),
+            c.getField("cell").as("cell")))).getField("cell")
+      val seeds = e.filter(col("vec_id") < KmK).collect().sortBy(_.getLong(0))
+      val seedArr = array(seeds.map { r =>
+        struct(lit(r.getLong(0)).as("cell"), typedLit(r.getSeq[Double](1)).as("cv"))
+      }.toIndexedSeq: _*)
+      // pass 1: assign to seeds, re-estimate centroids (K×d rows shuffle)
+      val cent1 = e.withColumn("cell", argmin(seedArr, col("v")))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cell"), transform(col("pc"), p => p.getField("c")).as("cv"))
+        .collect().sortBy(_.getLong(0))
+      val centArr = array(cent1.map { r =>
+        struct(lit(r.getLong(0)).as("cell"), typedLit(r.getSeq[Double](1)).as("cv"))
+      }.toIndexedSeq: _*)
+      // pass 2: both assignments in one projection; aggregate per cluster
+      val best = array_min(transform(centArr, c =>
+        struct(round(sqDist(col("v"), c.getField("cv")), 6).as("d"),
+          c.getField("cell").as("cell"))))
+      e.select(col("vec_id"),
+          argmin(seedArr, col("v")).as("cell0"), best.as("b"))
+        .groupBy(col("b.cell").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("cell0") =!= col("b.cell"), 1L).otherwise(0L))
+            .cast("long").as("n_moved"),
+          round(avg(col("b.d")), 6).as("inertia"))
+        .orderBy(col("cluster"))
+    },
+    // product-quantization codebook report: split the 64-dim vector into
+    // PqM 8-dim subspaces, assign every subvector to its nearest of PqK
+    // literal codes (subslices of the seed vectors), and report per
+    // (subspace, code) usage + mean squared reconstruction error — the
+    // table a PQ index owner reads to spot dead codes and lossy
+    // subspaces. Row-local explode (×PqM) + argmin projection + one
+    // small aggregation; codes never leave the row, so at 100 TB this is
+    // a pure scan — the memory win (64 floats → PqM bytes) is the point.
+    "emb_pq_error" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val seeds = e.filter(col("vec_id") < PqK).collect().sortBy(_.getLong(0))
+      val codebook = array((for {
+        m <- 1 to PqM; r <- seeds
+      } yield struct(lit(m).as("m"), lit(r.getLong(0)).as("code"),
+        typedLit(r.getSeq[Double](1).slice((m - 1) * 8, m * 8)).as("cv")))
+        .toIndexedSeq: _*)
+      val subs = explode(array((1 to PqM).map(m =>
+        struct(lit(m.toLong).as("m"),
+          slice(col("v"), (m - 1) * 8 + 1, 8).as("sub"))): _*))
+      e.select(col("vec_id"), subs.as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+        .withColumn("best", array_min(transform(
+          filter(codebook, c => c.getField("m") === col("m")),
+          c => struct(round(sqDist(col("sub"), c.getField("cv")), 6).as("d"),
+            c.getField("code").as("code")))))
+        .groupBy(col("m"), col("best.code").as("code"))
+        .agg(count(lit(1)).as("n_subvecs"),
+          round(avg(col("best.d")), 6).as("mse"))
+        .orderBy(col("m"), col("code"))
+    },
     // recall@k of the IVF probe against exact brute-force ground truth —
     // ANN quality measurement as an operator, the report an index owner
     // reads before widening nprobe. Both arms are deterministic, so the
@@ -170,6 +249,20 @@ object SimilarityOps {
   private val IvfNProbe = 2
   private val IvfTopK = 5
   private val IvfProbeIds = Seq(3, 11, 42)
+
+  /** emb_kmeans / emb_pq_error geometry, shared by query and oracle. */
+  private val KmK = 8
+  private val PqM = 8
+  private val PqK = 4
+
+  /** Squared euclidean distance as a left-fold — deterministic element
+    * order on both engines (mirrors [[VectorOps.dot]]). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def sqDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
 
   private def cosSql(v: String, p: String): String =
     s"ROUND(${dotSql(v, p)} / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(p, p)})), 6)"
@@ -224,6 +317,56 @@ object SimilarityOps {
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 5""".stripMargin,
     "ann_ivf_probe" -> ivfProbeOracle,
+    "emb_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $KmK),
+         |d0 AS (
+         |  SELECT e.vec_id, e.v, s.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ROUND(${sqDistSql("e.v", "s.cv")}, 6), s.cell) AS rn
+         |  FROM e CROSS JOIN seeds s),
+         |a0 AS (SELECT vec_id, v, cell FROM d0 WHERE rn = 1),
+         |cpos AS (
+         |  SELECT cell, pos, ROUND(AVG(x), 6) AS c
+         |  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+         |        FROM a0) t
+         |  GROUP BY 1, 2),
+         |cent1 AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cpos GROUP BY cell),
+         |d1 AS (
+         |  SELECT a0.vec_id, a0.cell AS cell0, c.cell,
+         |    ROUND(${sqDistSql("a0.v", "c.cv")}, 6) AS d,
+         |    ROW_NUMBER() OVER (PARTITION BY a0.vec_id ORDER BY
+         |      ROUND(${sqDistSql("a0.v", "c.cv")}, 6), c.cell) AS rn
+         |  FROM a0 CROSS JOIN cent1 c)
+         |SELECT cell AS cluster, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN cell0 <> cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         |  ROUND(AVG(d), 6) AS inertia
+         |FROM d1
+         |WHERE rn = 1
+         |GROUP BY 1
+         |ORDER BY cluster""".stripMargin,
+    "emb_pq_error" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |seeds AS (SELECT vec_id AS code, v FROM e WHERE vec_id < $PqK),
+         |cb AS (
+         |  SELECT t.m, code, v[((t.m-1)*8+1):(t.m*8)] AS cv
+         |  FROM seeds, range(1, ${PqM + 1}) t(m)),
+         |subs AS (
+         |  SELECT vec_id, t.m, v[((t.m-1)*8+1):(t.m*8)] AS sub
+         |  FROM e, range(1, ${PqM + 1}) t(m)),
+         |scored AS (
+         |  SELECT s.vec_id, s.m, cb.code,
+         |    ROUND(${sqDistSql("s.sub", "cb.cv")}, 6) AS d,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |      ROUND(${sqDistSql("s.sub", "cb.cv")}, 6), cb.code) AS rn
+         |  FROM subs s JOIN cb ON s.m = cb.m)
+         |SELECT m, code, COUNT(*) AS n_subvecs, ROUND(AVG(d), 6) AS mse
+         |FROM scored
+         |WHERE rn = 1
+         |GROUP BY 1, 2
+         |ORDER BY m, code""".stripMargin,
     "ann_ivf_recall" ->
       s"""WITH ivf AS (SELECT probe_id, vec_id FROM ($ivfProbeOracle) iv),
          |en AS (

@@ -77,7 +77,54 @@ object TextOps {
   private def langScoreSql(lang: String): String =
     markers(lang).map(occursSql).mkString(" + ")
 
+  /** text_pii_redact regex classes — deliberately backtracking-free
+    * (single char classes, fixed alternation-free shape) so Java regex
+    * and DuckDB's RE2 agree match-for-match. */
+  private val PhonePat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val EmailPat = "[a-z0-9]+@[a-z]+[.][a-z]+"
+  private val IpPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII detection + redaction — the scrub every training corpus passes
+    // through before the tokenizer sees it. The synthetic corpus carries
+    // no PII, so the query PLANTS deterministic phone/email/IP strings
+    // (derived from doc_id, mirrored exactly in the oracle) and then
+    // detects and masks them with the three regex classes; the report is
+    // the per-language audit a pipeline owner signs off on (how many of
+    // each class, how many documents were already clean, how many
+    // characters the masks removed). Pure codegen'd projection + one
+    // tiny aggregation — at 100 TB the scrub streams per-row with zero
+    // shuffle, which is exactly why PII removal is never the bottleneck
+    // stage of a curation DAG.
+    "text_pii_redact" -> { (s, dir) =>
+      val id = col("doc_id")
+      def str(c: Column) = c.cast("string")
+      val phone = concat_ws("-",
+        lpad(str(id * 7 % 100), 2, "0"), lpad(str(id * 13 % 1000), 3, "0"),
+        lpad(str(id * 31 % 1000), 3, "0"), lpad(str(id * 97 % 10000), 4, "0"))
+      val email = concat(lit("user"), str(id), lit("@mail.example"))
+      val ip = concat(lit("10."), str(id % 256), lit("."),
+        str(id * 3 % 256), lit("."), str(id * 7 % 256))
+      val txt = concat(col("text"),
+        when(id % 3 === 0, concat(lit(" call "), phone)).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" mail "), email)).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" host "), ip)).otherwise(lit("")))
+      val red = Seq(PhonePat -> "[PHONE]", EmailPat -> "[EMAIL]", IpPat -> "[IP]")
+        .foldLeft(txt) { case (c, (p, m)) => regexp_replace(c, lit(p), lit(m)) }
+      def hits(p: String) = size(regexp_extract_all(txt, lit(p), lit(0)))
+      documents(s, dir)
+        .select(col("lang"), hits(PhonePat).as("np"), hits(EmailPat).as("ne"),
+          hits(IpPat).as("ni"), (length(txt) - length(red)).as("delta"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("np")).cast("long").as("n_phones"),
+          sum(col("ne")).cast("long").as("n_emails"),
+          sum(col("ni")).cast("long").as("n_ips"),
+          sum(when(col("np") + col("ne") + col("ni") === 0, 1L).otherwise(0L))
+            .cast("long").as("n_clean"),
+          sum(col("delta")).cast("long").as("chars_redacted"))
+        .orderBy(col("lang"))
+    },
     // per-(lang, source) token statistics
     "text_token_stats" -> { (s, dir) =>
       documents(s, dir)
@@ -343,6 +390,42 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' call '
+         |         || lpad(CAST(doc_id*7 % 100 AS VARCHAR), 2, '0') || '-'
+         |         || lpad(CAST(doc_id*13 % 1000 AS VARCHAR), 3, '0') || '-'
+         |         || lpad(CAST(doc_id*31 % 1000 AS VARCHAR), 3, '0') || '-'
+         |         || lpad(CAST(doc_id*97 % 10000 AS VARCHAR), 4, '0')
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ' mail user'
+         |         || CAST(doc_id AS VARCHAR) || '@mail.example' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+         |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |         || CAST(doc_id*3 % 256 AS VARCHAR) || '.'
+         |         || CAST(doc_id*7 % 256 AS VARCHAR) ELSE '' END AS txt
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang,
+         |    len(regexp_extract_all(txt, '$PhonePat')) AS np,
+         |    len(regexp_extract_all(txt, '$EmailPat')) AS ne,
+         |    len(regexp_extract_all(txt, '$IpPat')) AS ni,
+         |    length(txt) - length(regexp_replace(regexp_replace(regexp_replace(
+         |      txt, '$PhonePat', '[PHONE]', 'g'),
+         |      '$EmailPat', '[EMAIL]', 'g'),
+         |      '$IpPat', '[IP]', 'g')) AS delta
+         |  FROM d)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(np) AS BIGINT) AS n_phones,
+         |  CAST(SUM(ne) AS BIGINT) AS n_emails,
+         |  CAST(SUM(ni) AS BIGINT) AS n_ips,
+         |  CAST(SUM(CASE WHEN np + ne + ni = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(SUM(delta) AS BIGINT) AS chars_redacted
+         |FROM r
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
     "text_bm25" -> bm25Oracle,
     "text_perplexity" ->
       """WITH grams AS (

@@ -40,6 +40,49 @@ class GraphOpsSpec extends AnyFunSuite {
     }.toMap
   }
 
+  /** Driver-side power iteration mirroring GraphOps.pagerank's rounding. */
+  private def prRef(edges: Seq[(String, String)], iters: Int): Map[String, Double] = {
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n = nodes.size
+    var rank = nodes.map(_ -> r12(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2)
+      rank = nodes.map { v =>
+        val s = in.getOrElse(v, Seq.empty)
+          .map { case (u, _) => rank(u) / deg(u) }.sum
+        v -> r12(0.15 / n + 0.85 * s)
+      }.toMap
+    }
+    rank
+  }
+
+  test("pagerank: star center dominates; mass is conserved; matches driver reference") {
+    // undirected star 0—{1..8}, symmetrized
+    val und = (1L to 8L).map(i => ("n0", s"n$i"))
+    val edges = und ++ und.map(_.swap)
+    val got = GraphOps.pagerank(edges.toDF("src", "dst"),
+        damping = 0.85, teleport = 0.15, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = prRef(edges, 3)
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-9, k) }
+    assert(got("n0") > got("n1") * 2, "hub should dominate leaves")
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, "rank mass conserved")
+  }
+
+  test("pagerank: a regular graph stays uniform at 1/N") {
+    // directed 6-cycle: out-degree 1 everywhere, in-degree 1 everywhere
+    val edges = (0L until 6L).map(i => (s"c$i", s"c${(i + 1) % 6}"))
+    val got = GraphOps.pagerank(edges.toDF("src", "dst"),
+        damping = 0.85, teleport = 0.15, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - 1.0 / 6) < 1e-9, s"$k drifted: $v") }
+  }
+
   test("chain converges to the global min (stresses multi-round contraction)") {
     val chain = (1L until 16L).map(i => (i, i + 1))
     val got = cc(chain)
