@@ -320,6 +320,32 @@ object DedupOps {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
+    // cross-modal dedup agreement: do the TEXT near-dup candidates
+    // (minhash-LSH pairs) also look like duplicates in EMBEDDING space?
+    // Each candidate pair picks up both docs' vectors (vec_id == doc_id
+    // where an embedding exists) and reports exact cosine; a pair whose
+    // cosine is low — or whose embedding is missing (NULL, kept via
+    // left joins: absence is itself a signal) — is exactly the case a
+    // curation owner audits before trusting either signal alone. Scale:
+    // pairs are corpus-sublinear, so the two id-equi-joins against the
+    // embedding table are the cheap side of the DAG; the vectors never
+    // join each other, only the pair list.
+    "dedup_crosscheck" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      queries("dedup_minhash_lsh")(s, dir)
+        .join(e.select(col("vec_id").as("doc_a"), col("v").as("va")),
+          Seq("doc_a"), "left")
+        .join(e.select(col("vec_id").as("doc_b"), col("v").as("vb")),
+          Seq("doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          round(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")), 6)
+            .as("cos_sim"))
+        .withColumn("semantic_agree",
+          when(col("cos_sim").isNull, lit(null).cast("boolean"))
+            .otherwise(col("cos_sim") >= 0.9))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     // duplication spectrum: how many clusters exist at each multiplicity
     // — the report a curation run reads to decide how aggressive dedup
     // must be (a heavy tail of big clusters = mine the corpus harder).
@@ -853,6 +879,21 @@ object DedupOps {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE ROUND(inter * 1.0 / least(sa.sz, sb.sz), 6) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_crosscheck" ->
+      s"""WITH $minhashPairsCtes,
+         |e AS (
+         |  SELECT vec_id, v, sqrt(${VectorOps.dotSql("v", "v")}) AS norm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings))
+         |SELECT doc_a, doc_b,
+         |  ROUND(${VectorOps.dotSql("a.v", "b.v")} / (a.norm * b.norm), 6) AS cos_sim,
+         |  CASE WHEN a.vec_id IS NULL OR b.vec_id IS NULL THEN NULL
+         |       ELSE ROUND(${VectorOps.dotSql("a.v", "b.v")} / (a.norm * b.norm), 6) >= 0.9
+         |  END AS semantic_agree
+         |FROM pairs
+         |LEFT JOIN e a ON a.vec_id = doc_a
+         |LEFT JOIN e b ON b.vec_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding_cos" ->
       s"""WITH e AS (

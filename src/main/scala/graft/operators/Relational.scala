@@ -346,6 +346,31 @@ object Relational {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
         .orderBy(col("l_returnflag"))
     },
+    // TPC-H Q16 adapted (no partsupp table in this schema): supplier
+    // variety per retained (brand, type, size) — the part-supplier
+    // relation is recovered as DISTINCT (l_partkey, l_suppkey) from
+    // lineitem, suppliers in bad standing (negative balance, the
+    // complaints-filter stand-in) are removed with a broadcast anti
+    // join, and the filtered part dimension broadcasts onto the
+    // relation before the count-distinct. Scale shape: the only
+    // corpus-sized shuffle is the pair distinct; both dimension sides
+    // stay broadcast.
+    "q16_supplier_variety" -> { (s, dir) =>
+      val ps = lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val badSupp = supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val p = part(s, dir).filter(col("p_brand") =!= "Brand#2" &&
+        col("p_type") =!= "ECONOMY" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
     // PageRank over the customer↔supplier purchase graph (edges = who
     // bought from whom, via orders⋈lineitem, symmetrized) — relational
     // tables ARE graphs, and "which suppliers sit at the center of the
@@ -748,6 +773,16 @@ object Relational {
        |  GROUP BY e.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#2' AND p_type <> 'ECONOMY'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "graph_pagerank" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,

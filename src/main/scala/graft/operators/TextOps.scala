@@ -84,6 +84,19 @@ object TextOps {
   private val EmailPat = "[a-z0-9]+@[a-z]+[.][a-z]+"
   private val IpPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
 
+  /** (pattern, mask) per PII class, in application order — ONE shared
+    * definition for the batch audit (`text_pii_redact`), the streaming
+    * scrub ([[graft.streaming.DocStream.piiScrub]]), and the oracle, so
+    * "redacted" means the same thing everywhere. */
+  private[graft] val PiiPatterns: Seq[(String, String)] =
+    Seq(PhonePat -> "[PHONE]", EmailPat -> "[EMAIL]", IpPat -> "[IP]")
+
+  /** Mask every PII class in `text` (stateless, codegen'd, streaming-legal). */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, m)) =>
+      regexp_replace(c, lit(p), lit(m))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII detection + redaction — the scrub every training corpus passes
     // through before the tokenizer sees it. The synthetic corpus carries
@@ -109,8 +122,7 @@ object TextOps {
         when(id % 3 === 0, concat(lit(" call "), phone)).otherwise(lit("")),
         when(id % 4 === 0, concat(lit(" mail "), email)).otherwise(lit("")),
         when(id % 5 === 0, concat(lit(" host "), ip)).otherwise(lit("")))
-      val red = Seq(PhonePat -> "[PHONE]", EmailPat -> "[EMAIL]", IpPat -> "[IP]")
-        .foldLeft(txt) { case (c, (p, m)) => regexp_replace(c, lit(p), lit(m)) }
+      val red = piiRedact(txt)
       def hits(p: String) = size(regexp_extract_all(txt, lit(p), lit(0)))
       documents(s, dir)
         .select(col("lang"), hits(PhonePat).as("np"), hits(EmailPat).as("ne"),

@@ -148,6 +148,23 @@ object DocStream {
       .drop("__w")
   }
 
+  /** Stateless PII scrub: masks every class in
+    * [[graft.operators.TextOps.PiiPatterns]] (the SAME definition the
+    * batch `text_pii_redact` audit and its oracle use) and annotates the
+    * count of masked spans — the streaming half of the scrub-on-ingest
+    * discipline: PII never reaches the store, and `n_pii` feeds the
+    * same per-language audit the batch query reports. Pure row-local
+    * projection → append-mode legal, no state, no watermark. */
+  def piiScrub(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("n_pii",
+        graft.operators.TextOps.PiiPatterns
+          .map { case (p, _) =>
+            size(regexp_extract_all(col(textCol), lit(p), lit(0)))
+          }
+          .reduce(_ + _).cast("long"))
+      .withColumn(textCol,
+        graft.operators.TextOps.piiRedact(col(textCol)))
+
   /** Stateless quality gate: literally the batch `text_quality` formula
     * ([[graft.operators.TextOps.qualityScore]] — one shared definition,
     * so a gate value means the same thing in both engines), applied per

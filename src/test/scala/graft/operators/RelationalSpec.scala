@@ -214,6 +214,55 @@ class RelationalSpec extends AnyFunSuite {
       r.getLong(1) >= 1))
   }
 
+  test("q16_supplier_variety matches an independent driver recount") {
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bad = Tables.supplier(spark, sf).filter(col("s_acctbal") < 0)
+      .collect().map(_.getLong(0)).toSet
+    val sizes = Set(1, 4, 9, 14, 19, 23, 36, 45)
+    val parts = Tables.part(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getString(3), r.getInt(4))))
+      .filter { case (_, (b, t, sz)) =>
+        b != "Brand#2" && t != "ECONOMY" && sizes(sz)
+      }.toMap
+    val ref = pairs
+      .filter { case (pk, sk) => parts.contains(pk) && !bad(sk) }
+      .groupBy { case (pk, _) => parts(pk) }
+      .map { case (k, g) => k -> g.map(_._2).distinct.size.toLong }
+    val got = Relational.queries("q16_supplier_variety")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(got == ref)
+    assert(got.nonEmpty && got.values.forall(_ >= 1))
+  }
+
+  test("dedup_crosscheck: cosines match a driver recompute over the LSH pairs") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pairs = DedupOps.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = DedupOps.queries("dedup_crosscheck")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.keySet == pairs.toSet, "one crosscheck row per LSH pair")
+    got.foreach { case ((a, b), c) =>
+      (vecs.get(a), vecs.get(b)) match {
+        case (Some(va), Some(vb)) =>
+          assert(c.isDefined && math.abs(c.get - cos(va, vb)) < 1e-6, s"($a,$b)")
+        case _ => assert(c.isEmpty, s"($a,$b) should be NULL without embeddings")
+      }
+    }
+  }
+
   test("qualityReport: a planted-violation table fires every constraint with exact counts") {
     // the oracle proves the clean-data report (all zeros); this proves
     // the detectors actually detect — each constraint violated a known

@@ -183,6 +183,33 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PII scrub masks every class and matches the batch definition") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Seq(
+      (1L, new Timestamp(base), "call me at 12-345-678-9012 today"),
+      (2L, new Timestamp(base), "mail bob42@corp.example or ping 10.0.12.7 twice"),
+      (3L, new Timestamp(base), "nothing sensitive here at all"))
+    val dir = Files.createTempDirectory("doc_pii").toString
+    docsDf(rows).coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val q = DocStream.piiScrub(
+      spark.readStream.schema(schema).parquet(dir), "text")
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, text, n_pii FROM pii_stream ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val batch = DocStream.piiScrub(docsDf(rows), "text")
+        .select("doc_id", "text", "n_pii").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed(0)._2 == "call me at [PHONE] today" && streamed(0)._3 == 1L)
+      assert(streamed(1)._2 == "mail [EMAIL] or ping [IP] twice" && streamed(1)._3 == 2L)
+      assert(streamed(2)._2 == "nothing sensitive here at all" && streamed(2)._3 == 0L)
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup drops same-cell same-sign-bucket vectors, null vecs pass") {
     import spark.implicits._
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
