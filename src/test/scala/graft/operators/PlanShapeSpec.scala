@@ -463,4 +463,37 @@ class PlanShapeSpec extends AnyFunSuite {
     // rides broadcast
     assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
   }
+
+  test("text_pii_redact: the scrub is scan → project → one aggregation, no joins") {
+    val p = plan("text_pii_redact")
+    assert(!p.contains("Join"), p)
+    assert(exchanges(p) <= 2, p) // agg shuffle + presentation sort
+  }
+
+  test("emb_kmeans / emb_pq_error: codebook assignment is a pure projection (no joins)") {
+    for (q <- Seq("emb_kmeans", "emb_pq_error")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert(exchanges(p) <= 2, s"$q:\n$p") // agg shuffle + presentation sort
+    }
+  }
+
+  test("graph_pagerank: equi-joins only; the top-20 is TakeOrderedAndProject") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q16_supplier_variety: both dimension sides broadcast; no sort-merge join") {
+    val p = plan("q16_supplier_variety")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_crosscheck: the pair list joins embeddings by id, never vectors to vectors") {
+    val p = plan("dedup_crosscheck")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
