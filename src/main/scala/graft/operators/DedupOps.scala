@@ -220,14 +220,23 @@ object DedupOps {
         .orderBy(col("doc_id"))
     },
     // the same closure as a RECURSIVE CTE (Spark 4's WITH RECURSIVE →
-    // UnionLoopExec): path enumeration from every doc, label = min
-    // reached root. Spark's recursion supports UNION ALL only, so
-    // termination comes from the level bound — sound here because the
-    // DF cap bounds cluster size (≤ MaxShingleDf per band group), hence
-    // diameter, well under the 6 hops. This is the SQL-surface twin for
-    // ad-hoc use; the production path is [[GraphOps.connectedComponents]]
-    // (large-star/small-star — no path explosion on dense clusters).
-    // The spec asserts both produce identical labels.
+    // UnionLoopExec): label = min root whose BFS frontier reaches the
+    // node. Spark's recursion supports UNION ALL only (no UNION /
+    // aggregates in the recursive term), so naive path enumeration
+    // explodes as walks on dense bucket-cliques (deg^levels — observed
+    // >1M rows on a 12-node component at sf0.1). The tame formulation:
+    // SELECT DISTINCT in the recursive term IS allowed, which caps each
+    // level at the live (node, root) state set — Σ k² per component —
+    // and the r.root < e.b prune keeps only states that can still lower
+    // a label (sound: the min root reaches every node via a simple
+    // path whose intermediates all exceed it). Termination is the level
+    // bound: 12 covers component diameter with 2.4× headroom over the
+    // observed max (5 at sf0.1) — components are LSH bucket-cliques
+    // chained shallowly, and both the DuckDB oracle (full closure) and
+    // the GraphOpsSpec equality assertion would catch a breach. The
+    // production path is [[GraphOps.connectedComponents]]
+    // (large-star/small-star, O(log n) rounds) — this is the
+    // SQL-surface twin for ad-hoc use.
     "dedup_clusters_rec" -> { (s, dir) =>
       queries("dedup_minhash_lsh")(s, dir).select(col("doc_a"), col("doc_b"))
         .createOrReplaceTempView("lsh_pairs")
@@ -242,9 +251,9 @@ object DedupOps {
         reach (node, root, lvl) AS (
           SELECT DISTINCT a, a, 0 FROM edges
           UNION ALL
-          SELECT e.b, r.root, r.lvl + 1 FROM reach r
+          SELECT DISTINCT e.b, r.root, r.lvl + 1 FROM reach r
           JOIN edges e ON e.a = r.node
-          WHERE r.lvl < 6),
+          WHERE r.root < e.b AND r.lvl < 12),
         labels AS (
           SELECT node AS doc_id, MIN(root) AS cluster_id
           FROM reach GROUP BY node)

@@ -371,6 +371,141 @@ object Relational {
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
           col("p_size"))
     },
+    // TPC-H Q2 adapted (no partsupp): minimum-cost supplier per part.
+    // The supply relation is recovered from lineitem as the
+    // per-(part, supplier) minimum observed unit price, rounded to 4 dp
+    // so the double division is oracle-stable. Scale shape: the only
+    // corpus-sized shuffle is the pair aggregation; the part/supplier/
+    // nation/region dimension filters broadcast onto it, and the
+    // per-part minimum comes from a window min over the FILTERED
+    // eligible relation (dimension-sized after the part/supplier cuts)
+    // — one tiny extra shuffle instead of a second corpus-sized scan
+    // and aggregation of lineitem.
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      val ps = lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4))
+          .as("cost"))
+      val p = part(s, dir)
+        .filter(col("p_type") === "SMALL" && col("p_size") <= 15)
+        .select(col("p_partkey"))
+      val sup = supplier(s, dir)
+        .join(broadcast(nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val eligible = ps
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      eligible
+        .withColumn("min_cost",
+          min(col("cost")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+    // TPC-H Q9 adapted (no ps_supplycost): product-type profit by
+    // supplier nation and year, with cost proxied as 10% of retail
+    // value shipped (0.1 * p_retailprice * l_quantity) — documented
+    // stand-in, exact-decimal so the sum is order-independent. The
+    // casts are deliberately narrow (price 12,4; disc 6,4; retail/qty
+    // 8,4) so the profit term stays at precision 22 — far from Spark's
+    // 38 cap, where scale-reduction rules diverge between engines.
+    // Scale shape: part filter broadcasts, orders joins on the
+    // orderkey shuffle, one partial/final agg.
+    "q9_product_profit" -> { (s, dir) =>
+      val profit =
+        col("l_extendedprice").cast("decimal(12,4)") *
+          (lit(1).cast("decimal(6,4)") -
+            col("l_discount").cast("decimal(6,4)")) -
+        lit("0.1").cast("decimal(3,1)") *
+          col("p_retailprice").cast("decimal(8,4)") *
+          col("l_quantity").cast("decimal(8,4)")
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir).filter(col("p_name").like("%gear%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    // TPC-H Q11 adapted (no ps_availqty): important "stock" per part
+    // for one supplier region — inventory value proxied as shipped
+    // quantity × retail price, exact decimal. The global total (the
+    // Q11 scalar-subquery shape) is an unpartitioned window over the
+    // ALREADY-AGGREGATED per-part rows — dimension-sized input, so the
+    // single-partition window is free, and the corpus is scanned
+    // exactly once (a crossJoin'd second aggregate would re-scan it).
+    // The test is SCALE-FREE (value > 2× the mean part value, i.e.
+    // v * n > 2 * total) and in EXACT decimal×bigint arithmetic, so the
+    // selectivity survives a 100× part-count scale-up and no double
+    // threshold can straddle an ulp between engines.
+    "q11_important_stock" -> { (s, dir) =>
+      val suppAsia = supplier(s, dir)
+        .join(broadcast(nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      val value = lineitem(s, dir)
+        .join(broadcast(suppAsia), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(part(s, dir).select(col("p_partkey"),
+          col("p_retailprice"))), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)") *
+          col("p_retailprice").cast("decimal(18,4)")).as("v"))
+      val all = Window.partitionBy()
+      value
+        .withColumn("tot", sum(col("v")).over(all))
+        .withColumn("n", count(lit(1)).over(all))
+        .filter(col("v") * col("n") > col("tot") * 2)
+        .select(col("l_partkey").as("p_partkey"),
+          round(col("v"), 2).cast("double").as("stock_value"))
+        .orderBy(col("stock_value").desc, col("p_partkey"))
+    },
+    // TPC-H Q20 adapted (no ps_availqty): suppliers with surplus
+    // capacity for a part-name prefix — pairs whose all-time shipped
+    // quantity exceeds twice their 1997 shipment (the "availability
+    // comfortably covers the year's demand" test, recovered from
+    // lineitem history; exact-decimal comparison). Scale shape: part
+    // filter broadcasts before the pair aggregation (the one corpus
+    // shuffle), then the qualifying supplier list — bounded by the
+    // supplier dimension, so broadcast-safe at any corpus scale —
+    // broadcasts into the left-semi join.
+    "q20_potential_promotion" -> { (s, dir) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,4)")
+      val pairQty = lineitem(s, dir)
+        .join(broadcast(part(s, dir).filter(col("p_name").like("small%"))
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(dec(col("l_quantity"))).as("total_qty"),
+          sum(when(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
+            dec(col("l_quantity"))).otherwise(lit(0).cast("decimal(18,4)")))
+            .as("qty97"))
+        .filter(col("qty97") > 0 && col("total_qty") > col("qty97") * 2)
+        .select(col("l_suppkey"))
+      supplier(s, dir)
+        .join(broadcast(nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(pairQty), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    },
     // PageRank over the customer↔supplier purchase graph (edges = who
     // bought from whom, via orders⋈lineitem, symmetrized) — relational
     // tables ARE graphs, and "which suppliers sit at the center of the
@@ -783,6 +918,74 @@ object Relational {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(ROUND(l_extendedprice / l_quantity, 4)) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eligible AS (
+        |  SELECT p_partkey, s_name, s_acctbal, n_name, cost
+        |  FROM ps
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_type = 'SMALL' AND p_size <= 15 AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        |FROM eligible e
+        |WHERE cost = (SELECT MIN(cost) FROM eligible e2
+        |              WHERE e2.p_partkey = e.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(ROUND(SUM(
+        |    CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+        |    - CAST(0.1 AS DECIMAL(3,1)) * CAST(p_retailprice AS DECIMAL(8,4)) * CAST(l_quantity AS DECIMAL(8,4))
+        |  ), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, CAST(ROUND(v, 2) AS DOUBLE) AS stock_value
+        |FROM val
+        |WHERE v * (SELECT COUNT(*) FROM val) > 2 * (SELECT SUM(v) FROM val)
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin,
+    "q20_potential_promotion" ->
+      """WITH pairqty AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty,
+        |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |               AND l_shipdate < TIMESTAMP '1998-01-01'
+        |         THEN CAST(l_quantity AS DECIMAL(18,4))
+        |         ELSE CAST(0 AS DECIMAL(18,4)) END) AS qty97
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA'
+        |  AND EXISTS (SELECT 1 FROM pairqty
+        |              WHERE l_suppkey = s_suppkey
+        |                AND qty97 > 0 AND total_qty > 2 * qty97)
+        |ORDER BY s_name""".stripMargin,
     "graph_pagerank" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,

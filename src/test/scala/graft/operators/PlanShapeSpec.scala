@@ -496,4 +496,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q2_min_cost_supplier: lineitem aggregates once; the per-part min is a window") {
+    val p = plan("q2_min_cost_supplier")
+    // 5 scans = lineitem + 4 dimension tables; a 6th would mean the
+    // corpus-sized pair aggregation runs twice
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 5, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q9_product_profit: part filter broadcasts ahead of the fact joins") {
+    val p = plan("q9_product_profit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // lineitem⋈orders may legitimately be SMJ at scale, but never more
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
+  }
+
+  test("q11_important_stock: global total is a post-agg window, not a second scan") {
+    val p = plan("q11_important_stock")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 5, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q20_potential_promotion: qualifying suppliers broadcast into a semi join") {
+    val p = plan("q20_potential_promotion")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_clusters_rec: recursion is a UnionLoop with per-level DISTINCT state") {
+    val p = plan("dedup_clusters_rec")
+    assert(p.contains("UnionLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
