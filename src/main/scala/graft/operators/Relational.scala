@@ -528,6 +528,46 @@ object Relational {
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
     },
+    // Triangle census over the part co-purchase affinity graph — the
+    // third leg of the graph trio (PageRank centrality, connected
+    // components, triangle/triad structure). Edges are part pairs
+    // co-ordered in at least 2 distinct orders: the support filter is
+    // the SPARSIFIER that makes the census tractable — the raw
+    // co-order graph is dense (1.2M edges over 20k parts at sf0.1,
+    // wedge joins would blow up as Σ in(b)·out(b)), while affinity
+    // edges stay catalog-bounded (~4k). Pair generation uses the
+    // repo's collect_set + row-local array-combination pattern (order
+    // size ≤ 17 here, so per-order fan-out is bounded by construction;
+    // a<b orientation counts each triangle exactly once), then two
+    // equi-joins on the filtered edge list enumerate triangles, and
+    // per-part participation is a corner explode + count. AQE
+    // broadcasts the post-filter edge list at runtime if it fits.
+    "graph_triangles" -> { (s, dir) =>
+      val orderParts = lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .filter(size(col("parts")) >= 2)
+      val pairs = orderParts
+        .select(explode(flatten(transform(col("parts"), (p, i) =>
+          transform(slice(col("parts"), i + 2, size(col("parts"))), q =>
+            struct(p.as("pa"), q.as("pb")))))).as("e"))
+        .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      val edges = pairs.groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("pa"), col("pb"))
+      val tris = edges.select(col("pa").as("a"), col("pb").as("b"))
+        .join(edges.select(col("pa").as("b2"), col("pb").as("c")),
+          col("b") === col("b2"))
+        .join(edges.select(col("pa").as("a3"), col("pb").as("c3")),
+          col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      tris.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("tri_count"))
+        .orderBy(col("tri_count").desc, col("part"))
+        .limit(20)
+    },
     // set op + subquery shape: customers with above-average balance per nation
     "q_above_avg_customers" -> { (s, dir) =>
       val c = customer(s, dir)
@@ -918,6 +958,26 @@ object Relational {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "graph_triangles" ->
+      """WITH opairs AS (
+        |  SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (
+        |  SELECT pa, pb FROM opairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.pb = e2.pa
+        |  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |corners AS (
+        |  SELECT a AS part FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT part, CAST(COUNT(*) AS BIGINT) AS tri_count
+        |FROM corners GROUP BY part
+        |ORDER BY tri_count DESC, part
+        |LIMIT 20""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,

@@ -339,6 +339,33 @@ object TextOps {
         .withColumn("keep",
           when(col("quality_score") >= 0.5, 1).otherwise(0))
         .orderBy(col("doc_id"))
+    },
+    // RELATIVE quality gate: keep the top 60% of each language by
+    // score. Absolute thresholds (text_quality_score's 0.5) are
+    // miscalibrated across languages — a fixed cut keeps 90% of one
+    // language and 10% of another; per-language percentiles gate each
+    // language against itself, which is how production corpus mixes
+    // hold their language balance through a quality cut. Scale shape:
+    // the per-lang threshold aggregates to one row per language and
+    // broadcasts back — NEVER a window partitioned by lang (5
+    // partitions would serialize the corpus through 5 tasks at 100
+    // TB). The exact interpolated percentile is the oracle-stable
+    // choice at test scale; at corpus scale swap approx_percentile
+    // into the same shape (the exact one buffers each group's values).
+    "text_quality_gate" -> { (s, dir) =>
+      val scored = documents(s, dir)
+        .select(col("lang"), qualityScore(col("text")).as("score"))
+      val thr = scored.groupBy(col("lang").as("tl"))
+        .agg(expr("percentile(score, 0.4)").as("thr"))
+      scored.join(broadcast(thr), col("lang") === col("tl"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= col("thr"), 1L).otherwise(0L))
+            .as("n_kept"),
+          round(min(col("thr")), 6).as("threshold"),
+          round(avg(when(col("score") >= col("thr"), col("score"))), 6)
+            .as("avg_kept"))
+        .orderBy(col("lang"))
     })
 
   /** The logistic classifier score of one text column — shared with
@@ -526,7 +553,21 @@ object TextOps {
       s"""SELECT doc_id, quality_score,
          |  CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS keep
          |FROM ($classifierScoreSql) ss
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "text_quality_gate" ->
+      s"""WITH scored AS (
+         |  SELECT lang, $qualityScoreSql AS score FROM documents),
+         |thr AS (
+         |  SELECT lang AS tl, quantile_cont(score, 0.4) AS thr
+         |  FROM scored GROUP BY 1)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN score >= thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  ROUND(MIN(thr), 6) AS threshold,
+         |  ROUND(AVG(CASE WHEN score >= thr THEN score END), 6) AS avg_kept
+         |FROM scored JOIN thr ON lang = tl
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin)
 
   /** DuckDB replay of [[classifierScore]] — a `SELECT doc_id,
     * quality_score FROM documents`-shaped subquery, shared with

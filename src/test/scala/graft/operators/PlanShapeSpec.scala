@@ -529,6 +529,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("graph_triangles: equi-joins over the sparsified edge list, never cartesian") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text_quality_gate: per-lang threshold broadcasts back; no lang-partitioned window") {
+    val p = plan("text_quality_gate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dedup_clusters_rec: recursion is a UnionLoop with per-level DISTINCT state") {
     val p = plan("dedup_clusters_rec")
     assert(p.contains("UnionLoop"), p)

@@ -353,6 +353,48 @@ class RelationalSpec extends AnyFunSuite {
     assert(outcome("untouched") == expected.keys.count(_ % 5 != 0))
   }
 
+  test("graph_triangles: census equals a driver brute-force over the affinity edges") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // affinity edges: part pairs sharing >= 2 distinct orders
+    val byOrder = li.groupBy(_._1).map { case (_, xs) =>
+      xs.map(_._2).distinct.sorted }
+    val support = scala.collection.mutable.Map[(Long, Long), Int]()
+    byOrder.foreach { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        support((parts(i), parts(j))) =
+          support.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    val edges = support.filter(_._2 >= 2).keySet
+    val tris = for {
+      (a, b) <- edges
+      c <- edges.collect { case (`b`, x) => x }
+      if edges.contains((a, c))
+    } yield (a, b, c)
+    val perPart = tris.toSeq.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val expected = perPart.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = Relational.queries("graph_triangles")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("text_quality_gate: each language keeps >= 60% and avg_kept clears its threshold") {
+    val rows = TextOps.queries("text_quality_gate")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      val (thr, avgKept) = (r.getDouble(3), r.getDouble(4))
+      // the interpolated 40th percentile sits at zero-based rank
+      // 0.4*(n-1), so at most floor(0.4*(n-1))+1 values fall strictly
+      // below it — ties can only push the kept count UP from there
+      assert(kept >= n - (0.4 * (n - 1)).toLong - 1, r.toString)
+      assert(kept < n, "a 40th-percentile cut must drop someone")
+      assert(avgKept >= thr - 1e-6, r.toString)
+    }
+  }
+
   test("TPC-H completion (q2/q9/q11/q20 adapted): invariants hold on sf0.001") {
     val q = Relational.queries
     // q2: each row's cost IS the per-part minimum over an independently
