@@ -46,6 +46,31 @@ object MlOps {
           round(avg(col("l2norm")), 6).as("avg_norm"))
         .orderBy(col("label"))
     },
+    // Next-event training pairs: the (context, next) transition table a
+    // sequence model trains on, from per-user chronological event-type
+    // streams — the event-log-to-training-data export every behavioral
+    // model pipeline starts with. Scale shape: ONE user-keyed shuffle
+    // (the lag window; per-task state is one user's stream), then the
+    // aggregation collapses to ≤ |types|^4 rows — broadcast-sized
+    // regardless of corpus. Ordering ties at micro precision break on
+    // event_id in BOTH engines (the established events-ts idiom).
+    "ml_sequence_pairs" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("c1", lag(col("event_type"), 3).over(w))
+        .withColumn("c2", lag(col("event_type"), 2).over(w))
+        .withColumn("c3", lag(col("event_type"), 1).over(w))
+        .filter(col("c1").isNotNull)
+        .groupBy(
+          concat_ws(",", col("c1"), col("c2"), col("c3")).as("context"),
+          col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("context"), col("next_type"))
+        .limit(50)
+    },
     // flagship train+predict: binary target from label, tiny net, hogwild.
     // Nondeterministic → no oracle (rows-only check).
     "ml_train_predict" -> { (s, dir) =>
@@ -84,7 +109,22 @@ object MlOps {
          |  ROUND(AVG(sqrt(${dotSql("v", "v")})), 6) AS avg_norm
          |FROM e
          |GROUP BY label
-         |ORDER BY label""".stripMargin)
+         |ORDER BY label""".stripMargin,
+    "ml_sequence_pairs" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 3) OVER w AS c1,
+        |    lag(event_type, 2) OVER w AS c2,
+        |    lag(event_type, 1) OVER w AS c3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT c1 || ',' || c2 || ',' || c3 AS context,
+        |  event_type AS next_type, COUNT(*) AS n
+        |FROM seq WHERE c1 IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, context, next_type
+        |LIMIT 50""".stripMargin)
 }
 
 /** Multimodal-column surface: opaque binary payloads + typed metadata.

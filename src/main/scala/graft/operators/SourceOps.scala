@@ -291,6 +291,31 @@ object SourceOps {
     // counts only v2's qualifying rows) and that both writers' data
     // survives byte-exactly. Evolution cost at scale: zero data
     // movement — one manifest line; old files are never rewritten.
+    // Incremental (CDC-style) consumption: a downstream pipeline polls
+    // the store and processes ONLY what arrived since its last sync
+    // point — `sinceVersion` drops the baseline snapshot's files at
+    // PLANNING time, so the consumer of a 100 TB append store reads the
+    // delta, never the accumulated history. The fixture writes v1,
+    // appends a disjoint slice as v2, then reads changes-since-v1; the
+    // oracle replays the appended slice straight from the raw orders —
+    // passing means the file-level delta IS exactly the appended rows.
+    "src_store_changes" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-changes"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      GraftStore.write(base.filter(col("o_orderkey") % 3 === 0), root,
+        overwrite = true)                                          // v1
+      GraftStore.write(base.filter(col("o_orderkey") % 3 === 1), root) // v2
+      GraftStore.readChanges(s, root, sinceVersion = 1L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_new"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("new_price"),
+          min(col("o_orderkey")).cast("long").as("min_key"))
+        .orderBy(col("o_orderpriority"))
+    },
     "src_store_evolve" -> { (s, dir) =>
       val root = storeRoot(dir) + "-evolve"
       val p = new org.apache.hadoop.fs.Path(root)
@@ -490,6 +515,14 @@ object SourceOps {
         |FROM orders
         |GROUP BY 1
         |ORDER BY writer""".stripMargin,
+    "src_store_changes" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_new,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS new_price,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        |FROM orders
+        |WHERE o_orderkey % 3 = 1
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
     "src_store_skip" ->
       """SELECT COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,

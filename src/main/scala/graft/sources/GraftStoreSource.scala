@@ -262,6 +262,14 @@ object GraftStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-store").load(path)
 
+  /** Incremental (CDC-style) read: rows in files the CURRENT snapshot
+    * has that snapshot `sinceVersion` lacked. For an append-only store
+    * this is exactly the appended rows; rewrites (overwrite/compaction)
+    * surface as re-additions — file-level CDC's standard contract. */
+  def readChanges(spark: SparkSession, path: String, sinceVersion: Long): DataFrame =
+    spark.read.format("graft-store")
+      .option("sinceVersion", sinceVersion).load(path)
+
   /** Rewrite the current snapshot into `targetFiles` data files — the
     * small-file compaction a long-lived append store needs (every
     * micro-batch epoch adds partition-count files; readers pay per
@@ -285,7 +293,8 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType)
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GsbScanBuilder(root, Option(options.get("version")).map(_.toLong))
+    new GsbScanBuilder(root, Option(options.get("version")).map(_.toLong),
+      Option(options.get("sinceVersion")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GsbWriteBuilder(root, info)
@@ -482,7 +491,8 @@ private[sources] class GsbDataWriter(root: String, schema: StructType, relPath: 
 
 // ---------------------------------------------------------------- read
 
-private[sources] class GsbScanBuilder(root: String, version: Option[Long])
+private[sources] class GsbScanBuilder(root: String, version: Option[Long],
+    since: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   // pin the snapshot NOW (planning time): concurrent commits after this
@@ -495,6 +505,20 @@ private[sources] class GsbScanBuilder(root: String, version: Option[Long])
         s"graft-store: no complete manifest version $v under $root")))
     .orElse(GraftStore.latestManifest(root, GraftStore.driverConf()))
     .getOrElse(GsbManifest(0L, StructType(Nil), Seq.empty))
+  // `sinceVersion` = incremental (CDC-style) consumption: read only
+  // files the target snapshot has that the baseline snapshot lacked.
+  // File-level semantics: appends surface exactly their new rows (the
+  // common case — append never rewrites files); overwrite/compaction
+  // surface rewritten files as re-additions, the standard contract for
+  // file-level incremental reads. The baseline's files are excluded at
+  // PLANNING time — a consumer polling a 100 TB append store reads
+  // only the delta, never the accumulated history.
+  private val baseline: Set[String] = since
+    .map(v => GraftStore.manifestAt(root, GraftStore.driverConf(), v)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-store: no complete manifest version $v under $root (sinceVersion)"))
+      .files.map(_.relPath).toSet)
+    .getOrElse(Set.empty)
   private var required: StructType = manifest.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -506,23 +530,28 @@ private[sources] class GsbScanBuilder(root: String, version: Option[Long])
     pushed = filters; filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = new GsbScan(root, manifest, required, pushed)
+  override def build(): Scan =
+    new GsbScan(root, manifest, required, pushed, baseline)
 }
 
 private[sources] class GsbScan(root: String, manifest: GsbManifest,
     required: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    baseline: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics {
-  // DATA SKIPPING: keep only files whose min/max stats admit a match
-  // for every pushed (conjunctive) filter — at planning time, before a
-  // single task launches. A range-clustered table turns a point/range
-  // query into a files=1/N scan.
-  private val kept = manifest.files.filter(e =>
-    filters.forall(GsbStats.mayMatch(_, manifest.schema, e.stats)))
+  // incremental consumption first (drop the baseline snapshot's files),
+  // then DATA SKIPPING: keep only files whose min/max stats admit a
+  // match for every pushed (conjunctive) filter — at planning time,
+  // before a single task launches. A range-clustered table turns a
+  // point/range query into a files=1/N scan.
+  private val kept = manifest.files
+    .filter(e => !baseline.contains(e.relPath))
+    .filter(e => filters.forall(GsbStats.mayMatch(_, manifest.schema, e.stats)))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-store $root v${manifest.version} " +
+      (if (baseline.isEmpty) "" else s"since-files=${baseline.size} ") +
       s"files=${kept.size}/${manifest.files.size}"
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =

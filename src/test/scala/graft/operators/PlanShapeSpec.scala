@@ -543,6 +543,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ml_sequence_pairs: one user-keyed window, no joins") {
+    val p = plan("ml_sequence_pairs")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("src_store_changes: the delta read drops baseline files at planning time") {
+    val p = plan("src_store_changes")
+    assert(p.contains("since-files="), p)
+    assert(p.contains("files=1/2"), p)
+  }
+
   test("dedup_clusters_rec: recursion is a UnionLoop with per-level DISTINCT state") {
     val p = plan("dedup_clusters_rec")
     assert(p.contains("UnionLoop"), p)

@@ -314,6 +314,29 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("version 9"), e.getMessage)
   }
 
+  test("incremental read: sinceVersion yields exactly the delta files' rows") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(5), dir)                    // v1
+    GraftStore.write(docs.limit(8).exceptAll(docs.limit(5)), dir) // v2: +3
+    GraftStore.write(docs.limit(9).exceptAll(docs.limit(8)), dir) // v3: +1
+    // delta since v1 = the two appended slices (4 rows), exactly
+    val since1 = GraftStore.readChanges(spark, dir, 1L)
+    assert(rows(since1) == rows(docs.limit(9).exceptAll(docs.limit(5))))
+    // delta since v2 = the last append only
+    assert(GraftStore.readChanges(spark, dir, 2L).count() == 1)
+    // delta since the latest version is empty
+    assert(GraftStore.readChanges(spark, dir, 3L).count() == 0)
+    // combined with time travel: changes v1..v2 ignore the later append
+    assert(spark.read.format("graft-store").option("version", 2)
+      .option("sinceVersion", 1).load(dir).count() == 3)
+    // a rewrite (overwrite) surfaces its files as re-additions
+    GraftStore.write(docs.limit(2), dir, overwrite = true)  // v4
+    assert(rows(GraftStore.readChanges(spark, dir, 3L)) == rows(docs.limit(2)))
+    // unknown baseline fails loudly
+    val e = intercept[Exception] { GraftStore.readChanges(spark, dir, 9L).count() }
+    assert(e.getMessage.contains("sinceVersion"), e.getMessage)
+  }
+
   test("compaction collapses an append history into few files, rows intact") {
     val dir = tmp()
     (0 until 4).foreach(i =>
