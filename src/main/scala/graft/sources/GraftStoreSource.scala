@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => rstreaming}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.{streaming => wstreaming}
 import org.apache.spark.sql.types._
@@ -290,7 +291,8 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GsbScanBuilder(root, Option(options.get("version")).map(_.toLong),
@@ -563,6 +565,61 @@ private[sources] class GsbScan(root: String, manifest: GsbManifest,
     kept.map(e => GsbPartition(root, e.relPath): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GsbReaderFactory(manifest.schema.json, required.fieldNames)
+
+  /** Streaming READ: the store as a micro-batch source. The offset IS
+    * the manifest version, and each micro-batch is the file-set delta
+    * between two snapshots — the `sinceVersion` incremental read run
+    * continuously. Planning cost per trigger is two O(files) manifest
+    * reads of driver-side metadata; tasks only ever scan the delta.
+    * With the store's epoch-idempotent streaming SINK, a store→store
+    * pipeline is exactly-once end-to-end: the source replays a batch
+    * by version range (manifests are immutable and overwrite never
+    * deletes data files inline, so any un-vacuumed range replays
+    * byte-identically) and the sink deduplicates replayed commits. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : rstreaming.MicroBatchStream =
+    new GsbMicroBatchStream(root, manifest, required)
+}
+
+private[sources] case class GsbStreamOffset(version: Long)
+    extends rstreaming.Offset {
+  override def json(): String = version.toString
+}
+
+private[sources] class GsbMicroBatchStream(root: String,
+    manifest0: GsbManifest, required: StructType)
+    extends rstreaming.MicroBatchStream {
+  // start from version 0 (empty baseline): the FIRST micro-batch is the
+  // store's current content (initial load), subsequent batches are
+  // per-trigger deltas. Restarts resume from the checkpointed offset.
+  override def initialOffset(): rstreaming.Offset = GsbStreamOffset(0L)
+  override def latestOffset(): rstreaming.Offset =
+    GsbStreamOffset(GraftStore.latestManifest(root, GraftStore.driverConf())
+      .map(_.version).getOrElse(0L))
+  override def deserializeOffset(json: String): rstreaming.Offset =
+    GsbStreamOffset(json.trim.toLong)
+  override def commit(end: rstreaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def filesAt(v: Long): Seq[GsbFile] =
+    if (v <= 0L) Seq.empty
+    else GraftStore.manifestAt(root, GraftStore.driverConf(), v)
+      .getOrElse(throw new IllegalStateException(
+        s"graft-store: streaming replay needs manifest version $v under " +
+          s"$root, but it is gone (vacuumed?)"))
+      .files
+
+  override def planInputPartitions(start: rstreaming.Offset,
+      end: rstreaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GsbStreamOffset].version
+    val e = end.asInstanceOf[GsbStreamOffset].version
+    val baseline = filesAt(s).map(_.relPath).toSet
+    filesAt(e).filter(f => !baseline.contains(f.relPath))
+      .map(f => GsbPartition(root, f.relPath): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GsbReaderFactory(manifest0.schema.json, required.fieldNames)
 }
 
 private[sources] case class GsbPartition(root: String, relPath: String) extends InputPartition
