@@ -555,6 +555,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("files=1/2"), p)
   }
 
+  test("src_store_ivm: the refresh reads the pinned view plus only the delta files") {
+    val p = plan("src_store_ivm")
+    assert(p.contains("since-files="), p)   // delta side prunes baseline
+    assert(p.contains("files=1/2"), p)      // ...to the appended file
+    assert(p.contains("files=1/1"), p)      // view side reads pinned v1
+  }
+
   test("dedup_clusters_rec: recursion is a UnionLoop with per-level DISTINCT state") {
     val p = plan("dedup_clusters_rec")
     assert(p.contains("UnionLoop"), p)
