@@ -160,7 +160,15 @@ object GraphOps {
     var ranks = er.select(col("src").as("node")).distinct()
       .withColumn("rank", round(lit(1.0 / n), 12))
     for (_ <- 1 to iters) {
-      ranks = er.join(ranks, col("src") === col("node"))
+      // rank state is O(nodes) — dimension-bounded for the graphs this
+      // serves (catalog entities), so BROADCAST it: each iteration then
+      // streams the checkpointed edge list with zero shuffle and only
+      // the dst-keyed aggregation exchanges (the unhinted plan SMJ'd
+      // the full edge list every iteration — 6 corpus sorts for 3
+      // iterations, measured 6-11 s vs ~1 s at sf0.1). For graphs whose
+      // node set is itself corpus-sized, drop the hint and pre-hash the
+      // edge list on src instead.
+      ranks = er.join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))
