@@ -141,6 +141,30 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Per-query regression budget: bench_budget.json records the best
+    // known per-query seconds across driver rounds. Any query >5× its
+    // budget gets a warning line; with SPARK_GRAFT_BENCH_BUDGET_STRICT=1
+    // (local runs only — the driver harness must never fail on ambient
+    // noise) the process exits 3 so a regression like round 8's 24 s
+    // graph_pagerank surfaces BEFORE the driver run instead of eating
+    // 20% of the bench contract.
+    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "bench_budget.json")
+    val budgetFile = new java.io.File(budgetPath)
+    if (budgetFile.isFile) {
+      val txt = new String(java.nio.file.Files.readAllBytes(budgetFile.toPath), "UTF-8")
+      val budget = """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val over = results.collect {
+        case (name, sec, _) if sec >= 0 && budget.get(name).exists(b => sec > 5 * b) =>
+          (name, sec, budget(name))
+      }
+      over.foreach { case (n, s, b) =>
+        System.err.println(f"[bench] BUDGET EXCEEDED: $n took $s%.2f s, budget $b%.2f s (>5x)")
+      }
+      if (over.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_BUDGET_STRICT").contains("1")) {
+        spark.stop(); sys.exit(3)
+      }
+    }
     spark.stop()
   }
 }

@@ -159,21 +159,28 @@ object GraphOps {
     val n = er.select(col("src")).distinct().count()
     var ranks = er.select(col("src").as("node")).distinct()
       .withColumn("rank", round(lit(1.0 / n), 12))
+    ranks = ranks.localCheckpoint()
     for (_ <- 1 to iters) {
       // rank state is O(nodes) — dimension-bounded for the graphs this
       // serves (catalog entities), so BROADCAST it: each iteration then
       // streams the checkpointed edge list with zero shuffle and only
       // the dst-keyed aggregation exchanges (the unhinted plan SMJ'd
       // the full edge list every iteration — 6 corpus sorts for 3
-      // iterations, measured 6-11 s vs ~1 s at sf0.1). For graphs whose
-      // node set is itself corpus-sized, drop the hint and pre-hash the
-      // edge list on src instead.
+      // iterations). CRITICAL: localCheckpoint the new rank state every
+      // iteration — without it, iteration k's broadcast subtree embeds
+      // iterations 1..k-1's whole plan, lineage deepens geometrically,
+      // and AQE re-plans the nest (measured 24 s vs ~1 s at sf0.1 for
+      // 3 iterations). On a real cluster use reliable checkpoint() so
+      // rank state survives executor loss. For graphs whose node set is
+      // itself corpus-sized, drop the hint and pre-hash the edge list
+      // on src instead.
       ranks = er.join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"),
           round(lit(teleport / n) + lit(damping) * col("s"), 12).as("rank"))
+        .localCheckpoint()
     }
     ranks
   }

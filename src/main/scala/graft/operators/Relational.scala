@@ -1351,8 +1351,8 @@ object Relational {
     "q12_ship_lag" ->
       """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
         |         THEN 'late' ELSE 'ontime' END AS lag_class,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1
@@ -1440,24 +1440,37 @@ object Tables {
   def part(s: SparkSession, dir: String) = table(s, dir, "part")
   def nation(s: SparkSession, dir: String) = table(s, dir, "nation")
   def region(s: SparkSession, dir: String) = table(s, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read the raw int64 nanos (legacy conf) and convert with
-    * integer division — `div`, not `/`, because ns-epoch values exceed
-    * double's 53-bit mantissa. Matches the oracle's CAST(ts AS TIMESTAMP)
-    * truncation to microseconds.
+  /** The driver has shipped events.parquet with two physical encodings of
+    * `ts` across fixture generations — TIMESTAMP(NANOS) (which Spark's
+    * parquet reader rejects without the legacy `nanosAsLong` conf) and
+    * plain timestamp[us] (which reads natively, as TIMESTAMP_NTZ when
+    * isAdjustedToUTC=false). Dispatch on the schema the reader actually
+    * produces instead of assuming either generation:
+    *   - LongType (nanos-as-long path): integer-divide to micros — `div`,
+    *     not `/`, because ns-epoch values exceed double's 53-bit mantissa.
+    *   - TimestampNTZType: cast to TIMESTAMP. Sessions pin
+    *     spark.sql.session.timeZone=UTC, so the cast is wall-clock
+    *     identity and downstream window/unix_timestamp semantics match
+    *     the oracle's naive-timestamp reads.
+    *   - TimestampType: use as-is.
     *
     * Side effect, deliberate: `nanosAsLong` is a session conf (no per-read
-    * option exists), so after this call other nanos-timestamp parquets in
-    * the SAME session also decode as longs. Restoring it after the read
-    * would be worse — the conf is consulted again at execution time, so a
-    * restore could flip schema mid-query. All graft entry points
-    * (Verify/Bench/tests) use short-lived single-purpose sessions. */
+    * option exists). It only affects columns physically typed
+    * TIMESTAMP(NANOS), so setting it up-front is a no-op for micros
+    * fixtures. All graft entry points (Verify/Bench/tests) use
+    * short-lived single-purpose sessions. */
   def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String) = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String) = table(s, dir, "embeddings")
