@@ -154,30 +154,41 @@ object GraphOps {
     * edge table instead of replaying the upstream join lineage. */
   def pagerank(edges: DataFrame, damping: Double, teleport: Double,
       iters: Int): DataFrame = {
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val er = edges.join(outdeg, "src").localCheckpoint()
-    val n = er.select(col("src")).distinct().count()
-    var ranks = er.select(col("src").as("node")).distinct()
-      .withColumn("rank", round(lit(1.0 / n), 12))
-    ranks = ranks.localCheckpoint()
+    // ONE materialization of the raw edge list — everything else in the
+    // computation (degree, node count, every iteration's scan) reads
+    // these in-memory blocks. The round-8 formulation materialized a
+    // deg-ANNOTATED edge list instead, whose plan embedded the upstream
+    // edge pipeline once under each union branch and twice more under
+    // the degree agg — 4 corpus-sized rebuilds before the first
+    // iteration (measured: the er checkpoint alone was 9.2 s of the
+    // 11 s query at sf0.1). On a real cluster use reliable
+    // checkpoint() so the edge blocks survive executor loss.
+    val e = edges.localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // contract: every node appears as a src, so outdeg IS the node set
+    val n = outdeg.count()
+    var ranks = outdeg.select(col("src").as("node"))
+      .withColumn("rank", round(lit(1.0 / n), 12)).localCheckpoint()
     for (_ <- 1 to iters) {
       // rank state is O(nodes) — dimension-bounded for the graphs this
-      // serves (catalog entities), so BROADCAST it: each iteration then
-      // streams the checkpointed edge list with zero shuffle and only
-      // the dst-keyed aggregation exchanges (the unhinted plan SMJ'd
-      // the full edge list every iteration — 6 corpus sorts for 3
-      // iterations). CRITICAL: localCheckpoint the new rank state every
-      // iteration — without it, iteration k's broadcast subtree embeds
-      // iterations 1..k-1's whole plan, lineage deepens geometrically,
-      // and AQE re-plans the nest (measured 24 s vs ~1 s at sf0.1 for
-      // 3 iterations). On a real cluster use reliable checkpoint() so
-      // rank state survives executor loss. For graphs whose node set is
-      // itself corpus-sized, drop the hint and pre-hash the edge list
-      // on src instead.
-      ranks = er.join(broadcast(ranks), col("src") === col("node"))
-        .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
+      // serves (catalog entities), so BROADCAST it. The per-node SHARE
+      // (rank/deg) is computed node-side before the broadcast — folding
+      // deg into the 16k-row rank table instead of carrying a deg
+      // column on every edge keeps the edge blocks skinny and turns
+      // each iteration into: scan in-memory edges → broadcast hash
+      // join → partial-agg shuffle of |nodes| rows. CRITICAL:
+      // localCheckpoint the new rank state every iteration — without
+      // it, iteration k's broadcast subtree embeds iterations 1..k-1's
+      // whole plan, lineage deepens geometrically, and AQE re-plans
+      // the nest (measured 24 s vs ~2 s at sf0.1 for 3 iterations).
+      // For graphs whose node set is itself corpus-sized, drop the
+      // hint and pre-hash the edge list on src instead.
+      val shares = ranks.join(outdeg, col("node") === col("src"))
+        .select(col("node"), (col("rank") / col("deg")).as("share"))
+      ranks = e.join(broadcast(shares), col("src") === col("node"))
         .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("s"))
+        .agg(sum(col("share")).as("s"))
         .select(col("dst").as("node"),
           round(lit(teleport / n) + lit(damping) * col("s"), 12).as("rank"))
         .localCheckpoint()

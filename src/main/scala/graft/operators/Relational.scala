@@ -521,11 +521,17 @@ object Relational {
       // dedup shuffle carries 16-byte rows instead of ~30-byte strings
       // with string comparators (measured part of the 6-11 s → ~2 s fix
       // together with the broadcast rank iteration in GraphOps)
+      // localCheckpoint the distinct pair list BEFORE the symmetrizing
+      // union: `pairs` feeds both union branches (and, inside
+      // GraphOps.pagerank, the degree agg), and without materialization
+      // the orders⋈lineitem distinct pipeline re-runs once per
+      // appearance — the dominant cost of the whole query at sf0.1.
       val pairs = orders(s, dir).join(lineitem(s, dir),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
           concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
+        .localCheckpoint()
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .union(pairs.select(col("s").as("src"), col("c").as("dst")))
       GraphOps.pagerank(edges, damping = 0.85, teleport = 0.15, iters = 3)
