@@ -275,6 +275,36 @@ object EventOps {
           coalesce(sum(col("gap_us")), lit(0L)).cast("long").as("sum_gap_us"))
         .orderBy(col("user_id"))
     },
+    // NEAREST as-of with a tolerance — the third direction of the
+    // custom merge exec (pandas merge_asof direction='nearest'): for
+    // each purchase, the click with the smallest |gap| within 30
+    // minutes, either side; exact-distance ties break BACKWARD
+    // (deterministic, matching the exec). n_back splits the matches by
+    // side so the oracle checks the tie-break rule itself, not just the
+    // gap sums. Same O(n+m)-per-partition merge at scale — both
+    // candidate directions fall out of one sorted pass.
+    "events_asof_near" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.plans.AsOfJoin.asof(purchases, clicks,
+          "p_user", "c_user", "p_ts", "c_ts",
+          tolerance = 1800L * 1000000L, direction = "nearest")
+        .withColumn("gap_us",
+          when(col("c_ts").isNotNull,
+            abs(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))))
+        .withColumn("is_back",
+          col("c_ts").isNotNull && col("c_ts") <= col("p_ts"))
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("gap_us")).as("n_matched"),
+          sum(when(col("is_back"), 1L).otherwise(0L)).cast("long").as("n_back"),
+          coalesce(sum(col("gap_us")), lit(0L)).cast("long").as("sum_gap_us"))
+        .orderBy(col("user_id"))
+    },
     // scalar JSON + date functions over the props column
     "events_json_props" -> { (s, dir) =>
       events(s, dir)
@@ -584,6 +614,45 @@ object EventOps {
         |SELECT user_id, COUNT(*) AS n_clicks, COUNT(gap_us) AS n_converted,
         |  CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us
         |FROM g
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    // nearest-direction as-of: per purchase, the back candidate is the
+    // newest click <= p_ts and the forward candidate the earliest click
+    // > p_ts, both within 30 min; smaller |gap| wins, ties backward —
+    // exactly the merge exec's decision rule
+    "events_asof_near" ->
+      """WITH purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT p.user_id, epoch_us(p.tsu) AS p_us,
+        |    (SELECT MAX(epoch_us(c.tsu)) FROM clicks c
+        |     WHERE c.user_id = p.user_id AND c.tsu <= p.tsu
+        |       AND c.tsu >= p.tsu - INTERVAL 30 MINUTE) AS b_us,
+        |    (SELECT MIN(epoch_us(c.tsu)) FROM clicks c
+        |     WHERE c.user_id = p.user_id AND c.tsu > p.tsu
+        |       AND c.tsu <= p.tsu + INTERVAL 30 MINUTE) AS f_us
+        |  FROM purchases p),
+        |pick AS (
+        |  SELECT user_id,
+        |    CASE WHEN b_us IS NULL AND f_us IS NULL THEN NULL
+        |         WHEN f_us IS NULL THEN p_us - b_us
+        |         WHEN b_us IS NULL THEN f_us - p_us
+        |         WHEN p_us - b_us <= f_us - p_us THEN p_us - b_us
+        |         ELSE f_us - p_us END AS gap_us,
+        |    CASE WHEN b_us IS NULL AND f_us IS NULL THEN 0
+        |         WHEN f_us IS NULL THEN 1
+        |         WHEN b_us IS NULL THEN 0
+        |         WHEN p_us - b_us <= f_us - p_us THEN 1
+        |         ELSE 0 END AS is_back
+        |  FROM cand)
+        |SELECT user_id, COUNT(*) AS n_purchases, COUNT(gap_us) AS n_matched,
+        |  CAST(SUM(is_back) AS BIGINT) AS n_back,
+        |  CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us
+        |FROM pick
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     "events_json_props" ->

@@ -203,6 +203,51 @@ object TextOps {
         .select(col("rk"), col("pair"), col("n"))
         .orderBy(col("rk"))
     },
+    // SECOND BPE merge round under the oracle — proves the data-
+    // dependent iteration step end to end, not just one aggregation:
+    // the round-1 winner is applied to the vocabulary (greedy
+    // left-to-right, which is exactly string `replace` semantics — a
+    // merged occurrence can't re-overlap) by collapsing it to a
+    // sentinel symbol, and round-2 pairs are counted over the
+    // re-symbolized words. The winner reaches the plan as a broadcast
+    // 1-row join, not a driver collect, so the two rounds remain ONE
+    // declarative plan; pair strings decode the sentinel back to
+    // `<xy>` for a readable, engine-portable output. Scale shape per
+    // round is unchanged from text_bpe_merges: vocab-sized, never
+    // corpus-sized.
+    "text_bpe_merges2" -> { (s, dir) =>
+      val S = "\u0001" // sentinel for the merged symbol; absent from the corpus
+      val vocab = documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        .localCheckpoint(eager = false) // feeds round-1 counts AND the re-symbolization
+      val pairs1 = vocab.filter(length(col("word")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => concat(col("word").substr(i, lit(1)),
+            col("word").substr(i + 1, lit(1))))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      val top1 = pairs1.orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair").as("m"))
+      val re = vocab.crossJoin(broadcast(top1))
+        .select(col("wc"), col("m"),
+          replace(col("word"), col("m"), lit(S)).as("w2"))
+      val pairs2 = re.filter(length(col("w2")) >= 2)
+        .select(col("wc"), col("m"), explode(transform(
+          sequence(lit(1), length(col("w2")) - 1),
+          i => concat(col("w2").substr(i, lit(1)),
+            col("w2").substr(i + 1, lit(1))))).as("raw"))
+        .select(col("wc"),
+          replace(col("raw"), lit(S),
+            concat(lit("<"), col("m"), lit(">"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      pairs2.orderBy(col("n").desc, col("pair")).limit(20)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("pair"))).cast("long"))
+        .select(col("rk"), col("pair"), col("n"))
+        .orderBy(col("rk"))
+    },
     // quality score: length + vocab-diversity + stopword components,
     // bucketed to one decimal; counts per bucket
     "text_quality" -> { (s, dir) =>
@@ -366,6 +411,31 @@ object TextOps {
           round(avg(when(col("score") >= col("thr"), col("score"))), 6)
             .as("avg_kept"))
         .orderBy(col("lang"))
+    },
+    // PRODUCTION twin of text_quality_gate: exact `percentile` keeps
+    // every score of a group in its aggregation buffer — at 100 TB a
+    // hot language's buffer is corpus-sized and the gate becomes the
+    // bottleneck. approx_percentile aggregates a bounded KLL-style
+    // sketch instead (fixed buffer, partial/final mergeable, one
+    // ordinary shuffle), the form a real curation DAG ships. Accuracy
+    // 10000 → rank error ≤ 1/10000, deterministic for a given dataset.
+    // No DuckDB oracle by design (sketch internals differ across
+    // engines — same contractual no-oracle class as ml_train_predict);
+    // TextApproxGateSpec pins it against the exact gate instead.
+    "text_quality_gate_approx" -> { (s, dir) =>
+      val scored = documents(s, dir)
+        .select(col("lang"), qualityScore(col("text")).as("score"))
+      val thr = scored.groupBy(col("lang").as("tl"))
+        .agg(expr("approx_percentile(score, 0.4, 10000)").as("thr"))
+      scored.join(broadcast(thr), col("lang") === col("tl"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= col("thr"), 1L).otherwise(0L))
+            .as("n_kept"),
+          round(min(col("thr")), 6).as("threshold"),
+          round(avg(when(col("score") >= col("thr"), col("score"))), 6)
+            .as("avg_kept"))
+        .orderBy(col("lang"))
     })
 
   /** The logistic classifier score of one text column — shared with
@@ -513,6 +583,37 @@ object TextOps {
         |ranked AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk, pair, n
         |  FROM pairs)
+        |SELECT rk, pair, n FROM ranked WHERE rk <= 20
+        |ORDER BY rk""".stripMargin,
+    // round 2: apply the round-1 winner (scalar subquery) to the vocab
+    // via greedy left-to-right replace with a chr(1) sentinel, count
+    // pairs over the re-symbolized words, decode sentinel to <xy>
+    "text_bpe_merges2" ->
+      """WITH vocab AS (
+        |  SELECT word, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+        |  GROUP BY word),
+        |pairs1 AS (
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM (
+        |    SELECT wc, unnest(list_transform(range(1, length(word)),
+        |      i -> word[i] || word[i+1])) AS pair
+        |    FROM vocab WHERE length(word) >= 2) p
+        |  GROUP BY pair),
+        |top1 AS (SELECT pair AS m FROM pairs1 ORDER BY n DESC, pair LIMIT 1),
+        |re AS (
+        |  SELECT wc, (SELECT m FROM top1) AS m,
+        |    replace(word, (SELECT m FROM top1), chr(1)) AS w2
+        |  FROM vocab),
+        |pairs2 AS (
+        |  SELECT replace(raw, chr(1), '<' || m || '>') AS pair,
+        |    CAST(SUM(wc) AS BIGINT) AS n FROM (
+        |    SELECT wc, m, unnest(list_transform(range(1, length(w2)),
+        |      i -> w2[i] || w2[i+1])) AS raw
+        |    FROM re WHERE length(w2) >= 2) p
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk, pair, n
+        |  FROM pairs2)
         |SELECT rk, pair, n FROM ranked WHERE rk <= 20
         |ORDER BY rk""".stripMargin,
     "text_quality" ->
