@@ -246,6 +246,67 @@ object CurationOps {
         .agg(count(lit(1)).as("n_kept"),
           md5(concat_ws(",", sort_array(collect_list(col("doc_id"))))).as("ids_md5"))
         .orderBy(col("lang"))
+    },
+    // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw
+    // document by how much more likely its hashed-bigram profile is
+    // under a TARGET domain's n-gram LM than under the raw corpus LM —
+    // log w(d) = Σ_grams [ln p_tgt(bucket) − ln p_raw(bucket)] with
+    // add-1 smoothing over the 4096-bucket hashed feature space; the
+    // top-weighted docs are the ones to keep when you want raw data
+    // that LOOKS like the target. Target here = quality-gated docs
+    // (score ≥ 0.62), so the whole query is self-contained.
+    //
+    // Scale shape: BOTH LMs come out of ONE pass over the gram stream
+    // (count + conditional count per bucket), the 4096-row LM table
+    // broadcasts back onto the same checkpointed stream for scoring, and
+    // top-k is TakeOrderedAndProject. Per-bucket log terms round to 6dp
+    // and sum as exact DECIMAL (the text_perplexity discipline), so the
+    // score is independent of partition/summation order and replayable
+    // by the oracle bit-for-bit.
+    "sample_importance" -> { (s, dir) =>
+      val B = 4096 // 3 hex chars of md5 → bucket
+      // TWO materialization stages, deliberately: the target flag is a
+      // regex-heavy per-DOC expression, and Catalyst's CollapseProject
+      // happily folds it past the bigram Generate — recomputing the
+      // quality score once per exploded BIGRAM, a ~50× blowup (measured
+      // 4.5 s → 1.3 s warm at sf0.1). The per-doc checkpoint is the
+      // barrier that pins per-doc work to per-doc cardinality; the
+      // bigram checkpoint then feeds the LM build AND the scoring join.
+      val perDoc = documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          (round(TextOps.qualityScore(col("text")), 4) >= 0.62).as("tgt"),
+          col("w"))
+        .localCheckpoint(eager = false)
+      val bg = perDoc
+        .select(col("doc_id"), col("tgt"), explode(transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1)))).as("bgram"))
+        .select(col("doc_id"), col("tgt"),
+          substring(md5(col("bgram")), 1, 3).as("bucket"))
+        .localCheckpoint(eager = false)
+      val lm = bg.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("rc"),
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
+      val tot = lm.agg(sum(col("rc")).cast("long").as("tr"),
+        sum(col("tc")).cast("long").as("tt"))
+      val lmt = lm.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          round(log((col("tc") + 1.0) / (col("tt") + B)) -
+            log((col("rc") + 1.0) / (col("tr") + B)), 6)
+            .cast("decimal(18,6)").as("term"))
+      val scored = bg.join(broadcast(lmt), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("logw"))
+      scored.orderBy(col("logw").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("logw").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("logw"))
+        .orderBy(col("rank"))
     })
 
   /** Document budget for `sample_mix_materialize` — smaller than any
@@ -390,5 +451,40 @@ object CurationOps {
         |  ROUND(CAST(SUM(CAST(top_frac AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_top_bigram_frac
         |FROM d
         |GROUP BY lang
-        |ORDER BY lang""".stripMargin)
+        |ORDER BY lang""".stripMargin,
+    // DSIR importance weights: hashed-bigram LMs (target = quality-gated
+    // docs) with add-1 smoothing; per-bucket ln-ratio terms rounded to
+    // 6dp and summed as exact DECIMAL so the score is summation-order
+    // independent across engines
+    "sample_importance" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w,
+         |    (ROUND(${TextOps.qualityScoreSql}, 4) >= 0.62) AS tgt
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (
+         |  SELECT doc_id, tgt,
+         |    substr(md5(w[i] || ' ' || w[i+1]), 1, 3) AS bucket
+         |  FROM d, unnest(range(1, len(w))) AS t(i)),
+         |lm AS (
+         |  SELECT bucket, COUNT(*) AS rc,
+         |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc
+         |  FROM bg GROUP BY bucket),
+         |tot AS (SELECT SUM(rc) AS tr, SUM(tc) AS tt FROM lm),
+         |lmt AS (
+         |  SELECT bucket,
+         |    CAST(ROUND(ln((tc + 1.0) / (tt + 4096.0)) -
+         |               ln((rc + 1.0) / (tr + 4096.0)), 6)
+         |      AS DECIMAL(18,6)) AS term
+         |  FROM lm, tot),
+         |sc AS (
+         |  SELECT doc_id, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS logw
+         |  FROM bg JOIN lmt USING (bucket)
+         |  GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS BIGINT) AS rank,
+         |    doc_id, logw
+         |  FROM sc)
+         |SELECT rank, doc_id, logw FROM ranked WHERE rank <= 20
+         |ORDER BY rank""".stripMargin)
 }

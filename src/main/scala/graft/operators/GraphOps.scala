@@ -195,4 +195,35 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Synchronous label propagation (community detection) over a
+    * SYMMETRIZED edge list (`u`, `v`): every node starts labeled with
+    * its own id; each iteration relabels every node with the most
+    * frequent label among its neighbors, ties broken to the SMALLEST
+    * label — fully deterministic, unlike the classic randomized-order
+    * LPA, so the result is oracle-replayable. Returns (node, label)
+    * after `iters` rounds.
+    *
+    * Scale shape: same checkpointed-iteration discipline as [[pagerank]]
+    * — the edge list materializes once, the O(nodes) label table
+    * broadcasts into each round (drop the hint and pre-hash the edges
+    * on `v` for corpus-sized node sets), and each round is one
+    * (u, label) count aggregation plus a node-sized argmax, both
+    * partial-aggregated. The argmax is `min(struct(-count, label))` —
+    * a single agg, never a window over the full neighbor-count table. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.localCheckpoint()
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = e.join(broadcast(labels), col("v") === col("node"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("u").as("node"), col("m.l").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

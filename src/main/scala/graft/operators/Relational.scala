@@ -578,6 +578,36 @@ object Relational {
         .orderBy(col("tri_count").desc, col("part"))
         .limit(20)
     },
+    // Community detection — fourth leg of the graph family (centrality,
+    // components, triads, communities): deterministic synchronous label
+    // propagation (neighbor-mode labels, ties to the smallest) over the
+    // same support-≥2 part-affinity graph graph_triangles sparsifies,
+    // symmetrized so propagation is undirected. 3 rounds; report the
+    // top-20 communities by size. The per-order collect_set pair
+    // generation and the support filter keep the edge list
+    // catalog-bounded before any iteration touches it.
+    "graph_communities" -> { (s, dir) =>
+      val orderParts = lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .filter(size(col("parts")) >= 2)
+      val pairs = orderParts
+        .select(explode(flatten(transform(col("parts"), (p, i) =>
+          transform(slice(col("parts"), i + 2, size(col("parts"))), q =>
+            struct(p.as("pa"), q.as("pb")))))).as("e"))
+        .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      val aff = pairs.groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("pa"), col("pb"))
+      val sym = aff.select(col("pa").as("u"), col("pb").as("v"))
+        .union(aff.select(col("pb").as("u"), col("pa").as("v")))
+      GraphOps.labelPropagation(sym, iters = 3)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("community"))
+        .limit(20)
+    },
     // set op + subquery shape: customers with above-average balance per nation
     "q_above_avg_customers" -> { (s, dir) =>
       val c = customer(s, dir)
@@ -988,6 +1018,37 @@ object Relational {
         |FROM corners GROUP BY part
         |ORDER BY tri_count DESC, part
         |LIMIT 20""".stripMargin,
+    // deterministic synchronous LPA, 3 unrolled rounds: neighbor-mode
+    // argmax replayed as ROW_NUMBER (count DESC, label ASC)
+    "graph_communities" -> {
+      def lpaStep(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT u AS node, label FROM (
+           |    SELECT e.u, l.label,
+           |      ROW_NUMBER() OVER (PARTITION BY e.u
+           |        ORDER BY COUNT(*) DESC, l.label) AS rn
+           |    FROM sym e JOIN $prev l ON e.v = l.node
+           |    GROUP BY e.u, l.label) t
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH opairs AS (
+         |  SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |edges AS (
+         |  SELECT pa, pb FROM opairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sym AS (
+         |  SELECT pa AS u, pb AS v FROM edges
+         |  UNION ALL SELECT pb AS u, pa AS v FROM edges),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+         |${lpaStep("l0", "l1")},
+         |${lpaStep("l1", "l2")},
+         |${lpaStep("l2", "l3")}
+         |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size
+         |FROM l3
+         |GROUP BY label
+         |ORDER BY size DESC, community
+         |LIMIT 20""".stripMargin
+    },
     "q2_min_cost_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,

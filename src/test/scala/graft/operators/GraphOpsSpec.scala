@@ -117,4 +117,55 @@ class GraphOpsSpec extends AnyFunSuite {
     val edges = (2L to 40L).map(i => (i, 1L))
     assert(cc(edges) == (1L to 40L).map(_ -> 1L).toMap)
   }
+
+  /** Symmetrizes, runs LPA, returns node→label. */
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(_.swap)).toDF("u", "v")
+    GraphOps.labelPropagation(sym, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Driver reference: synchronous neighbor-mode with min-label
+    * tie-break, the exact rule labelPropagation claims. */
+  private def lpaRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = adj.map { case (u, nbrs) =>
+        val counts = nbrs.groupBy(labels).map { case (l, xs) => (l, xs.size) }
+        u -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: two cliques with one bridge form two communities") {
+    val cliqueA = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val edges = cliqueA ++ cliqueB ++ Seq((4L, 10L))
+    val got = lpa(edges, 3)
+    assert(got == lpaRef(edges, 3))
+    // clique A converges to its min label; clique B likewise (the single
+    // bridge can't outvote 3 intra-clique neighbors)
+    assert((1L to 3L).forall(got(_) == 1L))
+    assert((11L to 13L).forall(got(_) == 10L))
+  }
+
+  test("labelPropagation: matches the driver reference on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    assert(lpa(edges, 3) == lpaRef(edges, 3))
+  }
+
+  test("labelPropagation: star adopts the center's label by round 2") {
+    val edges = (2L to 20L).map(i => (1L, i))
+    val got = lpa(edges, 2)
+    // round 1: leaves take the center's label (their only neighbor);
+    // center takes the min leaf label (2). round 2: center's neighbors
+    // all carry label 1 → center flips back to 1; leaves see center
+    // label 2 → 2. The reference pins the exact oscillation.
+    assert(got == lpaRef(edges, 2))
+  }
 }
