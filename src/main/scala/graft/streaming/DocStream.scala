@@ -148,6 +148,35 @@ object DocStream {
       .drop("__w")
   }
 
+  /** Stateless DSIR importance scoring against a STATIC hashed-bigram
+    * LM-ratio table — the streaming twin of the batch
+    * `sample_importance` query: per document,
+    * logw = Σ over bigrams of term(bucket), where each term is the
+    * batch job's round(ln p_target − ln p_raw, 6) for that md5 bucket.
+    * The 4096-entry table rides as a MAP LITERAL (`element_at` lookups
+    * in one projection — no join, no aggregation, NO STATE, same
+    * discipline as [[perplexityFilter]]), and terms accumulate as exact
+    * DECIMAL, so a document's stream score is bit-identical to what the
+    * batch query would assign it. Buckets absent from the table
+    * (corpus drift after the LM snapshot) score `defaultTerm`; docs
+    * shorter than 2 words get NULL. Appends `logw`. */
+  def importanceScore(docs: DataFrame, textCol: String,
+      lmTerms: Map[String, Double], defaultTerm: Double): DataFrame = {
+    val lm = typedlit(lmTerms)
+    val w = col("__w") // attribute reference: cheap inside lambdas
+    val terms = transform(sequence(lit(1), size(w) - 1), i =>
+      coalesce(
+        element_at(lm, substring(md5(
+          concat(element_at(w, i), lit(" "), element_at(w, i + 1))), 1, 3)),
+        lit(defaultTerm)).cast("decimal(18,6)"))
+    docs.withColumn("__w", split(col(textCol), " "))
+      .withColumn("logw",
+        when(size(w) >= 2,
+          round(aggregate(terms, lit(BigDecimal(0)).cast("decimal(28,6)"),
+            (a, x) => (a + x).cast("decimal(28,6)")).cast("double"), 6)))
+      .drop("__w")
+  }
+
   /** Stateless PII scrub: masks every class in
     * [[graft.operators.TextOps.PiiPatterns]] (the SAME definition the
     * batch `text_pii_redact` audit and its oracle use) and annotates the

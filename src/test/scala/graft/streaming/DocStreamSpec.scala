@@ -299,4 +299,83 @@ class DocStreamSpec extends AnyFunSuite {
       assert(out == Map(10L -> "exact_dup", 15L -> "near_dup", 20L -> "new"), out.toString)
     } finally q.stop()
   }
+
+  /** Builds the hashed-bigram LM-ratio table exactly as the batch
+    * `sample_importance` query does (target = quality ≥ 0.62, add-1
+    * smoothing, 4096 md5 buckets, terms rounded to 6dp HALF_UP). */
+  private def buildLmTerms(sf: String): Map[String, Double] = {
+    import graft.operators.{Tables, TextOps}
+    val bg = Tables.documents(spark, sf)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(
+        (round(TextOps.qualityScore(col("text")), 4) >= 0.62).as("tgt"),
+        explode(transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1)))).as("bgram"))
+      .select(col("tgt"), substring(md5(col("bgram")), 1, 3).as("bucket"))
+    val lm = bg.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tr = lm.map(_._2).sum.toDouble
+    val tt = lm.map(_._3).sum.toDouble
+    lm.map { case (bucket, rc, tc) =>
+      val term = math.log((tc + 1.0) / (tt + 4096.0)) -
+        math.log((rc + 1.0) / (tr + 4096.0))
+      bucket -> BigDecimal(term)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  test("importanceScore matches the batch sample_importance top-20 bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    val lmTerms = buildLmTerms(sf)
+    // stateless function applied to the batch frame: same code path the
+    // stream runs, minus the micro-batch plumbing (covered below)
+    val scored = DocStream.importanceScore(
+        graft.operators.Tables.documents(spark, sf), "text", lmTerms,
+        defaultTerm = 0.0)
+      .filter(col("logw").isNotNull)
+      .select(col("doc_id"), col("logw"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val top20 = scored.sortBy { case (id, w) => (-w, id) }.take(20)
+      .zipWithIndex.map { case ((id, w), i) => (i + 1L, id, w) }.toSeq
+    val batch = graft.operators.CurationOps.queries("sample_importance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(top20 == batch,
+      s"stream-vs-batch divergence:\n stream=$top20\n batch=$batch")
+  }
+
+  test("importanceScore is streaming-legal and scores across micro-batches") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dir = Files.createTempDirectory("doc_stream_dsir").toString
+    // one bucket table entry per planted bigram; unseen buckets take the default
+    def bucket(bg: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(bg.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(3)
+    val lm = Map(bucket("alpha beta") -> 2.5, bucket("beta gamma") -> -1.25)
+    docsDf(Seq((1L, new Timestamp(base), "alpha beta gamma")))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = DocStream.importanceScore(
+      spark.readStream.schema(schema).parquet(dir), "text", lm,
+      defaultTerm = -0.5)
+    val q = stream.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      docsDf(Seq(
+        (2L, new Timestamp(base + 60000), "alpha beta unknown"),
+        (3L, new Timestamp(base + 120000), "word")))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, logw FROM dsir_stream")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      // doc 1: 2.5 + (-1.25); doc 2: 2.5 + default(-0.5); doc 3: < 2 words
+      assert(out == Map(1L -> Some(1.25), 2L -> Some(2.0), 3L -> None), out.toString)
+    } finally q.stop()
+  }
 }
