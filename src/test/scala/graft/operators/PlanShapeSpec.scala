@@ -567,4 +567,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("UnionLoop"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("graph_communities: no quadratic joins; top-20 is TakeOrderedAndProject") {
+    val p = plan("graph_communities")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sample_importance: LM joins broadcast; scoring never sort-merge joins the gram stream") {
+    val p = plan("sample_importance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
