@@ -146,14 +146,16 @@ object GraphOps {
     * summation-order noise (~1e-20 at rank scale) so iterated results
     * stay exactly replayable.
     *
-    * Scale shape (100 TB): one shuffle per iteration — the contribution
-    * groupBy on `dst`; the rank join is an equi-join on `src` that AQE
-    * can skew-split, and the degree-annotated edge list is computed once
-    * and localCheckpointed (on a real cluster: reliable `checkpoint()`)
-    * so each iteration re-reads a materialized, already-partitioned
-    * edge table instead of replaying the upstream join lineage. */
+    * Scale shape (100 TB): the raw edge list materializes once and every
+    * iteration re-reads those blocks; the per-iteration rank join's
+    * physical plan is PICKED by the measured node count (broadcast hash
+    * join under `broadcastNodeLimit`, co-partitioned shuffle join that
+    * moves only the rank table above it — see the body), and the only
+    * corpus-sized shuffle either way is the contribution groupBy on
+    * `dst`, which AQE can skew-split. On a real cluster swap
+    * localCheckpoint for reliable `checkpoint()`. */
   def pagerank(edges: DataFrame, damping: Double, teleport: Double,
-      iters: Int): DataFrame = {
+      iters: Int, broadcastNodeLimit: Long = 10000000L): DataFrame = {
     // ONE materialization of the raw edge list — everything else in the
     // computation (degree, node count, every iteration's scan) reads
     // these in-memory blocks. The round-8 formulation materialized a
@@ -163,30 +165,44 @@ object GraphOps {
     // iteration (measured: the er checkpoint alone was 9.2 s of the
     // 11 s query at sf0.1). On a real cluster use reliable
     // checkpoint() so the edge blocks survive executor loss.
-    val e = edges.localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    //
+    // The node count DECIDES the iteration plan instead of a comment
+    // documenting the caveat: ≤ broadcastNodeLimit nodes → broadcast
+    // the rank table into each round (zero edge movement); above it,
+    // O(nodes) rank state would OOM every executor as a broadcast, so
+    // the edge list is re-laid-out hash-partitioned on src ONCE and
+    // each round is a co-partitioned join that only ever shuffles the
+    // rank table. The decision costs nothing extra: it reads the node
+    // count off the degree table the algorithm needs anyway, and only
+    // the big path pays the one-time repartition.
+    val e0 = edges.localCheckpoint()
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     // contract: every node appears as a src, so outdeg IS the node set
     val n = outdeg.count()
+    val big = n > broadcastNodeLimit
+    val e = if (big) e0.repartition(col("src")).localCheckpoint() else e0
     var ranks = outdeg.select(col("src").as("node"))
       .withColumn("rank", round(lit(1.0 / n), 12)).localCheckpoint()
     for (_ <- 1 to iters) {
-      // rank state is O(nodes) — dimension-bounded for the graphs this
-      // serves (catalog entities), so BROADCAST it. The per-node SHARE
-      // (rank/deg) is computed node-side before the broadcast — folding
-      // deg into the 16k-row rank table instead of carrying a deg
-      // column on every edge keeps the edge blocks skinny and turns
-      // each iteration into: scan in-memory edges → broadcast hash
-      // join → partial-agg shuffle of |nodes| rows. CRITICAL:
-      // localCheckpoint the new rank state every iteration — without
-      // it, iteration k's broadcast subtree embeds iterations 1..k-1's
-      // whole plan, lineage deepens geometrically, and AQE re-plans
-      // the nest (measured 24 s vs ~2 s at sf0.1 for 3 iterations).
-      // For graphs whose node set is itself corpus-sized, drop the
-      // hint and pre-hash the edge list on src instead.
+      // The per-node SHARE (rank/deg) is computed node-side before the
+      // join — folding deg into the rank table instead of carrying a
+      // deg column on every edge keeps the edge blocks skinny. Small
+      // graphs: broadcast hash join — each iteration is an in-memory
+      // edge scan + a partial-agg shuffle of |nodes| rows. Big graphs:
+      // plain equi-join against the src-partitioned edge blocks — AQE
+      // skew-splits hot nodes and the corpus-sized side never moves.
+      // CRITICAL either way: localCheckpoint the new rank state every
+      // iteration — without it, iteration k's join subtree embeds
+      // iterations 1..k-1's whole plan, lineage deepens geometrically,
+      // and AQE re-plans the nest (measured 24 s vs ~2 s at sf0.1 for
+      // 3 iterations).
       val shares = ranks.join(outdeg, col("node") === col("src"))
         .select(col("node"), (col("rank") / col("deg")).as("share"))
-      ranks = e.join(broadcast(shares), col("src") === col("node"))
+      val joined =
+        if (big) e.join(shares, col("src") === col("node"))
+        else e.join(broadcast(shares), col("src") === col("node"))
+      ranks = joined
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("s"))
         .select(col("dst").as("node"),
@@ -205,19 +221,29 @@ object GraphOps {
     * after `iters` rounds.
     *
     * Scale shape: same checkpointed-iteration discipline as [[pagerank]]
-    * — the edge list materializes once, the O(nodes) label table
-    * broadcasts into each round (drop the hint and pre-hash the edges
-    * on `v` for corpus-sized node sets), and each round is one
+    * — the edge list materializes once, and each round is one
     * (u, label) count aggregation plus a node-sized argmax, both
     * partial-aggregated. The argmax is `min(struct(-count, label))` —
-    * a single agg, never a window over the full neighbor-count table. */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.localCheckpoint()
-    var labels = e.select(col("u").as("node")).distinct()
+    * a single agg, never a window over the full neighbor-count table.
+    * Like [[pagerank]], the node count PICKS the join plan: small node
+    * sets broadcast the label table into each round; past
+    * `broadcastNodeLimit` the edges pre-hash-partition on `v` once and
+    * each round co-partition-joins, moving only the label table. */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      broadcastNodeLimit: Long = 10000000L): DataFrame = {
+    val e0 = edges.localCheckpoint()
+    var labels = e0.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // free dispatch: the label table's count IS the node count; only
+    // the big path pays the one-time v-partitioned re-layout
+    val big = labels.count() > broadcastNodeLimit
+    val e = if (big) e0.repartition(col("v")).localCheckpoint() else e0
     for (_ <- 1 to iters) {
-      labels = e.join(broadcast(labels), col("v") === col("node"))
+      val withNbr =
+        if (big) e.join(labels, col("v") === col("node"))
+        else e.join(broadcast(labels), col("v") === col("node"))
+      labels = withNbr
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("u"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))

@@ -168,4 +168,28 @@ class GraphOpsSpec extends AnyFunSuite {
     // label 2 → 2. The reference pins the exact oscillation.
     assert(got == lpaRef(edges, 2))
   }
+
+  test("pagerank: broadcast and big-graph shuffle paths agree exactly") {
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.fill(200)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2)
+    val sym = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    def ranksOf(limit: Long) =
+      GraphOps.pagerank(sym, 0.85, 0.15, iters = 3, broadcastNodeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // limit 0 forces the pre-partitioned shuffle-join path; default
+    // broadcasts. 12dp per-iteration rounding makes them bit-equal.
+    assert(ranksOf(0L) == ranksOf(10000000L))
+  }
+
+  test("labelPropagation: broadcast and big-graph shuffle paths agree exactly") {
+    val rnd = new scala.util.Random(13)
+    val raw = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val sym = (raw ++ raw.map(_.swap)).toDF("u", "v")
+    def labelsOf(limit: Long) =
+      GraphOps.labelPropagation(sym, iters = 3, broadcastNodeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsOf(0L) == labelsOf(10000000L))
+  }
 }
