@@ -100,6 +100,35 @@ object Multimodal {
     def decodePixel(payload: Array[Byte], x: Int, y: Int): Option[Int] =
       decode(payload).map(_.getRGB(x, y) & 0xffffff)
 
+    /** Average-hash (aHash) over the DECODED top-left 8×8 crop: per-pixel
+      * gray = (r+g+b)/3 (integer), bit = gray strictly above the 64-pixel
+      * mean, emitted as a 64-char '0'/'1' string in row-major (y, x)
+      * order. The mean compare is exact integer arithmetic
+      * (gray·64 > Σgray — no float mean), so an external replay of the
+      * pixel formulas lands on the identical hash. ONE decode per
+      * payload (not 64 decodePixel calls). None if the payload doesn't
+      * decode or is smaller than 8×8. */
+    def averageHash8x8(payload: Array[Byte]): Option[String] =
+      decode(payload).flatMap { img =>
+        if (img.getWidth < 8 || img.getHeight < 8) None
+        else {
+          val gray = new Array[Int](64)
+          var i = 0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val rgb = img.getRGB(x, y) & 0xffffff
+              gray(i) = ((rgb >> 16) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          val total = gray.sum
+          Some(gray.map(g => if (g * 64 > total) '1' else '0').mkString)
+        }
+      }
+
     private def decode(payload: Array[Byte]): Option[BufferedImage] =
       if (payload == null) None
       else

@@ -396,6 +396,28 @@ object EventOps {
     // pass + distributed top-k (TakeOrderedAndProject).
     "events_skew_report" -> { (s, dir) =>
       Layout.skewReport(events(s, dir), "user_id", topN = 10)
+    },
+    // Markov transition matrix over per-user event streams: P(next |
+    // prev) for every adjacent event-type pair — the one-step sibling of
+    // ml_sequence_pairs' 3-gram contexts, and the model behind "what do
+    // users do after X" product questions. Scale shape: ONE user-keyed
+    // shuffle (the lag window — per-task state is one user's stream),
+    // then everything collapses to the |types|² matrix, on which the
+    // row-normalizing window is free. Ties at identical ts break on
+    // event_id in both engines (the established events-ts idiom);
+    // probabilities round to 6dp from an exact bigint/bigint ratio.
+    "events_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev"))), 6))
+        .orderBy(col("prev"), col("next"))
     })
 
   private val asOfOracle: String =
@@ -420,6 +442,21 @@ object EventOps {
       |ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev IS NOT NULL
+        |  GROUP BY prev, event_type)
+        |SELECT prev, next, n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |    SUM(n) OVER (PARTITION BY prev), 6) AS p
+        |FROM m
+        |ORDER BY prev, next""".stripMargin,
     "events_salted_join" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
         |  COUNT(*) AS n_events,

@@ -71,6 +71,41 @@ object MlOps {
         .orderBy(col("n").desc, col("context"), col("next_type"))
         .limit(50)
     },
+    // Hashing-trick featurization (the HashingTF shape): words map to a
+    // 256-bucket feature space via the first two md5 hex chars, emitted
+    // as the sparse (doc, bucket, count) triples a downstream trainer
+    // consumes. The trick is WHY it scales: no vocabulary to build,
+    // broadcast, or keep consistent across a 100 TB corpus — the
+    // feature id is a pure projection, so the whole featurizer is one
+    // codegen'd map + one partial-aggregated count. md5 (not hash())
+    // because the oracle must land in identical buckets.
+    "ml_feature_hash" -> { (s, dir) =>
+      documents(s, dir)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"), substring(md5(col("word")), 1, 2).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("bucket"))
+    },
+    // Deterministic k-fold assignment + per-fold balance audit: fold =
+    // first md5 hex digit of the row id, mod 5 — hash-split, not RNG, so
+    // the folds are stable under re-runs, retries, and any partitioning
+    // (the same determinism rule as the sampling family). The audit
+    // (count, label mean, distinct labels per fold) is what you check
+    // BEFORE trusting cross-validation: a skewed fold invalidates the
+    // whole CV estimate. One partial-aggregated pass.
+    "ml_crossval_folds" -> { (s, dir) =>
+      val h = ascii(substring(md5(col("vec_id").cast("string")), 1, 1))
+      val hv = when(h >= 97, h - 87).otherwise(h - 48)
+      embeddings(s, dir)
+        .select((hv % 5).cast("long").as("fold"), col("label"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("label")), 6).as("avg_label"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy(col("fold"))
+    },
     // flagship train+predict: binary target from label, tiny net, hogwild.
     // Nondeterministic → no oracle (rows-only check).
     "ml_train_predict" -> { (s, dir) =>
@@ -93,6 +128,26 @@ object MlOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "ml_feature_hash" ->
+      """SELECT doc_id, substr(md5(word), 1, 2) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents WHERE doc_id < 20)
+        |GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
+    "ml_crossval_folds" ->
+      """WITH f AS (
+        |  SELECT (CASE WHEN ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) >= 97
+        |               THEN ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 87
+        |               ELSE ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 48
+        |          END) % 5 AS fold, label
+        |  FROM embeddings)
+        |SELECT CAST(fold AS BIGINT) AS fold, COUNT(*) AS n,
+        |  ROUND(AVG(label), 6) AS avg_label,
+        |  CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+        |FROM f
+        |GROUP BY fold
+        |ORDER BY fold""".stripMargin,
     "ml_feature_prep" ->
       """SELECT c_custkey,
         |  CASE WHEN abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE)) = 0 THEN 0.0
@@ -222,6 +277,39 @@ object MultimodalOps {
         }(enc)
         .orderBy(col("doc_id"))
     },
+    // Perceptual-hash image dedup: aHash (64-bit average hash) computed
+    // from the REAL decoded pixels of each document's PNG — the standard
+    // near-duplicate-image primitive (identical hash ⇒ visually
+    // identical 8×8 luma structure), and the cross of the multimodal
+    // codec path with the dedup family: group-by-phash is exactly
+    // dedup_exact's shape with a perceptual key instead of md5(text).
+    // The Spark side proves the full encode → decode → pixel → hash
+    // chain (ImageIO decode, integer gray, exact integer mean compare);
+    // the oracle replays the pixel FORMULAS in SQL — any lie in any
+    // codec layer breaks the 64-bit hash, not just one field. Per-row
+    // decode, no shuffle until the 200-row hash table groups.
+    "mm_image_phash" -> { (s, dir) =>
+      import graft.multimodal.Multimodal.ImageCodec
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("phash", org.apache.spark.sql.types.StringType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val hashed = documents(s, dir)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val w = 8 + (id % 57).toInt
+            val h = 8 + (id % 41).toInt
+            val png = ImageCodec.encodePng(w, h, seed = id, alpha = id % 2 == 1)
+            org.apache.spark.sql.Row(id, ImageCodec.averageHash8x8(png).get)
+          }
+        }(enc)
+      hashed
+        .withColumn("n_same", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))))
+        .orderBy(col("doc_id"))
+    },
     // frame-sampling through the REAL batched mapPartitions path
     // (graft.multimodal.Multimodal.sampleFrames over the byte codec):
     // each payload splits into min(4, len) frames of max(1, len/4)
@@ -243,6 +331,28 @@ object MultimodalOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // replays encodePng's pixel formulas through the aHash arithmetic —
+    // 64 exact integer comparisons per doc; a match proves the decoded
+    // pixels (not just the header) are bit-faithful for every image
+    "mm_image_phash" ->
+      """WITH px AS (
+        |  SELECT doc_id, y, x,
+        |    (((doc_id + x) % 256) + ((doc_id * 7 + y) % 256)
+        |     + ((doc_id * 13 + x + y) % 256)) // 3 AS gray
+        |  FROM (SELECT doc_id, unnest(range(0, 8)) AS y
+        |        FROM documents WHERE doc_id < 200) d,
+        |       unnest(range(0, 8)) AS t(x)),
+        |s AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+        |h AS (
+        |  SELECT p.doc_id,
+        |    string_agg(CASE WHEN p.gray * 64 > s.total THEN '1' ELSE '0' END, ''
+        |               ORDER BY p.y, p.x) AS phash
+        |  FROM px p JOIN s ON p.doc_id = s.doc_id
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, phash,
+        |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
     // replays encodePng's dimension/alpha/pixel formulas; a match proves
     // the Spark side's real PNG encode→decode returned the true values
     "mm_audio_meta" ->

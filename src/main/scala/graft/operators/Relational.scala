@@ -34,6 +34,39 @@ object Relational {
       (lit(1).cast("decimal(18,4)") - disc.cast("decimal(18,4)"))), 2)
       .cast("double")
 
+  /** Support-≥2 part-affinity edge list (`pa` < `pb`) shared by the
+    * whole graph family (triangles, communities, degree stats, BFS,
+    * link prediction). Pair generation is the repo's collect_set +
+    * row-local array-combination pattern — per-order fan-out is bounded
+    * by order size, and the support filter is the SPARSIFIER that keeps
+    * the edge list catalog-bounded before any wedge join or iteration
+    * touches it (see graph_triangles). Oracle twin: [[affinitySql]]. */
+  private def affinityEdges(s: SparkSession, dir: String): DataFrame = {
+    val orderParts = lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+    orderParts
+      .select(explode(flatten(transform(col("parts"), (p, i) =>
+        transform(slice(col("parts"), i + 2, size(col("parts"))), q =>
+          struct(p.as("pa"), q.as("pb")))))).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("pa"), col("pb"))
+  }
+
+  /** DuckDB CTE prefix defining `edges(pa, pb)` — the oracle replay of
+    * [[affinityEdges]], shared by every graph-family oracle. */
+  private val affinitySql: String =
+    """opairs AS (
+      |  SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (
+      |  SELECT pa, pb FROM opairs GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1: pricing summary report
     "q1_pricing_summary" -> { (s, dir) =>
@@ -553,19 +586,7 @@ object Relational {
     // per-part participation is a corner explode + count. AQE
     // broadcasts the post-filter edge list at runtime if it fits.
     "graph_triangles" -> { (s, dir) =>
-      val orderParts = lineitem(s, dir)
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-        .filter(size(col("parts")) >= 2)
-      val pairs = orderParts
-        .select(explode(flatten(transform(col("parts"), (p, i) =>
-          transform(slice(col("parts"), i + 2, size(col("parts"))), q =>
-            struct(p.as("pa"), q.as("pb")))))).as("e"))
-        .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
-      val edges = pairs.groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("pa"), col("pb"))
+      val edges = affinityEdges(s, dir)
       val tris = edges.select(col("pa").as("a"), col("pb").as("b"))
         .join(edges.select(col("pa").as("b2"), col("pb").as("c")),
           col("b") === col("b2"))
@@ -587,25 +608,96 @@ object Relational {
     // generation and the support filter keep the edge list
     // catalog-bounded before any iteration touches it.
     "graph_communities" -> { (s, dir) =>
-      val orderParts = lineitem(s, dir)
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-        .filter(size(col("parts")) >= 2)
-      val pairs = orderParts
-        .select(explode(flatten(transform(col("parts"), (p, i) =>
-          transform(slice(col("parts"), i + 2, size(col("parts"))), q =>
-            struct(p.as("pa"), q.as("pb")))))).as("e"))
-        .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
-      val aff = pairs.groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("pa"), col("pb"))
+      val aff = affinityEdges(s, dir)
       val sym = aff.select(col("pa").as("u"), col("pb").as("v"))
         .union(aff.select(col("pb").as("u"), col("pa").as("v")))
       GraphOps.labelPropagation(sym, iters = 3)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("community"))
+        .limit(20)
+    },
+    // Degree distribution of the affinity graph — the first diagnostic
+    // anyone runs on a graph (is it heavy-tailed? how sparse?), and at
+    // pipeline scale the input to skew planning: the max-degree row of
+    // this histogram IS the hot key the salted-join/AQE machinery must
+    // absorb. Two partial-aggregated shuffles over a catalog-bounded
+    // edge list; the histogram itself is at most |distinct degrees| rows.
+    "graph_degree_stats" -> { (s, dir) =>
+      val aff = affinityEdges(s, dir)
+      aff.select(col("pa").as("node")).union(aff.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    },
+    // Multi-hop reachability: BFS to depth 3 from the affinity graph's
+    // HUB (max-degree node, ties to the smallest id — the seed choice
+    // that yields a real frontier cascade; the minimum-id node often
+    // sits on an isolated edge), reported as a per-distance census.
+    // The Spark side is true frontier iteration — each round expands the
+    // CURRENT frontier only (join on the symmetrized edges), anti-joins
+    // the visited set so a node keeps its first (= minimum) distance,
+    // and localCheckpoints both sets so lineage stays flat. That is the
+    // scale shape: per-round cost ∝ frontier × avg-degree, never
+    // all-walks. The DuckDB oracle replays it as a recursive CTE that
+    // enumerates bounded walks and takes MIN(dist) — same fixpoint,
+    // different (driver-friendly) formulation, which is exactly the
+    // cross-check worth having for iterative graph code.
+    "graph_bfs" -> { (s, dir) =>
+      val aff = affinityEdges(s, dir).localCheckpoint()
+      val sym = aff.select(col("pa").as("u"), col("pb").as("v"))
+        .union(aff.select(col("pb").as("u"), col("pa").as("v")))
+        .localCheckpoint()
+      val seed = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("u")).limit(1)
+        .select(col("u").as("node"))
+        .withColumn("dist", lit(0L)).localCheckpoint()
+      var visited = seed
+      var frontier = seed.select(col("node"))
+      for (d <- 1 to 3) {
+        val next = frontier.join(sym, col("node") === col("u"))
+          .select(col("v").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .localCheckpoint()
+        visited = visited.union(next.withColumn("dist", lit(d.toLong)))
+          .localCheckpoint()
+        frontier = next
+      }
+      visited.groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .orderBy(col("dist"))
+    },
+    // Link prediction by common-neighbor Jaccard: for part pairs NOT yet
+    // connected in the affinity graph, score |N(a)∩N(c)| / |N(a)∪N(c)|
+    // and report the top-20 — "these two parts behave like co-purchases
+    // even though they never co-occurred", the recommender primitive.
+    // The wedge join runs on the support-sparsified edges (same reason
+    // graph_triangles is tractable), the existing-edge exclusion is a
+    // canonical-pair ANTI join, and degrees join back as a broadcast-
+    // sized table. Nothing here is corpus-shaped: every input is the
+    // catalog-bounded affinity graph.
+    "graph_link_predict" -> { (s, dir) =>
+      val aff = affinityEdges(s, dir).localCheckpoint()
+      val sym = aff.select(col("pa").as("u"), col("pb").as("v"))
+        .union(aff.select(col("pb").as("u"), col("pa").as("v")))
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val wedges = sym.select(col("u").as("m"), col("v").as("a"))
+        .join(sym.select(col("u").as("m2"), col("v").as("c")),
+          col("m") === col("m2") && col("a") < col("c"))
+        .groupBy(col("a"), col("c")).agg(count(lit(1)).as("common"))
+      val cand = wedges.join(aff,
+          col("a") === col("pa") && col("c") === col("pb"), "left_anti")
+      cand
+        .join(deg.select(col("u").as("a2"), col("deg").as("dega")),
+          col("a") === col("a2"))
+        .join(deg.select(col("u").as("c2"), col("deg").as("degc")),
+          col("c") === col("c2"))
+        .select(col("a"), col("c"), col("common"),
+          round(col("common").cast("double") /
+            (col("dega") + col("degc") - col("common")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("c"))
         .limit(20)
     },
     // set op + subquery shape: customers with above-average balance per nation
@@ -999,12 +1091,7 @@ object Relational {
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "graph_triangles" ->
-      """WITH opairs AS (
-        |  SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |edges AS (
-        |  SELECT pa, pb FROM opairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""WITH $affinitySql,
         |tri AS (
         |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
         |  FROM edges e1
@@ -1030,12 +1117,7 @@ object Relational {
            |    FROM sym e JOIN $prev l ON e.v = l.node
            |    GROUP BY e.u, l.label) t
            |  WHERE rn = 1)""".stripMargin
-      s"""WITH opairs AS (
-         |  SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-         |edges AS (
-         |  SELECT pa, pb FROM opairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""WITH $affinitySql,
          |sym AS (
          |  SELECT pa AS u, pb AS v FROM edges
          |  UNION ALL SELECT pb AS u, pa AS v FROM edges),
@@ -1049,6 +1131,58 @@ object Relational {
          |ORDER BY size DESC, community
          |LIMIT 20""".stripMargin
     },
+    "graph_degree_stats" ->
+      s"""WITH $affinitySql,
+         |deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+         |  FROM (SELECT pa AS node FROM edges
+         |        UNION ALL SELECT pb AS node FROM edges)
+         |  GROUP BY node)
+         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM deg
+         |GROUP BY degree
+         |ORDER BY degree""".stripMargin,
+    // bounded-walk recursive CTE; MIN(dist) per node == BFS distance
+    "graph_bfs" ->
+      s"""WITH RECURSIVE $affinitySql,
+         |sym AS (
+         |  SELECT pa AS u, pb AS v FROM edges
+         |  UNION ALL SELECT pb AS u, pa AS v FROM edges),
+         |walk(node, dist) AS (
+         |  SELECT (SELECT u FROM (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u)
+         |          ORDER BY deg DESC, u LIMIT 1), 0
+         |  UNION ALL
+         |  SELECT e.v, w.dist + 1
+         |  FROM walk w JOIN sym e ON e.u = w.node
+         |  WHERE w.dist < 3),
+         |md AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+         |SELECT CAST(dist AS BIGINT) AS dist,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  MIN(node) AS min_node, MAX(node) AS max_node
+         |FROM md
+         |GROUP BY dist
+         |ORDER BY dist""".stripMargin,
+    "graph_link_predict" ->
+      s"""WITH $affinitySql,
+         |sym AS (
+         |  SELECT pa AS u, pb AS v FROM edges
+         |  UNION ALL SELECT pb AS u, pa AS v FROM edges),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+         |wedges AS (
+         |  SELECT n1.v AS a, n2.v AS c, COUNT(*) AS common
+         |  FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT a, c, common FROM wedges w
+         |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+         |                    WHERE e.pa = w.a AND e.pb = w.c))
+         |SELECT a, c, CAST(common AS BIGINT) AS common,
+         |  ROUND(CAST(common AS DOUBLE) / (da.deg + dc.deg - common), 6) AS jaccard
+         |FROM cand
+         |JOIN deg da ON da.u = a
+         |JOIN deg dc ON dc.u = c
+         |ORDER BY jaccard DESC, a, c
+         |LIMIT 20""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,

@@ -436,6 +436,73 @@ object TextOps {
           round(avg(when(col("score") >= col("thr"), col("score"))), 6)
             .as("avg_kept"))
         .orderBy(col("lang"))
+    },
+    // TF-IDF keyterm extraction: top-5 terms per document, scored
+    // tf × ln(N/df) — the classic retrieval/keyword primitive (and the
+    // feature space BM25 generalizes; text_bm25 is the query-time twin).
+    // Scale shape: document frequency is corpus-wide but VOCABULARY-
+    // bounded (one distinct + one count agg, partial-aggregated), so it
+    // broadcasts onto the per-doc term counts — the corpus-sized side
+    // never shuffles for the join. Term counts restrict to the reported
+    // doc window BEFORE aggregating (predicate on the scan, not the
+    // result). The idf ln() rounds to 6dp before the multiply — same
+    // last-ulp-tolerance discipline as text_perplexity — and top-5
+    // selection orders by the ROUNDED score (word tie-break) so both
+    // engines pick identical rows.
+    "text_tfidf" -> { (s, dir) =>
+      val docs = documents(s, dir)
+      val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val dfreq = words.distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n"))
+      val tf = words.filter(col("doc_id") < 50)
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      tf.join(broadcast(dfreq), Seq("word"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("word"), col("tf"),
+          round(col("tf") *
+            round(log(col("n").cast("double") / col("df")), 6), 6).as("tfidf"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("tfidf").desc, col("word"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    // PMI collocations: adjacent-word pairs scored
+    // ln(c(ab)·Ntok / (c(a)·c(b))) — the association measure behind
+    // phrase mining and tokenizer-vocabulary seeding (high-PMI bigrams
+    // are the multi-word units worth a single token). Min support 5
+    // keeps the estimator out of the ln()'s unstable low-count region.
+    // Same scale shape as text_perplexity: one corpus pass for bigrams,
+    // one for unigrams, both count tables vocabulary-bounded and
+    // broadcast back; the split materializes once per doc (the
+    // split-once idiom — inline split re-evaluates per lambda element).
+    "text_pmi_bigrams" -> { (s, dir) =>
+      val grams = documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      val words = documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val ntok = words.agg(count(lit(1)).as("ntok"))
+      grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+        .join(broadcast(uni.select(col("word").as("w1"), col("c").as("c1"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c2"))),
+          Seq("w2"))
+        .crossJoin(broadcast(ntok))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12").cast("double") * col("ntok")) /
+            (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
     })
 
   /** The logistic classifier score of one text column — shared with
@@ -551,6 +618,51 @@ object TextOps {
         |GROUP BY doc_id
         |ORDER BY ce DESC, doc_id
         |LIMIT 10""".stripMargin,
+    "text_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |dfreq AS (
+        |  SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM w WHERE doc_id < 50 GROUP BY doc_id, word),
+        |scored AS (
+        |  SELECT doc_id, word, tf,
+        |    ROUND(tf * ROUND(ln(CAST((SELECT n FROM n) AS DOUBLE) / df), 6), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (word)),
+        |rk AS (
+        |  SELECT doc_id, word, tf, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, word) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, word, tf, tfidf
+        |FROM rk WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin,
+    "text_pmi_bigrams" ->
+      """WITH grams AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2) d,
+        |       unnest(range(1, len(w))) AS t(i)),
+        |uni AS (
+        |  SELECT word, COUNT(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |ntok AS (
+        |  SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ntok
+        |  FROM documents),
+        |pc AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM grams GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, c12,
+        |  ROUND(ln((CAST(c12 AS DOUBLE) * (SELECT ntok FROM ntok)) /
+        |    (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+        |FROM pc
+        |JOIN uni u1 ON u1.word = w1
+        |JOIN uni u2 ON u2.word = w2
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 20""".stripMargin,
     "text_token_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -76,7 +76,12 @@ class SparkAsyncDLSpec extends AnyFunSuite {
 
   test("gradientTopK sparse pushes train end-to-end and persist the param") {
     val df = blobsDf()
-    val est = dl(5113).setGradientTopK(16)
+    // 2× the default iteration budget: top-16-of-~220 sparse pushes learn
+    // slower per round, and with a marginal blob draw 25 hogwild iters can
+    // land exactly at chance (observed once in-suite) — 50 gives the
+    // always-clears-chance margin the assertion needs without seeding away
+    // the raciness the test exists to cover
+    val est = dl(5113).setGradientTopK(16).setIters(50)
     val model = est.fit(df)
     val out = model.transform(df)
     assert(out.count() == 400)

@@ -61,6 +61,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageCodec.decodeMeta(argb).contains((4, 4, 4)))
   }
 
+  test("ImageCodec: averageHash8x8 matches the pixel-formula replay; dedup semantics hold") {
+    import Multimodal.ImageCodec
+    // independent replay of the aHash arithmetic from pixelRgb — the
+    // in-Scala twin of the mm_image_phash DuckDB oracle
+    def expected(seed: Long): String = {
+      val gray = for (y <- 0 until 8; x <- 0 until 8) yield {
+        val rgb = ImageCodec.pixelRgb(seed, x, y)
+        ((rgb >> 16) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      }
+      val total = gray.sum
+      gray.map(g => if (g * 64 > total) '1' else '0').mkString
+    }
+    for (seed <- Seq(0L, 1L, 7L, 123L)) {
+      val png = ImageCodec.encodePng(8 + (seed % 5).toInt, 9, seed, alpha = seed % 2 == 1)
+      assert(ImageCodec.averageHash8x8(png).contains(expected(seed)), s"seed=$seed")
+    }
+    // same pixels, different container size → same hash (the dedup point);
+    // sub-8x8 and garbage → None. NOTE the inequality seed must WRAP a
+    // channel inside the 8×8 crop (250+x crosses 256 at x=6): aHash is
+    // brightness-invariant by construction, so two non-wrapping seeds
+    // (e.g. 42 vs 43) produce the SAME gradient structure and hence the
+    // same hash — that invariance is the near-dup property the
+    // mm_image_phash groups exercise, not a bug.
+    val a = ImageCodec.averageHash8x8(ImageCodec.encodePng(20, 15, 42L, alpha = false))
+    val b = ImageCodec.averageHash8x8(ImageCodec.encodePng(9, 8, 42L, alpha = true))
+    assert(a.isDefined && a == b)
+    assert(a != ImageCodec.averageHash8x8(ImageCodec.encodePng(20, 15, 250L, alpha = false)))
+    assert(ImageCodec.averageHash8x8(ImageCodec.encodePng(7, 30, 1L, alpha = false)).isEmpty)
+    assert(ImageCodec.averageHash8x8(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("ImageCodec: IHDR byte parse agrees with the full ImageIO decode") {
     import Multimodal.ImageCodec
     for (seed <- 0L until 8L) {
