@@ -418,6 +418,27 @@ object EventOps {
         .withColumn("p", round(col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy(col("prev"))), 6))
         .orderBy(col("prev"), col("next"))
+    },
+    // Dwell time: how long until the user's NEXT event, by current
+    // event type — the engagement metric behind "which screens do users
+    // linger on". Same one-shuffle lead-window shape as
+    // events_transitions; gaps stay exact integer microseconds through
+    // the aggregation (the sum is exact, the average divides once at
+    // the end — no per-row float accumulation to drift under
+    // repartitioning), max reported exact.
+    "events_dwell" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("gap_us", col("next_us") - unix_micros(col("ts")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0, 6)
+            .as("avg_gap_s"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy(col("event_type"))
     })
 
   private val asOfOracle: String =
@@ -457,6 +478,22 @@ object EventOps {
         |    SUM(n) OVER (PARTITION BY prev), 6) AS p
         |FROM m
         |ORDER BY prev, next""".stripMargin,
+    "events_dwell" ->
+      """WITH seq AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, next_us - us AS gap_us
+        |  FROM seq WHERE next_us IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_gap_s,
+        |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        |FROM g
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "events_salted_join" ->
       """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
         |  COUNT(*) AS n_events,

@@ -700,6 +700,32 @@ object Relational {
         .orderBy(col("jaccard").desc, col("a"), col("c"))
         .limit(20)
     },
+    // Pearson correlation from exact decimal moment sums — the profiling
+    // statistic (does discount correlate with quantity per return
+    // class?) computed the way a 100 TB profiler must: five partial-
+    // aggregated DECIMAL sums (order-independent regardless of
+    // partitioning — built-in corr() accumulates doubles in partition
+    // order and is NOT reproducible across cluster sizes), each rounded
+    // to 4dp so its integer form stays under 2^53 where the
+    // decimal→double conversion is exact on both engines (the q1
+    // sum_disc_price lesson), then one double-arithmetic projection of
+    // the closed-form estimator. One shuffle of 6 numbers per group.
+    "q_corr_qty_disc" -> { (s, dir) =>
+      val x = col("l_quantity").cast("decimal(18,4)")
+      val y = col("l_discount").cast("decimal(18,4)")
+      def d(c: org.apache.spark.sql.Column) = round(sum(c), 4).cast("double")
+      val n = col("n").cast("double")
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          d(x).as("dx"), d(y).as("dy"), d(x * y).as("dxy"),
+          d(x * x).as("dx2"), d(y * y).as("dy2"))
+        .select(col("l_returnflag"), col("n"),
+          round((n * col("dxy") - col("dx") * col("dy")) /
+            sqrt((n * col("dx2") - col("dx") * col("dx")) *
+              (n * col("dy2") - col("dy") * col("dy"))), 6).as("corr_qd"))
+        .orderBy(col("l_returnflag"))
+    },
     // set op + subquery shape: customers with above-average balance per nation
     "q_above_avg_customers" -> { (s, dir) =>
       val c = customer(s, dir)
@@ -1131,6 +1157,24 @@ object Relational {
          |ORDER BY size DESC, community
          |LIMIT 20""".stripMargin
     },
+    "q_corr_qty_disc" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS dx,
+        |    CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS dy,
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))
+        |                   * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS dxy,
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))
+        |                   * CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS dx2,
+        |    CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))
+        |                   * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS dy2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  ROUND((CAST(n AS DOUBLE) * dxy - dx * dy) /
+        |    sqrt((CAST(n AS DOUBLE) * dx2 - dx * dx) *
+        |         (CAST(n AS DOUBLE) * dy2 - dy * dy)), 6) AS corr_qd
+        |FROM a
+        |ORDER BY l_returnflag""".stripMargin,
     "graph_degree_stats" ->
       s"""WITH $affinitySql,
          |deg AS (

@@ -39,6 +39,28 @@ object SimilarityOps {
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },
+    // Vector-corpus distribution sanity check, two diagnostics in one
+    // pass: (a) the overall L2-norm envelope (min/max across the corpus
+    // — a [1, 1] envelope says already unit-norm, so cosine = dot), and
+    // (b) a 0.1-wide histogram of COMPONENT values (catches clipped
+    // dims, dead dims, and scale outliers that break quantization
+    // codebooks). The explode is corpus×dims rows but the shuffle
+    // carries only ~20 bucket keys through a partial-aggregated count —
+    // map-side combine does all the volume work. 6dp round BEFORE the
+    // floor-bucket so both engines bucket identical doubles.
+    "emb_value_hist" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val e = embeddings(s, dir)
+        .select(round(sqrt(VectorOps.dot(v, v)), 6).as("norm"), v.as("v"))
+      val env = e.agg(round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+      e.select(explode(col("v")).as("x"))
+        .select(floor(round(col("x"), 6) * 10).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(env))
+        .orderBy(col("bucket"))
+    },
     // per-label embedding centroids over the first 8 dims — the vector
     // AGGREGATION shape (class prototypes, cluster re-centering,
     // drift monitoring): slice the dims you need FIRST (pruning before
@@ -268,6 +290,21 @@ object SimilarityOps {
     s"ROUND(${dotSql(v, p)} / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(p, p)})), 6)"
 
   val oracles: Map[String, String] = Map(
+    "emb_value_hist" ->
+      s"""WITH ve AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |env AS (
+         |  SELECT ROUND(MIN(ROUND(sqrt(${dotSql("v", "v")}), 6)), 6) AS min_norm,
+         |    ROUND(MAX(ROUND(sqrt(${dotSql("v", "v")}), 6)), 6) AS max_norm
+         |  FROM ve),
+         |h AS (
+         |  SELECT CAST(FLOOR(ROUND(x, 6) * 10) AS BIGINT) AS bucket, COUNT(*) AS n
+         |  FROM (SELECT unnest(v) AS x FROM ve)
+         |  GROUP BY bucket)
+         |SELECT bucket, n, min_norm, max_norm
+         |FROM h, env
+         |ORDER BY bucket""".stripMargin,
     "ann_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
