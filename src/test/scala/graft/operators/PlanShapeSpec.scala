@@ -581,4 +581,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("graph_link_predict: wedge join + anti-exclusion stay equi-joins, never cartesian") {
+    val p = plan("graph_link_predict")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text_tfidf: vocabulary-bounded df table broadcasts onto the term counts") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the doc-window predicate reaches the tf-side scan
+    assert(p.contains("LessThan(doc_id,50)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("events_transitions: one user-keyed window shuffle; matrix normalization adds no join") {
+    val p = plan("events_transitions")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("events_dwell: same one-window shape as transitions") {
+    val p = plan("events_dwell")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_corr_qty_disc: moment sums partial-aggregate; one scan, no window, no join") {
+    val p = plan("q_corr_qty_disc")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.linesIterator.count(l => l.contains("FileScan")) == 1, p)
+  }
+
+  test("emb_value_hist: norm envelope broadcasts as a one-row stat onto the histogram") {
+    val p = plan("emb_value_hist")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row env × ~20-bucket hist
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
