@@ -246,6 +246,39 @@ object Multimodal {
       parseWavHeader(p).collect {
         case (rate, _, _, n) if rate > 0 => n * 1000L / rate
       }
+
+    /** First `n` 16-bit PCM samples (interleaved, signed), read by
+      * WALKING the chunk list to the data chunk — same no-fixed-offsets
+      * discipline as [[parseWavHeader]], but returning the samples
+      * themselves: the audio equivalent of [[ImageCodec.decodePixel]],
+      * proving the parser reads real signal, not just headers. None if
+      * the container is malformed, not 16-bit, or holds fewer than `n`
+      * sample values. */
+    def readSamples(p: Array[Byte], n: Int): Option[Array[Int]] = {
+      if (p == null || p.length < 12) return None
+      def str(off: Int) = new String(p, off, 4, "US-ASCII")
+      def u32(off: Int) =
+        ByteBuffer.wrap(p, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+      def u16(off: Int) =
+        ByteBuffer.wrap(p, off, 2).order(ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+      if (str(0) != "RIFF" || str(8) != "WAVE") return None
+      var off = 12
+      var bits = -1
+      var data = -1
+      var dataLen = -1L
+      while (off + 8 <= p.length) {
+        val id = str(off)
+        val len = u32(off + 4)
+        if (id == "fmt " && off + 24 <= p.length) bits = u16(off + 22)
+        else if (id == "data") { data = off + 8; dataLen = len }
+        off += 8 + len.toInt + (len.toInt & 1)
+      }
+      if (bits != 16 || data < 0 || dataLen < n.toLong * 2 ||
+        data + n * 2 > p.length) return None
+      Some(Array.tabulate(n)(i =>
+        ByteBuffer.wrap(p, data + i * 2, 2).order(ByteOrder.LITTLE_ENDIAN)
+          .getShort.toInt))
+    }
   }
 
   /** Container-agnostic byte-level operators — the fallback tier for

@@ -310,6 +310,41 @@ object MultimodalOps {
           org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))))
         .orderBy(col("doc_id"))
     },
+    // Sample-level audio proof — the WAV twin of mm_image_phash's
+    // pixel-level check: per doc, synthesize the same PCM WAV as
+    // mm_audio_meta, then read the first 8 SAMPLES back through the
+    // chunk-walking parser (WavCodec.readSamples — data located by
+    // chunk walk, not fixed offsets) and emit signal stats (leading
+    // samples, peak, energy). The generator's sample stream is an LCG
+    // mod 2^64, which the DuckDB oracle replays with HUGEINT modular
+    // arithmetic in a recursive CTE — a hash match proves the parser
+    // returns the true signal bytes, not plausible ones. Executor-pure
+    // mapPartitions; payloads never reach the driver.
+    "mm_audio_samples" -> { (s, dir) =>
+      import graft.multimodal.Multimodal.WavCodec
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("s1", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("s2", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("peak8", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("energy8", org.apache.spark.sql.types.LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      documents(s, dir)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .mapPartitions { rows =>
+          val rates = Array(8000, 16000, 44100)
+          rows.map { r =>
+            val id = r.getLong(0)
+            val wav = WavCodec.encodeWav(
+              rates((id % 3).toInt), 1 + (id % 2).toInt,
+              100 + (id % 400).toInt, seed = id)
+            val sm = WavCodec.readSamples(wav, 8).get
+            org.apache.spark.sql.Row(id, sm(0), sm(1),
+              sm.map(math.abs).max, sm.map(v => v.toLong * v).sum)
+          }
+        }(enc)
+        .orderBy(col("doc_id"))
+    },
     // frame-sampling through the REAL batched mapPartitions path
     // (graft.multimodal.Multimodal.sampleFrames over the byte codec):
     // each payload splits into min(4, len) frames of max(1, len/4)
@@ -352,6 +387,32 @@ object MultimodalOps {
         |SELECT doc_id, phash,
         |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
         |FROM h
+        |ORDER BY doc_id""".stripMargin,
+    // replays encodeWav's LCG sample generator (x' = x·M + C mod 2^64)
+    // with HUGEINT modular arithmetic; top-16-bits → signed short is
+    // x // 2^48 with a two's-complement adjust
+    "mm_audio_samples" ->
+      """WITH RECURSIVE gen(doc_id, k, x) AS (
+        |  SELECT doc_id, 0, CAST(doc_id AS HUGEINT)
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id, k + 1,
+        |    (x * 6364136223846793005 + 1442695040888963407)
+        |      % 18446744073709551616
+        |  FROM gen WHERE k < 8),
+        |smp AS (
+        |  SELECT doc_id, k,
+        |    CAST(CASE WHEN x // 281474976710656 >= 32768
+        |              THEN x // 281474976710656 - 65536
+        |              ELSE x // 281474976710656 END AS INT) AS s
+        |  FROM gen WHERE k >= 1)
+        |SELECT doc_id,
+        |  CAST(MAX(CASE WHEN k = 1 THEN s END) AS INT) AS s1,
+        |  CAST(MAX(CASE WHEN k = 2 THEN s END) AS INT) AS s2,
+        |  CAST(MAX(ABS(s)) AS INT) AS peak8,
+        |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy8
+        |FROM smp
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     // replays encodePng's dimension/alpha/pixel formulas; a match proves
     // the Spark side's real PNG encode→decode returned the true values

@@ -130,4 +130,44 @@ object EventStream {
           }
       }
   }
+
+  // --- streaming transition pairs: the events_transitions twin ---
+
+  case class TransState(lastTs: Long, lastId: Long, lastType: String)
+  case class TransPair(user_id: Long, prev: String, next: String)
+
+  /** Per-user (prev, next) event-type transition pairs over an unbounded
+    * stream — the streaming twin of the batch `events_transitions`
+    * matrix (count the emitted pairs downstream to materialize it).
+    *
+    * State is ONE row per user (the last seen event), so memory is
+    * user-bounded, not stream-bounded, and chaining works ACROSS
+    * micro-batches: the first event of batch n pairs with the last
+    * event of batch n-1 through the stored state — exactly the lag
+    * semantics, not per-batch windows. Within a batch, events sort by
+    * (ts, event_id) — the established tie-break. Events later than the
+    * stored state (late but above watermark) chain in arrival order
+    * against the newest state rather than re-sorting history: a
+    * documented at-least-approximate contract under disorder, and
+    * bit-equal to the batch lag when the source replays in order
+    * (pinned by the spec). */
+  def transitionPairs(events: Dataset[Ev]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[TransState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransPair]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += TransPair(userId, p.lastType, e.event_type))
+            prev = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
 }

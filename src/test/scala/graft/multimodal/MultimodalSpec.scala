@@ -141,6 +141,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wav.length == 44 + 321 * 2 * 2)
   }
 
+  test("WavCodec: readSamples returns the encoder's LCG stream; malformed input is None") {
+    import Multimodal.WavCodec
+    val wav = WavCodec.encodeWav(16000, 2, 50, seed = 9L)
+    // independent LCG replay — the in-Scala twin of the mm_audio_samples oracle
+    var x = 9L
+    val expect = Array.fill(8) { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 48).toShort.toInt }
+    assert(WavCodec.readSamples(wav, 8).get.sameElements(expect))
+    // asking past the data chunk, or non-WAV bytes → None
+    assert(WavCodec.readSamples(wav, 101).isEmpty)
+    assert(WavCodec.readSamples(Array[Byte](1, 2, 3, 4), 1).isEmpty)
+  }
+
   test("WavCodec: chunk walker survives extra chunks before fmt/data") {
     import Multimodal.WavCodec
     import java.nio.{ByteBuffer, ByteOrder}

@@ -106,6 +106,43 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transitionPairs chains across micro-batches and matches the batch lag") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evt_trans").toString
+    val all = eventsBatch
+    // batch 1: the four earliest events; batch 2: the rest — so user 1's
+    // view→click and user 2's view→purchase pairs can ONLY come from the
+    // stored per-user state chaining across the batch boundary
+    all.filter(col("event_id") <= 2 || col("event_id") === 4 || col("event_id") === 5)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val evs = EventStream.readEvents(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Ev]
+    val q = EventStream.transitionPairs(evs)
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      all.filter(col("event_id") === 3 || col("event_id") === 6 || col("event_id") === 7)
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT user_id, prev, next FROM trans")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = all
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), col("prev"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // the cross-batch chain specifically
+      assert(streamed.contains((1L, "view", "click")), s"got $streamed")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gaps") {
     import spark.implicits._
     val dir = Files.createTempDirectory("evt_sess").toString
