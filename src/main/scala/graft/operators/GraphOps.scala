@@ -212,6 +212,49 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank: power iteration where ALL teleport mass
+    * returns to one seed node instead of spreading uniformly — the
+    * "similar to this node" ranking (recommendation seeds, related-item
+    * graphs), as opposed to [[pagerank]]'s global centrality.
+    *
+    * Same plan discipline as [[pagerank]]: the edge list materializes
+    * once, the rank table re-joins per iteration (broadcast under
+    * `broadcastNodeLimit`, co-partitioned above), per-iteration
+    * `localCheckpoint`, 12 dp rounding for cross-engine replay. Init is
+    * rank=1 at the seed, 0 elsewhere; each step is
+    * `damping·Σ share + teleport·1_seed`. Nodes keep rank rows once any
+    * in-neighbor has mass — on a symmetrized graph that is every node
+    * reachable from the seed, which is exactly PPR's support. */
+  def personalizedPagerank(edges: DataFrame, seed: String, damping: Double,
+      teleport: Double, iters: Int,
+      broadcastNodeLimit: Long = 10000000L): DataFrame = {
+    val e0 = edges.localCheckpoint()
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = outdeg.count()
+    val big = n > broadcastNodeLimit
+    val e = if (big) e0.repartition(col("src")).localCheckpoint() else e0
+    var ranks = outdeg.select(col("src").as("node"))
+      .withColumn("rank",
+        when(col("node") === seed, 1.0).otherwise(0.0))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val shares = ranks.join(outdeg, col("node") === col("src"))
+        .select(col("node"), (col("rank") / col("deg")).as("share"))
+      val joined =
+        if (big) e.join(shares, col("src") === col("node"))
+        else e.join(broadcast(shares), col("src") === col("node"))
+      ranks = joined
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("s"))
+        .select(col("dst").as("node"),
+          round(when(col("dst") === seed, lit(teleport)).otherwise(lit(0.0)) +
+            lit(damping) * col("s"), 12).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Synchronous label propagation (community detection) over a
     * SYMMETRIZED edge list (`u`, `v`): every node starts labeled with
     * its own id; each iteration relabels every node with the most

@@ -617,6 +617,64 @@ object Relational {
         .orderBy(col("size").desc, col("community"))
         .limit(20)
     },
+    // Personalized PageRank: all teleport mass returns to ONE seed (the
+    // lexicographically first supplier node) instead of spreading
+    // uniformly — "which customers and suppliers are most related to
+    // THIS supplier through the purchase network", the recommendation
+    // sibling of graph_pagerank's global centrality. Same edge build,
+    // same checkpointed-iteration machinery (GraphOps.personalizedPagerank),
+    // 12 dp per-iteration rounding for oracle replay; the seed is a
+    // 1-row metadata lookup, not a data collect.
+    "graph_ppr" -> { (s, dir) =>
+      val pairs = orders(s, dir).join(lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+        .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
+          concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
+        .localCheckpoint()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val seed = edges.filter(col("src").startsWith("s:"))
+        .agg(min(col("src"))).head().getString(0)
+      GraphOps.personalizedPagerank(edges, seed,
+          damping = 0.85, teleport = 0.15, iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    },
+    // Modularity audit of the LPA communities — the quality score that
+    // says whether graph_communities found structure or noise: per
+    // community, internal-edge fraction minus the degree-based expected
+    // fraction (Newman's Q contribution). Everything here is
+    // catalog-bounded: labels and degrees join back onto the sparsified
+    // edge list as broadcasts, the edge total is a one-row stat, and
+    // the per-community terms are exact integers until the final
+    // double projection.
+    "graph_modularity" -> { (s, dir) =>
+      val aff = affinityEdges(s, dir).localCheckpoint()
+      val sym = aff.select(col("pa").as("u"), col("pb").as("v"))
+        .union(aff.select(col("pb").as("u"), col("pa").as("v")))
+      val labels = GraphOps.labelPropagation(sym, iters = 3).localCheckpoint()
+      val mDf = aff.agg(count(lit(1)).as("m"))
+      val ein = aff
+        .join(broadcast(labels.select(col("node").as("pa"), col("label").as("la"))), "pa")
+        .join(broadcast(labels.select(col("node").as("pb"), col("label").as("lb"))), "pb")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("ec")).agg(count(lit(1)).as("e_in"))
+      val dc = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .join(broadcast(labels), col("u") === col("node"))
+        .groupBy(col("label").as("dcc")).agg(sum(col("deg")).as("d_c"))
+      val t = col("d_c").cast("double") / (col("m") * 2)
+      labels.groupBy(col("label").as("community")).agg(count(lit(1)).as("size"))
+        .join(dc, col("community") === col("dcc"))
+        .join(ein, col("community") === col("ec"), "left")
+        .crossJoin(broadcast(mDf))
+        .select(col("community"), col("size"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"),
+          round(coalesce(col("e_in"), lit(0L)).cast("double") / col("m")
+            - t * t, 6).as("q_c"))
+        .orderBy(col("size").desc, col("community"))
+        .limit(20)
+    },
     // Degree distribution of the affinity graph — the first diagnostic
     // anyone runs on a graph (is it heavy-tailed? how sparse?), and at
     // pipeline scale the input to skew planning: the max-degree row of
@@ -1105,6 +1163,16 @@ object Relational {
        |  FROM edges e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
        |  GROUP BY e.dst)""".stripMargin
 
+  /** Personalized variant: teleport mass goes to the seed node only. */
+  private def pprIterSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT e.dst AS node,
+       |    ROUND(CASE WHEN e.dst = (SELECT sn FROM sd)
+       |               THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+       |      + CAST(0.85 AS DOUBLE) * SUM(r.rank / d.deg), 12) AS rank
+       |  FROM edges e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+       |  GROUP BY e.dst)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q16_supplier_variety" ->
       """SELECT p_brand, p_type, p_size,
@@ -1155,6 +1223,69 @@ object Relational {
          |FROM l3
          |GROUP BY label
          |ORDER BY size DESC, community
+         |LIMIT 20""".stripMargin
+    },
+    "graph_ppr" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+         |                  's:' || CAST(l_suppkey AS VARCHAR) AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |sd AS (SELECT MIN(src) AS sn FROM edges WHERE src LIKE 's:%'),
+         |r0 AS (SELECT DISTINCT src AS node,
+         |         CASE WHEN src = (SELECT sn FROM sd)
+         |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank
+         |       FROM edges),
+         |${pprIterSql("r0", "r1")},
+         |${pprIterSql("r1", "r2")},
+         |${pprIterSql("r2", "r3")}
+         |SELECT node, rank FROM r3
+         |ORDER BY rank DESC, node
+         |LIMIT 20""".stripMargin,
+    "graph_modularity" -> {
+      def lpaStep(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT u AS node, label FROM (
+           |    SELECT e.u, l.label,
+           |      ROW_NUMBER() OVER (PARTITION BY e.u
+           |        ORDER BY COUNT(*) DESC, l.label) AS rn
+           |    FROM sym e JOIN $prev l ON e.v = l.node
+           |    GROUP BY e.u, l.label) t
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH $affinitySql,
+         |sym AS (
+         |  SELECT pa AS u, pb AS v FROM edges
+         |  UNION ALL SELECT pb AS u, pa AS v FROM edges),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+         |${lpaStep("l0", "l1")},
+         |${lpaStep("l1", "l2")},
+         |${lpaStep("l2", "l3")},
+         |m AS (SELECT COUNT(*) AS m FROM edges),
+         |ein AS (
+         |  SELECT la.label AS community, COUNT(*) AS e_in
+         |  FROM edges e
+         |  JOIN l3 la ON e.pa = la.node
+         |  JOIN l3 lb ON e.pb = lb.node
+         |  WHERE la.label = lb.label
+         |  GROUP BY 1),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+         |dc AS (
+         |  SELECT l.label AS community, SUM(d.deg) AS d_c
+         |  FROM deg d JOIN l3 l ON d.u = l.node
+         |  GROUP BY 1),
+         |sz AS (SELECT label AS community, COUNT(*) AS size FROM l3 GROUP BY 1)
+         |SELECT sz.community, CAST(sz.size AS BIGINT) AS size,
+         |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+         |  CAST(dc.d_c AS BIGINT) AS d_c,
+         |  ROUND(CAST(COALESCE(ein.e_in, 0) AS DOUBLE) / (SELECT m FROM m)
+         |    - (CAST(dc.d_c AS DOUBLE) / (2 * (SELECT m FROM m)))
+         |      * (CAST(dc.d_c AS DOUBLE) / (2 * (SELECT m FROM m))), 6) AS q_c
+         |FROM sz
+         |JOIN dc ON dc.community = sz.community
+         |LEFT JOIN ein ON ein.community = sz.community
+         |ORDER BY size DESC, sz.community
          |LIMIT 20""".stripMargin
     },
     "q_corr_qty_disc" ->

@@ -192,4 +192,56 @@ class GraphOpsSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labelsOf(0L) == labelsOf(10000000L))
   }
+
+  /** Driver PPR reference mirroring personalizedPagerank's rounding. */
+  private def pprRef(edges: Seq[(String, String)], seed: String,
+      iters: Int): Map[String, Double] = {
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    var rank = nodes.map(v => v -> (if (v == seed) 1.0 else 0.0)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2)
+      rank = nodes.map { v =>
+        val s = in.getOrElse(v, Seq.empty)
+          .map { case (u, _) => rank(u) / deg(u) }.sum
+        v -> r12((if (v == seed) 0.15 else 0.0) + 0.85 * s)
+      }.toMap
+    }
+    rank
+  }
+
+  test("personalizedPagerank: mass stays near the seed; matches driver reference") {
+    // path a—b—c—d—e symmetrized: PPR from "a" must decay monotonically
+    // with distance, unlike global pagerank which peaks at the middle
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val edges = und ++ und.map(_.swap)
+    val got = GraphOps.personalizedPagerank(edges.toDF("src", "dst"),
+        seed = "a", damping = 0.85, teleport = 0.15, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = pprRef(edges, "a", 3)
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-9, k) }
+    // NOTE: no monotonic-decay assertion — 3 cold-start power iterations
+    // on a path oscillate by walk parity (odd distances hold more mass
+    // than even ones until mixing); the stable facts are that the seed's
+    // neighbor dominates all other non-seed nodes and unreached nodes
+    // are exactly zero
+    assert(Seq("c", "d", "e").forall(k => got("b") > got(k)),
+      s"seed neighbor should dominate: $got")
+    assert(got("e") == 0.0, "3 iterations cannot reach distance 4")
+  }
+
+  test("personalizedPagerank: broadcast and shuffle paths agree exactly") {
+    val rnd = new scala.util.Random(17)
+    val raw = Seq.fill(200)((rnd.nextInt(50), rnd.nextInt(50)))
+      .filter(e => e._1 != e._2).map(e => (s"n${e._1}", s"n${e._2}"))
+    val sym = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    def ranksOf(limit: Long) =
+      GraphOps.personalizedPagerank(sym, "n0", 0.85, 0.15, iters = 3,
+          broadcastNodeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranksOf(0L) == ranksOf(10000000L))
+  }
 }

@@ -618,6 +618,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.linesIterator.count(l => l.contains("FileScan")) == 1, p)
   }
 
+  test("graph_ppr: top-20 over the checkpointed rank state; no cartesian") {
+    // iteration joins run eagerly behind per-round localCheckpoints (the
+    // lineage-flattening discipline), so the visible plan is the final
+    // rank scan — their broadcast/shuffle dispatch is covered by
+    // GraphOpsSpec's path-parity test instead
+    val p = plan("graph_ppr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("graph_modularity: labels/degrees broadcast onto the edge list; edge total is a one-row stat") {
+    val p = plan("graph_modularity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("emb_value_hist: norm envelope broadcasts as a one-row stat onto the histogram") {
     val p = plan("emb_value_hist")
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row env × ~20-bucket hist
