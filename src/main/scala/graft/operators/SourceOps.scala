@@ -118,6 +118,42 @@ object SourceOps {
           max(col("o_orderkey")).cast("long").as("max_key"))
         .orderBy(col("o_orderpriority"))
     },
+    // Format interop under the hash gate: the same typed rows hop
+    // parquet → CSV → JSON → ORC through the explicit-schema readers
+    // (graft.sources.Sources — no inference double-read anywhere), and
+    // the final aggregate must hash-match DuckDB computing directly on
+    // the original parquet. This is the proof that longs, doubles,
+    // timestamps, and quoted strings survive every text/columnar
+    // serialization boundary bit-faithfully — the property ETL between
+    // heterogeneous systems silently loses (CSV float formatting, JSON
+    // timestamp zones). Chained, not three separate queries: any lossy
+    // hop poisons the final hash.
+    "src_format_roundtrip" -> { (s, dir) =>
+      import graft.sources.Sources
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-fmt-rt-${new java.io.File(dir).getName}").getAbsolutePath
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_orderdate", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("o_orderpriority", org.apache.spark.sql.types.StringType)))
+      val src = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      Sources.stage(src, s"$root/csv", "csv")
+      val fromCsv = Sources.readCsv(s, s"$root/csv", schema)
+      Sources.stage(fromCsv, s"$root/json", "json")
+      val fromJson = Sources.readJson(s, s"$root/json", schema)
+      Sources.stage(fromJson, s"$root/orc", "orc")
+      Sources.readOrc(s, s"$root/orc")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_custkey")).cast("long").as("max_cust"))
+        .orderBy(col("o_orderpriority"))
+    },
     // small-file compaction under the oracle: three appends (each adds
     // its own data files — the micro-batch ingest pathology), then
     // compact() rewrites the snapshot into 2 files via one atomic
@@ -462,6 +498,14 @@ object SourceOps {
     // the round-trip oracle never sees the store: it aggregates the
     // parquet input directly, so a hash match certifies write→read
     // fidelity of the DSv2 path
+    "src_format_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        |  MIN(CAST(o_orderdate AS TIMESTAMP)) AS min_date,
+        |  CAST(MAX(o_custkey) AS BIGINT) AS max_cust
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "src_store_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  COUNT(DISTINCT o_custkey) AS n_custs,
