@@ -439,6 +439,22 @@ object EventOps {
             .as("avg_gap_s"),
           max(col("gap_us")).as("max_gap_us"))
         .orderBy(col("event_type"))
+    },
+    // Numeric-value histogram per event type (50-unit buckets) — the
+    // distribution profile behind alerting thresholds and partition
+    // sizing. Pure codegen bucket projection + one partial-aggregated
+    // count; value rounds to 6dp before the bucket floor so both
+    // engines bucket identical doubles (the emb_value_hist discipline).
+    "events_value_buckets" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          floor(round(col("value"), 6) / 50).cast("long").as("bucket"),
+          col("value"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"))
+        .orderBy(col("event_type"), col("bucket"))
     })
 
   private val asOfOracle: String =
@@ -478,6 +494,15 @@ object EventOps {
         |    SUM(n) OVER (PARTITION BY prev), 6) AS p
         |FROM m
         |ORDER BY prev, next""".stripMargin,
+    "events_value_buckets" ->
+      """SELECT event_type,
+        |  CAST(FLOOR(ROUND(value, 6) / 50) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  ROUND(MIN(value), 6) AS min_v,
+        |  ROUND(MAX(value), 6) AS max_v
+        |FROM events
+        |GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
     "events_dwell" ->
       """WITH seq AS (
         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -106,6 +106,47 @@ object MlOps {
           countDistinct(col("label")).as("n_labels"))
         .orderBy(col("fold"))
     },
+    // Confusion matrix for a deterministic linear probe (sum of the
+    // first 8 embedding dims vs the binary label split) — the eval
+    // primitive every model pipeline ends with, shaped for scale: one
+    // codegen'd projection, one 4-cell aggregation, the total joins
+    // back as a window over 4 rows. The probe is deliberately literal
+    // (no trained weights) so the oracle replays it exactly; swap in a
+    // model's scores and the plan is unchanged.
+    "ml_confusion_matrix" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val score = round(aggregate(slice(v, 1, 8), lit(0.0), (a, x) => a + x), 6)
+      embeddings(s, dir)
+        .select(when(col("label") >= 5, 1).otherwise(0).as("actual"),
+          when(score > 0, 1).otherwise(0).as("predicted"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac", round(col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()), 6))
+        .orderBy(col("actual"), col("predicted"))
+    },
+    // Calibration (reliability) bins: sigmoid of a 4-dim literal probe,
+    // binned at 0.1 — does predicted probability match observed
+    // positive rate per bin? The logit rounds to 6dp BEFORE the
+    // sigmoid (both engines exp identical doubles — the
+    // text_quality_score discipline) and the per-bin mean score sums
+    // as exact DECIMAL, so the whole diagram is engine-exact. One
+    // projection + one ≤10-row aggregation.
+    "ml_calibration_bins" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+      embeddings(s, dir)
+        .select(floor(p * 10).cast("long").as("bin"), p.as("p"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("p").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_score"),
+          round(sum(col("pos")).cast("double") / count(lit(1)), 6).as("frac_pos"))
+        .orderBy(col("bin"))
+    },
     // flagship train+predict: binary target from label, tiny net, hogwild.
     // Nondeterministic → no oracle (rows-only check).
     "ml_train_predict" -> { (s, dir) =>
@@ -148,6 +189,31 @@ object MlOps {
         |FROM f
         |GROUP BY fold
         |ORDER BY fold""".stripMargin,
+    "ml_confusion_matrix" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS actual,
+        |    CASE WHEN ROUND(list_sum(list_transform(embedding[1:8],
+        |           x -> CAST(x AS DOUBLE))), 6) > 0 THEN 1 ELSE 0 END AS predicted
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY actual, predicted)
+        |SELECT actual, predicted, n,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS frac
+        |FROM m
+        |ORDER BY actual, predicted""".stripMargin,
+    "ml_calibration_bins" ->
+      """WITH e AS (
+        |  SELECT ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6) AS p,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings)
+        |SELECT CAST(FLOOR(p * 10) AS BIGINT) AS bin, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_score,
+        |  ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+        |FROM e
+        |GROUP BY bin
+        |ORDER BY bin""".stripMargin,
     "ml_feature_prep" ->
       """SELECT c_custkey,
         |  CASE WHEN abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE)) = 0 THEN 0.0

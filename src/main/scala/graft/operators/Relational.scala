@@ -784,6 +784,30 @@ object Relational {
               (n * col("dy2") - col("dy") * col("dy"))), 6).as("corr_qd"))
         .orderBy(col("l_returnflag"))
     },
+    // Higher-moment sibling of q_corr_qty_disc: mean, population
+    // variance, and skewness of l_quantity per return class, all from
+    // three exact DECIMAL power sums (x, x², x³ at DECIMAL(12,4) so the
+    // cubed product stays inside 38 digits on both engines) finished by
+    // one closed-form double projection. Same reproducibility argument:
+    // built-in skewness() accumulates doubles partition-order-
+    // dependently; this shape gives the same answer at any cluster size.
+    "q_moments_qty" -> { (s, dir) =>
+      val x = col("l_quantity").cast("decimal(12,4)")
+      def d(c: org.apache.spark.sql.Column) = round(sum(c), 4).cast("double")
+      val n = col("n").cast("double")
+      val m = col("dx") / n
+      val varPop = col("dx2") / n - m * m
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          d(x).as("dx"), d(x * x).as("dx2"), d(x * x * x).as("dx3"))
+        .select(col("l_returnflag"), col("n"),
+          round(m, 6).as("mean_qty"),
+          round(varPop, 6).as("var_qty"),
+          round((col("dx3") / n - lit(3.0) * m * (col("dx2") / n) + lit(2.0) * m * m * m)
+            / (varPop * sqrt(varPop)), 6).as("skew_qty"))
+        .orderBy(col("l_returnflag"))
+    },
     // set op + subquery shape: customers with above-average balance per nation
     "q_above_avg_customers" -> { (s, dir) =>
       val c = customer(s, dir)
@@ -1288,6 +1312,27 @@ object Relational {
          |ORDER BY size DESC, sz.community
          |LIMIT 20""".stripMargin
     },
+    "q_moments_qty" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS dx,
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))
+        |                   * CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS dx2,
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))
+        |                   * CAST(l_quantity AS DECIMAL(12,4))
+        |                   * CAST(l_quantity AS DECIMAL(12,4))), 4) AS DOUBLE) AS dx3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  ROUND(dx / CAST(n AS DOUBLE), 6) AS mean_qty,
+        |  ROUND(dx2 / CAST(n AS DOUBLE)
+        |    - (dx / CAST(n AS DOUBLE)) * (dx / CAST(n AS DOUBLE)), 6) AS var_qty,
+        |  ROUND((dx3 / CAST(n AS DOUBLE)
+        |      - 3.0 * (dx / CAST(n AS DOUBLE)) * (dx2 / CAST(n AS DOUBLE))
+        |      + 2.0 * (dx / CAST(n AS DOUBLE)) * (dx / CAST(n AS DOUBLE)) * (dx / CAST(n AS DOUBLE)))
+        |    / ((dx2 / CAST(n AS DOUBLE) - (dx / CAST(n AS DOUBLE)) * (dx / CAST(n AS DOUBLE)))
+        |       * sqrt(dx2 / CAST(n AS DOUBLE) - (dx / CAST(n AS DOUBLE)) * (dx / CAST(n AS DOUBLE)))), 6) AS skew_qty
+        |FROM a
+        |ORDER BY l_returnflag""".stripMargin,
     "q_corr_qty_disc" ->
       """WITH a AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

@@ -469,6 +469,38 @@ object TextOps {
         .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("tfidf"))
         .orderBy(col("doc_id"), col("rk"))
     },
+    // Zipf rank-frequency fit: least-squares slope of ln(freq) vs
+    // ln(rank) over the top-100 vocabulary — natural corpora sit near
+    // slope ≈ −1, and a corpus that doesn't (template spam, synthetic
+    // fill) fails the cheapest distributional smell test there is. One
+    // vocabulary count (partial-aggregated), a 100-row top-k, then the
+    // regression reduces on the driver-sized table with the repo's
+    // moment discipline: each ln term (and cross term) rounds to 6dp
+    // and sums as exact DECIMAL, so the closed-form slope/intercept is
+    // engine-exact.
+    "text_zipf_slope" -> { (s, dir) =>
+      val top = documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word")).limit(100)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("word"))))
+      val xy = top.select(
+        round(log(col("rk")), 6).as("x"),
+        round(log(col("freq")), 6).as("y"))
+      def dsum6(c: org.apache.spark.sql.Column) =
+        sum(round(c, 6).cast("decimal(18,6)")).cast("double")
+      val n = col("n").cast("double")
+      val slope = round((n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sx2") - col("sx") * col("sx")), 6)
+      xy.agg(count(lit(1)).as("n"),
+          dsum6(col("x")).as("sx"), dsum6(col("y")).as("sy"),
+          dsum6(col("x") * col("y")).as("sxy"),
+          dsum6(col("x") * col("x")).as("sx2"))
+        .select(col("n"), slope.as("zipf_slope"),
+          round((col("sy") - slope * col("sx")) / n, 6).as("intercept"))
+    },
     // PMI collocations: adjacent-word pairs scored
     // ln(c(ab)·Ntok / (c(a)·c(b))) — the association measure behind
     // phrase mining and tokenizer-vocabulary seeding (high-PMI bigrams
@@ -639,6 +671,31 @@ object TextOps {
         |SELECT doc_id, rk, word, tf, tfidf
         |FROM rk WHERE rk <= 5
         |ORDER BY doc_id, rk""".stripMargin,
+    "text_zipf_slope" ->
+      """WITH top AS (
+        |  SELECT word, freq,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rk
+        |  FROM (SELECT word, COUNT(*) AS freq
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |        GROUP BY word
+        |        ORDER BY freq DESC, word
+        |        LIMIT 100)),
+        |xy AS (
+        |  SELECT ROUND(ln(rk), 6) AS x, ROUND(ln(freq), 6) AS y FROM top),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx2
+        |  FROM xy)
+        |SELECT n,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sx2 - sx * sx), 6) AS zipf_slope,
+        |  ROUND((sy - ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n AS DOUBLE) * sx2 - sx * sx), 6) * sx)
+        |    / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM a""".stripMargin,
     "text_pmi_bigrams" ->
       """WITH grams AS (
         |  SELECT w[i] AS w1, w[i+1] AS w2
