@@ -237,6 +237,60 @@ object SimilarityOps {
           round(avg(col("best.d")), 6).as("mse"))
         .orderBy(col("m"), col("code"))
     },
+    // PQ SERVING under the oracle gate: the full ADC query path —
+    // encode the corpus against the literal seed codebook (same
+    // assignment as emb_pq_error), build the probe's per-(subspace,
+    // code) distance table (PqM×PqK rows — THE trick: query-time cost
+    // is a table lookup per code byte, never a float loop over the
+    // original vectors), shortlist top-40 by ADC distance, exact
+    // re-rank the shortlist to top-10. Deterministic end to end
+    // (rounded 6dp terms, exact DECIMAL ADC sums, id tie-breaks), so
+    // the hash gate pins the SEMANTICS of approximate serving, not a
+    // lucky recall. Scale shape: the corpus-sized work is one scan of
+    // the code table joined to a broadcast PqM×PqK lookup; re-rank
+    // touches only the 40-row shortlist. The trained-KMeans production
+    // twin is SimilarityLib.pqTopKRerank (PqSpec).
+    "ann_pq_rerank" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val seeds = e.filter(col("vec_id") < PqK).collect().sortBy(_.getLong(0))
+      val codebook = array((for {
+        m <- 1 to PqM; r <- seeds
+      } yield struct(lit(m).as("m"), lit(r.getLong(0)).as("code"),
+        typedLit(r.getSeq[Double](1).slice((m - 1) * 8, m * 8)).as("cv")))
+        .toIndexedSeq: _*)
+      val subs = explode(array((1 to PqM).map(m =>
+        struct(lit(m.toLong).as("m"),
+          slice(col("v"), (m - 1) * 8 + 1, 8).as("sub"))): _*))
+      val enc = e.select(col("vec_id"), subs.as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+        .withColumn("best", array_min(transform(
+          filter(codebook, c => c.getField("m") === col("m")),
+          c => struct(round(sqDist(col("sub"), c.getField("cv")), 6).as("d"),
+            c.getField("code").as("code")))))
+        .select(col("vec_id"), col("m"), col("best.code").as("code"))
+      val probe = e.filter(col("vec_id") === PROBE_ID).select(col("v").as("p"))
+      val psubs = probe.select(explode(array((1 to PqM).map(m =>
+          struct(lit(m.toLong).as("m"),
+            slice(col("p"), (m - 1) * 8 + 1, 8).as("psub"))): _*)).as("s"))
+        .select(col("s.m").as("m"), col("s.psub").as("psub"))
+      val dt = psubs
+        .select(col("m"), col("psub"),
+          explode(filter(codebook, c => c.getField("m") === col("m"))).as("c"))
+        .select(col("m"), col("c.code").as("code"),
+          round(sqDist(col("psub"), col("c.cv")), 6).as("d"))
+      val adc = enc.join(broadcast(dt), Seq("m", "code"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum(col("d").cast("decimal(18,6)")).cast("double"), 6)
+          .as("adc_dist"))
+      adc.filter(col("vec_id") =!= PROBE_ID)
+        .orderBy(col("adc_dist"), col("vec_id")).limit(40)
+        .join(e, "vec_id")
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), round(sqDist(col("v"), col("p")), 6).as("dist"),
+          col("adc_dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+    },
     // recall@k of the IVF probe against exact brute-force ground truth —
     // ANN quality measurement as an operator, the report an index owner
     // reads before widening nprobe. Both arms are deterministic, so the
@@ -404,6 +458,45 @@ object SimilarityOps {
          |WHERE rn = 1
          |GROUP BY 1, 2
          |ORDER BY m, code""".stripMargin,
+    "ann_pq_rerank" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |seeds AS (SELECT vec_id AS code, v FROM e WHERE vec_id < $PqK),
+         |cb AS (
+         |  SELECT t.m, code, v[((t.m-1)*8+1):(t.m*8)] AS cv
+         |  FROM seeds, range(1, ${PqM + 1}) t(m)),
+         |subs AS (
+         |  SELECT vec_id, t.m, v[((t.m-1)*8+1):(t.m*8)] AS sub
+         |  FROM e, range(1, ${PqM + 1}) t(m)),
+         |scored AS (
+         |  SELECT s.vec_id, s.m, cb.code,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |      ROUND(${sqDistSql("s.sub", "cb.cv")}, 6), cb.code) AS rn
+         |  FROM subs s JOIN cb ON s.m = cb.m),
+         |enc AS (SELECT vec_id, m, code FROM scored WHERE rn = 1),
+         |pr AS (SELECT v AS p FROM e WHERE vec_id = $PROBE_ID),
+         |psubs AS (
+         |  SELECT t.m, p[((t.m-1)*8+1):(t.m*8)] AS psub
+         |  FROM pr, range(1, ${PqM + 1}) t(m)),
+         |dt AS (
+         |  SELECT ps.m, cb.code, ROUND(${sqDistSql("ps.psub", "cb.cv")}, 6) AS d
+         |  FROM psubs ps JOIN cb ON ps.m = cb.m),
+         |adc AS (
+         |  SELECT enc.vec_id,
+         |    ROUND(CAST(SUM(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc_dist
+         |  FROM enc JOIN dt ON enc.m = dt.m AND enc.code = dt.code
+         |  GROUP BY enc.vec_id),
+         |short AS (
+         |  SELECT vec_id, adc_dist FROM adc
+         |  WHERE vec_id <> $PROBE_ID
+         |  ORDER BY adc_dist, vec_id
+         |  LIMIT 40)
+         |SELECT s.vec_id,
+         |  ROUND(${sqDistSql("e.v", "pr.p")}, 6) AS dist,
+         |  s.adc_dist
+         |FROM short s JOIN e ON e.vec_id = s.vec_id CROSS JOIN pr
+         |ORDER BY dist, s.vec_id
+         |LIMIT 10""".stripMargin,
     "ann_ivf_recall" ->
       s"""WITH ivf AS (SELECT probe_id, vec_id FROM ($ivfProbeOracle) iv),
          |en AS (

@@ -635,6 +635,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ann_pq_rerank: ADC lookup broadcasts onto the code table; top-k is TakeOrdered") {
+    val p = plan("ann_pq_rerank")
+    assert(p.contains("BroadcastHashJoin"), p) // PqM×PqK distance table join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("emb_value_hist: norm envelope broadcasts as a one-row stat onto the histogram") {
     val p = plan("emb_value_hist")
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row env × ~20-bucket hist
