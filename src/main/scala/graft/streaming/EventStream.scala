@@ -131,6 +131,55 @@ object EventStream {
       }
   }
 
+  // --- streaming funnel state machine: the events_funnel twin ---
+
+  case class FunnelState(vTs: Long, cTs: Long, pTs: Long)
+  case class StageAdvance(user_id: Long, stage: String, ts: Timestamp)
+
+  /** Per-user funnel progression (view → click-after-view →
+    * purchase-after-click) as a streaming state machine: one 3-long
+    * state row per user, a `StageAdvance` emitted the moment a user
+    * first reaches each stage — the real-time version of the batch
+    * `events_funnel` count (which a downstream
+    * `count(distinct user) per stage` reproduces exactly; pinned by the
+    * spec against the batch min-ts chaining). Greedy-first semantics
+    * match the batch formulation because events replay in time order:
+    * the first view IS min(view ts), the first click after it IS
+    * min(click ts > v_ts), and so on. Strict `>` comparisons mirror the
+    * batch query. State is user-bounded and never grows with the
+    * stream. */
+  def funnelStages(events: Dataset[Ev]): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    val unset = Long.MinValue
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[FunnelState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageAdvance]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if st.vTs == unset =>
+                st = st.copy(vTs = t)
+                out += StageAdvance(userId, "view", e.ts)
+              case "click" if st.vTs != unset && t > st.vTs && st.cTs == unset =>
+                st = st.copy(cTs = t)
+                out += StageAdvance(userId, "click_after_view", e.ts)
+              case "purchase" if st.cTs != unset && t > st.cTs && st.pTs == unset =>
+                st = st.copy(pTs = t)
+                out += StageAdvance(userId, "purchase_after_click", e.ts)
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // --- streaming transition pairs: the events_transitions twin ---
 
   case class TransState(lastTs: Long, lastId: Long, lastType: String)

@@ -106,6 +106,32 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStages matches the batch min-ts funnel on the real events table") {
+    import spark.implicits._
+    val staging = Files.createTempDirectory("evt_funnel").toString
+    EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
+    val evs = EventStream.readEvents(spark, staging)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Ev]
+    val q = EventStream.funnelStages(evs)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT stage, COUNT(DISTINCT user_id) AS n FROM funnel GROUP BY stage")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.EventOps.queries("events_funnel")(
+        spark, "/root/testdata/sf0.001").head()
+      assert(streamed.getOrElse("view", 0L) == batch.getAs[Long]("viewed"))
+      assert(streamed.getOrElse("click_after_view", 0L) ==
+        batch.getAs[Long]("clicked_after_view"))
+      assert(streamed.getOrElse("purchase_after_click", 0L) ==
+        batch.getAs[Long]("purchased_after_click"))
+      assert(streamed("view") > 0)
+    } finally q.stop()
+  }
+
   test("transitionPairs chains across micro-batches and matches the batch lag") {
     import spark.implicits._
     val dir = Files.createTempDirectory("evt_trans").toString
