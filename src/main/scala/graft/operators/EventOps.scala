@@ -440,6 +440,38 @@ object EventOps {
           max(col("gap_us")).as("max_gap_us"))
         .orderBy(col("event_type"))
     },
+    // Per-user journey export — the feature-store row a behavioral
+    // model trains on: activity span, event volume, spend, session
+    // count (30-min gaps), and modal event type, one wide row per user.
+    // Three user-keyed aggregations reusing one shuffle key (AQE reuses
+    // the exchange), never a corpus-wide window; the modal type is the
+    // min(struct(-n, type)) argmax idiom — one aggregation, no rank
+    // window. The first 20 users bound the output (driver compare),
+    // with the predicate pushed to the scan.
+    "events_user_journey" -> { (s, dir) =>
+      val e = events(s, dir).filter(col("user_id") < 20)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = e
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id")).agg(sum(col("new_sess")).as("n_sessions"))
+      val top = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("tn"))
+        .groupBy(col("user_id"))
+        .agg(min(struct((-col("tn")).as("neg"), col("event_type").as("t"))).as("m"))
+        .select(col("user_id"), col("m.t").as("top_type"))
+      e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("total_value"))
+        .join(sess, "user_id")
+        .join(top, "user_id")
+        .orderBy(col("user_id"))
+    },
     // Numeric-value histogram per event type (50-unit buckets) — the
     // distribution profile behind alerting thresholds and partition
     // sizing. Pure codegen bucket projection + one partial-aggregated
@@ -494,6 +526,38 @@ object EventOps {
         |    SUM(n) OVER (PARTITION BY prev), 6) AS p
         |FROM m
         |ORDER BY prev, next""".stripMargin,
+    "events_user_journey" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events WHERE user_id < 20),
+        |sess AS (
+        |  SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+        |  FROM (
+        |    SELECT user_id,
+        |      CASE WHEN lag(tsu) OVER w IS NULL
+        |             OR epoch_us(tsu) - epoch_us(lag(tsu) OVER w) > 1800000000
+        |           THEN 1 ELSE 0 END AS new_sess
+        |    FROM e
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+        |  GROUP BY user_id),
+        |top AS (
+        |  SELECT user_id, event_type AS top_type FROM (
+        |    SELECT user_id, event_type,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY COUNT(*) DESC, event_type) AS rn
+        |    FROM e GROUP BY user_id, event_type) t
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    MIN(tsu) AS first_ts, MAX(tsu) AS last_ts,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |  FROM e GROUP BY user_id)
+        |SELECT a.user_id, a.n_events, a.first_ts, a.last_ts, a.total_value,
+        |  s.n_sessions, t.top_type
+        |FROM agg a JOIN sess s ON a.user_id = s.user_id
+        |JOIN top t ON a.user_id = t.user_id
+        |ORDER BY a.user_id""".stripMargin,
     "events_value_buckets" ->
       """SELECT event_type,
         |  CAST(FLOOR(ROUND(value, 6) / 50) AS BIGINT) AS bucket,

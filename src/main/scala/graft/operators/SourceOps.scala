@@ -154,6 +154,42 @@ object SourceOps {
           max(col("o_custkey")).cast("long").as("max_cust"))
         .orderBy(col("o_orderpriority"))
     },
+    // Store-integrated ingest gate — the composition the lakehouse
+    // exists for: the corpus's exact-dup index (doc_id, md5) lives IN
+    // the graft-store (snapshot-committed, so a concurrent reader never
+    // sees a half-written index), and the incoming batch classifies
+    // against the STORE READ via one broadcast-able semi join. The
+    // oracle replays the split+classify semantics directly on raw
+    // parquet — a hash match proves the store hop is semantics-free.
+    // At 100 TB the index is corpus-sublinear (one 32-char hash per
+    // doc), the daily batch never rescans the corpus, and appends to
+    // the index ride the store's atomic manifest publish
+    // (dedup_incremental is the storeless twin; DocStream
+    // classifyIncremental the streaming one).
+    "src_store_dedup_gate" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-dedupgate"
+      val docs = documents(s, dir)
+      val index = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      GraftStore.write(index, root, overwrite = true)
+      // the incoming batch = the post-split docs PLUS re-keyed copies of
+      // ten corpus docs (a re-crawl) — plants known exact dups at every
+      // scale so the gate provably classifies, replayed in the oracle
+      val batch = docs.filter(col("doc_id") >= 300)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+        .union(docs.filter(col("doc_id") < 10)
+          .select(col("source"), (col("doc_id") + 1000000L).as("doc_id"),
+            md5(col("text")).as("h")))
+      val stored = GraftStore.read(s, root).select(col("h")).distinct()
+      batch.join(broadcast(stored), Seq("h"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+        .join(batch.groupBy(col("source")).agg(count(lit(1)).as("n_batch")),
+          Seq("source"), "right")
+        .select(col("source"), col("n_batch"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          (col("n_batch") - coalesce(col("n_dup"), lit(0L))).as("n_new"))
+        .orderBy(col("source"))
+    },
     // small-file compaction under the oracle: three appends (each adds
     // its own data files — the micro-batch ingest pathology), then
     // compact() rewrites the snapshot into 2 files via one atomic
@@ -498,6 +534,25 @@ object SourceOps {
     // the round-trip oracle never sees the store: it aggregates the
     // parquet input directly, so a hash match certifies write→read
     // fidelity of the DSv2 path
+    "src_store_dedup_gate" ->
+      """WITH idx AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 300),
+        |batch AS (
+        |  SELECT source, doc_id, md5(text) AS h FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT source, doc_id + 1000000 AS doc_id, md5(text) AS h
+        |  FROM documents WHERE doc_id < 10),
+        |dup AS (
+        |  SELECT source, COUNT(*) AS n_dup
+        |  FROM batch WHERE h IN (SELECT h FROM idx)
+        |  GROUP BY source),
+        |tot AS (
+        |  SELECT source, COUNT(*) AS n_batch FROM batch GROUP BY source)
+        |SELECT t.source, t.n_batch,
+        |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(t.n_batch - COALESCE(d.n_dup, 0) AS BIGINT) AS n_new
+        |FROM tot t LEFT JOIN dup d ON t.source = d.source
+        |ORDER BY t.source""".stripMargin,
     "src_format_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
