@@ -237,6 +237,36 @@ object SimilarityOps {
           round(avg(col("best.d")), 6).as("mse"))
         .orderBy(col("m"), col("code"))
     },
+    // Embedding outlier detection by diagonal Mahalanobis distance:
+    // per-dimension mean/variance from the decimal-moment discipline
+    // (64-row stats table, broadcast back), then each vector scores
+    // Σ((x−μ)/σ)² and the top-20 outliers surface — the embedding-
+    // hygiene pass that catches corrupt encoders and out-of-
+    // distribution rows before they poison ANN indexes or codebooks.
+    // Corpus work is one posexplode + two partial-aggregated passes;
+    // nothing corpus-sized ever joins anything bigger than 64 rows.
+    "emb_outliers" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      def dsum6(c: org.apache.spark.sql.Column) =
+        sum(round(c, 6).cast("decimal(28,6)")).cast("double")
+      val stats = e.groupBy(col("pos").as("sp"))
+        .agg(count(lit(1)).as("n"), dsum6(col("x")).as("sx"),
+          dsum6(col("x") * col("x")).as("sx2"))
+        .select(col("sp"), (col("sx") / col("n")).as("mu"),
+          (col("sx2") / col("n") -
+            (col("sx") / col("n")) * (col("sx") / col("n"))).as("varp"))
+      e.join(broadcast(stats), col("pos") === col("sp"))
+        .select(col("vec_id"),
+          round((col("x") - col("mu")) * (col("x") - col("mu")) / col("varp"), 6)
+            .as("term"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum(col("term").cast("decimal(28,6)")).cast("double"), 6)
+          .as("maha2"))
+        .orderBy(col("maha2").desc, col("vec_id"))
+        .limit(20)
+    },
     // PQ SERVING under the oracle gate: the full ADC query path —
     // encode the corpus against the literal seed codebook (same
     // assignment as emb_pq_error), build the probe's per-(subspace,
@@ -458,6 +488,28 @@ object SimilarityOps {
          |WHERE rn = 1
          |GROUP BY 1, 2
          |ORDER BY m, code""".stripMargin,
+    "emb_outliers" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT pos, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx2
+        |  FROM ex GROUP BY pos),
+        |mu AS (
+        |  SELECT pos, sx / n AS mu,
+        |    sx2 / n - (sx / n) * (sx / n) AS varp
+        |  FROM st)
+        |SELECT vec_id,
+        |  ROUND(CAST(SUM(CAST(ROUND((x - mu) * (x - mu) / varp, 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS maha2
+        |FROM ex JOIN mu USING (pos)
+        |GROUP BY vec_id
+        |ORDER BY maha2 DESC, vec_id
+        |LIMIT 20""".stripMargin,
     "ann_pq_rerank" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

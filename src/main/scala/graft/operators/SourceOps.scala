@@ -154,6 +154,30 @@ object SourceOps {
           max(col("o_custkey")).cast("long").as("max_cust"))
         .orderBy(col("o_orderpriority"))
     },
+    // Hive-style partition pruning under the oracle: events re-land
+    // partitioned by event_type (directory per value), the read filters
+    // one type, and Spark's catalog prunes the other directories AT
+    // PLANNING — PartitionFilters in the scan, zero I/O on 4/5 of the
+    // data (gated in PlanShapeSpec). This is the third skipping tier in
+    // the repo (store file-stats skipping, z-order clustering,
+    // directory partitioning) and the one every warehouse layout leans
+    // on first: a date-partitioned 100 TB table serves a one-day query
+    // at one-day cost. The oracle computes from the unpartitioned
+    // source, proving the re-land is semantics-free.
+    "layout_partition_prune" -> { (s, dir) =>
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-part-${new java.io.File(dir).getName}").getAbsolutePath
+      events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(root)
+      s.read.parquet(root)
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id") % 10).cast("long").as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))
+        .orderBy(col("cohort"))
+    },
     // Store-integrated ingest gate — the composition the lakehouse
     // exists for: the corpus's exact-dup index (doc_id, md5) lives IN
     // the graft-store (snapshot-committed, so a concurrent reader never
@@ -534,6 +558,14 @@ object SourceOps {
     // the round-trip oracle never sees the store: it aggregates the
     // parquet input directly, so a hash match certifies write→read
     // fidelity of the DSv2 path
+    "layout_partition_prune" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY cohort
+        |ORDER BY cohort""".stripMargin,
     "src_store_dedup_gate" ->
       """WITH idx AS (
         |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 300),

@@ -635,6 +635,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("layout_partition_prune: the type predicate becomes a PartitionFilter (planning-time pruning)") {
+    val p = plan("layout_partition_prune")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("event_type") && scanLine.contains("purchase"), p)
+  }
+
   test("ann_pq_rerank: ADC lookup broadcasts onto the code table; top-k is TakeOrdered") {
     val p = plan("ann_pq_rerank")
     assert(p.contains("BroadcastHashJoin"), p) // PqM×PqK distance table join
