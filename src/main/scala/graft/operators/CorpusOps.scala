@@ -33,6 +33,28 @@ object CorpusOps {
   val ChunkStride = 24
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Curriculum schedule: docs bucket by quality (0.1-wide bands), and
+    // the schedule reads highest-quality-first with a running token
+    // budget — "train on the cleanest N billion tokens first", the
+    // data-ordering knob curriculum-learning pipelines expose. Scale
+    // shape: the corpus collapses to ≤11 bucket rows via one
+    // partial-aggregated pass (bucketing is an absolute-score
+    // projection, NOT an NTILE — a global rank window would serialize
+    // the corpus through one task); the cumulative sum runs on the
+    // 11-row schedule. Ordering is quality DESC, so cum_tokens at row
+    // k = the budget consumed after the k best bands.
+    "corpus_curriculum" -> { (s, dir) =>
+      import TextOps.{qualityScore => qs}
+      val b = documents(s, dir)
+        .select(floor(round(qs(col("text")), 6) * 10).cast("long").as("band"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+      b.withColumn("cum_tokens", sum(col("tokens")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("band").desc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .orderBy(col("band").desc)
+    },
     // vocabulary with counts, top-10 words per language (count desc,
     // word asc tiebreak — fully deterministic)
     "text_vocab_topk" -> { (s, dir) =>
@@ -198,6 +220,18 @@ object CorpusOps {
   val VocabSize = 16
 
   val oracles: Map[String, String] = Map(
+    "corpus_curriculum" ->
+      s"""WITH b AS (
+         |  SELECT CAST(FLOOR(ROUND(${TextOps.qualityScoreSql}, 6) * 10) AS BIGINT) AS band,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |  FROM documents
+         |  GROUP BY band)
+         |SELECT band, n_docs, tokens,
+         |  CAST(SUM(tokens) OVER (ORDER BY band DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |FROM b
+         |ORDER BY band DESC""".stripMargin,
     "corpus_shard_plan" ->
       """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
         |  COUNT(*) AS n_docs,

@@ -106,6 +106,37 @@ object MlOps {
           countDistinct(col("label")).as("n_labels"))
         .orderBy(col("fold"))
     },
+    // Embedding drift monitor: per-dimension two-sample z statistic
+    // between the label<5 and label≥5 populations — the check a feature
+    // store runs between snapshots ("did any dimension's distribution
+    // move?"), here parameterized by label so the oracle can replay the
+    // split. Decimal-moment sums per (group, dim) — 2×64 rows out of
+    // one partial-aggregated pass — then the z projection on the tiny
+    // stats table; the top-10 most-shifted dimensions surface.
+    "ml_embedding_drift" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+        .select(when(col("label") >= 5, 1).otherwise(0).as("grp"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      def dsum6(c: org.apache.spark.sql.Column) =
+        sum(round(c, 6).cast("decimal(28,6)")).cast("double")
+      val st = e.groupBy(col("grp"), col("pos"))
+        .agg(count(lit(1)).as("n"), dsum6(col("x")).as("sx"),
+          dsum6(col("x") * col("x")).as("sx2"))
+        .select(col("grp"), col("pos"), col("n"),
+          (col("sx") / col("n")).as("mu"),
+          (col("sx2") / col("n") -
+            (col("sx") / col("n")) * (col("sx") / col("n"))).as("varp"))
+      val a = st.filter(col("grp") === 0)
+        .select(col("pos"), col("n").as("n0"), col("mu").as("mu0"), col("varp").as("v0"))
+      val b = st.filter(col("grp") === 1)
+        .select(col("pos").as("pos1"), col("n").as("n1"), col("mu").as("mu1"), col("varp").as("v1"))
+      a.join(b, col("pos") === col("pos1"))
+        .select(col("pos").cast("long").as("pos"),
+          round(abs(col("mu1") - col("mu0")) /
+            sqrt(col("v0") / col("n0") + col("v1") / col("n1")), 6).as("drift_z"))
+        .orderBy(col("drift_z").desc, col("pos"))
+        .limit(10)
+    },
     // Confusion matrix for a deterministic linear probe (sum of the
     // first 8 embedding dims vs the binary label split) — the eval
     // primitive every model pipeline ends with, shaped for scale: one
@@ -189,6 +220,26 @@ object MlOps {
         |FROM f
         |GROUP BY fold
         |ORDER BY fold""".stripMargin,
+    "ml_embedding_drift" ->
+      """WITH ex AS (
+        |  SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS grp,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT grp, pos, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx2
+        |  FROM ex GROUP BY grp, pos),
+        |mu AS (
+        |  SELECT grp, pos, n, sx / n AS mu,
+        |    sx2 / n - (sx / n) * (sx / n) AS varp
+        |  FROM st)
+        |SELECT CAST(a.pos AS BIGINT) AS pos,
+        |  ROUND(ABS(b.mu - a.mu) / sqrt(a.varp / a.n + b.varp / b.n), 6) AS drift_z
+        |FROM mu a JOIN mu b ON a.pos = b.pos AND a.grp = 0 AND b.grp = 1
+        |ORDER BY drift_z DESC, pos
+        |LIMIT 10""".stripMargin,
     "ml_confusion_matrix" ->
       """WITH e AS (
         |  SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS actual,
