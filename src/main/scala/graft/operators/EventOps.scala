@@ -440,6 +440,24 @@ object EventOps {
           max(col("gap_us")).as("max_gap_us"))
         .orderBy(col("event_type"))
     },
+    // Seasonality matrix: activity by (day-of-week, hour-of-day) — the
+    // load-shape profile behind capacity planning and anomaly
+    // baselines. Both coordinates come from pure UTC epoch arithmetic
+    // (integer div/mod on microseconds, day 0 anchored so column `dow`
+    // is a stable 0..6 cycle) instead of engine calendar functions,
+    // whose week-start conventions differ — the cross-engine-safe
+    // formulation. One partial-aggregated pass to a ≤168-row matrix.
+    "events_seasonality" -> { (s, dir) =>
+      events(s, dir)
+        .select(expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hour"),
+          col("value"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))
+        .orderBy(col("dow"), col("hour"))
+    },
     // Per-user journey export — the feature-store row a behavioral
     // model trains on: activity span, event volume, spend, session
     // count (30-min gaps), and modal event type, one wide row per user.
@@ -526,6 +544,14 @@ object EventOps {
         |    SUM(n) OVER (PARTITION BY prev), 6) AS p
         |FROM m
         |ORDER BY prev, next""".stripMargin,
+    "events_seasonality" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
+        |  (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY dow, hour
+        |ORDER BY dow, hour""".stripMargin,
     "events_user_journey" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, value,

@@ -106,6 +106,33 @@ object MlOps {
           countDistinct(col("label")).as("n_labels"))
         .orderBy(col("fold"))
     },
+    // Precision/recall curve over the calibration probe at ten
+    // thresholds — completes the eval family (confusion matrix = one
+    // operating point; this is all of them). The threshold fan-out is
+    // a row-local explode of a 10-element literal (corpus×10 rows into
+    // a partial-aggregated count — never a per-threshold corpus scan),
+    // and the divisions guard the empty-prediction edge with NULL, the
+    // convention both engines share.
+    "ml_pr_curve" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+      val scored = embeddings(s, dir)
+        .select(p.as("p"), when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        .select(col("p"), col("pos"),
+          explode(sequence(lit(0), lit(9))).as("ti"))
+      scored
+        .groupBy((col("ti").cast("double") / 10).as("threshold"))
+        .agg(sum(when(col("p") >= col("ti").cast("double") / 10, col("pos"))).as("tp"),
+          sum(when(col("p") >= col("ti").cast("double") / 10, 1L).otherwise(0L)).as("pp"),
+          sum(col("pos")).as("ap"))
+        .select(col("threshold"), col("tp").cast("long").as("tp"),
+          col("pp").cast("long").as("pp"),
+          round(when(col("pp") > 0, col("tp").cast("double") / col("pp")), 6)
+            .as("prec"),
+          round(col("tp").cast("double") / col("ap"), 6).as("recall"))
+        .orderBy(col("threshold"))
+    },
     // Embedding drift monitor: per-dimension two-sample z statistic
     // between the label<5 and label≥5 populations — the check a feature
     // store runs between snapshots ("did any dimension's distribution
@@ -220,6 +247,25 @@ object MlOps {
         |FROM f
         |GROUP BY fold
         |ORDER BY fold""".stripMargin,
+    "ml_pr_curve" ->
+      """WITH e AS (
+        |  SELECT ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6) AS p,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |x AS (SELECT p, pos, ti FROM e, range(0, 10) t(ti))
+        |SELECT CAST(ti AS DOUBLE) / 10 AS threshold,
+        |  CAST(SUM(CASE WHEN p >= CAST(ti AS DOUBLE) / 10 THEN pos END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN p >= CAST(ti AS DOUBLE) / 10 THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+        |  ROUND(CASE WHEN SUM(CASE WHEN p >= CAST(ti AS DOUBLE) / 10 THEN 1 ELSE 0 END) > 0
+        |        THEN CAST(SUM(CASE WHEN p >= CAST(ti AS DOUBLE) / 10 THEN pos END) AS DOUBLE)
+        |             / SUM(CASE WHEN p >= CAST(ti AS DOUBLE) / 10 THEN 1 ELSE 0 END)
+        |        END, 6) AS prec,
+        |  ROUND(CAST(SUM(CASE WHEN p >= CAST(ti AS DOUBLE) / 10 THEN pos END) AS DOUBLE)
+        |    / SUM(pos), 6) AS recall
+        |FROM x
+        |GROUP BY ti
+        |ORDER BY threshold""".stripMargin,
     "ml_embedding_drift" ->
       """WITH ex AS (
         |  SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS grp,

@@ -675,6 +675,37 @@ object Relational {
         .orderBy(col("size").desc, col("community"))
         .limit(20)
     },
+    // Degree assortativity of the affinity graph: the Pearson
+    // correlation of (deg(u), deg(v)) over the symmetrized edge list —
+    // one number that says whether hubs attach to hubs (assortative,
+    // r > 0) or to leaves (disassortative, r < 0), which decides
+    // whether hub-removal or random sparsification changes connectivity
+    // at scale. Recycles the q_corr_qty_disc decimal-moment machinery
+    // on the edge table: degrees join on (node-sized, broadcast), five
+    // exact sums, one double projection.
+    "graph_assortativity" -> { (s, dir) =>
+      val aff = affinityEdges(s, dir).localCheckpoint()
+      val sym = aff.select(col("pa").as("u"), col("pb").as("v"))
+        .union(aff.select(col("pb").as("u"), col("pa").as("v")))
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val pairs = sym
+        .join(broadcast(deg.select(col("u").as("ju"), col("deg").as("du"))),
+          col("u") === col("ju"))
+        .join(broadcast(deg.select(col("u").as("jv"), col("deg").as("dv"))),
+          col("v") === col("jv"))
+        .select(col("du").cast("decimal(18,4)").as("x"),
+          col("dv").cast("decimal(18,4)").as("y"))
+      def d(c: org.apache.spark.sql.Column) = round(sum(c), 4).cast("double")
+      val n = col("n").cast("double")
+      pairs.agg(count(lit(1)).as("n"),
+          d(col("x")).as("dx"), d(col("y")).as("dy"),
+          d(col("x") * col("y")).as("dxy"),
+          d(col("x") * col("x")).as("dx2"), d(col("y") * col("y")).as("dy2"))
+        .select(col("n"),
+          round((n * col("dxy") - col("dx") * col("dy")) /
+            sqrt((n * col("dx2") - col("dx") * col("dx")) *
+              (n * col("dy2") - col("dy") * col("dy"))), 6).as("assortativity"))
+    },
     // Degree distribution of the affinity graph — the first diagnostic
     // anyone runs on a graph (is it heavy-tailed? how sparse?), and at
     // pipeline scale the input to skew planning: the max-degree row of
@@ -1351,6 +1382,29 @@ object Relational {
         |         (CAST(n AS DOUBLE) * dy2 - dy * dy)), 6) AS corr_qd
         |FROM a
         |ORDER BY l_returnflag""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH $affinitySql,
+         |sym AS (
+         |  SELECT pa AS u, pb AS v FROM edges
+         |  UNION ALL SELECT pb AS u, pa AS v FROM edges),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+         |p AS (
+         |  SELECT CAST(du.deg AS DECIMAL(18,4)) AS x,
+         |         CAST(dv.deg AS DECIMAL(18,4)) AS y
+         |  FROM sym JOIN deg du ON sym.u = du.u JOIN deg dv ON sym.v = dv.u),
+         |a AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(ROUND(SUM(x), 4) AS DOUBLE) AS dx,
+         |    CAST(ROUND(SUM(y), 4) AS DOUBLE) AS dy,
+         |    CAST(ROUND(SUM(x * y), 4) AS DOUBLE) AS dxy,
+         |    CAST(ROUND(SUM(x * x), 4) AS DOUBLE) AS dx2,
+         |    CAST(ROUND(SUM(y * y), 4) AS DOUBLE) AS dy2
+         |  FROM p)
+         |SELECT n,
+         |  ROUND((CAST(n AS DOUBLE) * dxy - dx * dy) /
+         |    sqrt((CAST(n AS DOUBLE) * dx2 - dx * dx) *
+         |         (CAST(n AS DOUBLE) * dy2 - dy * dy)), 6) AS assortativity
+         |FROM a""".stripMargin,
     "graph_degree_stats" ->
       s"""WITH $affinitySql,
          |deg AS (

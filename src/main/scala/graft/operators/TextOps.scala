@@ -469,6 +469,31 @@ object TextOps {
         .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("tfidf"))
         .orderBy(col("doc_id"), col("rk"))
     },
+    // Flesch-style readability per language: words/sentence and
+    // syllables/word from pure regexp counts (sentences = terminal
+    // punctuation + 1; syllables ≈ vowel groups — the standard cheap
+    // estimator), combined with the classic literal weights. Pure
+    // codegen projection; per-doc scores round to 6dp then aggregate
+    // as exact DECIMAL, so the per-language means are engine-exact.
+    // Another axis of the quality family: length-based gates miss
+    // word-salad that a syllable-density score catches.
+    "text_readability" -> { (s, dir) =>
+      val t = col("text")
+      val words = size(split(t, " ")).cast("double")
+      val sentences = (size(regexp_extract_all(t, lit("[.!?]"), lit(0))) + 1).cast("double")
+      val syll = size(regexp_extract_all(t, lit("[aeiouAEIOU]+"), lit(0))).cast("double")
+      val score = round(lit(206.835) - lit(1.015) * (words / sentences)
+        - lit(84.6) * (syll / words), 6)
+      documents(s, dir)
+        .select(col("lang"), score.as("sc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("sc").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_flesch"),
+          round(min(col("sc")), 6).as("min_flesch"),
+          round(max(col("sc")), 6).as("max_flesch"))
+        .orderBy(col("lang"))
+    },
     // Zipf rank-frequency fit: least-squares slope of ln(freq) vs
     // ln(rank) over the top-100 vocabulary — natural corpora sit near
     // slope ≈ −1, and a corpus that doesn't (template spam, synthetic
@@ -671,6 +696,22 @@ object TextOps {
         |SELECT doc_id, rk, word, tf, tfidf
         |FROM rk WHERE rk <= 5
         |ORDER BY doc_id, rk""".stripMargin,
+    "text_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    ROUND(206.835
+        |      - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |                 / CAST(len(regexp_extract_all(text, '[.!?]')) + 1 AS DOUBLE))
+        |      - 84.6 * (CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS DOUBLE)
+        |                / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS sc
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(CAST(sc AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_flesch,
+        |  ROUND(MIN(sc), 6) AS min_flesch,
+        |  ROUND(MAX(sc), 6) AS max_flesch
+        |FROM d
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "text_zipf_slope" ->
       """WITH top AS (
         |  SELECT word, freq,

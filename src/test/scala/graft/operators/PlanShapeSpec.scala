@@ -635,6 +635,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("events_seasonality: one partial-aggregated pass, no window, no join") {
+    val p = plan("events_seasonality")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("ml_pr_curve: threshold fan-out explodes row-locally before one aggregation") {
+    val p = plan("ml_pr_curve")
+    assert(p.contains("Generate"), p)       // the 10-threshold explode
+    assert(!p.contains("Join"), p)          // never a per-threshold scan/join
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("layout_partition_prune: the type predicate becomes a PartitionFilter (planning-time pruning)") {
     val p = plan("layout_partition_prune")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
