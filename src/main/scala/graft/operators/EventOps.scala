@@ -440,6 +440,30 @@ object EventOps {
           max(col("gap_us")).as("max_gap_us"))
         .orderBy(col("event_type"))
     },
+    // Windowed event deduplication: telemetry pipelines receive the
+    // same logical event more than once (client retries, at-least-once
+    // buses); the standard fix keeps the FIRST event per
+    // (user, type, 5-minute bucket). Bucketing — not a kept-chain scan
+    // — is the formulation that distributes: one window keyed by the
+    // dedup key, per-task state one key's bucket, and the same key set
+    // feeds Spark's dropDuplicatesWithinWatermark in the streaming twin
+    // (EventStream.dedupEvents, spec-pinned equal). Reports per-type
+    // raw/kept/dup-rate.
+    "events_dedup_window" -> { (s, dir) =>
+      val bucket = expr("unix_micros(ts) div 300000000")
+      val w = Window.partitionBy(col("user_id"), col("event_type"), col("bucket"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("bucket", bucket)
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .select(col("event_type"), col("n_raw"), col("n_kept"),
+          round((col("n_raw") - col("n_kept")).cast("double") / col("n_raw"), 6)
+            .as("dup_rate"))
+        .orderBy(col("event_type"))
+    },
     // Seasonality matrix: activity by (day-of-week, hour-of-day) — the
     // load-shape profile behind capacity planning and anomaly
     // baselines. Both coordinates come from pure UTC epoch arithmetic
@@ -544,6 +568,21 @@ object EventOps {
         |    SUM(n) OVER (PARTITION BY prev), 6) AS p
         |FROM m
         |ORDER BY prev, next""".stripMargin,
+    "events_dedup_window" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 300000000
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rk
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_raw,
+        |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(COUNT(*) - SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_rate
+        |FROM b
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "events_seasonality" ->
       """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
         |  (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour,

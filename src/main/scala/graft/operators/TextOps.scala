@@ -469,6 +469,20 @@ object TextOps {
         .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("tfidf"))
         .orderBy(col("doc_id"), col("rk"))
     },
+    // Top trigrams through the custom Catalyst GENERATOR
+    // (graft.functions.NGrams — the UDTF tier of the extension
+    // surface): rows stream straight off one split with no per-row
+    // gram-array materialization, unlike the composable
+    // explode(transform(sequence(...))) form this replaces. The oracle
+    // replays the identical contract with DuckDB list positions, and
+    // the plan gate pins the Generate node to the custom generator.
+    "text_ngram_gen" -> { (s, dir) =>
+      documents(s, dir)
+        .select(graft.functions.TextGenerators.ngrams(col("text"), 3).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20)
+    },
     // Flesch-style readability per language: words/sentence and
     // syllables/word from pure regexp counts (sentences = terminal
     // punctuation + 1; syllables ≈ vowel groups — the standard cheap
@@ -696,6 +710,18 @@ object TextOps {
         |SELECT doc_id, rk, word, tf, tfidf
         |FROM rk WHERE rk <= 5
         |ORDER BY doc_id, rk""".stripMargin,
+    "text_ngram_gen" ->
+      """WITH d AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM d))
+        |SELECT gram, COUNT(*) AS n
+        |FROM g
+        |GROUP BY gram
+        |ORDER BY n DESC, gram
+        |LIMIT 20""".stripMargin,
     "text_readability" ->
       """WITH d AS (
         |  SELECT lang,

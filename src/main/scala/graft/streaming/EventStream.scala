@@ -131,6 +131,21 @@ object EventStream {
       }
   }
 
+  // --- streaming event dedup: the events_dedup_window twin ---
+
+  /** Drop retried/replayed events on an unbounded stream: keep the
+    * first arrival per (user, type, 5-minute bucket) via Spark's
+    * built-in `dropDuplicatesWithinWatermark` — per-key state expires
+    * once the watermark passes, so memory is bounded by keys ACTIVE in
+    * the watermark horizon, not stream history. Under in-order replay
+    * the first arrival is the bucket's min-ts event, i.e. exactly the
+    * batch `events_dedup_window` keep rule (spec-pinned). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("bucket", expr("unix_micros(ts) div 300000000"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket")
+
   // --- streaming funnel state machine: the events_funnel twin ---
 
   case class FunnelState(vTs: Long, cTs: Long, pTs: Long)

@@ -106,6 +106,25 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupEvents keeps the batch first-per-bucket counts on the real events table") {
+    val staging = Files.createTempDirectory("evt_dedup").toString
+    EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
+    val q = EventStream.dedupEvents(EventStream.readEvents(spark, staging))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT event_type, COUNT(*) AS n FROM dedup GROUP BY event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.EventOps.queries("events_dedup_window")(
+        spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_kept")).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.values.sum > 0)
+    } finally q.stop()
+  }
+
   test("funnelStages matches the batch min-ts funnel on the real events table") {
     import spark.implicits._
     val staging = Files.createTempDirectory("evt_funnel").toString
