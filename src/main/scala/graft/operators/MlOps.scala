@@ -133,6 +133,43 @@ object MlOps {
           round(col("tp").cast("double") / col("ap"), 6).as("recall"))
         .orderBy(col("threshold"))
     },
+    // Binned ROC-AUC over the calibration probe: trapezoid area over
+    // the ROC curve built from 3dp score bins. Binning is the
+    // scale-honest formulation — an exact rank-statistic AUC needs a
+    // GLOBAL rank window (one-task corpus serialization), while the
+    // bin table is ≤1000 rows wherever the corpus size goes, and 3dp
+    // bins bound the area error at ~1e-3, far below model-comparison
+    // noise. Trapezoid terms round to 6dp and sum as exact DECIMAL on
+    // the tiny bin table. Completes the eval family: confusion matrix
+    // (one point), PR curve (ten points), AUC (the integral).
+    "ml_auc" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+      val bins = embeddings(s, dir)
+        .select(round(p, 3).as("pb"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("pb"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("pb").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = bins.agg(sum(col("n")).as("alln"), sum(col("npos")).as("allpos"))
+      val roc = bins.crossJoin(broadcast(tot))
+        .withColumn("cum_pos", sum(col("npos")).over(w))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .select(col("pb"),
+          (col("cum_pos").cast("double") / col("allpos")).as("tpr"),
+          ((col("cum_n") - col("cum_pos")).cast("double") /
+            (col("alln") - col("allpos"))).as("fpr"))
+      val lw = org.apache.spark.sql.expressions.Window.orderBy(col("pb").desc)
+      roc
+        .withColumn("term", round(
+          (col("fpr") - lag(col("fpr"), 1, 0.0).over(lw)) *
+            (col("tpr") + lag(col("tpr"), 1, 0.0).over(lw)) / 2, 6))
+        .agg(round(sum(col("term").cast("decimal(18,6)")).cast("double"), 6)
+          .as("auc"),
+          count(lit(1)).as("n_bins"))
+    },
     // Embedding drift monitor: per-dimension two-sample z statistic
     // between the label<5 and label≥5 populations — the check a feature
     // store runs between snapshots ("did any dimension's distribution
@@ -247,6 +284,31 @@ object MlOps {
         |FROM f
         |GROUP BY fold
         |ORDER BY fold""".stripMargin,
+    "ml_auc" ->
+      """WITH e AS (
+        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |bins AS (
+        |  SELECT pb, COUNT(*) AS n, SUM(pos) AS npos FROM e GROUP BY pb),
+        |tot AS (SELECT SUM(n) AS alln, SUM(npos) AS allpos FROM bins),
+        |roc AS (
+        |  SELECT pb,
+        |    CAST(SUM(npos) OVER w AS DOUBLE) / (SELECT allpos FROM tot) AS tpr,
+        |    CAST(SUM(n) OVER w - SUM(npos) OVER w AS DOUBLE)
+        |      / ((SELECT alln FROM tot) - (SELECT allpos FROM tot)) AS fpr
+        |  FROM bins
+        |  WINDOW w AS (ORDER BY pb DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |terms AS (
+        |  SELECT ROUND(
+        |    (fpr - COALESCE(lag(fpr) OVER (ORDER BY pb DESC), 0.0)) *
+        |    (tpr + COALESCE(lag(tpr) OVER (ORDER BY pb DESC), 0.0)) / 2, 6) AS term
+        |  FROM roc)
+        |SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS auc,
+        |  COUNT(*) AS n_bins
+        |FROM terms""".stripMargin,
     "ml_pr_curve" ->
       """WITH e AS (
         |  SELECT ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
