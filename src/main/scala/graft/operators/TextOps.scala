@@ -469,6 +469,28 @@ object TextOps {
         .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("tfidf"))
         .orderBy(col("doc_id"), col("rk"))
     },
+    // The SQL-STRING entry path, end to end: temp view + runtime
+    // function registration + one spark.sql() text using LATERAL VIEW
+    // over the custom ngrams generator, a ranking window, and an
+    // aggregation — proving a SQL-only user (BI tool, notebook cell)
+    // gets the whole engine surface including the UDTF tier, with the
+    // same plan the DataFrame API would build. Result: each language's
+    // most frequent word bigram (count ties break on the gram).
+    "text_sql_entry" -> { (s, dir) =>
+      documents(s, dir).createOrReplaceTempView("graft_docs_v")
+      graft.functions.TextGenerators.register(s)
+      s.sql("""
+        SELECT lang, gram AS top_bigram, n
+        FROM (
+          SELECT lang, gram, COUNT(*) AS n,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY COUNT(*) DESC, gram) AS rk
+          FROM graft_docs_v
+          LATERAL VIEW ngrams(text, 2) g AS gram
+          GROUP BY lang, gram)
+        WHERE rk = 1
+        ORDER BY lang""")
+    },
     // Top trigrams through the custom Catalyst GENERATOR
     // (graft.functions.NGrams — the UDTF tier of the extension
     // surface): rows stream straight off one split with no per-row
@@ -710,6 +732,21 @@ object TextOps {
         |SELECT doc_id, rk, word, tf, tfidf
         |FROM rk WHERE rk <= 5
         |ORDER BY doc_id, rk""".stripMargin,
+    "text_sql_entry" ->
+      """WITH d AS (
+        |  SELECT lang, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT lang, w[i] || ' ' || w[i+1] AS gram
+        |  FROM (SELECT lang, w, unnest(range(1, len(w))) AS i FROM d)),
+        |r AS (
+        |  SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY COUNT(*) DESC, gram) AS rk
+        |  FROM g GROUP BY lang, gram)
+        |SELECT lang, gram AS top_bigram, n
+        |FROM r WHERE rk = 1
+        |ORDER BY lang""".stripMargin,
     "text_ngram_gen" ->
       """WITH d AS (
         |  SELECT string_split(text, ' ') AS w FROM documents
