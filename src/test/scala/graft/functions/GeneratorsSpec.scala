@@ -39,6 +39,23 @@ class GeneratorsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq == Seq("one"))
   }
 
+  test("property: gram count and content match the slice contract for any input") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""))
+    val prop = Prop.forAll(Gen.nonEmptyListOf(word), Gen.choose(1, 5)) {
+      (words: List[String], k: Int) =>
+        val text = words.mkString(" ")
+        val out = NGrams(Literal(text), Literal(k)).eval(null)
+          .iterator.map(_.getString(0)).toList
+        val expected =
+          if (words.length < k) Nil
+          else (0 to words.length - k).map(i => words.slice(i, i + k).mkString(" ")).toList
+        out == expected
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
   test("SQL registration: SELECT ngrams(text, 2) works; plan shows the custom generator") {
     TextGenerators.register(spark)
     docs.createOrReplaceTempView("gen_docs")
