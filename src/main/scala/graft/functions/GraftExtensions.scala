@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngrams"),
       new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
       (exprs: Seq[Expression]) => NGrams(exprs(0), exprs(1))))
+    // UDAF tier: the analyzer wraps the bare AggregateFunction in an
+    // AggregateExpression (and owns DISTINCT/FILTER semantics)
+    ext.injectFunction((
+      FunctionIdentifier("spacesaving_topk"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "spacesaving_topk"),
+      (exprs: Seq[Expression]) => GraftAggregates.fromSql(exprs)))
     // whole-operator surface: the custom as-of join plans + optimizes on
     // every session built with these extensions (graft.plans.AsOfJoin)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)

@@ -68,6 +68,34 @@ object CorpusOps {
         .select(col("lang"), col("rk"), col("word"), col("n"))
         .orderBy(col("lang"), col("rk"))
     },
+    // text_vocab_topk's bounded-state production twin: per-lang top
+    // tokens via the custom [[graft.functions.SpaceSavingTopK]]
+    // TypedImperativeAggregate. The exact form above shuffles one row
+    // per distinct (lang, word) — Heaps-bounded for words, corpus-sized
+    // for URLs/ids/raw n-grams; SpaceSaving's partials are FIXED
+    // 64-entry summaries regardless of how many distinct keys stream
+    // through a partition, so the shuffle per map task is capacity-
+    // bounded. Capacity 64 ≥ the fixture's vocabulary, i.e. the
+    // sized-to-domain EXACT regime: no partial ever evicts, the
+    // mergeable-summaries combine is a plain multiset union, err ≡ 0,
+    // and the result is deterministic under any partitioning — which is
+    // what lets the DuckDB hash gate pin the UDAF's update/merge/eval
+    // path against plain exact counting (the err column asserted 0 by
+    // the oracle itself). The approximate regime's guarantees
+    // (overestimate bound, guaranteed-heavy-hitter containment) are
+    // property-tested in SpaceSavingSpec.
+    "text_topk_spacesaving" -> { (s, dir) =>
+      val agg = documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.GraftAggregates
+          .spacesavingTopK(col("word"), 64, 10).as("top"))
+      agg.select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.token").as("word"), col("col.cnt").as("n"),
+          col("col.err").as("err"))
+        .orderBy(col("lang"), col("rk"))
+    },
     // deterministic sequence packing: concatenate each (lang, source)
     // shard's documents in doc_id order and chop into PackBudget-token
     // bins — a document's bin is the budget-chunk its first token lands
@@ -286,6 +314,16 @@ object CorpusOps {
         |ORDER BY doc_id, chunk_id""".stripMargin,
     "text_vocab_topk" ->
       """SELECT lang, rk, word, n FROM (
+        |  SELECT lang, word, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
+        |  FROM (SELECT lang, word, COUNT(*) AS n
+        |        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |              FROM documents) w
+        |        GROUP BY lang, word) c) t
+        |WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
+    "text_topk_spacesaving" ->
+      """SELECT lang, rk, word, n, CAST(0 AS BIGINT) AS err FROM (
         |  SELECT lang, word, n,
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
         |  FROM (SELECT lang, word, COUNT(*) AS n

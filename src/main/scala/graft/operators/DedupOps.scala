@@ -546,6 +546,84 @@ object DedupOps {
     "dedup_winnowing_spans" -> { (s, dir) =>
       winnowSpans(documents(s, dir).select(col("doc_id"), col("text")))
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+    },
+    // PREFIX-FILTERED similarity join (Bayardo et al. WWW'07 / PPJoin):
+    // the EXACT all-pairs Jaccard-≥-t algorithm, vs the DF-cap blocking
+    // of dedup_ngram_jaccard which trades recall for boundedness. The
+    // guarantee: order every doc's shingle set canonically (global
+    // document-frequency ASC, then token — rarest first), keep only
+    // each doc's first |S| - ⌈t·|S|⌉ + 1 tokens as its "prefix"; any
+    // pair with Jaccard ≥ t MUST share a prefix token (pigeonhole), so
+    // joining on prefix tokens loses nothing. The df-ASC ordering is
+    // what makes it scale: prefixes hold each doc's RAREST shingles, so
+    // prefix-token join groups are the corpus's coldest keys — the
+    // opposite end of the df spectrum from the skew that kills naive
+    // shingle joins. Three exact pre-verify prunes stack on the join:
+    //  - symmetric length filter: 5·sz_b ≥ 4·sz_a (⇔ sz_b ≥ ⌈t·sz_a⌉);
+    //  - POSITIONAL filter (PPJoin's addition): for the first shared
+    //    token — at 1-based canonical positions (ia, ib) — every shared
+    //    token sits at ≥ those positions in BOTH lists (the order is
+    //    global), so overlap o ≤ min(sz_a−ia, sz_b−ib)+1; J ≥ 0.8 needs
+    //    9·o ≥ 4·(sz_a+sz_b), so a join row survives only if its
+    //    position bound clears that. The first-shared-token row always
+    //    exists among the matches (it provably lies in both prefixes
+    //    when J ≥ t), so keeping pairs where ANY row passes is exact.
+    //  - tokens are 12-hex md5 slices, not raw shingles: fixed-width
+    //    keys through the join and 2× smaller arrays through the verify
+    //    (md5 so the oracle replays byte-for-byte — the [[DedupOps]]
+    //    hash-family rule; a cross-doc slice collision would perturb
+    //    one intersection count identically in both engines).
+    //
+    // All thresholds in exact integer arithmetic — ⌈0.8·sz⌉ =
+    // (4·sz+4) div 5, J ≥ 0.8 ⇔ 5·inter ≥ 4·union — because the two
+    // engines parse the literal 0.8 differently (DuckDB DECIMAL(1,1),
+    // JVM ieee754 double) and ceil() at the representation boundary
+    // would diverge exactly at sz ≡ 0 (mod 5).
+    //
+    // localCheckpoint: `arr` feeds the prefix explosion AND both verify
+    // joins (same rationale as dedup_ngram_jaccard's grouped).
+    "dedup_prefix_filter" -> { (s, dir) =>
+      val sh = withShingles(documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), substring(md5(col("sh")), 1, 12).as("h")).distinct()
+      // global df as an unordered COUNT window over h — one pass over the
+      // distinct stream, vs the groupBy+join formulation whose dfreq
+      // branch re-runs the post-distinct aggregation (only the Exchange
+      // below it is reusable); measured 2.5x faster at sf0.1 (0.6 s vs
+      // 1.4 s warm). No ORDER BY, so the frame is the whole h-partition:
+      // no sort-order state, single pass, same skew profile as the join
+      // shuffle it replaces.
+      val arr = sh
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ts"))
+        .select(col("doc_id"),
+          transform(col("ts"), x => x.getField("h")).as("toks"),
+          size(col("ts")).cast("long").as("sz"))
+        .localCheckpoint(eager = false)
+      val preLen = (col("sz") - floor((lit(4) * col("sz") + 4) / 5) + 1).cast("int")
+      val pre = arr.select(col("doc_id"), col("sz"),
+        posexplode(slice(col("toks"), lit(1), preLen)))
+        .toDF("doc_id", "sz", "pos", "tok")
+      val cand = pre.as("a").join(pre.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          lit(5) * col("b.sz") >= lit(4) * col("a.sz") &&
+          lit(5) * col("a.sz") >= lit(4) * col("b.sz") &&
+          lit(9) * (least(col("a.sz") - col("a.pos") - 1,
+            col("b.sz") - col("b.pos") - 1) + 1) >=
+            lit(4) * (col("a.sz") + col("b.sz")))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(arr.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+          col("sz").as("sza")), "doc_a")
+        .join(arr.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+          col("sz").as("szb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .filter(lit(5) * col("inter") >= lit(4) * (col("sza") + col("szb") - col("inter")))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter") / (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
 
   /** Semantic-dedup constants shared by query and oracle: K seed cells,
@@ -746,6 +824,34 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_prefix_filter" ->
+      """WITH shr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents
+        |        WHERE len(string_split(text,' ')) >= 3)),
+        |sh AS (SELECT DISTINCT doc_id, substring(md5(sh), 1, 12) AS h FROM shr),
+        |dfreq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
+        |arr AS (
+        |  SELECT doc_id, list(s.h ORDER BY df, s.h) AS toks, COUNT(*) AS sz
+        |  FROM sh s JOIN dfreq USING (h) GROUP BY doc_id),
+        |pre AS (
+        |  SELECT doc_id, sz, generate_subscripts(pfx, 1) AS ia, unnest(pfx) AS tok
+        |  FROM (SELECT doc_id, sz, toks[1:(sz - (4*sz+4)//5 + 1)] AS pfx FROM arr)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |   AND 5*b.sz >= 4*a.sz AND 5*a.sz >= 4*b.sz
+        |   AND 9*(least(a.sz - a.ia, b.sz - b.ia) + 1) >= 4*(a.sz + b.sz)),
+        |ver AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(x.toks, y.toks)) AS inter,
+        |    x.sz AS sza, y.sz AS szb
+        |  FROM cand JOIN arr x ON x.doc_id = doc_a JOIN arr y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b,
+        |  ROUND(inter*1.0/(sza+szb-inter), 6) AS jaccard
+        |FROM ver WHERE 5*inter >= 4*(sza+szb-inter)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents

@@ -23,6 +23,31 @@ object EventOps {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
     },
+    // burst detection: each user's PEAK 1-hour event rate, via a sliding
+    // RANGE frame over microsecond offsets — the time-valued frame shape
+    // (a ROWS frame counts rows, not time; a tumbling date_trunc bucket
+    // splits a burst straddling the hour boundary — only RANGE over the
+    // time axis sees every trailing-60-min window). Rate limiting, bot
+    // flagging, and crawler QoS all read exactly this report. The frame
+    // is (t − 1 h, t]: offsets in integer microseconds so both engines
+    // bound the frame with exact arithmetic, RANGE peers (equal-ts
+    // events) counted together deterministically. Scale: partitions by
+    // user — series-parallel, state is one frame's rows; peak-moment
+    // argmax is min(struct(−roll, us)), one aggregation, no re-window.
+    "events_burst" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3599999999L, 0)
+      events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("roll", count(lit(1)).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(struct((-col("roll")).as("nr"), col("us").as("us"))).as("b"))
+        .select(col("user_id"), col("n_events"),
+          (-col("b.nr")).as("peak_1h"), col("b.us").as("peak_at_us"))
+        .orderBy(col("peak_1h").desc, col("user_id"))
+        .limit(50)
+    },
     // calendar densification (gap filling): purchase counts per hour
     // INCLUDING the silent hours as explicit zero rows — time-series
     // consumers (charting, anomaly detection, forecasting feeds) need
@@ -668,6 +693,23 @@ object EventOps {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+    "events_burst" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |r AS (
+        |  SELECT user_id, us,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS roll
+        |  FROM e),
+        |p AS (
+        |  SELECT user_id, us, roll,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY roll DESC, us) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM r)
+        |SELECT user_id, n_events, roll AS peak_1h, us AS peak_at_us
+        |FROM p WHERE rn = 1
+        |ORDER BY peak_1h DESC, user_id
+        |LIMIT 50""".stripMargin,
     "events_anomaly_zscore" ->
       """WITH p AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value

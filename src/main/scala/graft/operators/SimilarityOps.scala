@@ -348,6 +348,52 @@ object SimilarityOps {
         .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
         .withColumn("recall", round(col("n_hits") / lit(IvfTopK.toDouble), 2))
         .orderBy(col("probe_id"))
+    },
+    // NDCG@k of the IVF arm against exact brute-force ranking — recall
+    // counts WHICH true neighbors the index returned; NDCG grades WHERE
+    // it put them. Relevance of an IVF result = its exact-rank gain
+    // (k+1-rank for exact top-k members, 0 outside — rank-derived, since
+    // the corpus has no human labels); DCG discounts by log2(position+1)
+    // over the IVF list, normalized by the ideal DCG. Both arms are
+    // deterministic, so ranking quality itself sits under the hash gate.
+    // Float discipline: each log2 rounds to 6dp BEFORE dividing, each
+    // term rounds to 6dp and sums as exact DECIMAL (text_perplexity
+    // rule), so the quotient of two exactly-represented decimals is
+    // engine-identical. Cost shape: one corpus scan per arm (the IVF arm
+    // cell-pruned), then joins on k·|probes| rows — eval cost scales
+    // with the shortlist, never the corpus.
+    "ann_ndcg" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val ivf = queries("ann_ivf_probe")(s, dir)
+        .select(col("probe_id"), col("vec_id"), col("rk"))
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = e.filter(col("vec_id").isin(IvfProbeIds.map(_.toLong): _*))
+        .select(col("vec_id").as("probe_id"), col("v").as("p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      val gains = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cos(col("v"), col("p")), 6).as("cos_sim"))
+        .withColumn("erk", row_number().over(w))
+        .filter(col("erk") <= IvfTopK)
+        .select(col("probe_id"), col("vec_id"),
+          (lit(IvfTopK + 1) - col("erk")).as("g"))
+      val terms = ivf.join(gains, Seq("probe_id", "vec_id"), "left")
+        .select(col("probe_id"),
+          round(coalesce(col("g"), lit(0)) / round(log2(col("rk") + 1), 6), 6)
+            .as("term"))
+      val dcg = terms.groupBy(col("probe_id"))
+        .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("dcg"))
+      val idcg = s.range(1, IvfTopK + 1).toDF("i")
+        .select(round((lit(IvfTopK + 1) - col("i")) /
+          round(log2(col("i") + 1), 6), 6).as("term"))
+        .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("idcg"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(col("probe_id"), round(col("dcg"), 6).as("dcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy(col("probe_id"))
     })
 
   /** ann_ivf_probe geometry, shared by query and oracle. */
@@ -571,7 +617,40 @@ object SimilarityOps {
          |FROM exact e
          |LEFT JOIN ivf i ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
          |GROUP BY e.probe_id
-         |ORDER BY e.probe_id""".stripMargin)
+         |ORDER BY e.probe_id""".stripMargin,
+    "ann_ndcg" ->
+      s"""WITH ivf AS (SELECT probe_id, vec_id, rk FROM ($ivfProbeOracle) iv),
+         |en AS (
+         |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         |eprobes AS (
+         |  SELECT vec_id AS probe_id, v AS p, nrm AS pnrm FROM en
+         |  WHERE vec_id IN (${IvfProbeIds.mkString(", ")})),
+         |eranked AS (
+         |  SELECT probe_id, en.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+         |      ROUND(${dotSql("en.v", "p")} / (en.nrm * pnrm), 6) DESC, en.vec_id) AS erk
+         |  FROM en CROSS JOIN eprobes
+         |  WHERE en.vec_id <> probe_id),
+         |gains AS (
+         |  SELECT probe_id, vec_id, $IvfTopK + 1 - erk AS g
+         |  FROM eranked WHERE erk <= $IvfTopK),
+         |terms AS (
+         |  SELECT i.probe_id,
+         |    ROUND(COALESCE(g.g, 0) / ROUND(log2(i.rk + 1), 6), 6) AS term
+         |  FROM ivf i LEFT JOIN gains g
+         |    ON g.probe_id = i.probe_id AND g.vec_id = i.vec_id),
+         |dcg AS (
+         |  SELECT probe_id, CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+         |  FROM terms GROUP BY probe_id),
+         |idcg AS (
+         |  SELECT CAST(SUM(CAST(ROUND(($IvfTopK + 1 - i) / ROUND(log2(i + 1), 6), 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+         |  FROM range(1, ${IvfTopK + 1}) t(i))
+         |SELECT probe_id, ROUND(dcg, 6) AS dcg, ROUND(dcg / idcg, 6) AS ndcg
+         |FROM dcg, idcg
+         |ORDER BY probe_id""".stripMargin)
 
   private def ivfProbeOracle: String =
     s"""WITH n AS (

@@ -666,4 +666,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row env × ~20-bucket hist
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("dedup_prefix_filter: prefix-token join, never a cartesian") {
+    val p = plan("dedup_prefix_filter")
+    // candidate generation must be an equi-join on the prefix token
+    // (plus pushed length-filter conditions), never an all-pairs shape.
+    // (The parquet scan itself sits behind arr's localCheckpoint
+    // boundary, so ReadSchema pruning isn't visible in this plan.)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("events_burst: one user-keyed shuffle serves both window and aggregate; top-k is TakeOrdered") {
+    val p = plan("events_burst")
+    assert(p.contains("Window"), p)
+    // the RANGE-frame window partitions by user_id; the per-user peak
+    // aggregation reuses that partitioning, so only ONE exchange
+    assert(exchanges(p) == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val scanLine = p.linesIterator.find(l => l.contains("ReadSchema") && l.contains("events"))
+      .getOrElse("")
+    assert(scanLine.contains("user_id") && scanLine.contains("ts") && !scanLine.contains("props"),
+      scanLine)
+  }
+
+  test("text_topk_spacesaving: UDAF runs partial+final (capacity-bounded summaries shuffle, not keys)") {
+    val p = plan("text_topk_spacesaving")
+    // TypedImperativeAggregate plans as ObjectHashAggregate, twice
+    // (partial map-side, final after the lang shuffle)
+    assert(p.linesIterator.count(l => l.contains("ObjectHashAggregate") &&
+      l.contains("spacesaving")) >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
 }
