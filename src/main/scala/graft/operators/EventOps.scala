@@ -150,6 +150,32 @@ object EventOps {
         .select(col("d"), col("dau"), col("wau7"))
         .orderBy(col("d"))
     },
+    // sketch-union twin of events_active_users: the exact WAU above
+    // re-joins the (day, user) distinct stream against a 7-day grid and
+    // re-distincts — a 7× re-scan of corpus-sized distinct state. The
+    // production shape at 100 TB: ONE DataSketches HLL sketch per day
+    // (`hll_sketch_agg`), WAU = estimate of the UNION of the 7 daily
+    // sketches (`hll_union_agg`) — daily sketches are KB-sized,
+    // mergeable, and reusable across every rolling horizon (WAU/MAU/
+    // arbitrary windows) without touching raw events again. No oracle
+    // (DuckDB's approx_count_distinct is a different HLL
+    // implementation); EventsHllSpec pins both estimates against the
+    // exact twin (DataSketches runs exact sparse mode at fixture
+    // cardinalities, and ≤2% at promotion scale).
+    "events_active_users_hll" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val grid = daily.select(col("d").as("gd"))
+      val wau = broadcast(grid)
+        .join(daily, datediff(col("gd"), col("d")).between(0, 6))
+        .groupBy(col("gd"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau7_est"))
+      daily.select(col("d"), hll_sketch_estimate(col("sk")).as("dau_est"))
+        .join(wau, col("d") === col("gd"))
+        .select(col("d"), col("dau_est"), col("wau7_est"))
+        .orderBy(col("d"))
+    },
     // sessionization: 30-minute inactivity gap splits sessions
     "events_sessions" -> { (s, dir) =>
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -336,6 +362,26 @@ object EventOps {
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"),
           // cast to long: DuckDB's year()/month() return BIGINT
+          year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("m"))
+        .groupBy(col("event_type"), col("y"), col("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy(col("event_type"), col("y"), col("m"))
+    },
+    // the Spark 4 VARIANT twin of events_json_props: parse_json once
+    // into the binary variant encoding, then variant_get typed paths —
+    // the modern semi-structured path (vs per-access get_json_object
+    // string re-parsing; with shredding, variant subfields
+    // column-prune/push down like real columns at the scan). Same
+    // semantics, same oracle shape — DuckDB replays via its own JSON
+    // extraction, which is the point: the encoding is an engine-side
+    // optimization, not a semantics change.
+    "events_props_variant" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"),
           year(col("ts")).cast("long").as("y"),
           month(col("ts")).cast("long").as("m"))
         .groupBy(col("event_type"), col("y"), col("m"))
@@ -926,6 +972,14 @@ object EventOps {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     "events_json_props" ->
+      """SELECT event_type, year(CAST(ts AS TIMESTAMP)) AS y,
+        |  month(CAST(ts AS TIMESTAMP)) AS m, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type, y, m""".stripMargin,
+    "events_props_variant" ->
       """SELECT event_type, year(CAST(ts AS TIMESTAMP)) AS y,
         |  month(CAST(ts AS TIMESTAMP)) AS m, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -46,6 +46,66 @@ object MlOps {
           round(avg(col("l2norm")), 6).as("avg_norm"))
         .orderBy(col("label"))
     },
+    // Contrastive training triplets over the embedding corpus — the
+    // batch-construction step behind every contrastive/metric-learning
+    // run (SimCLR/InfoNCE-style): per anchor, a same-label POSITIVE and
+    // k sampled NEGATIVES, with the per-anchor margin and the HARD
+    // negative (highest-cosine impostor) mined in the same pass. No RNG
+    // anywhere — the sampling-family determinism rule: the positive is
+    // the next same-label vec_id (cyclic via first_value wrap), and
+    // negatives come from a multiplicative integer hash
+    // (anchor·2654435761 + j·40503) mod N, reproducible across re-runs,
+    // partitionings, and engines in exact BIGINT arithmetic (no
+    // hex-string conversion, which DuckDB lacks). Hash negatives may
+    // occasionally share the anchor's label (false-negative rate
+    // ~1/|labels|) — standard in-batch-negatives behavior, accepted and
+    // deterministic. Scale shape: one label-keyed window for positives,
+    // negatives explode 4× then JOIN the corpus by id (shuffle joins
+    // carry only the sampled ids + vectors, anchor-bounded not
+    // corpus²); the corpus row count rides along as a broadcast one-row
+    // stat. Per-anchor reduction: decimal-exact mean of 6dp-rounded
+    // cosines, hard negative via one max(struct) argmax.
+    "ml_contrastive_pairs" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val e = embeddings(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val n = e.agg(count(lit(1)).as("n"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("vec_id"))
+      val anchors = e
+        .withColumn("pos_id", coalesce(lead(col("vec_id"), 1).over(wl),
+          first(col("vec_id")).over(wl)))
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("anchor_id"), col("v").as("av"), col("pos_id"))
+      val withPos = anchors
+        .join(e.select(col("vec_id").as("pos_id"), col("v").as("pv")), "pos_id")
+        .select(col("anchor_id"), col("pos_id"),
+          round(cos(col("av"), col("pv")), 6).as("cos_pos"), col("av"))
+      val negs = withPos
+        .crossJoin(broadcast(n))
+        .select(col("anchor_id"), col("pos_id"), col("cos_pos"), col("av"),
+          col("n"), explode(sequence(lit(1), lit(4))).as("j"))
+        .withColumn("neg_id",
+          (col("anchor_id") * lit(2654435761L) + col("j") * lit(40503L)) % col("n"))
+        .join(e.select(col("vec_id").as("neg_id"), col("v").as("nv")), "neg_id")
+        .select(col("anchor_id"), col("pos_id"), col("cos_pos"), col("neg_id"),
+          round(cos(col("av"), col("nv")), 6).as("cos_neg"))
+      negs.groupBy(col("anchor_id"), col("pos_id"), col("cos_pos"))
+        .agg(
+          // mean of 4 = decimal-exact sum × decimal 0.25, ROUNDED IN THE
+          // DECIMAL DOMAIN: both engines round decimals half-away-from-
+          // zero, whereas rounding after a double cast diverges exactly
+          // on scale-8 ties (x.xxxxxx50 — hit at sf0.001 row 44)
+          round(sum(col("cos_neg").cast("decimal(18,6)")) *
+              lit(new java.math.BigDecimal("0.25")), 6)
+            .cast("double").as("avg_neg_cos"),
+          max(struct(col("cos_neg").as("c"), (-col("neg_id")).as("ni"))).as("h"))
+        .select(col("anchor_id"), col("pos_id"), col("cos_pos"),
+          col("avg_neg_cos"),
+          (-col("h.ni")).as("hard_neg_id"), col("h.c").as("hard_neg_cos"),
+          round(col("cos_pos") - col("avg_neg_cos"), 6).as("margin"))
+        .orderBy(col("anchor_id"))
+    },
     // Next-event training pairs: the (context, next) transition table a
     // sequence model trains on, from per-user chronological event-type
     // streams — the event-log-to-training-data export every behavioral
@@ -264,6 +324,47 @@ object MlOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "ml_contrastive_pairs" -> {
+      def cosSql(a: String, b: String): String =
+        s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |nn AS (SELECT COUNT(*) AS n FROM e),
+         |p AS (
+         |  SELECT vec_id, label, v,
+         |    COALESCE(lead(vec_id, 1) OVER (PARTITION BY label ORDER BY vec_id),
+         |      first_value(vec_id) OVER (PARTITION BY label ORDER BY vec_id)) AS pos_id
+         |  FROM e),
+         |a AS (SELECT vec_id AS anchor_id, v AS av, pos_id FROM p WHERE vec_id % 5 = 0),
+         |wp AS (
+         |  SELECT anchor_id, a.pos_id, ${cosSql("av", "pe.v")} AS cos_pos, av
+         |  FROM a JOIN e pe ON pe.vec_id = a.pos_id),
+         |negs AS (
+         |  SELECT wp.anchor_id, wp.pos_id, wp.cos_pos,
+         |    (wp.anchor_id * 2654435761 + t.j * 40503) % nn.n AS neg_id, wp.av
+         |  FROM wp, nn, range(1, 5) t(j)),
+         |scored AS (
+         |  SELECT anchor_id, pos_id, cos_pos, neg_id,
+         |    ${cosSql("av", "ne.v")} AS cos_neg
+         |  FROM negs JOIN e ne ON ne.vec_id = negs.neg_id),
+         |g AS (
+         |  SELECT anchor_id, pos_id, cos_pos,
+         |    CAST(ROUND(SUM(CAST(cos_neg AS DECIMAL(18,6))) *
+         |      CAST(0.25 AS DECIMAL(3,2)), 6) AS DOUBLE) AS avg_neg_cos
+         |  FROM scored GROUP BY 1, 2, 3),
+         |h AS (
+         |  SELECT anchor_id, neg_id, cos_neg FROM (
+         |    SELECT anchor_id, neg_id, cos_neg,
+         |      ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos_neg DESC, neg_id) AS rn
+         |    FROM scored) t WHERE rn = 1)
+         |SELECT g.anchor_id, g.pos_id, g.cos_pos, g.avg_neg_cos,
+         |  h.neg_id AS hard_neg_id, h.cos_neg AS hard_neg_cos,
+         |  ROUND(g.cos_pos - g.avg_neg_cos, 6) AS margin
+         |FROM g JOIN h ON h.anchor_id = g.anchor_id
+         |ORDER BY g.anchor_id""".stripMargin
+    },
     "ml_feature_hash" ->
       """SELECT doc_id, substr(md5(word), 1, 2) AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n

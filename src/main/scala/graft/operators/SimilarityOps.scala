@@ -394,6 +394,52 @@ object SimilarityOps {
         .select(col("probe_id"), round(col("dcg"), 6).as("dcg"),
           round(col("dcg") / col("idcg"), 6).as("ndcg"))
         .orderBy(col("probe_id"))
+    },
+    // bitext / parallel-pair mining (LASER/CCMatrix-style): align two
+    // embedding populations (labels 0 and 1 standing in for the two
+    // languages' encoder outputs) by MUTUAL best match + ratio margin —
+    // a forward-best b for a survives only if a is also b's best in the
+    // reverse direction (kills hub vectors that are everyone's nearest
+    // neighbor), scored by cos1/cos2 (the margin criterion: how much
+    // the best beats the runner-up — raw cosine thresholds don't
+    // transfer across language pairs, margins do). Exact cross scoring
+    // here (populations are label-bounded); at corpus scale the scored
+    // set comes from the ann_* candidate generators (IVF/LSH) and the
+    // margin logic downstream is unchanged. One scored table feeds the
+    // forward ranking, the runner-up, and the reverse ranking —
+    // localCheckpoint for the three consumers (the dedup_ngram_jaccard
+    // rationale).
+    "emb_bitext_mine" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val e = embeddings(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val srcA = e.filter(col("label") === 0)
+        .select(col("vec_id").as("a_id"), col("v").as("va"))
+      val srcB = e.filter(col("label") === 1)
+        .select(col("vec_id").as("b_id"), col("v").as("vb"))
+      val scored = srcA.crossJoin(broadcast(srcB))
+        .select(col("a_id"), col("b_id"),
+          round(cos(col("va"), col("vb")), 6).as("c"))
+        .localCheckpoint(eager = false)
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("c").desc, col("b_id"))
+      val fw = scored.withColumn("rk", row_number().over(wf))
+        .filter(col("rk") <= 2)
+        .groupBy(col("a_id"))
+        .agg(max(when(col("rk") === 1,
+            struct(col("c").as("c"), col("b_id").as("b_id")))).as("b1"),
+          max(when(col("rk") === 2, col("c"))).as("c2"))
+        .select(col("a_id"), col("b1.b_id").as("b_id"),
+          col("b1.c").as("cos_sim"), col("c2"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("b_id")).orderBy(col("c").desc, col("a_id"))
+      val bw = scored.withColumn("rk", row_number().over(wb))
+        .filter(col("rk") === 1)
+        .select(col("b_id"), col("a_id"))
+      fw.join(bw, Seq("a_id", "b_id"))
+        .select(col("a_id"), col("b_id"), col("cos_sim"),
+          round(col("cos_sim") / col("c2"), 6).as("ratio_margin"))
+        .orderBy(col("a_id"))
     })
 
   /** ann_ivf_probe geometry, shared by query and oracle. */
@@ -650,7 +696,33 @@ object SimilarityOps {
          |  FROM range(1, ${IvfTopK + 1}) t(i))
          |SELECT probe_id, ROUND(dcg, 6) AS dcg, ROUND(dcg / idcg, 6) AS ndcg
          |FROM dcg, idcg
-         |ORDER BY probe_id""".stripMargin)
+         |ORDER BY probe_id""".stripMargin,
+    "emb_bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sa AS (SELECT vec_id AS a_id, v AS va FROM e WHERE label = 0),
+         |sb AS (SELECT vec_id AS b_id, v AS vb FROM e WHERE label = 1),
+         |scored AS (
+         |  SELECT a_id, b_id, ${cosSql("va", "vb")} AS c
+         |  FROM sa CROSS JOIN sb),
+         |fw AS (
+         |  SELECT a_id, b_id, c,
+         |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rk
+         |  FROM scored),
+         |f1 AS (SELECT a_id, b_id, c AS cos_sim FROM fw WHERE rk = 1),
+         |f2 AS (SELECT a_id, c AS c2 FROM fw WHERE rk = 2),
+         |bw AS (
+         |  SELECT b_id, a_id FROM (
+         |    SELECT a_id, b_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) AS rk
+         |    FROM scored) t WHERE rk = 1)
+         |SELECT f1.a_id, f1.b_id, f1.cos_sim,
+         |  ROUND(f1.cos_sim / f2.c2, 6) AS ratio_margin
+         |FROM f1
+         |JOIN f2 ON f2.a_id = f1.a_id
+         |JOIN bw ON bw.a_id = f1.a_id AND bw.b_id = f1.b_id
+         |ORDER BY f1.a_id""".stripMargin)
 
   private def ivfProbeOracle: String =
     s"""WITH n AS (

@@ -234,4 +234,71 @@ object EventStream {
           out.iterator
       }
   }
+
+  // --- streaming burst detection: the events_burst twin ---
+
+  case class BurstState(buf: Vector[Long], n: Long, peak: Long, peakAt: Long)
+  case class BurstPeriod(user_id: Long, n_events: Long, peak_1h: Long,
+      peak_at_us: Long)
+
+  /** Per-user 1-hour rolling peak rate on an unbounded stream — the
+    * streaming twin of the batch `events_burst` RANGE-frame query,
+    * reshaped as BURST PERIODS: maintain each user's events inside the
+    * trailing hour (the same frame content the batch window holds) and
+    * the running peak; when the window EMPTIES — a ≥1 h quiet gap
+    * in-stream, or event-time timeout at the end — emit the completed
+    * period's report and reset. The reshape is exact, not approximate:
+    * a (t−1 h, t] frame can never span a ≥1 h gap, so the batch global
+    * peak is exactly max(period peaks), n_events is their sum, and the
+    * batch's earliest-peak-moment argmax is min(peak_at) over the max
+    * periods (the in-period rule already keeps the EARLIEST moment via
+    * strictly-greater updates; RANGE peers reach the same final count at
+    * the same us, so equal-timestamp batches agree too). Pinned
+    * per-user against the batch window in EventStreamSpec.
+    *
+    * State = one Vector of the user's last hour of event times — the
+    * identical bound the batch RANGE frame pays per row, user-bounded
+    * and self-trimming, never stream-bounded. In-order replay matches
+    * the batch bit-for-bit (the [[transitionPairs]] disorder contract);
+    * within a micro-batch events sort by (ts, event_id). */
+  def burstPeaks(events: Dataset[Ev]): Dataset[BurstPeriod] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600L * 1000000L
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurstState, BurstPeriod](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[BurstState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(BurstPeriod(userId, s.n, s.peak, s.peakAt))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[BurstPeriod]
+            var s = state.getOption.getOrElse(BurstState(Vector.empty, 0L, 0L, 0L))
+            evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val us = micros(e.ts)
+              if (s.buf.nonEmpty && us - s.buf.last >= hourUs) {
+                // rolling window emptied: the burst period is complete
+                out += BurstPeriod(userId, s.n, s.peak, s.peakAt)
+                s = BurstState(Vector.empty, 0L, 0L, 0L)
+              }
+              val buf = (s.buf :+ us).filter(_ > us - hourUs)
+              val roll = buf.size.toLong
+              s =
+                if (roll > s.peak) BurstState(buf, s.n + 1, roll, us)
+                else BurstState(buf, s.n + 1, s.peak, s.peakAt)
+            }
+            if (s.n > 0) {
+              state.update(s)
+              // quiet for 1h = the frame can no longer grow; +2h watermark
+              // delay means no on-time event can reopen it first
+              state.setTimeoutTimestamp(s.buf.last / 1000 + 3600L * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
 }

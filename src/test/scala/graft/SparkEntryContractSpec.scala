@@ -13,7 +13,7 @@ class SparkEntryContractSpec extends AnyFunSuite {
     assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
   }
 
-  test("the no-oracle set is exactly the seven contractual exceptions") {
+  test("the no-oracle set is exactly the eight contractual exceptions") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val contractual = Set(
       "ml_train_predict",    // hogwild: nondeterministic by reference semantics
@@ -22,7 +22,8 @@ class SparkEntryContractSpec extends AnyFunSuite {
       "dedup_minhash_fast",  // xxhash64 has no DuckDB counterpart
       "dedup_simhash_fast",  // xxhash64 has no DuckDB counterpart
       "dedup_winnowing_fast", // xxhash64 has no DuckDB counterpart
-      "text_quality_gate_approx") // percentile sketch internals differ by engine
+      "text_quality_gate_approx", // percentile sketch internals differ by engine
+      "events_active_users_hll") // DataSketches HLL differs from DuckDB's HLL
     assert(noOracle == contractual,
       s"unexpected no-oracle queries: ${noOracle -- contractual}; " +
         s"missing expected: ${contractual -- noOracle}")

@@ -690,6 +690,31 @@ class PlanShapeSpec extends AnyFunSuite {
       scanLine)
   }
 
+  test("ml_contrastive_pairs: negatives join the corpus by id, corpus-count rides as broadcast stat") {
+    val p = plan("ml_contrastive_pairs")
+    // the one-row count crossJoin must be a broadcast NLJ; the negative
+    // and positive vector lookups are id-keyed joins, never cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("emb_bitext_mine: mutual-best join is an equi-join over the checkpointed scored table") {
+    val p = plan("emb_bitext_mine")
+    // (the A×broadcast(B) scoring sits behind scored's localCheckpoint
+    // boundary, so only the downstream rankings/joins show here)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("events_props_variant: variant path prunes the scan to the used columns") {
+    val p = plan("events_props_variant")
+    val scanLine = p.linesIterator.find(l => l.contains("ReadSchema") && l.contains("events"))
+      .getOrElse("")
+    assert(scanLine.contains("props") && scanLine.contains("ts") &&
+      !scanLine.contains("user_id"), scanLine)
+  }
+
   test("text_topk_spacesaving: UDAF runs partial+final (capacity-bounded summaries shuffle, not keys)") {
     val p = plan("text_topk_spacesaving")
     // TypedImperativeAggregate plans as ObjectHashAggregate, twice

@@ -208,4 +208,64 @@ class EventStreamSpec extends AnyFunSuite {
       assert(out.contains((1L, 2L)), s"got ${out.toSeq}")
     } finally q.stop()
   }
+
+  test("burstPeaks periods reproduce the batch RANGE-frame peaks on the real events table") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val staging = Files.createTempDirectory("evt_burst").toString
+    EventStream.stageEvents(spark, sf, staging)
+    val evs = EventStream.readEvents(spark, staging)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Ev]
+    val q = EventStream.burstPeaks(evs)
+      .writeStream.format("memory").queryName("bursts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // two far-future sentinel batches: the first advances the watermark
+      // past every real user's quiet-timeout, the second triggers the
+      // timed-out state flush (timeouts fire on the batch AFTER the
+      // watermark advance)
+      val maxTs = graft.operators.Tables.events(spark, sf)
+        .agg(max(col("ts"))).head().getTimestamp(0).getTime
+      for (k <- 1 to 2) {
+        Seq((900000L + k, new Timestamp(maxTs + k * 300L * 3600 * 1000),
+            999999L, "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(staging)
+        q.processAllAvailable()
+      }
+      // streamed per-user aggregate over emitted periods: total events,
+      // global peak = max period peak, earliest global-peak moment
+      val periods = spark.sql(
+        "SELECT user_id, n_events, peak_1h, peak_at_us FROM bursts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != 999999L)
+        .groupBy(_._1)
+      val streamed = periods.map { case (u, rows) =>
+        val peak = rows.map(_._3).max
+        u -> (rows.map(_._2).sum, peak,
+          rows.filter(_._3 == peak).map(_._4).min)
+      }
+      // batch expected: the events_burst window without the top-50 limit
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3599999999L, 0)
+      val batch = graft.operators.Tables.events(spark, sf)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("roll", count(lit(1)).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          min(struct((-col("roll")).as("nr"), col("us").as("us"))).as("b"))
+        .select(col("user_id"), col("n"), (-col("b.nr")).as("peak"), col("b.us"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(streamed.keySet == batch.keySet,
+        s"user sets differ: ${streamed.keySet.size} vs ${batch.keySet.size}")
+      streamed.foreach { case (u, s) =>
+        assert(s == batch(u), s"user $u: streamed=$s batch=${batch(u)}")
+      }
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
