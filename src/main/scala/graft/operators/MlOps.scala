@@ -46,6 +46,40 @@ object MlOps {
           round(avg(col("l2norm")), 6).as("avg_norm"))
         .orderBy(col("label"))
     },
+    // Temporal train/test split + leakage audit: split the event stream
+    // at the 80%-of-span instant (exact integer-microsecond arithmetic,
+    // lo + (hi−lo)·4 div 5 — the sampling-family determinism rule: no
+    // quantile estimate, no RNG) and report the one row an ML owner
+    // signs off on — split sizes, distinct users per side, and USER
+    // OVERLAP across the cut. Temporal leakage via entities that
+    // straddle the split is the classic way behavioral models cheat;
+    // for user-level targets this overlap rate IS the leakage estimate,
+    // and group-aware splitting (hash the user, not the clock —
+    // ml_crossval_folds' rule) is the fix the number argues for. Scale:
+    // one bounds aggregate broadcasts back as a one-row stat; the audit
+    // is two distinct-aggregations and a semi join, all user-keyed.
+    "ml_time_split" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(unix_micros(col("ts")).as("us"), col("user_id"))
+      val cut = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .select((col("lo") + expr("(hi - lo) * 4 div 5")).as("cut"))
+      val parts = ev.crossJoin(broadcast(cut))
+      val train = parts.filter(col("us") <= col("cut"))
+      val test = parts.filter(col("us") > col("cut"))
+      val trainU = train.select(col("user_id")).distinct()
+      val testU = test.select(col("user_id")).distinct()
+      val overlap = trainU.join(testU, Seq("user_id"), "semi")
+        .agg(count(lit(1)).as("users_overlap"))
+      train.agg(count(lit(1)).as("n_train")).crossJoin(
+          test.agg(count(lit(1)).as("n_test")))
+        .crossJoin(trainU.agg(count(lit(1)).as("users_train")))
+        .crossJoin(testU.agg(count(lit(1)).as("users_test")))
+        .crossJoin(overlap)
+        .select(col("n_train"), col("n_test"), col("users_train"),
+          col("users_test"), col("users_overlap"),
+          round(col("users_overlap").cast("double") / col("users_test"), 6)
+            .as("leak_rate"))
+    },
     // Contrastive training triplets over the embedding corpus — the
     // batch-construction step behind every contrastive/metric-learning
     // run (SimCLR/InfoNCE-style): per anchor, a same-label POSITIVE and
@@ -324,6 +358,24 @@ object MlOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "ml_time_split" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id FROM events),
+        |cut AS (SELECT MIN(us) + (MAX(us) - MIN(us)) * 4 // 5 AS cut FROM ev),
+        |tr AS (SELECT us, user_id FROM ev, cut WHERE us <= cut),
+        |te AS (SELECT us, user_id FROM ev, cut WHERE us > cut),
+        |tru AS (SELECT DISTINCT user_id FROM tr),
+        |teu AS (SELECT DISTINCT user_id FROM te),
+        |ov AS (SELECT COUNT(*) AS users_overlap FROM tru
+        |       WHERE user_id IN (SELECT user_id FROM teu))
+        |SELECT (SELECT COUNT(*) FROM tr) AS n_train,
+        |  (SELECT COUNT(*) FROM te) AS n_test,
+        |  (SELECT COUNT(*) FROM tru) AS users_train,
+        |  (SELECT COUNT(*) FROM teu) AS users_test,
+        |  users_overlap,
+        |  ROUND(CAST(users_overlap AS DOUBLE) /
+        |    (SELECT COUNT(*) FROM teu), 6) AS leak_rate
+        |FROM ov""".stripMargin,
     "ml_contrastive_pairs" -> {
       def cosSql(a: String, b: String): String =
         s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"

@@ -599,6 +599,52 @@ object Relational {
         .orderBy(col("tri_count").desc, col("part"))
         .limit(20)
     },
+    // k-core peeling — the degeneracy view of the affinity graph (dense
+    // substructure the degree histogram can't see: a high-degree node
+    // can still be peripheral; surviving the 2-core peel cannot be
+    // faked). Three synchronous peel rounds toward the 2-core: drop
+    // degree<2 nodes, keep only edges with both endpoints alive,
+    // repeat; report per-round attrition (removed / nodes left / edges
+    // left) — the curve an index owner reads to pick a core threshold.
+    // Same discipline as the other iterated graph ops: fixed rounds,
+    // localCheckpoint per round so no round's plan embeds its
+    // predecessors, construction fully lazy (stats are 1-row aggregates
+    // unioned at the end, never driver collects). Per-round cost: one
+    // degree aggregation + two semi joins on the (catalog-bounded)
+    // sparsified edge list.
+    "graph_kcore" -> { (s, dir) =>
+      def und(e: DataFrame) = e.select(col("pa").as("n"))
+        .unionAll(e.select(col("pb").as("n")))
+      // each round's node-sized degree table is checkpointed ONCE and
+      // serves three consumers (the keep filter, the removed count, and
+      // the next round's nodes-left) — without it every stat re-runs
+      // the degree aggregation (measured 2x the query)
+      def degOf(e: DataFrame): DataFrame =
+        und(e).groupBy(col("n")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint(eager = false)
+      def peel(e: DataFrame, deg: DataFrame): DataFrame = {
+        val keep = deg.filter(col("deg") >= 2).select(col("n"))
+        e.join(keep.withColumnRenamed("n", "pa"), Seq("pa"), "semi")
+          .join(keep.withColumnRenamed("n", "pb"), Seq("pb"), "semi")
+          .select(col("pa"), col("pb"))
+          .localCheckpoint(eager = false)
+      }
+      def stats(r: Int, degBefore: DataFrame, degAfter: DataFrame,
+          after: DataFrame): DataFrame =
+        degBefore.filter(col("deg") < 2).agg(count(lit(1)).as("n_removed"))
+          .crossJoin(degAfter.agg(count(lit(1)).as("nodes_left")))
+          .crossJoin(after.agg(count(lit(1)).as("edges_left")))
+          .select(lit(r.toLong).as("round"), col("n_removed"),
+            col("nodes_left"), col("edges_left"))
+      val e0 = affinityEdges(s, dir).localCheckpoint(eager = false)
+      val d0 = degOf(e0)
+      val e1 = peel(e0, d0); val d1 = degOf(e1)
+      val e2 = peel(e1, d1); val d2 = degOf(e2)
+      val e3 = peel(e2, d2); val d3 = degOf(e3)
+      stats(1, d0, d1, e1).unionAll(stats(2, d1, d2, e2))
+        .unionAll(stats(3, d2, d3, e3))
+        .orderBy(col("round"))
+    },
     // Community detection — fourth leg of the graph family (centrality,
     // components, triads, communities): deterministic synchronous label
     // propagation (neighbor-mode labels, ties to the smallest) over the
@@ -1239,6 +1285,37 @@ object Relational {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "graph_kcore" -> {
+      // 3 unrolled peel rounds: degree from the undirected expansion,
+      // keep-set IN filters, per-round attrition as scalar subqueries.
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+      // scalar subqueries would each re-expand the whole peel chain
+      // (multiplying the lineitem self-join ~27x — observed spilling
+      // tens of GB to disk at sf0.1); materialization evaluates each
+      // round exactly once.
+      def peelStep(prev: String, r: Int): String =
+        s"""und$r AS (SELECT pa AS n FROM $prev UNION ALL SELECT pb FROM $prev),
+           |deg$r AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM und$r GROUP BY n),
+           |keep$r AS (SELECT n FROM deg$r WHERE deg >= 2),
+           |e${r + 1} AS MATERIALIZED (
+           |  SELECT pa, pb FROM $prev
+           |  WHERE pa IN (SELECT n FROM keep$r) AND pb IN (SELECT n FROM keep$r))""".stripMargin
+      def statRow(r: Int): String =
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT COUNT(*) FROM deg${r - 1} WHERE deg < 2) AS n_removed,
+           |  (SELECT COUNT(*) FROM (SELECT DISTINCT n FROM
+           |    (SELECT pa AS n FROM e$r UNION ALL SELECT pb FROM e$r) u) d) AS nodes_left,
+           |  (SELECT COUNT(*) FROM e$r) AS edges_left""".stripMargin
+      s"""WITH $affinitySql,
+         |e0 AS MATERIALIZED (SELECT pa, pb FROM edges),
+         |${peelStep("e0", 0)},
+         |${peelStep("e1", 1)},
+         |${peelStep("e2", 2)}
+         |${statRow(1)}
+         |UNION ALL ${statRow(2)}
+         |UNION ALL ${statRow(3)}
+         |ORDER BY round""".stripMargin
+    },
     "graph_triangles" ->
       s"""WITH $affinitySql,
         |tri AS (

@@ -137,6 +137,32 @@ object TextOps {
           sum(col("delta")).cast("long").as("chars_redacted"))
         .orderBy(col("lang"))
     },
+    // character-level Shannon entropy, lowest-40 report — the gibberish/
+    // degeneracy detector orthogonal to the word-level quality signals:
+    // base64 blobs, repeated-character runs, and single-token spam all
+    // collapse char entropy while sailing past stopword or length
+    // ratios. Shape: one char explode → (doc, char) partial-aggregated
+    // counts → doc totals as a window over the COUNTED table (≤
+    // |alphabet| rows per doc, never re-scanning the char stream) →
+    // 6dp-rounded p·log2 p terms summed as exact DECIMAL
+    // (text_perplexity discipline), TakeOrdered for the bottom-40.
+    // Double division c/n is ieee-identical in both engines.
+    "text_char_entropy" -> { (s, dir) =>
+      val counts = documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      val p = col("c").cast("double") / col("n")
+      counts
+        .withColumn("n", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+        .withColumn("term", round(p * log2(p), 6))
+        .groupBy(col("doc_id"), col("n"))
+        .agg((-sum(col("term").cast("decimal(18,6)"))).cast("double").as("e"))
+        .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+          round(col("e"), 6).as("entropy_bits"))
+        .orderBy(col("entropy_bits"), col("doc_id"))
+        .limit(40)
+    },
     // per-(lang, source) token statistics
     "text_token_stats" -> { (s, dir) =>
       documents(s, dir)
@@ -659,6 +685,20 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+        |wt AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM counts),
+        |t AS (
+        |  SELECT doc_id, n,
+        |    ROUND((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 6) AS term
+        |  FROM wt)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  ROUND(CAST(-SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy_bits
+        |FROM t GROUP BY doc_id, n
+        |ORDER BY entropy_bits, doc_id
+        |LIMIT 40""".stripMargin,
     "text_pii_redact" ->
       s"""WITH d AS (
          |  SELECT lang,

@@ -232,4 +232,27 @@ object DocStream {
       .dropDuplicatesWithinWatermark("graft_sem_key")
       .drop("graft_sem_key")
   }
+
+  /** Streaming heavy hitters: the [[graft.functions.SpaceSavingTopK]]
+    * aggregate applied DIRECTLY to an unbounded token stream — a
+    * mergeable fixed-capacity summary is streaming-legal by
+    * construction, so the same UDAF that answers the batch
+    * `text_topk_spacesaving` query becomes the per-group stream state
+    * with no reformulation: each micro-batch's partials merge into the
+    * state-store buffer through the aggregate's own
+    * serialize/merge/deserialize path (which this exercises in anger —
+    * the buffer round-trips the state store BETWEEN micro-batches, not
+    * just across one job's shuffle). Complete/update output modes;
+    * state per group is the capacity-bounded summary, never the
+    * vocabulary. In the sized-to-domain exact regime the running
+    * output equals the batch query over everything ingested so far
+    * (DocStreamSpec pins final state == batch on the real corpus). */
+  def topkTokens(docs: DataFrame, textCol: String, langCol: String,
+      capacity: Int = 64, k: Int = 10): DataFrame =
+    docs
+      .select(col(langCol).as("lang"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.GraftAggregates
+        .spacesavingTopK(col("word"), capacity, k).as("top"))
 }

@@ -715,6 +715,34 @@ class PlanShapeSpec extends AnyFunSuite {
       !scanLine.contains("user_id"), scanLine)
   }
 
+  test("graph_kcore: peel rounds are semi joins over checkpointed rounds, never cartesian") {
+    val p = plan("graph_kcore")
+    assert(!p.contains("CartesianProduct"), p)
+    // the three 1-row stat combinations broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_char_entropy: bottom-k is TakeOrderedAndProject over partial-aggregated char counts") {
+    val p = plan("text_char_entropy")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("ml_time_split: cutoff rides as a broadcast one-row stat onto the event stream") {
+    val p = plan("ml_time_split")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-branch pruning: the bounds branch reads ts ALONE, the split
+    // branches read (ts, user_id); no branch drags props/value along
+    val scans = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("events")).toSeq
+    assert(scans.nonEmpty && scans.forall(l => !l.contains("props") && !l.contains("value")),
+      scans.mkString("\n"))
+    assert(scans.exists(l => l.contains("ts") && !l.contains("user_id")),
+      scans.mkString("\n"))
+  }
+
   test("text_topk_spacesaving: UDAF runs partial+final (capacity-bounded summaries shuffle, not keys)") {
     val p = plan("text_topk_spacesaving")
     // TypedImperativeAggregate plans as ObjectHashAggregate, twice

@@ -378,4 +378,40 @@ class DocStreamSpec extends AnyFunSuite {
       assert(out == Map(1L -> Some(1.25), 2L -> Some(2.0), 3L -> None), out.toString)
     } finally q.stop()
   }
+
+  test("streaming SpaceSaving top-k equals the batch query after state-store round-trips") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("doc_topk").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // two micro-batches so the summary buffer must round-trip the
+    // streaming state store between them (serialize/merge/deserialize
+    // in anger, not just across one job's shuffle)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val stream = DocStream.topkTokens(
+      spark.readStream.schema(StructType.fromDDL(
+        "doc_id LONG, lang STRING, text STRING")).parquet(dir),
+      "text", "lang")
+    val q = stream.select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.token").as("word"), col("col.cnt").as("n"))
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT lang, rk, word, n FROM topk_stream")
+        .as[(String, Long, String, Long)].collect().toSet
+      val batch = graft.operators.CorpusOps.queries("text_topk_spacesaving")(spark, sf)
+        .select(col("lang"), col("rk"), col("word"), col("n"))
+        .as[(String, Long, String, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream-batch diff: ${(streamed -- batch) ++ (batch -- streamed)}")
+      assert(streamed.size == 50)
+    } finally q.stop()
+  }
 }
