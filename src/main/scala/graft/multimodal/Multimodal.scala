@@ -154,6 +154,35 @@ object Multimodal {
       Some((be32(16), be32(20), channels))
     }
 
+    /** Block mean-pool downsample over the DECODED pixels: partition the
+      * W×H image into a gw×gh grid by the standard pooling index
+      * (bx = x·gw div W — pure integer arithmetic, so an external replay
+      * of the pixel formulas lands on identical blocks), and return the
+      * row-major per-block (graySum, nPx) as EXACT integers — the
+      * resize proof [[resizeImage]] can't give (AWT bilinear weights are
+      * not spec-exact across JVMs, block sums are). One decode per
+      * payload. None if the payload doesn't decode. */
+    def meanPoolBlocks(payload: Array[Byte], gw: Int, gh: Int): Option[Array[(Long, Int)]] =
+      decode(payload).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val sums = new Array[Long](gw * gh)
+        val cnts = new Array[Int](gw * gh)
+        var y = 0
+        while (y < h) {
+          val by = y * gh / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) & 0xffffff
+            val gray = ((rgb >> 16) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            val i = by * gw + x * gw / w
+            sums(i) += gray; cnts(i) += 1
+            x += 1
+          }
+          y += 1
+        }
+        sums.zip(cnts)
+      }
+
     /** Real resize: decode, area-quality rescale, re-encode as PNG.
       * Unrecognized payloads pass through unchanged (same contract as
       * the byte-level fallback: never drop data in a map stage). */

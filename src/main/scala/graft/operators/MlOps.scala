@@ -688,6 +688,42 @@ object MultimodalOps {
           org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))))
         .orderBy(col("doc_id"))
     },
+    // REAL image-resize proof: encode → ImageIO decode → 4×4 block
+    // mean-pool over every pixel, emitted as EXACT integer block sums
+    // (the thumbnail/downsample step of a vision-data pipeline, in the
+    // only form an external engine can replay bit-for-bit — AWT's
+    // bilinear resizeImage is real too, but its interpolation weights
+    // aren't spec-exact, so block pooling is the hash-gateable resize).
+    // The oracle regenerates every pixel from the generator formulas
+    // and pools with the same x·4 div W integer partition — a match
+    // proves the decode touched ALL W×H pixels faithfully, not just
+    // the 8×8 crop mm_image_phash checks. Per-row decode, no shuffle
+    // until the 16-blocks-per-doc table groups.
+    "mm_image_pool" -> { (s, dir) =>
+      import graft.multimodal.Multimodal.ImageCodec
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("by", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bx", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("gray_sum", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_px", org.apache.spark.sql.types.LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      documents(s, dir)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val png = ImageCodec.encodePng(
+              8 + (id % 57).toInt, 8 + (id % 41).toInt, seed = id,
+              alpha = id % 2 == 1)
+            ImageCodec.meanPoolBlocks(png, 4, 4).get.iterator.zipWithIndex.map {
+              case ((sum, n), i) =>
+                org.apache.spark.sql.Row(id, (i / 4).toLong, (i % 4).toLong, sum, n.toLong)
+            }
+          }
+        }(enc)
+        .orderBy(col("doc_id"), col("by"), col("bx"))
+    },
     // Sample-level audio proof — the WAV twin of mm_image_phash's
     // pixel-level check: per doc, synthesize the same PCM WAV as
     // mm_audio_meta, then read the first 8 SAMPLES back through the
@@ -744,6 +780,24 @@ object MultimodalOps {
     })
 
   val oracles: Map[String, String] = Map(
+    // replays every pixel of every image through the pooling partition —
+    // the full-frame extension of mm_image_phash's 8×8 proof
+    "mm_image_pool" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 57 AS w, 8 + doc_id % 41 AS h
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (
+        |  SELECT doc_id, w, h, tx.x, ty.y,
+        |    (((doc_id + tx.x) % 256) + ((doc_id*7 + ty.y) % 256)
+        |     + ((doc_id*13 + tx.x + ty.y) % 256)) // 3 AS gray
+        |  FROM dims,
+        |    LATERAL (SELECT unnest(range(0, dims.w)) AS x) tx,
+        |    LATERAL (SELECT unnest(range(0, dims.h)) AS y) ty)
+        |SELECT doc_id, CAST(t_by AS BIGINT) AS by, CAST(t_bx AS BIGINT) AS bx,
+        |  CAST(SUM(gray) AS BIGINT) AS gray_sum, COUNT(*) AS n_px
+        |FROM (SELECT doc_id, gray, y*4//h AS t_by, x*4//w AS t_bx FROM px) t
+        |GROUP BY 1, 2, 3
+        |ORDER BY doc_id, by, bx""".stripMargin,
     // replays encodePng's pixel formulas through the aHash arithmetic —
     // 64 exact integer comparisons per doc; a match proves the decoded
     // pixels (not just the header) are bit-faithful for every image

@@ -92,6 +92,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageCodec.averageHash8x8(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("ImageCodec: meanPoolBlocks conserves every pixel and matches the formula replay") {
+    import Multimodal.ImageCodec
+    for (seed <- Seq(3L, 77L)) {
+      val w = 8 + (seed % 57).toInt; val h = 8 + (seed % 41).toInt
+      val png = ImageCodec.encodePng(w, h, seed, alpha = seed % 2 == 1)
+      val blocks = ImageCodec.meanPoolBlocks(png, 4, 4).get
+      assert(blocks.length == 16)
+      // conservation: block pixel counts partition the full frame
+      assert(blocks.map(_._2).sum == w * h, s"seed=$seed")
+      // independent replay from the pixel formulas (the in-Scala twin
+      // of the mm_image_pool DuckDB oracle)
+      val exp = Array.fill(16)((0L, 0))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ImageCodec.pixelRgb(seed, x, y)
+        val gray = ((rgb >> 16) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        val i = (y * 4 / h) * 4 + (x * 4 / w)
+        exp(i) = (exp(i)._1 + gray, exp(i)._2 + 1)
+      }
+      assert(blocks.toSeq == exp.toSeq, s"seed=$seed")
+    }
+    assert(ImageCodec.meanPoolBlocks(Array[Byte](9, 9), 4, 4).isEmpty)
+  }
+
   test("ImageCodec: IHDR byte parse agrees with the full ImageIO decode") {
     import Multimodal.ImageCodec
     for (seed <- 0L until 8L) {
