@@ -108,6 +108,57 @@ object DedupLib {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** PPJoin prefix-filtered EXACT Jaccard-≥-t similarity self-join
+    * (Bayardo et al. WWW'07) over (id, token) rows, threshold given as
+    * the rational tNum/tDen so every cut is exact integer arithmetic
+    * (see dedup_prefix_filter for why: engines disagree on decimal
+    * literals at ceil boundaries). Canonical global token order =
+    * (document frequency ASC, token); prefix length |S|−⌈t·|S|⌉+1;
+    * symmetric length filter and the positional overlap bound prune
+    * candidates before the array-intersect verify. Returns verified
+    * (doc_a, doc_b, inter, sza, szb) pairs — every pair with
+    * J ≥ tNum/tDen, no false negatives (PrefixFilterSpec pins this
+    * against brute force on randomized corpora). Input token rows need
+    * not be distinct. */
+  def prefixFilterPairs(sh0: DataFrame, idCol: String, tokCol: String,
+      tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tDen > tNum, s"need 0 < tNum/tDen < 1, got $tNum/$tDen")
+    val sh = sh0.select(col(idCol).as("doc_id"), col(tokCol).as("h")).distinct()
+    val arr = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), x => x.getField("h")).as("toks"),
+        size(col("ts")).cast("long").as("sz"))
+      .localCheckpoint(eager = false)
+    // ⌈t·sz⌉ = (tNum·sz + tDen − 1) div tDen, in exact longs
+    val preLen = (col("sz") -
+      floor((lit(tNum) * col("sz") + (tDen - 1)) / tDen) + 1).cast("int")
+    val pre = arr.select(col("doc_id"), col("sz"),
+      posexplode(slice(col("toks"), lit(1), preLen)))
+      .toDF("doc_id", "sz", "pos", "tok")
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+        lit(tDen) * col("b.sz") >= lit(tNum) * col("a.sz") &&
+        lit(tDen) * col("a.sz") >= lit(tNum) * col("b.sz") &&
+        lit(tNum + tDen) * (least(col("a.sz") - col("a.pos") - 1,
+          col("b.sz") - col("b.pos") - 1) + 1) >=
+          lit(tNum) * (col("a.sz") + col("b.sz")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("sz").as("sza")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("sz").as("szb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(lit(tDen) * col("inter") >=
+        lit(tNum) * (col("sza") + col("szb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sza"), col("szb"))
+  }
+
   /** 64-bit SimHash per doc from xxhash64 word hashes (bit-parallel: one
     * aggregation over words, no per-bit explode). */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {

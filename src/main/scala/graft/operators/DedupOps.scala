@@ -582,45 +582,19 @@ object DedupOps {
     //
     // localCheckpoint: `arr` feeds the prefix explosion AND both verify
     // joins (same rationale as dedup_ngram_jaccard's grouped).
+    // Core lives in [[DedupLib.prefixFilterPairs]] (generalized to any
+    // rational threshold; exactness property-pinned against brute force
+    // in PrefixFilterSpec). Implementation notes that matter here: the
+    // global df comes from an unordered COUNT window over the distinct
+    // token stream — one pass, measured 2.5x faster at sf0.1 than the
+    // groupBy+join formulation whose dfreq branch re-runs the
+    // post-distinct aggregation (only the Exchange below it is
+    // reusable); the per-doc ordered array localCheckpoints once for
+    // the prefix explosion AND both verify joins.
     "dedup_prefix_filter" -> { (s, dir) =>
       val sh = withShingles(documents(s, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"), substring(md5(col("sh")), 1, 12).as("h")).distinct()
-      // global df as an unordered COUNT window over h — one pass over the
-      // distinct stream, vs the groupBy+join formulation whose dfreq
-      // branch re-runs the post-distinct aggregation (only the Exchange
-      // below it is reusable); measured 2.5x faster at sf0.1 (0.6 s vs
-      // 1.4 s warm). No ORDER BY, so the frame is the whole h-partition:
-      // no sort-order state, single pass, same skew profile as the join
-      // shuffle it replaces.
-      val arr = sh
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ts"))
-        .select(col("doc_id"),
-          transform(col("ts"), x => x.getField("h")).as("toks"),
-          size(col("ts")).cast("long").as("sz"))
-        .localCheckpoint(eager = false)
-      val preLen = (col("sz") - floor((lit(4) * col("sz") + 4) / 5) + 1).cast("int")
-      val pre = arr.select(col("doc_id"), col("sz"),
-        posexplode(slice(col("toks"), lit(1), preLen)))
-        .toDF("doc_id", "sz", "pos", "tok")
-      val cand = pre.as("a").join(pre.as("b"),
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
-          lit(5) * col("b.sz") >= lit(4) * col("a.sz") &&
-          lit(5) * col("a.sz") >= lit(4) * col("b.sz") &&
-          lit(9) * (least(col("a.sz") - col("a.pos") - 1,
-            col("b.sz") - col("b.pos") - 1) + 1) >=
-            lit(4) * (col("a.sz") + col("b.sz")))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(arr.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
-          col("sz").as("sza")), "doc_a")
-        .join(arr.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
-          col("sz").as("szb")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-        .filter(lit(5) * col("inter") >= lit(4) * (col("sza") + col("szb") - col("inter")))
+        .select(col("doc_id"), substring(md5(col("sh")), 1, 12).as("h"))
+      DedupLib.prefixFilterPairs(sh, "doc_id", "h", tNum = 4, tDen = 5)
         .select(col("doc_a"), col("doc_b"),
           round(col("inter") / (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
