@@ -213,6 +213,49 @@ object EventOps {
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy(col("cohort_wk"), col("week_offset"))
     },
+    // Cohort LIFETIME VALUE — the revenue sibling of
+    // events_cohort_retention: per (signup-week cohort, week age),
+    // cumulative purchase value per cohort member. Retention says who
+    // comes back; the LTV curve says what they're WORTH as they age —
+    // the payback-period table growth spend is planned against. Cohort
+    // from ALL event types (first touch), value from purchases only;
+    // week arithmetic stays exact (date_trunc week is Monday-anchored
+    // in both engines, offsets are day-diffs div 7 on multiples of 7);
+    // money through the decimal-sum discipline, cumulative via a
+    // cohort-keyed running window over the collapsed (cohort, age)
+    // table (cohorts×ages rows — broadcast-sized, the corpus never
+    // re-sorts). Per-member normalization divides by the FIXED cohort
+    // head-count (a cohort's denominator never changes as it ages).
+    "events_cohort_ltv" -> { (s, dir) =>
+      val e = events(s, dir)
+      val cohort = e.groupBy(col("user_id"))
+        .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_wk"))
+      val sizes = cohort.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"), col("value"))
+        .join(cohort, "user_id")
+        .withColumn("age_wk", (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+        .groupBy(col("cohort_wk"), col("age_wk"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("wk_value"),
+          countDistinct(col("user_id")).as("n_buyers"))
+      val w = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      purch
+        .withColumn("cum_value", sum(col("wk_value")).over(w))
+        .join(sizes, "cohort_wk")
+        .select(col("cohort_wk"), col("age_wk"), col("cohort_size"),
+          col("n_buyers"),
+          round(col("cum_value"), 2).cast("double").as("cum_value"),
+          // per-member LTV in exact integer MICRO-units (floor): the
+          // decimal/double quotient can land exactly on a 6dp rounding
+          // tie (denominators 2^k·5^m), where the engines' round
+          // implementations disagree — integer floor division cannot
+          expr("CAST(cum_value * 1000000 AS BIGINT) div cohort_size")
+            .as("ltv_micros_per_user"))
+        .orderBy(col("cohort_wk"), col("age_wk"))
+    },
     // conversion FUNNEL: users reaching view → click-after-view →
     // purchase-after-click, each stage ordered by event time. The
     // min-timestamp chaining shape (aggregate per stage, join, strict
@@ -861,6 +904,35 @@ object EventOps {
         |FROM e JOIN c USING (user_id)
         |GROUP BY cohort_wk, week_offset
         |ORDER BY cohort_wk, week_offset""".stripMargin,
+    "events_cohort_ltv" ->
+      """WITH cohort AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_wk
+        |  FROM events GROUP BY user_id),
+        |sizes AS (SELECT cohort_wk, COUNT(*) AS cohort_size FROM cohort GROUP BY 1),
+        |p AS (
+        |  SELECT c.cohort_wk,
+        |    CAST(date_diff('day', c.cohort_wk,
+        |      CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)) // 7
+        |      AS BIGINT) AS age_wk,
+        |    e.value, e.user_id
+        |  FROM events e JOIN cohort c USING (user_id)
+        |  WHERE e.event_type = 'purchase'),
+        |wkagg AS (
+        |  SELECT cohort_wk, age_wk,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS wk_value,
+        |    COUNT(DISTINCT user_id) AS n_buyers
+        |  FROM p GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_wk, age_wk, n_buyers,
+        |    SUM(wk_value) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+        |  FROM wkagg)
+        |SELECT cu.cohort_wk, age_wk, s.cohort_size, n_buyers,
+        |  CAST(ROUND(cum_value, 2) AS DOUBLE) AS cum_value,
+        |  CAST(cum_value * 1000000 AS BIGINT) // s.cohort_size AS ltv_micros_per_user
+        |FROM cum cu JOIN sizes s ON s.cohort_wk = cu.cohort_wk
+        |ORDER BY cu.cohort_wk, age_wk""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
         |v AS (SELECT user_id, MIN(tsu) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
