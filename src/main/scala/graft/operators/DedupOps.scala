@@ -108,6 +108,58 @@ object DedupOps {
           .reduce(_ + _).cast("long").as("simhash"))
         .orderBy(col("doc_id"))
     },
+    // SimHash PAIR GENERATION (Manku/Jain/Sarma WWW'07 — the Google
+    // near-dup-crawl design): dedup_simhash emits per-doc hashes; this
+    // completes the algorithm with the band-blocked candidate join and
+    // Hamming verify. 60-bit md5-derived simhash (15 hex chars × 4
+    // bits — 60 not 64 keeps every bit weight positive in a BIGINT on
+    // both engines), split into 4 bands of 15 bits; pairs within
+    // Hamming ≤ 3 MUST agree on at least one intact band (pigeonhole:
+    // 3 flipped bits can dirty at most 3 of 4 bands), so the band
+    // equi-join is exact for the ≤3 threshold — same guarantee shape
+    // as the minhash bands and the PPJoin prefix, a third instance of
+    // the candidate-generation-without-cross-join discipline. 15-bit
+    // band values spread ~uniformly, so buckets stay tiny however the
+    // corpus grows; the verify is one xor+popcount per candidate.
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      val words = documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .withColumn("hex", md5(col("word")))
+      val hexVal: Int => Column = p => {
+        val a = ascii(substring(col("hex"), p, 1))
+        when(a >= 97, a - 87).otherwise(a - 48)
+      }
+      // decode each of the 15 nibbles ONCE in a projection; the 60 bit
+      // sums then reference plain int columns (±1 as arithmetic, no
+      // CASE) instead of re-evaluating ascii(substr(...)) 4x per char
+      val withHv = words.select(col("doc_id") +:
+        (1 to 15).map(i => hexVal(i).as(s"hv$i")): _*)
+      val sumCols = (0 until 60).map { p =>
+        sum(shiftright(col(s"hv${p / 4 + 1}"), p % 4).bitwiseAND(lit(1)) * 2 - 1)
+          .as(s"s$p")
+      }
+      val sums = withHv.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+      val sims = sums.select(col("doc_id"),
+        (0 until 60).map(p =>
+          when(col(s"s$p") > 0, lit(1L) * (1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("h"))
+        .localCheckpoint(eager = false)
+      val bands = sims.select(col("doc_id"), col("h"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("h"), b * 15).bitwiseAND(lit((1L << 15) - 1))): _*)))
+        .toDF("doc_id", "h", "band", "bv")
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.h").as("ha"), col("b.h").as("hb"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     // blocked n-gram Jaccard: same (lang, length-bucket) block only.
     // Shape: ONE aggregation groups the distinct doc set per shingle
     // (collect_set), the DF cap is an array-size filter, and candidate
@@ -920,6 +972,36 @@ object DedupOps {
          |WHERE levenshtein(pa, other.pfx) <= 10
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" -> simhashOracle,
+    "dedup_simhash_pairs" -> {
+      val hexVal: Int => String = p =>
+        s"(CASE WHEN ascii(substr(hex,$p,1)) >= 97 THEN ascii(substr(hex,$p,1)) - 87 ELSE ascii(substr(hex,$p,1)) - 48 END)"
+      val sums = (0 until 60).map(p =>
+        s"SUM(CASE WHEN (${hexVal(p / 4 + 1)} >> ${p % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$p")
+        .mkString(",\n    ")
+      val bits = (0 until 60).map(p =>
+        s"CASE WHEN s$p > 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
+      val bandVals = (0 until 4).map(b =>
+        s"(h >> ${b * 15}) & ${(1L << 15) - 1}").mkString(", ")
+      s"""WITH sums AS (
+         |  SELECT doc_id, $sums
+         |  FROM (SELECT doc_id, md5(unnest(string_split(text,' '))) AS hex
+         |        FROM documents) w
+         |  GROUP BY doc_id),
+         |sims AS (SELECT doc_id, CAST($bits AS BIGINT) AS h FROM sums),
+         |bands AS (
+         |  SELECT doc_id, h, unnest([$bandVals]) AS bv,
+         |    unnest(range(0, 4)) AS band
+         |  FROM sims),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.h AS ha, b.h AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"""WITH grouped AS (
          |  SELECT lang, CAST(n_chars // 100 AS BIGINT) AS bucket, sh,

@@ -715,6 +715,12 @@ class PlanShapeSpec extends AnyFunSuite {
       !scanLine.contains("user_id"), scanLine)
   }
 
+  test("dedup_simhash_pairs: band-bucketed candidate join, never a cartesian") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("graph_kcore: peel rounds are semi joins over checkpointed rounds, never cartesian") {
     val p = plan("graph_kcore")
     assert(!p.contains("CartesianProduct"), p)
