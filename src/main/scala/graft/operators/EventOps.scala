@@ -643,6 +643,83 @@ object EventOps {
           round(min(col("value")), 6).as("min_v"),
           round(max(col("value")), 6).as("max_v"))
         .orderBy(col("event_type"), col("bucket"))
+    },
+    // Trailing exponential smoothing (EWMA, α=0.7) of each user's value
+    // series — the denoised signal feeding alerting/forecasting. The
+    // recursive y_t = αx_t + (1−α)y_{t−1} is a prefix-product, which no
+    // SQL window computes directly; a 16-row trailing frame carries
+    // ≥ 1−0.3¹⁶ ≈ 1−4e−9 of the weight mass, so the windowed form
+    // Σ α(1−α)^(n−i)·x_i / (1−(1−α)^n) over ROWS 15 PRECEDING is the
+    // truncated-kernel equivalent both engines can evaluate on an
+    // explicit array (collect_list over the frame + an indexed-lambda
+    // fold — identical left-to-right summation order on both sides).
+    // Scale: partitioned by user, state = one 16-element array per row,
+    // no corpus shuffle beyond the user partitioning; at 100 TB the
+    // same frame runs inside each user's time-sorted partition.
+    "events_ewma" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-15, 0)
+      events(s, dir)
+        .withColumn("vs", collect_list(col("value")).over(w))
+        .select(col("user_id"), col("ts"),
+          round(
+            expr("""aggregate(
+              zip_with(vs, sequence(1, size(vs)),
+                (x, i) -> x * 0.7d * power(0.3d, size(vs) - i)),
+              0d, (a, x) -> a + x)""")
+              / (lit(1.0) - pow(lit(0.3), size(col("vs")))), 6).as("ewma"))
+        .orderBy(col("user_id"), col("ts"))
+    },
+    // RFM segmentation (recency / frequency / monetary quintiles) — the
+    // classic lifecycle-marketing cut of an event log. Quintiles are
+    // ntile(5) over the USER-level aggregate (corpus collapses to one
+    // row per user first), fully tie-broken by user_id so both engines
+    // assign identical quintiles; monetary sums in exact decimal so the
+    // ordering ntile depends on is reproducible. Output = the 5×5×5
+    // segment-occupancy grid. Scale: the three global ntile sorts run
+    // over the user table (corpus-sublinear but still growing) — at
+    // real scale the same cut uses approx-quantile boundaries instead
+    // of a global sort; the segment semantics are unchanged.
+    "events_rfm" -> { (s, dir) =>
+      val m = events(s, dir).groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+          sum(col("value").cast("decimal(18,4)")).as("mon"))
+      val q = m.select(col("user_id"),
+        ntile(5).over(Window.orderBy(col("last_ts").desc, col("user_id")))
+          .cast("long").as("r_q"),
+        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
+          .cast("long").as("f_q"),
+        ntile(5).over(Window.orderBy(col("mon").desc, col("user_id")))
+          .cast("long").as("m_q"))
+      q.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+    // CUSUM changepoint detection on each event type's hourly arrival
+    // series: cusum_t = Σ(n_i − μ) up to hour t (written cum_n − t·μ so
+    // both engines do the identical exact-integer cumsum and one final
+    // double multiply), changepoint = the hour of max |cusum| (Page
+    // 1954's level-shift estimator). Scale: the corpus collapses to
+    // type×hour counts in one partial-aggregated pass; every window
+    // after that runs on the bounded hourly series, and the argmax is a
+    // row_number over it — no second corpus pass, no driver state.
+    "events_changepoint" -> { (s, dir) =>
+      val wAll = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val c = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("mu", avg(col("n")).over(wAll))
+        .withColumn("cum_n", sum(col("n")).over(wOrd))
+        .withColumn("rn", row_number().over(wOrd))
+        .select(col("event_type"), col("hr"),
+          round(col("cum_n") - col("rn") * col("mu"), 6).as("cusum"))
+      val pk = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("cusum")).desc, col("hr"))
+      c.withColumn("pk", row_number().over(pk)).filter(col("pk") === 1)
+        .select(col("event_type"), col("hr").as("peak_hr"),
+          col("cusum").as("peak_cusum"))
+        .orderBy(col("event_type"))
     })
 
   private val asOfOracle: String =
@@ -1090,5 +1167,57 @@ object EventOps {
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
         |  FROM events) t
         |WHERE rk = 1
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    // DuckDB lambdas index from 1 (Spark's zip_with sequence is built
+    // 1-based to match); len(vs)−i exponents are therefore identical,
+    // and list_sum folds left-to-right like Spark's aggregate().
+    "events_ewma" ->
+      """WITH w AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |    list(value) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vs
+        |  FROM events)
+        |SELECT user_id, tsu AS ts,
+        |  ROUND(list_sum(list_transform(vs,
+        |      (x, i) -> x * 0.7 * power(0.3, len(vs) - i)))
+        |    / (1 - power(0.3, len(vs))), 6) AS ewma
+        |FROM w
+        |ORDER BY user_id, ts""".stripMargin,
+    "events_rfm" ->
+      """WITH m AS (
+        |  SELECT user_id, MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |    COUNT(*) AS freq,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS mon
+        |  FROM events GROUP BY user_id),
+        |q AS (
+        |  SELECT user_id,
+        |    CAST(ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT) AS r_q,
+        |    CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_q,
+        |    CAST(ntile(5) OVER (ORDER BY mon DESC, user_id) AS BIGINT) AS m_q
+        |  FROM m)
+        |SELECT r_q, f_q, m_q, COUNT(*) AS n_users
+        |FROM q GROUP BY r_q, f_q, m_q
+        |ORDER BY r_q, f_q, m_q""".stripMargin,
+    "events_changepoint" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, hr,
+        |    AVG(n) OVER (PARTITION BY event_type) AS mu,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY hr) AS cum_n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+        |  FROM h),
+        |c AS (
+        |  SELECT event_type, hr, ROUND(cum_n - rn * mu, 6) AS cusum FROM s),
+        |k AS (
+        |  SELECT event_type, hr, cusum,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ABS(cusum) DESC, hr) AS pk
+        |  FROM c)
+        |SELECT event_type, hr AS peak_hr, cusum AS peak_cusum
+        |FROM k WHERE pk = 1
+        |ORDER BY event_type""".stripMargin)
 }
