@@ -650,6 +650,38 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"),
           round(col("inter") / (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+    // Record-linkage / entity resolution on STRUCTURED records (the
+    // text-dedup family's catalog twin): candidate pairs block on
+    // (p_name, p_type), then verify with per-attribute tolerances —
+    // size within ±1, price within 0.5 % — the classic block-then-
+    // verify ER shape (Fellegi–Sunter blocking). Output = per-block
+    // duplicate census. Scale: the self-join is an equi-join on the
+    // block key — only within-block pairs materialize, never all-pairs;
+    // blocks here are catalog-bounded, and a production run on a
+    // corpus-sized catalog adds a block-size cap (the
+    // DedupLib.capShingleDf pattern) + AQE skew-split so one hot block
+    // can't quadratically dominate. Tolerance compares are exact double
+    // arithmetic on both engines — no epsilon ambiguity.
+    "dedup_er_catalog" -> { (s, dir) =>
+      val pr = part(s, dir).select(col("p_partkey"), col("p_name"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+      val b = pr.select(col("p_name").as("nb"), col("p_type").as("tb"),
+        col("p_partkey").as("kb"), col("p_size").as("szb"),
+        col("p_retailprice").as("prb"))
+      val pairs = pr.join(b,
+          col("p_name") === col("nb") && col("p_type") === col("tb") &&
+            col("p_partkey") < col("kb"))
+        .filter(abs(col("p_size") - col("szb")) <= 1 &&
+          abs(col("p_retailprice") - col("prb")) <= lit(0.005) * col("p_retailprice"))
+      val blocks = pr.groupBy(col("p_name"), col("p_type"))
+        .agg(count(lit(1)).as("n_records"))
+      pairs.groupBy(col("p_name"), col("p_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .join(blocks, Seq("p_name", "p_type"))
+        .select(col("p_name").as("name"), col("p_type").as("type"),
+          col("n_records"), col("n_pairs"))
+        .orderBy(col("name"), col("type"))
     })
 
   /** Semantic-dedup constants shared by query and oracle: K seed cells,
@@ -1170,7 +1202,27 @@ object DedupOps {
          |  WHERE ROUND(${VectorOps.dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) >= $SemTau)
          |SELECT a.vec_id, a.cell, CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
          |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
-         |ORDER BY a.vec_id""".stripMargin)
+         |ORDER BY a.vec_id""".stripMargin,
+    "dedup_er_catalog" ->
+      """WITH pr AS (
+        |  SELECT p_partkey, p_name, p_type, p_size, p_retailprice FROM part),
+        |pairs AS (
+        |  SELECT a.p_name, a.p_type
+        |  FROM pr a JOIN pr b
+        |    ON a.p_name = b.p_name AND a.p_type = b.p_type
+        |   AND a.p_partkey < b.p_partkey
+        |  WHERE ABS(a.p_size - b.p_size) <= 1
+        |    AND ABS(a.p_retailprice - b.p_retailprice)
+        |        <= 0.005 * a.p_retailprice),
+        |blocks AS (
+        |  SELECT p_name, p_type, COUNT(*) AS n_records
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT p.p_name AS name, p.p_type AS type,
+        |  b.n_records, COUNT(*) AS n_pairs
+        |FROM pairs p JOIN blocks b
+        |  ON p.p_name = b.p_name AND p.p_type = b.p_type
+        |GROUP BY 1, 2, 3
+        |ORDER BY name, type""".stripMargin)
 }
 
 /** Array-as-vector helpers shared by dedup + similarity search. Pure

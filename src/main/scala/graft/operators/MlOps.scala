@@ -355,6 +355,50 @@ object MlOps {
         .select(col("vec_id"), col("target"),
           when(col("predicted") > 0.5, 1.0).otherwise(0.0).as("pred_class"))
         .orderBy(col("vec_id"))
+    },
+    // Population-stability-index drift monitor: per event type, compare
+    // the value distribution of the reference window (first half of the
+    // month) against the current window over a FIXED 10-bin grid
+    // (width-60 bins, clamped; fixed bins — not quantiles — so the two
+    // windows bin identically and the monitor is reproducible), with
+    // Laplace 0.5-smoothing over the full grid so empty bins stay
+    // defined. PSI = Σ (p−q)·ln(p/q); terms round to 10 dp and sum in
+    // exact decimal so the 10-term reduction is order-independent under
+    // any partitioning (the q_corr_qty_disc discipline — double sums
+    // accumulate in partition order and would not be reproducible).
+    // Scale: corpus collapses to type×half×bin counts in one
+    // partial-aggregated pass; everything after runs on the ≤10-row-
+    // per-type grid. The companion ml_embedding_drift monitors feature
+    // vectors; this is the per-feature scalar twin production scorecards
+    // alert on (PSI > 0.25 = retrain).
+    "ml_psi_drift" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("event_type"),
+        when(col("ts") < lit("2024-01-16").cast("timestamp"), lit("a"))
+          .otherwise(lit("b")).as("half"),
+        least(lit(9L), greatest(lit(0L),
+          floor(round(col("value"), 6) / 60).cast("long"))).as("bin"))
+      val c = ev.groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("na"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("nb"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(s.range(10).select(col("id").as("bin")))
+      val t = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      grid.join(c, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+        .withColumn("ta", sum(col("na")).over(t))
+        .withColumn("tb", sum(col("nb")).over(t))
+        .withColumn("p", (col("na") + 0.5) / (col("ta") + 5.0))
+        .withColumn("q", (col("nb") + 0.5) / (col("tb") + 5.0))
+        .withColumn("term",
+          round((col("p") - col("q")) * log(col("p") / col("q")), 10)
+            .cast("decimal(20,10)"))
+        .groupBy(col("event_type"), col("ta"), col("tb"))
+        .agg(round(sum(col("term")), 6).cast("double").as("psi"))
+        .select(col("event_type"), col("psi"),
+          col("ta").as("n_ref"), col("tb").as("n_cur"))
+        .orderBy(col("event_type"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -557,7 +601,44 @@ object MlOps {
         |FROM seq WHERE c1 IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY n DESC, context, next_type
-        |LIMIT 50""".stripMargin)
+        |LIMIT 50""".stripMargin,
+    "ml_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+        |         THEN 'a' ELSE 'b' END AS half,
+        |    LEAST(9, GREATEST(0,
+        |      CAST(FLOOR(ROUND(value, 6) / 60) AS BIGINT))) AS bin
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS nb
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, r.range AS bin
+        |  FROM (SELECT DISTINCT event_type FROM ev) CROSS JOIN range(10) r),
+        |f AS (
+        |  SELECT g.event_type, g.bin,
+        |    COALESCE(c.na, 0) AS na, COALESCE(c.nb, 0) AS nb
+        |  FROM grid g LEFT JOIN c
+        |    ON g.event_type = c.event_type AND g.bin = c.bin),
+        |t AS (
+        |  SELECT event_type, bin, na, nb,
+        |    SUM(na) OVER (PARTITION BY event_type) AS ta,
+        |    SUM(nb) OVER (PARTITION BY event_type) AS tb
+        |  FROM f),
+        |terms AS (
+        |  SELECT event_type, ta, tb,
+        |    CAST(ROUND(
+        |      ((na + 0.5) / (ta + 5.0) - (nb + 0.5) / (tb + 5.0)) *
+        |      LN(((na + 0.5) / (ta + 5.0)) / ((nb + 0.5) / (tb + 5.0))), 10)
+        |      AS DECIMAL(20,10)) AS term
+        |  FROM t)
+        |SELECT event_type, CAST(ROUND(SUM(term), 6) AS DOUBLE) AS psi,
+        |  CAST(ta AS BIGINT) AS n_ref, CAST(tb AS BIGINT) AS n_cur
+        |FROM terms GROUP BY event_type, ta, tb
+        |ORDER BY event_type""".stripMargin)
 }
 
 /** Multimodal-column surface: opaque binary payloads + typed metadata.

@@ -835,6 +835,40 @@ object Relational {
         .orderBy(col("jaccard").desc, col("a"), col("c"))
         .limit(20)
     },
+    // Semi-supervised label propagation over the customer↔supplier
+    // purchase graph (Zhu/Ghahramani 2002's one-hop vote): supplier
+    // nations are the seed labels, each customer takes the
+    // spend-weighted majority label of its supplier neighbours
+    // (row_number argmax, ties → smallest label id), and the report is
+    // the per-predicted-nation confusion row (how many customers the
+    // vote assigns there, and how many actually bank there). Weights
+    // sum in exact decimal so the argmax ordering is reproducible under
+    // any partitioning. Scale: one corpus shuffle builds the weighted
+    // edge list; votes group by (customer, label) — the per-customer
+    // fan-in is supplier-bounded; supplier + nation broadcast; the
+    // final customer join is key-co-partitioned. More hops = repeat the
+    // vote on the predicted labels; one hop already shows the operator.
+    "graph_label_prop" -> { (s, dir) =>
+      val e = orders(s, dir).join(lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("w"))
+      val votes = e.join(broadcast(supplier(s, dir)),
+          col("sk") === col("s_suppkey"))
+        .groupBy(col("c"), col("s_nationkey").as("lbl"))
+        .agg(sum(col("w")).as("w"))
+      val pred = votes.withColumn("rk", row_number().over(
+          Window.partitionBy(col("c"))
+            .orderBy(col("w").desc, col("lbl"))))
+        .filter(col("rk") === 1)
+      pred.join(customer(s, dir), col("c") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("lbl") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("lbl") === col("c_nationkey"), 1L).otherwise(0L))
+            .as("n_match"))
+        .orderBy(col("nation"))
+    },
     // Pearson correlation from exact decimal moment sums — the profiling
     // statistic (does discount correlate with quantity per return
     // class?) computed the way a 100 TB profiler must: five partial-
@@ -1534,6 +1568,29 @@ object Relational {
          |JOIN deg dc ON dc.u = c
          |ORDER BY jaccard DESC, a, c
          |LIMIT 20""".stripMargin,
+    "graph_label_prop" ->
+      """WITH e AS (
+        |  SELECT o.o_custkey AS c, l.l_suppkey AS sk,
+        |    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS w
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |votes AS (
+        |  SELECT e.c, sup.s_nationkey AS lbl, SUM(e.w) AS w
+        |  FROM e JOIN supplier sup ON e.sk = sup.s_suppkey
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT c, lbl,
+        |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY w DESC, lbl) AS rk
+        |  FROM votes)
+        |SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+        |  CAST(SUM(CASE WHEN p.lbl = cu.c_nationkey THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_match
+        |FROM pred p
+        |JOIN customer cu ON p.c = cu.c_custkey
+        |JOIN nation n ON p.lbl = n.n_nationkey
+        |WHERE p.rk = 1
+        |GROUP BY 1
+        |ORDER BY nation""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
