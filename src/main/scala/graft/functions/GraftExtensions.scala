@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("spacesaving_topk"),
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "spacesaving_topk"),
       (exprs: Seq[Expression]) => GraftAggregates.fromSql(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
+      (exprs: Seq[Expression]) => CountMinAgg(exprs(0),
+        CountMin.litInt(exprs(1)), CountMin.litInt(exprs(2)))))
     // whole-operator surface: the custom as-of join plans + optimizes on
     // every session built with these extensions (graft.plans.AsOfJoin)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)

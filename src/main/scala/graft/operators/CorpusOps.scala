@@ -96,6 +96,38 @@ object CorpusOps {
           col("col.err").as("err"))
         .orderBy(col("lang"), col("rk"))
     },
+    // Heavy-hitter gate through the Count-Min sketch
+    // ([[graft.functions.CountMinAgg]]): build ONE fixed 4×4096 counter
+    // grid over the whole word stream (bounded partials, exact
+    // element-wise merge — bit-identical under any partitioning), read
+    // the stream length off the sketch itself (each row sums to N, so
+    // no second corpus pass), gate the DISTINCT vocabulary by
+    // estimate·30 ≥ N, and exact-count ONLY the gated candidates via a
+    // broadcast semi-join. Count-Min estimates never under-count, so
+    // the gate can't drop a true heavy hitter — the final exact
+    // `n·30 ≥ N` filter makes the result EXACTLY the true heavy
+    // hitters, independent of sketch collisions; the oracle replays it
+    // as plain HAVING. Scale: the exact-count shuffle carries only
+    // candidate-matching rows instead of the full vocabulary — the
+    // sketch does the corpus-sized work in fixed memory. The estimate
+    // probe is a driver-broadcast UDF over the VOCABULARY-sized
+    // distinct table, never the corpus stream.
+    "text_cms_gate" -> { (s, dir) =>
+      import graft.functions.CountMin
+      val depth = 4; val width = 4096
+      val words = documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val sk = words.agg(CountMin.column(col("word"), depth, width).as("cm"))
+        .head.getSeq[Long](0).toArray
+      val total = CountMin.total(sk, width)
+      val bc = s.sparkContext.broadcast(sk)
+      val est = udf((w: String) => CountMin.estimate(bc.value, depth, width, w))
+      val cand = words.distinct().filter(est(col("word")) * 30 >= lit(total))
+      words.join(broadcast(cand), Seq("word"), "left_semi")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .filter(col("n") * 30 >= lit(total))
+        .orderBy(col("n").desc, col("word"))
+    },
     // deterministic sequence packing: concatenate each (lang, source)
     // shard's documents in doc_id order and chop into PackBudget-token
     // bins — a document's bin is the budget-chunk its first token lands
@@ -248,6 +280,15 @@ object CorpusOps {
   val VocabSize = 16
 
   val oracles: Map[String, String] = Map(
+    "text_cms_gate" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |t AS (SELECT COUNT(*) AS total FROM w)
+        |SELECT word, COUNT(*) AS n
+        |FROM w, t
+        |GROUP BY word, t.total
+        |HAVING COUNT(*) * 30 >= t.total
+        |ORDER BY n DESC, word""".stripMargin,
     "corpus_curriculum" ->
       s"""WITH b AS (
          |  SELECT CAST(FLOOR(ROUND(${TextOps.qualityScoreSql}, 6) * 10) AS BIGINT) AS band,
