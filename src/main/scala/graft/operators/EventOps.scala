@@ -670,6 +670,46 @@ object EventOps {
               / (lit(1.0) - pow(lit(0.3), size(col("vs")))), 6).as("ewma"))
         .orderBy(col("user_id"), col("ts"))
     },
+    // Lag-1 / lag-24 autocorrelation of the hourly arrival series — the
+    // periodicity diagnostic behind seasonality modeling: r(1) ≈ local
+    // persistence, r(24) ≈ daily cycle strength (this corpus's hourly
+    // load is near-white, so both hover near 0 — the number says so
+    // instead of the eye). The series densifies over the full
+    // min..max hour grid (gaps are real zeros, not missing rows —
+    // skipping them biases r upward), built by exploding one
+    // broadcast bounds row; the Pearson terms are EXACT integer sums
+    // (Σx, Σxy, Σx² over bigint counts) with one double division at
+    // the end, so the result is identical under any partitioning —
+    // corr() itself accumulates doubles in partition order and would
+    // not be. Scale: the corpus collapses to ≤|hours| rows in one
+    // partial-aggregated pass; the self-join and moment sums run on
+    // the tiny series table.
+    "events_autocorr" -> { (s, dir) =>
+      val hrs = events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      val grid = hrs.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+      val series = grid.join(hrs, Seq("h"), "left")
+        .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+      val x = series.select(col("h"), col("c").as("x"),
+        explode(array(lit(1L), lit(24L))).as("k"))
+      val pairs = x.join(
+        series.select(col("h").as("h2"), col("c").as("y")),
+        col("h2") === col("h") + col("k"))
+      pairs.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("k"), col("n_pairs"),
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("r"))
+        .orderBy(col("k"))
+    },
     // RFM segmentation (recency / frequency / monetary quintiles) — the
     // classic lifecycle-marketing cut of an event log. Quintiles are
     // ntile(5) over the USER-level aggregate (corpus collapses to one
@@ -744,6 +784,34 @@ object EventOps {
       |ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_autocorr" ->
+      """WITH hrs AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hrs),
+        |grid AS (SELECT unnest(range(lo, hi + 1)) AS h FROM b),
+        |series AS (
+        |  SELECT g.h, COALESCE(hrs.c, 0) AS c
+        |  FROM grid g LEFT JOIN hrs ON hrs.h = g.h),
+        |pairs AS (
+        |  SELECT CAST(k.k AS BIGINT) AS k, x.c AS x, y.c AS y
+        |  FROM (VALUES (1), (24)) k(k)
+        |  JOIN series x ON TRUE
+        |  JOIN series y ON y.h = x.h + k.k),
+        |m AS (
+        |  SELECT k, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY k)
+        |SELECT k, n_pairs,
+        |  ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |    SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6) AS r
+        |FROM m
+        |ORDER BY k""".stripMargin,
     "events_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -336,6 +336,166 @@ object MlOps {
           round(sum(col("pos")).cast("double") / count(lit(1)), 6).as("frac_pos"))
         .orderBy(col("bin"))
     },
+    // Kolmogorov–Smirnov drift statistic per event type between the
+    // reference window (first half of the month) and the current one —
+    // the distribution-free companion to ml_psi_drift: PSI weights the
+    // whole density shift, KS reports the single worst ECDF gap, the
+    // number a two-sample test would threshold. Values bin to integer
+    // units (floor of the 6dp-rounded value — the PSI discipline, fixed
+    // bins so both windows and both engines bin identically), the two
+    // ECDFs accumulate as exact BIGINT cumulative counts over one
+    // bin-ordered window per type, and each gap divides integers once
+    // (no float accumulation anywhere — the division is the only
+    // floating step, identical under any partitioning). Scale: corpus
+    // collapses to type×bin counts in one partial-aggregated pass; the
+    // window runs over the ≤~600-row-per-type bin table, not events.
+    "ml_ks_drift" -> { (s, dir) =>
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      events(s, dir)
+        .select(col("event_type"),
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), lit("a"))
+            .otherwise(lit("b")).as("half"),
+          floor(round(col("value"), 6)).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("na"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("nb"))
+        .withColumn("ca", sum(col("na")).over(wc))
+        .withColumn("cb", sum(col("nb")).over(wc))
+        .withColumn("ta", sum(col("na")).over(wt))
+        .withColumn("tb", sum(col("nb")).over(wt))
+        .withColumn("gap", round(abs(
+          col("ca").cast("double") / col("ta") -
+            col("cb").cast("double") / col("tb")), 6))
+        .groupBy(col("event_type"), col("ta"), col("tb"))
+        .agg(max(col("gap")).as("ks"))
+        .select(col("event_type"), col("ks"),
+          col("ta").as("n_ref"), col("tb").as("n_cur"))
+        .orderBy(col("event_type"))
+    },
+    // Cumulative gain / lift table over the calibration probe — the
+    // targeting curve behind "mail the top decile": order the scored
+    // population best-first, report what fraction of all positives each
+    // cumulative score bucket captures (gain) and its rate multiple
+    // over the base rate (lift). Buckets are the same 0.1-wide score
+    // bins as ml_calibration_bins (fixed bins, not ntile — a global
+    // rank window serializes the corpus into one task; the bin table
+    // is ≤10 rows at any corpus size). Cumulative counts are exact
+    // BIGINT window sums over the bin table; each gain/lift divides
+    // integers once at the end.
+    "ml_lift_gain" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+      val wc = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy()
+      embeddings(s, dir)
+        .select(floor(p * 10).cast("long").as("bucket"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+        .withColumn("cum_n", sum(col("n")).over(wc))
+        .withColumn("cum_pos", sum(col("npos")).over(wc))
+        .withColumn("tot_n", sum(col("n")).over(wt))
+        .withColumn("tot_pos", sum(col("npos")).over(wt))
+        .select(col("bucket"), col("n"), col("npos"),
+          round(col("cum_pos").cast("double") / col("tot_pos"), 6).as("cum_gain"),
+          round(col("cum_pos").cast("double") * col("tot_n") /
+            (col("cum_n") * col("tot_pos")), 6).as("cum_lift"))
+        .orderBy(col("bucket").desc)
+    },
+    // Smoothed mean-target encoding of a categorical feature — the
+    // leakage-safe categorical featurizer (CatBoost-style m-estimate):
+    // encode customer nation by mean order value, shrunk toward the
+    // global mean with m=10 pseudo-observations so rare categories
+    // don't memorize their few targets. Money sums in exact
+    // DECIMAL(28,2) (o_totalprice carries 2dp — the decimal-sum
+    // determinism rule), the global mean rides along as a broadcast
+    // one-row stat, and each encoding divides once. One orders-sized
+    // aggregation keyed by the ≤25-row category; everything after runs
+    // on the category table.
+    "ml_target_encode" -> { (s, dir) =>
+      val joined = orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+        .join(customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      val per = joined.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("s"))
+      val tot = per.agg(sum(col("n")).as("tn"),
+        round(sum(col("s").cast("decimal(28,2)")).cast("double"), 2).as("ts"))
+      per.crossJoin(broadcast(tot))
+        .select(col("c_nationkey"), col("n"),
+          round(col("s") / col("n"), 6).as("raw_mean"),
+          round((col("s") + lit(10.0) * (col("ts") / col("tn"))) /
+            (col("n") + 10), 6).as("encoded"))
+        .orderBy(col("c_nationkey"))
+    },
+    // Weight-of-evidence / information-value table over the calibration
+    // probe — the credit-scoring featurizer: per score bucket, WoE =
+    // ln(P(bucket|pos)/P(bucket|neg)) with Laplace 0.5-smoothing over
+    // the 10-bucket grid (so empty-side buckets stay finite), and IV =
+    // Σ (p−q)·WoE surfaces as a window total on every row (IV > 0.3 =
+    // strong predictor). Terms round to 10dp and sum in exact decimal
+    // (the ml_psi_drift discipline — order-independent under any
+    // partitioning). One corpus pass to 10 cells; the rest is bucket
+    // arithmetic.
+    "ml_woe_iv" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy()
+      embeddings(s, dir)
+        .select(floor(p * 10).cast("long").as("bucket"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("pos")).as("npos"),
+          sum(lit(1L) - col("pos")).as("nneg"))
+        .withColumn("tp", sum(col("npos")).over(wt))
+        .withColumn("tn", sum(col("nneg")).over(wt))
+        .withColumn("pg", (col("npos") + 0.5) / (col("tp") + 5.0))
+        .withColumn("pb", (col("nneg") + 0.5) / (col("tn") + 5.0))
+        .withColumn("woe", round(log(col("pg") / col("pb")), 6))
+        .withColumn("term",
+          round((col("pg") - col("pb")) * log(col("pg") / col("pb")), 10)
+            .cast("decimal(20,10)"))
+        .withColumn("iv", round(sum(col("term")).over(wt), 6).cast("double"))
+        .select(col("bucket"), col("npos"), col("nneg"), col("woe"), col("iv"))
+        .orderBy(col("bucket"))
+    },
+    // Mutual information between the bucketed probe score and the class
+    // label — the model-free dependence measure feature selection ranks
+    // by (0 = independent): MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))) over
+    // observed cells. The joint table is ≤ buckets×labels cells out of
+    // one partial-aggregated corpus pass; marginals are window sums
+    // over that tiny table, each term is pure integer arithmetic inside
+    // one ln (counts, not pre-divided probabilities — ln((nxy·N)/(nx·ny))
+    // keeps the float work to a single expression), terms round to 10dp
+    // and sum in exact decimal.
+    "ml_mutual_info" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+      val wx = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+      val wy = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy()
+      embeddings(s, dir)
+        .select(floor(p * 10).cast("long").as("bucket"), col("label"))
+        .groupBy(col("bucket"), col("label"))
+        .agg(count(lit(1)).as("nxy"))
+        .withColumn("nx", sum(col("nxy")).over(wx))
+        .withColumn("ny", sum(col("nxy")).over(wy))
+        .withColumn("nn", sum(col("nxy")).over(wt))
+        .withColumn("term", round(
+          col("nxy").cast("double") / col("nn") *
+            log(col("nxy").cast("double") * col("nn") /
+              (col("nx").cast("double") * col("ny"))), 10)
+          .cast("decimal(20,10)"))
+        .agg(round(sum(col("term")), 6).cast("double").as("mi"),
+          count(lit(1)).as("n_cells"))
+    },
     // flagship train+predict: binary target from label, tiny net, hogwild.
     // Nondeterministic → no oracle (rows-only check).
     "ml_train_predict" -> { (s, dir) =>
@@ -602,6 +762,113 @@ object MlOps {
         |GROUP BY 1, 2
         |ORDER BY n DESC, context, next_type
         |LIMIT 50""".stripMargin,
+    "ml_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+        |         THEN 'a' ELSE 'b' END AS half,
+        |    CAST(FLOOR(ROUND(value, 6)) AS BIGINT) AS bin
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS nb
+        |  FROM ev GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bin, na, nb,
+        |    SUM(na) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    SUM(nb) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    SUM(na) OVER (PARTITION BY event_type) AS ta,
+        |    SUM(nb) OVER (PARTITION BY event_type) AS tb
+        |  FROM c)
+        |SELECT event_type,
+        |  MAX(ROUND(ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb), 6)) AS ks,
+        |  CAST(ta AS BIGINT) AS n_ref, CAST(tb AS BIGINT) AS n_cur
+        |FROM w GROUP BY event_type, ta, tb
+        |ORDER BY event_type""".stripMargin,
+    "ml_lift_gain" ->
+      """WITH e AS (
+        |  SELECT CAST(FLOOR(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6) * 10) AS BIGINT) AS bucket,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT bucket, COUNT(*) AS n, SUM(pos) AS npos FROM e GROUP BY bucket),
+        |w AS (
+        |  SELECT bucket, n, npos,
+        |    SUM(n) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    SUM(npos) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |    SUM(n) OVER () AS tot_n, SUM(npos) OVER () AS tot_pos
+        |  FROM b)
+        |SELECT bucket, n, CAST(npos AS BIGINT) AS npos,
+        |  ROUND(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain,
+        |  ROUND(CAST(cum_pos AS DOUBLE) * tot_n / (cum_n * tot_pos), 6) AS cum_lift
+        |FROM w
+        |ORDER BY bucket DESC""".stripMargin,
+    "ml_target_encode" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS s
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey),
+        |tot AS (
+        |  SELECT SUM(n) AS tn,
+        |    ROUND(CAST(SUM(CAST(s AS DECIMAL(28,2))) AS DOUBLE), 2) AS ts
+        |  FROM per)
+        |SELECT c_nationkey, n,
+        |  ROUND(s / n, 6) AS raw_mean,
+        |  ROUND((s + 10.0 * (ts / tn)) / (n + 10), 6) AS encoded
+        |FROM per, tot
+        |ORDER BY c_nationkey""".stripMargin,
+    "ml_woe_iv" ->
+      """WITH e AS (
+        |  SELECT CAST(FLOOR(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6) * 10) AS BIGINT) AS bucket,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT bucket, SUM(pos) AS npos, SUM(1 - pos) AS nneg
+        |  FROM e GROUP BY bucket),
+        |w AS (
+        |  SELECT bucket, npos, nneg,
+        |    (npos + 0.5) / (SUM(npos) OVER () + 5.0) AS pg,
+        |    (nneg + 0.5) / (SUM(nneg) OVER () + 5.0) AS pb
+        |  FROM b),
+        |t AS (
+        |  SELECT bucket, npos, nneg,
+        |    ROUND(LN(pg / pb), 6) AS woe,
+        |    CAST(ROUND((pg - pb) * LN(pg / pb), 10) AS DECIMAL(20,10)) AS term
+        |  FROM w)
+        |SELECT bucket, CAST(npos AS BIGINT) AS npos, CAST(nneg AS BIGINT) AS nneg,
+        |  woe, CAST(ROUND(SUM(term) OVER (), 6) AS DOUBLE) AS iv
+        |FROM t
+        |ORDER BY bucket""".stripMargin,
+    "ml_mutual_info" ->
+      """WITH e AS (
+        |  SELECT CAST(FLOOR(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6) * 10) AS BIGINT) AS bucket,
+        |    label
+        |  FROM embeddings),
+        |j AS (
+        |  SELECT bucket, label, COUNT(*) AS nxy FROM e GROUP BY bucket, label),
+        |m AS (
+        |  SELECT bucket, label, nxy,
+        |    SUM(nxy) OVER (PARTITION BY bucket) AS nx,
+        |    SUM(nxy) OVER (PARTITION BY label) AS ny,
+        |    SUM(nxy) OVER () AS nn
+        |  FROM j),
+        |t AS (
+        |  SELECT CAST(ROUND(
+        |    CAST(nxy AS DOUBLE) / nn *
+        |    LN(CAST(nxy AS DOUBLE) * nn / (CAST(nx AS DOUBLE) * ny)), 10)
+        |    AS DECIMAL(20,10)) AS term
+        |  FROM m)
+        |SELECT CAST(ROUND(SUM(term), 6) AS DOUBLE) AS mi, COUNT(*) AS n_cells
+        |FROM t""".stripMargin,
     "ml_psi_drift" ->
       """WITH ev AS (
         |  SELECT event_type,
