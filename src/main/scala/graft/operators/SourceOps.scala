@@ -243,6 +243,42 @@ object SourceOps {
           max(col("o_orderkey")).cast("long").as("max_key"))
         .orderBy(col("o_orderpriority"))
     },
+    // Retention maintenance under the oracle: vacuum after compaction.
+    // Three commits build deterministic file counts (repartition pins
+    // files-per-commit: 4-file overwrite, 3-file append, 2-file
+    // compact), leaving exactly 7 orphaned data files the latest
+    // manifest no longer references; vacuum must delete exactly those
+    // and NOTHING the live snapshot needs. The hash gate checks both
+    // halves at once — `files_vacuumed` pins the orphan count (a
+    // structural fact of this query's own writes, so the oracle states
+    // it as a constant) and the aggregate re-reads the post-vacuum
+    // store against DuckDB's recompute from raw orders, which fails if
+    // vacuum touched a live file. Completes the store lifecycle
+    // surface: ingest → compact → VACUUM → read. At scale vacuum is
+    // the storage-cost bound of a continuously-compacted store —
+    // O(epochs) dead files reclaimed by one manifest-diff listing,
+    // never a data scan.
+    "src_store_vacuum" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-vacuum"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      GraftStore.write(base.filter(col("o_orderstatus") === "F").repartition(4),
+        root, overwrite = true)                                       // v1: 4 files
+      GraftStore.write(base.filter(col("o_orderstatus") === "O").repartition(3),
+        root)                                                         // v2: +3 files
+      GraftStore.compact(s, root, targetFiles = 2)                    // v3: 2 live
+      val removed = GraftStore.vacuum(root)                           // 4 + 3 dead
+      GraftStore.read(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"),
+          max(col("o_orderkey")).cast("long").as("max_key"))
+        .withColumn("files_vacuumed", lit(removed))
+        .orderBy(col("o_orderstatus"))
+    },
     // z-ordered layout under the oracle: write an events copy clustered
     // by the z-interleave of (user_id, value), then run a 2-D box query
     // against it. Correctness comes from the oracle (same box on the
@@ -693,6 +729,15 @@ object SourceOps {
         |WHERE o_orderkey % 3 = 1
         |GROUP BY 1
         |ORDER BY o_orderpriority""".stripMargin,
+    "src_store_vacuum" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(7 AS BIGINT) AS files_vacuumed
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "src_store_skip" ->
       """SELECT COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
