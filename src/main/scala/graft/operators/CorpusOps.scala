@@ -68,6 +68,33 @@ object CorpusOps {
         .select(col("lang"), col("rk"), col("word"), col("n"))
         .orderBy(col("lang"), col("rk"))
     },
+    // Vocabulary coverage curve — the tokenizer-sizing number: what
+    // fraction of all corpus tokens do the top-10 / top-100 / top-1000
+    // vocabulary entries cover? (The curve's knee is where growing the
+    // vocab stops paying — the Zipf-side complement of text_zipf_slope,
+    // and the decision input for BPE vocab size.) The corpus collapses
+    // to Heaps-law-bounded word counts in one partial-aggregated pass;
+    // the global rank window runs over that VOCAB table, not the
+    // corpus (same scale posture as text_vocab_topk — sublinear but
+    // growing; the Misra–Gries twin is the fixed-state variant).
+    // Coverage sums are exact integer counts divided once at the end.
+    "corpus_coverage_curve" -> { (s, dir) =>
+      val wc = documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val ranked = wc.withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))).cast("long"))
+      val tot = wc.agg(sum(col("n")).as("tot"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("rk"), col("n"), col("tot"),
+          explode(array(lit(10L), lit(100L), lit(1000L))).as("cap"))
+        .filter(col("rk") <= col("cap"))
+        .groupBy(col("cap"), col("tot"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n")).as("covered"))
+        .select(col("cap"), col("n_words"),
+          round(col("covered").cast("double") / col("tot"), 6).as("coverage"))
+        .orderBy(col("cap"))
+    },
     // text_vocab_topk's bounded-state production twin: per-lang top
     // tokens via the custom [[graft.functions.SpaceSavingTopK]]
     // TypedImperativeAggregate. The exact form above shuffles one row
@@ -280,6 +307,22 @@ object CorpusOps {
   val VocabSize = 16
 
   val oracles: Map[String, String] = Map(
+    "corpus_coverage_curve" ->
+      """WITH wc AS (
+        |  SELECT word, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |r AS (
+        |  SELECT word, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rk
+        |  FROM wc),
+        |tot AS (SELECT SUM(n) AS tot FROM wc)
+        |SELECT CAST(cap AS BIGINT) AS cap, COUNT(*) AS n_words,
+        |  ROUND(CAST(SUM(n) AS DOUBLE) / (SELECT tot FROM tot), 6) AS coverage
+        |FROM r, (VALUES (10), (100), (1000)) c(cap)
+        |WHERE rk <= cap
+        |GROUP BY cap
+        |ORDER BY cap""".stripMargin,
     "text_cms_gate" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),

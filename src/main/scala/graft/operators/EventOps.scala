@@ -275,6 +275,40 @@ object EventOps {
         .crossJoin(c.agg(count(lit(1)).as("clicked_after_view")))
         .crossJoin(p.agg(count(lit(1)).as("purchased_after_click")))
     },
+    // Funnel conversion LATENCY — the time dimension events_funnel's
+    // counts omit: for each user who advanced a step (first view →
+    // first subsequent click → first subsequent purchase, the same
+    // strictly-ordered min-ts chain), how long did the step take?
+    // Reported per step as exact integer-microsecond aggregates with
+    // ONE double division at the end (the events_dwell discipline —
+    // no per-row float accumulation to drift under repartitioning).
+    // The p50-class latency is what an activation team actually
+    // tunes; avg/max is the deterministic cross-engine core of it.
+    // Scale: three user-keyed min-aggregations + two user-key joins —
+    // the same one-shuffle-per-step shape as events_funnel.
+    "events_funnel_latency" -> { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id"), col("v_ts")).agg(min(col("ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c.select(col("user_id"), col("c_ts")), "user_id")
+        .filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id"), col("c_ts")).agg(min(col("ts")).as("p_ts"))
+      val s1 = c.select(lit("1_view_to_click").as("step"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      val s2 = p.select(lit("2_click_to_purchase").as("step"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      s1.unionByName(s2)
+        .groupBy(col("step"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0, 6)
+            .as("avg_gap_s"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy(col("step"))
+    },
     // sessionization via Spark's BUILT-IN session_window — the twin of
     // the hand-rolled gaps-and-islands `events_sessions` above, proving
     // the built-in's merge semantics against the same DuckDB islands
@@ -784,6 +818,25 @@ object EventOps {
       |ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |v AS (SELECT user_id, MIN(tsu) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v_ts, MIN(tsu) AS c_ts FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE event_type = 'click' AND tsu > v_ts GROUP BY e.user_id, v_ts),
+        |p AS (SELECT e.user_id, c.c_ts, MIN(tsu) AS p_ts FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE event_type = 'purchase' AND tsu > c.c_ts GROUP BY e.user_id, c.c_ts),
+        |g AS (
+        |  SELECT '1_view_to_click' AS step,
+        |    epoch_us(c_ts) - epoch_us(v_ts) AS gap_us FROM c
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase' AS step,
+        |    epoch_us(p_ts) - epoch_us(c_ts) AS gap_us FROM p)
+        |SELECT step, COUNT(*) AS n_users,
+        |  ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_gap_s,
+        |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        |FROM g
+        |GROUP BY step
+        |ORDER BY step""".stripMargin,
     "events_autocorr" ->
       """WITH hrs AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,

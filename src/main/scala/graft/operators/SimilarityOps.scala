@@ -118,6 +118,40 @@ object SimilarityOps {
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(5)
     },
+    // Radius (range) similarity search — the third retrieval primitive
+    // after top-k and bucketed top-k: for a SET of probes, every
+    // corpus vector with cosine ≥ 0.2, reported per probe as bounded
+    // aggregates (hit count, mean/max cosine) rather than unbounded
+    // hit lists. Candidates come from sign-bucket equality BEFORE any
+    // distance work — the same LSH pruning as ann_lsh_bucket, here as
+    // a broadcast multi-probe join (probes are a ~1% hash sample of
+    // the corpus, so the probe side stays broadcast-sized at any
+    // scale); the mean cosine sums in exact decimal so the per-probe
+    // reduction is partition-order-independent. At 100 TB this is the
+    // retrieval shape of "find everything near these N seeds" —
+    // dedup-cluster expansion, contamination probes — and with a
+    // persisted bucket column the bucket filter becomes partition
+    // pruning on the scan.
+    "ann_range_search" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val e = embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("bucket", signBucket(col("v"), 4))
+      val probes = e.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          col("bucket").as("pbucket"))
+      e.join(broadcast(probes),
+          col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"),
+          round(cos(col("v"), col("p")), 6).as("cs"))
+        .filter(col("cs") >= 0.2)
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          round(sum(col("cs").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_cos"),
+          max(col("cs")).as("max_cos"))
+        .orderBy(col("probe_id"))
+    },
     // IVF ANN with a deterministic literal codebook: every vector is
     // assigned to its nearest of IvfCells seed cells as a pure codegen
     // projection (the bounded-collect codebook shape, see dedup_semantic),
@@ -529,6 +563,22 @@ object SimilarityOps {
          |WHERE vec_id <> $PROBE_ID AND bucket = pbucket
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 5""".stripMargin,
+    "ann_range_search" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |eb AS (SELECT vec_id, v, ${signBucketSql("v", 4)} AS bucket FROM e),
+         |probes AS (SELECT vec_id AS probe_id, v AS p, bucket AS pbucket
+         |           FROM eb WHERE vec_id % 101 = 0),
+         |hits AS (
+         |  SELECT probe_id, ${cosSql("v", "p")} AS cs
+         |  FROM eb JOIN probes
+         |    ON bucket = pbucket AND vec_id <> probe_id)
+         |SELECT probe_id, COUNT(*) AS n_hits,
+         |  ROUND(CAST(SUM(CAST(cs AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_cos,
+         |  MAX(cs) AS max_cos
+         |FROM hits WHERE cs >= 0.2
+         |GROUP BY probe_id
+         |ORDER BY probe_id""".stripMargin,
     "ann_ivf_probe" -> ivfProbeOracle,
     "emb_kmeans" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
