@@ -200,6 +200,75 @@ object CorpusOps {
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
         .limit(15)
     },
+    // N-gram novelty curve — how much genuinely NEW text each slice of
+    // the corpus contributes: per doc-id decile cohort, the fraction
+    // of 3-gram occurrences whose global first appearance (min doc_id
+    // owning the gram) is in that very document. The declining curve
+    // is the data-acquisition signal ("the next crawl tranche is 80%
+    // already-seen phrases") that sits between exact dedup (whole-doc)
+    // and dup-ngram mining (top offenders): it quantifies marginal
+    // novelty for ALL grams. Scale shape: one gram-keyed aggregation
+    // for first-seen + one gram-keyed join back — no driver state, no
+    // all-pairs anything; cohort boundaries are pure integer
+    // arithmetic off a broadcast max-id row.
+    "corpus_ngram_novelty" -> { (s, dir) =>
+      val w = col("w")
+      val grams = documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(w) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2)))).as("gram"))
+      val first = grams.groupBy(col("gram"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      val mx = documents(s, dir).agg(max(col("doc_id")).as("mx"))
+      grams.join(first, "gram")
+        .crossJoin(broadcast(mx))
+        .select(least(lit(9L), expr("doc_id * 10 div (mx + 1)")).as("cohort"),
+          when(col("first_doc") === col("doc_id"), 1L).otherwise(0L).as("novel"))
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("novel")).as("n_novel"))
+        .select(col("cohort"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        .orderBy(col("cohort"))
+    },
+    // Jensen–Shannon divergence of each source's unigram distribution
+    // from the corpus-wide one — the "which feed drifted" scorecard of
+    // a multi-source ingest (JS, not KL: symmetric, finite even where
+    // a source misses words, bounded by ln 2). The grid is
+    // vocab × sources (Heaps-bounded × 20), built by broadcasting the
+    // tiny per-source totals across the global word table; each term
+    // is two single divisions and one ln, rounded to 10dp and summed
+    // in exact decimal per source (the ml_psi_drift discipline). The
+    // corpus itself is touched exactly twice (per-source and global
+    // word counts), both partial-aggregated.
+    "text_source_divergence" -> { (s, dir) =>
+      val words = documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      val sw = words.groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("n_sw"))
+      val gw = words.groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+      val stot = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("n_s"))
+      val tot = gw.agg(sum(col("n_w")).as("n"))
+      gw.crossJoin(broadcast(stot))
+        .join(sw, Seq("source", "word"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("p",
+          coalesce(col("n_sw"), lit(0L)).cast("double") / col("n_s"))
+        .withColumn("q", col("n_w").cast("double") / col("n"))
+        .withColumn("term", round(
+          when(col("p") > 0,
+            lit(0.5) * col("p") *
+              log(lit(2.0) * col("p") / (col("p") + col("q")))).otherwise(0.0)
+            + lit(0.5) * col("q") *
+              log(lit(2.0) * col("q") / (col("p") + col("q"))), 10)
+          .cast("decimal(20,10)"))
+        .groupBy(col("source"))
+        .agg(round(sum(col("term")), 6).cast("double").as("js"),
+          sum(when(col("n_sw").isNotNull, 1L).otherwise(0L)).as("n_words"))
+        .orderBy(col("source"))
+    },
     // overlapping retrieval chunking (the RAG indexing shape): fixed
     // ChunkSize-token windows every ChunkStride tokens, one output row
     // per (doc, chunk) with its token count and content hash. Pure
@@ -307,6 +376,50 @@ object CorpusOps {
   val VocabSize = 16
 
   val oracles: Map[String, String] = Map(
+    "corpus_ngram_novelty" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+        |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |x AS (
+        |  SELECT LEAST(9, g.doc_id * 10 // (mx + 1)) AS cohort,
+        |    CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END AS novel
+        |  FROM g JOIN f USING (gram), mx)
+        |SELECT CAST(cohort AS BIGINT) AS cohort, COUNT(*) AS n_grams,
+        |  CAST(SUM(novel) AS BIGINT) AS n_novel,
+        |  ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM x GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "text_source_divergence" ->
+      """WITH words AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |sw AS (SELECT source, word, COUNT(*) AS n_sw FROM words GROUP BY 1, 2),
+        |gw AS (SELECT word, COUNT(*) AS n_w FROM words GROUP BY 1),
+        |stot AS (SELECT source, SUM(n_sw) AS n_s FROM sw GROUP BY 1),
+        |tot AS (SELECT SUM(n_w) AS n FROM gw),
+        |grid AS (
+        |  SELECT stot.source, gw.word, gw.n_w, stot.n_s, sw.n_sw
+        |  FROM gw CROSS JOIN stot
+        |  LEFT JOIN sw ON sw.source = stot.source AND sw.word = gw.word),
+        |t AS (
+        |  SELECT source, n_sw,
+        |    CAST(COALESCE(n_sw, 0) AS DOUBLE) / n_s AS p,
+        |    CAST(n_w AS DOUBLE) / (SELECT n FROM tot) AS q
+        |  FROM grid),
+        |terms AS (
+        |  SELECT source, n_sw,
+        |    CAST(ROUND(
+        |      CASE WHEN p > 0 THEN 0.5 * p * LN(2.0 * p / (p + q)) ELSE 0.0 END
+        |      + 0.5 * q * LN(2.0 * q / (p + q)), 10) AS DECIMAL(20,10)) AS term
+        |  FROM t)
+        |SELECT source, CAST(ROUND(SUM(term), 6) AS DOUBLE) AS js,
+        |  CAST(SUM(CASE WHEN n_sw IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_words
+        |FROM terms
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "corpus_coverage_curve" ->
       """WITH wc AS (
         |  SELECT word, COUNT(*) AS n

@@ -567,6 +567,46 @@ object EventOps {
           sum(col("n")).over(Window.partitionBy(col("prev"))), 6))
         .orderBy(col("prev"), col("next"))
     },
+    // Entropy rate of the first-order behavior Markov chain — how
+    // predictable is the next event given the current one? Per state:
+    // H(next|prev) = −Σ p·ln p over the transition row; the rate
+    // weights each state's entropy by its empirical frequency (the
+    // stationary estimate). This is the single number behind "is this
+    // traffic bot-like" (near 0) vs "random" (near ln|types|), and the
+    // information-theoretic summary of events_transitions' matrix.
+    // Same one-shuffle user-keyed lag as the matrix; everything after
+    // runs on the ≤|types|² count table, with terms rounded to 10dp
+    // and summed in exact decimal (order-independent under any
+    // partitioning).
+    "events_markov_entropy" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wp = Window.partitionBy(col("prev"))
+      val wall = Window.partitionBy()
+      val c = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val per = c
+        .withColumn("np", sum(col("n")).over(wp))
+        .withColumn("tot", sum(col("n")).over(wall))
+        .withColumn("hterm", round(
+          -(col("n").cast("double") / col("np")) *
+            log(col("n").cast("double") / col("np")), 10)
+          .cast("decimal(20,10)"))
+        .groupBy(col("prev"), col("np"), col("tot"))
+        .agg(sum(col("hterm")).as("hd"))
+      per
+        .withColumn("rterm", round(
+          col("np").cast("double") / col("tot") * col("hd").cast("double"), 10)
+          .cast("decimal(20,10)"))
+        .select(col("prev"), col("np").as("n"),
+          round(col("hd"), 6).cast("double").as("h"),
+          round(sum(col("rterm")).over(Window.partitionBy()), 6)
+            .cast("double").as("entropy_rate"))
+        .orderBy(col("prev"))
+    },
     // Dwell time: how long until the user's NEXT event, by current
     // event type — the engagement metric behind "which screens do users
     // linger on". Same one-shuffle lead-window shape as
@@ -818,6 +858,40 @@ object EventOps {
       |ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_markov_entropy" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev, event_type AS next, COUNT(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL
+        |  GROUP BY prev, event_type),
+        |g AS (
+        |  SELECT prev, next, n,
+        |    SUM(n) OVER (PARTITION BY prev) AS np,
+        |    SUM(n) OVER () AS tot
+        |  FROM c),
+        |t AS (
+        |  SELECT prev, np, tot,
+        |    CAST(ROUND(
+        |      -(CAST(n AS DOUBLE) / np) * LN(CAST(n AS DOUBLE) / np), 10)
+        |      AS DECIMAL(20,10)) AS hterm
+        |  FROM g),
+        |per AS (
+        |  SELECT prev, np, tot, SUM(hterm) AS hd
+        |  FROM t GROUP BY prev, np, tot),
+        |r AS (
+        |  SELECT prev, np, hd,
+        |    CAST(ROUND(CAST(np AS DOUBLE) / tot * CAST(hd AS DOUBLE), 10)
+        |      AS DECIMAL(20,10)) AS rterm
+        |  FROM per)
+        |SELECT prev, CAST(np AS BIGINT) AS n,
+        |  CAST(ROUND(hd, 6) AS DOUBLE) AS h,
+        |  CAST(ROUND(SUM(rterm) OVER (), 6) AS DOUBLE) AS entropy_rate
+        |FROM r
+        |ORDER BY prev""".stripMargin,
     "events_funnel_latency" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu FROM events),
         |v AS (SELECT user_id, MIN(tsu) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
