@@ -496,6 +496,50 @@ object MlOps {
         .agg(round(sum(col("term")), 6).cast("double").as("mi"),
           count(lit(1)).as("n_cells"))
     },
+    // Chi-squared independence test over the (lang, source) contingency
+    // table of documents — the categorical-feature relevance screen
+    // (is a doc's language informative about its feed, or can the
+    // column be dropped?) and the classic stratification audit. The
+    // full grid matters: a zero-observed cell still contributes E to
+    // the statistic, so the table is densified by crossing the two
+    // broadcast-tiny level dimensions before the left join (same grid
+    // discipline as ml_psi_drift). One corpus pass collapses to
+    // |langs|×|sources| cells; expected counts are window sums over
+    // that grid in pure integer arithmetic until the single division;
+    // terms round to 10dp and sum in exact decimal. Output: the
+    // statistic, degrees of freedom, Cramér's V (the [0,1] effect
+    // size that makes the number comparable across grids), and cell
+    // count — the one-row scorecard a feature-selection pass ranks by.
+    "ml_chi2" -> { (s, dir) =>
+      val wl = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      val ws = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy()
+      val d = documents(s, dir)
+      val obs = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val grid = d.select(col("lang")).distinct()
+        .crossJoin(broadcast(d.select(col("source")).distinct()))
+      grid.join(obs, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .withColumn("nl", sum(col("o")).over(wl))
+        .withColumn("ns", sum(col("o")).over(ws))
+        .withColumn("nn", sum(col("o")).over(wt))
+        .withColumn("e",
+          col("nl").cast("double") * col("ns") / col("nn"))
+        .withColumn("term",
+          round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 10)
+            .cast("decimal(20,10)"))
+        .agg(round(sum(col("term")), 6).cast("double").as("chi2"),
+          ((countDistinct(col("lang")) - 1) *
+            (countDistinct(col("source")) - 1)).as("dof"),
+          count(lit(1)).as("n_cells"),
+          first(col("nn")).as("nn"),
+          least(countDistinct(col("lang")),
+            countDistinct(col("source"))).minus(1).as("mindim"))
+        .select(col("chi2"), col("dof"),
+          round(sqrt(col("chi2") / (col("nn") * col("mindim"))), 6)
+            .as("cramers_v"),
+          col("n_cells"))
+    },
     // flagship train+predict: binary target from label, tiny net, hogwild.
     // Nondeterministic → no oracle (rows-only check).
     "ml_train_predict" -> { (s, dir) =>
@@ -869,6 +913,36 @@ object MlOps {
         |  FROM m)
         |SELECT CAST(ROUND(SUM(term), 6) AS DOUBLE) AS mi, COUNT(*) AS n_cells
         |FROM t""".stripMargin,
+    "ml_chi2" ->
+      """WITH obs AS (
+        |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT l.lang, s.source
+        |  FROM (SELECT DISTINCT lang FROM documents) l
+        |  CROSS JOIN (SELECT DISTINCT source FROM documents) s),
+        |f AS (
+        |  SELECT g.lang, g.source, COALESCE(obs.o, 0) AS o
+        |  FROM grid g LEFT JOIN obs
+        |    ON g.lang = obs.lang AND g.source = obs.source),
+        |m AS (
+        |  SELECT lang, source, o,
+        |    CAST(SUM(o) OVER (PARTITION BY lang) AS DOUBLE)
+        |      * SUM(o) OVER (PARTITION BY source)
+        |      / SUM(o) OVER () AS e,
+        |    SUM(o) OVER () AS nn
+        |  FROM f),
+        |agg AS (
+        |  SELECT SUM(CAST(ROUND((o - e) * (o - e) / e, 10)
+        |           AS DECIMAL(20,10))) AS chi2d,
+        |    COUNT(DISTINCT lang) AS rl, COUNT(DISTINCT source) AS rs,
+        |    COUNT(*) AS n_cells, MAX(nn) AS nn
+        |  FROM m)
+        |SELECT CAST(ROUND(chi2d, 6) AS DOUBLE) AS chi2,
+        |  CAST((rl - 1) * (rs - 1) AS BIGINT) AS dof,
+        |  ROUND(SQRT(CAST(ROUND(chi2d, 6) AS DOUBLE)
+        |    / (nn * LEAST(rl - 1, rs - 1))), 6) AS cramers_v,
+        |  n_cells
+        |FROM agg""".stripMargin,
     "ml_psi_drift" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -1249,6 +1249,42 @@ object Relational {
     // only on the key.
     "quality_constraints" -> { (s, dir) =>
       qualityReport(orders(s, dir), customer(s, dir))
+    },
+    // 2-D skyline (Pareto frontier): the parts no other part beats on
+    // BOTH axes — size (bigger better) and retail price (cheaper
+    // better). The naive formulation is an all-pairs NOT EXISTS (the
+    // oracle below, fine for DuckDB at test scale, quadratic death at
+    // 100 TB). The streaming identity used here: a point is dominated
+    // iff the cheapest price among STRICTLY larger sizes is <= its
+    // price, or some same-size part is strictly cheaper. So: collapse
+    // to one min-price row per distinct size (partial-aggregated, the
+    // only corpus-sized pass), run a prefix-min over the size-sorted
+    // group table (|distinct sizes| rows — window state is dimension-
+    // sized, and a rows-frame ending at -1 gives exactly the
+    // strictly-larger set because sizes are distinct after the
+    // groupBy), and broadcast the enriched group table back onto the
+    // scan. Survivors: price == own size's min (ties on both axes all
+    // survive — domination needs a strict edge) and < every larger
+    // size's min. Skylines are also distributive (skyline of local
+    // skylines = global skyline), so at real scale the same plan runs
+    // per-partition first; the group table here is already the
+    // algebraic equivalent.
+    "q_skyline" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("p_size").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val bySize = part(s, dir)
+        .groupBy(col("p_size"))
+        .agg(min(col("p_retailprice")).as("min_price"))
+        .withColumn("best_larger", min(col("min_price")).over(w))
+      part(s, dir)
+        .join(broadcast(bySize), "p_size")
+        .filter(col("p_retailprice") === col("min_price") &&
+          (col("best_larger").isNull ||
+            col("p_retailprice") < col("best_larger")))
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("p_retailprice"))
+        .orderBy(col("p_size").desc)
     })
 
   /** The constraint engine behind `quality_constraints`, factored so the
@@ -1309,6 +1345,18 @@ object Relational {
        |  GROUP BY e.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Deliberately the quadratic textbook form — an independent
+    // derivation of the same frontier the windowed plan computes.
+    "q_skyline" ->
+      """SELECT p1.p_partkey, p1.p_name, p1.p_size, p1.p_retailprice
+        |FROM part p1
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part p2
+        |  WHERE p2.p_size >= p1.p_size
+        |    AND p2.p_retailprice <= p1.p_retailprice
+        |    AND (p2.p_size > p1.p_size
+        |         OR p2.p_retailprice < p1.p_retailprice))
+        |ORDER BY p1.p_size DESC""".stripMargin,
     "q16_supplier_variety" ->
       """SELECT p_brand, p_type, p_size,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt

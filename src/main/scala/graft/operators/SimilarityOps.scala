@@ -24,6 +24,11 @@ object SimilarityOps {
 
   private val PROBE_ID = 1
 
+  /** Leading dims covered by `emb_covariance` — 6 keeps the unpivoted
+    * triangle (21 pairs) readable while exercising the full one-pass
+    * second-moment shape; the plan is dim-count-generic. */
+  private val CovDims = 6
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact top-10 cosine neighbors of probe vec_id=1 (native fused
     // cosine Expression: one pass, zero allocation, codegen'd)
@@ -60,6 +65,40 @@ object SimilarityOps {
         .agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(env))
         .orderBy(col("bucket"))
+    },
+    // Covariance matrix of the leading embedding dims — the second-moment
+    // statistic every vector-column pipeline eventually needs (PCA /
+    // whitening / Mahalanobis outlier gates all start here). Shape: the
+    // corpus collapses in ONE partial-aggregated pass to d + d(d+1)/2 + 1
+    // scalar sums (per-dim sums, upper-triangular cross-product sums,
+    // count) — the shuffle carries a single ~30-column row per map task,
+    // never vectors; cov(i,j) is then pure arithmetic on that one row,
+    // unpivoted to the (i, j, cov) triangle by a stack projection. The
+    // same plan at d=1024 is a treeAggregate of a d×d gram matrix — the
+    // map-side-combine discipline is identical, only the carrier widens.
+    // Determinism: components round to 6dp and accumulate as exact
+    // decimals (order-independent under any partitioning); the final
+    // cov formula runs in f64 on already-exact sums in both engines.
+    "emb_covariance" -> { (s, dir) =>
+      val d = CovDims
+      val comps = (1 to d).map(i =>
+        round(element_at(col("embedding").cast("array<double>"), i), 6)
+          .cast("decimal(12,6)").as(s"x$i"))
+      val sums = (1 to d).map(i => sum(col(s"x$i")).as(s"s$i"))
+      val prods = for { i <- 1 to d; j <- i to d }
+        yield sum(col(s"x$i") * col(s"x$j")).as(s"p${i}_$j")
+      val pairs = for { i <- 1 to d; j <- i to d } yield (i, j)
+      val stackSql = pairs.map { case (i, j) =>
+        s"CAST($i AS BIGINT), CAST($j AS BIGINT), " +
+          s"CAST(p${i}_$j AS DOUBLE), CAST(s$i AS DOUBLE), CAST(s$j AS DOUBLE)"
+      }.mkString(s"stack(${pairs.size}, ", ", ", ") AS (i, j, sxy, sx, sy)")
+      embeddings(s, dir).select(comps: _*)
+        .agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+        .select(col("n"), expr(stackSql))
+        .select(col("i"), col("j"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("n") - 1), 6).as("cov"), col("n"))
+        .orderBy(col("i"), col("j"))
     },
     // per-label embedding centroids over the first 8 dims — the vector
     // AGGREGATION shape (class prototypes, cluster re-centering,
@@ -515,6 +554,28 @@ object SimilarityOps {
          |SELECT bucket, n, min_norm, max_norm
          |FROM h, env
          |ORDER BY bucket""".stripMargin,
+    "emb_covariance" -> {
+      val d = CovDims
+      val pairs = for { i <- 1 to d; j <- i to d } yield (i, j)
+      val sumCols =
+        (1 to d).map(i => s"SUM(v[$i]) AS s$i") ++
+          pairs.map { case (i, j) => s"SUM(v[$i] * v[$j]) AS p${i}_$j" }
+      val arms = pairs.map { case (i, j) =>
+        s"SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, " +
+          s"CAST(p${i}_$j AS DOUBLE) AS sxy, CAST(s$i AS DOUBLE) AS sx, " +
+          s"CAST(s$j AS DOUBLE) AS sy, n FROM s"
+      }
+      s"""WITH e AS (
+         |  SELECT list_transform(embedding[1:$d],
+         |    x -> CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))) AS v
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT COUNT(*) AS n, ${sumCols.mkString(", ")}
+         |  FROM e)
+         |SELECT i, j, ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov, n
+         |FROM (${arms.mkString(" UNION ALL ")})
+         |ORDER BY i, j""".stripMargin
+    },
     "ann_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

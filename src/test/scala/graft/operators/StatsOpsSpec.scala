@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_skyline / emb_covariance / ml_chi2 vs independent driver-side
+  * reference computations on the real sf0.001 fixture — each query's
+  * streaming/one-pass formulation is checked against the quadratic or
+  * naive textbook definition it replaces.
+  */
+class StatsOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_skyline equals the quadratic dominance reference") {
+    val parts = Tables.part(spark, dir)
+      .selectExpr("p_partkey", "cast(p_size as long) p_size", "p_retailprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ref = parts.filter { case (_, sz, pr) =>
+      !parts.exists { case (_, sz2, pr2) =>
+        sz2 >= sz && pr2 <= pr && (sz2 > sz || pr2 < pr)
+      }
+    }.map(_._1).toSet
+    val got = Relational.queries("q_skyline")(spark, dir)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got == ref)
+    assert(got.nonEmpty)
+  }
+
+  test("emb_covariance matches a naive two-pass covariance on rounded components") {
+    val d = 6
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr(s"slice(cast(embedding as array<double>), 1, $d) v")
+      .collect().map(_.getSeq[Double](0).map(r6).toArray)
+    val n = vecs.length
+    val ref = (for { i <- 0 until d; j <- i until d } yield {
+      val mi = vecs.map(_(i)).sum / n
+      val mj = vecs.map(_(j)).sum / n
+      val cov = vecs.map(v => (v(i) - mi) * (v(j) - mj)).sum / (n - 1)
+      (i + 1L, j + 1L) -> cov
+    }).toMap
+    val got = SimilarityOps.queries("emb_covariance")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (cov, nn)) =>
+      assert(nn == n)
+      // the query computes E[xy]-E[x]E[y] on exact decimal sums; the
+      // naive centered two-pass form agrees to well inside the 6dp round
+      assert(math.abs(cov - ref(k)) < 1e-4, s"cov$k: $cov vs ${ref(k)}")
+    }
+    // variance diagonal must be non-negative
+    (1 to d).foreach(i => assert(got((i.toLong, i.toLong))._1 >= 0.0))
+  }
+
+  test("ml_chi2 matches a driver-side full-grid chi-squared") {
+    val rows = Tables.documents(spark, dir)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val langs = rows.map(_._1).distinct.sorted
+    val srcs = rows.map(_._2).distinct.sorted
+    val nn = rows.length.toDouble
+    val counts = rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    var terms = List.empty[BigDecimal]
+    for (l <- langs; s <- srcs) {
+      val o = counts.getOrElse((l, s), 0).toDouble
+      val nl = rows.count(_._1 == l).toDouble
+      val ns = rows.count(_._2 == s).toDouble
+      val exp = nl * ns / nn
+      terms ::= BigDecimal((o - exp) * (o - exp) / exp)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val chi2 = terms.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dof = (langs.size - 1L) * (srcs.size - 1L)
+    val v = r6(math.sqrt(chi2 / (nn * math.min(langs.size - 1, srcs.size - 1))))
+    val got = MlOps.queries("ml_chi2")(spark, dir).collect().head
+    assert(got.getDouble(0) == chi2)
+    assert(got.getLong(1) == dof)
+    assert(math.abs(got.getDouble(2) - v) < 1e-9)
+    assert(got.getLong(3) == langs.size.toLong * srcs.size)
+  }
+}
