@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "spacesaving_topk"),
       (exprs: Seq[Expression]) => GraftAggregates.fromSql(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("sketch_quantiles"),
+      new ExpressionInfo(classOf[SketchQuantiles].getName, "sketch_quantiles"),
+      (exprs: Seq[Expression]) => SketchQuantiles.fromSql(exprs)))
+    ext.injectFunction((
       FunctionIdentifier("count_min"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
       (exprs: Seq[Expression]) => CountMinAgg(exprs(0),

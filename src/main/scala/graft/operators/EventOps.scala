@@ -23,6 +23,69 @@ object EventOps {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
     },
+    // Seasonal-naive forecast backtest: predict each (type, hour) total
+    // by the SAME HOUR LAST WEEK, score MAE and WAPE per type — the
+    // baseline every forecasting pipeline must beat before a model earns
+    // its keep, and the backtest join shape (align t with t−lag) is the
+    // general one. The corpus collapses to the hourly grid in one
+    // partial-aggregated pass; the self-join aligns grid rows by pure
+    // timestamp arithmetic (hour + 7 days — no engine-specific week
+    // semantics), so it's grid-sized, never corpus-sized. Hours missing
+    // from either side are not scored (naive has no prediction there).
+    // Error sums accumulate in exact decimal; each metric is one double
+    // division at the end.
+    "events_forecast_naive" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("v"))
+      val fc = hourly.select(col("event_type"),
+        (col("hour") + expr("INTERVAL 7 DAYS")).as("hour"), col("v").as("pred"))
+      hourly.join(fc, Seq("event_type", "hour"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          round(sum(abs(col("v") - col("pred"))).cast("double") /
+            count(lit(1)), 6).as("mae"),
+          round(sum(abs(col("v") - col("pred"))).cast("double") /
+            sum(col("v")).cast("double"), 6).as("wape"))
+        .orderBy(col("event_type"))
+    },
+    // Interval-union coverage (sweep line): treat each event as a busy
+    // interval [ts, ts + value seconds] and compute each user's UNION
+    // length — overlapping intervals must not double-count, the classic
+    // gaps-and-islands shape that sessionization (gap rule) does NOT
+    // cover: islands here are bridged by INTERVAL OVERLAP, not by
+    // event proximity. One pass: per user in start order, an interval
+    // opens a new island iff its start clears the running max of all
+    // previous ends (a rows-frame max — order-insensitive within the
+    // frame, made deterministic by the (st, event_id) total order);
+    // island ids are the prefix sum of those breaks. All arithmetic in
+    // integer microseconds. Scale: partitioned by user, window state is
+    // one user's rows; the double groupBy after it is partial-aggregated
+    // on the same key.
+    "events_interval_union" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      val iv = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) +
+            round(col("value"), 0).cast("long") * 1000000L).as("en"))
+      iv.withColumn("max_prev_en",
+          max(col("en")).over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("max_prev_en").isNull || col("st") > col("max_prev_en"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("island"))
+        .agg((max(col("en")) - min(col("st"))).as("covered_us"),
+          count(lit(1)).as("n_iv"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_iv")).cast("long").as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(col("covered_us")).cast("long").as("covered_us"))
+        .orderBy(col("user_id"))
+    },
     // burst detection: each user's PEAK 1-hour event rate, via a sliding
     // RANGE frame over microsecond offsets — the time-valued frame shape
     // (a ROWS frame counts rows, not time; a tumbling date_trunc bucket
@@ -1142,6 +1205,53 @@ object EventOps {
         |SELECT dau.d AS d, dau.dau, wau.wau7
         |FROM dau JOIN wau ON wau.d = dau.d
         |ORDER BY dau.d""".stripMargin,
+    "events_forecast_naive" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.v AS actual, f.v AS pred
+        |  FROM h a JOIN h f ON a.event_type = f.event_type
+        |    AND f.hour + INTERVAL 7 DAY = a.hour)
+        |SELECT event_type, COUNT(*) AS n_hours,
+        |  ROUND(CAST(SUM(ABS(actual - pred)) AS DOUBLE) / COUNT(*), 6) AS mae,
+        |  ROUND(CAST(SUM(ABS(actual - pred)) AS DOUBLE)
+        |    / CAST(SUM(actual) AS DOUBLE), 6) AS wape
+        |FROM j GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "events_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(ROUND(value, 0) AS BIGINT) * 1000000 AS en
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, st, en,
+        |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_en
+        |  FROM iv),
+        |f AS (
+        |  SELECT user_id, event_id, st, en,
+        |    CASE WHEN max_prev_en IS NULL OR st > max_prev_en
+        |         THEN 1 ELSE 0 END AS new_island
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, st, en,
+        |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |per AS (
+        |  SELECT user_id, island,
+        |    MAX(en) - MIN(st) AS covered_us, COUNT(*) AS n_iv
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(covered_us) AS BIGINT) AS covered_us
+        |FROM per GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "events_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,

@@ -379,6 +379,28 @@ object Relational {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
         .orderBy(col("l_returnflag"))
     },
+    // q_quantiles' bounded-state production twin: per-flag quantiles via
+    // the custom [[graft.functions.SketchQuantiles]] streaming-histogram
+    // UDAF. Exact `percentile` buffers one entry per DISTINCT value per
+    // partial — fine for l_quantity's 50 integers, OOM-shaped for
+    // high-cardinality doubles (amounts, latencies) at 100 TB; the
+    // sketch's partials are FIXED capacity-bin histograms regardless of
+    // input cardinality. Capacity 64 ≥ the column's 50 distinct values =
+    // the sized-to-domain EXACT regime: no bin ever merges, eval
+    // reproduces quantile_cont bit-for-bit, and the DuckDB hash gate
+    // pins the update/merge/eval path (the approximate regime's rank-
+    // error bound is property-tested in QuantileSketchSpec).
+    "q_quantile_sketch" -> { (s, dir) =>
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.SketchQuantiles.column(
+          col("l_quantity").cast("double"), 64,
+          Seq(0.25, 0.5, 0.75, 0.95)).as("qs"))
+        .select(col("l_returnflag"), explode(col("qs")).as("r"))
+        .select(col("l_returnflag"), col("r.prob").as("prob"),
+          round(col("r.q"), 6).as("q"))
+        .orderBy(col("l_returnflag"), col("prob"))
+    },
     // TPC-H Q16 adapted (no partsupp table in this schema): supplier
     // variety per retained (brand, type, size) — the part-supplier
     // relation is recovered as DISTINCT (l_partkey, l_suppkey) from
@@ -1357,6 +1379,13 @@ object Relational {
         |    AND (p2.p_size > p1.p_size
         |         OR p2.p_retailprice < p1.p_retailprice))
         |ORDER BY p1.p_size DESC""".stripMargin,
+    "q_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |  CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS prob,
+        |  ROUND(unnest(quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.95])), 6) AS q
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag, prob""".stripMargin,
     "q16_supplier_variety" ->
       """SELECT p_brand, p_type, p_size,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt

@@ -56,6 +56,33 @@ class StatsOpsSpec extends AnyFunSuite {
     (1 to d).foreach(i => assert(got((i.toLong, i.toLong))._1 >= 0.0))
   }
 
+  test("events_interval_union equals a driver-side interval merge") {
+    val iv = Tables.events(spark, dir)
+      .selectExpr("user_id",
+        "unix_micros(ts) st",
+        "unix_micros(ts) + cast(round(value, 0) as long) * 1000000L en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = iv.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(identity)
+      // classic merge of sorted intervals
+      var islands = List.empty[(Long, Long)]
+      sorted.foreach { case (st, en) =>
+        islands match {
+          case (s0, e0) :: rest if st <= e0 =>
+            islands = (s0, math.max(e0, en)) :: rest
+          case _ => islands = (st, en) :: islands
+        }
+      }
+      u -> ((rows.length.toLong, islands.size.toLong,
+        islands.map { case (s0, e0) => e0 - s0 }.sum))
+    }
+    val got = EventOps.queries("events_interval_union")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (u, v) => assert(got(u) == v, s"user $u") }
+  }
+
   test("ml_chi2 matches a driver-side full-grid chi-squared") {
     val rows = Tables.documents(spark, dir)
       .select("lang", "source").collect()
