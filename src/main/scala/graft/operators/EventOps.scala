@@ -49,6 +49,77 @@ object EventOps {
             sum(col("v")).cast("double"), 6).as("wape"))
         .orderBy(col("event_type"))
     },
+    // Lorenz curve + Gini coefficient of event volume across users — the
+    // concentration diagnostic ("do 10% of users produce 90% of the
+    // traffic?") that sizes rate limits, skew salting, and abuse review.
+    // The corpus collapses to per-user counts in one partial-aggregated
+    // pass; the rank window then runs over the USER table (dimension-
+    // sized — a single-partition window over users, never events; at
+    // catalog scale this is the same posture as vocab ranking). Gini via
+    // the rank identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with ascending
+    // ranks — pure integer sums until two final double divisions. Output
+    // is the decile Lorenz table with the scalar Gini broadcast onto
+    // every row.
+    "events_user_gini" -> { (s, dir) =>
+      val byN = Window.orderBy(col("n"), col("user_id"))
+      val cnt = events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(byN).cast("long"))
+      val tot = cnt.agg(count(lit(1)).as("nu"), sum(col("n")).as("s"),
+          sum(col("rk") * col("n")).as("t"))
+        .select(col("nu"), col("s"),
+          round(lit(2.0) * col("t") / (col("nu") * col("s")) -
+            (col("nu") + lit(1.0)) / col("nu"), 6).as("gini"))
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("decile", ceil(col("rk") * 10 / col("nu")).cast("long"))
+        .groupBy(col("decile"), col("nu"), col("s"), col("gini"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+        .select(col("decile"), col("n_users"), col("n_events"),
+          round(col("n_events").cast("double") / col("s"), 6).as("share"),
+          col("gini"))
+        .orderBy(col("decile"))
+    },
+    // Multi-touch attribution: every purchase distributes conversion
+    // credit over the click/view touches of the SAME user in the
+    // trailing 24 h — first-touch, last-touch, and linear (1/k each)
+    // models side by side, the marketing-analytics join shape. The
+    // touch↔conversion pairing is a per-user time-range join (bounded
+    // window, so pair volume is conversions × per-user touch rate, never
+    // corpus²); position models are rank windows PER CONVERSION (state =
+    // one conversion's touches); linear credit sums exact 10dp decimals
+    // so the k-way splits re-total deterministically. Conversions with
+    // no in-window touch simply don't attribute (the unattributed count
+    // is the complement of n_conversions covered — auditable from
+    // events_funnel). Output: per touch channel, volume + credit under
+    // each model.
+    "events_attribution" -> { (s, dir) =>
+      val e = events(s, dir)
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("cu"), col("event_id").as("cid"),
+          unix_micros(col("ts")).as("cts"))
+      val touch = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("tu"), col("event_id").as("tid"),
+          col("event_type").as("channel"), unix_micros(col("ts")).as("tts"))
+      val pairs = conv.join(touch,
+        col("cu") === col("tu") &&
+          col("tts") < col("cts") &&
+          col("tts") >= col("cts") - lit(86400000000L))
+      val perConv = Window.partitionBy(col("cid"))
+      val asc = Window.partitionBy(col("cid")).orderBy(col("tts"), col("tid"))
+      val desc = Window.partitionBy(col("cid")).orderBy(col("tts").desc, col("tid").desc)
+      pairs
+        .withColumn("k", count(lit(1)).over(perConv))
+        .withColumn("first_t", when(row_number().over(asc) === 1, 1L).otherwise(0L))
+        .withColumn("last_t", when(row_number().over(desc) === 1, 1L).otherwise(0L))
+        .withColumn("lin", round(lit(1.0) / col("k"), 10).cast("decimal(20,10)"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          count_distinct(col("cid")).as("n_conversions"),
+          sum(col("first_t")).cast("long").as("first_touch"),
+          sum(col("last_t")).cast("long").as("last_touch"),
+          round(sum(col("lin")), 6).cast("double").as("linear_credit"))
+        .orderBy(col("channel"))
+    },
     // Interval-union coverage (sweep line): treat each event as a busy
     // interval [ts, ts + value seconds] and compute each user's UNION
     // length — overlapping intervals must not double-count, the classic
@@ -1205,6 +1276,56 @@ object EventOps {
         |SELECT dau.d AS d, dau.dau, wau.wau7
         |FROM dau JOIN wau ON wau.d = dau.d
         |ORDER BY dau.d""".stripMargin,
+    "events_user_gini" ->
+      """WITH cnt AS (
+        |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |rk AS (
+        |  SELECT user_id, n,
+        |    ROW_NUMBER() OVER (ORDER BY n, user_id) AS rk
+        |  FROM cnt),
+        |tot AS (
+        |  SELECT COUNT(*) AS nu, SUM(n) AS s,
+        |    ROUND(2.0 * SUM(rk * n) / (COUNT(*) * SUM(n))
+        |      - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        |  FROM rk)
+        |SELECT CAST(CEIL(rk * 10.0 / nu) AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(n) AS DOUBLE) / MAX(s), 6) AS share,
+        |  gini
+        |FROM rk, tot
+        |GROUP BY 1, gini
+        |ORDER BY 1""".stripMargin,
+    "events_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id AS cu, event_id AS cid,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS cts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id AS tu, event_id AS tid, event_type AS channel,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pairs AS (
+        |  SELECT cid, tid, channel, tts
+        |  FROM conv JOIN touch ON cu = tu
+        |    AND tts < cts AND tts >= cts - 86400000000),
+        |m AS (
+        |  SELECT channel, cid,
+        |    COUNT(*) OVER (PARTITION BY cid) AS k,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY cid
+        |      ORDER BY tts, tid) = 1 THEN 1 ELSE 0 END AS first_t,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY cid
+        |      ORDER BY tts DESC, tid DESC) = 1 THEN 1 ELSE 0 END AS last_t
+        |  FROM pairs)
+        |SELECT channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(first_t) AS BIGINT) AS first_touch,
+        |  CAST(SUM(last_t) AS BIGINT) AS last_touch,
+        |  CAST(ROUND(SUM(CAST(ROUND(1.0 / k, 10) AS DECIMAL(20,10))), 6)
+        |    AS DOUBLE) AS linear_credit
+        |FROM m GROUP BY channel
+        |ORDER BY channel""".stripMargin,
     "events_forecast_naive" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

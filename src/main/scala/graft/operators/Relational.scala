@@ -379,6 +379,25 @@ object Relational {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
         .orderBy(col("l_returnflag"))
     },
+    // Month-over-month growth: the period-over-period BI primitive (every
+    // revenue dashboard's headline number). The corpus collapses to the
+    // month grid in one partial-aggregated pass (exact decimal revenue);
+    // lag + growth then run on the ~85-row grid — the single-partition
+    // window is grid-sized by construction, never corpus-sized. Growth is
+    // one double division of exact decimals; the first month's is null.
+    "q_mom_growth" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+      orders(s, dir)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("month"), col("n_orders"),
+          col("rev").cast("double").as("revenue"),
+          round((col("rev") - col("prev")).cast("double") /
+            col("prev").cast("double"), 6).as("mom_growth"))
+        .orderBy(col("month"))
+    },
     // q_quantiles' bounded-state production twin: per-flag quantiles via
     // the custom [[graft.functions.SketchQuantiles]] streaming-histogram
     // UDAF. Exact `percentile` buffers one entry per DISTINCT value per
@@ -1379,6 +1398,21 @@ object Relational {
         |    AND (p2.p_size > p1.p_size
         |         OR p2.p_retailprice < p1.p_retailprice))
         |ORDER BY p1.p_size DESC""".stripMargin,
+    "q_mom_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS month,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT month, n_orders, rev,
+        |    LAG(rev) OVER (ORDER BY month) AS prev
+        |  FROM m)
+        |SELECT month, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  ROUND(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6) AS mom_growth
+        |FROM g
+        |ORDER BY month""".stripMargin,
     "q_quantile_sketch" ->
       """SELECT l_returnflag,
         |  CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS prob,

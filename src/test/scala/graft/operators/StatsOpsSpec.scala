@@ -83,6 +83,29 @@ class StatsOpsSpec extends AnyFunSuite {
     ref.foreach { case (u, v) => assert(got(u) == v, s"user $u") }
   }
 
+  test("events_attribution credit models total correctly") {
+    val rows = EventOps.queries("events_attribution")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // driver-side reference over the raw events
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val convs = ev.filter(_._3 == "purchase")
+    val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+    val attributed = convs.map { c =>
+      touches.filter(t => t._1 == c._1 && t._4 < c._4 &&
+        t._4 >= c._4 - 86400000000L)
+    }.filter(_.nonEmpty)
+    // every attributed conversion hands out exactly one first, one last,
+    // and 1.0 of linear credit (up to the 10dp per-touch round)
+    assert(rows.map(_._4).sum == attributed.size, "first-touch total")
+    assert(rows.map(_._5).sum == attributed.size, "last-touch total")
+    assert(math.abs(rows.map(_._6).sum - attributed.size) < 1e-4, "linear total")
+    assert(rows.map(_._2).sum == attributed.map(_.size).sum, "touch volume")
+  }
+
   test("ml_chi2 matches a driver-side full-grid chi-squared") {
     val rows = Tables.documents(spark, dir)
       .select("lang", "source").collect()
