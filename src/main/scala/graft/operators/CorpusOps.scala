@@ -200,6 +200,38 @@ object CorpusOps {
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
         .limit(15)
     },
+    // Shingle-size sensitivity sweep: gram-duplication statistics at
+    // k = 2..5 in one report — the hyperparameter audit behind every
+    // shingle-based dedup choice (small k ⇒ everything collides, large
+    // k ⇒ near-dups stop sharing grams; this table shows where the
+    // corpus's knee is before anyone commits a MinHash/LSH config).
+    // Each k-arm is the standard explode → partial-aggregated gram
+    // count; the arms union AFTER collapsing to one row each, so the
+    // plan is four independent scan+agg pipelines, no cross-k shuffle.
+    "corpus_shingle_sweep" -> { (s, dir) =>
+      val arms = Seq(2, 3, 4, 5).map { k =>
+        val w = col("w")
+        val gram = concat_ws(" ",
+          (0 until k).map(o => element_at(w, col("i") + lit(o))): _*)
+        documents(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(w) >= k)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(w) - (k - 1))).as("i"), w)
+          .select(col("doc_id"), gram.as("gram"))
+          .groupBy(col("gram"))
+          .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("nd"))
+          .agg(sum(col("occ")).cast("long").as("n_grams"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long")
+              .as("n_shared"))
+          .select(lit(k.toLong).as("k"), col("n_grams"), col("n_distinct"),
+            col("n_shared"),
+            round(lit(1.0) - col("n_distinct").cast("double") /
+              col("n_grams"), 6).as("dup_rate"))
+      }
+      arms.reduce(_.unionByName(_)).orderBy(col("k"))
+    },
     // N-gram novelty curve — how much genuinely NEW text each slice of
     // the corpus contributes: per doc-id decile cohort, the fraction
     // of 3-gram occurrences whose global first appearance (min doc_id
@@ -484,6 +516,26 @@ object CorpusOps {
          |FROM ids
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "corpus_shingle_sweep" -> {
+      def arm(k: Int): String = {
+        val concat = (0 until k).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  CAST(SUM(occ) AS BIGINT) AS n_grams,
+           |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE), 6) AS dup_rate
+           |FROM (
+           |  SELECT gram, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS nd
+           |  FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, len(w) - ${k - 2}),
+           |        i -> $concat)) AS gram
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |    WHERE len(w) >= $k)
+           |  GROUP BY gram)""".stripMargin
+      }
+      Seq(2, 3, 4, 5).map(arm).mkString("", "\nUNION ALL\n", "\nORDER BY k")
+    },
     "text_dup_ngrams" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -49,6 +49,38 @@ object EventOps {
             sum(col("v")).cast("double"), 6).as("wape"))
         .orderBy(col("event_type"))
     },
+    // Robust anomaly gate: median / MAD per event type (the
+    // events_anomaly_zscore twin that heavy tails can't poison — one
+    // 490-unit spike moves a mean+stddev gate's own threshold, not the
+    // median's). Outlier rule: 0.6745·|v−med| > 3.5·MAD (Iglewicz-
+    // Hoaglin modified z-score), kept MULTIPLICATIVE so neither engine
+    // divides by a possibly-zero MAD; both comparison sides round to 6dp
+    // so boundary cases bin identically. Three passes (median, MAD,
+    // count) but each collapses partial-aggregated per type and the
+    // per-type stats broadcast back. Exact `percentile` buffers
+    // value→count per type — bounded by distinct 6dp values here; the
+    // 100 TB production twin swaps in approx_percentile exactly as
+    // text_quality_gate_approx does for the quality gate.
+    "events_anomaly_mad" -> { (s, dir) =>
+      val e = events(s, dir)
+        .select(col("event_type"), round(col("value"), 6).as("v"))
+      val med = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(v, 0.5)"), 6).as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("med"),
+          round(abs(col("v") - col("med")), 6).as("ad"))
+      val st = dev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(ad, 0.5)"), 6).as("mad"),
+          max(col("med")).as("med"))
+      dev.select(col("event_type"), col("ad"))
+        .join(broadcast(st), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(round(lit(0.6745) * col("ad"), 6) >
+            round(lit(3.5) * col("mad"), 6), 1L).otherwise(0L))
+            .cast("long").as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
     // Lorenz curve + Gini coefficient of event volume across users — the
     // concentration diagnostic ("do 10% of users produce 90% of the
     // traffic?") that sizes rate limits, skew salting, and abuse review.
@@ -1276,6 +1308,26 @@ object EventOps {
         |SELECT dau.d AS d, dau.dau, wau.wau7
         |FROM dau JOIN wau ON wau.d = dau.d
         |ORDER BY dau.d""".stripMargin,
+    "events_anomaly_mad" ->
+      """WITH e AS (
+        |  SELECT event_type, ROUND(value, 6) AS v FROM events),
+        |med AS (
+        |  SELECT event_type, ROUND(quantile_cont(v, 0.5), 6) AS med
+        |  FROM e GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, med.med, ROUND(ABS(v - med.med), 6) AS ad
+        |  FROM e JOIN med ON e.event_type = med.event_type),
+        |st AS (
+        |  SELECT event_type, ROUND(quantile_cont(ad, 0.5), 6) AS mad,
+        |    MAX(med) AS med
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, st.med, st.mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN ROUND(0.6745 * d.ad, 6) > ROUND(3.5 * st.mad, 6)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN st ON d.event_type = st.event_type
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1""".stripMargin,
     "events_user_gini" ->
       """WITH cnt AS (
         |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),

@@ -100,6 +100,62 @@ object SimilarityOps {
             (col("n") - 1), 6).as("cov"), col("n"))
         .orderBy(col("i"), col("j"))
     },
+    // Top principal component by power iteration — PCA's first step, run
+    // ENTIRELY in-plan and oracle-replayable: the corpus collapses once
+    // to the emb_covariance moment row (localCheckpointed — exactly ONE
+    // corpus pass feeds all iterations), the 6×6 covariance unfolds to a
+    // 36-row matrix table, and three unrolled multiply-normalize rounds
+    // run as joins over that dimension-sized table (the pagerank-oracle
+    // discipline: every product rounds to 10dp and sums in exact
+    // decimal, every division is one double op, so DuckDB replays the
+    // iteration bit-for-bit). Seed = the uniform unit vector as a shared
+    // literal. Output: PC1 loadings + the Rayleigh-quotient eigenvalue
+    // estimate ‖Cv‖ from a fourth multiply. At d=1024 the same shape
+    // holds — the matrix table is d² rows, iteration cost is d²-sized,
+    // corpus cost stays the single moment pass.
+    "emb_pca_power" -> { (s, dir) =>
+      val d = CovDims
+      val comps = (1 to d).map(i =>
+        round(element_at(col("embedding").cast("array<double>"), i), 6)
+          .cast("decimal(12,6)").as(s"x$i"))
+      val sums = (1 to d).map(i => sum(col(s"x$i")).as(s"s$i"))
+      val prods = for { i <- 1 to d; j <- i to d }
+        yield sum(col(s"x$i") * col(s"x$j")).as(s"p${i}_$j")
+      val pairs = for { i <- 1 to d; j <- i to d } yield (i, j)
+      val stackSql = pairs.map { case (i, j) =>
+        s"CAST($i AS BIGINT), CAST($j AS BIGINT), " +
+          s"CAST(p${i}_$j AS DOUBLE), CAST(s$i AS DOUBLE), CAST(s$j AS DOUBLE)"
+      }.mkString(s"stack(${pairs.size}, ", ", ", ") AS (i, j, sxy, sx, sy)")
+      val tri = embeddings(s, dir).select(comps: _*)
+        .agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+        .select(col("n"), expr(stackSql))
+        .select(col("i"), col("j"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("n") - 1), 6).as("c"))
+      val cov = tri.union(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+        .localCheckpoint()
+      var v = s.range(1, d + 1).select(col("id").as("j"),
+        lit(0.4082482905).as("v")) // 1/sqrt(6) to 10dp
+      var lastNorm: DataFrame = null
+      for (_ <- 1 to 4) {
+        val w = cov.join(v, "j")
+          .select(col("i"),
+            round(col("c") * col("v"), 10).cast("decimal(24,12)").as("t"))
+          .groupBy(col("i")).agg(sum(col("t")).cast("double").as("w"))
+        val nrm = w.agg(sqrt(sum(round(col("w") * col("w"), 10)
+          .cast("decimal(24,12)")).cast("double")).as("nrm"))
+        lastNorm = nrm
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("i").as("j"), round(col("w") / col("nrm"), 10).as("v"))
+      }
+      // after 4 multiply-normalize rounds: v is the PC1 estimate and the
+      // final pre-normalization magnitude ‖Cv₃‖ estimates the eigenvalue
+      v.crossJoin(broadcast(lastNorm))
+        .select(col("j").as("pos"), col("v").as("loading"),
+          round(col("nrm"), 6).as("eigenvalue"))
+        .orderBy(col("pos"))
+    },
     // per-label embedding centroids over the first 8 dims — the vector
     // AGGREGATION shape (class prototypes, cluster re-centering,
     // drift monitoring): slice the dims you need FIRST (pruning before
@@ -575,6 +631,51 @@ object SimilarityOps {
          |SELECT i, j, ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov, n
          |FROM (${arms.mkString(" UNION ALL ")})
          |ORDER BY i, j""".stripMargin
+    },
+    "emb_pca_power" -> {
+      val d = CovDims
+      val pairs = for { i <- 1 to d; j <- i to d } yield (i, j)
+      val sumCols =
+        (1 to d).map(i => s"SUM(v[$i]) AS s$i") ++
+          pairs.map { case (i, j) => s"SUM(v[$i] * v[$j]) AS p${i}_$j" }
+      val arms = pairs.map { case (i, j) =>
+        s"SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, " +
+          s"CAST(p${i}_$j AS DOUBLE) AS sxy, CAST(s$i AS DOUBLE) AS sx, " +
+          s"CAST(s$j AS DOUBLE) AS sy, n FROM s"
+      }
+      // one unrolled multiply-normalize round reading vPREV, emitting vK
+      def round(k: Int): String = {
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""w$k AS (
+           |  SELECT cov.i,
+           |    CAST(SUM(CAST(ROUND(c * v, 10) AS DECIMAL(24,12))) AS DOUBLE) AS w
+           |  FROM cov JOIN $prev ON cov.j = $prev.j GROUP BY cov.i),
+           |n$k AS (
+           |  SELECT SQRT(CAST(SUM(CAST(ROUND(w * w, 10) AS DECIMAL(24,12)))
+           |    AS DOUBLE)) AS nrm FROM w$k),
+           |v$k AS (
+           |  SELECT i AS j, ROUND(w / nrm, 10) AS v FROM w$k, n$k)""".stripMargin
+      }
+      s"""WITH e AS (
+         |  SELECT list_transform(embedding[1:$d],
+         |    x -> CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))) AS v
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT COUNT(*) AS n, ${sumCols.mkString(", ")}
+         |  FROM e),
+         |tri AS (
+         |  SELECT i, j, ROUND((sxy - sx * sy / n) / (n - 1), 6) AS c
+         |  FROM (${arms.mkString(" UNION ALL ")})),
+         |cov AS (
+         |  SELECT i, j, c FROM tri
+         |  UNION ALL SELECT j AS i, i AS j, c FROM tri WHERE i <> j),
+         |v0 AS (
+         |  SELECT r.range AS j, CAST(0.4082482905 AS DOUBLE) AS v
+         |  FROM range(1, ${d + 1}) r),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT v4.j AS pos, v4.v AS loading, ROUND(n4.nrm, 6) AS eigenvalue
+         |FROM v4, n4
+         |ORDER BY pos""".stripMargin
     },
     "ann_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -56,6 +56,30 @@ class StatsOpsSpec extends AnyFunSuite {
     (1 to d).foreach(i => assert(got((i.toLong, i.toLong))._1 >= 0.0))
   }
 
+  test("emb_pca_power returns a unit vector that the covariance nearly fixes") {
+    val rows = SimilarityOps.queries("emb_pca_power")(spark, dir)
+      .orderBy("pos").collect()
+    val v = rows.map(_.getDouble(1))
+    val lambda = rows.head.getDouble(2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6, "unit norm")
+    assert(lambda > 0)
+    // driver-side covariance of the same rounded components
+    val d = v.length
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr(s"slice(cast(embedding as array<double>), 1, $d) x")
+      .collect().map(_.getSeq[Double](0).map(r6).toArray)
+    val n = vecs.length
+    val mean = (0 until d).map(i => vecs.map(_(i)).sum / n)
+    def cov(i: Int, j: Int) =
+      vecs.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / (n - 1)
+    val cv = (0 until d).map(i => (0 until d).map(j => cov(i, j) * v(j)).sum)
+    // after 4 power rounds C·v ≈ λ·v — residual well under the spectrum
+    val resid = math.sqrt((0 until d).map(i => {
+      val e = cv(i) - lambda * v(i); e * e
+    }).sum)
+    assert(resid < 0.05 * lambda, s"residual $resid vs lambda $lambda")
+  }
+
   test("events_interval_union equals a driver-side interval merge") {
     val iv = Tables.events(spark, dir)
       .selectExpr("user_id",
