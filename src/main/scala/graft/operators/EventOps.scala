@@ -49,6 +49,58 @@ object EventOps {
             sum(col("v")).cast("double"), 6).as("wape"))
         .orderBy(col("event_type"))
     },
+    // Peak concurrency (sweep line, part 2): the maximum number of
+    // SIMULTANEOUSLY open [ts, ts+value s) intervals per event type —
+    // capacity planning's headline number (connection pools, stream
+    // shards, GPU slots), and the overlap-DEPTH complement of
+    // events_interval_union's overlap-LENGTH. Each interval emits a
+    // +1/−1 boundary mark; depth is the running sum over (t, d)-ordered
+    // marks (ends sort before starts at equal t — half-open semantics),
+    // and the answer is the max prefix sum. Permutation of equal-key
+    // marks can reorder INTERMEDIATE depths but never the max or the
+    // counts, so the output is deterministic under any partitioning.
+    // Scale: partitioned by type; 2 rows per event through one window.
+    "events_peak_concurrency" -> { (s, dir) =>
+      val iv = events(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          round(col("value"), 0).cast("long") * 1000000L).as("en"))
+      val marks = iv.select(col("event_type"), col("st").as("t"), lit(1L).as("d"))
+        .unionByName(iv.select(col("event_type"), col("en").as("t"),
+          lit(-1L).as("d")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      marks.withColumn("depth", sum(col("d")).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(col("depth")).as("peak_concurrency"),
+          sum(when(col("d") === 1L, 1L).otherwise(0L)).cast("long")
+            .as("n_intervals"))
+        .orderBy(col("event_type"))
+    },
+    // Longest daily-activity streak per user — the gaps-and-islands
+    // idiom on the DATE grid (consecutive days collapse to one anchor
+    // because day-index minus per-user rank is constant exactly along a
+    // run): the engagement metric behind every "N-day streak" feature
+    // and a third islands variant alongside gap-based sessions and
+    // overlap-based interval unions. Day indexes are integer diffs from
+    // a fixed epoch so both engines do pure integer arithmetic. Scale:
+    // the corpus collapses to distinct (user, day) first; everything
+    // after runs on that dimension-sized table, windowed per user.
+    "events_streak" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .withColumn("idx",
+          datediff(col("d"), lit("2024-01-01").cast("date")).cast("long"))
+        .withColumn("anchor", col("idx") - row_number().over(w))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"),
+          sum(col("len")).cast("long").as("active_days"))
+        .orderBy(col("user_id"))
+    },
     // Robust anomaly gate: median / MAD per event type (the
     // events_anomaly_zscore twin that heavy tails can't poison — one
     // 490-unit spike moves a mean+stddev gate's own threshold, not the
@@ -1308,6 +1360,45 @@ object EventOps {
         |SELECT dau.d AS d, dau.dau, wau.wau7
         |FROM dau JOIN wau ON wau.d = dau.d
         |ORDER BY dau.d""".stripMargin,
+    "events_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(ROUND(value, 0) AS BIGINT) * 1000000 AS en
+        |  FROM events),
+        |marks AS (
+        |  SELECT event_type, st AS t, 1 AS d FROM iv
+        |  UNION ALL
+        |  SELECT event_type, en AS t, -1 AS d FROM iv),
+        |depth AS (
+        |  SELECT event_type, d,
+        |    SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+        |  FROM marks)
+        |SELECT event_type,
+        |  CAST(MAX(depth) AS BIGINT) AS peak_concurrency,
+        |  CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals
+        |FROM depth GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "events_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', d)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, anchor, COUNT(*) AS len
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS active_days
+        |FROM runs GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "events_anomaly_mad" ->
       """WITH e AS (
         |  SELECT event_type, ROUND(value, 6) AS v FROM events),

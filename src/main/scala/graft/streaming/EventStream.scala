@@ -301,4 +301,25 @@ object EventStream {
           }
       }
   }
+
+  /** Streaming value quantiles per event type via the
+    * [[graft.functions.SketchQuantiles]] UDAF — a mergeable fixed-
+    * capacity summary is streaming-legal by construction, so the batch
+    * aggregate becomes per-group stream state with zero reformulation
+    * (the [[graft.streaming.DocStream.topkTokens]] discipline, here
+    * round-tripping the histogram buffer through the state store
+    * between micro-batches). Values round to integers before the
+    * sketch so the fixture's cardinality sits inside the sized-to-
+    * domain EXACT regime (capacity ≥ distinct rounded values ⇒ the
+    * running output equals the batch aggregate over everything
+    * ingested so far — EventStreamSpec pins final state == batch on
+    * the real table). Complete/update output modes; state per group is
+    * the capacity-bounded histogram, never the value set. */
+  def valueQuantiles(events: DataFrame, capacity: Int = 512,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
+    events
+      .select(col("event_type"), round(col("value"), 0).as("v"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.SketchQuantiles
+        .column(col("v"), capacity, probs).as("qs"))
 }

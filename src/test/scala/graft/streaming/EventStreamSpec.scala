@@ -268,4 +268,49 @@ class EventStreamSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming quantile sketch equals the batch aggregate after state-store round-trips") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("evt_quant").toString
+    val ev = graft.operators.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    // two micro-batches so the histogram buffer must round-trip the
+    // streaming state store between them
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
+    val q = EventStream.valueQuantiles(
+        spark.readStream.schema(schema).parquet(dir))
+      .select(col("event_type"), explode(col("qs")).as("r"))
+      .select(col("event_type"), col("r.prob"), col("r.q"))
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM quant_stream")
+        .as[(String, Double, Double)].collect().toSet
+      val batch = EventStream.valueQuantiles(ev)
+        .select(col("event_type"), explode(col("qs")).as("r"))
+        .select(col("event_type"), col("r.prob"), col("r.q"))
+        .as[(String, Double, Double)].collect().toSet
+      assert(streamed == batch,
+        s"stream-batch diff: ${(streamed -- batch) ++ (batch -- streamed)}")
+      assert(streamed.size == 20) // 5 types x 4 probs
+      // exact regime really held: batch output equals plain quantile_cont
+      // (Spark's percentile) over the rounded values
+      val exact = graft.operators.Tables.events(spark, sf)
+        .select(col("event_type"), round(col("value"), 0).as("v"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(v, array(0.25, 0.5, 0.75, 0.95))").as("qs"))
+        .select(col("event_type"), posexplode(col("qs")))
+        .select(col("event_type"), col("col"))
+        .as[(String, Double)].collect().toSet
+      assert(batch.map { case (t, _, v) => (t, v) } == exact)
+    } finally q.stop()
+  }
 }
