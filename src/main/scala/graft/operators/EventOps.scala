@@ -101,6 +101,41 @@ object EventOps {
           sum(col("len")).cast("long").as("active_days"))
         .orderBy(col("user_id"))
     },
+    // Interval OVERLAP join (range×range — the third sweep-line-family
+    // member after union length and concurrency depth, and the join
+    // shape Flink ships as "interval join"): every (error, purchase)
+    // interval pair of the same user that truly overlaps, with the
+    // overlap length. A naive formulation is a per-user cross join with
+    // a range predicate — Spark plans BNLJ, quadratic death at scale.
+    // The scale shape: treat each event as busy for value-MINUTES (the
+    // seconds reading yields a near-empty join on this fixture — a
+    // duration scale chosen so the chunk machinery is actually
+    // exercised: ~8 h max spans ~9 chunks), explode each interval to
+    // the 1-hour time CHUNKS it covers, equi-join on (user, chunk) —
+    // hash-joinable, AQE-splittable — then verify true overlap. The canonical-chunk filter (pair admitted only in the
+    // chunk holding max(st_a, st_b)) makes each pair appear EXACTLY
+    // once with no distinct pass. The oracle replays the quadratic
+    // range join — fine for DuckDB at test scale, which is the point.
+    "events_overlap_join" -> { (s, dir) =>
+      val C = 3600000000L
+      def ivs(t: String, p: String) = events(s, dir)
+        .filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(s"${p}_id"),
+          unix_micros(col("ts")).as(s"${p}_st"),
+          (unix_micros(col("ts")) +
+            round(col("value"), 0).cast("long") * 60000000L).as(s"${p}_en"))
+      val a = ivs("error", "a").withColumn("chunk",
+        explode(sequence(expr(s"a_st div $C"), expr(s"a_en div $C"))))
+      val b = ivs("purchase", "b").withColumn("chunk",
+        explode(sequence(expr(s"b_st div $C"), expr(s"b_en div $C"))))
+      a.join(b, Seq("user_id", "chunk"))
+        .filter(col("a_st") < col("b_en") && col("b_st") < col("a_en") &&
+          col("chunk") === expr(s"greatest(a_st, b_st) div $C"))
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          (least(col("a_en"), col("b_en")) -
+            greatest(col("a_st"), col("b_st"))).as("overlap_us"))
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    },
     // Robust anomaly gate: median / MAD per event type (the
     // events_anomaly_zscore twin that heavy tails can't poison — one
     // 490-unit spike moves a mean+stddev gate's own threshold, not the
@@ -1360,6 +1395,24 @@ object EventOps {
         |SELECT dau.d AS d, dau.dau, wau.wau7
         |FROM dau JOIN wau ON wau.d = dau.d
         |ORDER BY dau.d""".stripMargin,
+    "events_overlap_join" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id AS a_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS a_st,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(ROUND(value, 0) AS BIGINT) * 60000000 AS a_en
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (
+        |  SELECT user_id, event_id AS b_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS b_st,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(ROUND(value, 0) AS BIGINT) * 60000000 AS b_en
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, a_id, b_id,
+        |  LEAST(a_en, b_en) - GREATEST(a_st, b_st) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a_st < b_en AND b_st < a_en
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin,
     "events_peak_concurrency" ->
       """WITH iv AS (
         |  SELECT event_type,

@@ -98,6 +98,28 @@ object TextOps {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Unicode/whitespace normalization — the cleaning pass upstream of
+    // every tokenizer: lowercase, strip non-printable characters,
+    // collapse whitespace runs, trim. The synthetic corpus is already
+    // clean, so (the text_pii_redact discipline) the query PLANTS
+    // deterministic dirt — leading/trailing pad, an uppercased copy,
+    // control characters — mirrored exactly in the oracle, and the
+    // md5-of-normalized-output hash gate then pins every regex and the
+    // operation ORDER (lower → strip → collapse → trim; reordering
+    // changes the bytes). Pure codegen'd projection: zero shuffle at
+    // any scale, like the PII scrub it sits next to in a curation DAG.
+    "text_normalize" -> { (s, dir) =>
+      val dirty = concat(lit("  "), upper(col("text")),
+        lit(" \u0007\t "), col("text"), lit("  "))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(dirty), "[^ -~]", ""), " +", " "))
+      documents(s, dir)
+        .select(col("doc_id"),
+          length(dirty).cast("long").as("len_dirty"),
+          length(norm).cast("long").as("len_norm"),
+          md5(norm).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    },
     // PII detection + redaction — the scrub every training corpus passes
     // through before the tokenizer sees it. The synthetic corpus carries
     // no PII, so the query PLANTS deterministic phone/email/IP strings
@@ -699,6 +721,23 @@ object TextOps {
         |FROM t GROUP BY doc_id, n
         |ORDER BY entropy_bits, doc_id
         |LIMIT 40""".stripMargin,
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '  ' || upper(text) || ' ' || chr(7) || chr(9) || ' '
+        |      || text || '  ' AS dirty
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, dirty,
+        |    trim(regexp_replace(regexp_replace(lower(dirty),
+        |      '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(length(dirty) AS BIGINT) AS len_dirty,
+        |  CAST(length(norm) AS BIGINT) AS len_norm,
+        |  md5(norm) AS norm_md5
+        |FROM n
+        |ORDER BY doc_id""".stripMargin,
     "text_pii_redact" ->
       s"""WITH d AS (
          |  SELECT lang,
