@@ -757,4 +757,44 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("spacesaving")) >= 2, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q_skyline: group table broadcasts back, no cartesian anywhere") {
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_quantile_sketch: sketch aggregate is partial+final ObjectHashAggregate, no join") {
+    val p = plan("q_quantile_sketch")
+    assert(p.linesIterator.count(l => l.contains("ObjectHashAggregate") &&
+      l.contains("sketch_quantiles")) >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("emb_covariance: one corpus aggregation, no shuffle beyond the single-row final agg") {
+    val p = plan("emb_covariance")
+    assert(!p.contains("Join"), p)
+    // moment pass partial-aggregates map-side; everything after runs on
+    // the one-row result (the stack unpivot adds no exchange)
+    assert(exchanges(p) <= 1, p)
+  }
+
+  test("events_overlap_join: chunk equi-join is a real hash/merge join, never BNLJ") {
+    val p = plan("events_overlap_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("events_attribution: touch pairing is an equi-join on user, not a cross join") {
+    val p = plan("events_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("events_streak: corpus collapses to distinct (user, day) before any window") {
+    val p = plan("events_streak")
+    // the distinct must partial-aggregate before its shuffle; the rank
+    // window then runs per user on the collapsed table
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("WindowExec") || p.contains("Window"), p)
+  }
 }
