@@ -379,6 +379,43 @@ object Relational {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
         .orderBy(col("l_returnflag"))
     },
+    // Window-function breadth in one gated query: rank tiers (ntile),
+    // relative position (percent_rank, cume_dist), navigation (lead,
+    // first_value, nth_value) over one per-nation frame — every flavor
+    // shares ONE window definition, so Spark plans a single sort per
+    // partition, not five (the window-collapse behavior worth pinning).
+    // Runs on the supplier dimension: window breadth is about operator
+    // semantics, not volume — the corpus-sized window patterns live in
+    // events_* and q_customer_quartiles.
+    "q_window_family" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_nationkey")).orderBy(col("s_acctbal"), col("s_suppkey"))
+      supplier(s, dir)
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+          ntile(4).over(w).cast("long").as("tier"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          lead(col("s_suppkey"), 1).over(w).as("next_supp"),
+          first_value(col("s_suppkey")).over(w).as("poorest"),
+          nth_value(col("s_suppkey"), 2).over(w).as("second_poorest"))
+        .orderBy(col("s_nationkey"), col("s_acctbal"), col("s_suppkey"))
+    },
+    // Explicit join-strategy control: the same dimension join forced
+    // through SHUFFLE_HASH via a join hint — the knob a 100 TB operator
+    // reaches for when the optimizer's default (broadcast here, or a
+    // sort-merge on mis-estimated stats) is wrong for the cluster's
+    // memory budget. The oracle proves the hint changes the PLAN and
+    // not the ANSWER; PlanShapeSpec pins ShuffledHashJoin actually
+    // planned.
+    "q_join_hints" -> { (s, dir) =>
+      customer(s, dir).hint("shuffle_hash")
+        .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("total_balance"))
+        .orderBy(col("n_name"))
+    },
     // Month-over-month growth: the period-over-period BI primitive (every
     // revenue dashboard's headline number). The corpus collapses to the
     // month grid in one partial-aggregated pass (exact decimal revenue);
@@ -1398,6 +1435,23 @@ object Relational {
         |    AND (p2.p_size > p1.p_size
         |         OR p2.p_retailprice < p1.p_retailprice))
         |ORDER BY p1.p_size DESC""".stripMargin,
+    "q_window_family" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS tier,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |  LEAD(s_suppkey, 1) OVER w AS next_supp,
+        |  FIRST_VALUE(s_suppkey) OVER w AS poorest,
+        |  NTH_VALUE(s_suppkey, 2) OVER w AS second_poorest
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_nationkey, s_acctbal, s_suppkey""".stripMargin,
+    "q_join_hints" ->
+      """SELECT n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "q_mom_growth" ->
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS month,

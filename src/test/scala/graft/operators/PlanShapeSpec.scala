@@ -790,6 +790,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_window_family: all six window flavors collapse into ONE Window node") {
+    val p = plan("q_window_family")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p)
+  }
+
+  test("q_join_hints: the hint actually plans a ShuffledHashJoin, not broadcast") {
+    val p = plan("q_join_hints")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("events_streak: corpus collapses to distinct (user, day) before any window") {
     val p = plan("events_streak")
     // the distinct must partial-aggregate before its shuffle; the rank
