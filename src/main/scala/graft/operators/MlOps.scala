@@ -264,6 +264,61 @@ object MlOps {
           .as("auc"),
           count(lit(1)).as("n_bins"))
     },
+    // Feature-ablation importance: ROC-AUC of the probe with each input
+    // dimension knocked out, versus the full probe — the deterministic
+    // stand-in for permutation importance (ablation needs no RNG, so
+    // the oracle can replay it; the ranking it produces is the same
+    // "which feature pays rent" signal). Scale shape: ONE corpus scan
+    // serves all five arms — each row explodes to (arm, binned-score)
+    // pairs in a single projection, one partial-aggregated groupBy
+    // builds all arms' bins, and every window after that runs
+    // PARTITIONED BY ARM on the ≤1000-row-per-arm bin table. Adding
+    // arms (more features) widens the explode, never adds scans.
+    "ml_permutation_importance" -> { (s, dir) =>
+      val arms = Seq("none" -> Seq(1, 2, 3, 4), "drop_1" -> Seq(2, 3, 4),
+        "drop_2" -> Seq(1, 3, 4), "drop_3" -> Seq(1, 2, 4),
+        "drop_4" -> Seq(1, 2, 3))
+      val v = col("embedding").cast("array<double>")
+      def pb(ds: Seq[Int]) = {
+        val logit = round(ds.map(i => element_at(v, i)).reduce(_ + _), 6)
+        round(round(lit(1.0) / (lit(1.0) + exp(-logit)), 6), 3)
+      }
+      val armArr = array(arms.map { case (n, ds) =>
+        struct(lit(n).as("ablated"), pb(ds).as("pb")) }: _*)
+      val bins = embeddings(s, dir)
+        .select(explode(armArr).as("a"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        .select(col("a.ablated").as("ablated"), col("a.pb").as("pb"), col("pos"))
+        .groupBy(col("ablated"), col("pb"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+      val tot = bins.groupBy(col("ablated"))
+        .agg(sum(col("n")).as("alln"), sum(col("npos")).as("allpos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ablated")).orderBy(col("pb").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val lw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ablated")).orderBy(col("pb").desc)
+      val roc = bins.join(broadcast(tot), "ablated")
+        .withColumn("cum_pos", sum(col("npos")).over(w))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .select(col("ablated"), col("pb"),
+          (col("cum_pos").cast("double") / col("allpos")).as("tpr"),
+          ((col("cum_n") - col("cum_pos")).cast("double") /
+            (col("alln") - col("allpos"))).as("fpr"))
+      val aucs = roc
+        .withColumn("term", round(
+          (col("fpr") - lag(col("fpr"), 1, 0.0).over(lw)) *
+            (col("tpr") + lag(col("tpr"), 1, 0.0).over(lw)) / 2, 6))
+        .groupBy(col("ablated"))
+        .agg(round(sum(col("term").cast("decimal(18,6)")).cast("double"), 6)
+          .as("auc"))
+      val full = aucs.filter(col("ablated") === "none")
+        .select(col("auc").as("full_auc"))
+      aucs.crossJoin(broadcast(full))
+        .select(col("ablated"), col("auc"),
+          round(col("full_auc") - col("auc"), 6).as("delta"))
+        .orderBy(col("ablated"))
+    },
     // Embedding drift monitor: per-dimension two-sample z statistic
     // between the label<5 and label≥5 populations — the check a feature
     // store runs between snapshots ("did any dimension's distribution
@@ -729,6 +784,48 @@ object MlOps {
         |FROM x
         |GROUP BY ti
         |ORDER BY threshold""".stripMargin,
+    "ml_permutation_importance" -> {
+      val arms = Seq("none" -> Seq(1, 2, 3, 4), "drop_1" -> Seq(2, 3, 4),
+        "drop_2" -> Seq(1, 3, 4), "drop_3" -> Seq(1, 2, 4),
+        "drop_4" -> Seq(1, 2, 3))
+      val armSql = arms.map { case (n, ds) =>
+        val sum = ds.map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
+        s"""SELECT '$n' AS ablated,
+           |    ROUND(ROUND(1.0 / (1.0 + exp(-ROUND($sum, 6))), 6), 3) AS pb,
+           |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+           |  FROM embeddings""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (
+         |  $armSql),
+         |bins AS (
+         |  SELECT ablated, pb, COUNT(*) AS n, SUM(pos) AS npos
+         |  FROM e GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT ablated, SUM(n) AS alln, SUM(npos) AS allpos
+         |  FROM bins GROUP BY 1),
+         |roc AS (
+         |  SELECT b.ablated, pb,
+         |    CAST(SUM(npos) OVER w AS DOUBLE) / t.allpos AS tpr,
+         |    CAST(SUM(n) OVER w - SUM(npos) OVER w AS DOUBLE)
+         |      / (t.alln - t.allpos) AS fpr
+         |  FROM bins b JOIN tot t ON b.ablated = t.ablated
+         |  WINDOW w AS (PARTITION BY b.ablated ORDER BY pb DESC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |terms AS (
+         |  SELECT ablated, ROUND(
+         |    (fpr - COALESCE(lag(fpr) OVER pw, 0.0)) *
+         |    (tpr + COALESCE(lag(tpr) OVER pw, 0.0)) / 2, 6) AS term
+         |  FROM roc
+         |  WINDOW pw AS (PARTITION BY ablated ORDER BY pb DESC)),
+         |aucs AS (
+         |  SELECT ablated,
+         |    ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS auc
+         |  FROM terms GROUP BY 1),
+         |f AS (SELECT auc AS full_auc FROM aucs WHERE ablated = 'none')
+         |SELECT ablated, auc, ROUND(full_auc - auc, 6) AS delta
+         |FROM aucs, f
+         |ORDER BY ablated""".stripMargin
+    },
     "ml_embedding_drift" ->
       """WITH ex AS (
         |  SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS grp,

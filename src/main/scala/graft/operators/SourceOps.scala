@@ -128,6 +128,51 @@ object SourceOps {
     // heterogeneous systems silently loses (CSV float formatting, JSON
     // timestamp zones). Chained, not three separate queries: any lossy
     // hop poisons the final hash.
+    // PERMISSIVE-mode malformed-row audit: the ingestion reality check
+    // every raw-feed reader needs — rows that don't parse must be
+    // COUNTED AND QUARANTINED, never silently dropped (DROPMALFORMED)
+    // or fatal (FAILFAST). The clean fixture has no bad rows, so (the
+    // text_pii_redact planting discipline) the query writes the orders
+    // table out as raw CSV text with every 97th key's price replaced by
+    // a non-numeric token, reads it back under an explicit schema with
+    // a _corrupt_record column, and reports good/corrupt counts plus
+    // the decimal-exact price sum of the rows that survived. The oracle
+    // computes the same report from the parquet table and the planting
+    // rule alone — if Spark's CSV parser dropped, duplicated, or
+    // mis-nulled anything, the hash breaks. Scale: the scrub is a
+    // per-row parse with zero shuffle before the one-row report.
+    "src_csv_malformed" -> { (s, dir) =>
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-badcsv-${new java.io.File(dir).getName}").getAbsolutePath
+      orders(s, dir).select(
+        when(col("o_orderkey") % 97 === 0,
+          concat_ws(",", col("o_orderkey"), lit("NOT_A_NUMBER"),
+            col("o_orderpriority")))
+          .otherwise(concat_ws(",", col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))).as("value"))
+        .write.mode("overwrite").text(root)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_orderpriority",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(root)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_good"),
+          round(sum(when(col("_corrupt_record").isNull,
+            col("o_totalprice").cast("decimal(18,2)"))), 2)
+            .cast("double").as("good_price_sum"))
+    },
     "src_format_roundtrip" -> { (s, dir) =>
       import graft.sources.Sources
       val root = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -621,6 +666,16 @@ object SourceOps {
         |  CAST(t.n_batch - COALESCE(d.n_dup, 0) AS BIGINT) AS n_new
         |FROM tot t LEFT JOIN dup d ON t.source = d.source
         |ORDER BY t.source""".stripMargin,
+    "src_csv_malformed" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(ROUND(SUM(CASE WHEN o_orderkey % 97 <> 0
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+        |    AS good_price_sum
+        |FROM orders""".stripMargin,
     "src_format_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
