@@ -379,6 +379,48 @@ object Relational {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
         .orderBy(col("l_returnflag"))
     },
+    // Spatial proximity join via grid-cell bucketing — the 2-D analog of
+    // events_overlap_join's chunking, and the shape every geo engine
+    // (GeoSpark/Sedona, PostGIS st_dwithin plans) reduces to: a naive
+    // points-within-radius join is a cross join with a distance
+    // predicate (BNLJ, quadratic); bucketed, each left point probes only
+    // its 3×3 neighborhood of 1° cells (cell ≥ radius guarantees no
+    // missed pair), met by an equi-join on the cell key. Positions are
+    // deterministic hash-placements in a 20°×20° box (the fixture has
+    // no geo columns; the oracle replays the same placement and the
+    // quadratic join, so the hash gate proves the bucketing loses no
+    // pair and double-counts none — each left point emits 9 DISTINCT
+    // cells, the right point lives in exactly one). Distance stays in
+    // squared degrees — pure arithmetic, no libm trig whose last-ulp
+    // differences could flip a boundary pair; haversine is the
+    // real-world swap once both engines share a trig implementation.
+    "q_spatial_join" -> { (s, dir) =>
+      def lat(k: org.apache.spark.sql.Column) =
+        (k * 7919 % 2000).cast("double") / 100.0 - 10.0
+      def lon(k: org.apache.spark.sql.Column) =
+        (k * 104729 % 2000).cast("double") / 100.0 - 10.0
+      val cs = customer(s, dir).select(col("c_custkey").as("ck"),
+        lat(col("c_custkey")).as("clat"), lon(col("c_custkey")).as("clon"))
+      val sp = supplier(s, dir).select(col("s_suppkey").as("sk"),
+        lat(col("s_suppkey") * 13 + 7).as("slat"),
+        lon(col("s_suppkey") * 13 + 7).as("slon"))
+      val cexp = cs
+        .withColumn("dlat", explode(sequence(lit(-1), lit(1))))
+        .withColumn("dlon", explode(sequence(lit(-1), lit(1))))
+        .select(col("ck"), col("clat"), col("clon"),
+          (floor(col("clat")) + col("dlat")).cast("long").as("cell_lat"),
+          (floor(col("clon")) + col("dlon")).cast("long").as("cell_lon"))
+      val sexp = sp.select(col("sk"), col("slat"), col("slon"),
+        floor(col("slat")).cast("long").as("cell_lat"),
+        floor(col("slon")).cast("long").as("cell_lon"))
+      cexp.join(sexp, Seq("cell_lat", "cell_lon"))
+        .withColumn("d2",
+          (col("clat") - col("slat")) * (col("clat") - col("slat")) +
+            (col("clon") - col("slon")) * (col("clon") - col("slon")))
+        .filter(col("d2") <= 0.04)
+        .select(col("ck"), col("sk"), round(col("d2"), 6).as("dist2_deg"))
+        .orderBy(col("ck"), col("sk"))
+    },
     // Window-function breadth in one gated query: rank tiers (ntile),
     // relative position (percent_rank, cume_dist), navigation (lead,
     // first_value, nth_value) over one per-nation frame — every flavor
@@ -1435,6 +1477,24 @@ object Relational {
         |    AND (p2.p_size > p1.p_size
         |         OR p2.p_retailprice < p1.p_retailprice))
         |ORDER BY p1.p_size DESC""".stripMargin,
+    "q_spatial_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS ck,
+        |    CAST(c_custkey * 7919 % 2000 AS DOUBLE) / 100.0 - 10.0 AS clat,
+        |    CAST(c_custkey * 104729 % 2000 AS DOUBLE) / 100.0 - 10.0 AS clon
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey AS sk,
+        |    CAST((s_suppkey * 13 + 7) * 7919 % 2000 AS DOUBLE) / 100.0 - 10.0 AS slat,
+        |    CAST((s_suppkey * 13 + 7) * 104729 % 2000 AS DOUBLE) / 100.0 - 10.0 AS slon
+        |  FROM supplier)
+        |SELECT ck, sk,
+        |  ROUND((clat - slat) * (clat - slat)
+        |    + (clon - slon) * (clon - slon), 6) AS dist2_deg
+        |FROM c, s
+        |WHERE (clat - slat) * (clat - slat)
+        |    + (clon - slon) * (clon - slon) <= 0.04
+        |ORDER BY ck, sk""".stripMargin,
     "q_window_family" ->
       """SELECT s_nationkey, s_suppkey, s_acctbal,
         |  CAST(NTILE(4) OVER w AS BIGINT) AS tier,

@@ -801,6 +801,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_spatial_join: cell bucketing turns the radius join into an equi-join, never BNLJ") {
+    val p = plan("q_spatial_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("events_streak: corpus collapses to distinct (user, day) before any window") {
     val p = plan("events_streak")
     // the distinct must partial-aggregate before its shuffle; the rank
