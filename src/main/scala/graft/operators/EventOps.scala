@@ -49,6 +49,31 @@ object EventOps {
             sum(col("v")).cast("double"), 6).as("wape"))
         .orderBy(col("event_type"))
     },
+    // Sequential pattern mining (lite): the most common 3-step event-type
+    // paths users actually walk — the "view → click → purchase vs
+    // view → error → view" table product analytics reads before
+    // funnel design, one order up from events_transitions' Markov
+    // pairs. Paths come from each user's time-ordered stream via two
+    // lead windows (state = one user's partition); support counts both
+    // total occurrences and distinct walkers. Top-15 via orderBy+limit
+    // → TakeOrderedAndProject, never a global sort of the path table.
+    "events_path_trigrams" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(col("user_id"),
+          concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_occ"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_occ").desc, col("path"))
+        .limit(15)
+    },
     // Peak concurrency (sweep line, part 2): the maximum number of
     // SIMULTANEOUSLY open [ts, ts+value s) intervals per event type —
     // capacity planning's headline number (connection pools, stream
@@ -1395,6 +1420,22 @@ object EventOps {
         |SELECT dau.d AS d, dau.dau, wau.wau7
         |FROM dau JOIN wau ON wau.d = dau.d
         |ORDER BY dau.d""".stripMargin,
+    "events_path_trigrams" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type AS e1,
+        |    LEAD(event_type, 1) OVER w AS e2,
+        |    LEAD(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |p AS (
+        |  SELECT user_id, e1 || '>' || e2 || '>' || e3 AS path
+        |  FROM o WHERE e3 IS NOT NULL)
+        |SELECT path, COUNT(*) AS n_occ,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_occ DESC, path
+        |LIMIT 15""".stripMargin,
     "events_overlap_join" ->
       """WITH a AS (
         |  SELECT user_id, event_id AS a_id,
