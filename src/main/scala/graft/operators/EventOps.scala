@@ -49,6 +49,28 @@ object EventOps {
             sum(col("v")).cast("double"), 6).as("wape"))
         .orderBy(col("event_type"))
     },
+    // Spark's NATIVE session-window operator under the hash gate:
+    // `session_window(ts, gap)` merges events whose start falls inside
+    // the running session's [first, last+gap) window — the engine-level
+    // twin of events_sessions' hand-built gap islands (note the boundary
+    // difference: the native operator CLOSES a session when the next
+    // event is >= gap away, the island build when it is > gap — the
+    // oracle replays >= , pinning the operator's exact boundary rule).
+    // Output is the session-level table (start/end/size per user) a
+    // warehouse materializes. Scale: session_window aggregates
+    // partition-local per user exactly like the window formulation, and
+    // the SAME expression runs under Structured Streaming with
+    // watermark-expired state — the operator exists precisely so
+    // sessionization needs no custom state machine.
+    "events_session_window" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .select(col("user_id"), col("first_ts"), col("last_ts"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("first_ts"))
+    },
     // Sequential pattern mining (lite): the most common 3-step event-type
     // paths users actually walk — the "view → click → purchase vs
     // view → error → view" table product analytics reads before
@@ -1420,6 +1442,27 @@ object EventOps {
         |SELECT dau.d AS d, dau.dau, wau.wau7
         |FROM dau JOIN wau ON wau.d = dau.d
         |ORDER BY dau.d""".stripMargin,
+    "events_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events),
+    |m AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(tsu) - epoch_us(prev_ts) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, tsu,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(tsu) AS first_ts, MAX(tsu) AS last_ts,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, first_ts""".stripMargin,
     "events_path_trigrams" ->
       """WITH o AS (
         |  SELECT user_id, event_type AS e1,
