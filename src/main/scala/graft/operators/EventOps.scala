@@ -71,6 +71,27 @@ object EventOps {
           col("n_events"))
         .orderBy(col("user_id"), col("first_ts"))
     },
+    // Spark's native SLIDING window operator under the hash gate:
+    // `window(ts, '1 hour', '30 minutes')` assigns every event to the
+    // two overlapping hour windows covering it — the streaming
+    // windowed-agg primitive (events_hourly gates tumbling via
+    // date_trunc; events_burst gates the per-row RANGE frame; this
+    // pins the engine's slide-duplication rule itself). The oracle
+    // replays the assignment arithmetic: window starts are the
+    // 30-minute grid points floor(t) and floor(t)−30 min — with a
+    // 1-hour width every event lands in exactly those two, which the
+    // hash gate proves against the operator's own output. Same
+    // expression runs under Structured Streaming with watermark
+    // eviction.
+    "events_sliding_native" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+          col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
     // Sequential pattern mining (lite): the most common 3-step event-type
     // paths users actually walk — the "view → click → purchase vs
     // view → error → view" table product analytics reads before
@@ -1442,6 +1463,22 @@ object EventOps {
         |SELECT dau.d AS d, dau.dau, wau.wau7
         |FROM dau JOIN wau ON wau.d = dau.d
         |ORDER BY dau.d""".stripMargin,
+    "events_sliding_native" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |arms AS (
+        |  SELECT event_type,
+        |    us // 1800000000 * 1800000000 AS ws FROM e
+        |  UNION ALL
+        |  SELECT event_type,
+        |    (us // 1800000000 - 1) * 1800000000 AS ws FROM e)
+        |SELECT make_timestamp(ws) AS w_start,
+        |  make_timestamp(ws + 3600000000) AS w_end,
+        |  event_type, COUNT(*) AS n
+        |FROM arms
+        |GROUP BY 1, 2, 3
+        |ORDER BY w_start, event_type""".stripMargin,
     "events_session_window" ->
       """WITH g AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
