@@ -71,6 +71,35 @@ object EventOps {
           col("n_events"))
         .orderBy(col("user_id"), col("first_ts"))
     },
+    // Time-decayed engagement features: per user, the exponentially
+    // decayed event count and spend at the corpus-end snapshot
+    // (half-life ≈ 7 days via e^(−age_days/10)) — the recency weighting
+    // every ranking/churn feature store carries, where "active
+    // yesterday" must outscore "active last month". Age is exact
+    // integer microseconds off a broadcast one-row snapshot; each
+    // decay term rounds to 10dp and sums in exact decimal (the
+    // ml_psi_drift discipline — identical engine-side exp() inputs,
+    // order-independent reduction). One partial-aggregated pass; the
+    // snapshot max(ts) broadcasts back, never re-scanned per row.
+    "events_decay_features" -> { (s, dir) =>
+      val snap = events(s, dir).agg(max(unix_micros(col("ts"))).as("snap_us"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .crossJoin(broadcast(snap))
+        .withColumn("age_days",
+          (col("snap_us") - col("us")).cast("double") / 86400000000.0)
+        .withColumn("decay",
+          round(exp(-col("age_days") / 10.0), 10).cast("decimal(20,10)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("decay")), 6).cast("double").as("decayed_count"),
+          round(sum(when(col("event_type") === "purchase",
+            round(col("decay").cast("double") * round(col("value"), 6), 10)
+              .cast("decimal(24,10)")).otherwise(lit(0).cast("decimal(24,10)"))), 6)
+            .cast("double").as("decayed_spend"))
+        .orderBy(col("user_id"))
+    },
     // Spark's native SLIDING window operator under the hash gate:
     // `window(ts, '1 hour', '30 minutes')` assigns every event to the
     // two overlapping hour windows covering it — the streaming
@@ -1463,6 +1492,22 @@ object EventOps {
         |SELECT dau.d AS d, dau.dau, wau.wau7
         |FROM dau JOIN wau ON wau.d = dau.d
         |ORDER BY dau.d""".stripMargin,
+    "events_decay_features" ->
+      """WITH snap AS (
+        |  SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS snap_us FROM events),
+        |d AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(ROUND(exp(-(CAST(snap_us - epoch_us(CAST(ts AS TIMESTAMP))
+        |      AS DOUBLE) / 86400000000.0) / 10.0), 10) AS DECIMAL(20,10)) AS decay
+        |  FROM events, snap)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(decay), 6) AS DOUBLE) AS decayed_count,
+        |  CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(ROUND(CAST(decay AS DOUBLE) * ROUND(value, 6), 10)
+        |         AS DECIMAL(24,10))
+        |    ELSE CAST(0 AS DECIMAL(24,10)) END), 6) AS DOUBLE) AS decayed_spend
+        |FROM d GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "events_sliding_native" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
