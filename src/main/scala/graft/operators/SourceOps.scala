@@ -435,6 +435,38 @@ object SourceOps {
     // price+1000 → the batch both updates (keys in base) and inserts
     // (keys %15 ∈ {0,3,6,9,12} patterns where %3 = 0), deterministic at
     // every sf. The aggregate reads v2 back per merge-outcome class.
+    // Row-level DELETE on the store: the GDPR/right-to-erasure shape —
+    // remove every row for a key set (here: % 13 "erasure requests"),
+    // publish as a new snapshot, and prove three things at once under
+    // one hash gate: (a) the delete removed EXACTLY the requested rows
+    // (counts + surviving decimal sum match an oracle that only knows
+    // the predicate), (b) time travel still serves the PRE-delete
+    // snapshot unchanged (the audit-hold read), and (c) nothing else
+    // moved. Copy-on-write via anti-join — at scale the rewrite is
+    // file-pruned to files whose stats overlap the key set (the
+    // src_store_skip machinery), not the whole table; deletion vectors
+    // are the next tier and change the read path, not this contract.
+    "src_store_delete" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-del"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      GraftStore.write(base, root, overwrite = true)
+      val v1 = s.read.format("graft-store").option("version", 1).load(root)
+      GraftStore.write(v1.filter(col("o_orderkey") % 13 =!= 0), root,
+        overwrite = true)
+      val after = s.read.format("graft-store").option("version", 2).load(root)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"))
+        .select(lit("after_delete").as("state"), col("n"), col("sum_price"))
+      val audit = s.read.format("graft-store").option("version", 1).load(root)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"))
+        .select(lit("audit_hold_v1").as("state"), col("n"), col("sum_price"))
+      after.unionByName(audit).orderBy(col("state"))
+    },
     "src_store_merge" -> { (s, dir) =>
       val root = storeRoot(dir) + "-merge"
       val p = new org.apache.hadoop.fs.Path(root)
@@ -745,6 +777,16 @@ object SourceOps {
         |WHERE k1 IS NULL OR k2 IS NULL OR p1 <> p2
         |GROUP BY 1
         |ORDER BY status""".stripMargin,
+    "src_store_delete" ->
+      """SELECT 'after_delete' AS state, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |UNION ALL
+        |SELECT 'audit_hold_v1', COUNT(*),
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |FROM orders
+        |ORDER BY state""".stripMargin,
     "src_store_merge" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p
         |              FROM orders WHERE o_orderkey % 3 <> 0),
