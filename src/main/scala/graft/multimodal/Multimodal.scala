@@ -381,6 +381,31 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-frame byte statistics: (media_id, frame_no, n_bytes, byte_sum)
+    * over the same chunking as [[sampleFrames]] — the scalar signal the
+    * scene-cut detector thresholds. Exact integers end to end, so the
+    * oracle can replay the chunk arithmetic character-for-character. */
+  def frameStats(media: DataFrame, n: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("byte_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ByteCodec.sampleFrames(r.getAs[Array[Byte]](payloadIdx), n)
+          .zipWithIndex.map { case (f, i) =>
+            var s = 0L; var j = 0
+            while (j < f.length) { s += f(j) & 0xff; j += 1 }
+            Row(r.getLong(idIdx), i, f.length.toLong, s)
+          }
+      }
+    }(enc)
+  }
+
   /** Explode each payload into fake frames: (media_id, frame_no, frame). */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val spark = media.sparkSession

@@ -1287,6 +1287,33 @@ object MultimodalOps {
     // frames on both sides (the oracle filters them explicitly —
     // DuckDB's least/greatest would otherwise ignore the NULL and
     // fabricate frames).
+    // Scene-cut detection over the sampled frames — the video-pipeline
+    // step after frame sampling (shot segmentation before per-shot
+    // captioning/embedding): a cut is a jump in the per-frame mean
+    // byte level beyond a threshold. The codec is the module's fake
+    // (payload chunks), but the Spark side — frame explode, per-frame
+    // exact integer stats, per-media lag window, threshold report — is
+    // the real plumbing a video codec drops into. The oracle replays
+    // the chunk arithmetic character-for-character from the documents
+    // table (payload IS the utf-8 text), so the hash gate pins the
+    // frame boundaries, the byte sums, and the cut rule. Scale:
+    // per-media rows only; the window partitions by media.
+    "mm_scene_cuts" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_no"))
+      val media = graft.multimodal.Multimodal.fromDocuments(documents(s, dir))
+      graft.multimodal.Multimodal.frameStats(media, n = 8)
+        .withColumn("mean_b",
+          round(col("byte_sum").cast("double") / col("n_bytes"), 6))
+        .withColumn("jump",
+          round(abs(col("mean_b") - lag(col("mean_b"), 1).over(w)), 6))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("jump") > 2.0, 1L).otherwise(0L)).cast("long")
+            .as("n_cuts"),
+          max(col("jump")).as("max_jump"))
+        .orderBy(col("media_id"))
+    },
     "mm_frame_stats" -> { (s, dir) =>
       val media = graft.multimodal.Multimodal.fromDocuments(documents(s, dir))
       graft.multimodal.Multimodal.sampleFrames(media, n = 4)
@@ -1398,6 +1425,35 @@ object MultimodalOps {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // replays the sampleFrames chunk arithmetic (step = len//8, frame i
+    // = bytes [i*step, i*step+step), tail dropped) character-for-
+    // character over the utf-8 text payloads
+    "mm_scene_cuts" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    GREATEST(1, length(text) // 8) AS step
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, fi.i AS frame_no,
+        |    substr(text, CAST(fi.i * step + 1 AS BIGINT),
+        |      CAST(step AS BIGINT)) AS fr
+        |  FROM d, LATERAL (SELECT unnest(range(0, LEAST(8, len))) AS i) fi),
+        |st AS (
+        |  SELECT doc_id, frame_no,
+        |    ROUND(CAST(list_sum(list_transform(string_split(fr, ''),
+        |      c -> ord(c))) AS DOUBLE) / length(fr), 6) AS mean_b
+        |  FROM f),
+        |j AS (
+        |  SELECT doc_id,
+        |    ROUND(ABS(mean_b - lag(mean_b) OVER (PARTITION BY doc_id
+        |      ORDER BY frame_no)), 6) AS jump
+        |  FROM st)
+        |SELECT doc_id AS media_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(CASE WHEN jump > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts,
+        |  MAX(jump) AS max_jump
+        |FROM j GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin,
     "mm_frame_stats" ->
       """WITH d AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents
