@@ -166,6 +166,36 @@ object CurationOps {
     // one-row stats table broadcasts onto the (tiny) per-source table —
     // at 100 TB the only corpus-sized work is the first token count,
     // one partial→final aggregate.
+    // Epoch/repetition plan — the OTHER half of data mixing: temperature
+    // sampling sets per-source PROBABILITIES; this sets per-source
+    // EPOCHS under a BALANCED budget (the token budget splits equally
+    // across sources, so small sources repeat — the classic upsampling
+    // of scarce high-value feeds — capped at 4 epochs per the
+    // repeated-data diminishing-returns rule of thumb, and large
+    // sources train on a subset). Epochs come out in exact integer
+    // MILLI-epochs (equal share and token counts are integers; one
+    // floor division each) so the plan is engine-exact, and the capped
+    // draw re-totals per source. All arithmetic on the |sources|-row
+    // table after one corpus collapse.
+    "corpus_upsample_epochs" -> { (s, dir) =>
+      val budget = 200000L // target training tokens for the mix
+      val src = documents(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("total_tokens"))
+      val nsrc = src.agg(count(lit(1)).as("n_sources"))
+      src.crossJoin(broadcast(nsrc))
+        .withColumn("share_tokens", expr(s"$budget div n_sources"))
+        .withColumn("milli_epochs",
+          least(lit(4000L),
+            expr("share_tokens * 1000 div total_tokens")))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("milli_epochs"),
+          expr("total_tokens * milli_epochs div 1000").as("drawn_tokens"))
+        .orderBy(col("source"))
+    },
     "sample_temperature_mix" -> { (s, dir) =>
       val toks = size(split(col("text"), " ")).cast("long")
       val src = documents(s, dir)
@@ -332,6 +362,22 @@ object CurationOps {
 
   val oracles: Map[String, String] = Map(
     "sample_weighted_reservoir" -> weightedReservoirOracle,
+    "corpus_upsample_epochs" ->
+      """WITH src AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source),
+        |n AS (SELECT COUNT(*) AS n_sources FROM src),
+        |p AS (
+        |  SELECT source, n_docs, total_tokens,
+        |    LEAST(4000, (200000 // n_sources) * 1000 // total_tokens)
+        |      AS milli_epochs
+        |  FROM src, n)
+        |SELECT source, n_docs, total_tokens,
+        |  CAST(milli_epochs AS BIGINT) AS milli_epochs,
+        |  CAST(total_tokens * milli_epochs // 1000 AS BIGINT) AS drawn_tokens
+        |FROM p
+        |ORDER BY source""".stripMargin,
     "sample_temperature_mix" ->
       """WITH src AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -74,6 +74,35 @@ object DedupOps {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("h"))
     },
+    // Source×source duplication matrix — the "which feeds copy from
+    // each other" intelligence a multi-crawl ingest needs before
+    // deciding what to drop at the SOURCE level (a mirror site is a
+    // config fix, not a per-doc dedup problem). The fixture corpus has
+    // no exact dups, so (the text_pii_redact planting discipline) every
+    // 7th document gains a 'mirror' re-crawl copy — mirrored exactly in
+    // the oracle, so the gate exercises a non-empty matrix. Exact-dup
+    // pairs come from a content-hash self-join with a canonical
+    // (doc_id <) order; pair volume is Σ c² over hash groups — bounded
+    // by the duplication being measured, never corpus². Diagonal cells
+    // = within-source duplication; off-diagonal = cross-feed copying.
+    "dedup_source_matrix" -> { (s, dir) =>
+      val base = documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirror = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit("mirror").as("source"))
+      val h = base.unionByName(mirror)
+        .select(md5(col("text")).as("h"), col("doc_id"), col("source"))
+      val a = h.select(col("h"), col("doc_id").as("ida"), col("source").as("src_a"))
+      val b = h.select(col("h").as("hb"), col("doc_id").as("idb"),
+        col("source").as("src_b"))
+      a.join(b, col("h") === col("hb") && col("ida") < col("idb"))
+        .groupBy(least(col("src_a"), col("src_b")).as("source_1"),
+          greatest(col("src_a"), col("src_b")).as("source_2"))
+        .agg(count(lit(1)).as("n_dup_pairs"),
+          count_distinct(col("ida")).as("n_left_docs"))
+        .orderBy(col("source_1"), col("source_2"))
+    },
     // MinHash + LSH banding → candidate near-dup pairs. One md5 per
     // shingle sliced into K 16-bit sub-hashes (not K md5 calls — 8× less
     // hashing, same oracle replayability); bands are slice concats.
@@ -910,6 +939,22 @@ object DedupOps {
         |  ROUND(inter*1.0/(sza+szb-inter), 6) AS jaccard
         |FROM ver WHERE 5*inter >= 4*(sza+szb-inter)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_source_matrix" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'mirror' FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |h AS (
+        |  SELECT md5(text) AS h, doc_id, source FROM all_docs),
+        |p AS (
+        |  SELECT LEAST(a.source, b.source) AS source_1,
+        |    GREATEST(a.source, b.source) AS source_2, a.doc_id AS ida
+        |  FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id)
+        |SELECT source_1, source_2, COUNT(*) AS n_dup_pairs,
+        |  CAST(COUNT(DISTINCT ida) AS BIGINT) AS n_left_docs
+        |FROM p GROUP BY 1, 2
+        |ORDER BY source_1, source_2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents
