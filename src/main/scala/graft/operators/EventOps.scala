@@ -71,6 +71,49 @@ object EventOps {
           col("n_events"))
         .orderBy(col("user_id"), col("first_ts"))
     },
+    // Event-feed SLA monitor — the quality_constraints sibling for
+    // STREAMS: per event type, (a) freshness = minutes between the
+    // type's last event and the feed's watermark (a stalled producer
+    // shows here first), (b) volume stability = how many of the type's
+    // days fall outside mean±3σ of its own daily volume (exact decimal
+    // moments — the q_corr_qty_disc discipline), (c) validity = null/
+    // non-positive values and empty props. One corpus pass collapses to
+    // type×day cells; every check runs on that grid and the one-row
+    // watermark broadcast. This is the report a pipeline pages on.
+    "events_sla_monitor" -> { (s, dir) =>
+      val wm = events(s, dir).agg(max(unix_micros(col("ts"))).as("wm_us"))
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          max(unix_micros(col("ts"))).as("last_us"),
+          sum(when(col("value").isNull || col("value") <= 0, 1L)
+            .otherwise(0L)).as("bad_value"),
+          sum(when(col("props").isNull || col("props") === "", 1L)
+            .otherwise(0L)).as("empty_props"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n")).cast("long").as("n_events"),
+          max(col("last_us")).as("type_last_us"),
+          sum(col("bad_value")).cast("long").as("bad_value"),
+          sum(col("empty_props")).cast("long").as("empty_props"),
+          sum(col("n").cast("decimal(18,0)")).as("sn"),
+          sum((col("n") * col("n")).cast("decimal(28,0)")).as("sn2"))
+        .withColumn("mu", col("sn").cast("double") / col("n_days"))
+        .withColumn("sd", sqrt(col("sn2").cast("double") / col("n_days") -
+          (col("sn").cast("double") / col("n_days")) *
+            (col("sn").cast("double") / col("n_days"))))
+      daily.join(broadcast(stats.select(col("event_type"), col("mu"), col("sd"))),
+          "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum(when(abs(col("n") - col("mu")) > lit(3.0) * col("sd"), 1L)
+          .otherwise(0L)).cast("long").as("anomalous_days"))
+        .join(stats.drop("mu", "sd", "sn", "sn2"), "event_type")
+        .crossJoin(broadcast(wm))
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          expr("(wm_us - type_last_us) div 60000000").as("freshness_min"),
+          col("anomalous_days"), col("bad_value"), col("empty_props"))
+        .orderBy(col("event_type"))
+    },
     // Time-decayed engagement features: per user, the exponentially
     // decayed event count and spend at the corpus-end snapshot
     // (half-life ≈ 7 days via e^(−age_days/10)) — the recency weighting
@@ -1492,6 +1535,41 @@ object EventOps {
         |SELECT dau.d AS d, dau.dau, wau.wau7
         |FROM dau JOIN wau ON wau.d = dau.d
         |ORDER BY dau.d""".stripMargin,
+    "events_sla_monitor" ->
+      """WITH wm AS (
+        |  SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS wm_us FROM events),
+        |daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    COUNT(*) AS n,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |    SUM(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END)
+        |      AS bad_value,
+        |    SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+        |      AS empty_props
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(n) AS BIGINT) AS n_events,
+        |    MAX(last_us) AS type_last_us,
+        |    CAST(SUM(bad_value) AS BIGINT) AS bad_value,
+        |    CAST(SUM(empty_props) AS BIGINT) AS empty_props,
+        |    CAST(SUM(CAST(n AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS mu,
+        |    SQRT(CAST(SUM(CAST(n * n AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*)
+        |      - (CAST(SUM(CAST(n AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*))
+        |        * (CAST(SUM(CAST(n AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)))
+        |      AS sd
+        |  FROM daily GROUP BY event_type),
+        |anom AS (
+        |  SELECT d.event_type,
+        |    CAST(SUM(CASE WHEN ABS(d.n - st.mu) > 3.0 * st.sd
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS anomalous_days
+        |  FROM daily d JOIN st ON d.event_type = st.event_type
+        |  GROUP BY d.event_type)
+        |SELECT st.event_type, st.n_days, st.n_events,
+        |  (wm_us - type_last_us) // 60000000 AS freshness_min,
+        |  anom.anomalous_days, st.bad_value, st.empty_props
+        |FROM st JOIN anom ON st.event_type = anom.event_type, wm
+        |ORDER BY st.event_type""".stripMargin,
     "events_decay_features" ->
       """WITH snap AS (
         |  SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS snap_us FROM events),
