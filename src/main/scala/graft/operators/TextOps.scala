@@ -97,6 +97,14 @@ object TextOps {
       regexp_replace(c, lit(p), lit(m))
     }
 
+  /** Normalization pass shared by the batch `text_normalize` gate and
+    * the streaming [[graft.streaming.DocStream.normalizeDocs]]: lower →
+    * strip non-printable → collapse whitespace → trim. ONE definition,
+    * so "normalized" means the same bytes in both engines — the
+    * operation ORDER is load-bearing and md5-pinned by the oracle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^ -~]", ""), " +", " "))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Unicode/whitespace normalization — the cleaning pass upstream of
     // every tokenizer: lowercase, strip non-printable characters,
@@ -111,8 +119,7 @@ object TextOps {
     "text_normalize" -> { (s, dir) =>
       val dirty = concat(lit("  "), upper(col("text")),
         lit(" \u0007\t "), col("text"), lit("  "))
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(dirty), "[^ -~]", ""), " +", " "))
+      val norm = normalizeText(dirty)
       documents(s, dir)
         .select(col("doc_id"),
           length(dirty).cast("long").as("len_dirty"),

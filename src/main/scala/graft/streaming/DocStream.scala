@@ -177,6 +177,19 @@ object DocStream {
       .drop("__w")
   }
 
+  /** Stateless normalization-on-ingest: the batch `text_normalize`
+    * cleaning pass ([[graft.operators.TextOps.normalizeText]] — one
+    * shared definition, so the stored bytes are identical whichever
+    * path a document arrived by) applied per micro-batch, annotating
+    * the normalized md5 for the downstream exact-dup gate. Pure
+    * row-local projection → append-mode legal, no state, no
+    * watermark. */
+  def normalizeDocs(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn(textCol,
+        graft.operators.TextOps.normalizeText(col(textCol)))
+      .withColumn("norm_md5", md5(col(textCol)))
+
   /** Stateless PII scrub: masks every class in
     * [[graft.operators.TextOps.PiiPatterns]] (the SAME definition the
     * batch `text_pii_redact` audit and its oracle use) and annotates the

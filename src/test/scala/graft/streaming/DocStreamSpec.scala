@@ -210,6 +210,34 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming normalization matches the batch definition byte-for-byte") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Seq(
+      (1L, new Timestamp(base), "  MIXED Case   spacing  "),
+      (2L, new Timestamp(base), "tab\there bell\u0007gone"),
+      (3L, new Timestamp(base), "already clean text"))
+    val dir = Files.createTempDirectory("doc_norm").toString
+    docsDf(rows).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = DocStream.normalizeDocs(
+      spark.readStream.schema(schema).parquet(dir), "text")
+      .writeStream.format("memory").queryName("norm_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, text, norm_md5 FROM norm_stream ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val batch = DocStream.normalizeDocs(docsDf(rows), "text")
+        .select("doc_id", "text", "norm_md5").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed(0)._2 == "mixed case spacing")
+      // tab and bell are both non-printable: stripped, never spaced
+      assert(streamed(1)._2 == "tabhere bellgone")
+      assert(streamed(2)._2 == "already clean text")
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup drops same-cell same-sign-bucket vectors, null vecs pass") {
     import spark.implicits._
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
