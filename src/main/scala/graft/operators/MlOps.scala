@@ -285,12 +285,17 @@ object MlOps {
       }
       val armArr = array(arms.map { case (n, ds) =>
         struct(lit(n).as("ablated"), pb(ds).as("pb")) }: _*)
+      // localCheckpoint is what makes "one corpus scan" literal: the bin
+      // table has four downstream consumers (tot, roc, aucs, full), and
+      // un-materialized each would recompute the scan+explode pipeline
+      // (plan-gated: exactly one FileScan of embeddings)
       val bins = embeddings(s, dir)
         .select(explode(armArr).as("a"),
           when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
         .select(col("a.ablated").as("ablated"), col("a.pb").as("pb"), col("pos"))
         .groupBy(col("ablated"), col("pb"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+        .localCheckpoint()
       val tot = bins.groupBy(col("ablated"))
         .agg(sum(col("n")).as("alln"), sum(col("npos")).as("allpos"))
       val w = org.apache.spark.sql.expressions.Window

@@ -807,6 +807,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("ml_permutation_importance: all five ablation arms ride ONE embeddings scan") {
+    // the bin table localCheckpoints (one eager scan+explode pass); the
+    // final plan must read ONLY that materialization — any FileScan of
+    // embeddings here means a consumer re-derived the corpus pipeline
+    val p = plan("ml_permutation_importance")
+    assert(p.linesIterator.count(l => l.contains("FileScan") &&
+      l.contains("embeddings")) == 0, p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("events_session_window: native sessionization plans without any join") {
+    val p = plan("events_session_window")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("events_decay_features: snapshot broadcasts as a one-row stat, no shuffle of it") {
+    val p = plan("events_decay_features")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("events_streak: corpus collapses to distinct (user, day) before any window") {
     val p = plan("events_streak")
     // the distinct must partial-aggregate before its shuffle; the rank
