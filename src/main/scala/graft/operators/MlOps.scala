@@ -264,6 +264,36 @@ object MlOps {
           .as("auc"),
           count(lit(1)).as("n_bins"))
     },
+    // Winsorization — the robust-preprocessing step between raw values
+    // and a scaler: clip each event type's values at its own exact
+    // p05/p95 (heavy tails poison mean/std scalers; clipping at
+    // percentiles bounds the damage without dropping rows). Report:
+    // clip bounds, rows clipped each side, decimal-exact mean before/
+    // after — the audit a feature pipeline logs per run. Exact
+    // percentile buffers value→count per type (bounded by distinct 6dp
+    // values; approx_percentile is the corpus-cardinality swap, as
+    // text_quality_gate_approx demonstrates); the bounds broadcast
+    // back onto one clipping pass.
+    "ml_winsorize" -> { (s, dir) =>
+      val e = events(s, dir)
+        .select(col("event_type"), round(col("value"), 6).as("v"))
+      val bounds = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(v, 0.05)"), 6).as("lo"),
+          round(expr("percentile(v, 0.95)"), 6).as("hi"))
+      e.join(broadcast(bounds), "event_type")
+        .withColumn("w", least(greatest(col("v"), col("lo")), col("hi")))
+        .groupBy(col("event_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L)).cast("long")
+            .as("clipped_low"),
+          sum(when(col("v") > col("hi"), 1L).otherwise(0L)).cast("long")
+            .as("clipped_high"),
+          round(sum(col("v").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_raw"),
+          round(sum(col("w").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_winsorized"))
+        .orderBy(col("event_type"))
+    },
     // Feature-ablation importance: ROC-AUC of the probe with each input
     // dimension knocked out, versus the full probe — the deterministic
     // stand-in for permutation importance (ablation needs no RNG, so
@@ -789,6 +819,29 @@ object MlOps {
         |FROM x
         |GROUP BY ti
         |ORDER BY threshold""".stripMargin,
+    "ml_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, ROUND(value, 6) AS v FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    ROUND(quantile_cont(v, 0.05), 6) AS lo,
+        |    ROUND(quantile_cont(v, 0.95), 6) AS hi
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, b.lo, b.hi, v,
+        |    LEAST(GREATEST(v, b.lo), b.hi) AS w
+        |  FROM e JOIN b ON e.event_type = b.event_type)
+        |SELECT event_type, lo, hi, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clipped_low,
+        |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clipped_high,
+        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_raw,
+        |  ROUND(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_winsorized
+        |FROM c GROUP BY 1, 2, 3
+        |ORDER BY event_type""".stripMargin,
     "ml_permutation_importance" -> {
       val arms = Seq("none" -> Seq(1, 2, 3, 4), "drop_1" -> Seq(2, 3, 4),
         "drop_2" -> Seq(1, 3, 4), "drop_3" -> Seq(1, 2, 4),
