@@ -43,8 +43,8 @@ object EventOps {
       hourly.join(fc, Seq("event_type", "hour"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_hours"),
-          round(sum(abs(col("v") - col("pred"))).cast("double") /
-            count(lit(1)), 6).as("mae"),
+          DetMean.mean6(sum(abs(col("v") - col("pred"))
+            .cast("decimal(28,10)")), count(lit(1))).as("mae"),
           round(sum(abs(col("v") - col("pred"))).cast("double") /
             sum(col("v")).cast("double"), 6).as("wape"))
         .orderBy(col("event_type"))
@@ -1776,7 +1776,8 @@ object EventOps {
         |  FROM h a JOIN h f ON a.event_type = f.event_type
         |    AND f.hour + INTERVAL 7 DAY = a.hour)
         |SELECT event_type, COUNT(*) AS n_hours,
-        |  ROUND(CAST(SUM(ABS(actual - pred)) AS DOUBLE) / COUNT(*), 6) AS mae,
+        |  ROUND(CAST(SUM(CAST(ABS(actual - pred) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / COUNT(*), 6) AS mae,
         |  ROUND(CAST(SUM(ABS(actual - pred)) AS DOUBLE)
         |    / CAST(SUM(actual) AS DOUBLE), 6) AS wape
         |FROM j GROUP BY 1

@@ -42,8 +42,10 @@ object MlOps {
           sqrt(dot(v, v)).as("l2norm"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("e1")), 6).as("avg_first"),
-          round(avg(col("l2norm")), 6).as("avg_norm"))
+          DetMean.mean6(sum(DetMean.el10(col("e1"))),
+            count(lit(1))).as("avg_first"),
+          DetMean.mean6(sum(DetMean.el10(col("l2norm"))),
+            count(lit(1))).as("avg_norm"))
         .orderBy(col("label"))
     },
     // Temporal train/test split + leakage audit: split the event stream
@@ -288,10 +290,10 @@ object MlOps {
             .as("clipped_low"),
           sum(when(col("v") > col("hi"), 1L).otherwise(0L)).cast("long")
             .as("clipped_high"),
-          round(sum(col("v").cast("decimal(18,6)")).cast("double") /
-            count(lit(1)), 6).as("mean_raw"),
-          round(sum(col("w").cast("decimal(18,6)")).cast("double") /
-            count(lit(1)), 6).as("mean_winsorized"))
+          DetMean.mean6(sum(DetMean.el10(col("v"))),
+            count(lit(1))).as("mean_raw"),
+          DetMean.mean6(sum(DetMean.el10(col("w"))),
+            count(lit(1))).as("mean_winsorized"))
         .orderBy(col("event_type"))
     },
     // Feature-ablation importance: ROC-AUC of the probe with each input
@@ -836,10 +838,10 @@ object MlOps {
         |    AS clipped_low,
         |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
         |    AS clipped_high,
-        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-        |    AS mean_raw,
-        |  ROUND(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-        |    AS mean_winsorized
+        |  ROUND(CAST(SUM(CAST(ROUND(v, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_raw,
+        |  ROUND(CAST(SUM(CAST(ROUND(w, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_winsorized
         |FROM c GROUP BY 1, 2, 3
         |ORDER BY event_type""".stripMargin,
     "ml_permutation_importance" -> {
@@ -941,8 +943,10 @@ object MlOps {
       s"""WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings)
          |SELECT label, COUNT(*) AS n,
-         |  ROUND(AVG(v[1]), 6) AS avg_first,
-         |  ROUND(AVG(sqrt(${dotSql("v", "v")})), 6) AS avg_norm
+         |  ROUND(CAST(SUM(CAST(ROUND(v[1], 10) AS DECIMAL(28,10)))
+         |    AS DOUBLE) / COUNT(*), 6) AS avg_first,
+         |  ROUND(CAST(SUM(CAST(ROUND(sqrt(${dotSql("v", "v")}), 10)
+         |    AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
          |FROM e
          |GROUP BY label
          |ORDER BY label""".stripMargin,

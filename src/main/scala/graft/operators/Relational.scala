@@ -2263,6 +2263,32 @@ object Relational {
         |ORDER BY check_name""".stripMargin)
 }
 
+/** Deterministic MEAN for hash-gated outputs. Two failure modes bracket
+  * the design: (a) `round(avg(doubles), 6)` — partial aggregates merge
+  * in task-completion order, so the double sum varies run to run and a
+  * 6dp boundary occasionally flips (observed: emb_kmeans, one full-run
+  * flake); (b) summing 6dp-rounded decimals and dividing by a small
+  * count makes .xxxxxx5 quotient ties SYSTEMATIC (~1/n of cells), and
+  * Spark (exact-binary HALF_UP) vs DuckDB (scaled-double) disagree on
+  * exact ties (observed: emb_label_centroids at sf0.1) — and the
+  * per-element 6dp round itself ties across engines (observed: one
+  * 1-micro element diff in an emb_kmeans cluster sum). The working
+  * pattern: round ELEMENTS at 10dp (ties there are measure-zero for
+  * data-derived values — the ml_psi_drift term discipline), sum as
+  * exact DECIMAL(28,10) (order-independent), make ONE double division,
+  * round the quotient to 6dp. DuckDB mirror:
+  * `ROUND(CAST(SUM(CAST(ROUND(x, 10) AS DECIMAL(28,10))) AS DOUBLE)
+  *    / n, 6)`. */
+private[operators] object DetMean {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  /** 10dp-exact element for the decimal sum. */
+  def el10(x: Column): Column = round(x, 10).cast("decimal(28,10)")
+  /** Final mean: exact decimal sum → one double division → 6dp. */
+  def mean6(sum10: Column, n: Column): Column =
+    round(sum10.cast("double") / n, 6)
+}
+
 /** Table loaders (one parquet per table, TESTDATA.md). */
 object Tables {
   def table(s: SparkSession, dir: String, name: String): DataFrame =

@@ -172,7 +172,8 @@ object SimilarityOps {
           posexplode(slice(col("embedding").cast("array<double>"), 1, 8)))
         .withColumnRenamed("col", "v")
         .groupBy(col("label"), col("pos").cast("long").as("pos"))
-        .agg(round(avg(col("v")), 6).as("centroid"),
+        .agg(DetMean.mean6(sum(DetMean.el10(col("v"))),
+          count(lit(1))).as("centroid"),
           count(lit(1)).as("n_vecs"))
         .orderBy(col("label"), col("pos"))
     },
@@ -314,7 +315,8 @@ object SimilarityOps {
       val cent1 = e.withColumn("cell", argmin(seedArr, col("v")))
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(round(avg(col("col")), 6).as("c"))
+        .agg(DetMean.mean6(sum(DetMean.el10(col("col"))),
+          count(lit(1))).as("c"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("cell"), transform(col("pc"), p => p.getField("c")).as("cv"))
@@ -332,7 +334,8 @@ object SimilarityOps {
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("cell0") =!= col("b.cell"), 1L).otherwise(0L))
             .cast("long").as("n_moved"),
-          round(avg(col("b.d")), 6).as("inertia"))
+          DetMean.mean6(sum(DetMean.el10(col("b.d"))),
+            count(lit(1))).as("inertia"))
         .orderBy(col("cluster"))
     },
     // product-quantization codebook report: split the 64-dim vector into
@@ -363,7 +366,8 @@ object SimilarityOps {
             c.getField("code").as("code")))))
         .groupBy(col("m"), col("best.code").as("code"))
         .agg(count(lit(1)).as("n_subvecs"),
-          round(avg(col("best.d")), 6).as("mse"))
+          DetMean.mean6(sum(DetMean.el10(col("best.d"))),
+            count(lit(1))).as("mse"))
         .orderBy(col("m"), col("code"))
     },
     // Embedding outlier detection by diagonal Mahalanobis distance:
@@ -689,7 +693,8 @@ object SimilarityOps {
     "emb_label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label,
         |  CAST(pos0 AS BIGINT) AS pos,
-        |  ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid,
+        |  ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 10)
+        |    AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS centroid,
         |  COUNT(*) AS n_vecs
         |FROM (
         |  SELECT label,
@@ -753,7 +758,9 @@ object SimilarityOps {
          |  FROM e CROSS JOIN seeds s),
          |a0 AS (SELECT vec_id, v, cell FROM d0 WHERE rn = 1),
          |cpos AS (
-         |  SELECT cell, pos, ROUND(AVG(x), 6) AS c
+         |  SELECT cell, pos,
+         |    ROUND(CAST(SUM(CAST(ROUND(x, 10) AS DECIMAL(28,10))) AS DOUBLE)
+         |      / COUNT(*), 6) AS c
          |  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
          |        FROM a0) t
          |  GROUP BY 1, 2),
@@ -766,7 +773,8 @@ object SimilarityOps {
          |  FROM a0 CROSS JOIN cent1 c)
          |SELECT cell AS cluster, COUNT(*) AS n_vecs,
          |  CAST(SUM(CASE WHEN cell0 <> cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
-         |  ROUND(AVG(d), 6) AS inertia
+         |  ROUND(CAST(SUM(CAST(ROUND(d, 10) AS DECIMAL(28,10))) AS DOUBLE)
+         |    / COUNT(*), 6) AS inertia
          |FROM d1
          |WHERE rn = 1
          |GROUP BY 1
@@ -787,7 +795,9 @@ object SimilarityOps {
          |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
          |      ROUND(${sqDistSql("s.sub", "cb.cv")}, 6), cb.code) AS rn
          |  FROM subs s JOIN cb ON s.m = cb.m)
-         |SELECT m, code, COUNT(*) AS n_subvecs, ROUND(AVG(d), 6) AS mse
+         |SELECT m, code, COUNT(*) AS n_subvecs,
+         |  ROUND(CAST(SUM(CAST(ROUND(d, 10) AS DECIMAL(28,10))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mse
          |FROM scored
          |WHERE rn = 1
          |GROUP BY 1, 2

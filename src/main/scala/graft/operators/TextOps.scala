@@ -463,7 +463,10 @@ object TextOps {
           sum(when(col("score") >= col("thr"), 1L).otherwise(0L))
             .as("n_kept"),
           round(min(col("thr")), 6).as("threshold"),
-          round(avg(when(col("score") >= col("thr"), col("score"))), 6)
+          DetMean.mean6(
+            sum(when(col("score") >= col("thr"),
+              DetMean.el10(col("score")))),
+            sum(when(col("score") >= col("thr"), 1L).otherwise(0L)))
             .as("avg_kept"))
         .orderBy(col("lang"))
     },
@@ -488,7 +491,10 @@ object TextOps {
           sum(when(col("score") >= col("thr"), 1L).otherwise(0L))
             .as("n_kept"),
           round(min(col("thr")), 6).as("threshold"),
-          round(avg(when(col("score") >= col("thr"), col("score"))), 6)
+          DetMean.mean6(
+            sum(when(col("score") >= col("thr"),
+              DetMean.el10(col("score")))),
+            sum(when(col("score") >= col("thr"), 1L).otherwise(0L)))
             .as("avg_kept"))
         .orderBy(col("lang"))
     },
@@ -1024,7 +1030,9 @@ object TextOps {
          |  CAST(SUM(CASE WHEN score >= thr THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_kept,
          |  ROUND(MIN(thr), 6) AS threshold,
-         |  ROUND(AVG(CASE WHEN score >= thr THEN score END), 6) AS avg_kept
+         |  ROUND(CAST(SUM(CASE WHEN score >= thr
+         |      THEN CAST(ROUND(score, 10) AS DECIMAL(28,10)) END) AS DOUBLE)
+         |    / SUM(CASE WHEN score >= thr THEN 1 ELSE 0 END), 6) AS avg_kept
          |FROM scored JOIN thr ON lang = tl
          |GROUP BY lang
          |ORDER BY lang""".stripMargin)

@@ -35,7 +35,13 @@ class SimilarityOpsSpec extends AnyFunSuite {
       val (c1, d) = argmin(cent1, v); (c1, c0 != c1, d)
     }
     val ref = a1.groupBy(_._1).map { case (c, g) =>
-      c -> (g.size.toLong, g.count(_._2).toLong, r6(g.map(_._3).sum / g.size))
+      // mirror the query's DetMean discipline: 10dp-rounded distances,
+      // exact decimal sum, one division, 6dp — the double-mean form can
+      // land one micro away at a rounding boundary
+      val s10 = g.map(x => BigDecimal(x._3)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+      c -> (g.size.toLong, g.count(_._2).toLong,
+        r6(s10.toDouble / g.size))
     }
     val got = SimilarityOps.queries("emb_kmeans")(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
