@@ -151,10 +151,10 @@ object CurationOps {
         .select(col("lang"), dupFrac.as("dup_frac"), topFrac.as("top_frac"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("dup_frac").cast("decimal(18,6)")).cast("double") /
-            count(lit(1)), 6).as("avg_dup_frac"),
-          round(sum(col("top_frac").cast("decimal(18,6)")).cast("double") /
-            count(lit(1)), 6).as("avg_top_bigram_frac"))
+          DetMean.mean6(sum(DetMean.el10(col("dup_frac"))),
+            count(lit(1))).as("avg_dup_frac"),
+          DetMean.mean6(sum(DetMean.el10(col("top_frac"))),
+            count(lit(1))).as("avg_top_bigram_frac"))
         .orderBy(col("lang"))
     },
     // temperature-scaled source mixing (the multilingual-sampling recipe
@@ -493,8 +493,8 @@ object CurationOps {
         |        FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
         |        WHERE len(w) >= 2) t)
         |SELECT lang, COUNT(*) AS n_docs,
-        |  ROUND(CAST(SUM(CAST(dup_frac AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dup_frac,
-        |  ROUND(CAST(SUM(CAST(top_frac AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_top_bigram_frac
+        |  ROUND(CAST(SUM(CAST(ROUND(dup_frac, 10) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_dup_frac,
+        |  ROUND(CAST(SUM(CAST(ROUND(top_frac, 10) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_top_bigram_frac
         |FROM d
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,

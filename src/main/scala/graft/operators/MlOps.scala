@@ -423,9 +423,10 @@ object MlOps {
           when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("p").cast("decimal(18,6)")).cast("double") /
-            count(lit(1)), 6).as("avg_score"),
-          round(sum(col("pos")).cast("double") / count(lit(1)), 6).as("frac_pos"))
+          DetMean.mean6(sum(DetMean.el10(col("p"))),
+            count(lit(1))).as("avg_score"),
+          DetMean.mean6(sum(DetMean.el10(col("pos"))),
+            count(lit(1))).as("frac_pos"))
         .orderBy(col("bin"))
     },
     // Kolmogorov–Smirnov drift statistic per event type between the
@@ -926,8 +927,10 @@ object MlOps {
         |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
         |  FROM embeddings)
         |SELECT CAST(FLOOR(p * 10) AS BIGINT) AS bin, COUNT(*) AS n,
-        |  ROUND(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_score,
-        |  ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+        |  ROUND(CAST(SUM(CAST(ROUND(p, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_score,
+        |  ROUND(CAST(SUM(CAST(ROUND(pos, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |    / COUNT(*), 6) AS frac_pos
         |FROM e
         |GROUP BY bin
         |ORDER BY bin""".stripMargin,

@@ -243,8 +243,8 @@ object SimilarityOps {
         .filter(col("cs") >= 0.2)
         .groupBy(col("probe_id"))
         .agg(count(lit(1)).as("n_hits"),
-          round(sum(col("cs").cast("decimal(18,6)")).cast("double") /
-            count(lit(1)), 6).as("avg_cos"),
+          DetMean.mean6(sum(DetMean.el10(col("cs"))),
+            count(lit(1))).as("avg_cos"),
           max(col("cs")).as("max_cos"))
         .orderBy(col("probe_id"))
     },
@@ -741,7 +741,8 @@ object SimilarityOps {
          |  FROM eb JOIN probes
          |    ON bucket = pbucket AND vec_id <> probe_id)
          |SELECT probe_id, COUNT(*) AS n_hits,
-         |  ROUND(CAST(SUM(CAST(cs AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_cos,
+         |  ROUND(CAST(SUM(CAST(ROUND(cs, 10) AS DECIMAL(28,10))) AS DOUBLE)
+         |    / COUNT(*), 6) AS avg_cos,
          |  MAX(cs) AS max_cos
          |FROM hits WHERE cs >= 0.2
          |GROUP BY probe_id

@@ -411,8 +411,8 @@ object TextOps {
       grams
         .join(broadcast(big), Seq("w1", "w2")).join(broadcast(uni), Seq("w1"))
         .groupBy(col("doc_id"))
-        .agg(round(sum(term.cast("decimal(18,6)")).cast("double") /
-          count(lit(1)), 6).as("ce"))
+        .agg(DetMean.mean6(sum(DetMean.el10(term)),
+          count(lit(1))).as("ce"))
         .orderBy(col("ce").desc, col("doc_id"))
         .limit(10)
     },
@@ -585,8 +585,8 @@ object TextOps {
         .select(col("lang"), score.as("sc"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("sc").cast("decimal(28,6)")).cast("double") /
-            count(lit(1)), 6).as("avg_flesch"),
+          DetMean.mean6(sum(DetMean.el10(col("sc"))),
+            count(lit(1))).as("avg_flesch"),
           round(min(col("sc")), 6).as("min_flesch"),
           round(max(col("sc")), 6).as("max_flesch"))
         .orderBy(col("lang"))
@@ -861,7 +861,8 @@ object TextOps {
         |                / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS sc
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_docs,
-        |  ROUND(CAST(SUM(CAST(sc AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_flesch,
+        |  ROUND(CAST(SUM(CAST(ROUND(sc, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_flesch,
         |  ROUND(MIN(sc), 6) AS min_flesch,
         |  ROUND(MAX(sc), 6) AS max_flesch
         |FROM d
