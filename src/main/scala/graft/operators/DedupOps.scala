@@ -103,6 +103,52 @@ object DedupOps {
           count_distinct(col("ida")).as("n_left_docs"))
         .orderBy(col("source_1"), col("source_2"))
     },
+    // Exact duplicated-SUBSTRING detection (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better",
+    // arXiv:2107.06499 — the ExactSubstr pass that complements document-
+    // level MinHash): every 40-char gram at stride 1, grams seen in ≥2
+    // distinct docs mark their positions, and each doc's hit intervals
+    // [pos, pos+40) union-merge with the events_interval_union sweep
+    // (running-max-of-ends break detection) into maximal duplicated
+    // spans — the boilerplate/template regions an LM pipeline cuts out
+    // of otherwise-unique documents. Report: per-source affected docs,
+    // merged spans, covered chars. Duplication is detected by a grouped
+    // distinct-doc count, never a pair join — pair volume never exists.
+    // Scale: the gram table is corpus_bytes × k/stride rows, each
+    // shuffling (doc_id, pos, digest); md5 keeps the DuckDB oracle
+    // byte-replayable (production: unhex to a 16-byte key, widen the
+    // stride and seed candidates from dedup_winnowing fingerprints, or
+    // run suffix arrays per partition as Lee et al. do).
+    "dedup_substring" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 40
+      val g = documents(s, dir)
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"), col("source"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
+        .select(col("doc_id"), col("source"), col("pos"),
+          md5(expr(s"substring(text, pos, $k)")).as("gh"))
+      val dup = g.groupBy(col("gh"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("gh"))
+      val hits = g.join(dup, Seq("gh"), "semi")
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val prevEnd = max(col("pos") + k)
+        .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+      val isl = hits
+        .withColumn("brk",
+          when(col("pos") > coalesce(prevEnd, lit(-1)), 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("brk")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      isl.groupBy(col("doc_id"), col("source"), col("island"))
+        .agg(min(col("pos")).as("st"), (max(col("pos")) + k).as("en"))
+        .groupBy(col("source"))
+        .agg(count_distinct(col("doc_id")).as("docs_affected"),
+          count(lit(1)).as("dup_spans"),
+          sum(col("en") - col("st")).cast("long").as("dup_chars"))
+        .orderBy(col("source"))
+    },
     // MinHash + LSH banding → candidate near-dup pairs. One md5 per
     // shingle sliced into K 16-bit sub-hashes (not K md5 calls — 8× less
     // hashing, same oracle replayability); bands are slice concats.
@@ -939,6 +985,38 @@ object DedupOps {
         |  ROUND(inter*1.0/(sza+szb-inter), 6) AS jaccard
         |FROM ver WHERE 5*inter >= 4*(sza+szb-inter)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_substring" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    unnest(generate_series(1, length(text) - 39)) AS pos, text
+        |  FROM documents WHERE length(text) >= 40),
+        |gg AS (
+        |  SELECT doc_id, source, pos, md5(substring(text, pos, 40)) AS gh
+        |  FROM g),
+        |dup AS (
+        |  SELECT gh FROM gg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (
+        |  SELECT doc_id, source, pos FROM gg WHERE gh IN (SELECT gh FROM dup)),
+        |mk AS (
+        |  SELECT doc_id, source, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, source, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM mk),
+        |sp AS (
+        |  SELECT doc_id, source, island, MIN(pos) AS st, MAX(pos) + 40 AS en
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+        |  CAST(count(*) AS BIGINT) AS dup_spans,
+        |  CAST(SUM(en - st) AS BIGINT) AS dup_chars
+        |FROM sp GROUP BY source ORDER BY source""".stripMargin,
     "dedup_source_matrix" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text, source FROM documents

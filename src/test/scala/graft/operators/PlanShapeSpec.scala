@@ -801,6 +801,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dedup_substring: duplication detected by grouped count + semi-join, never a pair join") {
+    // the Lee-et-al ExactSubstr shape: grams → grouped distinct-doc
+    // count → semi-join probe. A LeftSemi equi-join on the digest is the
+    // only join allowed; any cartesian/BNLJ means a pair enumeration
+    // snuck in, and that shape is corpus² at 100 TB
+    val p = plan("dedup_substring")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("q_spatial_join: cell bucketing turns the radius join into an equi-join, never BNLJ") {
     val p = plan("q_spatial_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
