@@ -66,6 +66,39 @@ object DedupOps {
         concat(col(s"h${2 * b + 1}"), col(s"h${2 * b + 2}"))): _*)))
       .toDF("doc_id", "band", "bh")
 
+  /** Maximal cross-doc duplicated spans per document — `(doc_id, source,
+    * island, st, en)` with `[st, en)` half-open char intervals. The
+    * ExactSubstr core shared by the report (`dedup_substring`) and the
+    * cut (`dedup_substring_cut`): 40-char grams at stride 1, grams in
+    * ≥2 distinct docs located by grouped distinct-count + semi-join
+    * (never a pair join), hit positions union-merged per doc by the
+    * running-max-of-ends sweep. */
+  private[operators] def dupSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 40
+    val g = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("source"), col("pos"),
+        md5(expr(s"substring(text, pos, $k)")).as("gh"))
+    val dup = g.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val hits = g.join(dup, Seq("gh"), "semi")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + k)
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(-1)), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("source"), col("island"))
+      .agg(min(col("pos")).as("st"), (max(col("pos")) + k).as("en"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash groups with representative + multiplicity
     "dedup_exact" -> { (s, dir) =>
@@ -120,34 +153,47 @@ object DedupOps {
     // stride and seed candidates from dedup_winnowing fingerprints, or
     // run suffix arrays per partition as Lee et al. do).
     "dedup_substring" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val k = 40
-      val g = documents(s, dir)
-        .filter(length(col("text")) >= k)
-        .select(col("doc_id"), col("source"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
-        .select(col("doc_id"), col("source"), col("pos"),
-          md5(expr(s"substring(text, pos, $k)")).as("gh"))
-      val dup = g.groupBy(col("gh"))
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
-        .select(col("gh"))
-      val hits = g.join(dup, Seq("gh"), "semi")
-      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val prevEnd = max(col("pos") + k)
-        .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
-      val isl = hits
-        .withColumn("brk",
-          when(col("pos") > coalesce(prevEnd, lit(-1)), 1L).otherwise(0L))
-        .withColumn("island",
-          sum(col("brk")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
-      isl.groupBy(col("doc_id"), col("source"), col("island"))
-        .agg(min(col("pos")).as("st"), (max(col("pos")) + k).as("en"))
+      dupSpans(documents(s, dir))
         .groupBy(col("source"))
         .agg(count_distinct(col("doc_id")).as("docs_affected"),
           count(lit(1)).as("dup_spans"),
           sum(col("en") - col("st")).cast("long").as("dup_chars"))
         .orderBy(col("source"))
+    },
+    // The CUT, not just the report: duplicated spans excised and each
+    // affected document's surviving text reconstructed — the edit Lee
+    // et al.'s ExactSubstr pass actually ships. Kept segments are the
+    // complement intervals (lag-of-ends → next-start gaps plus the
+    // max-end → end-of-text tail), substring'd from the original and
+    // reassembled in start order; the gate hashes the REBUILT STRING,
+    // so any off-by-one in the interval algebra — either engine, either
+    // direction — fails loudly. Affected docs only (the untouched
+    // corpus passes through unchanged by construction); segment rows ∝
+    // spans found, and the rebuild shuffles only (doc_id, gs, segment)
+    // — never a corpus-wide text reshuffle.
+    "dedup_substring_cut" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val sp = dupSpans(documents(s, dir)).select(col("doc_id"), col("st"), col("en"))
+      val bySt = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+      val gaps = sp.select(col("doc_id"),
+        coalesce(lag(col("en"), 1).over(bySt), lit(1)).as("gs"),
+        col("st").as("ge"))
+      val tails = sp.groupBy(col("doc_id")).agg(max(col("en")).as("gs"))
+        .join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("gs"), (length(col("text")) + 1).as("ge"))
+      val pieces = gaps.unionByName(tails)
+        .join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("gs"),
+          expr("substring(text, gs, ge - gs)").as("seg"))
+      pieces.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("gs"), col("seg")))),
+          x => x.getField("seg")), "").as("kept"))
+        .select(col("doc_id"),
+          length(col("kept")).cast("long").as("kept_chars"),
+          md5(col("kept")).as("h"))
+        .orderBy(col("doc_id"))
     },
     // MinHash + LSH banding → candidate near-dup pairs. One md5 per
     // shingle sliced into K 16-bit sub-hashes (not K md5 calls — 8× less
@@ -1017,6 +1063,48 @@ object DedupOps {
         |  CAST(count(*) AS BIGINT) AS dup_spans,
         |  CAST(SUM(en - st) AS BIGINT) AS dup_chars
         |FROM sp GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_substring_cut" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS pos, text
+        |  FROM documents WHERE length(text) >= 40),
+        |gg AS (
+        |  SELECT doc_id, pos, md5(substring(text, pos, 40)) AS gh FROM g),
+        |dup AS (
+        |  SELECT gh FROM gg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (
+        |  SELECT doc_id, pos FROM gg WHERE gh IN (SELECT gh FROM dup)),
+        |mk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM mk),
+        |sp AS (
+        |  SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + 40 AS en
+        |  FROM isl GROUP BY 1, 2),
+        |gaps AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(en) OVER (PARTITION BY doc_id ORDER BY st), 1) AS gs,
+        |    st AS ge
+        |  FROM sp
+        |  UNION ALL
+        |  SELECT t.doc_id, t.gs, length(d.text) + 1 AS ge
+        |  FROM (SELECT doc_id, MAX(en) AS gs FROM sp GROUP BY doc_id) t
+        |  JOIN documents d USING (doc_id)),
+        |pieces AS (
+        |  SELECT p.doc_id, p.gs, substring(d.text, p.gs, p.ge - p.gs) AS seg
+        |  FROM gaps p JOIN documents d USING (doc_id)),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS kept
+        |  FROM pieces GROUP BY doc_id)
+        |SELECT doc_id, CAST(length(kept) AS BIGINT) AS kept_chars, md5(kept) AS h
+        |FROM rebuilt ORDER BY doc_id""".stripMargin,
     "dedup_source_matrix" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text, source FROM documents

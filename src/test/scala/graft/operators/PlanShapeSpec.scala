@@ -811,6 +811,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("dedup_substring_cut: rebuild joins stay equi-joins on doc_id, never BNLJ") {
+    val p = plan("dedup_substring_cut")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("q_spatial_join: cell bucketing turns the radius join into an equi-join, never BNLJ") {
     val p = plan("q_spatial_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
