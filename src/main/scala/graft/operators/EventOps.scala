@@ -15,6 +15,31 @@ object EventOps {
   import Tables._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD2 dimension build — the temporal-table maintenance shape: each
+    // user's event_type stream read as a change log, consecutive equal
+    // states run-length-compressed (lag change detection under the
+    // (ts, event_id) total order), each surviving change opening a
+    // type-2 version row [valid_from, valid_to) with lead(ts) closing
+    // it and the open version flagged current. Everything is user-
+    // partitioned windows — embarrassingly parallel across dimension
+    // keys at any scale, no self-join (the naive build is log ⋈ log on
+    // "next change", which this lead() replaces). user_id < 25 bounds
+    // the emitted dimension for the gate; production emits all keys.
+    "events_scd2" -> { (s, dir) =>
+      val byOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir).filter(col("user_id") < 25)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byOrd))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"),
+          row_number().over(byOrd).cast("long").as("version"),
+          col("event_type").as("state"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(byOrd).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("user_id"), col("version"))
+    },
     // tumbling-hour aggregation per event type
     "events_hourly" -> { (s, dir) =>
       events(s, dir)
@@ -1251,6 +1276,26 @@ object EventOps {
       |ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events WHERE user_id < 25),
+        |ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM (
+        |    SELECT user_id, ts, event_id, event_type,
+        |      lag(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM e)
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type AS state,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "events_markov_entropy" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,
