@@ -416,6 +416,49 @@ object TextOps {
         .orderBy(col("ce").desc, col("doc_id"))
         .limit(10)
     },
+    // Interpolated Kneser-Ney bigram cross-entropy (Kneser & Ney 1995;
+    // Chen & Goodman 1999's benchmark smoothing) — the production LM
+    // filter text_perplexity's raw-MLE score approximates: absolute
+    // discount D=3/4 with continuation-probability backoff
+    //   P(w2|w1) = (c12−D)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/B.
+    // With D rational every probability is an exact integer ratio:
+    //   P = ((4·c12−3)·B + 3·n1f·n1b) / (4·c1·B)
+    // so both engines take logs of IDENTICAL integers — the smoothing
+    // adds zero float divergence surface over the MLE version. All four
+    // count tables (bigrams, contexts+fertility, continuation, one-row
+    // B) are vocabulary-bounded and broadcast; the corpus-sized gram
+    // stream never shuffles. Top-10 most-surprising docs, the cut list.
+    "text_kneser_ney" -> { (s, dir) =>
+      val grams = documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("g"))
+        .select(col("doc_id"), col("g.w1"), col("g.w2"))
+      val big = grams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val uni = grams.groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1"), count_distinct(col("w2")).as("n1f"))
+      val back = grams.groupBy(col("w2"))
+        .agg(count_distinct(col("w1")).as("n1b"))
+      val btot = big.agg(count(lit(1)).as("bb"))
+      val num = (lit(4) * col("c12") - 3) * col("bb") +
+        lit(3) * col("n1f") * col("n1b")
+      val den = lit(4) * col("c1") * col("bb")
+      val term = round(log(den) - log(num), 10)
+      grams
+        .join(broadcast(big), Seq("w1", "w2"))
+        .join(broadcast(uni), Seq("w1"))
+        .join(broadcast(back), Seq("w2"))
+        .crossJoin(broadcast(btot))
+        .groupBy(col("doc_id"))
+        .agg(DetMean.mean6(sum(DetMean.el10(term)),
+          count(lit(1))).as("kn_ce"))
+        .orderBy(col("kn_ce").desc, col("doc_id"))
+        .limit(10)
+    },
     // normalized-text fingerprint; distinct fingerprints per source
     "text_fingerprint" -> { (s, dir) =>
       documents(s, dir)
@@ -802,6 +845,26 @@ object TextOps {
         |FROM grams JOIN big USING (w1, w2) JOIN uni USING (w1)
         |GROUP BY doc_id
         |ORDER BY ce DESC, doc_id
+        |LIMIT 10""".stripMargin,
+    "text_kneser_ney" ->
+      """WITH grams AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2) d,
+        |       unnest(range(1, len(w))) AS t(i)),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY w1, w2),
+        |uni AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1f
+        |        FROM grams GROUP BY w1),
+        |back AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM grams GROUP BY w2),
+        |btot AS (SELECT COUNT(*) AS bb FROM big)
+        |SELECT doc_id,
+        |  ROUND(SUM(CAST(ROUND(
+        |      ln(4 * c1 * bb) - ln((4 * c12 - 3) * bb + 3 * n1f * n1b),
+        |      10) AS DECIMAL(28,10))) * 1.0 / COUNT(*), 6) AS kn_ce
+        |FROM grams JOIN big USING (w1, w2) JOIN uni USING (w1)
+        |  JOIN back USING (w2) CROSS JOIN btot
+        |GROUP BY doc_id
+        |ORDER BY kn_ce DESC, doc_id
         |LIMIT 10""".stripMargin,
     "text_tfidf" ->
       """WITH w AS (
