@@ -266,6 +266,55 @@ object MlOps {
           .as("auc"),
           count(lit(1)).as("n_bins"))
     },
+    // Learning curve — AUC as a function of training-set size, the
+    // sample-efficiency read ("is more data still buying accuracy?")
+    // that decides whether a 100 TB corpus needs MORE collection or
+    // better curation. Five NESTED subsets (20..100%) carved by a
+    // byte-valued md5 hash of vec_id (b*100 < frac*256 — exact integer
+    // compare, deterministic in both engines, and each arm is a strict
+    // superset of the previous, the property a learning curve needs).
+    // One corpus scan: rows explode into their member arms, every arm
+    // rides the same binned-ROC discipline as ml_auc with frac joining
+    // the partition keys — the ROC windows run over the BIN table
+    // (≤ arms × 1001 rows), never the corpus.
+    "ml_learning_curve" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+      val hx: Column => Column = a => when(a >= 97, a - 87).otherwise(a - 48)
+      val hexAt: Int => Column = i =>
+        hx(ascii(substring(md5(col("vec_id").cast("string")), i, 1)))
+      val b = hexAt(1) * 16 + hexAt(2)
+      val arms = embeddings(s, dir)
+        .select(round(p, 3).as("pb"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"), b.as("b"))
+        .select(explode(array(Seq(20, 40, 60, 80, 100).map(lit): _*)).as("frac"),
+          col("pb"), col("pos"), col("b"))
+        .filter(col("b") * 100 < col("frac") * 256)
+      val bins = arms.groupBy(col("frac"), col("pb"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+      val tot = bins.groupBy(col("frac"))
+        .agg(sum(col("n")).as("n_rows"), sum(col("npos")).as("allpos"))
+      val w = Window.partitionBy(col("frac")).orderBy(col("pb").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val lw = Window.partitionBy(col("frac")).orderBy(col("pb").desc)
+      bins.join(broadcast(tot), Seq("frac"))
+        .withColumn("cum_pos", sum(col("npos")).over(w))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .select(col("frac"), col("pb"), col("n_rows"),
+          (col("cum_pos").cast("double") / col("allpos")).as("tpr"),
+          ((col("cum_n") - col("cum_pos")).cast("double") /
+            (col("n_rows") - col("allpos"))).as("fpr"))
+        .withColumn("term", round(
+          (col("fpr") - lag(col("fpr"), 1, 0.0).over(lw)) *
+            (col("tpr") + lag(col("tpr"), 1, 0.0).over(lw)) / 2, 6))
+        .groupBy(col("frac"))
+        .agg(max(col("n_rows")).as("n_rows"),
+          round(sum(col("term").cast("decimal(18,6)")).cast("double"), 6)
+            .as("auc"))
+        .orderBy(col("frac"))
+    },
     // Winsorization — the robust-preprocessing step between raw values
     // and a scaler: clip each event type's values at its own exact
     // p05/p95 (heavy tails poison mean/std scalers; clipping at
@@ -803,6 +852,47 @@ object MlOps {
         |SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS auc,
         |  COUNT(*) AS n_bins
         |FROM terms""".stripMargin,
+    "ml_learning_curve" ->
+      """WITH e AS (
+        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos,
+        |    (CASE WHEN ascii(substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) >= 97
+        |          THEN ascii(substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 87
+        |          ELSE ascii(substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 48
+        |     END) * 16 +
+        |    (CASE WHEN ascii(substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) >= 97
+        |          THEN ascii(substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 87
+        |          ELSE ascii(substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 48
+        |     END) AS b
+        |  FROM embeddings),
+        |arms AS (
+        |  SELECT t.frac, e.pb, e.pos FROM e,
+        |    (SELECT unnest([20, 40, 60, 80, 100]) AS frac) t
+        |  WHERE e.b * 100 < t.frac * 256),
+        |bins AS (
+        |  SELECT frac, pb, COUNT(*) AS n, SUM(pos) AS npos
+        |  FROM arms GROUP BY frac, pb),
+        |tot AS (
+        |  SELECT frac, SUM(n) AS n_rows, SUM(npos) AS allpos
+        |  FROM bins GROUP BY frac),
+        |roc AS (
+        |  SELECT b.frac, b.pb, t.n_rows,
+        |    CAST(SUM(b.npos) OVER w AS DOUBLE) / t.allpos AS tpr,
+        |    CAST(SUM(b.n) OVER w - SUM(b.npos) OVER w AS DOUBLE)
+        |      / (t.n_rows - t.allpos) AS fpr
+        |  FROM bins b JOIN tot t USING (frac)
+        |  WINDOW w AS (PARTITION BY b.frac ORDER BY b.pb DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |terms AS (
+        |  SELECT frac, n_rows, ROUND(
+        |    (fpr - COALESCE(lag(fpr) OVER lw, 0.0)) *
+        |    (tpr + COALESCE(lag(tpr) OVER lw, 0.0)) / 2, 6) AS term
+        |  FROM roc
+        |  WINDOW lw AS (PARTITION BY frac ORDER BY pb DESC))
+        |SELECT frac, CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+        |  ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS auc
+        |FROM terms GROUP BY frac ORDER BY frac""".stripMargin,
     "ml_pr_curve" ->
       """WITH e AS (
         |  SELECT ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
