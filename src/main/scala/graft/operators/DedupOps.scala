@@ -70,9 +70,16 @@ object DedupOps {
     * island, st, en)` with `[st, en)` half-open char intervals. The
     * ExactSubstr core shared by the report (`dedup_substring`) and the
     * cut (`dedup_substring_cut`): 40-char grams at stride 1, grams in
-    * ≥2 distinct docs located by grouped distinct-count + semi-join
+    * ≥2 distinct docs located by a grouped aggregate + semi-join
     * (never a pair join), hit positions union-merged per doc by the
-    * running-max-of-ends sweep. */
+    * running-max-of-ends sweep. Three measured cost levers (each ~2-3×
+    * at sf0.1): group by the RAW gram — hashing 1.3M grams through md5
+    * cost more than shuffling the extra 8 bytes/key it saved; "≥2
+    * distinct docs" as min(doc_id) ≠ max(doc_id) — the full distinct
+    * count pays a two-phase Expand for a threshold test that two
+    * partial-aggregating extrema answer; and localCheckpoint the gram
+    * table — extraction is the dominant term, and both the aggregate
+    * and the probe side of the semi-join consume it. */
   private[operators] def dupSpans(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 40
@@ -81,10 +88,11 @@ object DedupOps {
       .select(col("doc_id"), col("source"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
       .select(col("doc_id"), col("source"), col("pos"),
-        md5(expr(s"substring(text, pos, $k)")).as("gh"))
+        expr(s"substring(text, pos, $k)").as("gh"))
+      .localCheckpoint()
     val dup = g.groupBy(col("gh"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
       .select(col("gh"))
     val hits = g.join(dup, Seq("gh"), "semi")
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -146,12 +154,11 @@ object DedupOps {
     // spans — the boilerplate/template regions an LM pipeline cuts out
     // of otherwise-unique documents. Report: per-source affected docs,
     // merged spans, covered chars. Duplication is detected by a grouped
-    // distinct-doc count, never a pair join — pair volume never exists.
-    // Scale: the gram table is corpus_bytes × k/stride rows, each
-    // shuffling (doc_id, pos, digest); md5 keeps the DuckDB oracle
-    // byte-replayable (production: unhex to a 16-byte key, widen the
-    // stride and seed candidates from dedup_winnowing fingerprints, or
-    // run suffix arrays per partition as Lee et al. do).
+    // min≠max extrema test, never a pair join — pair volume never
+    // exists (see dupSpans for the measured cost levers). Scale: the
+    // gram table is corpus_bytes × k/stride rows; production widens the
+    // stride and seeds candidates from dedup_winnowing fingerprints, or
+    // runs suffix arrays per partition as Lee et al. do.
     "dedup_substring" -> { (s, dir) =>
       dupSpans(documents(s, dir))
         .groupBy(col("source"))
@@ -1037,10 +1044,10 @@ object DedupOps {
         |    unnest(generate_series(1, length(text) - 39)) AS pos, text
         |  FROM documents WHERE length(text) >= 40),
         |gg AS (
-        |  SELECT doc_id, source, pos, md5(substring(text, pos, 40)) AS gh
+        |  SELECT doc_id, source, pos, substring(text, pos, 40) AS gh
         |  FROM g),
         |dup AS (
-        |  SELECT gh FROM gg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        |  SELECT gh FROM gg GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)),
         |hits AS (
         |  SELECT doc_id, source, pos FROM gg WHERE gh IN (SELECT gh FROM dup)),
         |mk AS (
@@ -1068,9 +1075,9 @@ object DedupOps {
         |  SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS pos, text
         |  FROM documents WHERE length(text) >= 40),
         |gg AS (
-        |  SELECT doc_id, pos, md5(substring(text, pos, 40)) AS gh FROM g),
+        |  SELECT doc_id, pos, substring(text, pos, 40) AS gh FROM g),
         |dup AS (
-        |  SELECT gh FROM gg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        |  SELECT gh FROM gg GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)),
         |hits AS (
         |  SELECT doc_id, pos FROM gg WHERE gh IN (SELECT gh FROM dup)),
         |mk AS (

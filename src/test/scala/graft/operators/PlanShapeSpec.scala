@@ -801,9 +801,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
-  test("dedup_substring: duplication detected by grouped count + semi-join, never a pair join") {
-    // the Lee-et-al ExactSubstr shape: grams → grouped distinct-doc
-    // count → semi-join probe. A LeftSemi equi-join on the digest is the
+  test("dedup_substring: duplication detected by grouped extrema + semi-join, never a pair join") {
+    // the Lee-et-al ExactSubstr shape: grams → grouped min/max-doc
+    // extrema test → semi-join probe. A LeftSemi equi-join on the digest is the
     // only join allowed; any cartesian/BNLJ means a pair enumeration
     // snuck in, and that shape is corpus² at 100 TB
     val p = plan("dedup_substring")
