@@ -40,6 +40,32 @@ object EventOps {
         .withColumn("is_current", col("valid_to").isNull)
         .orderBy(col("user_id"), col("version"))
     },
+    // Point-in-time lookup against the SCD2 dimension — the join that
+    // makes a type-2 table worth building: each purchase fact finds THE
+    // version valid at its event time (valid_from <= ts < valid_to,
+    // open version catching the tail). Because versions partition each
+    // user's timeline from their first event, every fact matches
+    // exactly once — boundary ties resolve identically in both engines
+    // (integer-microsecond comparisons, half-open intervals). The plan
+    // is an equi-join on the dimension key with the range predicate as
+    // residual — at scale both sides bucket by the key and the interval
+    // check stays row-local, never a BNLJ (plan-gated).
+    "events_scd2_lookup" -> { (s, dir) =>
+      val dim = queries("events_scd2")(s, dir)
+        .select(col("user_id").as("d_user"), col("state"),
+          col("valid_from"), col("valid_to"))
+      val facts = events(s, dir)
+        .filter(col("user_id") < 25 && col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      facts.join(dim, col("user_id") === col("d_user") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .groupBy(col("state"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_value"))
+        .orderBy(col("state"))
+    },
     // tumbling-hour aggregation per event type
     "events_hourly" -> { (s, dir) =>
       events(s, dir)
@@ -1296,6 +1322,32 @@ object EventOps {
         |FROM ch
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "events_scd2_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events WHERE user_id < 25),
+        |ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM (
+        |    SELECT user_id, ts, event_id, event_type,
+        |      lag(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM e)
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM ch),
+        |f AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE user_id < 25 AND event_type = 'purchase')
+        |SELECT d.state, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(ROUND(SUM(CAST(f.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM f JOIN dim d ON f.user_id = d.user_id
+        |  AND d.valid_from <= f.ts
+        |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        |GROUP BY d.state ORDER BY d.state""".stripMargin,
     "events_markov_entropy" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

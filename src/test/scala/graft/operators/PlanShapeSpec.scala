@@ -817,6 +817,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("events_scd2_lookup: point-in-time join keys on user_id with a residual range, never BNLJ") {
+    // the interval predicate must ride an equi-join on the dimension
+    // key as a residual condition — a BNLJ/cartesian here means the
+    // equi component was lost and every fact scans every version
+    val p = plan("events_scd2_lookup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("q_spatial_join: cell bucketing turns the radius join into an equi-join, never BNLJ") {
     val p = plan("q_spatial_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
