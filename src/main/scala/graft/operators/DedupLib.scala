@@ -378,7 +378,11 @@ object DedupLib {
     val cos = graft.functions.VectorFunctions.cosine_sim _
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
     val assigned = e.select(col(idCol), col("_v"),
-      nearestCell(col("_v"), centroids).as("cell"))
+      // opaque: lambda-derived join key — without it the self-join's
+      // inferred alias-equality constraint can land a filter referencing
+      // this side's attributes on the other side (OpaqueIdentity scaladoc)
+      graft.functions.Barriers.opaque(
+        nearestCell(col("_v"), centroids)).as("cell"))
     val a = assigned.as("a"); val b = assigned.as("b")
     val dups = a.join(b, col("a.cell") === col("b.cell") &&
         col(s"b.$idCol") < col(s"a.$idCol"))

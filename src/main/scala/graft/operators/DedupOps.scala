@@ -81,7 +81,6 @@ object DedupOps {
     * table — extraction is the dominant term, and both the aggregate
     * and the probe side of the semi-join consume it. */
   private[operators] def dupSpans(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = 40
     val g = docs
       .filter(length(col("text")) >= k)
@@ -94,7 +93,15 @@ object DedupOps {
       .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .select(col("gh"))
-    val hits = g.join(dup, Seq("gh"), "semi")
+    mergeIslands(g.join(dup, Seq("gh"), "semi"), k)
+  }
+
+  /** Union-merge per-doc hit positions into maximal [st, en) spans — the
+    * running-max-of-ends sweep shared by the stride-1 and the
+    * winnowing-seeded substring-dedup variants. `hits` must expose
+    * (doc_id, source, pos); intervals are [pos, pos+k). */
+  private def mergeIslands(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevEnd = max(col("pos") + k)
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
@@ -105,6 +112,66 @@ object DedupOps {
         sum(col("brk")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("source"), col("island"))
       .agg(min(col("pos")).as("st"), (max(col("pos")) + k).as("en"))
+  }
+
+  /** Window size (in gram positions) for the winnowing-seeded substring
+    * dedup. Coverage guarantee: within any cross-doc-shared substring,
+    * consecutive selected positions are ≤ SubWinnowW apart (< the gram
+    * width), so a true shared span's selected hits always merge into ONE
+    * island; shared spans of length ≥ 40 + SubWinnowW - 1 are always
+    * detected. */
+  private[operators] val SubWinnowW = 8
+
+  /** The 100 TB shape of [[dupSpans]]: identical gram width and island
+    * algebra, but only WINNOWED gram positions enter the shuffle — per
+    * trailing window of [[SubWinnowW]] positions, the lexicographically
+    * smallest gram (ties to the rightmost position, the standard
+    * winnowing tie-break) is selected, row-locally. Selection is
+    * content-determined, so two documents sharing a substring select the
+    * same grams inside it — the self-synchronization that makes the
+    * seeded variant sound — and shuffle volume drops to ~2/(W+1) of
+    * stride-1's while extraction stays embarrassingly parallel. The
+    * price is approximate span BOUNDARIES (the first selected gram can
+    * start up to W-1 chars into the true span) and missed spans shorter
+    * than k + W - 1; the containment property (every winnowed span lies
+    * inside a stride-1 span) is spec-proven in SubstringDedupSpec.
+    * Prefix windows (p < W) shrink to 1..p so short docs still select —
+    * "robust winnowing". Three measured cost levers in the row-local
+    * selection: keys are (8-char gram PREFIX || lpad(PosBase - pos))
+    * strings — the prefix lies inside the gram so shared spans still
+    * self-synchronize, and min-string means (min prefix, rightmost pos);
+    * the per-window min is least() over W clamped element_at shifts
+    * (no slice(): a per-position array copy measured ~2× the whole
+    * selection; clamped duplicate arguments can't change a min); and the
+    * full 40-char gram is substring'd for SELECTED positions only. Text
+    * compares as raw UTF-8 on both engines (fixture is ASCII). */
+  private[operators] def dupSpansWinnowed(docs: DataFrame): DataFrame = {
+    val k = 40; val w = SubWinnowW
+    val leastArgs = (0 until w)
+      .map(d => s"element_at(ks, greatest(1, p - $d))").mkString(", ")
+    val g = docs
+      .filter(length(col("text")) >= k)
+      .withColumn("ks", expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), " +
+          s"p -> concat(substring(text, p, 8), " +
+          s"lpad(cast($PosBase - p as string), 10, '0')))"))
+      .withColumn("sel", expr(
+        s"array_distinct(transform(sequence(1, size(ks)), " +
+          s"p -> least($leastArgs)))"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"transform(sel, mk -> struct(" +
+            s"$PosBase - cast(substring(mk, 9, 10) as int) AS pos, " +
+            s"substring(text, $PosBase - cast(substring(mk, 9, 10) as int), $k) AS gh))"))
+          .as("m"))
+      .select(col("doc_id"), col("source"),
+        col("m.pos").cast("long").as("pos"), col("m.gh").as("gh"))
+      .localCheckpoint()
+    val dup = g.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("gh"))
+    mergeIslands(g.join(dup, Seq("gh"), "semi"), k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -201,6 +268,22 @@ object DedupOps {
           length(col("kept")).cast("long").as("kept_chars"),
           md5(col("kept")).as("h"))
         .orderBy(col("doc_id"))
+    },
+    // The winnowing-seeded twin of dedup_substring — identical report
+    // over [[dupSpansWinnowed]]'s spans: only winnow-selected gram
+    // positions (min-gram per trailing window of SubWinnowW, rightmost
+    // tie-break) enter the group-by shuffle, cutting shuffled gram
+    // volume to ~2/(W+1) of stride-1's. This is the shape to run at
+    // 100 TB; the stride-1 query stays as the exact truth the
+    // containment spec measures against (every winnowed span is inside
+    // a stride-1 span; shared spans ≥ k+W-1 chars are never missed).
+    "dedup_substring_winnowed" -> { (s, dir) =>
+      dupSpansWinnowed(documents(s, dir))
+        .groupBy(col("source"))
+        .agg(count_distinct(col("doc_id")).as("docs_affected"),
+          count(lit(1)).as("dup_spans"),
+          sum(col("en") - col("st")).cast("long").as("dup_chars"))
+        .orderBy(col("source"))
     },
     // MinHash + LSH banding → candidate near-dup pairs. One md5 per
     // shingle sliced into K 16-bit sub-hashes (not K md5 calls — 8× less
@@ -1070,6 +1153,49 @@ object DedupOps {
         |  CAST(count(*) AS BIGINT) AS dup_spans,
         |  CAST(SUM(en - st) AS BIGINT) AS dup_chars
         |FROM sp GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_substring_winnowed" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, source,
+         |    unnest(generate_series(1, length(text) - 39)) AS pos, text
+         |  FROM documents WHERE length(text) >= 40),
+         |gg AS (
+         |  SELECT doc_id, source, pos, text,
+         |    substring(text, pos, 8) ||
+         |      lpad(CAST($PosBase - pos AS VARCHAR), 10, '0') AS mk
+         |  FROM g),
+         |selw AS (
+         |  SELECT doc_id, source, text,
+         |    MIN(mk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN ${SubWinnowW - 1} PRECEDING AND CURRENT ROW) AS mk
+         |  FROM gg),
+         |sel AS (SELECT DISTINCT doc_id, source, text, mk FROM selw),
+         |hh AS (
+         |  SELECT doc_id, source, pos, substring(text, pos, 40) AS gh
+         |  FROM (SELECT doc_id, source, text,
+         |          $PosBase - CAST(substring(mk, 9, 10) AS BIGINT) AS pos
+         |        FROM sel)),
+         |dup AS (SELECT gh FROM hh GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)),
+         |hits AS (SELECT doc_id, source, pos FROM hh WHERE gh IN (SELECT gh FROM dup)),
+         |mk2 AS (
+         |  SELECT doc_id, source, pos,
+         |    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl AS (
+         |  SELECT doc_id, source, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM mk2),
+         |sp AS (
+         |  SELECT doc_id, source, island, MIN(pos) AS st, MAX(pos) + 40 AS en
+         |  FROM isl GROUP BY 1, 2, 3)
+         |SELECT source,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+         |  CAST(count(*) AS BIGINT) AS dup_spans,
+         |  CAST(SUM(en - st) AS BIGINT) AS dup_chars
+         |FROM sp GROUP BY source ORDER BY source""".stripMargin,
     "dedup_substring_cut" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS pos, text

@@ -261,19 +261,21 @@ object SimilarityOps {
       val cos = graft.functions.VectorFunctions.cosine_sim _
       val e = embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cents = e.filter(col("vec_id") < IvfCells).collect().sortBy(_.getLong(0))
-      val centArr = array(cents.map { r =>
-        struct(lit(r.getLong(0)).as("cell"),
-          typedLit(r.getSeq[Double](1)).as("cv"))
-      }.toIndexedSeq: _*)
-      // per-cell similarity structs, lexicographically ordered so that
-      // max/sort mean (sim desc, then smallest cell id)
-      def cellSims(v: Column) = transform(centArr, c =>
-        struct(round(cos(v, c.getField("cv")), 6).as("sim"),
-          (-c.getField("cell")).as("negc"), c.getField("cell").as("cell")))
+      val cellSims = ivfCellSims(e)
+      // Barriers.opaque: a lambda-derived join key must not generate an
+      // alias-equality constraint (see OpaqueIdentity's scaladoc — the
+      // inferred filter lands on the probes side referencing this scan)
       val assigned = e.withColumn("cell",
-        array_max(cellSims(col("v"))).getField("cell"))
-      val probes = e.filter(col("vec_id").isin(IvfProbeIds.map(_.toLong): _*))
+        graft.functions.Barriers.opaque(
+          array_max(cellSims(col("v"))).getField("cell")))
+      // probes get their OWN scan (fresh expression ids): the join below
+      // is otherwise a self-join whose relation dedup can miss attribute
+      // references nested inside the explode(transform(...)) lambda
+      // (observed: runtime ATTRIBUTE_NOT_FOUND) — and a separate scan
+      // also pushes the probe-id filter down to its own parquet read
+      val eProbes = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = eProbes.filter(col("vec_id").isin(IvfProbeIds.map(_.toLong): _*))
         .select(col("vec_id").as("probe_id"), col("v").as("p"),
           explode(transform(
             slice(reverse(array_sort(cellSims(col("v")))), 1, IvfNProbe),
@@ -461,7 +463,13 @@ object SimilarityOps {
     // arm's scan prunes to the probed cells.
     "ann_ivf_recall" -> { (s, dir) =>
       val cos = graft.functions.VectorFunctions.cosine_sim _
-      val ivf = queries("ann_ivf_probe")(s, dir)
+      // K-bounded materialization of the IVF arm (k·|probes| = 15 rows,
+      // the bounded-collect codebook rule): re-planning its lambda-heavy
+      // tree inside a bigger query trips Spark's relation dedup / .rdd
+      // binding (runtime ATTRIBUTE_NOT_FOUND) — a literal row set is the
+      // robust boundary, and eval cost past this point scales with the
+      // shortlist, never the corpus
+      val ivf = ivfProbeRows(s, dir)
         .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
       val e = embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -497,7 +505,8 @@ object SimilarityOps {
     // with the shortlist, never the corpus.
     "ann_ndcg" -> { (s, dir) =>
       val cos = graft.functions.VectorFunctions.cosine_sim _
-      val ivf = queries("ann_ivf_probe")(s, dir)
+      // K-bounded materialization (the ann_ivf_recall note)
+      val ivf = ivfProbeRows(s, dir)
         .select(col("probe_id"), col("vec_id"), col("rk"))
       val e = embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -535,25 +544,19 @@ object SimilarityOps {
     // reverse direction (kills hub vectors that are everyone's nearest
     // neighbor), scored by cos1/cos2 (the margin criterion: how much
     // the best beats the runner-up — raw cosine thresholds don't
-    // transfer across language pairs, margins do). Exact cross scoring
-    // here (populations are label-bounded); at corpus scale the scored
-    // set comes from the ann_* candidate generators (IVF/LSH) and the
-    // margin logic downstream is unchanged. One scored table feeds the
-    // forward ranking, the runner-up, and the reverse ranking —
-    // localCheckpoint for the three consumers (the dedup_ngram_jaccard
-    // rationale).
+    // transfer across language pairs, margins do). Candidate generation
+    // is the ann_ivf_probe geometry, NOT a cross join: the B population
+    // is indexed into its nearest literal-codebook cell, each A vector
+    // probes its IvfNProbe nearest cells, and only cell-colocated pairs
+    // are scored — an equi-join on the cell key, so pair count scales as
+    // nprobe/K of the cross product and the join shuffles on a real key
+    // (at 100 TB: K grows with the corpus, per-cell work stays bounded).
+    // The margin logic downstream is unchanged and runs within the
+    // candidate set on both engines. One scored table feeds the forward
+    // ranking, the runner-up, and the reverse ranking — localCheckpoint
+    // for the three consumers (the dedup_ngram_jaccard rationale).
     "emb_bitext_mine" -> { (s, dir) =>
-      val cos = graft.functions.VectorFunctions.cosine_sim _
-      val e = embeddings(s, dir).select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
-      val srcA = e.filter(col("label") === 0)
-        .select(col("vec_id").as("a_id"), col("v").as("va"))
-      val srcB = e.filter(col("label") === 1)
-        .select(col("vec_id").as("b_id"), col("v").as("vb"))
-      val scored = srcA.crossJoin(broadcast(srcB))
-        .select(col("a_id"), col("b_id"),
-          round(cos(col("va"), col("vb")), 6).as("c"))
-        .localCheckpoint(eager = false)
+      val scored = bitextScored(s, dir).localCheckpoint(eager = false)
       val wf = org.apache.spark.sql.expressions.Window
         .partitionBy(col("a_id")).orderBy(col("c").desc, col("b_id"))
       val fw = scored.withColumn("rk", row_number().over(wf))
@@ -580,6 +583,70 @@ object SimilarityOps {
   private val IvfNProbe = 2
   private val IvfTopK = 5
   private val IvfProbeIds = Seq(3, 11, 42)
+
+  /** Deterministic literal IVF codebook (seeds = vec_id < IvfCells) as a
+    * per-row cosine projection: returns a Column function mapping a
+    * vector column to the array of (sim, -cell, cell) structs,
+    * lexicographically ordered so array_max / sort mean "sim desc, ties
+    * to the smallest cell". The bounded-collect codebook shape shared by
+    * ann_ivf_probe and emb_bitext_mine — K×d literals broadcast in the
+    * plan, assignment is pure codegen, no shuffle. `e` must expose
+    * (vec_id, v). */
+  /** The ann_ivf_probe result as a literal K-bounded DataFrame
+    * (k·|probes| rows collected once): composing queries (recall, NDCG)
+    * join it against their own corpus scans, and re-planning the probe
+    * arm's lambda-heavy tree inside theirs trips Spark's relation dedup /
+    * .rdd binding (runtime ATTRIBUTE_NOT_FOUND on a codebook lambda
+    * reference). The collect is bounded by construction — never grows
+    * with the corpus. */
+  private def ivfProbeRows(s: SparkSession, dir: String): DataFrame = {
+    val probe = queries("ann_ivf_probe")(s, dir)
+    s.createDataFrame(
+      java.util.Arrays.asList(probe.collect(): _*), probe.schema)
+  }
+
+  /** emb_bitext_mine's candidate generation + scoring, pre-checkpoint
+    * (package-private so PlanShapeSpec can gate the candidate plan — the
+    * checkpoint boundary hides it from the downstream query's plan): the
+    * B population indexed into its nearest literal-codebook cell, each A
+    * vector probing its IvfNProbe nearest cells, cosine scored only for
+    * cell-colocated pairs — an equi-join on the cell key, never A×B.
+    * Each side gets its own scan (fresh expression ids — the
+    * self-join-dedup hazard noted in ann_ivf_probe) and its own
+    * pushed-down label filter. */
+  private[graft] def bitextScored(s: SparkSession, dir: String): DataFrame = {
+    val cos = graft.functions.VectorFunctions.cosine_sim _
+    val e = embeddings(s, dir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val cellSims = ivfCellSims(e.select(col("vec_id"), col("v")))
+    val eB = embeddings(s, dir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val srcA = e.filter(col("label") === 0)
+      .select(col("vec_id").as("a_id"), col("v").as("va"),
+        explode(transform(
+          slice(reverse(array_sort(cellSims(col("v")))), 1, IvfNProbe),
+          c => c.getField("cell"))).as("pcell"))
+    val srcB = eB.filter(col("label") === 1)
+      .select(col("vec_id").as("b_id"), col("v").as("vb"),
+        // opaque: lambda-derived join key (OpaqueIdentity scaladoc)
+        graft.functions.Barriers.opaque(
+          array_max(cellSims(col("v"))).getField("cell")).as("cell"))
+    srcA.join(srcB, col("pcell") === col("cell"))
+      .select(col("a_id"), col("b_id"),
+        round(cos(col("va"), col("vb")), 6).as("c"))
+  }
+
+  private def ivfCellSims(e: DataFrame): Column => Column = {
+    val cos = graft.functions.VectorFunctions.cosine_sim _
+    val cents = e.filter(col("vec_id") < IvfCells).collect().sortBy(_.getLong(0))
+    val centArr = array(cents.map { r =>
+      struct(lit(r.getLong(0)).as("cell"),
+        typedLit(r.getSeq[Double](1)).as("cv"))
+    }.toIndexedSeq: _*)
+    (v: Column) => transform(centArr, c =>
+      struct(round(cos(v, c.getField("cv")), 6).as("sim"),
+        (-c.getField("cell")).as("negc"), c.getField("cell").as("cell")))
+  }
 
   /** emb_kmeans / emb_pq_error geometry, shared by query and oracle. */
   private val KmK = 8
@@ -921,14 +988,26 @@ object SimilarityOps {
          |FROM dcg, idcg
          |ORDER BY probe_id""".stripMargin,
     "emb_bitext_mine" ->
-      s"""WITH e AS (SELECT vec_id, label,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |sa AS (SELECT vec_id AS a_id, v AS va FROM e WHERE label = 0),
-         |sb AS (SELECT vec_id AS b_id, v AS vb FROM e WHERE label = 1),
+      s"""WITH n AS (
+         |  SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, label,
+         |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm
+         |      FROM n WHERE vec_id < $IvfCells),
+         |sims AS (
+         |  SELECT n.vec_id, n.label, n.v, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC,
+         |      c.cell) AS rn
+         |  FROM n CROSS JOIN c),
+         |sa AS (SELECT vec_id AS a_id, v AS va, cell AS pcell
+         |       FROM sims WHERE label = 0 AND rn <= $IvfNProbe),
+         |sb AS (SELECT vec_id AS b_id, v AS vb, cell
+         |       FROM sims WHERE label = 1 AND rn = 1),
          |scored AS (
          |  SELECT a_id, b_id, ${cosSql("va", "vb")} AS c
-         |  FROM sa CROSS JOIN sb),
+         |  FROM sa JOIN sb ON sa.pcell = sb.cell),
          |fw AS (
          |  SELECT a_id, b_id, c,
          |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rk

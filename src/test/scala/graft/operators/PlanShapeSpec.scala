@@ -700,10 +700,18 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("emb_bitext_mine: mutual-best join is an equi-join over the checkpointed scored table") {
     val p = plan("emb_bitext_mine")
-    // (the A×broadcast(B) scoring sits behind scored's localCheckpoint
-    // boundary, so only the downstream rankings/joins show here)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Window"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("emb_bitext_mine: candidate scoring is a cell-key equi-join, never corpus×corpus") {
+    // gate the PRE-checkpoint candidate plan directly (the checkpoint
+    // boundary hides it from the downstream query's plan): IVF-routed
+    // candidates must join A-probes to B-cells on the cell key
+    val p = SimilarityOps.bitextScored(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Join"), p)
   }
 

@@ -67,4 +67,47 @@ class SubstringDedupSpec extends AnyFunSuite {
     // and the cut table is exactly the affected-doc set
     assert(cut.count() == spans.count() && cut.count() > 0)
   }
+
+  test("winnowed spans: containment in stride-1 truth on the fixture") {
+    // winnowed hits are a subset of stride-1 hits (a gram selected by ≥2
+    // docs occurs in ≥2 docs), so every winnowed span must sit inside a
+    // stride-1 span of the same doc — the exactness boundary the seeded
+    // variant promises
+    def spansOf(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("doc_id", "cast(st as long) st", "cast(en as long) en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = spansOf(DedupOps.dupSpans(Tables.documents(spark, fixtureDir)))
+      .groupBy(_._1)
+    val seeded = spansOf(DedupOps.dupSpansWinnowed(Tables.documents(spark, fixtureDir)))
+    assert(seeded.nonEmpty)
+    seeded.foreach { case (d, st, en) =>
+      val ts = truth.getOrElse(d, Array.empty)
+      assert(ts.exists { case (_, s1, e1) => s1 <= st && en <= e1 },
+        s"winnowed span ($d, [$st,$en)) escapes stride-1 spans ${ts.toSeq}")
+    }
+  }
+
+  test("winnowed spans: planted block >= k+W-1 is always detected, boundaries within W-1") {
+    // the coverage guarantee: a shared span of length >= 40 + SubWinnowW - 1
+    // must select at least one common gram in every trailing window, so
+    // detection cannot be missed and the reported span starts at most
+    // W-1 chars into the true block
+    val w = DedupOps.SubWinnowW
+    val block = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZY-DOG-0123456789-ABCDE" // 60 >= 40+w-1
+    val a = "aaaaaaaaaabbbbbbbbbb" + block + "cccccccccceeeeeeeeee" // block at 1-based 21
+    val b = block + "zzzzzzzzzzyyyyyyyyyyxxxxxxxxxxwwwwwwwwww"      // block at 1-based 1
+    val dir = landDocs(Seq((1L, a, "s1"), (2L, b, "s2"),
+      (3L, "unique text with no repeated forty-char gram anywhere at all in it", "s3")))
+    val spans = DedupOps.dupSpansWinnowed(Tables.documents(spark, dir))
+      .selectExpr("doc_id", "cast(st as long) st", "cast(en as long) en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(spans.map(_._1).toSeq == Seq(1L, 2L), spans.toSeq)
+    // doc 1: true block grams at positions 21..41; first selection within
+    // w-1 of the block start, last selection within w-1 of the last gram
+    val (_, st1, en1) = spans(0)
+    assert(st1 >= 21 && st1 <= 21 + (w - 1) && en1 >= 81 - (w - 1) && en1 <= 81,
+      spans.toSeq)
+    val (_, st2, en2) = spans(1)
+    assert(st2 >= 1 && st2 <= w && en2 >= 61 - (w - 1) && en2 <= 61, spans.toSeq)
+  }
 }
