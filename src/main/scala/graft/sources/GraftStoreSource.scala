@@ -91,6 +91,10 @@ class GraftStoreSource extends TableProvider with org.apache.spark.sql.sources.D
 /** Manifest entry: path relative to the store root (relocatable store).
   * `epochs` records committed streaming (queryId, epochId) pairs so a
   * replayed epoch commit is a detectable no-op (exactly-once sink). */
+/** Another writer owned the version slot this commit tried to publish. */
+private[sources] class GsbCommitRaceException(msg: String, cause: Throwable)
+    extends IllegalStateException(msg, cause)
+
 private[sources] case class GsbFile(relPath: String, rows: Long, bytes: Long,
     stats: Map[String, (String, String)] = Map.empty)
 private[sources] case class GsbManifest(version: Long, schema: StructType,
@@ -186,11 +190,32 @@ object GraftStore {
     val dir = new HPath(root, "manifest")
     f.mkdirs(dir)
     val target = new HPath(dir, f"v$version%020d.manifest")
-    val stream =
-      try f.create(target, false)
-      catch { case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"graft-store: commit race publishing $target — another writer won this version", e)
+    // the version slot claim must be ATOMIC create-exclusive: exactly
+    // one writer may own v{N}. HDFS create(overwrite=false) is atomic
+    // at the namenode, but the local FileSystem's is check-then-act —
+    // two racing writers can both pass the exists() check and clobber
+    // each other. On file:// claim the slot with O_EXCL
+    // (File.createNewFile); content visibility stays governed by the
+    // `end` terminator either way, so a half-written claimed slot just
+    // parks competitors on the previous snapshot until it completes.
+    val stream: java.io.OutputStream =
+      if (f.getScheme == "file") {
+        val jf = new java.io.File(target.toUri.getPath)
+        val claimed =
+          try jf.createNewFile()
+          catch { case e: java.io.IOException =>
+            throw new GsbCommitRaceException(
+              s"graft-store: commit race publishing $target — another writer won this version", e)
+          }
+        if (!claimed) throw new GsbCommitRaceException(
+          s"graft-store: commit race publishing $target — another writer won this version", null)
+        new java.io.FileOutputStream(jf)
+      } else {
+        try f.create(target, false)
+        catch { case e: java.io.IOException =>
+          throw new GsbCommitRaceException(
+            s"graft-store: commit race publishing $target — another writer won this version", e)
+        }
       }
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(stream, "UTF-8"))
     try {
@@ -203,6 +228,47 @@ object GraftStore {
       epochs.toSeq.sorted.foreach(e => out.println(s"epoch=$e"))
       out.println("end")
     } finally out.close()
+  }
+
+  /** Optimistic-concurrency commit loop. Each attempt re-reads the
+    * LATEST snapshot, rebuilds the next manifest against it, and tries
+    * the exclusive version publish ([[writeManifest]]'s create-no-
+    * overwrite is the atomicity primitive — exactly one writer can own
+    * a version slot). Losing the slot means another committer advanced
+    * the store between our snapshot read and publish: re-read and
+    * rebuild, up to `maxRetries` times. The caller's `attempt` decides
+    * per-base whether the commit is still valid against the advanced
+    * snapshot (append: yes, rebuild the union; overwrite racing anyone,
+    * or append racing a destructive writer: throw loudly) and returns
+    * None for a no-op (e.g. a replayed streaming epoch detected against
+    * the new base). This is O(retries · manifest-size) driver-side work
+    * with no coordination service — the same single-directory optimistic
+    * protocol production lakehouses use. */
+  private[sources] def commitLoop(root: String, conf: Configuration,
+      maxRetries: Int = 8)(
+      attempt: Option[GsbManifest] => Option[(StructType, Seq[GsbFile], Set[String])])
+      : Unit = {
+    var tries = 0
+    while (true) {
+      val prev = latestManifest(root, conf)
+      attempt(prev) match {
+        case None => return
+        case Some((schema, files, epochs)) =>
+          try {
+            writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
+              schema, files, epochs)
+            return
+          } catch {
+            case e: GsbCommitRaceException =>
+              if (tries >= maxRetries) throw e
+              tries += 1
+              // linear backoff: the slot owner may still be writing its
+              // content (we only see its snapshot once the terminator
+              // lands), so give it time before re-reading the base
+              Thread.sleep(25L * tries)
+          }
+      }
+    }
   }
 
   /** Names-and-types (nullability-insensitive) schema signature, used to
@@ -296,7 +362,8 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GsbScanBuilder(root, Option(options.get("version")).map(_.toLong),
-      Option(options.get("sinceVersion")).map(_.toLong))
+      Option(options.get("sinceVersion")).map(_.toLong),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GsbWriteBuilder(root, info)
@@ -347,29 +414,35 @@ private[sources] class GsbStreamingWrite(root: String, schema: StructType, query
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = GraftStore.driverConf()
     val epochKey = s"$queryId:$epochId"
-    val prev = GraftStore.latestManifest(root, conf)
-    // same drift rules as the batch path: legal EVOLUTION (same-typed
-    // stored columns + nullable new ones — a restarted stream with a
-    // widened projection) publishes the union schema; anything else
-    // would leave the store unreadable and must fail the epoch
-    prev.filter(m => GraftStore.signature(m.schema) != GraftStore.signature(schema))
-      .foreach { m =>
-        GraftStore.evolutionError(m.schema, schema).foreach { err =>
-          throw new IllegalStateException(
-            s"graft-store: streaming schema ${schema.sql} is not a legal " +
-              s"evolution of stored ${m.schema.sql}: $err")
-        }
-      }
-    if (prev.exists(_.epochs.contains(epochKey))) return // replayed epoch
     val committed = messages.collect { case c: GsbCommit =>
       GsbFile(c.relPath, c.rows, c.bytes, c.stats) }.toSeq
-    val outSchema = prev match {
-      case Some(m) => GraftStore.widen(m.schema, schema)
-      case None => schema
+    // optimistic epoch commit: retried per-base like a batch append, and
+    // the replayed-epoch check re-runs against each NEW base — so even
+    // "our earlier attempt actually landed but we saw the race error"
+    // resolves to a detected no-op instead of a double-commit
+    GraftStore.commitLoop(root, conf) { prev =>
+      // same drift rules as the batch path: legal EVOLUTION (same-typed
+      // stored columns + nullable new ones — a restarted stream with a
+      // widened projection) publishes the union schema; anything else
+      // would leave the store unreadable and must fail the epoch
+      prev.filter(m => GraftStore.signature(m.schema) != GraftStore.signature(schema))
+        .foreach { m =>
+          GraftStore.evolutionError(m.schema, schema).foreach { err =>
+            throw new IllegalStateException(
+              s"graft-store: streaming schema ${schema.sql} is not a legal " +
+                s"evolution of stored ${m.schema.sql}: $err")
+          }
+        }
+      if (prev.exists(_.epochs.contains(epochKey))) None // replayed epoch
+      else {
+        val outSchema = prev match {
+          case Some(m) => GraftStore.widen(m.schema, schema)
+          case None => schema
+        }
+        Some((outSchema, prev.map(_.files).getOrElse(Seq.empty) ++ committed,
+          prev.map(_.epochs).getOrElse(Set.empty[String]) + epochKey))
+      }
     }
-    GraftStore.writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
-      outSchema, prev.map(_.files).getOrElse(Seq.empty) ++ committed,
-      prev.map(_.epochs).getOrElse(Set.empty) + epochKey)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -392,7 +465,11 @@ private[sources] class GsbStreamingWriterFactory(root: String, schemaJson: Strin
 }
 
 private[sources] class GsbBatchWrite(
-    root: String, schema: StructType, queryId: String, overwrite: Boolean)
+    root: String, schema: StructType, queryId: String, overwrite: Boolean,
+    // test-only injection point: runs after each attempt's base snapshot
+    // is read and before its publish, so specs can interleave a
+    // competing committer deterministically
+    raceHook: () => Unit = () => ())
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GsbWriterFactory(root, schema.json, queryId)
@@ -401,18 +478,47 @@ private[sources] class GsbBatchWrite(
     val conf = GraftStore.driverConf()
     val committed = messages.map(_.asInstanceOf[GsbCommit])
       .map(c => GsbFile(c.relPath, c.rows, c.bytes, c.stats)).toSeq
-    val prev = GraftStore.latestManifest(root, conf)
-    val files = if (overwrite) committed
-      else prev.map(_.files).getOrElse(Seq.empty) ++ committed
-    // evolving append: the published snapshot schema is the WIDENING of
-    // stored ∪ incoming (stored column order preserved, new columns
-    // appended nullable); old files stay valid — readers null-fill
-    val outSchema = prev match {
-      case Some(m) if !overwrite => GraftStore.widen(m.schema, schema)
-      case _ => schema
+    // optimistic concurrency (GraftStore.commitLoop): each attempt
+    // rebuilds against the CURRENT latest snapshot. Appends converge
+    // under concurrent appends (the file union is recomputed per base)
+    // but refuse to retry past a DESTRUCTIVE intervener — if files the
+    // previous attempt saw are gone (overwrite/compaction won a slot),
+    // the append's snapshot assumptions broke and silently landing rows
+    // on the replaced table would mask a lost update. Overwrite never
+    // retries: racing ANY other committer means one of the two intended
+    // final states must be silently discarded — a decision for the
+    // caller, not the store.
+    var seenBase: Option[GsbManifest] = None
+    GraftStore.commitLoop(root, conf) { prev =>
+      raceHook()
+      if (overwrite && seenBase.isDefined)
+        throw new IllegalStateException(
+          s"graft-store: overwrite of $root lost a commit race — a " +
+            "concurrent writer advanced the store; re-run the overwrite " +
+            "against the new snapshot if it is still intended")
+      seenBase.foreach { base =>
+        val curFiles = prev.map(_.files.map(_.relPath).toSet).getOrElse(Set.empty)
+        val lost = base.files.map(_.relPath).filterNot(curFiles)
+        if (lost.nonEmpty) throw new IllegalStateException(
+          s"graft-store: append to $root lost a commit race to a " +
+            s"destructive writer (files removed from the snapshot: " +
+            s"${lost.take(3).mkString(", ")}${if (lost.size > 3) ", …" else ""}); " +
+            "not retrying — rows would land on a replaced table")
+      }
+      seenBase = Some(prev.getOrElse(GsbManifest(0L, schema, Seq.empty)))
+      val files = if (overwrite) committed
+        else prev.map(_.files).getOrElse(Seq.empty) ++ committed
+      // evolving append: the published snapshot schema is the WIDENING of
+      // stored ∪ incoming (stored column order preserved, new columns
+      // appended nullable); old files stay valid — readers null-fill
+      val outSchema = prev match {
+        case Some(m) if !overwrite => GraftStore.widen(m.schema, schema)
+        case _ => schema
+      }
+      Some((outSchema, files,
+        if (overwrite) Set.empty[String]
+        else prev.map(_.epochs).getOrElse(Set.empty[String])))
     }
-    GraftStore.writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
-      outSchema, files, if (overwrite) Set.empty else prev.map(_.epochs).getOrElse(Set.empty))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -494,7 +600,7 @@ private[sources] class GsbDataWriter(root: String, schema: StructType, relPath: 
 // ---------------------------------------------------------------- read
 
 private[sources] class GsbScanBuilder(root: String, version: Option[Long],
-    since: Option[Long] = None)
+    since: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   // pin the snapshot NOW (planning time): concurrent commits after this
@@ -533,13 +639,14 @@ private[sources] class GsbScanBuilder(root: String, version: Option[Long],
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
-    new GsbScan(root, manifest, required, pushed, baseline)
+    new GsbScan(root, manifest, required, pushed, baseline, maxFilesPerTrigger)
 }
 
 private[sources] class GsbScan(root: String, manifest: GsbManifest,
     required: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    baseline: Set[String] = Set.empty)
+    baseline: Set[String] = Set.empty,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   // incremental consumption first (drop the baseline snapshot's files),
   // then DATA SKIPPING: keep only files whose min/max stats admit a
@@ -578,7 +685,7 @@ private[sources] class GsbScan(root: String, manifest: GsbManifest,
     * byte-identically) and the sink deduplicates replayed commits. */
   override def toMicroBatchStream(checkpointLocation: String)
       : rstreaming.MicroBatchStream =
-    new GsbMicroBatchStream(root, manifest, required)
+    new GsbMicroBatchStream(root, manifest, required, maxFilesPerTrigger)
 }
 
 private[sources] case class GsbStreamOffset(version: Long)
@@ -587,8 +694,9 @@ private[sources] case class GsbStreamOffset(version: Long)
 }
 
 private[sources] class GsbMicroBatchStream(root: String,
-    manifest0: GsbManifest, required: StructType)
-    extends rstreaming.MicroBatchStream {
+    manifest0: GsbManifest, required: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends rstreaming.MicroBatchStream with rstreaming.SupportsAdmissionControl {
   // start from version 0 (empty baseline): the FIRST micro-batch is the
   // store's current content (initial load), subsequent batches are
   // per-trigger deltas. Restarts resume from the checkpointed offset.
@@ -596,6 +704,35 @@ private[sources] class GsbMicroBatchStream(root: String,
   override def latestOffset(): rstreaming.Offset =
     GsbStreamOffset(GraftStore.latestManifest(root, GraftStore.driverConf())
       .map(_.version).getOrElse(0L))
+
+  /** Backlog admission (`maxFilesPerTrigger` read option): a restart
+    * after long downtime — or a first start against a populated store —
+    * must not deliver the whole accumulated backlog in one micro-batch.
+    * The offset is a manifest version, so admission advances the end
+    * offset version-by-version, stopping once the cumulative file-set
+    * delta since the start offset would exceed the cap; at least one
+    * version always admits (a single oversized commit still flows, it
+    * just gets a batch to itself). Each step is an O(files) driver-side
+    * manifest read — no data touched until tasks launch. */
+  override def getDefaultReadLimit: rstreaming.ReadLimit =
+    maxFilesPerTrigger.map(n => rstreaming.ReadLimit.maxFiles(n))
+      .getOrElse(rstreaming.ReadLimit.allAvailable())
+
+  override def latestOffset(start: rstreaming.Offset,
+      limit: rstreaming.ReadLimit): rstreaming.Offset = {
+    val s = start.asInstanceOf[GsbStreamOffset].version
+    val latest = latestOffset().asInstanceOf[GsbStreamOffset].version
+    limit match {
+      case mf: rstreaming.ReadMaxFiles if latest > s =>
+        val baseline = filesAt(s).map(_.relPath).toSet
+        def delta(v: Long): Int =
+          filesAt(v).count(f => !baseline.contains(f.relPath))
+        var end = s + 1 // always admit ≥ 1 version
+        while (end < latest && delta(end + 1) <= mf.maxFiles()) end += 1
+        GsbStreamOffset(end)
+      case _ => GsbStreamOffset(latest)
+    }
+  }
   override def deserializeOffset(json: String): rstreaming.Offset =
     GsbStreamOffset(json.trim.toLong)
   override def commit(end: rstreaming.Offset): Unit = ()

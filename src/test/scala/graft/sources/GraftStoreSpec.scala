@@ -426,4 +426,107 @@ class GraftStoreSpec extends AnyFunSuite {
     val stats = scan.queryExecution.optimizedPlan.stats
     assert(stats.rowCount.exists(_.toLong == 12L), s"stats=$stats")
   }
+
+  test("streaming backlog admission: maxFilesPerTrigger drains a multi-snapshot backlog over several batches") {
+    val a = tmp()
+    val cp = Files.createTempDirectory("gadm_cp").toString
+    val cols = docs.select("doc_id", "text").coalesce(1)
+    // 3-snapshot backlog BEFORE the stream starts (the restart-after-
+    // downtime shape); each commit lands exactly one data file
+    GraftStore.write(cols.limit(3), a)                          // v1
+    GraftStore.write(cols.limit(5).exceptAll(cols.limit(3)), a) // v2: +2
+    GraftStore.write(cols.limit(8).exceptAll(cols.limit(5)), a) // v3: +3
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format("graft-store")
+      .option("maxFilesPerTrigger", 1).load(a)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized { got += df.select("doc_id").collect().map(_.getLong(0)).toSeq }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val batches = got.synchronized(got.filter(_.nonEmpty).toList)
+      // exactly-once across the drain: all 8 rows, none duplicated
+      assert(batches.flatten.sorted ==
+        cols.limit(8).collect().map(_.getLong(0)).sorted.toSeq, batches)
+      // and the backlog drained over >= 2 micro-batches, not one gulp
+      assert(batches.size >= 2, s"backlog delivered in ${batches.size} batch(es)")
+      assert(batches.forall(_.size <= 3), batches)
+    } finally q.stop()
+  }
+
+  // ---- optimistic concurrency -------------------------------------------
+
+  private def manifest(dir: String): GsbManifest =
+    GraftStore.latestManifest(dir, GraftStore.driverConf()).get
+
+  test("concurrency: an append that loses its version slot retries against the new base") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(5), dir) // v1
+    var injected = false
+    val appender = new GsbBatchWrite(dir, docs.schema, "qa", overwrite = false,
+      raceHook = () => if (!injected) {
+        injected = true
+        GraftStore.write(docs.limit(3), dir) // competitor wins the v2 slot
+      })
+    appender.commit(Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      GsbCommit("data/injected-append.gsb", 2, 64)))
+    val m = manifest(dir)
+    // both appends landed: v1's files + competitor's + ours, version 3
+    assert(m.version == 3, m.version)
+    assert(m.files.map(_.relPath).contains("data/injected-append.gsb"))
+    assert(m.files.map(_.rows).sum == 5 + 3 + 2, m.files)
+  }
+
+  test("concurrency: two whole-stack appends from racing threads both land") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(5), dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(7, 12).map { n =>
+      new Thread(() => try GraftStore.write(docs.limit(n), dir)
+        catch { case t: Throwable => errs.add(t) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, errs)
+    assert(GraftStore.read(spark, dir).count() == 5 + 7 + 12)
+    assert(manifest(dir).version == 3)
+  }
+
+  test("concurrency: append racing a destructive overwrite is rejected, store stays consistent") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(5), dir) // v1
+    var injected = false
+    val appender = new GsbBatchWrite(dir, docs.schema, "qb", overwrite = false,
+      raceHook = () => if (!injected) {
+        injected = true
+        GraftStore.write(docs.limit(3), dir, overwrite = true) // overwrite wins v2
+      })
+    val ex = intercept[IllegalStateException] {
+      appender.commit(Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+        GsbCommit("data/injected-append2.gsb", 2, 64)))
+    }
+    assert(ex.getMessage.contains("destructive"), ex.getMessage)
+    // the overwrite's snapshot is intact and ours never landed
+    val m = manifest(dir)
+    assert(m.version == 2 && m.files.map(_.rows).sum == 3, m)
+    assert(GraftStore.read(spark, dir).count() == 3)
+  }
+
+  test("concurrency: an overwrite that loses its slot fails loudly instead of silently discarding") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(5), dir) // v1
+    var injected = false
+    val over = new GsbBatchWrite(dir, docs.schema, "qc", overwrite = true,
+      raceHook = () => if (!injected) {
+        injected = true
+        GraftStore.write(docs.limit(4), dir) // competitor appends, wins v2
+      })
+    val ex = intercept[IllegalStateException] {
+      over.commit(Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+        GsbCommit("data/injected-over.gsb", 1, 32)))
+    }
+    assert(ex.getMessage.contains("overwrite"), ex.getMessage)
+    assert(GraftStore.read(spark, dir).count() == 5 + 4)
+  }
 }
