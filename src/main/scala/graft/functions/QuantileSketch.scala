@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -49,9 +49,17 @@ case class SketchQuantiles(
     probs: Seq[Double],
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.TreeMap[Double, Long]] {
+    extends TypedImperativeAggregate[mutable.TreeMap[Double, Long]]
+    with ImplicitCastInputTypes {
 
   require(capacity >= 2, s"need capacity >= 2, got $capacity")
+
+  // analysis-time coercion (the pattern Spark's Percentile uses): an
+  // INT/FLOAT/DECIMAL column gets a Cast inserted during resolution,
+  // instead of update()'s Double cast failing per-row mid-job for
+  // SQL-registered calls over non-double columns
+  // no Seq[AbstractDataType] ascription: that type is private[sql]
+  override def inputTypes = Seq(DoubleType)
   require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
     s"probs must be in [0,1], got $probs")
 

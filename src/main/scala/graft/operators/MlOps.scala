@@ -1581,22 +1581,28 @@ object MultimodalOps {
         |GROUP BY source
         |ORDER BY source""".stripMargin,
     // replays the sampleFrames chunk arithmetic (step = len//8, frame i
-    // = bytes [i*step, i*step+step), tail dropped) character-for-
-    // character over the utf-8 text payloads
+    // = bytes [i*step, i*step+step) clamped to len) in BYTE space —
+    // hex(encode(text)) is 2 hex chars per utf-8 byte, so byte j of a
+    // frame is an exact 2-char hex slice. The earlier char-space oracle
+    // (length/substr/ord per char) agreed only while the fixture stayed
+    // pure ASCII; this one matches Multimodal.frameStats's byte
+    // chunking for any payload (the mm_frame_stats discipline).
     "mm_scene_cuts" ->
       """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS len,
-        |    GREATEST(1, length(text) // 8) AS step
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS len,
+        |    GREATEST(1, octet_length(encode(text)) // 8) AS step
         |  FROM documents),
         |f AS (
         |  SELECT doc_id, fi.i AS frame_no,
-        |    substr(text, CAST(fi.i * step + 1 AS BIGINT),
-        |      CAST(step AS BIGINT)) AS fr
+        |    substring(hx, CAST(fi.i * step * 2 + 1 AS BIGINT),
+        |      CAST(LEAST(step, len - fi.i * step) * 2 AS BIGINT)) AS fhx
         |  FROM d, LATERAL (SELECT unnest(range(0, LEAST(8, len))) AS i) fi),
         |st AS (
         |  SELECT doc_id, frame_no,
-        |    ROUND(CAST(list_sum(list_transform(string_split(fr, ''),
-        |      c -> ord(c))) AS DOUBLE) / length(fr), 6) AS mean_b
+        |    ROUND(CAST(list_sum(list_transform(range(0, length(fhx) // 2),
+        |      j -> CAST('0x' || substring(fhx, j * 2 + 1, 2) AS INT)))
+        |      AS DOUBLE) / (length(fhx) // 2), 6) AS mean_b
         |  FROM f),
         |j AS (
         |  SELECT doc_id,

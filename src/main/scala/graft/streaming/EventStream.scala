@@ -314,8 +314,18 @@ object EventStream {
     * running output equals the batch aggregate over everything
     * ingested so far — EventStreamSpec pins final state == batch on
     * the real table). Complete/update output modes; state per group is
-    * the capacity-bounded histogram, never the value set. */
-  def valueQuantiles(events: DataFrame, capacity: Int = 512,
+    * the capacity-bounded histogram, never the value set.
+    *
+    * Capacity headroom: the fixture's `value` domain is bounded (rounded
+    * values observed < 600 at sf0.1 and capped by the generator, ~330
+    * distinct), but distinct count grows with fixture size — a 512
+    * default sat at ~64% full at sf0.1 and would silently cross into
+    * the approximate regime (where micro-batch merge order makes stream
+    * and batch diverge) at a larger fixture. 2048 keeps the exact
+    * regime with ≥3× headroom over the capped domain; EventStreamSpec
+    * asserts the sf0.1 domain still fits. If the domain ever becomes
+    * unbounded, the exact-regime pin must move to a property gate. */
+  def valueQuantiles(events: DataFrame, capacity: Int = 2048,
       probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
     events
       .select(col("event_type"), round(col("value"), 0).as("v"))

@@ -76,6 +76,21 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(50.5))
   }
 
+  test("sql registration: non-double columns coerce at analysis (int/float/decimal)") {
+    // ImplicitCastInputTypes: these used to ClassCastException per-row
+    // mid-job; now a Cast lands during resolution
+    (1 to 100).toDF("x").createOrReplaceTempView("qs_int")
+    (1 to 100).map(_.toFloat).toDF("x").createOrReplaceTempView("qs_float")
+    (1 to 100).map(i => BigDecimal(i)).toDF("x").createOrReplaceTempView("qs_dec")
+    for (v <- Seq("qs_int", "qs_float", "qs_dec")) {
+      val out = spark.sql(
+        s"""SELECT r.q FROM (
+           |  SELECT explode(sketch_quantiles(x, 128, 0.5)) AS r FROM $v)""".stripMargin)
+        .as[Double].collect()
+      assert(out.toSeq == Seq(50.5), v)
+    }
+  }
+
   test("empty and null inputs") {
     val out = Seq.empty[Double].toDF("x")
       .agg(SketchQuantiles.column(col("x"), 8, Seq(0.5)).as("qs"))

@@ -313,4 +313,21 @@ class EventStreamSpec extends AnyFunSuite {
       assert(batch.map { case (t, _, v) => (t, v) } == exact)
     } finally q.stop()
   }
+
+  test("valueQuantiles exact regime holds at the LARGEST fixture: domain fits capacity with headroom") {
+    // the spec that catches the silent exact→approximate crossover the
+    // sf0.001 pin above cannot see: the per-type distinct ROUNDED value
+    // count at sf0.1 must sit well under the default capacity, or the
+    // stream==batch invariant stops being structural
+    val maxDistinct = graft.operators.Tables
+      .events(spark, "/root/testdata/sf0.1")
+      .select(col("event_type"), round(col("value"), 0).as("v"))
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("v")).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    assert(maxDistinct * 2 <= 2048,
+      s"rounded-value domain ($maxDistinct distinct) is within 2x of the " +
+        "default sketch capacity — raise the valueQuantiles default or " +
+        "demote the exact-regime pin to a property gate")
+  }
 }
