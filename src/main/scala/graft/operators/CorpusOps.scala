@@ -32,7 +32,64 @@ object CorpusOps {
   val ChunkSize = 32
   val ChunkStride = 24
 
+  /** corpus_tokenize_bpe merge rounds — the declarative end-to-end twin
+    * of [[CorpusLib.bpeTrain]]'s driver loop. */
+  val BpeRounds = 6
+
+  /** Sentinel char for merge round i (control range, absent from the
+    * corpus); the merged symbol becomes ONE char so later rounds' pair
+    * windows stay 2 chars wide. */
+  private def bpeSentinel(i: Int): String = ("" + i.toChar)
+
+  /** Decode sentinels back to <i> markers for a readable, engine-
+    * portable pair column. */
+  private def bpeDecode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (1 to BpeRounds).foldLeft(c)((acc, j) =>
+      replace(acc, lit(bpeSentinel(j)), lit(s"<$j>")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // End-to-end BPE tokenization under the oracle: BpeRounds merge
+    // rounds run as ONE declarative plan — per round, count adjacent
+    // symbol pairs over the (vocab-sized, never corpus-sized) word
+    // table, broadcast the 1-row argmax winner, greedily re-symbolize
+    // via replace (left-to-right non-overlap = string replace
+    // semantics, the text_bpe_merges2 argument), and emit the round's
+    // (pair, weighted merge count, corpus tokens after) — the
+    // compression curve a tokenizer owner reads, with the merge TABLE
+    // itself in training order. Each round's re-symbolized vocab is
+    // lazily checkpointed (it feeds the next round's counts AND its
+    // own token total). This is [[CorpusLib.bpeTrain]]'s algorithm with
+    // zero driver-side segmentation state; the DuckDB oracle replays
+    // all rounds as a generated CTE chain.
+    "corpus_tokenize_bpe" -> { (s, dir) =>
+      def pairsOf(vdf: DataFrame): DataFrame = vdf
+        .filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      var vocab = documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .localCheckpoint(eager = false)
+      var out: DataFrame = null
+      for (i <- 1 to BpeRounds) {
+        val top = pairsOf(vocab).orderBy(col("n").desc, col("pair")).limit(1)
+          .select(col("pair").as("m"), col("n").as("mn"))
+        val re = vocab.crossJoin(broadcast(top))
+          .select(replace(col("w"), col("m"), lit(bpeSentinel(i))).as("w"),
+            col("wc"), col("m"), col("mn"))
+          .localCheckpoint(eager = false)
+        val stat = re
+          .agg(sum(col("wc") * length(col("w"))).cast("long").as("tokens_after"),
+            max(col("m")).as("m"), max(col("mn")).as("mn"))
+          .select(lit(i.toLong).as("round"), bpeDecode(col("m")).as("pair"),
+            col("mn").cast("long").as("n_merged"), col("tokens_after"))
+        out = if (out == null) stat else out.unionAll(stat)
+        vocab = re.select(col("w"), col("wc"))
+      }
+      out.orderBy(col("round"))
+    },
     // Curriculum schedule: docs bucket by quality (0.1-wide bands), and
     // the schedule reads highest-quality-first with a running token
     // budget — "train on the cleanest N billion tokens first", the
@@ -407,7 +464,39 @@ object CorpusOps {
     * synthetic corpus's ~31 distinct words so the UNK path is real. */
   val VocabSize = 16
 
+  /** Generated CTE chain replaying all [[BpeRounds]] merge rounds. */
+  private def bpeOracle: String = {
+    val rounds = (1 to BpeRounds).map { i =>
+      val prev = s"v${i - 1}"
+      s"""m$i AS (
+         |  SELECT pair, n FROM (
+         |    SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM (
+         |      SELECT wc, unnest(list_transform(range(1, length(w)),
+         |        j -> substring(w, CAST(j AS BIGINT), 2))) AS pair
+         |      FROM $prev WHERE length(w) >= 2)
+         |    GROUP BY pair)
+         |  ORDER BY n DESC, pair LIMIT 1),
+         |v$i AS (SELECT replace(w, m$i.pair, chr($i)) AS w, wc FROM $prev, m$i),
+         |s$i AS (
+         |  SELECT CAST($i AS BIGINT) AS round, m$i.pair AS pair, m$i.n AS n_merged,
+         |    (SELECT CAST(SUM(wc * length(w)) AS BIGINT) FROM v$i) AS tokens_after
+         |  FROM m$i)""".stripMargin
+    }.mkString(",\n")
+    val decoded = (1 to BpeRounds).foldLeft("pair")((acc, j) =>
+      s"replace($acc, chr($j), '<$j>')")
+    val union = (1 to BpeRounds).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |$rounds
+       |SELECT round, $decoded AS pair, n_merged, tokens_after
+       |FROM ($union)
+       |ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "corpus_tokenize_bpe" -> bpeOracle,
     "corpus_ngram_novelty" ->
       """WITH g AS (
         |  SELECT doc_id,

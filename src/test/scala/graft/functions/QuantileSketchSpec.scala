@@ -91,6 +91,30 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q-error vs exact at sf0.1: deep-approximate regime stays within 1% on a real column") {
+    // l_extendedprice at sf0.1: ~hundreds of thousands of distinct
+    // doubles into a 64-bin histogram — capacity/distinct < 0.1%, the
+    // regime the oracle can't replay (compaction order is partition-
+    // dependent), so quality is pinned HERE: multiplicative q-error
+    // per quantile against Spark's exact percentile
+    val li = graft.operators.Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select(col("l_extendedprice").cast("double").as("x"))
+    val probs = Seq(0.25, 0.5, 0.75, 0.95)
+    val sk = li.agg(SketchQuantiles.column(col("x"), 64, probs).as("qs"))
+      .select(explode(col("qs")).as("r"))
+      .select(col("r.prob"), col("r.q")).as[(Double, Double)].collect().toMap
+    val exact = li.agg(expr(
+        s"percentile(x, array(${probs.mkString(", ")}))").as("e"))
+      .select(posexplode(col("e"))).as[(Int, Double)].collect()
+      .map { case (i, v) => probs(i) -> v }.toMap
+    probs.foreach { p =>
+      val (a, e) = (sk(p), exact(p))
+      val qerr = math.max(a / e, e / a)
+      info(f"p=$p%.2f exact=$e%.2f sketch=$a%.2f q-error=$qerr%.5f")
+      assert(qerr < 1.01, f"q-error $qerr%.5f at p=$p (exact $e, sketch $a)")
+    }
+  }
+
   test("empty and null inputs") {
     val out = Seq.empty[Double].toDF("x")
       .agg(SketchQuantiles.column(col("x"), 8, Seq(0.5)).as("qs"))
