@@ -174,6 +174,42 @@ object DedupOps {
     mergeIslands(g.join(dup, Seq("gh"), "semi"), k)
   }
 
+  /** Excise `spans` (doc_id, st, en half-open) from `docs` and hash the
+    * reconstructed survivor text — the shared cut algebra behind the
+    * stride-1 (`dedup_substring_cut`) and winnowing-seeded
+    * (`dedup_substring_cut_winnowed`) excision queries. Kept segments
+    * are the complement intervals (lag-of-ends → next-start gaps plus
+    * the max-end → end-of-text tail), substring'd from the original and
+    * reassembled in start order; hashing the REBUILT STRING means any
+    * off-by-one in the interval algebra — either engine, either
+    * direction — fails loudly. Affected docs only; segment rows ∝ spans
+    * found, and the rebuild shuffles only (doc_id, gs, segment) — never
+    * a corpus-wide text reshuffle. */
+  private def cutRebuilt(docs0: DataFrame, sp0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docs0.select(col("doc_id"), col("text"))
+    val sp = sp0.select(col("doc_id"), col("st"), col("en"))
+    val bySt = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+    val gaps = sp.select(col("doc_id"),
+      coalesce(lag(col("en"), 1).over(bySt), lit(1)).as("gs"),
+      col("st").as("ge"))
+    val tails = sp.groupBy(col("doc_id")).agg(max(col("en")).as("gs"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("gs"), (length(col("text")) + 1).as("ge"))
+    val pieces = gaps.unionByName(tails)
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("gs"),
+        expr("substring(text, gs, ge - gs)").as("seg"))
+    pieces.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("gs"), col("seg")))),
+        x => x.getField("seg")), "").as("kept"))
+      .select(col("doc_id"),
+        length(col("kept")).cast("long").as("kept_chars"),
+        md5(col("kept")).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash groups with representative + multiplicity
     "dedup_exact" -> { (s, dir) =>
@@ -246,28 +282,19 @@ object DedupOps {
     // spans found, and the rebuild shuffles only (doc_id, gs, segment)
     // — never a corpus-wide text reshuffle.
     "dedup_substring_cut" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = documents(s, dir).select(col("doc_id"), col("text"))
-      val sp = dupSpans(documents(s, dir)).select(col("doc_id"), col("st"), col("en"))
-      val bySt = Window.partitionBy(col("doc_id")).orderBy(col("st"))
-      val gaps = sp.select(col("doc_id"),
-        coalesce(lag(col("en"), 1).over(bySt), lit(1)).as("gs"),
-        col("st").as("ge"))
-      val tails = sp.groupBy(col("doc_id")).agg(max(col("en")).as("gs"))
-        .join(docs, Seq("doc_id"))
-        .select(col("doc_id"), col("gs"), (length(col("text")) + 1).as("ge"))
-      val pieces = gaps.unionByName(tails)
-        .join(docs, Seq("doc_id"))
-        .select(col("doc_id"), col("gs"),
-          expr("substring(text, gs, ge - gs)").as("seg"))
-      pieces.groupBy(col("doc_id"))
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("gs"), col("seg")))),
-          x => x.getField("seg")), "").as("kept"))
-        .select(col("doc_id"),
-          length(col("kept")).cast("long").as("kept_chars"),
-          md5(col("kept")).as("h"))
-        .orderBy(col("doc_id"))
+      cutRebuilt(documents(s, dir), dupSpans(documents(s, dir)))
+    },
+    // The excision at the 100 TB shape: dedup_substring_cut's rebuild
+    // over [[dupSpansWinnowed]]'s spans — winnow-selected gram positions
+    // only enter the shuffle, so the whole cut (detection + rebuild)
+    // runs at the reduced gram volume. Span boundaries are approximate
+    // (up to W-1 chars of surviving duplicate at each edge, spans
+    // shorter than k+W-1 may survive whole — SubstringDedupSpec bounds
+    // both), which is the documented trade Lee et al.-style pipelines
+    // take when they widen the stride; the gate hashes the rebuilt text
+    // under the SAME winnowed rule replayed by the oracle.
+    "dedup_substring_cut_winnowed" -> { (s, dir) =>
+      cutRebuilt(documents(s, dir), dupSpansWinnowed(documents(s, dir)))
     },
     // The winnowing-seeded twin of dedup_substring — identical report
     // over [[dupSpansWinnowed]]'s spans: only winnow-selected gram
@@ -1092,6 +1119,48 @@ object DedupOps {
        |FROM assigned
        |ORDER BY doc_id""".stripMargin
 
+  /** DuckDB replay of [[dupSpansWinnowed]] — shared CTE chain ending in
+    * `sp(doc_id, source, island, st, en)`, consumed by both the winnowed
+    * report and the winnowed cut oracles. */
+  private def winnowedSpanCtes: String =
+    s"""g AS (
+       |  SELECT doc_id, source,
+       |    unnest(generate_series(1, length(text) - 39)) AS pos, text
+       |  FROM documents WHERE length(text) >= 40),
+       |gg AS (
+       |  SELECT doc_id, source, pos, text,
+       |    substring(text, pos, 8) ||
+       |      lpad(CAST($PosBase - pos AS VARCHAR), 10, '0') AS mk
+       |  FROM g),
+       |selw AS (
+       |  SELECT doc_id, source, text,
+       |    MIN(mk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${SubWinnowW - 1} PRECEDING AND CURRENT ROW) AS mk
+       |  FROM gg),
+       |sel AS (SELECT DISTINCT doc_id, source, text, mk FROM selw),
+       |hh AS (
+       |  SELECT doc_id, source, pos, substring(text, pos, 40) AS gh
+       |  FROM (SELECT doc_id, source, text,
+       |          $PosBase - CAST(substring(mk, 9, 10) AS BIGINT) AS pos
+       |        FROM sel)),
+       |dup AS (SELECT gh FROM hh GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)),
+       |hits AS (SELECT doc_id, source, pos FROM hh WHERE gh IN (SELECT gh FROM dup)),
+       |mk2 AS (
+       |  SELECT doc_id, source, pos,
+       |    CASE WHEN pos > coalesce(max(pos + 40) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, source, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM mk2),
+       |sp AS (
+       |  SELECT doc_id, source, island, MIN(pos) AS st, MAX(pos) + 40 AS en
+       |  FROM isl GROUP BY 1, 2, 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_prefix_filter" ->
       """WITH shr AS (
@@ -1154,48 +1223,31 @@ object DedupOps {
         |  CAST(SUM(en - st) AS BIGINT) AS dup_chars
         |FROM sp GROUP BY source ORDER BY source""".stripMargin,
     "dedup_substring_winnowed" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, source,
-         |    unnest(generate_series(1, length(text) - 39)) AS pos, text
-         |  FROM documents WHERE length(text) >= 40),
-         |gg AS (
-         |  SELECT doc_id, source, pos, text,
-         |    substring(text, pos, 8) ||
-         |      lpad(CAST($PosBase - pos AS VARCHAR), 10, '0') AS mk
-         |  FROM g),
-         |selw AS (
-         |  SELECT doc_id, source, text,
-         |    MIN(mk) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN ${SubWinnowW - 1} PRECEDING AND CURRENT ROW) AS mk
-         |  FROM gg),
-         |sel AS (SELECT DISTINCT doc_id, source, text, mk FROM selw),
-         |hh AS (
-         |  SELECT doc_id, source, pos, substring(text, pos, 40) AS gh
-         |  FROM (SELECT doc_id, source, text,
-         |          $PosBase - CAST(substring(mk, 9, 10) AS BIGINT) AS pos
-         |        FROM sel)),
-         |dup AS (SELECT gh FROM hh GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)),
-         |hits AS (SELECT doc_id, source, pos FROM hh WHERE gh IN (SELECT gh FROM dup)),
-         |mk2 AS (
-         |  SELECT doc_id, source, pos,
-         |    CASE WHEN pos > coalesce(max(pos + 40) OVER (
-         |        PARTITION BY doc_id ORDER BY pos
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |      THEN 1 ELSE 0 END AS brk
-         |  FROM hits),
-         |isl AS (
-         |  SELECT doc_id, source, pos,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM mk2),
-         |sp AS (
-         |  SELECT doc_id, source, island, MIN(pos) AS st, MAX(pos) + 40 AS en
-         |  FROM isl GROUP BY 1, 2, 3)
+      s"""WITH $winnowedSpanCtes
          |SELECT source,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_affected,
          |  CAST(count(*) AS BIGINT) AS dup_spans,
          |  CAST(SUM(en - st) AS BIGINT) AS dup_chars
          |FROM sp GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_substring_cut_winnowed" ->
+      s"""WITH $winnowedSpanCtes,
+         |gaps AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(en) OVER (PARTITION BY doc_id ORDER BY st), 1) AS gs,
+         |    st AS ge
+         |  FROM sp
+         |  UNION ALL
+         |  SELECT t.doc_id, t.gs, length(d.text) + 1 AS ge
+         |  FROM (SELECT doc_id, MAX(en) AS gs FROM sp GROUP BY doc_id) t
+         |  JOIN documents d USING (doc_id)),
+         |pieces AS (
+         |  SELECT p.doc_id, p.gs, substring(d.text, p.gs, p.ge - p.gs) AS seg
+         |  FROM gaps p JOIN documents d USING (doc_id)),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS kept
+         |  FROM pieces GROUP BY doc_id)
+         |SELECT doc_id, CAST(length(kept) AS BIGINT) AS kept_chars, md5(kept) AS h
+         |FROM rebuilt ORDER BY doc_id""".stripMargin,
     "dedup_substring_cut" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS pos, text

@@ -214,6 +214,64 @@ object SimilarityOps {
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(5)
     },
+    // MMR diversified re-rank (Carbonell & Goldstein, SIGIR'98) — the
+    // step between retrieval and consumption: from the probe's top-
+    // MmrShortlist cosine shortlist, greedily select MmrSelect results
+    // maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected,
+    // so near-duplicate hits can't crowd the result page (the
+    // contrastive-negative / RAG-context shape). Cost splits exactly
+    // where it must at 100 TB: the corpus pays ONE brute-force scan for
+    // the shortlist (the ann_topk_bruteforce plan — broadcast probe,
+    // per-partition top-k, no vector shuffle); everything after runs on
+    // the K-bounded shortlist (≤K² pairwise sims, localCheckpointed
+    // once), and each greedy round is a semi-join + argmax over ≤K rows
+    // — selection cost is independent of corpus size. The greedy loop
+    // is unrolled in-plan (MmrSelect is a compile-time constant, the
+    // corpus_tokenize_bpe discipline); λ and 1−λ are SEPARATE literals
+    // (0.7, 0.3) because 1−0.7 in f64 is not 0.3 and both engines must
+    // score identical doubles; rel/sim round to 6dp before any
+    // comparison, ties break on vec_id. Round 1's score is its
+    // relevance (the standard convention: nothing is selected yet).
+    "ann_mmr_rerank" -> { (s, dir) =>
+      val cosF = graft.functions.VectorFunctions.cosine_sim _
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probe = e.filter(col("vec_id") === PROBE_ID).select(col("v").as("p"))
+      val short = e.filter(col("vec_id") =!= PROBE_ID)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("v"),
+          round(cosF(col("v"), col("p")), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(MmrShortlist)
+        .localCheckpoint()
+      val pair = short.select(col("vec_id").as("ca"), col("v").as("va"))
+        .crossJoin(short.select(col("vec_id").as("cb"), col("v").as("vb")))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("ca"), col("cb"),
+          round(cosF(col("va"), col("vb")), 6).as("sim"))
+        .localCheckpoint()
+      val base = short.select(col("vec_id"), col("rel"))
+      var sel = base.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(1L).as("rank"),
+          col("rel").as("mmr_score"))
+        .localCheckpoint()
+      for (r <- 2 to MmrSelect) {
+        val msim = pair
+          .join(sel.select(col("vec_id").as("cb")), Seq("cb"), "semi")
+          .groupBy(col("ca")).agg(max(col("sim")).as("msim"))
+        val pick = base
+          .join(sel.select(col("vec_id")), Seq("vec_id"), "anti")
+          .join(msim, col("vec_id") === col("ca"))
+          .select(col("vec_id"), col("rel"),
+            (lit(0.7) * col("rel") - lit(0.3) * col("msim")).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("rel"), lit(r.toLong).as("rank"),
+            round(col("score"), 6).as("mmr_score"))
+        sel = sel.unionByName(pick).localCheckpoint()
+      }
+      sel.select(col("rank"), col("vec_id"), col("rel"), col("mmr_score"))
+        .orderBy(col("rank"))
+    },
     // Radius (range) similarity search — the third retrieval primitive
     // after top-k and bucketed top-k: for a SET of probes, every
     // corpus vector with cosine ≥ 0.2, reported per probe as bounded
@@ -579,6 +637,12 @@ object SimilarityOps {
     })
 
   /** ann_ivf_probe geometry, shared by query and oracle. */
+  /** MMR re-rank constants: shortlist size, selected count. λ = 0.7 is
+    * written as paired literals 0.7 / 0.3 at both use sites (Spark and
+    * DuckDB) — never 1−λ, which differs from 0.3 in f64. */
+  private val MmrShortlist = 20
+  private val MmrSelect = 5
+
   private val IvfCells = 8
   private val IvfNProbe = 2
   private val IvfTopK = 5
@@ -787,6 +851,41 @@ object SimilarityOps {
          |FROM ranked
          |WHERE rk <= 3
          |ORDER BY probe_id, rk""".stripMargin,
+    "ann_mmr_rerank" -> {
+      val rounds = (2 to MmrSelect).map { r =>
+        val prevIds = (1 until r).map(i => s"SELECT vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""s$r AS (
+           |  SELECT vec_id, rel, CAST($r AS BIGINT) AS rank,
+           |    ROUND(score, 6) AS mmr_score
+           |  FROM (
+           |    SELECT c.vec_id, c.rel,
+           |      0.7 * c.rel - 0.3 * (
+           |        SELECT MAX(sim) FROM pair
+           |        WHERE ca = c.vec_id AND cb IN ($prevIds)) AS score
+           |    FROM short c
+           |    WHERE c.vec_id NOT IN ($prevIds))
+           |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to MmrSelect).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |probe AS (SELECT v AS p FROM e WHERE vec_id = $PROBE_ID),
+         |short AS (
+         |  SELECT vec_id, v, ${cosSql("v", "p")} AS rel
+         |  FROM e, probe WHERE vec_id <> $PROBE_ID
+         |  ORDER BY rel DESC, vec_id LIMIT $MmrShortlist),
+         |pair AS (
+         |  SELECT a.vec_id AS ca, b.vec_id AS cb, ${cosSql("a.v", "b.v")} AS sim
+         |  FROM short a, short b WHERE a.vec_id <> b.vec_id),
+         |s1 AS (
+         |  SELECT vec_id, rel, CAST(1 AS BIGINT) AS rank, rel AS mmr_score
+         |  FROM short ORDER BY rel DESC, vec_id LIMIT 1),
+         |$rounds
+         |SELECT rank, vec_id, rel, mmr_score FROM ($union)
+         |ORDER BY rank""".stripMargin
+    },
     "ann_lsh_bucket" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

@@ -78,4 +78,69 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == vecs.size * 8L,
       "every subvector coded exactly once")
   }
+
+  test("ann_mmr_rerank: equals a driver-side greedy reference; near-dup demoted") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // crafted corpus: two near-identical top hits (a1, a2), two diverse
+    // strong hits (b, c), 20 fillers — plain top-k would return a1 AND
+    // its clone a2 back-to-back; MMR must pick exactly one of them in
+    // its first two selections
+    val a1 = Seq(0.9, 0.436, 0.0, 0.0)
+    val a2 = Seq(0.9, 0.435, 0.0296, 0.0)
+    val b = Seq(0.88, 0.0, 0.475, 0.0)
+    val c = Seq(0.86, 0.0, 0.0, 0.51)
+    val fillers = (0 until 20).map { i =>
+      val t = 0.3 + 0.02 * i
+      Seq(t, 0.1 * (i % 3), 0.05 * (i % 5), math.sqrt(math.max(0.0, 1 - t * t)))
+    }
+    val rows = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, a1), (3L, a2),
+      (4L, b), (5L, c)) ++
+      fillers.zipWithIndex.map { case (v, i) => ((6 + i).toLong, v) }
+    val dir = java.nio.file.Files.createTempDirectory("mmrvecs").toString
+    rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // greedy reference with the query's exact disciplines: 6dp-rounded
+    // cosines (float inputs cast to double first, matching the query's
+    // array<double> cast), unrounded 0.7·rel − 0.3·maxsim comparison,
+    // vec_id tie-break, round-1 score = relevance
+    val dv = rows.map { case (id, v) => id -> v.map(_.toFloat.toDouble) }
+    def cosv(x: Seq[Double], y: Seq[Double]) = r6(
+      x.zip(y).map(p => p._1 * p._2).sum /
+        (math.sqrt(x.map(e => e * e).sum) * math.sqrt(y.map(e => e * e).sum)))
+    val p = dv.head._2
+    val short = dv.tail.map { case (id, v) => (id, v, cosv(v, p)) }
+      .sortBy(t => (-t._3, t._1)).take(20)
+    var sel = Vector.empty[(Long, Double, Double)] // id, rel, score
+    for (r <- 1 to 5) {
+      val rem = short.filterNot(t => sel.exists(_._1 == t._1))
+      if (r == 1) {
+        val t = rem.sortBy(t => (-t._3, t._1)).head
+        sel :+= ((t._1, t._3, t._3))
+      } else {
+        val scored = rem.map { case (id, v, rel) =>
+          val ms = sel.map(s => cosv(v, short.find(_._1 == s._1).get._2)).max
+          (id, rel, 0.7 * rel - 0.3 * ms)
+        }
+        val t = scored.sortBy(t => (-t._3, t._1)).head
+        sel :+= ((t._1, t._2, r6(t._3)))
+      }
+    }
+
+    val out = graft.SparkEntry.queries("ann_mmr_rerank")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (1L to 5L), "ranks 1..5")
+    out.zip(sel).zipWithIndex.foreach { case (((_, id, rel, score), (rid, rrel, rscore)), i) =>
+      assert(id == rid, s"rank ${i + 1} pick: got $id, reference $rid")
+      assert(math.abs(rel - rrel) < 1e-9, s"rank ${i + 1} rel")
+      assert(math.abs(score - rscore) < 1e-9, s"rank ${i + 1} score")
+    }
+    val firstTwo = out.take(2).map(_._2).toSet
+    assert(firstTwo.intersect(Set(2L, 3L)).size == 1,
+      s"MMR kept both near-dups in the top 2: $firstTwo")
+  }
 }

@@ -87,6 +87,29 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowed cut: conservation per doc, and never cuts more than the exact cut") {
+    // same conservation invariant as the stride-1 cut, against the
+    // winnowed spans; and since winnowed coverage ⊆ stride-1 coverage
+    // (containment, proven above), every affected doc keeps at least as
+    // many chars under the winnowed cut as under the exact cut
+    val docs = Tables.documents(spark, fixtureDir)
+    val spansW = DedupOps.dupSpansWinnowed(docs)
+      .groupBy(col("doc_id")).agg(sum(col("en") - col("st")).as("covered"))
+    val cutW = SparkEntry.queries("dedup_substring_cut_winnowed")(spark, fixtureDir)
+      .select(col("doc_id"), col("kept_chars").as("kept_w"))
+    val bad = cutW.join(spansW, Seq("doc_id"))
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("len")), Seq("doc_id"))
+      .filter(col("kept_w") + col("covered") =!= col("len"))
+    assert(bad.count() == 0)
+    assert(cutW.count() == spansW.count() && cutW.count() > 0)
+    val cutX = SparkEntry.queries("dedup_substring_cut")(spark, fixtureDir)
+      .select(col("doc_id"), col("kept_chars").as("kept_x"))
+    val under = cutW.join(cutX, Seq("doc_id"))
+      .filter(col("kept_w") < col("kept_x"))
+    assert(under.count() == 0)
+  }
+
   test("winnowed spans: planted block >= k+W-1 is always detected, boundaries within W-1") {
     // the coverage guarantee: a shared span of length >= 40 + SubWinnowW - 1
     // must select at least one common gram in every trailing window, so
