@@ -234,16 +234,7 @@ object SimilarityOps {
     // relevance (the standard convention: nothing is selected yet).
     "ann_mmr_rerank" -> { (s, dir) =>
       val cosF = graft.functions.VectorFunctions.cosine_sim _
-      val e = embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val probe = e.filter(col("vec_id") === PROBE_ID).select(col("v").as("p"))
-      val short = e.filter(col("vec_id") =!= PROBE_ID)
-        .crossJoin(broadcast(probe))
-        .select(col("vec_id"), col("v"),
-          round(cosF(col("v"), col("p")), 6).as("rel"))
-        .orderBy(col("rel").desc, col("vec_id"))
-        .limit(MmrShortlist)
-        .localCheckpoint()
+      val short = mmrShortlist(s, dir).localCheckpoint()
       val pair = short.select(col("vec_id").as("ca"), col("v").as("va"))
         .crossJoin(short.select(col("vec_id").as("cb"), col("v").as("vb")))
         .filter(col("ca") =!= col("cb"))
@@ -642,6 +633,22 @@ object SimilarityOps {
     * DuckDB) — never 1−λ, which differs from 0.3 in f64. */
   private val MmrShortlist = 20
   private val MmrSelect = 5
+
+  /** ann_mmr_rerank's shortlist — the only corpus-sized stage, exposed
+    * pre-checkpoint so PlanShapeSpec can gate its shape (broadcast
+    * probe + TakeOrderedAndProject, zero shuffles of the corpus). */
+  private[operators] def mmrShortlist(s: SparkSession, dir: String): DataFrame = {
+    val cosF = graft.functions.VectorFunctions.cosine_sim _
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") === PROBE_ID).select(col("v").as("p"))
+    e.filter(col("vec_id") =!= PROBE_ID)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("v"),
+        round(cosF(col("v"), col("p")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrShortlist)
+  }
 
   private val IvfCells = 8
   private val IvfNProbe = 2

@@ -825,6 +825,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("dedup_substring_cut_winnowed: winnowed detection + rebuild stay semi/equi-joins, never BNLJ") {
+    val p = plan("dedup_substring_cut_winnowed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("ann_mmr_rerank: the corpus-sized stage is broadcast-probe + TakeOrderedAndProject, zero shuffles") {
+    // only the shortlist touches the corpus; it must plan as scan →
+    // broadcast 1-row probe → project → per-partition top-k. Any
+    // shuffle Exchange here would reshuffle the corpus for a k-row
+    // result; the greedy rounds after it are K-bounded by construction
+    val p = SimilarityOps.mmrShortlist(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(exchanges(p) == 0, p)
+  }
+
   test("events_scd2_lookup: point-in-time join keys on user_id with a residual range, never BNLJ") {
     // the interval predicate must ride an equi-join on the dimension
     // key as a residual condition — a BNLJ/cartesian here means the
