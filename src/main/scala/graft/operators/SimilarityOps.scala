@@ -263,6 +263,52 @@ object SimilarityOps {
       sel.select(col("rank"), col("vec_id"), col("rel"), col("mmr_score"))
         .orderBy(col("rank"))
     },
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    // Büttcher, SIGIR'09): the production RAG/curation retriever runs a
+    // LEXICAL arm (BM25) and a DENSE arm (embedding cosine) and fuses
+    // rankings with RRF(d) = Σ_arms 1/(k + rank_arm(d)), k=60 — rank
+    // fusion needs no score calibration between arms, which is exactly
+    // why it won out over score interpolation in practice. Scale shape:
+    // each arm is one independent corpus scan ending in a distributed
+    // TakeOrderedAndProject top-RrfShortlist (broadcast one-row stats /
+    // broadcast probe — no corpus shuffle, no global window); the fusion
+    // join then runs over two ≤15-row shortlists, so fusion cost is
+    // independent of corpus size. A doc missing from one arm contributes
+    // 0 from that arm (RRF over the shortlist union — the standard
+    // convention). Determinism: ranks are integers assigned over rounded
+    // 6dp scores with id tie-breaks, so both engines fuse identical
+    // rank pairs; 1/(60+rank) is the same f64 on both sides.
+    "ann_hybrid_rrf" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val lexRanked = TextOps.bm25Scored(s, dir)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(RrfShortlist)
+        .select(col("doc_id").as("lex_id"),
+          row_number().over(w.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("lex_rank"))
+      val e = embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val probe = e.filter(col("vec_id") === PROBE_ID).select(col("v").as("p"))
+      val denseRanked = e.filter(col("vec_id") =!= PROBE_ID)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.cosine_sim(col("v"), col("p")), 6)
+            .as("cs"))
+        .orderBy(col("cs").desc, col("vec_id"))
+        .limit(RrfShortlist)
+        .select(col("vec_id").as("dense_id"),
+          row_number().over(w.orderBy(col("cs").desc, col("vec_id")))
+            .cast("long").as("dense_rank"))
+      lexRanked
+        .join(denseRanked, col("lex_id") === col("dense_id"), "full_outer")
+        .select(coalesce(col("lex_id"), col("dense_id")).as("doc_id"),
+          col("lex_rank"), col("dense_rank"),
+          round(coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank")), lit(0.0)), 6)
+            .as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(RrfSelect)
+    },
     // Radius (range) similarity search — the third retrieval primitive
     // after top-k and bucketed top-k: for a SET of probes, every
     // corpus vector with cosine ≥ 0.2, reported per probe as bounded
@@ -634,6 +680,12 @@ object SimilarityOps {
   private val MmrShortlist = 20
   private val MmrSelect = 5
 
+  /** RRF constant k=60 (the SIGIR'09 value), per-arm shortlist depth, and
+    * fused result count for `ann_hybrid_rrf`. */
+  private val RrfK = 60
+  private val RrfShortlist = 15
+  private val RrfSelect = 10
+
   /** ann_mmr_rerank's shortlist — the only corpus-sized stage, exposed
     * pre-checkpoint so PlanShapeSpec can gate its shape (broadcast
     * probe + TakeOrderedAndProject, zero shuffles of the corpus). */
@@ -737,6 +789,31 @@ object SimilarityOps {
     s"ROUND(${dotSql(v, p)} / (sqrt(${dotSql(v, v)}) * sqrt(${dotSql(p, p)})), 6)"
 
   val oracles: Map[String, String] = Map(
+    "ann_hybrid_rrf" ->
+      s"""WITH ${TextOps.bm25ScoredCtes},
+         |lex0 AS (SELECT doc_id, score FROM scored
+         |         ORDER BY score DESC, doc_id LIMIT $RrfShortlist),
+         |lex AS (SELECT doc_id AS lex_id,
+         |          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         |            AS BIGINT) AS lex_rank
+         |        FROM lex0),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |probe AS (SELECT v AS p FROM e WHERE vec_id = $PROBE_ID),
+         |d0 AS (SELECT vec_id, ${cosSql("v", "p")} AS cs
+         |       FROM e, probe WHERE vec_id <> $PROBE_ID
+         |       ORDER BY cs DESC, vec_id LIMIT $RrfShortlist),
+         |dense AS (SELECT vec_id AS dense_id,
+         |            CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id)
+         |              AS BIGINT) AS dense_rank
+         |          FROM d0)
+         |SELECT COALESCE(lex_id, dense_id) AS doc_id, lex_rank, dense_rank,
+         |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + lex_rank), 0.0) +
+         |        COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + dense_rank), 0.0), 6)
+         |    AS rrf_score
+         |FROM lex FULL OUTER JOIN dense ON lex_id = dense_id
+         |ORDER BY rrf_score DESC, doc_id
+         |LIMIT $RrfSelect""".stripMargin,
     "emb_value_hist" ->
       s"""WITH ve AS (
          |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

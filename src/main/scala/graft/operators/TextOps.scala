@@ -351,25 +351,11 @@ object TextOps {
     // score computation stays a single codegen'd projection over the
     // corpus however large it grows.
     "text_bm25" -> { (s, dir) =>
-      val terms = BM25.terms
-      val docs = documents(s, dir).select(col("doc_id"), col("text"),
-        tokens(col("text")).as("dl"))
-      val dfCols = terms.map(t =>
-        sum(when(occurrences(col("text"), t) > 0, 1.0).otherwise(0.0)).as(s"df_$t"))
-      val stats = docs.agg(count(lit(1)).as("n"),
-        (avg(col("dl")).as("avgdl") +: dfCols): _*)
-      val score = terms.map { t =>
-        val tf = occurrences(col("text"), t)
-        val idf = log((col("n") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
-        idf * (tf * (BM25.k1 + 1.0)) /
-          (tf + lit(BM25.k1) * (lit(1.0) - BM25.b + lit(BM25.b) * col("dl") / col("avgdl")))
-      }.reduce(_ + _)
       // orderBy+limit → TakeOrderedAndProject (distributed per-partition
       // top-k, merge on driver) — NOT a global window, which would drag
       // the whole corpus through one reducer; rank is assigned over the
       // 15 survivors only
-      val top = docs.crossJoin(broadcast(stats))
-        .select(col("doc_id"), round(score, 6).as("score"))
+      val top = bm25Scored(s, dir)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(15)
       top.withColumn("rank", row_number().over(
@@ -739,7 +725,30 @@ object TextOps {
     val b = 0.75
   }
 
-  private def bm25Oracle: String = {
+  /** The 6dp-rounded per-doc BM25 score stream `(doc_id, score)` — corpus
+    * scan × broadcast one-row stats, shared by `text_bm25` and the hybrid
+    * RRF fusion in [[SimilarityOps]]. */
+  private[operators] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val terms = BM25.terms
+    val docs = documents(s, dir).select(col("doc_id"), col("text"),
+      tokens(col("text")).as("dl"))
+    val dfCols = terms.map(t =>
+      sum(when(occurrences(col("text"), t) > 0, 1.0).otherwise(0.0)).as(s"df_$t"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      (avg(col("dl")).as("avgdl") +: dfCols): _*)
+    val score = terms.map { t =>
+      val tf = occurrences(col("text"), t)
+      val idf = log((col("n") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
+      idf * (tf * (BM25.k1 + 1.0)) /
+        (tf + lit(BM25.k1) * (lit(1.0) - BM25.b + lit(BM25.b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+  }
+
+  /** The DuckDB CTE chain ending in `scored(doc_id, score)` replaying
+    * [[bm25Scored]] — prefix it with `WITH `. */
+  private[operators] def bm25ScoredCtes: String = {
     val dfSelects = BM25.terms.map(t =>
       s"SUM(CASE WHEN (${occursSql(t)}) > 0 THEN 1.0 ELSE 0.0 END) AS df_$t").mkString(",\n    ")
     val scoreSql = BM25.terms.map { t =>
@@ -747,20 +756,23 @@ object TextOps {
       val idf = s"ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0)"
       s"$idf * ($tf * ${BM25.k1 + 1.0}) / ($tf + ${BM25.k1} * (1.0 - ${BM25.b} + ${BM25.b} * dl / avgdl))"
     }.mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, text, len(string_split(text, ' ')) AS dl FROM documents),
+    s"""d AS (SELECT doc_id, text, len(string_split(text, ' ')) AS dl FROM documents),
        |stats AS (
        |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
        |    $dfSelects
        |  FROM d),
        |scored AS (
        |  SELECT doc_id, ROUND($scoreSql, 6) AS score
-       |  FROM d CROSS JOIN stats)
+       |  FROM d CROSS JOIN stats)""".stripMargin
+  }
+
+  private def bm25Oracle: String =
+    s"""WITH $bm25ScoredCtes
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        |       doc_id, score
        |FROM scored
        |ORDER BY score DESC, doc_id
        |LIMIT 15""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "text_char_entropy" ->

@@ -843,6 +843,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges(p) == 0, p)
   }
 
+  test("ann_hybrid_rrf: both arms end in distributed top-k; the global windows see only shortlists") {
+    // each arm = corpus scan × broadcast one-row stats/probe →
+    // TakeOrderedAndProject (two of them in the plan); the unpartitioned
+    // row_number windows and the full-outer fusion join run AFTER the
+    // 15-row limits, so the single-partition stages are shortlist-sized.
+    // A corpus-sized global Window here would mean a limit was lost.
+    val p = plan("ann_hybrid_rrf")
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2, p)
+    // the fusion's full-outer join must sit above both GlobalLimits
+    assert(p.contains("Window"), p)
+  }
+
   test("events_scd2_lookup: point-in-time join keys on user_id with a residual range, never BNLJ") {
     // the interval predicate must ride an equi-join on the dimension
     // key as a residual condition — a BNLJ/cartesian here means the
