@@ -46,6 +46,38 @@ object Bench {
     spark.catalog.clearCache()
   }
 
+  /** Running total of shuffle WRITE bytes across all completed stages —
+    * the per-query delta is the bytes a query actually moved through
+    * exchanges, the number that becomes network traffic on a real
+    * cluster. Stage-level `taskMetrics` are scheduler-accumulated, so
+    * one listener counter covers every job a query spawns (including
+    * localCheckpoint materializations, which are part of its cost). */
+  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
+  /** Listener events are delivered async; drain the bus so the tally is
+    * current before snapshotting. `listenerBus` is private[spark] in
+    * Scala but public in bytecode — reflection keeps this a measurement
+    * concern with zero library-code impact; on any failure fall back to
+    * a short sleep (worst case: a few KB attributed one query late). */
+  private def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").get.invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .map(_.invoke(bus))
+        .getOrElse(bus.getClass.getMethods
+          .filter(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+          .head.invoke(bus, java.lang.Long.valueOf(5000L)))
+      ()
+    } catch { case _: Throwable => Thread.sleep(300) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -97,36 +129,50 @@ object Bench {
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
       }
     }
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
     val results = names.zipWithIndex.map { case (name, idx) =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to repeat).map { _ =>
+        drainListenerBus(spark.sparkContext)
+        val b0 = tally.bytes.get()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (ok) sec else -1.0
+        drainListenerBus(spark.sparkContext)
+        val moved = tally.bytes.get() - b0
+        (if (ok) sec else -1.0, moved)
       }
       releaseState(spark)
       // Every 10th query, force a full GC so the ContextCleaner reclaims
       // dead broadcasts/shuffles before they inflate later timings.
       if ((idx + 1) % 10 == 0) System.gc()
-      (name, best(runs), runs.count(_ < 0))
+      // Shuffle volume is plan-deterministic — min-of-runs discards any
+      // stragglers attributed across a run boundary by async delivery.
+      (name, best(runs.map(_._1)), runs.count(_._1 < 0),
+        runs.map(_._2).min)
     }
     // An all-failed query reports null (not a -1 sentinel) so consumers
     // summing or plotting per-query values can't mistake it for a timing.
-    val qs = results.map { case (k, v, _) =>
+    val qs = results.map { case (k, v, _, _) =>
         "\"" + k + "\":" + (if (v >= 0) f"$v%.3f" else "null")
       }.mkString("{", ",", "}")
     // A best-of-N over only the successful runs hides flakiness — surface
     // any query that failed at least once so a clean minimum is
     // distinguishable from a partial one.
-    val failed = results.collect { case (k, _, nf) if nf > 0 => "\"" + k + s"\":$nf" }
+    val failed = results.collect { case (k, _, nf, _) if nf > 0 => "\"" + k + s"\":$nf" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // Shuffle write bytes per query — the bytes that become NETWORK
+    // traffic on a real cluster; time hides them at local[32] where a
+    // shuffle is a memory copy, so they're first-class bench output.
+    val shuffle = results.map { case (k, _, _, sb) => "\"" + k + s"\":$sb" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","repeat":$repeat}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffle,"sf":"$sfDir","repeat":$repeat}"""
     println(line)
     // The full line above grew past the driver's tail-capture window as
     // the query surface did (BENCH_r07 scraped a decapitated line →
@@ -155,7 +201,7 @@ object Bench {
       val budget = """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r
         .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       val over = results.collect {
-        case (name, sec, _) if sec >= 0 && budget.get(name).exists(b => sec > 5 * b) =>
+        case (name, sec, _, _) if sec >= 0 && budget.get(name).exists(b => sec > 5 * b) =>
           (name, sec, budget(name))
       }
       over.foreach { case (n, s, b) =>
