@@ -379,6 +379,61 @@ object Relational {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
         .orderBy(col("l_returnflag"))
     },
+    // Join-size estimation from mergeable sketches — the optimizer-grade
+    // question "how big would this join be?" answered WITHOUT running
+    // the join: the Count-Min inner product Σ_j A[r][j]·B[r][j]
+    // (Cormode & Muthukrishnan 2005 §4.2) estimates |A ⋈_k B| because
+    // matching keys hit the same bucket in every row; min over the
+    // depth rows tames collision inflation. Always ≥ the true size
+    // (collisions only ever add), within e/width·|A|·|B| w.h.p. — width
+    // is the planner's accuracy knob and must scale with the key-domain
+    // product (the comment-visible law; the spec pins the bound at
+    // fixture scale). Two arms tell the whole story: the PK-FK join
+    // (orders⋈customer — estimate lands near-exact because the PK side
+    // has one hit per bucket) and the SKEWED SELF-join on l_partkey
+    // (the F2 second moment Σc², where multiplicities vary and the
+    // estimator actually earns its bound). Scale shape: each side
+    // collapses to a FIXED depth×width grid in one partial-aggregated
+    // pass; the sides never meet row-to-row — three byte-bounded
+    // summaries cross the wire and meet in a 1-row cross join, which is
+    // the entire point at 100 TB. The exact counts ride along (cheap
+    // aggregations, no pair materialization for F2) so the 1-row output
+    // self-grades: q_error ≥ 1 by construction, both arms.
+    // No DuckDB oracle (Murmur3 has no DuckDB twin) — contractual
+    // no-oracle, pinned by SparkEntryContractSpec + CountMinSpec bounds.
+    "q_joinsize_cm" -> { (s, dir) =>
+      val D = 5; val W = 65536
+      def sketch(df: DataFrame, key: org.apache.spark.sql.Column, as: String, n: String) =
+        df.agg(graft.functions.CountMin.column(key.cast("string"), D, W).as(as),
+          count(lit(1)).as(n))
+      val sa = sketch(orders(s, dir), col("o_custkey"), "sa", "n_orders")
+      val sb = sketch(customer(s, dir), col("c_custkey"), "sb", "n_customers")
+      val sl = sketch(lineitem(s, dir), col("l_partkey"), "sl", "n_lineitem")
+      val fkExact = orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("fk_exact"))
+      val sjExact = lineitem(s, dir).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("sj_exact"))
+      def innerProduct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val p = zip_with(a, b, (x, y) => x * y)
+        array_min(transform(sequence(lit(0), lit(D - 1)),
+          r => aggregate(slice(p, r * lit(W) + 1, lit(W)), lit(0L),
+            (acc, x) => acc + x)))
+      }
+      sa.crossJoin(sb).crossJoin(sl).crossJoin(fkExact).crossJoin(sjExact)
+        .select(
+          col("fk_exact"),
+          innerProduct(col("sa"), col("sb")).as("fk_est"),
+          col("sj_exact"),
+          innerProduct(col("sl"), col("sl")).as("sj_est"),
+          col("n_orders"), col("n_customers"), col("n_lineitem"))
+        .select(col("fk_exact"), col("fk_est"),
+          round(col("fk_est").cast("double") / col("fk_exact"), 6).as("fk_q_error"),
+          col("sj_exact"), col("sj_est"),
+          round(col("sj_est").cast("double") / col("sj_exact"), 6).as("sj_q_error"),
+          col("n_orders"), col("n_customers"), col("n_lineitem"))
+    },
     // Spatial proximity join via grid-cell bucketing — the 2-D analog of
     // events_overlap_join's chunking, and the shape every geo engine
     // (GeoSpark/Sedona, PostGIS st_dwithin plans) reduces to: a naive

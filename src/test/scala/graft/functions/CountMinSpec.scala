@@ -79,6 +79,24 @@ class CountMinSpec extends AnyFunSuite {
       s"gate dropped ${trueHeavy -- gated} — overestimate guarantee broken")
   }
 
+  test("q_joinsize_cm: both inner-product estimates overestimate within bound (sf0.001)") {
+    // the CM inner product is ≥ the true join size ALWAYS (collisions
+    // only add mass), and at fixture scale the collision term
+    // |A|·|B|/width is tiny relative to the true size, so the q-error
+    // pins near 1. The width-scaling law (error ∝ |A|·|B|/width) is
+    // the documented knob — this test is the fixed-point evidence.
+    val r = graft.SparkEntry.queries("q_joinsize_cm")(
+      spark, "/root/testdata/sf0.001").head
+    val fkExact = r.getAs[Long]("fk_exact"); val fkEst = r.getAs[Long]("fk_est")
+    val sjExact = r.getAs[Long]("sj_exact"); val sjEst = r.getAs[Long]("sj_est")
+    assert(fkEst >= fkExact, s"FK arm under-counted: $fkEst < $fkExact")
+    assert(sjEst >= sjExact, s"self-join arm under-counted: $sjEst < $sjExact")
+    assert(fkEst <= fkExact * 1.05, s"FK q-error ${fkEst.toDouble / fkExact}")
+    assert(sjEst <= sjExact * 1.05, s"F2 q-error ${sjEst.toDouble / sjExact}")
+    // PK-FK ground truth: every order matches exactly one customer
+    assert(fkExact == r.getAs[Long]("n_orders"))
+  }
+
   test("nulls are skipped; SQL registration resolves via extensions") {
     val sk = spark.sql(
       """SELECT count_min(w, 2, 8) AS cm FROM (
