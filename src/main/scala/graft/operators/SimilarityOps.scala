@@ -385,6 +385,50 @@ object SimilarityOps {
         .filter(col("rk") <= IvfTopK)
         .orderBy(col("probe_id"), col("rk"))
     },
+    // Hard-negative mining — the contrastive-training data op that
+    // closes the retrieval loop: for each sampled labeled anchor, the
+    // top-3 most-similar vectors with a DIFFERENT label (the negatives
+    // that actually teach a contrastive model, vs. trivially-far random
+    // negatives). Routed through the IVF literal-codebook cells exactly
+    // like ann_ivf_probe — anchors probe their IvfNProbe nearest cells
+    // and score ONLY cell-colocated candidates, so pair volume is
+    // ∝ nprobe/K of the anchor×corpus product and the label filter
+    // rides the same equi-join. Anchors are a ~1% id sample (broadcast-
+    // sized at any corpus scale); each candidate has exactly ONE cell,
+    // so no anchor-candidate pair can arrive twice. At 100 TB this is
+    // the batch-mining pass behind every contrastive fine-tune: one
+    // cell-keyed join, per-anchor WindowGroupLimit top-k, no all-pairs.
+    "ann_hard_negatives" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cellSims = ivfCellSims(e.select(col("vec_id"), col("v")))
+      val assigned = e.withColumn("cell",
+        graft.functions.Barriers.opaque(
+          array_max(cellSims(col("v"))).getField("cell")))
+      // fresh scan for anchors (expression-id hygiene; pushes the
+      // anchor-sample filter to its own parquet read — see ann_ivf_probe)
+      val eA = embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val anchors = eA.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("anchor_id"),
+          col("label").as("anchor_label"), col("v").as("p"),
+          explode(transform(
+            slice(reverse(array_sort(cellSims(col("v")))), 1, IvfNProbe),
+            c => c.getField("cell"))).as("pcell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      assigned.join(broadcast(anchors), col("cell") === col("pcell") &&
+          col("label") =!= col("anchor_label"))
+        .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
+          col("label").as("neg_label"),
+          round(cos(col("v"), col("p")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("anchor_id"), col("rk"))
+    },
     // two unrolled Lloyd iterations of k-means over the full 64-dim
     // embeddings — the cluster-training step behind IVF/SemDeDup
     // codebooks, expressed in the bounded-collect-codebook shape: seeds
@@ -998,6 +1042,35 @@ object SimilarityOps {
          |GROUP BY probe_id
          |ORDER BY probe_id""".stripMargin,
     "ann_ivf_probe" -> ivfProbeOracle,
+    "ann_hard_negatives" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, label,
+         |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells),
+         |sims AS (
+         |  SELECT n.vec_id, n.label, n.v, n.nrm, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rn
+         |  FROM n CROSS JOIN c),
+         |assigned AS (SELECT vec_id, label, v, nrm, cell FROM sims WHERE rn = 1),
+         |acells AS (
+         |  SELECT vec_id AS anchor_id, label AS anchor_label, v AS p,
+         |    nrm AS pnrm, cell AS pcell
+         |  FROM sims
+         |  WHERE rn <= $IvfNProbe AND vec_id % 97 = 0),
+         |ranked AS (
+         |  SELECT anchor_id, anchor_label, a.vec_id, a.label AS neg_label,
+         |    ROUND(${dotSql("a.v", "p")} / (a.nrm * pnrm), 6) AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY
+         |      ROUND(${dotSql("a.v", "p")} / (a.nrm * pnrm), 6) DESC, a.vec_id) AS rk
+         |  FROM assigned a JOIN acells ON a.cell = pcell AND a.label <> anchor_label)
+         |SELECT anchor_id, anchor_label, vec_id, neg_label, cos_sim,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM ranked
+         |WHERE rk <= 3
+         |ORDER BY anchor_id, rk""".stripMargin,
     "emb_kmeans" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

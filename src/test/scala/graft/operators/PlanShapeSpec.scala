@@ -855,6 +855,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("ann_hard_negatives: candidates ride the cell equi-join; per-anchor top-k is WindowGroupLimit") {
+    // mining must never go all-pairs: the anchor side broadcasts onto
+    // the cell-assigned corpus via the cell key (label filter as a
+    // residual), and rk <= 3 prunes per-anchor BEFORE the window sort
+    val p = plan("ann_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("events_scd2_lookup: point-in-time join keys on user_id with a residual range, never BNLJ") {
     // the interval predicate must ride an equi-join on the dimension
     // key as a residual condition — a BNLJ/cartesian here means the
