@@ -94,7 +94,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // deterministic run order; ML training last so its server/port
     // lifecycle can't interfere with the relational timings
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to the named queries —
+    // the per-query budget iteration loop; full-surface totals only come
+    // from unfiltered runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
       .sortBy(n => if (n == "ml_train_predict") 1 else 0)
     // SPARK_GRAFT_EXPLAIN=<dir>: dump each query's formatted physical
     // plan (the evidence behind BASELINE.md's plan-shape claims) instead

@@ -136,36 +136,24 @@ object DedupOps {
     * than k + W - 1; the containment property (every winnowed span lies
     * inside a stride-1 span) is spec-proven in SubstringDedupSpec.
     * Prefix windows (p < W) shrink to 1..p so short docs still select —
-    * "robust winnowing". Three measured cost levers in the row-local
-    * selection: keys are (8-char gram PREFIX || lpad(PosBase - pos))
-    * strings — the prefix lies inside the gram so shared spans still
-    * self-synchronize, and min-string means (min prefix, rightmost pos);
-    * the per-window min is least() over W clamped element_at shifts
-    * (no slice(): a per-position array copy measured ~2× the whole
-    * selection; clamped duplicate arguments can't change a min); and the
-    * full 40-char gram is substring'd for SELECTED positions only. Text
-    * compares as raw UTF-8 on both engines (fixture is ASCII). */
+    * "robust winnowing". Selection runs as ONE native codegen'd
+    * monotonic-deque argmin pass per document ([[graft.functions
+    * .WinnowSelect]]: 8-codepoint gram prefixes compared, rightmost tie
+    * wins — O(n) comparisons, no per-position key allocation). The
+    * expression is spec-pinned EXACTLY equal to the SQL selection rule
+    * the DuckDB oracle replays (`WinnowSpec`), so the oracle stays
+    * valid; the full 40-char gram is substring'd for SELECTED positions
+    * only. Text compares as raw UTF-8 on both engines (fixture is
+    * ASCII). */
   private[operators] def dupSpansWinnowed(docs: DataFrame): DataFrame = {
     val k = 40; val w = SubWinnowW
-    val leastArgs = (0 until w)
-      .map(d => s"element_at(ks, greatest(1, p - $d))").mkString(", ")
     val g = docs
       .filter(length(col("text")) >= k)
-      .withColumn("ks", expr(
-        s"transform(sequence(1, length(text) - ${k - 1}), " +
-          s"p -> concat(substring(text, p, 8), " +
-          s"lpad(cast($PosBase - p as string), 10, '0')))"))
-      .withColumn("sel", expr(
-        s"array_distinct(transform(sequence(1, size(ks)), " +
-          s"p -> least($leastArgs)))"))
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(graft.functions.Winnow.column(col("text"), k, w)).as("posi"))
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          s"transform(sel, mk -> struct(" +
-            s"$PosBase - cast(substring(mk, 9, 10) as int) AS pos, " +
-            s"substring(text, $PosBase - cast(substring(mk, 9, 10) as int), $k) AS gh))"))
-          .as("m"))
-      .select(col("doc_id"), col("source"),
-        col("m.pos").cast("long").as("pos"), col("m.gh").as("gh"))
+        col("posi").cast("long").as("pos"),
+        expr(s"substring(text, posi, $k)").as("gh"))
       .localCheckpoint()
     val dup = g.groupBy(col("gh"))
       .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
