@@ -36,6 +36,41 @@ object Bench {
     if (ok.isEmpty) -1.0 else ok.min
   }
 
+  /** Noise defense for the per-query loop: run `runOnce` `repeat` times,
+    * and if the best SUCCESSFUL timing still exceeds 5× the query's
+    * budget, run up to `maxRetries` more times. BENCH_r10 carried three
+    * false overruns (layout_partition_prune 2.33 s vs 0.44 s in the
+    * same-round clean run) — ambient noise on a shared box only ever ADDS
+    * time, so extra samples can only move the minimum toward the true
+    * plan cost, never away from it. Returns all runs plus how many
+    * retries were taken (surfaced in the output JSON so a retried query
+    * is distinguishable from a clean one). */
+  private[graft] def runsWithRetry(
+      runOnce: () => (Double, Long),
+      repeat: Int,
+      budget: Option[Double],
+      maxRetries: Int = 2): (Seq[(Double, Long)], Int) = {
+    var runs = Vector.fill(repeat)(runOnce())
+    var retries = 0
+    def over: Boolean = budget.exists { b =>
+      val s = best(runs.map(_._1)); s >= 0 && s > 5 * b
+    }
+    while (retries < maxRetries && over) {
+      runs = runs :+ runOnce()
+      retries += 1
+    }
+    (runs, retries)
+  }
+
+  /** Minimum shuffle-byte delta over SUCCESSFUL runs only — a run that
+    * failed mid-shuffle under-reports its volume, so failed runs must not
+    * contribute (they did in r10). None when every run failed, mirroring
+    * the timing's null. */
+  private[graft] def bestShuffle(runs: Seq[(Double, Long)]): Option[Long] = {
+    val ok = runs.collect { case (sec, b) if sec >= 0 => b }
+    if (ok.isEmpty) None else Some(ok.min)
+  }
+
   /** Drop cross-query JVM state: localCheckpoint RDD blocks (the
     * iterated connected-components rounds and the dual-consumer dedup
     * checkpoints are persisted until GC'd) and any cached plans. Cheap —
@@ -135,11 +170,21 @@ object Bench {
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
       }
     }
+    // Per-query budgets load BEFORE the loop so an overrun can trigger an
+    // immediate in-place retry (see runsWithRetry) rather than only a
+    // post-hoc warning.
+    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "bench_budget.json")
+    val budgetFile = new java.io.File(budgetPath)
+    val budget: Map[String, Double] = if (budgetFile.isFile) {
+      val txt = new String(java.nio.file.Files.readAllBytes(budgetFile.toPath), "UTF-8")
+      """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } else Map.empty
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
     val results = names.zipWithIndex.map { case (name, idx) =>
       val fn = SparkEntry.queries(name)
-      val runs = (1 to repeat).map { _ =>
+      val runOnce = () => {
         drainListenerBus(spark.sparkContext)
         val b0 = tally.bytes.get()
         val t0 = System.nanoTime()
@@ -152,33 +197,43 @@ object Bench {
         val moved = tally.bytes.get() - b0
         (if (ok) sec else -1.0, moved)
       }
+      val (runs, retries) = runsWithRetry(runOnce, repeat, budget.get(name))
+      if (retries > 0)
+        System.err.println(f"[bench] $name over budget after $repeat runs; " +
+          f"retried $retries more, best ${best(runs.map(_._1))}%.2f s")
       releaseState(spark)
       // Every 10th query, force a full GC so the ContextCleaner reclaims
       // dead broadcasts/shuffles before they inflate later timings.
       if ((idx + 1) % 10 == 0) System.gc()
-      // Shuffle volume is plan-deterministic — min-of-runs discards any
-      // stragglers attributed across a run boundary by async delivery.
+      // Shuffle volume is plan-deterministic — min over SUCCESSFUL runs
+      // discards stragglers attributed across a run boundary by async
+      // delivery and partial deltas from failed runs.
       (name, best(runs.map(_._1)), runs.count(_._1 < 0),
-        runs.map(_._2).min)
+        bestShuffle(runs), retries)
     }
     // An all-failed query reports null (not a -1 sentinel) so consumers
     // summing or plotting per-query values can't mistake it for a timing.
-    val qs = results.map { case (k, v, _, _) =>
+    val qs = results.map { case (k, v, _, _, _) =>
         "\"" + k + "\":" + (if (v >= 0) f"$v%.3f" else "null")
       }.mkString("{", ",", "}")
     // A best-of-N over only the successful runs hides flakiness — surface
     // any query that failed at least once so a clean minimum is
     // distinguishable from a partial one.
-    val failed = results.collect { case (k, _, nf, _) if nf > 0 => "\"" + k + s"\":$nf" }
+    val failed = results.collect { case (k, _, nf, _, _) if nf > 0 => "\"" + k + s"\":$nf" }
       .mkString("{", ",", "}")
     // Shuffle write bytes per query — the bytes that become NETWORK
     // traffic on a real cluster; time hides them at local[32] where a
     // shuffle is a memory copy, so they're first-class bench output.
-    val shuffle = results.map { case (k, _, _, sb) => "\"" + k + s"\":$sb" }
+    val shuffle = results.map { case (k, _, _, sb, _) =>
+        "\"" + k + "\":" + sb.map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    // Queries that needed noise-defense retries — transparency so a
+    // retried minimum is auditable against the budget it was checked by.
+    val retried = results.collect { case (k, _, _, _, r) if r > 0 => "\"" + k + s"\":$r" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffle,"sf":"$sfDir","repeat":$repeat}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffle,"retried":$retried,"sf":"$sfDir","repeat":$repeat}"""
     println(line)
     // The full line above grew past the driver's tail-capture window as
     // the query surface did (BENCH_r07 scraped a decapitated line →
@@ -194,24 +249,20 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     // Per-query regression budget: bench_budget.json records the best
-    // known per-query seconds across driver rounds. Any query >5× its
-    // budget gets a warning line; with SPARK_GRAFT_BENCH_BUDGET_STRICT=1
-    // (local runs only — the driver harness must never fail on ambient
-    // noise) the process exits 3 so a regression like round 8's 24 s
-    // graph_pagerank surfaces BEFORE the driver run instead of eating
-    // 20% of the bench contract.
-    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "bench_budget.json")
-    val budgetFile = new java.io.File(budgetPath)
-    if (budgetFile.isFile) {
-      val txt = new String(java.nio.file.Files.readAllBytes(budgetFile.toPath), "UTF-8")
-      val budget = """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r
-        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // known per-query seconds across driver rounds. A query still >5× its
+    // budget AFTER the in-loop retries is a genuine regression (or a
+    // stale budget), not noise — warn; with
+    // SPARK_GRAFT_BENCH_BUDGET_STRICT=1 (local runs only — the driver
+    // harness must never fail on ambient noise) the process exits 3 so a
+    // regression like round 8's 24 s graph_pagerank surfaces BEFORE the
+    // driver run instead of eating 20% of the bench contract.
+    if (budget.nonEmpty) {
       val over = results.collect {
-        case (name, sec, _, _) if sec >= 0 && budget.get(name).exists(b => sec > 5 * b) =>
+        case (name, sec, _, _, _) if sec >= 0 && budget.get(name).exists(b => sec > 5 * b) =>
           (name, sec, budget(name))
       }
       over.foreach { case (n, s, b) =>
-        System.err.println(f"[bench] BUDGET EXCEEDED: $n took $s%.2f s, budget $b%.2f s (>5x)")
+        System.err.println(f"[bench] BUDGET EXCEEDED: $n took $s%.2f s, budget $b%.2f s (>5x, survived retries)")
       }
       if (over.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_BUDGET_STRICT").contains("1")) {
         spark.stop(); sys.exit(3)
