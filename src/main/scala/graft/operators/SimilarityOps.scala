@@ -232,37 +232,16 @@ object SimilarityOps {
     // score identical doubles; rel/sim round to 6dp before any
     // comparison, ties break on vec_id. Round 1's score is its
     // relevance (the standard convention: nothing is selected yet).
-    "ann_mmr_rerank" -> { (s, dir) =>
-      val cosF = graft.functions.VectorFunctions.cosine_sim _
-      val short = mmrShortlist(s, dir).localCheckpoint()
-      val pair = short.select(col("vec_id").as("ca"), col("v").as("va"))
-        .crossJoin(short.select(col("vec_id").as("cb"), col("v").as("vb")))
-        .filter(col("ca") =!= col("cb"))
-        .select(col("ca"), col("cb"),
-          round(cosF(col("va"), col("vb")), 6).as("sim"))
-        .localCheckpoint()
-      val base = short.select(col("vec_id"), col("rel"))
-      var sel = base.orderBy(col("rel").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("rel"), lit(1L).as("rank"),
-          col("rel").as("mmr_score"))
-        .localCheckpoint()
-      for (r <- 2 to MmrSelect) {
-        val msim = pair
-          .join(sel.select(col("vec_id").as("cb")), Seq("cb"), "semi")
-          .groupBy(col("ca")).agg(max(col("sim")).as("msim"))
-        val pick = base
-          .join(sel.select(col("vec_id")), Seq("vec_id"), "anti")
-          .join(msim, col("vec_id") === col("ca"))
-          .select(col("vec_id"), col("rel"),
-            (lit(0.7) * col("rel") - lit(0.3) * col("msim")).as("score"))
-          .orderBy(col("score").desc, col("vec_id")).limit(1)
-          .select(col("vec_id"), col("rel"), lit(r.toLong).as("rank"),
-            round(col("score"), 6).as("mmr_score"))
-        sel = sel.unionByName(pick).localCheckpoint()
-      }
-      sel.select(col("rank"), col("vec_id"), col("rel"), col("mmr_score"))
-        .orderBy(col("rank"))
-    },
+    "ann_mmr_rerank" -> { (s, dir) => mmrGreedy(mmrShortlist(s, dir)) },
+    // The 100 TB twin: identical greedy selection, but the shortlist is
+    // IVF-routed — the probe searches only its IvfNProbe nearest
+    // literal-codebook cells (the ann_ivf_probe geometry), so shortlist
+    // cost is ∝ nprobe/K of the corpus instead of a full cosine scan.
+    // The brute-force form above stays as the ground-truth twin (recall
+    // of the routed shortlist vs. exact is the ann_ivf_recall method).
+    // Oracle replays the exact candidate rule, so this is hash-gated,
+    // not just rows-gated.
+    "ann_mmr_rerank_ivf" -> { (s, dir) => mmrGreedy(mmrShortlistIvf(s, dir)) },
     // Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
     // Büttcher, SIGIR'09): the production RAG/curation retriever runs a
     // LEXICAL arm (BM25) and a DENSE arm (embedding cosine) and fuses
@@ -279,35 +258,23 @@ object SimilarityOps {
     // 6dp scores with id tie-breaks, so both engines fuse identical
     // rank pairs; 1/(60+rank) is the same f64 on both sides.
     "ann_hybrid_rrf" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-      val lexRanked = TextOps.bm25Scored(s, dir)
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(RrfShortlist)
-        .select(col("doc_id").as("lex_id"),
-          row_number().over(w.orderBy(col("score").desc, col("doc_id")))
-            .cast("long").as("lex_rank"))
       val e = embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
       val probe = e.filter(col("vec_id") === PROBE_ID).select(col("v").as("p"))
-      val denseRanked = e.filter(col("vec_id") =!= PROBE_ID)
+      val dense = e.filter(col("vec_id") =!= PROBE_ID)
         .crossJoin(broadcast(probe))
         .select(col("vec_id"),
           round(graft.functions.VectorFunctions.cosine_sim(col("v"), col("p")), 6)
             .as("cs"))
-        .orderBy(col("cs").desc, col("vec_id"))
-        .limit(RrfShortlist)
-        .select(col("vec_id").as("dense_id"),
-          row_number().over(w.orderBy(col("cs").desc, col("vec_id")))
-            .cast("long").as("dense_rank"))
-      lexRanked
-        .join(denseRanked, col("lex_id") === col("dense_id"), "full_outer")
-        .select(coalesce(col("lex_id"), col("dense_id")).as("doc_id"),
-          col("lex_rank"), col("dense_rank"),
-          round(coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank")), lit(0.0)), 6)
-            .as("rrf_score"))
-        .orderBy(col("rrf_score").desc, col("doc_id"))
-        .limit(RrfSelect)
+      rrfFuse(s, dir, dense)
+    },
+    // The 100 TB twin: same lexical arm and fusion, but the dense arm's
+    // candidates ride the IVF cell equi-join (nprobe/K of the corpus
+    // scored) instead of a corpus-wide cosine scan. The brute-force form
+    // above stays as the ground-truth twin; the oracle replays the exact
+    // IVF candidate rule so this is hash-gated.
+    "ann_hybrid_rrf_ivf" -> { (s, dir) =>
+      rrfFuse(s, dir, ivfProbeCandidates(s, dir).select(col("vec_id"), col("cs")))
     },
     // Radius (range) similarity search — the third retrieval primitive
     // after top-k and bucketed top-k: for a SET of probes, every
@@ -746,6 +713,114 @@ object SimilarityOps {
       .limit(MmrShortlist)
   }
 
+  /** The MMR greedy loop, shared by the brute-force and IVF-routed
+    * shortlist twins: K-bounded after the shortlist (≤K² pairwise sims
+    * localCheckpointed once; each round a semi-join + argmax over ≤K
+    * rows), so selection cost is independent of how the shortlist was
+    * retrieved — exactly the property that lets the shortlist arm swap
+    * from exact scan to IVF at scale without touching selection
+    * semantics. `short0` must expose (vec_id, v, rel). */
+  private def mmrGreedy(short0: DataFrame): DataFrame = {
+    val cosF = graft.functions.VectorFunctions.cosine_sim _
+    val short = short0.localCheckpoint()
+    val pair = short.select(col("vec_id").as("ca"), col("v").as("va"))
+      .crossJoin(short.select(col("vec_id").as("cb"), col("v").as("vb")))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb"),
+        round(cosF(col("va"), col("vb")), 6).as("sim"))
+      .localCheckpoint()
+    val base = short.select(col("vec_id"), col("rel"))
+    var sel = base.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"), lit(1L).as("rank"),
+        col("rel").as("mmr_score"))
+      .localCheckpoint()
+    for (r <- 2 to MmrSelect) {
+      val msim = pair
+        .join(sel.select(col("vec_id").as("cb")), Seq("cb"), "semi")
+        .groupBy(col("ca")).agg(max(col("sim")).as("msim"))
+      val pick = base
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "anti")
+        .join(msim, col("vec_id") === col("ca"))
+        .select(col("vec_id"), col("rel"),
+          (lit(0.7) * col("rel") - lit(0.3) * col("msim")).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(r.toLong).as("rank"),
+          round(col("score"), 6).as("mmr_score"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("rank"), col("vec_id"), col("rel"), col("mmr_score"))
+      .orderBy(col("rank"))
+  }
+
+  /** RRF fusion, shared by the brute-force and IVF dense-arm twins: the
+    * lexical BM25 arm and the shortlist-sized rank/fuse stages are
+    * identical; only the dense candidate generator differs. `dense` must
+    * expose (vec_id, cs) — pre-limit, so each twin's candidate plan ends
+    * in the same distributed TakeOrderedAndProject here. */
+  private def rrfFuse(s: SparkSession, dir: String, dense: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val lexRanked = TextOps.bm25Scored(s, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(RrfShortlist)
+      .select(col("doc_id").as("lex_id"),
+        row_number().over(w.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("lex_rank"))
+    val denseRanked = dense
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(RrfShortlist)
+      .select(col("vec_id").as("dense_id"),
+        row_number().over(w.orderBy(col("cs").desc, col("vec_id")))
+          .cast("long").as("dense_rank"))
+    lexRanked
+      .join(denseRanked, col("lex_id") === col("dense_id"), "full_outer")
+      .select(coalesce(col("lex_id"), col("dense_id")).as("doc_id"),
+        col("lex_rank"), col("dense_rank"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(RrfSelect)
+  }
+
+  /** IVF-routed candidates of PROBE_ID as (vec_id, v, cs, rel): the
+    * corpus assigned to its nearest literal-codebook cell (pure codegen
+    * projection), the probe exploded onto its IvfNProbe nearest cells,
+    * and cosine scored ONLY for cell-colocated rows — the ann_ivf_probe
+    * geometry, shared by the MMR and RRF routed twins. The probe gets
+    * its own scan (fresh expression ids + pushed-down id filter — the
+    * self-join-dedup hazard noted in ann_ivf_probe) and the lambda-
+    * derived cell key is opaque-wrapped (OpaqueIdentity scaladoc). */
+  private[operators] def ivfProbeCandidates(s: SparkSession, dir: String): DataFrame = {
+    val cos = graft.functions.VectorFunctions.cosine_sim _
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cellSims = ivfCellSims(e)
+    val assigned = e.withColumn("cell",
+      graft.functions.Barriers.opaque(
+        array_max(cellSims(col("v"))).getField("cell")))
+    val eP = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = eP.filter(col("vec_id") === PROBE_ID)
+      .select(col("v").as("p"),
+        explode(transform(
+          slice(reverse(array_sort(cellSims(col("v")))), 1, IvfNProbe),
+          c => c.getField("cell"))).as("pcell"))
+    assigned.join(broadcast(probe), col("cell") === col("pcell") &&
+        col("vec_id") =!= PROBE_ID)
+      .select(col("vec_id"), col("v"),
+        round(cos(col("v"), col("p")), 6).as("cs"))
+      .withColumn("rel", col("cs"))
+  }
+
+  /** ann_mmr_rerank_ivf's shortlist — IVF-routed top-MmrShortlist,
+    * exposed pre-checkpoint so PlanShapeSpec can gate the cell equi-join
+    * (no corpus-wide cosine, no cartesian). */
+  private[operators] def mmrShortlistIvf(s: SparkSession, dir: String): DataFrame =
+    ivfProbeCandidates(s, dir)
+      .select(col("vec_id"), col("v"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrShortlist)
+
   private val IvfCells = 8
   private val IvfNProbe = 2
   private val IvfTopK = 5
@@ -846,6 +921,30 @@ object SimilarityOps {
          |probe AS (SELECT v AS p FROM e WHERE vec_id = $PROBE_ID),
          |d0 AS (SELECT vec_id, ${cosSql("v", "p")} AS cs
          |       FROM e, probe WHERE vec_id <> $PROBE_ID
+         |       ORDER BY cs DESC, vec_id LIMIT $RrfShortlist),
+         |dense AS (SELECT vec_id AS dense_id,
+         |            CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id)
+         |              AS BIGINT) AS dense_rank
+         |          FROM d0)
+         |SELECT COALESCE(lex_id, dense_id) AS doc_id, lex_rank, dense_rank,
+         |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + lex_rank), 0.0) +
+         |        COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + dense_rank), 0.0), 6)
+         |    AS rrf_score
+         |FROM lex FULL OUTER JOIN dense ON lex_id = dense_id
+         |ORDER BY rrf_score DESC, doc_id
+         |LIMIT $RrfSelect""".stripMargin,
+    // Same lexical arm and fusion; the dense arm's candidates replay the
+    // IVF cell rule instead of a corpus-wide cosine scan.
+    "ann_hybrid_rrf_ivf" ->
+      s"""WITH ${TextOps.bm25ScoredCtes},
+         |lex0 AS (SELECT doc_id, score FROM scored
+         |         ORDER BY score DESC, doc_id LIMIT $RrfShortlist),
+         |lex AS (SELECT doc_id AS lex_id,
+         |          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         |            AS BIGINT) AS lex_rank
+         |        FROM lex0),
+         |$ivfProbeCandSql,
+         |d0 AS (SELECT vec_id, cs FROM cand
          |       ORDER BY cs DESC, vec_id LIMIT $RrfShortlist),
          |dense AS (SELECT vec_id AS dense_id,
          |            CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id)
@@ -979,24 +1078,7 @@ object SimilarityOps {
          |FROM ranked
          |WHERE rk <= 3
          |ORDER BY probe_id, rk""".stripMargin,
-    "ann_mmr_rerank" -> {
-      val rounds = (2 to MmrSelect).map { r =>
-        val prevIds = (1 until r).map(i => s"SELECT vec_id FROM s$i")
-          .mkString(" UNION ALL ")
-        s"""s$r AS (
-           |  SELECT vec_id, rel, CAST($r AS BIGINT) AS rank,
-           |    ROUND(score, 6) AS mmr_score
-           |  FROM (
-           |    SELECT c.vec_id, c.rel,
-           |      0.7 * c.rel - 0.3 * (
-           |        SELECT MAX(sim) FROM pair
-           |        WHERE ca = c.vec_id AND cb IN ($prevIds)) AS score
-           |    FROM short c
-           |    WHERE c.vec_id NOT IN ($prevIds))
-           |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
-      }.mkString(",\n")
-      val union = (1 to MmrSelect).map(i => s"SELECT * FROM s$i")
-        .mkString(" UNION ALL ")
+    "ann_mmr_rerank" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
          |probe AS (SELECT v AS p FROM e WHERE vec_id = $PROBE_ID),
@@ -1004,16 +1086,15 @@ object SimilarityOps {
          |  SELECT vec_id, v, ${cosSql("v", "p")} AS rel
          |  FROM e, probe WHERE vec_id <> $PROBE_ID
          |  ORDER BY rel DESC, vec_id LIMIT $MmrShortlist),
-         |pair AS (
-         |  SELECT a.vec_id AS ca, b.vec_id AS cb, ${cosSql("a.v", "b.v")} AS sim
-         |  FROM short a, short b WHERE a.vec_id <> b.vec_id),
-         |s1 AS (
-         |  SELECT vec_id, rel, CAST(1 AS BIGINT) AS rank, rel AS mmr_score
-         |  FROM short ORDER BY rel DESC, vec_id LIMIT 1),
-         |$rounds
-         |SELECT rank, vec_id, rel, mmr_score FROM ($union)
-         |ORDER BY rank""".stripMargin
-    },
+         |$mmrOracleTail""".stripMargin,
+    // Same greedy tail; the shortlist CTE replays the IVF candidate rule
+    // (cell-assigned corpus joined to the probe's nprobe cells).
+    "ann_mmr_rerank_ivf" ->
+      s"""WITH $ivfProbeCandSql,
+         |short AS (
+         |  SELECT vec_id, v, cs AS rel FROM cand
+         |  ORDER BY rel DESC, vec_id LIMIT $MmrShortlist),
+         |$mmrOracleTail""".stripMargin,
     "ann_lsh_bucket" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
@@ -1281,6 +1362,62 @@ object SimilarityOps {
          |JOIN f2 ON f2.a_id = f1.a_id
          |JOIN bw ON bw.a_id = f1.a_id AND bw.b_id = f1.b_id
          |ORDER BY f1.a_id""".stripMargin)
+
+  /** CTE chain replaying [[ivfProbeCandidates]] in DuckDB: corpus
+    * assigned to its nearest literal-codebook cell, PROBE_ID exploded to
+    * its IvfNProbe nearest cells, cosine scored only for cell-colocated
+    * rows. Ends in `cand(vec_id, v, cs)`. No leading WITH so callers can
+    * prepend their own CTEs. */
+  private def ivfProbeCandSql: String =
+    s"""n AS (
+       |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings)),
+       |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells),
+       |sims AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rn
+       |  FROM n CROSS JOIN c),
+       |assigned AS (SELECT vec_id, v, nrm, cell FROM sims WHERE rn = 1),
+       |pc AS (SELECT v AS p, nrm AS pnrm, cell AS pcell FROM sims
+       |       WHERE rn <= $IvfNProbe AND vec_id = $PROBE_ID),
+       |cand AS (
+       |  SELECT a.vec_id, a.v,
+       |    ROUND(${dotSql("a.v", "p")} / (a.nrm * pnrm), 6) AS cs
+       |  FROM assigned a JOIN pc ON a.cell = pcell AND a.vec_id <> $PROBE_ID)""".stripMargin
+
+  /** The MMR greedy rounds + final select, shared by the brute-force and
+    * IVF oracle twins — everything after a `short(vec_id, v, rel)` CTE.
+    * No leading WITH; callers append after their shortlist CTE. */
+  private def mmrOracleTail: String = {
+    val rounds = (2 to MmrSelect).map { r =>
+      val prevIds = (1 until r).map(i => s"SELECT vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""s$r AS (
+         |  SELECT vec_id, rel, CAST($r AS BIGINT) AS rank,
+         |    ROUND(score, 6) AS mmr_score
+         |  FROM (
+         |    SELECT c.vec_id, c.rel,
+         |      0.7 * c.rel - 0.3 * (
+         |        SELECT MAX(sim) FROM pair
+         |        WHERE ca = c.vec_id AND cb IN ($prevIds)) AS score
+         |    FROM short c
+         |    WHERE c.vec_id NOT IN ($prevIds))
+         |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to MmrSelect).map(i => s"SELECT * FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""pair AS (
+       |  SELECT a.vec_id AS ca, b.vec_id AS cb, ${cosSql("a.v", "b.v")} AS sim
+       |  FROM short a, short b WHERE a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT vec_id, rel, CAST(1 AS BIGINT) AS rank, rel AS mmr_score
+       |  FROM short ORDER BY rel DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT rank, vec_id, rel, mmr_score FROM ($union)
+       |ORDER BY rank""".stripMargin
+  }
 
   private def ivfProbeOracle: String =
     s"""WITH n AS (

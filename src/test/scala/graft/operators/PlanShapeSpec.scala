@@ -855,6 +855,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("ann_mmr_rerank_ivf: shortlist rides the cell equi-join — no corpus-wide cosine") {
+    // the routed twin's whole point: candidates come from a
+    // BroadcastHashJoin on the cell key (nprobe/K of the corpus scored),
+    // never a broadcast-nested-loop over every vector; top-MmrShortlist
+    // stays a distributed TakeOrderedAndProject
+    val p = SimilarityOps.mmrShortlistIvf(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ann_hybrid_rrf_ivf: dense arm rides the cell equi-join; both arms end in top-k") {
+    // vs. the brute-force twin (whose dense arm cross-joins the one-row
+    // probe), the routed twin must score only cell-colocated candidates.
+    // The dense candidate generator is gated in isolation because the
+    // LEXICAL arm legitimately carries a one-row-stats broadcast cross
+    // join (the ann_hybrid_rrf gate's accepted shape) that would mask a
+    // textual no-BNLJ assertion on the fused plan.
+    val d = SimilarityOps.ivfProbeCandidates(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(d.contains("BroadcastHashJoin"), d)
+    assert(!d.contains("BroadcastNestedLoopJoin") && !d.contains("CartesianProduct"), d)
+    val p = plan("ann_hybrid_rrf_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2, p)
+  }
+
   test("ann_hard_negatives: candidates ride the cell equi-join; per-anchor top-k is WindowGroupLimit") {
     // mining must never go all-pairs: the anchor side broadcasts onto
     // the cell-assigned corpus via the cell key (label filter as a
