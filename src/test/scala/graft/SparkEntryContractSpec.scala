@@ -42,4 +42,24 @@ class SparkEntryContractSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"query defined in more than one module: $dups")
     assert(all.size == SparkEntry.queries.size)
   }
+
+  test("every query has a committed plan dump (plans/<name>.txt)") {
+    // plans/ is the plan-audit artifact behind the docs' scale claims;
+    // a query landing without a regenerated dump means the audit set
+    // silently lags the code (round 10 shipped ann_hard_negatives with
+    // no dump). Regenerate with:
+    //   SPARK_GRAFT_EXPLAIN=plans SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
+    //     sbt "runMain graft.Bench"
+    // ml_train_predict is legitimately plan-less (an ML training loop,
+    // not a single query plan).
+    val plansDir = new java.io.File("plans")
+    assert(plansDir.isDirectory, "plans/ directory missing — regenerate dumps")
+    val dumped = plansDir.listFiles.map(_.getName)
+      .filter(_.endsWith(".txt")).map(_.stripSuffix(".txt")).toSet
+    val expected = SparkEntry.queries.keySet - "ml_train_predict"
+    val missing = expected -- dumped
+    val stale = dumped -- expected
+    assert(missing.isEmpty, s"queries without a plan dump: $missing")
+    assert(stale.isEmpty, s"plan dumps for queries that no longer exist: $stale")
+  }
 }
