@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native winnowing position selection for the substring-dedup scale
@@ -31,8 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * ASCII-only.
   */
 case class WinnowSelect(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(k >= 8 && w >= 1, s"need k >= 8 (prefix width), w >= 1; got k=$k w=$w")
+
+  // analysis-time rejection of a non-string child — without this, misuse
+  // surfaces as a runtime ClassCastException inside eval/codegen
+  override def inputTypes = Seq(StringType) // AbstractDataType is private[sql]; inference conforms
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

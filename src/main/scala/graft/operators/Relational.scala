@@ -746,6 +746,34 @@ object Relational {
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
     },
+    // Materialized-graph twin of graph_pagerank — the production shape
+    // at 100 TB: the purchase-pair edge table is built ONCE (the
+    // orders⋈lineitem distinct that dominates every self-contained graph
+    // query) and persisted to graft-store; iterative consumers read the
+    // snapshot back through the DSv2 scan instead of re-deriving it per
+    // query. The pagerank iteration downstream is byte-identical to the
+    // self-contained twin, and the oracle IS the twin's oracle — a hash
+    // match proves the store hop (write commit → manifest-pinned read)
+    // is semantics-free for iterative consumers.
+    "graph_pagerank_stored" -> { (s, dir) =>
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-store-prgraph-${new java.io.File(dir).getName}").getAbsolutePath
+      val pairsSrc = orders(s, dir).join(lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+        .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
+          concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
+      graft.sources.GraftStore.write(pairsSrc, root, overwrite = true)
+      // localCheckpoint mirrors the twin (pairs feeds both union branches
+      // and the degree agg); reading the snapshot is cheap, but identical
+      // consumer shape keeps the two queries' timings comparable
+      val pairs = graft.sources.GraftStore.read(s, root).localCheckpoint()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      GraphOps.pagerank(edges, damping = 0.85, teleport = 0.15, iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    },
     // Triangle census over the part co-purchase affinity graph — the
     // third leg of the graph trio (PageRank centrality, connected
     // components, triangle/triad structure). Edges are part pairs
@@ -1507,6 +1535,29 @@ object Relational {
   /** One unrolled [[GraphOps.pagerank]] power iteration (oracle replay):
     * reads CTE `prev`, emits CTE `out`. Literals mirror the Scala side
     * exactly (see pagerank's Scaladoc on literal-parse parity). */
+  /** The graph_pagerank oracle, shared verbatim by graph_pagerank_stored:
+    * both replay the purchase-graph build + 3 unrolled iterations from
+    * the parquet tables, so a hash match on the stored twin proves the
+    * graft-store round-trip changed nothing. */
+  private def pagerankOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+       |                  's:' || CAST(l_suppkey AS VARCHAR) AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM pairs
+       |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |n AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+       |r0 AS (SELECT DISTINCT src AS node,
+       |         ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM n), 12) AS rank
+       |       FROM edges),
+       |${prIterSql("r0", "r1")},
+       |${prIterSql("r1", "r2")},
+       |${prIterSql("r2", "r3")}
+       |SELECT node, rank FROM r3
+       |ORDER BY rank DESC, node
+       |LIMIT 20""".stripMargin
+
   private def prIterSql(prev: String, out: String): String =
     s"""$out AS (
        |  SELECT e.dst AS node,
@@ -1945,24 +1996,10 @@ object Relational {
         |              WHERE l_suppkey = s_suppkey
         |                AND qty97 > 0 AND total_qty > 2 * qty97)
         |ORDER BY s_name""".stripMargin,
-    "graph_pagerank" ->
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
-         |                  's:' || CAST(l_suppkey AS VARCHAR) AS s
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |edges AS (SELECT c AS src, s AS dst FROM pairs
-         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
-         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-         |n AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
-         |r0 AS (SELECT DISTINCT src AS node,
-         |         ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM n), 12) AS rank
-         |       FROM edges),
-         |${prIterSql("r0", "r1")},
-         |${prIterSql("r1", "r2")},
-         |${prIterSql("r2", "r3")}
-         |SELECT node, rank FROM r3
-         |ORDER BY rank DESC, node
-         |LIMIT 20""".stripMargin,
+    "graph_pagerank" -> pagerankOracle,
+    // The stored twin replays the SAME oracle from the parquet tables:
+    // the graft-store hop must be invisible to the result hash.
+    "graph_pagerank_stored" -> pagerankOracle,
     "q_rolling_revenue_30d" ->
       """SELECT o_custkey, o_orderkey, day,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (

@@ -52,14 +52,17 @@ final class ParameterServer(
     // Bind retry: a lingering TIME_WAIT socket from a previous training
     // (the reference's test_change_port exists exactly because leaked
     // ports break reruns) walks forward up to 32 ports. Callers read
-    // `boundPort` for the worker URL.
+    // `boundPort` for the worker URL. port = 0 requests an OS-assigned
+    // ephemeral port (no walk needed — the kernel never hands out a
+    // taken one), the collision-proof choice for tests.
     var attempt = 0
     var bound: HttpServer = null
     var lastErr: Throwable = null
     while (bound == null && attempt < 32) {
       try {
-        bound = HttpServer.create(new InetSocketAddress(port + attempt), 0)
-        boundPort = port + attempt
+        bound = HttpServer.create(
+          new InetSocketAddress(if (port == 0) 0 else port + attempt), 0)
+        boundPort = bound.getAddress.getPort
       } catch {
         case e: java.io.IOException => lastErr = e; attempt += 1
       }

@@ -45,8 +45,10 @@ final class ShardedParameterServer(
   // the full model is always assembled in place.
   private val servers: Array[ParameterServer] = sliceBounds.zipWithIndex.map {
     case ((from, until), i) =>
+      // basePort = 0 → every shard asks for its own OS-assigned
+      // ephemeral port (0 + i would request privileged ports 1..N)
       new ParameterServer(weights.slice(from, until), optimizerFactory(),
-        basePort + i, acquireLock, maxErrors)
+        if (basePort == 0) 0 else basePort + i, acquireLock, maxErrors)
   }
 
   def start(): Unit = servers.foreach(_.start())

@@ -198,23 +198,25 @@ object GraftStore {
     // (File.createNewFile); content visibility stays governed by the
     // `end` terminator either way, so a half-written claimed slot just
     // parks competitors on the previous snapshot until it completes.
+    // Race vs. failure taxonomy: only "the slot already exists" is a
+    // race (createNewFile()==false; HDFS FileAlreadyExistsException).
+    // Any other IOException (permissions, ENOSPC, bad path) is a genuine
+    // IO failure and must propagate AS an IO failure — wrapping it as a
+    // race would make commitLoop retry a disk error 8 times with backoff
+    // and then report it as "another writer won this version".
     val stream: java.io.OutputStream =
       if (f.getScheme == "file") {
         val jf = new java.io.File(target.toUri.getPath)
-        val claimed =
-          try jf.createNewFile()
-          catch { case e: java.io.IOException =>
-            throw new GsbCommitRaceException(
-              s"graft-store: commit race publishing $target — another writer won this version", e)
-          }
-        if (!claimed) throw new GsbCommitRaceException(
+        if (!jf.createNewFile()) throw new GsbCommitRaceException(
           s"graft-store: commit race publishing $target — another writer won this version", null)
         new java.io.FileOutputStream(jf)
       } else {
         try f.create(target, false)
-        catch { case e: java.io.IOException =>
-          throw new GsbCommitRaceException(
-            s"graft-store: commit race publishing $target — another writer won this version", e)
+        catch {
+          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                    _: java.nio.file.FileAlreadyExistsException) =>
+            throw new GsbCommitRaceException(
+              s"graft-store: commit race publishing $target — another writer won this version", e)
         }
       }
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(stream, "UTF-8"))

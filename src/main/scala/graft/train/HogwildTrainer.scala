@@ -110,6 +110,19 @@ object HogwildTrainer {
     (x, y)
   }
 
+  /** At-least-once gradient contract: Spark may re-run a partition
+    * (speculative execution, task retry after a lost executor), and this
+    * worker has no dedup handshake with the server — a re-run re-POSTs
+    * every gradient of its training loop. That is SAFE under hogwild
+    * semantics: asynchronous SGD tolerates duplicated/stale updates
+    * statistically (the same tolerance that lets workers race without
+    * locks), so a duplicated partition perturbs the trajectory, not
+    * convergence — pinned by StragglerRetrySpec. The trade is
+    * deliberate: an exactly-once handshake would serialize every push
+    * through a dedup log at the server, which is the bottleneck sharding
+    * exists to remove. Consequence for operators: gradient counts are
+    * not exact under retries, so convergence criteria must be
+    * loss-based, never update-count-based. */
   private[graft] def workerPartition(
       it: Iterator[(Array[Double], Array[Double])],
       specJson: String,

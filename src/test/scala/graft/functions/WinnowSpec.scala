@@ -78,4 +78,12 @@ class WinnowSpec extends AnyFunSuite {
       .select(Winnow.column(col("text"), K, W).as("sel")).head.getSeq[Int](0)
     assert(sel == (1 to 11).toSeq)
   }
+
+  test("a non-string child is rejected at analysis time, not with a runtime CCE") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L -> 42L).toDF("id", "n")
+        .select(Winnow.column(col("n"), K, W)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("winnow_select"), e.getMessage)
+  }
 }

@@ -246,6 +246,72 @@ class SparkAsyncDLSpec extends AnyFunSuite {
     assert(accuracy > 0.8, s"multiclass accuracy=$accuracy")
   }
 
+  test("CNN pipeline e2e: conv2d/maxpool net trains through the parameter server (examples/cnn_example.py:13-18)") {
+    import org.apache.spark.ml.feature.OneHotEncoder
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    import org.apache.spark.sql.functions.{col, expr}
+    // The reference example's full shape — raw pixel columns →
+    // VectorAssembler → OneHotEncoder → SparkAsyncDL(conv net) in ONE
+    // Pipeline, fitted end-to-end through the hogwild parameter server,
+    // then saved like `p.save("cnn")`. MNIST shrinks to 8×8 synthetic
+    // digits-ish classes (a vertical bar, a horizontal bar, a filled
+    // center) so the conv stack has real spatial structure to learn at
+    // test cost; the two conv+pool blocks mirror the example's topology.
+    val n = 180
+    val rows = (0 until n).map { i =>
+      val c = i % 3
+      val px = Array.tabulate(64) { p =>
+        val (r, q) = (p / 8, p % 8)
+        val on = c match {
+          case 0 => q == 3 || q == 4           // vertical bar
+          case 1 => r == 3 || r == 4           // horizontal bar
+          case _ => r >= 2 && r <= 5 && q >= 2 && q <= 5 // center blob
+        }
+        (if (on) 1.0 else 0.0) + rng.nextGaussian() * 0.1
+      }
+      Row.fromSeq(c.toDouble +: px.toSeq)
+    }
+    val pixCols = (0 until 64).map(i => s"px$i")
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("classIdx",
+        org.apache.spark.sql.types.DoubleType, nullable = false) +:
+        pixCols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val va = new VectorAssembler().setInputCols(pixCols.toArray)
+      .setOutputCol("features")
+    val enc = new OneHotEncoder().setInputCol("classIdx").setOutputCol("labels")
+      .setDropLast(false)
+    // conv1 → pool → conv2 → pool → dense softmax, the example's stack
+    // scaled to 8×8: 8×8×1 ─conv(4f,3)→ 6×6×4 ─pool(2)→ 3×3×4
+    // ─conv(8f,2)→ 2×2×8 ─pool(2)→ 1×1×8 ─dense→ 3
+    val cnnSpec = NetSpec.image(8, 8).conv2d(4, 3, activation = "relu").maxpool(2)
+      .conv2d(8, 2, activation = "relu").maxpool(2)
+      .dense(3, "softmax").loss("softmax_xent")
+    val est = new SparkAsyncDL()
+      .setInputCol("features").setLabelCol("labels")
+      .setNetSpec(cnnSpec)
+      .setTfOptimizer("adam").setTfLearningRate(0.05)
+      .setIters(30).setMiniBatchSize(32).setPartitions(2).setPort(5115)
+    val pipe = new Pipeline().setStages(Array(va, enc, est)).fit(df)
+    val preds = pipe.transform(df)
+      .withColumn("p", org.apache.spark.ml.functions.vector_to_array(col("predicted")))
+      .withColumn("pred_class",
+        expr("cast(array_position(p, array_max(p)) - 1 as double)"))
+    val accuracy = new MulticlassClassificationEvaluator()
+      .setLabelCol("classIdx").setPredictionCol("pred_class")
+      .setMetricName("accuracy").evaluate(preds)
+    // the reference's statistical-threshold style (dl_runner.py:75-88):
+    // 3 classes, chance = 1/3 — a trained conv stack must clear it by a
+    // wide margin on this separable task
+    assert(accuracy > 0.8, s"cnn pipeline accuracy=$accuracy")
+    // `p.save("cnn")` — the fitted PipelineModel round-trips
+    val dir = Files.createTempDirectory("graft_cnn").toString + "/cnn"
+    pipe.write.overwrite().save(dir)
+    val back = PipelineModel.load(dir)
+    assert(back.transform(df).columns.contains("predicted"))
+  }
+
   test("checkpoint loader + attach to pipeline (T22/T23)") {
     val df = blobsDf(30)
     val model = dl(5110).setIters(3).fit(df)

@@ -884,6 +884,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2, p)
   }
 
+  test("opaque_id stays scoped to join keys — never a Sort/Aggregate/Window operand") {
+    // OpaqueIdentity is deterministic=false, which beyond suppressing
+    // the alias-equality constraint (its purpose) also blocks filter
+    // pushdown through it and restricts legal positions. This guard pins
+    // the documented invariant: the wrapped expression is consumed ONLY
+    // by join-key projections. An opaque_id appearing inline in a Sort
+    // key, aggregate key, or window partition spec means a reuse
+    // silently pessimized (or broke) a plan — fail loudly here instead.
+    val opaquePlans = Seq(
+      "ann_ivf_probe" -> plan("ann_ivf_probe"),
+      "ann_hard_negatives" -> plan("ann_hard_negatives"),
+      "ann_hybrid_rrf_ivf" -> plan("ann_hybrid_rrf_ivf"),
+      "dedup_semantic" -> plan("dedup_semantic"),
+      "ivfProbeCandidates" -> SimilarityOps.ivfProbeCandidates(spark, dir)
+        .queryExecution.executedPlan.toString,
+      "bitextScored" -> SimilarityOps.bitextScored(spark, dir)
+        .queryExecution.executedPlan.toString)
+    for ((name, p) <- opaquePlans) {
+      // the wrap must actually be present somewhere we expect it
+      assert(p.contains("opaque_id"), s"$name: opaque_id wrap disappeared — $p")
+      val offending = p.linesIterator.filter(_.contains("opaque_id")).filter { l =>
+        l.contains("Sort [") || l.contains("Aggregate(key") ||
+          l.contains("Window [") || l.contains("WindowGroupLimit")
+      }.toSeq
+      assert(offending.isEmpty,
+        s"$name: opaque_id consumed by Sort/Aggregate/Window:\n${offending.mkString("\n")}")
+    }
+  }
+
   test("ann_hard_negatives: candidates ride the cell equi-join; per-anchor top-k is WindowGroupLimit") {
     // mining must never go all-pairs: the anchor side broadcasts onto
     // the cell-assigned corpus via the cell key (label filter as a

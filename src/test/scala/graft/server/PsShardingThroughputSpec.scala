@@ -23,9 +23,11 @@ class PsShardingThroughputSpec extends AnyFunSuite {
     * is identical and only the server topology varies. */
   private def throughput(weights: Tensors, shards: Int, workers: Int,
       rounds: Int): Double = {
+    // basePort = 0: OS-assigned ephemeral ports — a fixed base is a
+    // collision lottery against parallel suites / lingering TIME_WAITs
     val server = new ShardedParameterServer(Tensors.copy(weights),
       () => Optimizer.build("gradient_descent", 1e-6, Map.empty),
-      basePort = 6400, shards = shards, acquireLock = false,
+      basePort = 0, shards = shards, acquireLock = false,
       maxErrors = workers * rounds + 10)
     server.start()
     try {
@@ -59,18 +61,6 @@ class PsShardingThroughputSpec extends AnyFunSuite {
     throughput(model(4, 16), 1, 4, 2)
     val small = model(4, 32)      // 4 KB of weights
     val large = model(4, 256)     // 262 k elements ≈ 2 MiB of weights
-    val s1 = throughput(small, 1, workers, 8)
-    val s4 = throughput(small, 4, workers, 8)
-    val l1 = throughput(large, 1, workers, 4)
-    val l4 = throughput(large, 4, workers, 4)
-    info(f"16w small: 1-shard $s1%.1f r/s vs 4-shard $s4%.1f r/s (x${s4 / s1}%.2f)")
-    info(f"16w large: 1-shard $l1%.1f r/s vs 4-shard $l4%.1f r/s (x${l4 / l1}%.2f)")
-    // single-worker round LATENCY, the regime loopback CAN prove:
-    // with idle cores, 4 shards serialize quarter-models concurrently,
-    // so a full pull+push round should not be slower sharded
-    val lat1 = throughput(large, 1, 1, 8)
-    val lat4 = throughput(large, 4, 1, 8)
-    info(f"1w large: 1-shard $lat1%.1f r/s vs 4-shard $lat4%.1f r/s (x${lat4 / lat1}%.2f)")
     // What loopback can and cannot show: at 16 workers one host's CPUs
     // saturate with either topology (the single server already handles
     // requests concurrently), so absolute sharded throughput won't beat
@@ -80,6 +70,33 @@ class PsShardingThroughputSpec extends AnyFunSuite {
     // crossover direction the auto-rule encodes), (b) per-round latency
     // with idle cores doesn't regress, (c) overhead is bounded even in
     // the worst (small-model, contended) regime.
+    //
+    // Wall-clock ratios on a shared CI box are noisy despite the ~2×
+    // tolerance margins, so this is a soft perf gate: measure, and if
+    // any claim misses, re-measure once (ambient load only ever SLOWS a
+    // run) before failing for real.
+    def measure(): (Double, Double, Double, Double, Double, Double) = {
+      val s1 = throughput(small, 1, workers, 8)
+      val s4 = throughput(small, 4, workers, 8)
+      val l1 = throughput(large, 1, workers, 4)
+      val l4 = throughput(large, 4, workers, 4)
+      info(f"16w small: 1-shard $s1%.1f r/s vs 4-shard $s4%.1f r/s (x${s4 / s1}%.2f)")
+      info(f"16w large: 1-shard $l1%.1f r/s vs 4-shard $l4%.1f r/s (x${l4 / l1}%.2f)")
+      // single-worker round LATENCY, the regime loopback CAN prove:
+      // with idle cores, 4 shards serialize quarter-models concurrently,
+      // so a full pull+push round should not be slower sharded
+      val lat1 = throughput(large, 1, 1, 8)
+      val lat4 = throughput(large, 4, 1, 8)
+      info(f"1w large: 1-shard $lat1%.1f r/s vs 4-shard $lat4%.1f r/s (x${lat4 / lat1}%.2f)")
+      (s1, s4, l1, l4, lat1, lat4)
+    }
+    def holds(m: (Double, Double, Double, Double, Double, Double)): Boolean = {
+      val (s1, s4, l1, l4, lat1, lat4) = m
+      l4 / l1 > (s4 / s1) * 1.2 && lat4 > lat1 * 0.7 && s4 > s1 * 0.15
+    }
+    var m = measure()
+    if (!holds(m)) { info("soft perf gate missed once — re-measuring"); m = measure() }
+    val (s1, s4, l1, l4, lat1, lat4) = m
     assert(l4 / l1 > (s4 / s1) * 1.2,
       f"crossover direction inverted: large x${l4 / l1}%.2f vs small x${s4 / s1}%.2f")
     assert(lat4 > lat1 * 0.7,
