@@ -458,6 +458,56 @@ object CorpusOps {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy(col("shard"))
+    },
+    // One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    // NeurIPS: Domain Reweighting with Minimax Optimization) — the
+    // exponentiated-gradient update a data-mixing pipeline runs between
+    // proxy-model rounds. Domains are `source`; the baseline mix u_i is
+    // each domain's token share; the per-domain "excess loss" stands in
+    // for the proxy/reference loss gap with a deterministic compression
+    // proxy (avg chars-per-token above the corpus mean — long-word
+    // domains are harder). Update: w̃_i = u_i·exp(η·ℓ_i), normalized,
+    // then smoothed toward uniform with mass c (η = 1, c = 0.1) — the
+    // paper's eq. (2) shape with the loss oracle swapped out. Output:
+    // per domain the baseline share, the excess signal, and the updated
+    // weight (columns a mixing run feeds straight into
+    // sample_temperature_mix-style rate tables).
+    //
+    // Scale shape: one partial-aggregated pass collapses the corpus to
+    // k domain rows (exact BIGINT token/char sums — order-independent);
+    // the totals row is an agg OVER that k-row table, broadcast back.
+    // Everything after the first groupBy is domain-cardinality work.
+    // Determinism: integer sums → one double division each, exp rounded
+    // to 10dp (the events_decay_features discipline), products rounded
+    // to 10dp and normalized via an exact decimal sum, final weights at
+    // 6dp.
+    "corpus_doremi_step" -> { (s, dir) =>
+      val eta = 1.0; val smooth = 0.1
+      val perSource = documents(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          col("n_chars"))
+        .groupBy(col("source"))
+        .agg(sum(col("toks")).as("toks"), sum(col("n_chars")).as("chars"))
+      val totals = perSource.agg(
+        sum(col("toks")).as("tot_toks"), sum(col("chars")).as("tot_chars"),
+        count(lit(1)).as("k"))
+      val stepped = perSource.crossJoin(broadcast(totals))
+        .withColumn("u", round(col("toks").cast("double") / col("tot_toks"), 10))
+        .withColumn("excess", round(
+          col("chars").cast("double") / col("toks") -
+            col("tot_chars").cast("double") / col("tot_toks"), 6))
+        .withColumn("wtilde",
+          round(col("u") * round(exp(lit(eta) * col("excess")), 10), 10))
+      val z = stepped.agg(
+        sum(col("wtilde").cast("decimal(28,10)")).cast("double").as("z"))
+      stepped.crossJoin(broadcast(z))
+        .select(col("source"),
+          round(col("u"), 6).as("base_share"),
+          col("excess"),
+          round(lit(1.0 - smooth) * (col("wtilde") / col("z")) +
+            lit(smooth) / col("k"), 6).as("weight"))
+        .orderBy(col("source"))
     })
 
   /** text_encode_ids vocabulary budget — deliberately smaller than the
@@ -497,6 +547,36 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "corpus_tokenize_bpe" -> bpeOracle,
+    "corpus_doremi_step" ->
+      """WITH ps AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(toks) AS BIGINT) AS tot_toks,
+        |    CAST(SUM(chars) AS BIGINT) AS tot_chars,
+        |    COUNT(*) AS k
+        |  FROM ps),
+        |st AS (
+        |  SELECT source,
+        |    ROUND(CAST(toks AS DOUBLE) / tot_toks, 10) AS u,
+        |    ROUND(CAST(chars AS DOUBLE) / toks
+        |      - CAST(tot_chars AS DOUBLE) / tot_toks, 6) AS excess
+        |  FROM ps, tot),
+        |wt AS (
+        |  SELECT source, u, excess,
+        |    ROUND(u * ROUND(exp(CAST(1.0 AS DOUBLE) * excess), 10), 10)
+        |      AS wtilde
+        |  FROM st),
+        |z AS (
+        |  SELECT CAST(SUM(CAST(wtilde AS DECIMAL(28,10))) AS DOUBLE) AS z
+        |  FROM wt)
+        |SELECT source, ROUND(u, 6) AS base_share, excess,
+        |  ROUND(CAST(0.9 AS DOUBLE) * (wtilde / z.z)
+        |    + CAST(0.1 AS DOUBLE) / tot.k, 6) AS weight
+        |FROM wt, z, tot
+        |ORDER BY source""".stripMargin,
     "corpus_ngram_novelty" ->
       """WITH g AS (
         |  SELECT doc_id,

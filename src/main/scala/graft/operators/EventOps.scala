@@ -1278,6 +1278,143 @@ object EventOps {
         .select(col("event_type"), col("hr").as("peak_hr"),
           col("cusum").as("peak_cusum"))
         .orderBy(col("event_type"))
+    },
+    // CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    // Walker 2013, WSDM: "Improving the Sensitivity of Online
+    // Controlled Experiments") — the adjustment every large A/B
+    // platform applies before the t-test: regress the experiment
+    // metric Y on the PRE-period covariate X (same metric, before the
+    // split instant) and analyze Y' = Y − θ(X − X̄), which strips the
+    // between-user variance X explains. The stream splits at the exact
+    // mid-span microsecond (integer div — the ml_time_split rule); X/Y
+    // are per-user 6dp mean values per side; users present on both
+    // sides enroll; arm assignment is user_id % 2 (hash-by-entity, the
+    // ml_crossval_folds rule). θ = cov(X,Y)/var(X) from exact decimal
+    // moment sums over the pooled enrollment. Output per arm: size,
+    // raw and adjusted means (they differ — the adjustment recenters
+    // each user), and raw vs adjusted variance — the variance ratio IS
+    // the sensitivity win the method buys.
+    //
+    // Scale shape: two partial-aggregated corpus passes collapse to
+    // per-user rows (entity-bounded); θ is a five-sum aggregate over
+    // that table broadcast back as one row; the arm readout is a
+    // 2-row groupBy. Nothing after the per-user collapse exceeds user
+    // cardinality. Determinism: integer-microsecond cut; 6dp means;
+    // products of 6dp values rounded 10dp into exact decimal sums; θ
+    // and its inputs each pinned at 10dp in one evaluation order.
+    "events_cuped" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      val span = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val cut = ev.crossJoin(broadcast(span))
+        .withColumn("cut", expr("lo + (hi - lo) div 2"))
+      def side(pre: Boolean) = cut
+        .filter(if (pre) col("us") < col("cut") else col("us") >= col("cut"))
+        .groupBy(col("user_id"))
+        .agg(DetMean.mean6(sum(DetMean.el10(col("value"))), count(lit(1)))
+          .as(if (pre) "x" else "y"))
+      // user-bounded; materialized because BOTH the θ moment pass and
+      // the per-user adjustment consume it — without this the two
+      // corpus collapses would replay once per consumer (4 scans)
+      val ux = side(pre = true).join(side(pre = false), Seq("user_id"))
+        .localCheckpoint()
+      val mom = ux.agg(count(lit(1)).as("n"),
+        sum(DetMean.el10(col("x"))).as("sx"),
+        sum(DetMean.el10(col("y"))).as("sy"),
+        sum(DetMean.el10(col("x") * col("x"))).as("sxx"),
+        sum(DetMean.el10(col("x") * col("y"))).as("sxy"))
+      val theta = mom
+        .withColumn("mx", round(col("sx").cast("double") / col("n"), 10))
+        .withColumn("my", round(col("sy").cast("double") / col("n"), 10))
+        .withColumn("cov", round(col("sxy").cast("double") / col("n") -
+          col("mx") * col("my"), 10))
+        .withColumn("varx", round(col("sxx").cast("double") / col("n") -
+          col("mx") * col("mx"), 10))
+        .withColumn("theta", round(col("cov") / col("varx"), 10))
+        .select(col("mx"), col("theta"))
+      ux.crossJoin(broadcast(theta))
+        .withColumn("yadj",
+          round(col("y") - col("theta") * (col("x") - col("mx")), 6))
+        .withColumn("arm", col("user_id") % 2)
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(DetMean.el10(col("y"))).as("sy"),
+          sum(DetMean.el10(col("y") * col("y"))).as("syy"),
+          sum(DetMean.el10(col("yadj"))).as("sa"),
+          sum(DetMean.el10(col("yadj") * col("yadj"))).as("saa"))
+        .withColumn("mean_y", DetMean.mean6(col("sy"), col("n_users")))
+        .withColumn("mean_y_adj", DetMean.mean6(col("sa"), col("n_users")))
+        .select(col("arm"), col("n_users"), col("mean_y"), col("mean_y_adj"),
+          round(col("syy").cast("double") / col("n_users") -
+            col("mean_y") * col("mean_y"), 6).as("var_y"),
+          round(col("saa").cast("double") / col("n_users") -
+            col("mean_y_adj") * col("mean_y_adj"), 6).as("var_y_adj"))
+        .orderBy(col("arm"))
+    },
+    // Difference-in-differences (Card & Krueger 1994 shape) — the
+    // quasi-experimental estimator for a rollout with no randomized
+    // holdout: did = (treated_post − treated_pre) − (control_post −
+    // control_pre), which nets out both the stable group difference
+    // and the common time trend. Period splits at the exact mid-span
+    // microsecond (integer div), treatment is user_id % 2 (the
+    // entity-hash rule). One row out: the four cell sizes and 6dp
+    // means, and the estimate.
+    //
+    // Scale shape: the whole 2×2 is ONE conditional-aggregation pass —
+    // four filtered decimal sums and counts partial-aggregate map-side
+    // to a single row; no join, no shuffle beyond the final 1-row
+    // merge. The only prerequisite pass is the 2-value span agg
+    // broadcast back as the cut. This is the shape that makes DiD free
+    // at 100 TB: it rides any existing scan.
+    "events_diff_in_diff" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      val span = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      def cellMean(c: org.apache.spark.sql.Column) = DetMean.mean6(
+        sum(when(c, DetMean.el10(col("value")))), sum(when(c, 1L)))
+      val post = col("us") >= col("cut")
+      val treated = col("user_id") % 2 === 1
+      ev.crossJoin(broadcast(span))
+        .withColumn("cut", expr("lo + (hi - lo) div 2"))
+        .agg(
+          sum(when(!treated && !post, 1L)).as("n_c_pre"),
+          sum(when(!treated && post, 1L)).as("n_c_post"),
+          sum(when(treated && !post, 1L)).as("n_t_pre"),
+          sum(when(treated && post, 1L)).as("n_t_post"),
+          cellMean(!treated && !post).as("m_c_pre"),
+          cellMean(!treated && post).as("m_c_post"),
+          cellMean(treated && !post).as("m_t_pre"),
+          cellMean(treated && post).as("m_t_post"))
+        .withColumn("did", round((col("m_t_post") - col("m_t_pre")) -
+          (col("m_c_post") - col("m_c_pre")), 6))
+    },
+    // k-anonymity audit (Sweeney 2002, IJUFKS) — the privacy gate a
+    // training-data release runs over its quasi-identifiers: with QI =
+    // (event_type, hour-of-day, value decade), every row should hide
+    // in a group of ≥ k peers. Per event_type: the realized k (the
+    // SMALLEST group), group count, and the row count + share sitting
+    // in groups below k=5 — the re-identification exposure the release
+    // either fixes (coarsen the QI) or suppresses.
+    //
+    // Scale shape: one partial-aggregated pass collapses the corpus to
+    // QI-group rows (bounded by |types|·24·|decades|, catalog-small);
+    // the audit is then a groupBy over THAT table. Nothing downstream
+    // of the first agg is corpus-sized. Determinism: the QI is all
+    // integer/string (hour int, floor(value/10) int), counts exact.
+    "events_k_anonymity" -> { (s, dir) =>
+      val groups = events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"),
+          floor(col("value") / 10.0).as("vbucket"))
+        .agg(count(lit(1)).as("gsize"))
+      groups.groupBy(col("event_type"))
+        .agg(min(col("gsize")).as("k"),
+          count(lit(1)).as("n_groups"),
+          sum(col("gsize")).as("n_rows"),
+          sum(when(col("gsize") < 5, col("gsize")).otherwise(0L))
+            .as("rows_at_risk"))
+        .withColumn("risk_share",
+          round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
+        .orderBy(col("event_type"))
     })
 
   private val asOfOracle: String =
@@ -1302,6 +1439,119 @@ object EventOps {
       |ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        |  FROM events),
+        |sp AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+        |cutv AS (SELECT lo + (hi - lo) // 2 AS cut FROM sp),
+        |px AS (
+        |  SELECT user_id,
+        |    ROUND(CAST(SUM(CAST(ROUND(value, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) / COUNT(*), 6) AS x
+        |  FROM ev, cutv WHERE us < cut GROUP BY user_id),
+        |py AS (
+        |  SELECT user_id,
+        |    ROUND(CAST(SUM(CAST(ROUND(value, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) / COUNT(*), 6) AS y
+        |  FROM ev, cutv WHERE us >= cut GROUP BY user_id),
+        |ux AS (SELECT px.user_id, x, y FROM px JOIN py USING (user_id)),
+        |mom AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(ROUND(x, 10) AS DECIMAL(28,10))) AS sx,
+        |    SUM(CAST(ROUND(y, 10) AS DECIMAL(28,10))) AS sy,
+        |    SUM(CAST(ROUND(x * x, 10) AS DECIMAL(28,10))) AS sxx,
+        |    SUM(CAST(ROUND(x * y, 10) AS DECIMAL(28,10))) AS sxy
+        |  FROM ux),
+        |m1 AS (
+        |  SELECT n, sxx, sxy,
+        |    ROUND(CAST(sx AS DOUBLE) / n, 10) AS mx,
+        |    ROUND(CAST(sy AS DOUBLE) / n, 10) AS my
+        |  FROM mom),
+        |m2 AS (
+        |  SELECT mx,
+        |    ROUND(CAST(sxy AS DOUBLE) / n - mx * my, 10) AS cov,
+        |    ROUND(CAST(sxx AS DOUBLE) / n - mx * mx, 10) AS varx
+        |  FROM m1),
+        |th AS (SELECT mx, ROUND(cov / varx, 10) AS theta FROM m2),
+        |adj AS (
+        |  SELECT user_id % 2 AS arm, y,
+        |    ROUND(y - theta * (x - mx), 6) AS yadj
+        |  FROM ux, th),
+        |g AS (
+        |  SELECT arm, COUNT(*) AS n_users,
+        |    SUM(CAST(ROUND(y, 10) AS DECIMAL(28,10))) AS sy,
+        |    SUM(CAST(ROUND(y * y, 10) AS DECIMAL(28,10))) AS syy,
+        |    SUM(CAST(ROUND(yadj, 10) AS DECIMAL(28,10))) AS sa,
+        |    SUM(CAST(ROUND(yadj * yadj, 10) AS DECIMAL(28,10))) AS saa
+        |  FROM adj GROUP BY arm),
+        |g2 AS (
+        |  SELECT arm, n_users, syy, saa,
+        |    ROUND(CAST(sy AS DOUBLE) / n_users, 6) AS mean_y,
+        |    ROUND(CAST(sa AS DOUBLE) / n_users, 6) AS mean_y_adj
+        |  FROM g)
+        |SELECT arm, n_users, mean_y, mean_y_adj,
+        |  ROUND(CAST(syy AS DOUBLE) / n_users - mean_y * mean_y, 6) AS var_y,
+        |  ROUND(CAST(saa AS DOUBLE) / n_users - mean_y_adj * mean_y_adj, 6)
+        |    AS var_y_adj
+        |FROM g2
+        |ORDER BY arm""".stripMargin,
+    "events_diff_in_diff" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        |  FROM events),
+        |sp AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+        |cutv AS (SELECT lo + (hi - lo) // 2 AS cut FROM sp),
+        |cells AS (
+        |  SELECT (user_id % 2 = 1) AS treated, (us >= cut) AS post,
+        |    value
+        |  FROM ev, cutv),
+        |agged AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN 1 END)
+        |      AS BIGINT) AS n_c_pre,
+        |    CAST(SUM(CASE WHEN NOT treated AND post THEN 1 END)
+        |      AS BIGINT) AS n_c_post,
+        |    CAST(SUM(CASE WHEN treated AND NOT post THEN 1 END)
+        |      AS BIGINT) AS n_t_pre,
+        |    CAST(SUM(CASE WHEN treated AND post THEN 1 END)
+        |      AS BIGINT) AS n_t_post,
+        |    ROUND(CAST(SUM(CASE WHEN NOT treated AND NOT post
+        |        THEN CAST(ROUND(value, 10) AS DECIMAL(28,10)) END)
+        |      AS DOUBLE) / SUM(CASE WHEN NOT treated AND NOT post
+        |        THEN 1 END), 6) AS m_c_pre,
+        |    ROUND(CAST(SUM(CASE WHEN NOT treated AND post
+        |        THEN CAST(ROUND(value, 10) AS DECIMAL(28,10)) END)
+        |      AS DOUBLE) / SUM(CASE WHEN NOT treated AND post
+        |        THEN 1 END), 6) AS m_c_post,
+        |    ROUND(CAST(SUM(CASE WHEN treated AND NOT post
+        |        THEN CAST(ROUND(value, 10) AS DECIMAL(28,10)) END)
+        |      AS DOUBLE) / SUM(CASE WHEN treated AND NOT post
+        |        THEN 1 END), 6) AS m_t_pre,
+        |    ROUND(CAST(SUM(CASE WHEN treated AND post
+        |        THEN CAST(ROUND(value, 10) AS DECIMAL(28,10)) END)
+        |      AS DOUBLE) / SUM(CASE WHEN treated AND post
+        |        THEN 1 END), 6) AS m_t_post
+        |  FROM cells)
+        |SELECT *, ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)
+        |  AS did
+        |FROM agged""".stripMargin,
+    "events_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr,
+        |    FLOOR(value / 10.0) AS vbucket, COUNT(*) AS gsize
+        |  FROM events GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT event_type, CAST(MIN(gsize) AS BIGINT) AS k,
+        |    COUNT(*) AS n_groups,
+        |    CAST(SUM(gsize) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END)
+        |      AS BIGINT) AS rows_at_risk
+        |  FROM g GROUP BY event_type)
+        |SELECT *, ROUND(CAST(rows_at_risk AS DOUBLE) / n_rows, 6)
+        |  AS risk_share
+        |FROM a
+        |ORDER BY event_type""".stripMargin,
     "events_scd2" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type

@@ -745,9 +745,317 @@ object MlOps {
         .select(col("event_type"), col("psi"),
           col("ta").as("n_ref"), col("tb").as("n_cur"))
         .orderBy(col("event_type"))
+    },
+    // Split-conformal prediction intervals (Vovk et al.; Lei et al. 2018
+    // JASA) — the distribution-free uncertainty wrapper every deployed
+    // regressor needs: calibrate on one half, get finite-sample ±q̂
+    // intervals with guaranteed ≥90% coverage on the other. Groups are
+    // event_type; the point predictor is the calibration group mean (any
+    // model slots in — the conformal machinery is what's under test);
+    // split is the deterministic even/odd event_id hash. q̂ is the
+    // ⌈(n_cal+1)·0.9⌉-th smallest absolute residual — computed by EXACT
+    // integer ceiling ((n+1)·9+9) div 10 (a float 0.9 multiply ties at
+    // decade boundaries and DuckDB's decimal literal would round it
+    // differently) and an exact order statistic via row_number (no
+    // engine quantile-definition drift). Output per group: split sizes,
+    // the predictor, q̂, and the realized test coverage — which the
+    // conformal guarantee says should land ≥ 0.9 up to finite-sample
+    // noise.
+    //
+    // Scale shape: one scan computes residuals against broadcast
+    // group means (group-cardinality bounded); the order statistic is a
+    // per-type window sort — exact, and the right shape while per-type
+    // calibration rows fit a partition. At 100 TB calibration the
+    // q_quantile_sketch UDAF is the drop-in approximate twin (same
+    // query, mergeable sketch instead of the sort).
+    "ml_conformal_interval" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("event_type"), col("event_id"),
+        col("value"), (col("event_id") % 2 === 0).as("is_cal"))
+      val pred = ev.filter(col("is_cal"))
+        .groupBy(col("event_type"))
+        .agg(DetMean.mean6(sum(DetMean.el10(col("value"))), count(lit(1)))
+            .as("pred"),
+          count(lit(1)).as("n_cal"))
+      val withRes = ev.join(broadcast(pred), Seq("event_type"))
+        .withColumn("r", round(abs(col("value") - col("pred")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("r"), col("event_id"))
+      val qhat = withRes.filter(col("is_cal"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === expr("(n_cal + 1) * 9 div 10 + " +
+          "CASE WHEN (n_cal + 1) * 9 % 10 = 0 THEN 0 ELSE 1 END"))
+        .select(col("event_type"), col("r").as("qhat"))
+      withRes.filter(!col("is_cal"))
+        .join(broadcast(qhat), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_in"),
+          first(col("pred")).as("pred"), first(col("n_cal")).as("n_cal"),
+          first(col("qhat")).as("qhat"))
+        .select(col("event_type"), col("n_cal"), col("n_test"),
+          col("pred"), col("qhat"),
+          round(col("n_in").cast("double") / col("n_test"), 6).as("coverage"))
+        .orderBy(col("event_type"))
+    },
+    // Histogram-based GBDT split finding (Chen & Guestrin 2016, KDD:
+    // XGBoost §3.3 approximate algorithm; LightGBM's histogram mode) —
+    // THE distributed gradient-boosting primitive: bin each feature,
+    // build per-(feature, bin) gradient histograms map-side, scan the
+    // B-bin cumulative sums for the best variance-reducing split. One
+    // root-node split pass over lineitem with label y = extendedprice
+    // and features (discount, quantity, tax), B = 16 equal-width bins
+    // from the exact per-feature [min, max]. Gain for a split after bin
+    // b is the SSE reduction syL²/nL + syR²/nR − syT²/nT, reported
+    // RELATIVE (×nT/syT², dimensionless O(0.01)) so the 6dp rounding
+    // discipline applies. Output: per feature the argmax bin, the
+    // left/right row counts, and the relative gain.
+    //
+    // Scale shape: the stack is row-local (one scan, 3× rows) and
+    // collapses immediately via map-side partial agg to ≤ 3·B = 48
+    // histogram rows — the exact shape that lets XGBoost scale: workers
+    // ship B-sized arrays, never rows. The min/max pre-pass is its own
+    // partial agg (3 rows, broadcast back). Everything after the
+    // histogram groupBy is constant-size. Determinism: bin ids from one
+    // fixed-order double expression ((x−mn)·16/(mx−mn), mirrored
+    // verbatim in the oracle); histogram sums exact DECIMAL(28,2) (the
+    // label has 2dp); gains are divisions of exact sums in one pinned
+    // evaluation order, rounded 6dp; argmax ranks on the ROUNDED gain
+    // with bin as tie-break.
+    "ml_gbdt_split" -> { (s, dir) =>
+      val B = 16
+      val stacked = lineitem(s, dir).selectExpr(
+        "stack(3, 'discount', l_discount, 'quantity', l_quantity, 'tax', l_tax) AS (feature, x)",
+        "l_extendedprice AS y")
+      val minmax = stacked.groupBy(col("feature"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val hist = stacked.join(broadcast(minmax), Seq("feature"))
+        .withColumn("bin",
+          when(col("x") === col("mx"), lit(B - 1).cast("long"))
+            .otherwise(floor((col("x") - col("mn")) * lit(B.toDouble) /
+              (col("mx") - col("mn")))))
+        .groupBy(col("feature"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y").cast("decimal(28,2)")).as("sy"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("feature")).orderBy(col("bin"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("feature"))
+      val g = hist
+        .withColumn("nL", sum(col("n")).over(wc))
+        .withColumn("syL", sum(col("sy")).over(wc))
+        .withColumn("nT", sum(col("n")).over(wt))
+        .withColumn("syT", sum(col("sy")).over(wt))
+        .filter(col("nL") < col("nT"))
+        .withColumn("gain", round(
+          (col("syL").cast("double") * col("syL").cast("double") / col("nL") +
+            (col("syT") - col("syL")).cast("double") *
+              (col("syT") - col("syL")).cast("double") / (col("nT") - col("nL")) -
+            col("syT").cast("double") * col("syT").cast("double") / col("nT")) *
+            col("nT").cast("double") /
+            (col("syT").cast("double") * col("syT").cast("double")), 6))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("feature")).orderBy(col("gain").desc, col("bin"))
+      g.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") === 1)
+        .select(col("feature"), col("bin").as("split_bin"),
+          col("nL").as("n_left"), (col("nT") - col("nL")).as("n_right"),
+          col("gain"))
+        .orderBy(col("feature"))
+    },
+    // Bradley–Terry preference strengths (Bradley & Terry 1952; Hunter
+    // 2004 MM algorithm) — the model behind RLHF reward-model data
+    // audits and chatbot-arena leaderboards: turn pairwise "A beat B"
+    // counts into per-item strengths. Comparisons are synthesized the
+    // way a preference pipeline would from implicit feedback: each user
+    // is a judge, event_type i beats j for that judge iff the user's
+    // 6dp mean value on i exceeds that on j (ties discarded). Two MM
+    // iterations from the uniform start s⁰=1 — each is
+    // sᵢ ← Wᵢ / Σ_{j≠i} nᵢⱼ/(sᵢ+sⱼ), normalized to mean 1. Output per
+    // event_type: games, wins, and the two strength iterates (their
+    // ordering is the leaderboard).
+    //
+    // Scale shape: the corpus collapses map-side to (user, type) means
+    // — the only big shuffle; the per-judge pairing is a self-join on
+    // user_id producing k²-bounded rows per user (k = |event_type|,
+    // catalog-bounded) that partial-aggregates straight down to the
+    // k×k win matrix. Both MM iterations are joins OVER that k²-row
+    // matrix with a k-row broadcast — driver-free, constant-size.
+    // Determinism: wins/games are exact integers; s¹ = 2W/G is one
+    // division rounded 10dp; the s² denominator sums k rationals of
+    // 10dp-rounded inputs as exact decimals before one final division.
+    "ml_bradley_terry" -> { (s, dir) =>
+      val perUT = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(DetMean.mean6(sum(DetMean.el10(col("value"))), count(lit(1)))
+          .as("m"))
+      val pairs = perUT.select(col("user_id"), col("event_type").as("ta"),
+          col("m").as("ma"))
+        .join(perUT.select(col("user_id"), col("event_type").as("tb"),
+          col("m").as("mb")), Seq("user_id"))
+        .filter(col("ta") < col("tb") && col("ma") =!= col("mb"))
+      // k×k win matrix (both orientations, so per-type sums are one
+      // groupBy): n games and wins of `ti` against `tj`
+      val halfM = pairs.groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ma") > col("mb"), 1L).otherwise(0L)).as("w"))
+      val m = halfM.select(col("ta").as("ti"), col("tb").as("tj"),
+          col("n"), col("w"))
+        .unionAll(halfM.select(col("tb").as("ti"), col("ta").as("tj"),
+          col("n"), (col("n") - col("w")).as("w")))
+        .localCheckpoint()
+      val tot = m.groupBy(col("ti"))
+        .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
+      // iteration 1 from s=1: denom = G/2 exactly, so s̃¹ = 2W/G; then
+      // normalize to mean 1 (k-row stats, exact decimal sum)
+      val s1raw = tot.withColumn("s1r",
+        round(lit(2.0) * col("wins") / col("games"), 10))
+      val z1 = s1raw.agg(
+        DetMean.mean6(sum(DetMean.el10(col("s1r"))), count(lit(1))).as("z1"),
+        count(lit(1)).as("k"))
+      val s1 = s1raw.crossJoin(broadcast(z1))
+        .withColumn("s1", round(col("s1r") / col("z1"), 10))
+        .select(col("ti"), col("games"), col("wins"), col("s1"))
+        .localCheckpoint()
+      // iteration 2: sᵢ ← Wᵢ / Σⱼ nᵢⱼ/(s1ᵢ+s1ⱼ), normalized again
+      val denom = m.join(broadcast(s1.select(col("ti"), col("s1"))), Seq("ti"))
+        .join(broadcast(s1.select(col("ti").as("tj"), col("s1").as("s1j"))),
+          Seq("tj"))
+        .groupBy(col("ti"))
+        .agg(sum(round(col("n") / (col("s1") + col("s1j")), 10)
+          .cast("decimal(28,10)")).as("d"))
+      val s2raw = s1.join(broadcast(denom), Seq("ti"))
+        .withColumn("s2r", round(col("wins") / col("d").cast("double"), 10))
+      val z2 = s2raw.agg(
+        DetMean.mean6(sum(DetMean.el10(col("s2r"))), count(lit(1))).as("z2"))
+      s2raw.crossJoin(broadcast(z2))
+        .select(col("ti").as("event_type"), col("games"), col("wins"),
+          round(col("s1"), 6).as("s1"),
+          round(col("s2r") / col("z2"), 6).as("s2"))
+        .orderBy(col("event_type"))
     })
 
   val oracles: Map[String, String] = Map(
+    "ml_gbdt_split" ->
+      """WITH st AS (
+        |  SELECT 'discount' AS feature, l_discount AS x, l_extendedprice AS y
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'quantity', l_quantity, l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'tax', l_tax, l_extendedprice FROM lineitem),
+        |mm AS (
+        |  SELECT feature, MIN(x) AS mn, MAX(x) AS mx FROM st GROUP BY feature),
+        |h AS (
+        |  SELECT feature,
+        |    CASE WHEN x = mx THEN CAST(15 AS BIGINT)
+        |         ELSE CAST(FLOOR((x - mn) * CAST(16.0 AS DOUBLE) / (mx - mn))
+        |           AS BIGINT) END AS bin,
+        |    COUNT(*) AS n, SUM(CAST(y AS DECIMAL(28,2))) AS sy
+        |  FROM st JOIN mm USING (feature)
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT feature, bin,
+        |    CAST(SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS nL,
+        |    SUM(sy) OVER (PARTITION BY feature ORDER BY bin) AS syL,
+        |    CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS nT,
+        |    SUM(sy) OVER (PARTITION BY feature) AS syT
+        |  FROM h),
+        |g AS (
+        |  SELECT feature, bin, nL, nT - nL AS nR,
+        |    ROUND((CAST(syL AS DOUBLE) * CAST(syL AS DOUBLE) / nL
+        |      + CAST(syT - syL AS DOUBLE) * CAST(syT - syL AS DOUBLE)
+        |        / (nT - nL)
+        |      - CAST(syT AS DOUBLE) * CAST(syT AS DOUBLE) / nT)
+        |      * CAST(nT AS DOUBLE)
+        |      / (CAST(syT AS DOUBLE) * CAST(syT AS DOUBLE)), 6) AS gain
+        |  FROM c WHERE nL < nT)
+        |SELECT feature, bin AS split_bin, nL AS n_left, nR AS n_right, gain
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+        |    ORDER BY gain DESC, bin) AS rk
+        |  FROM g)
+        |WHERE rk = 1
+        |ORDER BY feature""".stripMargin,
+    "ml_bradley_terry" ->
+      """WITH put AS (
+        |  SELECT user_id, event_type,
+        |    ROUND(CAST(SUM(CAST(ROUND(value, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) / COUNT(*), 6) AS m
+        |  FROM events GROUP BY user_id, event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, a.m AS ma, b.m AS mb
+        |  FROM put a JOIN put b ON a.user_id = b.user_id
+        |  WHERE a.event_type < b.event_type AND a.m <> b.m),
+        |halfm AS (
+        |  SELECT ta, tb, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN ma > mb THEN 1 ELSE 0 END) AS BIGINT) AS w
+        |  FROM pairs GROUP BY ta, tb),
+        |m AS (
+        |  SELECT ta AS ti, tb AS tj, n, w FROM halfm
+        |  UNION ALL SELECT tb, ta, n, n - w FROM halfm),
+        |tot AS (
+        |  SELECT ti, CAST(SUM(n) AS BIGINT) AS games,
+        |    CAST(SUM(w) AS BIGINT) AS wins
+        |  FROM m GROUP BY ti),
+        |s1raw AS (
+        |  SELECT ti, games, wins,
+        |    ROUND(CAST(2.0 AS DOUBLE) * wins / games, 10) AS s1r
+        |  FROM tot),
+        |z1 AS (
+        |  SELECT ROUND(CAST(SUM(CAST(ROUND(s1r, 10) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / COUNT(*), 6) AS z1
+        |  FROM s1raw),
+        |s1 AS (
+        |  SELECT ti, games, wins, ROUND(s1r / z1.z1, 10) AS s1
+        |  FROM s1raw, z1),
+        |denom AS (
+        |  SELECT m.ti,
+        |    SUM(CAST(ROUND(m.n / (si.s1 + sj.s1), 10) AS DECIMAL(28,10)))
+        |      AS d
+        |  FROM m
+        |  JOIN s1 si ON si.ti = m.ti
+        |  JOIN s1 sj ON sj.ti = m.tj
+        |  GROUP BY m.ti),
+        |s2raw AS (
+        |  SELECT s1.ti, s1.games, s1.wins, s1.s1,
+        |    ROUND(s1.wins / CAST(d.d AS DOUBLE), 10) AS s2r
+        |  FROM s1 JOIN denom d ON d.ti = s1.ti),
+        |z2 AS (
+        |  SELECT ROUND(CAST(SUM(CAST(ROUND(s2r, 10) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / COUNT(*), 6) AS z2
+        |  FROM s2raw)
+        |SELECT ti AS event_type, games, wins,
+        |  ROUND(s1, 6) AS s1, ROUND(s2r / z2.z2, 6) AS s2
+        |FROM s2raw, z2
+        |ORDER BY event_type""".stripMargin,
+    "ml_conformal_interval" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value, (event_id % 2 = 0) AS is_cal
+        |  FROM events),
+        |pred AS (
+        |  SELECT event_type,
+        |    ROUND(CAST(SUM(CAST(ROUND(value, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) / COUNT(*), 6) AS pred,
+        |    COUNT(*) AS n_cal
+        |  FROM ev WHERE is_cal GROUP BY event_type),
+        |res AS (
+        |  SELECT e.event_type, e.event_id, e.is_cal,
+        |    ROUND(ABS(e.value - p.pred), 6) AS r, p.pred, p.n_cal
+        |  FROM ev e JOIN pred p USING (event_type)),
+        |qh AS (
+        |  SELECT event_type, r AS qhat FROM (
+        |    SELECT event_type, r, n_cal,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY r, event_id) AS rk
+        |    FROM res WHERE is_cal)
+        |  WHERE rk = (n_cal + 1) * 9 // 10
+        |    + CASE WHEN (n_cal + 1) * 9 % 10 = 0 THEN 0 ELSE 1 END)
+        |SELECT r.event_type, r.n_cal, COUNT(*) AS n_test, r.pred, q.qhat,
+        |  ROUND(CAST(SUM(CASE WHEN r.r <= q.qhat THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS coverage
+        |FROM res r JOIN qh q USING (event_type)
+        |WHERE NOT r.is_cal
+        |GROUP BY r.event_type, r.n_cal, r.pred, q.qhat
+        |ORDER BY r.event_type""".stripMargin,
     "ml_time_split" ->
       """WITH ev AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id FROM events),

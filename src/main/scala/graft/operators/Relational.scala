@@ -1078,6 +1078,92 @@ object Relational {
             .as("n_match"))
         .orderBy(col("nation"))
     },
+    // node2vec second-order transition table (Grover & Leskovec 2016,
+    // KDD) over the support-≥2 affinity graph — the walk-bias
+    // precomputation a graph-embedding pipeline materializes before
+    // sampling any walk. For each directed context (prev→cur) and each
+    // candidate next ∈ N(cur), the bias is α = 1/p if next = prev
+    // (return), 1 if next ∈ N(prev) (triangle-closing "common" step),
+    // 1/q otherwise (exploration); prob = α / Σα over N(cur). With
+    // p = 4, q = 0.25 the walk is DFS-leaning. Output: per-class counts
+    // and the prob envelope — every wedge in the graph contributes, so
+    // the hash pins the whole transition tensor.
+    //
+    // Scale shape: the candidate set is the wedge join sym⋈sym on cur
+    // (Σ deg² rows — same cost class as graph_triangles, and the same
+    // support-filter sparsifier keeps it catalog-bounded BEFORE the
+    // join); the N(prev)-membership test is one equi-join against the
+    // directed edge list (never a per-row set lookup); normalization is
+    // a window over (prev, cur), partition-bounded by max degree. One
+    // edge materialization feeds both wedge arms and the membership
+    // probe. α values {¼, 1, 4} and their sums are exact binary, so
+    // prob is a single deterministic double division; the class means
+    // use the DetMean round-10dp/decimal-sum discipline.
+    "graph_node2vec_trans" -> { (s, dir) =>
+      val aff = affinityEdges(s, dir).localCheckpoint()
+      val sym = aff.select(col("pa").as("u"), col("pb").as("v"))
+        .unionAll(aff.select(col("pb").as("u"), col("pa").as("v")))
+      val wedge = sym.select(col("u").as("prev"), col("v").as("cur"))
+        .join(sym.select(col("u").as("cur2"), col("v").as("next")),
+          col("cur") === col("cur2"))
+        .select(col("prev"), col("cur"), col("next"))
+      val adjacent = sym.select(col("u").as("prev"), col("v").as("next"),
+        lit(1).as("is_adj"))
+      val biased = wedge.join(adjacent, Seq("prev", "next"), "left")
+        .withColumn("alpha",
+          when(col("next") === col("prev"), lit(0.25))
+            .when(col("is_adj").isNotNull, lit(1.0))
+            .otherwise(lit(4.0)))
+        .withColumn("step_type",
+          when(col("next") === col("prev"), lit("return"))
+            .when(col("is_adj").isNotNull, lit("common"))
+            .otherwise(lit("explore")))
+      val z = Window.partitionBy(col("prev"), col("cur"))
+      biased
+        .withColumn("prob",
+          round(col("alpha") / sum(col("alpha")).over(z), 6))
+        .groupBy(col("step_type"))
+        .agg(count(lit(1)).as("n"),
+          DetMean.mean6(sum(DetMean.el10(col("prob"))), count(lit(1)))
+            .as("avg_prob"),
+          round(min(col("prob")), 6).as("min_prob"),
+          round(max(col("prob")), 6).as("max_prob"))
+        .orderBy(col("step_type"))
+    },
+    // HITS hubs & authorities (Kleinberg 1999, JACM) — two UNROLLED
+    // iterations over the directed (pa→pb) affinity graph, kept in
+    // EXACT integer arithmetic by deferring normalization: with h⁰=1,
+    // a¹ = indegree, h¹ = Σ_out a¹, a² = Σ_in h¹, h² = Σ_out a² — every
+    // score is an exact BIGINT (normalization is a positive scalar per
+    // iteration, so rankings and ratios are unchanged; the float
+    // division HITS usually does per step is exactly the hash hazard
+    // the integer form removes). Output: the top-10 authorities with
+    // their hub scores — the "what do the best-connected parts point
+    // at" report.
+    //
+    // Scale shape: pagerank's cost class — the edge list materializes
+    // once (localCheckpoint, 4 consumers) and each half-iteration is
+    // one equi-join of edges against a NODE-bounded score table
+    // followed by a keyed partial agg; nothing ever holds more than
+    // (edges + nodes) rows, and the four shuffles are edge-linear, the
+    // same telemetry envelope the bench records for graph_pagerank.
+    // Top-10 is TakeOrderedAndProject (per-partition heads, never a
+    // global sort).
+    "graph_hits" -> { (s, dir) =>
+      val e = affinityEdges(s, dir).localCheckpoint()
+      val a1 = e.groupBy(col("pb").as("v")).agg(count(lit(1)).as("a1"))
+      val h1 = e.join(a1, col("pb") === col("v"))
+        .groupBy(col("pa").as("u")).agg(sum(col("a1")).as("h1"))
+      val a2 = e.join(h1, col("pa") === col("u"))
+        .groupBy(col("pb").as("v")).agg(sum(col("h1")).as("a2"))
+      val h2 = e.join(a2, col("pb") === col("v"))
+        .groupBy(col("pa").as("u")).agg(sum(col("a2")).as("h2"))
+      a2.join(h2, col("v") === col("u"), "left")
+        .select(col("v").as("node"), col("a2").as("authority"),
+          coalesce(col("h2"), lit(0L)).as("hub"))
+        .orderBy(col("authority").desc, col("node"))
+        .limit(10)
+    },
     // Pearson correlation from exact decimal moment sums — the profiling
     // statistic (does discount correlate with quantity per return
     // class?) computed the way a 100 TB profiler must: five partial-
@@ -1928,6 +2014,55 @@ object Relational {
         |WHERE p.rk = 1
         |GROUP BY 1
         |ORDER BY nation""".stripMargin,
+    "graph_node2vec_trans" ->
+      s"""WITH $affinitySql,
+         |sym AS (
+         |  SELECT pa AS u, pb AS v FROM edges
+         |  UNION ALL SELECT pb AS u, pa AS v FROM edges),
+         |wedge AS (
+         |  SELECT e1.u AS prev, e1.v AS cur, e2.v AS next
+         |  FROM sym e1 JOIN sym e2 ON e1.v = e2.u),
+         |biased AS (
+         |  SELECT w.prev, w.cur, w.next,
+         |    CASE WHEN w.next = w.prev THEN CAST(0.25 AS DOUBLE)
+         |         WHEN a.u IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(4.0 AS DOUBLE) END AS alpha,
+         |    CASE WHEN w.next = w.prev THEN 'return'
+         |         WHEN a.u IS NOT NULL THEN 'common'
+         |         ELSE 'explore' END AS step_type
+         |  FROM wedge w
+         |  LEFT JOIN sym a ON a.u = w.prev AND a.v = w.next),
+         |probs AS (
+         |  SELECT step_type,
+         |    ROUND(alpha / SUM(alpha) OVER (PARTITION BY prev, cur), 6)
+         |      AS prob
+         |  FROM biased)
+         |SELECT step_type, COUNT(*) AS n,
+         |  ROUND(CAST(SUM(CAST(ROUND(prob, 10) AS DECIMAL(28,10)))
+         |    AS DOUBLE) / COUNT(*), 6) AS avg_prob,
+         |  ROUND(MIN(prob), 6) AS min_prob,
+         |  ROUND(MAX(prob), 6) AS max_prob
+         |FROM probs
+         |GROUP BY step_type
+         |ORDER BY step_type""".stripMargin,
+    "graph_hits" ->
+      s"""WITH $affinitySql,
+         |a1 AS (
+         |  SELECT pb AS v, COUNT(*) AS a1 FROM edges GROUP BY pb),
+         |h1 AS (
+         |  SELECT e.pa AS u, CAST(SUM(a1.a1) AS BIGINT) AS h1
+         |  FROM edges e JOIN a1 ON a1.v = e.pb GROUP BY e.pa),
+         |a2 AS (
+         |  SELECT e.pb AS v, CAST(SUM(h1.h1) AS BIGINT) AS a2
+         |  FROM edges e JOIN h1 ON h1.u = e.pa GROUP BY e.pb),
+         |h2 AS (
+         |  SELECT e.pa AS u, CAST(SUM(a2.a2) AS BIGINT) AS h2
+         |  FROM edges e JOIN a2 ON a2.v = e.pb GROUP BY e.pa)
+         |SELECT a2.v AS node, a2.a2 AS authority,
+         |  COALESCE(h2.h2, 0) AS hub
+         |FROM a2 LEFT JOIN h2 ON h2.u = a2.v
+         |ORDER BY authority DESC, node
+         |LIMIT 10""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,

@@ -643,6 +643,35 @@ object SimilarityOps {
           round(col("dcg") / col("idcg"), 6).as("ndcg"))
         .orderBy(col("probe_id"))
     },
+    // Matryoshka truncation quality (Kusupati et al. 2022, NeurIPS:
+    // Matryoshka Representation Learning) — the report an embedding
+    // owner reads before serving truncated vectors: for each prefix
+    // tier d ∈ {64, 32, 16, 8}, retrieval recall@k of tier-d cosine
+    // against the full-dim exact top-k, per probe. The dims=64 rows are
+    // the self-anchor (recall 1 by construction — a free sanity gate
+    // under the same hash).
+    //
+    // Scale shape: ONE corpus scan computes all four tier cosines per
+    // row (prefix slices of the same vector — no re-read per tier),
+    // stacked to (dims, cos) and ranked by a window whose rank<=k
+    // filter Spark rewrites to WindowGroupLimit: per-partition top-k
+    // state, only survivors shuffle. Everything after the window is
+    // k·|tiers|·|probes| rows (60 here), K-bounded by construction —
+    // eval cost scales with the shortlist, never the corpus. The
+    // shortlist is localCheckpointed for its two consumers (tier arm +
+    // full-dim reference arm).
+    "emb_mrl_quality" -> { (s, dir) =>
+      val topk = mrlTierTopK(s, dir).localCheckpoint()
+      val full = topk.filter(col("dims") === 64)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      // k·|probes| rows — always broadcastable; checkpoint stats loss
+      // would otherwise push this onto a sort-merge join.
+      topk.join(broadcast(full), Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("dims"), col("probe_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(IvfTopK.toDouble), 2))
+        .orderBy(col("dims"), col("probe_id"))
+    },
     // bitext / parallel-pair mining (LASER/CCMatrix-style): align two
     // embedding populations (labels 0 and 1 standing in for the two
     // languages' encoder outputs) by MUTUAL best match + ratio margin —
@@ -810,6 +839,36 @@ object SimilarityOps {
       .select(col("vec_id"), col("v"),
         round(cos(col("v"), col("p")), 6).as("cs"))
       .withColumn("rel", col("cs"))
+  }
+
+  /** emb_mrl_quality's per-tier top-k shortlist, exposed pre-checkpoint
+    * so PlanShapeSpec can gate the shape the scaladoc claims: one corpus
+    * scan computes ALL prefix-tier cosines (tiers stacked row-local, no
+    * per-tier re-read), and rank<=k over (dims, probe) rewrites to
+    * WindowGroupLimit so only k rows per (tier, probe) survive the
+    * shuffle. Output: (dims, probe_id, vec_id), k·|tiers|·|probes| rows. */
+  private[operators] def mrlTierTopK(s: SparkSession, dir: String): DataFrame = {
+    val cos = graft.functions.VectorFunctions.cosine_sim _
+    val tiers = Seq(64, 32, 16, 8)
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(col("vec_id").isin(IvfProbeIds.map(_.toLong): _*))
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+    val cosCols = tiers.map(d =>
+      round(cos(slice(col("v"), 1, d), slice(col("p"), 1, d)), 6)
+        .as(s"c$d"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id") +: col("vec_id") +: cosCols: _*)
+    val stacked = scored.select(col("probe_id"), col("vec_id"),
+      expr(s"stack(${tiers.size}, " +
+        tiers.map(d => s"${d}L, c$d").mkString(", ") + ") AS (dims, cs)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dims"), col("probe_id"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    stacked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("dims"), col("probe_id"), col("vec_id"))
   }
 
   /** ann_mmr_rerank_ivf's shortlist — IVF-routed top-MmrShortlist,
@@ -1048,6 +1107,37 @@ object SimilarityOps {
          |WHERE vec_id <> $PROBE_ID
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
+    "emb_mrl_quality" -> {
+      val tiers = Seq(64, 32, 16, 8)
+      val arms = tiers.map(d =>
+        s"""SELECT probe_id, vec_id, CAST($d AS BIGINT) AS dims,
+           |  ${cosSql(s"(v[1:$d])", s"(p[1:$d])")} AS cs
+           |FROM e, probes WHERE vec_id <> probe_id""".stripMargin)
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, v AS p FROM e
+         |  WHERE vec_id IN (${IvfProbeIds.mkString(", ")})),
+         |scored AS (${arms.mkString("\n  UNION ALL\n  ")}),
+         |topk AS (
+         |  SELECT dims, probe_id, vec_id FROM (
+         |    SELECT dims, probe_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY dims, probe_id
+         |        ORDER BY cs DESC, vec_id) AS rk
+         |    FROM scored)
+         |  WHERE rk <= $IvfTopK),
+         |fullk AS (
+         |  SELECT probe_id, vec_id, 1 AS hit FROM topk WHERE dims = 64)
+         |SELECT t.dims, t.probe_id,
+         |  CAST(SUM(COALESCE(f.hit, 0)) AS BIGINT) AS n_hits,
+         |  ROUND(CAST(SUM(COALESCE(f.hit, 0)) AS DOUBLE) / $IvfTopK, 2)
+         |    AS recall
+         |FROM topk t
+         |LEFT JOIN fullk f ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+         |GROUP BY t.dims, t.probe_id
+         |ORDER BY t.dims, t.probe_id""".stripMargin
+    },
     "emb_label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label,
         |  CAST(pos0 AS BIGINT) AS pos,

@@ -965,4 +965,102 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("WindowExec") || p.contains("Window"), p)
   }
+
+  test("emb_mrl_quality shortlist: one corpus scan for all tiers; top-k is WindowGroupLimit") {
+    // the tier cosines must stack row-local off a single corpus read
+    // (2 parquet scans total: corpus + probe filter) and rank<=k must
+    // rewrite to WindowGroupLimit so only k rows per (tier, probe)
+    // survive the shuffle — the K-boundedness the scaladoc claims
+    val p = SimilarityOps.mrlTierTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"expected <=2 parquet scans, got $scans:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("emb_mrl_quality: shortlist self-join broadcasts (checkpoint stats loss must not SMJ)") {
+    val p = plan("emb_mrl_quality")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("graph_node2vec_trans: wedge + membership ride equi-joins, never cartesian") {
+    // Σdeg² wedge enumeration must be a hash join on cur, and the
+    // N(prev)-membership probe an equi-join on (prev, next) — a
+    // cartesian/BNLJ here would be all-pairs over the node set
+    val p = plan("graph_node2vec_trans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("ml_conformal_interval: group stats broadcast back onto the event scan") {
+    // the predictor/qhat tables are group-cardinality bounded and must
+    // broadcast — an SMJ would shuffle the full event table twice
+    val p = plan("ml_conformal_interval")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ml_gbdt_split: histogram partial-aggs map-side; argmax is WindowGroupLimit") {
+    // the corpus must collapse to <=3·16 histogram rows before any
+    // window, the min/max pre-pass must broadcast, and the per-feature
+    // rk=1 must prune as WindowGroupLimit
+    val p = plan("ml_gbdt_split")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ml_bradley_terry: per-judge pairing is an equi-join; MM steps ride broadcasts") {
+    // the user self-join must key on user_id (hash join), and both MM
+    // iterations must be broadcast joins over the k²-row win matrix —
+    // a cartesian anywhere means the pairing went all-users×all-users
+    val p = plan("ml_bradley_terry")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("graph_hits: top-10 is TakeOrderedAndProject; iterations are equi-joins") {
+    val p = plan("graph_hits")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("events_cuped: stats ride one-row broadcasts onto the checkpointed enrollment") {
+    // the per-user pre⋈post join happens BEFORE the localCheckpoint
+    // (its shape is covered by the oracle); the visible plan must be
+    // the θ one-row broadcast (BNLJ over 1 row is intended) feeding a
+    // partial-aggregated 2-row arm readout — never a cartesian
+    val p = plan("events_cuped")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("events_diff_in_diff: the 2×2 is one conditional-agg pass, no join but the span broadcast") {
+    val p = plan("events_diff_in_diff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("events_k_anonymity: QI groups partial-aggregate; no join at all") {
+    val p = plan("events_k_anonymity")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("corpus_doremi_step: corpus collapses to domain rows before any join") {
+    // the only joins are one-row broadcast totals onto the k-domain
+    // table; the corpus-wide groupBy must partial-aggregate map-side
+    val p = plan("corpus_doremi_step")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
