@@ -32,6 +32,12 @@ class WinnowSpec extends AnyFunSuite {
         s"transform(sequence(1, length(text) - ${K - 1}), " +
           s"p -> concat(substring(text, p, 8), " +
           s"lpad(cast($PosBase - p as string), 10, '0')))"))
+      // CollapseProject would otherwise inline the whole `ks` transform
+      // into every element_at reference below — recomputing the n-element
+      // array per (position, shift) pair, O(n²·w) interpreted string work
+      // (~16 min on the sf0.001 corpus). The checkpoint pins ks to one
+      // evaluation per document.
+      .localCheckpoint()
       .withColumn("sel", expr(
         s"array_sort(transform(array_distinct(transform(sequence(1, size(ks)), " +
           s"p -> least($leastArgs))), mk -> $PosBase - cast(substring(mk, 9, 10) as int)))"))
