@@ -672,6 +672,45 @@ object SimilarityOps {
         .withColumn("recall", round(col("n_hits") / lit(IvfTopK.toDouble), 2))
         .orderBy(col("dims"), col("probe_id"))
     },
+    // k-center greedy coreset (Gonzalez 1985; Sener & Savarese 2018,
+    // ICLR: active learning as core-set selection) — farthest-point
+    // sampling over the embedding corpus: repeatedly pick the point
+    // farthest (cosine distance) from everything already picked. The
+    // selected K points 2-approximate the optimal covering, and the
+    // emitted radius sequence (each pick's distance to the prior set)
+    // is the coverage curve a curation owner reads to size K. Seed =
+    // lowest vec_id (all-ties argmax under the deterministic
+    // (mind desc, vec_id) order), radius 2.0 by convention.
+    //
+    // Scale shape: greedy selection is inherently sequential in K, so
+    // the unroll is K corpus passes, each ONE broadcast of the newest
+    // 1-row pick against the checkpointed (vec_id, v, mind) state —
+    // never pairwise, never a growing join. State is corpus-linear and
+    // updates in place (LEAST), checkpointed per step so the plan stays
+    // flat; total work is K·N distances, the textbook cost. Distances
+    // are 6dp-rounded cosines (one LEAST lattice — order-independent).
+    "emb_coreset_kcenter" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      var mind = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("mind", lit(2.0))
+        .localCheckpoint()
+      val picks = (1 to CoresetK).map { step =>
+        val best = mind.orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .localCheckpoint()
+        mind = mind
+          .crossJoin(broadcast(best.select(col("vec_id").as("sid"),
+            col("v").as("sv"))))
+          .withColumn("mind", least(col("mind"),
+            round(lit(1.0) - round(cos(col("v"), col("sv")), 6), 6)))
+          .filter(col("vec_id") =!= col("sid"))
+          .select(col("vec_id"), col("v"), col("mind"))
+          .localCheckpoint()
+        best.select(lit(step.toLong).as("step"), col("vec_id"),
+          round(col("mind"), 6).as("radius"))
+      }
+      picks.reduce(_ unionAll _).orderBy(col("step"))
+    },
     // bitext / parallel-pair mining (LASER/CCMatrix-style): align two
     // embedding populations (labels 0 and 1 standing in for the two
     // languages' encoder outputs) by MUTUAL best match + ratio margin —
@@ -718,6 +757,9 @@ object SimilarityOps {
     * written as paired literals 0.7 / 0.3 at both use sites (Spark and
     * DuckDB) — never 1−λ, which differs from 0.3 in f64. */
   private val MmrShortlist = 20
+  /** emb_coreset_kcenter picks — small enough that the unrolled greedy
+    * plan (K corpus passes) stays cheap, large enough for a real curve. */
+  private val CoresetK = 8
   private val MmrSelect = 5
 
   /** RRF constant k=60 (the SIGIR'09 value), per-arm shortlist depth, and
@@ -1107,6 +1149,28 @@ object SimilarityOps {
          |WHERE vec_id <> $PROBE_ID
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
+    "emb_coreset_kcenter" -> {
+      val steps = (1 to CoresetK).map { i =>
+        s"""s$i AS (
+           |  SELECT vec_id, v, mind FROM m${i - 1}
+           |  ORDER BY mind DESC, vec_id LIMIT 1),
+           |m$i AS (
+           |  SELECT m.vec_id, m.v,
+           |    LEAST(m.mind, ROUND(CAST(1.0 AS DOUBLE)
+           |      - ${cosSql("m.v", "s.v")}, 6)) AS mind
+           |  FROM m${i - 1} m, s$i s WHERE m.vec_id <> s.vec_id)""".stripMargin
+      }
+      val sel = (1 to CoresetK).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, vec_id, ROUND(mind, 6) AS radius FROM s$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |m0 AS (SELECT vec_id, v, CAST(2.0 AS DOUBLE) AS mind FROM e),
+         |${steps.mkString(",\n")}
+         |$sel
+         |ORDER BY step""".stripMargin
+    },
     "emb_mrl_quality" -> {
       val tiers = Seq(64, 32, 16, 8)
       val arms = tiers.map(d =>

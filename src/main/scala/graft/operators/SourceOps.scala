@@ -382,6 +382,40 @@ object SourceOps {
       snapAgg(v1, "v1").unionByName(snapAgg(v2, "v2"))
         .orderBy(col("snapshot"), col("o_orderstatus"))
     },
+    // Named refs (tags) end to end: v1 is tagged "release-1" BEFORE the
+    // second ingest advances the store, then read back BY NAME via
+    // `option("ref", ...)` next to the moving latest. The hash pins
+    // that ref resolution selects exactly the tagged snapshot after
+    // later writes — the reproducibility contract a training run relies
+    // on when it records a dataset tag instead of a raw version number.
+    // Tags are immutable (exclusive-create, no update path — see
+    // GraftStore.tag), so the name can never silently move; the
+    // emitted tagged_version pins that "release-1" resolved to v1.
+    // Scale: a tag is one O(1) driver-side file; ref reads cost one
+    // extra line-read before the ordinary pinned-manifest scan.
+    "src_store_tag" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-tag"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+      GraftStore.write(base.filter(col("o_orderstatus") === "F"), root,
+        overwrite = true)
+      val tagged = GraftStore.tag(root, "release-1")
+      GraftStore.write(base.filter(col("o_orderstatus") === "O"), root)
+      def snapAgg(df: DataFrame, snap: String): DataFrame =
+        df.groupBy(lit(snap).as("snapshot"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+              .cast("double").as("sum_price"),
+            max(col("o_orderkey")).cast("long").as("max_key"))
+          .withColumn("tagged_version", lit(tagged))
+      val byRef = s.read.format("graft-store").option("ref", "release-1")
+        .load(root)
+      snapAgg(byRef, "release-1").unionByName(snapAgg(GraftStore.read(s, root),
+          "latest"))
+        .orderBy(col("snapshot"))
+    },
     // snapshot DIFF — the reconcile primitive between two store
     // versions: which keys were added, removed, or changed between
     // yesterday's dataset and today's, and the net value drift. Both
@@ -758,6 +792,23 @@ object SourceOps {
         |FROM snap
         |GROUP BY snapshot, o_orderstatus
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
+    // "release-1" must resolve to the F-only v1 snapshot after the
+    // later append; latest sees F+O
+    "src_store_tag" ->
+      """WITH snap AS (
+        |  SELECT 'release-1' AS snapshot, o_totalprice, o_orderkey
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'latest', o_totalprice, o_orderkey
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O'))
+        |SELECT snapshot, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(1 AS BIGINT) AS tagged_version
+        |FROM snap
+        |GROUP BY snapshot
+        |ORDER BY snapshot""".stripMargin,
     "src_store_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p
         |            FROM orders WHERE o_orderkey % 10 <> 0),

@@ -70,9 +70,10 @@ class GraftStoreSource extends TableProvider with org.apache.spark.sql.sources.D
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = GraftStore.rootOf(options)
-    // a version-pinned read must surface THAT snapshot's schema — after
-    // an evolving append, v1 still presents its original columns
-    Option(options.get("version")).map(_.toLong) match {
+    // a version-pinned read (explicit or via an immutable ref) must
+    // surface THAT snapshot's schema — after an evolving append, v1
+    // still presents its original columns
+    GraftStore.pinnedVersion(root, GraftStore.driverConf(), options) match {
       case Some(v) =>
         GraftStore.manifestAt(root, GraftStore.driverConf(), v)
           .getOrElse(throw new IllegalArgumentException(
@@ -351,6 +352,75 @@ object GraftStore {
 
   def write(df: DataFrame, path: String, overwrite: Boolean = false): Unit =
     df.write.format("graft-store").mode(if (overwrite) "overwrite" else "append").save(path)
+
+  private val RefNameRe = "[A-Za-z0-9._-]{1,64}".r
+
+  /** Publish an IMMUTABLE named ref (tag) `name` → `version`, read back
+    * via `.option("ref", name)`. Tags make snapshot pinning
+    * human-addressable ("train-2026-08", "release-3") — the
+    * reproducibility handle a training-data consumer records instead of
+    * a raw version number. Immutability is the concurrency design: the
+    * ref file is claimed with the same exclusive-create primitive as a
+    * manifest version slot, so a name is either fully published exactly
+    * once or the second publisher fails loudly — there is no update
+    * path to race on (a moving branch head would need an atomic
+    * compare-and-swap, which file:// rename does not provide; tags
+    * deliberately avoid needing one). Cost: O(1) driver-side — one
+    * file, one line — independent of store size. */
+  def tag(path: String, name: String, version: Long): Unit = {
+    require(RefNameRe.matches(name),
+      s"graft-store: invalid ref name '$name' (allowed: [A-Za-z0-9._-]{1,64})")
+    val conf = driverConf()
+    require(manifestAt(path, conf, version).nonEmpty,
+      s"graft-store: cannot tag '$name' — no complete manifest version $version under $path")
+    val f = fs(path, conf)
+    val dir = new HPath(path, "refs")
+    f.mkdirs(dir)
+    val target = new HPath(dir, name)
+    val stream: java.io.OutputStream =
+      if (f.getScheme == "file") {
+        val jf = new java.io.File(target.toUri.getPath)
+        if (!jf.createNewFile()) throw new IllegalStateException(
+          s"graft-store: ref '$name' already exists under $path (tags are immutable)")
+        new java.io.FileOutputStream(jf)
+      } else {
+        try f.create(target, false)
+        catch {
+          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                    _: java.nio.file.FileAlreadyExistsException) =>
+            throw new IllegalStateException(
+              s"graft-store: ref '$name' already exists under $path (tags are immutable)", e)
+        }
+      }
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(stream, "UTF-8"))
+    try out.println(version) finally out.close()
+  }
+
+  /** Tag the LATEST complete snapshot; returns the tagged version. */
+  def tag(path: String, name: String): Long = {
+    val v = latestManifest(path, driverConf()).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-store: no manifest under $path — nothing to tag")).version
+    tag(path, name, v)
+    v
+  }
+
+  private[sources] def resolveRef(root: String, conf: Configuration, name: String): Long = {
+    val f = fs(root, conf)
+    val target = new HPath(new HPath(root, "refs"), name)
+    if (!f.exists(target)) throw new IllegalArgumentException(
+      s"graft-store: unknown ref '$name' under $root")
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(f.open(target), "UTF-8"))
+    try in.readLine().trim.toLong finally in.close()
+  }
+
+  /** The snapshot a read pins: an explicit `version` option wins, else
+    * a `ref` option resolves through refs/, else None (latest). */
+  private[sources] def pinnedVersion(root: String, conf: Configuration,
+      options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("version")).map(_.toLong)
+      .orElse(Option(options.get("ref")).map(resolveRef(root, conf, _)))
 }
 
 private[sources] class GraftStoreTable(root: String, schema0: StructType)
@@ -363,7 +433,8 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType)
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GsbScanBuilder(root, Option(options.get("version")).map(_.toLong),
+    new GsbScanBuilder(root,
+      GraftStore.pinnedVersion(root, GraftStore.driverConf(), options),
       Option(options.get("sinceVersion")).map(_.toLong),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 

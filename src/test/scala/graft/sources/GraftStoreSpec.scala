@@ -529,4 +529,48 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("overwrite"), ex.getMessage)
     assert(GraftStore.read(spark, dir).count() == 5 + 4)
   }
+
+  test("tags: ref read equals version pin and survives later ingest") {
+    val dir = tmp()
+    import spark.implicits._
+    GraftStore.write(Seq(1L, 2L, 3L).toDF("k"), dir, overwrite = true)
+    val tagged = GraftStore.tag(dir, "release-1")
+    assert(tagged == 1L)
+    GraftStore.write(Seq(4L, 5L).toDF("k"), dir)
+    val byRef = spark.read.format("graft-store").option("ref", "release-1").load(dir)
+    val byVer = spark.read.format("graft-store").option("version", 1).load(dir)
+    assert(rows(byRef) == rows(byVer))
+    assert(byRef.count() == 3)
+    assert(GraftStore.read(spark, dir).count() == 5)
+  }
+
+  test("tags are immutable: re-publishing a name fails loudly") {
+    val dir = tmp()
+    import spark.implicits._
+    GraftStore.write(Seq(1L).toDF("k"), dir, overwrite = true)
+    GraftStore.tag(dir, "pin")
+    GraftStore.write(Seq(2L).toDF("k"), dir)
+    val ex = intercept[IllegalStateException] { GraftStore.tag(dir, "pin") }
+    assert(ex.getMessage.contains("immutable"), ex.getMessage)
+    // the original resolution is untouched
+    assert(spark.read.format("graft-store").option("ref", "pin").load(dir).count() == 1)
+  }
+
+  test("tags: unknown ref, bad name, and missing target version are rejected") {
+    val dir = tmp()
+    import spark.implicits._
+    GraftStore.write(Seq(1L).toDF("k"), dir, overwrite = true)
+    val unknown = intercept[IllegalArgumentException] {
+      spark.read.format("graft-store").option("ref", "nope").load(dir).count()
+    }
+    assert(unknown.getMessage.contains("unknown ref"), unknown.getMessage)
+    val badName = intercept[IllegalArgumentException] {
+      GraftStore.tag(dir, "evil/../name")
+    }
+    assert(badName.getMessage.contains("invalid ref name"), badName.getMessage)
+    val badVersion = intercept[IllegalArgumentException] {
+      GraftStore.tag(dir, "ghost", 99L)
+    }
+    assert(badVersion.getMessage.contains("no complete manifest"), badVersion.getMessage)
+  }
 }
