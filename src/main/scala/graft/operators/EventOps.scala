@@ -1415,6 +1415,48 @@ object EventOps {
         .withColumn("risk_share",
           round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
         .orderBy(col("event_type"))
+    },
+    // Welch's unequal-variance t statistic (Welch 1947, Biometrika) —
+    // the significance readout on the events_cuped experiment: arms by
+    // user_id % 2, metric = raw event value, t = (m₁−m₀)/√(v₁/n₁+v₀/n₀)
+    // with the Welch–Satterthwaite degrees of freedom. The one-row
+    // output is what a decision gate consumes; CUPED upstream shrinks
+    // the v's, this turns them into a test statistic.
+    //
+    // Scale shape: the entire readout is ONE conditional-aggregation
+    // corpus pass — six filtered sums/counts partial-aggregate map-side
+    // to a single row; every downstream quantity (means, Bessel
+    // variances, t, df) is driver-free scalar algebra over that row.
+    // Determinism: exact decimal moment sums; means/variances pinned at
+    // 6dp BEFORE the t/df arithmetic, which is then a fixed-order chain
+    // of double ops rounded 6dp (t) and 2dp (df).
+    "events_ab_welch" -> { (s, dir) =>
+      val treated = col("user_id") % 2 === 1
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L))
+      def s1(c: org.apache.spark.sql.Column) =
+        sum(when(c, DetMean.el10(col("value"))))
+      def s2(c: org.apache.spark.sql.Column) =
+        sum(when(c, DetMean.el10(col("value") * col("value"))))
+      events(s, dir)
+        .agg(cnt(!treated).as("n0"), cnt(treated).as("n1"),
+          s1(!treated).as("sy0"), s1(treated).as("sy1"),
+          s2(!treated).as("syy0"), s2(treated).as("syy1"))
+        .withColumn("m0", DetMean.mean6(col("sy0"), col("n0")))
+        .withColumn("m1", DetMean.mean6(col("sy1"), col("n1")))
+        .withColumn("v0", round((col("syy0").cast("double") -
+          col("n0") * col("m0") * col("m0")) / (col("n0") - 1), 6))
+        .withColumn("v1", round((col("syy1").cast("double") -
+          col("n1") * col("m1") * col("m1")) / (col("n1") - 1), 6))
+        .withColumn("se0", col("v0") / col("n0"))
+        .withColumn("se1", col("v1") / col("n1"))
+        .withColumn("t", round((col("m1") - col("m0")) /
+          sqrt(col("se1") + col("se0")), 6))
+        .withColumn("df", round(
+          (col("se1") + col("se0")) * (col("se1") + col("se0")) /
+            (col("se1") * col("se1") / (col("n1") - 1) +
+             col("se0") * col("se0") / (col("n0") - 1)), 2))
+        .select(col("n0"), col("n1"), col("m0"), col("m1"),
+          col("v0"), col("v1"), col("t"), col("df"))
     })
 
   private val asOfOracle: String =
@@ -1439,6 +1481,40 @@ object EventOps {
       |ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_ab_welch" ->
+      """WITH mom AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n1,
+        |    SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(ROUND(value, 10) AS DECIMAL(28,10)) END) AS sy0,
+        |    SUM(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(ROUND(value, 10) AS DECIMAL(28,10)) END) AS sy1,
+        |    SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(ROUND(value * value, 10) AS DECIMAL(28,10)) END) AS syy0,
+        |    SUM(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(ROUND(value * value, 10) AS DECIMAL(28,10)) END) AS syy1
+        |  FROM events),
+        |m AS (
+        |  SELECT n0, n1,
+        |    ROUND(CAST(sy0 AS DOUBLE) / n0, 6) AS m0,
+        |    ROUND(CAST(sy1 AS DOUBLE) / n1, 6) AS m1,
+        |    syy0, syy1
+        |  FROM mom),
+        |v AS (
+        |  SELECT n0, n1, m0, m1,
+        |    ROUND((CAST(syy0 AS DOUBLE) - n0 * m0 * m0) / (n0 - 1), 6) AS v0,
+        |    ROUND((CAST(syy1 AS DOUBLE) - n1 * m1 * m1) / (n1 - 1), 6) AS v1
+        |  FROM m),
+        |se AS (
+        |  SELECT n0, n1, m0, m1, v0, v1,
+        |    v0 / n0 AS se0, v1 / n1 AS se1
+        |  FROM v)
+        |SELECT n0, n1, m0, m1, v0, v1,
+        |  ROUND((m1 - m0) / sqrt(se1 + se0), 6) AS t,
+        |  ROUND((se1 + se0) * (se1 + se0)
+        |    / (se1 * se1 / (n1 - 1) + se0 * se0 / (n0 - 1)), 2) AS df
+        |FROM se""".stripMargin,
     "events_cuped" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value

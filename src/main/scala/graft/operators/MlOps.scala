@@ -931,9 +931,73 @@ object MlOps {
           round(col("s1"), 6).as("s1"),
           round(col("s2r") / col("z2"), 6).as("s2"))
         .orderBy(col("event_type"))
+    },
+    // Stratified average-treatment-effect estimate (Rosenbaum & Rubin
+    // 1983's stratification on discrete covariates — the exact-weights
+    // special case of inverse-propensity weighting): with treatment
+    // T = event_id % 3 = 0 and stratum x = event_type, the ATE is
+    // Σₓ P(x)·(m₁(x) − m₀(x)). Per stratum: size share, realized
+    // propensity P(T|x), the two arm means, the in-stratum effect, and
+    // its P(x)-weighted contribution — the audit table a causal readout
+    // publishes (strata with extreme propensities are where IPW blows
+    // up; here they're visible per row).
+    //
+    // Scale shape: ONE conditional-aggregation corpus pass collapses to
+    // |event_type| rows (partial-agged map-side); the corpus total is a
+    // 1-row broadcast back onto them. No join touches corpus-sized
+    // data. Determinism: exact counts and decimal sums; each mean one
+    // 6dp division; share/propensity 6dp; contribution = share·diff
+    // rounded 6dp.
+    "ml_stratified_ate" -> { (s, dir) =>
+      val t = col("event_id") % 3 === 0
+      val strata = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(t, 1L)).as("n_treated"),
+          sum(when(t, DetMean.el10(col("value")))).as("sy1"),
+          sum(when(!t, DetMean.el10(col("value")))).as("sy0"))
+      val tot = strata.agg(sum(col("n")).as("n_all"))
+      strata.crossJoin(broadcast(tot))
+        .withColumn("share",
+          round(col("n").cast("double") / col("n_all"), 6))
+        .withColumn("propensity",
+          round(col("n_treated").cast("double") / col("n"), 6))
+        .withColumn("m_treated",
+          DetMean.mean6(col("sy1"), col("n_treated")))
+        .withColumn("m_control",
+          DetMean.mean6(col("sy0"), col("n") - col("n_treated")))
+        .withColumn("effect", round(col("m_treated") - col("m_control"), 6))
+        .select(col("event_type"), col("n"), col("share"), col("propensity"),
+          col("m_treated"), col("m_control"), col("effect"),
+          round(col("share") * col("effect"), 6).as("ate_contrib"))
+        .orderBy(col("event_type"))
     })
 
   val oracles: Map[String, String] = Map(
+    "ml_stratified_ate" ->
+      """WITH strata AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 END) AS BIGINT)
+        |      AS n_treated,
+        |    SUM(CASE WHEN event_id % 3 = 0
+        |      THEN CAST(ROUND(value, 10) AS DECIMAL(28,10)) END) AS sy1,
+        |    SUM(CASE WHEN event_id % 3 <> 0
+        |      THEN CAST(ROUND(value, 10) AS DECIMAL(28,10)) END) AS sy0
+        |  FROM events GROUP BY event_type),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM strata),
+        |b AS (
+        |  SELECT event_type, n,
+        |    ROUND(CAST(n AS DOUBLE) / n_all, 6) AS share,
+        |    ROUND(CAST(n_treated AS DOUBLE) / n, 6) AS propensity,
+        |    ROUND(CAST(sy1 AS DOUBLE) / n_treated, 6) AS m_treated,
+        |    ROUND(CAST(sy0 AS DOUBLE) / (n - n_treated), 6) AS m_control
+        |  FROM strata, tot),
+        |e AS (
+        |  SELECT *, ROUND(m_treated - m_control, 6) AS effect FROM b)
+        |SELECT event_type, n, share, propensity, m_treated, m_control,
+        |  effect, ROUND(share * effect, 6) AS ate_contrib
+        |FROM e
+        |ORDER BY event_type""".stripMargin,
     "ml_gbdt_split" ->
       """WITH st AS (
         |  SELECT 'discount' AS feature, l_discount AS x, l_extendedprice AS y

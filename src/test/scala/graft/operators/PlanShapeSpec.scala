@@ -1055,6 +1055,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("events_ab_welch: the whole t-test is one conditional-agg pass, no join") {
+    val p = plan("events_ab_welch")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("ml_stratified_ate: strata partial-aggregate; only the 1-row total joins back") {
+    val p = plan("ml_stratified_ate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("corpus_doremi_step: corpus collapses to domain rows before any join") {
     // the only joins are one-row broadcast totals onto the k-domain
     // table; the corpus-wide groupBy must partial-aggregate map-side
