@@ -311,15 +311,27 @@ object GraftStore {
       incoming.fields.filter(f => !stored.fieldNames.contains(f.name))
         .map(_.copy(nullable = true)))
 
-  /** Delete data files the LATEST manifest doesn't reference (orphans
-    * from aborted/speculative attempts, overwritten snapshots). Readers
-    * of OLDER pinned snapshots lose them — run between queries. */
+  /** Delete data files neither the LATEST manifest nor any TAGGED
+    * snapshot references (orphans from aborted/speculative attempts,
+    * overwritten snapshots). Tags are GC roots — a tagged version stays
+    * fully readable after vacuum; readers of untagged older version
+    * pins lose their files, so pin-by-number is a session-scoped tool
+    * and pin-by-tag the durable one. Run between queries. */
   def vacuum(path: String): Long = {
     val conf = driverConf()
     val f = fs(path, conf)
     val dataDir = new HPath(path, "data")
     if (!f.exists(dataDir)) return 0L
-    val referenced = latestManifest(path, conf).map(_.files.map(_.relPath).toSet).getOrElse(Set.empty)
+    // GC roots = the latest manifest PLUS every tagged snapshot: a tag
+    // is the reproducibility contract ("this name keeps reading exactly
+    // that dataset"), so its files must survive vacuum even after an
+    // overwrite/compaction stops referencing them from latest. Cost is
+    // O(refs · manifest-size) driver-side manifest reads — refs are
+    // human-created and few.
+    val referenced =
+      (latestManifest(path, conf).toSeq ++
+        listRefs(path, conf).flatMap { case (_, v) => manifestAt(path, conf, v) })
+        .flatMap(_.files.map(_.relPath)).toSet
     var n = 0L
     f.listStatus(dataDir).foreach { st =>
       if (!referenced.contains(s"data/${st.getPath.getName}")) {
@@ -327,6 +339,15 @@ object GraftStore {
       }
     }
     n
+  }
+
+  /** All published refs as (name, version), sorted by name. */
+  def listRefs(path: String, conf: Configuration = driverConf()): Seq[(String, Long)] = {
+    val f = fs(path, conf)
+    val dir = new HPath(path, "refs")
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName).sorted
+      .map(n => n -> resolveRef(path, conf, n))
   }
 
   def read(spark: SparkSession, path: String): DataFrame =

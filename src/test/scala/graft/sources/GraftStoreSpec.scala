@@ -556,6 +556,25 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(spark.read.format("graft-store").option("ref", "pin").load(dir).count() == 1)
   }
 
+  test("tags are vacuum GC roots: a tagged snapshot stays readable, untagged pins die") {
+    val dir = tmp()
+    import spark.implicits._
+    GraftStore.write(Seq(1L, 2L).toDF("k"), dir, overwrite = true)   // v1
+    GraftStore.tag(dir, "keep")
+    GraftStore.write(Seq(3L).toDF("k"), dir, overwrite = true)       // v2 (drops v1 refs)
+    GraftStore.write(Seq(4L).toDF("k"), dir, overwrite = true)       // v3 (drops v2 refs)
+    val removed = GraftStore.vacuum(dir)
+    assert(removed >= 1, s"expected v2's orphaned file removed, got $removed")
+    // the tagged v1 read survives vacuum byte-for-byte
+    assert(rows(spark.read.format("graft-store").option("ref", "keep").load(dir))
+      == Set("1", "2"))
+    // the untagged v2 pin lost its data files (manifest still parses,
+    // scan fails on the missing file) — the documented contract
+    val v2 = spark.read.format("graft-store").option("version", 2).load(dir)
+    intercept[Exception] { v2.count() }
+    assert(GraftStore.listRefs(dir) == Seq("keep" -> 1L))
+  }
+
   test("tags: unknown ref, bad name, and missing target version are rejected") {
     val dir = tmp()
     import spark.implicits._
