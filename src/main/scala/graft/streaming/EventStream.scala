@@ -38,6 +38,45 @@ object EventStream {
     graft.operators.Tables.events(spark, sfDir)
       .write.mode("overwrite").parquet(stagingDir)
 
+  /** Live experiment readout — the `events_ab_welch` one-row Welch
+    * t-test as an unbounded aggregation: arms by user_id % 2, the six
+    * conditional moment sums maintained incrementally in the state
+    * store (complete mode, one global group), the t/df algebra as a
+    * projection over them. After every micro-batch the sink holds
+    * exactly the decision row the batch query computes over the data
+    * seen so far — the dashboard a running experiment watches. Moment
+    * sums are exact decimals (order-independent), so stream == batch
+    * bit-for-bit at any cut, not approximately; the state is six
+    * numbers regardless of corpus size. */
+  def abReadout(events: DataFrame): DataFrame = {
+    val treated = col("user_id") % 2 === 1
+    def el10(c: org.apache.spark.sql.Column) =
+      round(c, 10).cast("decimal(28,10)")
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L))
+    events
+      .agg(cnt(!treated).as("n0"), cnt(treated).as("n1"),
+        sum(when(!treated, el10(col("value")))).as("sy0"),
+        sum(when(treated, el10(col("value")))).as("sy1"),
+        sum(when(!treated, el10(col("value") * col("value")))).as("syy0"),
+        sum(when(treated, el10(col("value") * col("value")))).as("syy1"))
+      .withColumn("m0", round(col("sy0").cast("double") / col("n0"), 6))
+      .withColumn("m1", round(col("sy1").cast("double") / col("n1"), 6))
+      .withColumn("v0", round((col("syy0").cast("double") -
+        col("n0") * col("m0") * col("m0")) / (col("n0") - 1), 6))
+      .withColumn("v1", round((col("syy1").cast("double") -
+        col("n1") * col("m1") * col("m1")) / (col("n1") - 1), 6))
+      .withColumn("se0", col("v0") / col("n0"))
+      .withColumn("se1", col("v1") / col("n1"))
+      .withColumn("t", round((col("m1") - col("m0")) /
+        sqrt(col("se1") + col("se0")), 6))
+      .withColumn("df", round(
+        (col("se1") + col("se0")) * (col("se1") + col("se0")) /
+          (col("se1") * col("se1") / (col("n1") - 1) +
+           col("se0") * col("se0") / (col("n0") - 1)), 2))
+      .select(col("n0"), col("n1"), col("m0"), col("m1"),
+        col("v0"), col("v1"), col("t"), col("df"))
+  }
+
   /** Tumbling 1-hour windowed counts/sums per event type, 2-hour watermark
     * for late data. Streaming twin of the `events_hourly` batch query —
     * the sum goes through the same decimal cast so batch and stream agree

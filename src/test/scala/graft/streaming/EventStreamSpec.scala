@@ -125,6 +125,26 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("abReadout equals the batch Welch t-test row on the real events table") {
+    val staging = Files.createTempDirectory("evt_ab").toString
+    EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
+    val q = EventStream.abReadout(EventStream.readEvents(spark, staging))
+      .writeStream.format("memory").queryName("ab_readout")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT n0, n1, m0, m1, v0, v1, t, df FROM ab_readout").collect()
+      val batch = graft.operators.EventOps.queries("events_ab_welch")(
+        spark, "/root/testdata/sf0.001").collect()
+      assert(streamed.length == 1 && batch.length == 1)
+      // bit-for-bit: decimal moment sums are order-independent, so the
+      // state-store accumulation path changes nothing
+      assert(streamed.head.toSeq == batch.head.toSeq,
+        s"streamed=${streamed.head} batch=${batch.head}")
+    } finally q.stop()
+  }
+
   test("funnelStages matches the batch min-ts funnel on the real events table") {
     import spark.implicits._
     val staging = Files.createTempDirectory("evt_funnel").toString
