@@ -908,6 +908,54 @@ object DedupOps {
         .select(col("p_name").as("name"), col("p_type").as("type"),
           col("n_records"), col("n_pairs"))
         .orderBy(col("name"), col("type"))
+    },
+    // Content-defined chunking dedup (Muthitacharoen et al. 2001, SOSP:
+    // LBFS; FastCDC's fixed-boundary-test family) at word granularity —
+    // the storage/training-corpus primitive that exact whole-doc dedup
+    // misses and stride-1 substring dedup over-pays for: cut each
+    // document into variable chunks at CONTENT-LOCAL boundaries (a word
+    // closes its chunk iff (31·len + first-codepoint) % 8 = 0 — a pure
+    // function of the word, so an insertion re-chunks only its own
+    // chunk and shared runs re-align immediately, the CDC property),
+    // then exact-dedup the chunks corpus-wide. Per source: chunk count,
+    // distinct count, dup ratio, and the largest duplicate class — the
+    // table that says where chunk-level dedup would reclaim volume.
+    //
+    // Scale shape: word explode → per-doc ordered window (the text
+    // family's standard cost class) → chunk reassembly groupBy → ONE
+    // corpus-wide groupBy on the raw chunk string (expected ~8 words;
+    // grouping the raw key beats md5 at this length — measured rule
+    // from the hash-family bench). Expected chunk volume is words/8;
+    // nothing is pairwise and the boundary test is codegen'd scalar
+    // work. Determinism: integer boundary rule, integer counts; the
+    // only division is the final 6dp ratio.
+    "dedup_cdc_chunks" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val chunks = documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .withColumn("is_b",
+          (length(col("w")) * 31 + ascii(col("w"))) % 8 === 0)
+        .withColumn("cid", coalesce(
+          sum(when(col("is_b"), 1L).otherwise(0L)).over(w), lit(0L)))
+        .groupBy(col("doc_id"), col("source"), col("cid"))
+        .agg(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w"))).as("chunk"))
+      chunks.groupBy(col("source"), col("chunk"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_chunks"),
+          count(lit(1)).as("n_unique"),
+          max(col("cnt")).as("max_dup"))
+        .select(col("source"), col("n_chunks"), col("n_unique"),
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_chunks"), 6)
+            .as("dup_ratio"),
+          col("max_dup"))
+        .orderBy(col("source"))
     })
 
   /** Semantic-dedup constants shared by query and oracle: K seed cells,
@@ -1150,6 +1198,38 @@ object DedupOps {
        |  FROM isl GROUP BY 1, 2, 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" ->
+      """WITH wp AS (
+        |  SELECT doc_id, source, i AS pos, ws[i] AS w
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |        FROM documents) d,
+        |    unnest(range(1, len(ws) + 1)) AS t(i)
+        |  WHERE len(ws[i]) > 0),
+        |mk AS (
+        |  SELECT doc_id, source, pos, w,
+        |    ((length(w) * 31 + unicode(w)) % 8 = 0) AS is_b
+        |  FROM wp),
+        |ch AS (
+        |  SELECT doc_id, source, pos, w,
+        |    COALESCE(SUM(CASE WHEN is_b THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS cid
+        |  FROM mk),
+        |chunks AS (
+        |  SELECT doc_id, source, cid,
+        |    string_agg(w, ' ' ORDER BY pos) AS chunk
+        |  FROM ch GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT source, chunk, COUNT(*) AS cnt
+        |  FROM chunks GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+        |  COUNT(*) AS n_unique,
+        |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_ratio,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_dup
+        |FROM g
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "dedup_prefix_filter" ->
       """WITH shr AS (
         |  SELECT doc_id,
