@@ -932,6 +932,54 @@ object MlOps {
           round(col("s2r") / col("z2"), 6).as("s2"))
         .orderBy(col("event_type"))
     },
+    // Exact 1-D Wasserstein-1 drift (Kantorovich–Rubinstein; the earth
+    // mover's distance scipy.stats.wasserstein_distance computes) —
+    // completes the drift trio: KS (worst-case CDF gap, ml_ks_drift),
+    // PSI (binned likelihood shift, ml_psi_drift), and W₁ = ∫|F_ref −
+    // F_cur| dv, which unlike both of those is in METRIC UNITS of the
+    // feature ("values moved 3.2 units on average") and sees mass
+    // transport KS's sup-norm collapses. Same time-split as PSI
+    // (ref = before 2024-01-16). Computed EXACTLY from the closed form
+    // over distinct values — no binning, no sampling: cumulative counts
+    // per side × the gap to the next distinct value.
+    //
+    // Scale shape: the corpus collapses map-side to (type, distinct
+    // 6dp value) rows with two conditional counts; everything after is
+    // windows over that collapsed table, partitioned by type and
+    // value-ordered (the same per-type sort KS already pays — at
+    // 100 TB the q_quantile_sketch UDAF is the mergeable approximate
+    // twin). Determinism: integer cumulative counts, one double
+    // division per side, per-interval contribution rounded 10dp into
+    // an exact decimal sum, final 6dp.
+    "ml_wasserstein_drift" -> { (s, dir) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("v"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      events(s, dir)
+        .select(col("event_type"),
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), lit("a"))
+            .otherwise(lit("b")).as("half"),
+          round(col("value"), 6).as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("na"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("nb"))
+        .withColumn("ca", sum(col("na")).over(wOrd))
+        .withColumn("cb", sum(col("nb")).over(wOrd))
+        .withColumn("ta", sum(col("na")).over(wAll))
+        .withColumn("tb", sum(col("nb")).over(wAll))
+        .withColumn("nextv", lead(col("v"), 1).over(wOrd))
+        .filter(col("nextv").isNotNull)
+        .withColumn("contrib", round(
+          abs(col("ca").cast("double") / col("ta") -
+            col("cb").cast("double") / col("tb")) *
+            (col("nextv") - col("v")), 10).cast("decimal(28,10)"))
+        .groupBy(col("event_type"), col("ta"), col("tb"))
+        .agg(round(sum(col("contrib")), 6).cast("double").as("w1"))
+        .select(col("event_type"), col("ta").as("n_ref"),
+          col("tb").as("n_cur"), col("w1"))
+        .orderBy(col("event_type"))
+    },
     // Stratified average-treatment-effect estimate (Rosenbaum & Rubin
     // 1983's stratification on discrete covariates — the exact-weights
     // special case of inverse-propensity weighting): with treatment
@@ -974,6 +1022,38 @@ object MlOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "ml_wasserstein_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+        |         THEN 'a' ELSE 'b' END AS half,
+        |    ROUND(value, 6) AS v
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type, v,
+        |    CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM ev GROUP BY event_type, v),
+        |c AS (
+        |  SELECT event_type, v,
+        |    CAST(SUM(na) OVER (PARTITION BY event_type ORDER BY v)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(nb) OVER (PARTITION BY event_type ORDER BY v)
+        |      AS BIGINT) AS cb,
+        |    CAST(SUM(na) OVER (PARTITION BY event_type) AS BIGINT) AS ta,
+        |    CAST(SUM(nb) OVER (PARTITION BY event_type) AS BIGINT) AS tb,
+        |    LEAD(v) OVER (PARTITION BY event_type ORDER BY v) AS nextv
+        |  FROM pts),
+        |k AS (
+        |  SELECT event_type, ta, tb,
+        |    CAST(ROUND(ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)
+        |      * (nextv - v), 10) AS DECIMAL(28,10)) AS contrib
+        |  FROM c WHERE nextv IS NOT NULL)
+        |SELECT event_type, ta AS n_ref, tb AS n_cur,
+        |  CAST(ROUND(SUM(contrib), 6) AS DOUBLE) AS w1
+        |FROM k
+        |GROUP BY event_type, ta, tb
+        |ORDER BY event_type""".stripMargin,
     "ml_stratified_ate" ->
       """WITH strata AS (
         |  SELECT event_type, COUNT(*) AS n,
