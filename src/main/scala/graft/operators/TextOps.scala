@@ -686,6 +686,61 @@ object TextOps {
             (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+    // RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010,
+    // "Automatic Keyword Extraction from Individual Documents") — the
+    // classic unsupervised keyphrase scorer: candidate phrases are the
+    // maximal stopword-free word runs; each word scores deg/freq where
+    // freq counts its phrase occurrences and deg sums the lengths of
+    // the phrases containing it (favoring words that live in long
+    // collocations); a phrase scores the sum of its member word scores.
+    // Output: the corpus top-15 phrases with occurrence counts — the
+    // keyterm table an indexing/labeling pipeline feeds from.
+    //
+    // Scale shape: word explode → per-doc boundary window (the CDC/
+    // winnowing cost class) → phrase-member rows; word stats collapse
+    // to the vocabulary (catalog-bounded, broadcast back); the phrase
+    // table groups once on the raw phrase string; top-15 is
+    // TakeOrderedAndProject. Nothing pairwise. Determinism: integer
+    // deg/freq, one 6dp division per word, member scores summed as
+    // exact decimals, rank on the rounded score with the phrase text
+    // as tie-break.
+    "text_rake_keyphrases" -> { (s, dir) =>
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on",
+        "for", "with", "as", "by", "at", "an", "or")
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("pid"))
+      val members = documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .withColumn("is_stop", col("w").isin(stops: _*))
+        .withColumn("pid", coalesce(
+          sum(when(col("is_stop"), 1L).otherwise(0L)).over(wB), lit(0L)))
+        .filter(!col("is_stop"))
+        .withColumn("plen", count(lit(1)).over(wP))
+        .localCheckpoint()
+      val wordScores = members.groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("ws",
+          round(col("deg").cast("double") / col("freq"), 6))
+        .select(col("w"), col("ws"))
+      val phrases = members
+        .join(broadcast(wordScores), Seq("w"))
+        .groupBy(col("doc_id"), col("pid"))
+        .agg(concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w"))).as("phrase"),
+          round(sum(graft.operators.DetMean.el10(col("ws")))
+            .cast("double"), 6).as("score"))
+      phrases.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occ"), max(col("score")).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(15)
+        .select(col("phrase"), col("n_occ"), col("score"))
     })
 
   /** The logistic classifier score of one text column — shared with
@@ -775,6 +830,46 @@ object TextOps {
        |LIMIT 15""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_rake_keyphrases" ->
+      """WITH wp AS (
+        |  SELECT doc_id, i AS pos, ws[i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) d,
+        |    unnest(range(1, len(ws) + 1)) AS t(i)
+        |  WHERE len(ws[i]) > 0),
+        |mk AS (
+        |  SELECT doc_id, pos, w,
+        |    w IN ('the','a','of','and','to','in','is','on','for','with',
+        |          'as','by','at','an','or') AS is_stop
+        |  FROM wp),
+        |ph AS (
+        |  SELECT doc_id, pos, w, is_stop,
+        |    COALESCE(SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS pid
+        |  FROM mk),
+        |mem AS (
+        |  SELECT doc_id, pid, pos, w,
+        |    COUNT(*) OVER (PARTITION BY doc_id, pid) AS plen
+        |  FROM ph WHERE NOT is_stop),
+        |wsc AS (
+        |  SELECT w,
+        |    ROUND(CAST(CAST(SUM(plen) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+        |      AS ws
+        |  FROM mem GROUP BY w),
+        |phr AS (
+        |  SELECT m.doc_id, m.pid,
+        |    string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+        |    ROUND(CAST(SUM(CAST(ROUND(s.ws, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE), 6) AS score
+        |  FROM mem m JOIN wsc s ON s.w = m.w
+        |  GROUP BY m.doc_id, m.pid)
+        |SELECT phrase, COUNT(*) AS n_occ, MAX(score) AS score
+        |FROM phr
+        |GROUP BY phrase
+        |ORDER BY score DESC, phrase
+        |LIMIT 15""".stripMargin,
     "text_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
