@@ -382,6 +382,47 @@ object SourceOps {
       snapAgg(v1, "v1").unionByName(snapAgg(v2, "v2"))
         .orderBy(col("snapshot"), col("o_orderstatus"))
     },
+    // The SQL-only front door end to end: register the DSv2 catalog,
+    // CTAS a store table from orders, append the leftover partition
+    // with INSERT INTO, and aggregate back — every byte moved through
+    // `graft.<ns>.<table>` identifiers, zero path-based API calls. The
+    // hash pins that catalog resolution, the CTAS write path, the
+    // append commit, and the catalog scan all compose correctly (CTAS
+    // claims manifest v1+v2, the INSERT publishes v3 via the same
+    // optimistic commitLoop as the path surface). Scale: catalog ops
+    // are O(manifest) driver metadata; the data path is the ordinary
+    // DSv2 scan/write.
+    "src_store_catalog_sql" -> { (s, dir) =>
+      // FIXED warehouse path: CatalogManager caches the catalog
+      // instance with the options seen at FIRST use, so a per-dir path
+      // would silently pin later runs to the first run's warehouse.
+      // Cleanup is SQL (DROP TABLE routes through the same cached
+      // catalog), never a raw FS delete behind its back.
+      val wh = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft-sql-warehouse"
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+      s.sql("DROP TABLE IF EXISTS graft.gold.orders")
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_gcat")
+      s.sql(
+        """CREATE TABLE graft.gold.orders AS
+          |SELECT * FROM orders_src_gcat WHERE o_orderstatus <> 'P'""".stripMargin)
+      s.sql(
+        """INSERT INTO graft.gold.orders
+          |SELECT * FROM orders_src_gcat WHERE o_orderstatus = 'P'""".stripMargin)
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+          |    AS sum_price,
+          |  MAX(o_orderkey) AS max_key
+          |FROM graft.gold.orders
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    },
     // Named refs (tags) end to end: v1 is tagged "release-1" BEFORE the
     // second ingest advances the store, then read back BY NAME via
     // `option("ref", ...)` next to the moving latest. The hash pins
@@ -792,6 +833,15 @@ object SourceOps {
         |FROM snap
         |GROUP BY snapshot, o_orderstatus
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
+    // the catalog table is exactly orders (CTAS non-P + INSERT P)
+    "src_store_catalog_sql" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // "release-1" must resolve to the F-only v1 snapshot after the
     // later append; latest sees F+O
     "src_store_tag" ->

@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-SQL front door: CREATE/INSERT/CTAS/SELECT/DROP over
+  * graft.<ns>.<table> identifiers, interoperating with the path-based
+  * store surface (tags, time travel) on the SAME roots. */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("gcat").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    w
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trips through SQL only") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds")
+    spark.sql("CREATE TABLE graft.ds.docs (doc_id BIGINT, txt STRING)")
+    spark.sql("INSERT INTO graft.ds.docs VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT INTO graft.ds.docs VALUES (4, 'd')")
+    val got = spark.sql(
+      "SELECT count(*) AS n, max(doc_id) AS mx FROM graft.ds.docs").head
+    assert(got.getLong(0) == 4 && got.getLong(1) == 4L)
+    // two INSERTs = two appended snapshots on the shared protocol
+    assert(GraftStore.latestManifest(s"$warehouse/ds/docs",
+      GraftStore.driverConf()).get.version == 3L) // v1 CREATE + 2 appends
+  }
+
+  test("CTAS materializes a store readable through BOTH surfaces") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_src")
+    spark.sql(
+      """CREATE TABLE graft.ds.gold AS
+        |SELECT doc_id, source FROM docs_src WHERE doc_id < 50""".stripMargin)
+    val viaSql = spark.sql("SELECT count(*) FROM graft.ds.gold").head.getLong(0)
+    val viaPath = GraftStore.read(spark, s"$warehouse/ds/gold").count()
+    assert(viaSql == viaPath && viaSql == 50)
+    // path-based tagging works on the catalog-created table
+    GraftStore.tag(s"$warehouse/ds/gold", "release")
+    assert(spark.read.format("graft-store").option("ref", "release")
+      .load(s"$warehouse/ds/gold").count() == 50)
+  }
+
+  test("DROP TABLE, SHOW TABLES, and missing-table errors behave") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds2")
+    spark.sql("CREATE TABLE graft.ds2.t1 (k BIGINT)")
+    spark.sql("CREATE TABLE graft.ds2.t2 (k BIGINT)")
+    val names = spark.sql("SHOW TABLES IN graft.ds2")
+      .collect().map(_.getString(1)).toSet
+    assert(names == Set("t1", "t2"))
+    spark.sql("DROP TABLE graft.ds2.t1")
+    assert(spark.sql("SHOW TABLES IN graft.ds2")
+      .collect().map(_.getString(1)).toSet == Set("t2"))
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.ds2.t1").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("t1"), ex.getMessage)
+  }
+
+  test("racing CREATEs: the v1 manifest slot claim makes exactly one winner") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds3")
+    spark.sql("CREATE TABLE graft.ds3.once (k BIGINT)")
+    val ex = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.ds3.once (k BIGINT)")
+    }
+    assert(ex.getMessage.toLowerCase.contains("already exists"), ex.getMessage)
+  }
+
+  test("INSERT onto a catalog table honors the widening-append evolution rule") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds4")
+    spark.sql("CREATE TABLE graft.ds4.ev (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.ds4.ev VALUES (1, 1.5)")
+    // incompatible write (missing column) must fail loudly, not corrupt
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO graft.ds4.ev VALUES (2)")
+    }
+    assert(ex != null)
+    assert(spark.sql("SELECT count(*) FROM graft.ds4.ev").head.getLong(0) == 1)
+  }
+}
