@@ -76,6 +76,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("already exists"), ex.getMessage)
   }
 
+  test("writeStream.toTable lands micro-batches in a catalog table") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds5")
+    spark.sql("CREATE TABLE graft.ds5.sink (doc_id BIGINT, source STRING)")
+    val staging = Files.createTempDirectory("gcat_stream").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source").filter("doc_id < 40")
+    src.coalesce(2).write.mode("overwrite").parquet(staging)
+    val q = spark.readStream.schema(src.schema).parquet(staging)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("gcat_ckpt").toString)
+      .toTable("graft.ds5.sink")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT count(*) FROM graft.ds5.sink").head.getLong(0) == 40)
+    // the streamed table is an ordinary store: path surface sees it too
+    assert(GraftStore.read(spark, s"$warehouse/ds5/sink").count() == 40)
+  }
+
   test("INSERT onto a catalog table honors the widening-append evolution rule") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds4")
