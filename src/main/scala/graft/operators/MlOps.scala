@@ -932,6 +932,63 @@ object MlOps {
           round(col("s2r") / col("z2"), 6).as("s2"))
         .orderBy(col("event_type"))
     },
+    // DeLong AUC standard error (DeLong, DeLong & Clarke-Pearson 1988,
+    // Biometrics) — the CI machinery behind every "is model A really
+    // better" call: AUC as the mean of per-positive placement values
+    // V10 (share of negatives scored below, ties at ½ — the midrank
+    // convention), SE² = S10/m + S01/n from the placement variances.
+    // Same score/label setup as ml_auc (sigmoid of the first 4
+    // embedding dims, 3dp score bins, label ≥ 5), so the two queries
+    // together are the headline metric AND its uncertainty.
+    //
+    // Scale shape: placements come from the BINNED score table — the
+    // corpus collapses to ≤10³ bins map-side, and every positive in a
+    // bin shares one placement value, so the O(m·n) pairwise definition
+    // becomes two cumulative windows over bins (the standard midrank
+    // identity). Everything after the first groupBy is bin-cardinality
+    // work. Determinism: integer cumulative counts, placements one
+    // division rounded 10dp, count-weighted moments as exact decimal
+    // sums, final auc/se at 6dp.
+    "ml_auc_delong" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+      val uA = org.apache.spark.sql.expressions.Window.orderBy(col("pb"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val uD = org.apache.spark.sql.expressions.Window.orderBy(col("pb").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val bins = embeddings(s, dir)
+        .select(round(p, 3).as("pb"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("pb"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+        .withColumn("nneg", col("n") - col("npos"))
+      val tot = bins.agg(sum(col("npos")).as("m"), sum(col("nneg")).as("nn"))
+      val pl = bins.crossJoin(broadcast(tot))
+        .withColumn("neg_below", coalesce(sum(col("nneg")).over(uA), lit(0L)))
+        .withColumn("pos_above", coalesce(sum(col("npos")).over(uD), lit(0L)))
+        .withColumn("v10", round(
+          (col("neg_below") + lit(0.5) * col("nneg")) / col("nn"), 10))
+        .withColumn("v01", round(
+          (col("pos_above") + lit(0.5) * col("npos")) / col("m"), 10))
+        .localCheckpoint()
+      val aucDf = pl.agg(
+        round(sum(round(col("npos") * col("v10"), 10).cast("decimal(28,10)"))
+          .cast("double") / max(col("m")), 10).as("auc"))
+      pl.crossJoin(broadcast(aucDf))
+        .agg(max(col("m")).as("n_pos"), max(col("nn")).as("n_neg"),
+          max(col("auc")).as("auc_r"),
+          round(sum(round(col("npos") * (col("v10") - col("auc")) *
+              (col("v10") - col("auc")), 10).cast("decimal(28,10)"))
+            .cast("double") / (max(col("m")) - 1), 10).as("s10"),
+          round(sum(round(col("nneg") * (col("v01") - col("auc")) *
+              (col("v01") - col("auc")), 10).cast("decimal(28,10)"))
+            .cast("double") / (max(col("nn")) - 1), 10).as("s01"))
+        .select(col("n_pos"), col("n_neg"),
+          round(col("auc_r"), 6).as("auc"),
+          round(sqrt(col("s10") / col("n_pos") + col("s01") / col("n_neg")), 6)
+            .as("se"))
+    },
     // Exact 1-D Wasserstein-1 drift (Kantorovich–Rubinstein; the earth
     // mover's distance scipy.stats.wasserstein_distance computes) —
     // completes the drift trio: KS (worst-case CDF gap, ml_ks_drift),
@@ -1022,6 +1079,51 @@ object MlOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "ml_auc_delong" ->
+      """WITH sc AS (
+        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |bins AS (
+        |  SELECT pb, COUNT(*) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS npos,
+        |    COUNT(*) - CAST(SUM(pos) AS BIGINT) AS nneg
+        |  FROM sc GROUP BY pb),
+        |tot AS (
+        |  SELECT CAST(SUM(npos) AS BIGINT) AS m,
+        |    CAST(SUM(nneg) AS BIGINT) AS nn
+        |  FROM bins),
+        |pl AS (
+        |  SELECT b.*, t.m, t.nn,
+        |    COALESCE(CAST(SUM(nneg) OVER (ORDER BY pb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS neg_below,
+        |    COALESCE(CAST(SUM(npos) OVER (ORDER BY pb DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS pos_above
+        |  FROM bins b, tot t),
+        |v AS (
+        |  SELECT *,
+        |    ROUND((neg_below + CAST(0.5 AS DOUBLE) * nneg) / nn, 10) AS v10,
+        |    ROUND((pos_above + CAST(0.5 AS DOUBLE) * npos) / m, 10) AS v01
+        |  FROM pl),
+        |a AS (
+        |  SELECT ROUND(CAST(SUM(CAST(ROUND(npos * v10, 10)
+        |      AS DECIMAL(28,10))) AS DOUBLE) / MAX(m), 10) AS auc
+        |  FROM v),
+        |s AS (
+        |  SELECT MAX(v.m) AS n_pos, MAX(v.nn) AS n_neg, MAX(a.auc) AS auc_r,
+        |    ROUND(CAST(SUM(CAST(ROUND(nneg * (v01 - a.auc) * (v01 - a.auc),
+        |      10) AS DECIMAL(28,10))) AS DOUBLE) / (MAX(v.nn) - 1), 10)
+        |      AS s01,
+        |    ROUND(CAST(SUM(CAST(ROUND(npos * (v10 - a.auc) * (v10 - a.auc),
+        |      10) AS DECIMAL(28,10))) AS DOUBLE) / (MAX(v.m) - 1), 10)
+        |      AS s10
+        |  FROM v, a)
+        |SELECT n_pos, n_neg, ROUND(auc_r, 6) AS auc,
+        |  ROUND(sqrt(s10 / n_pos + s01 / n_neg), 6) AS se
+        |FROM s""".stripMargin,
     "ml_wasserstein_drift" ->
       """WITH ev AS (
         |  SELECT event_type,
