@@ -78,6 +78,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftStoreTable(root, m.schema)
   }
 
+  /** SQL time travel — `SELECT ... FROM graft.ns.t VERSION AS OF 2` (a
+    * snapshot number) or `VERSION AS OF 'release-1'` (an immutable
+    * tag). The pinned table surfaces THAT snapshot's schema and scans
+    * exactly its file set, same contract as `.option("version"/"ref")`
+    * on the path surface. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootFor(ident)
+    val v =
+      if (version.forall(_.isDigit) && version.nonEmpty) version.toLong
+      else GraftStore.resolveRef(root, conf, version)
+    val m = GraftStore.manifestAt(root, conf, v)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftStoreTable(root, m.schema, pinned = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     require(partitions.isEmpty,

@@ -444,7 +444,8 @@ object GraftStore {
       .orElse(Option(options.get("ref")).map(resolveRef(root, conf, _)))
 }
 
-private[sources] class GraftStoreTable(root: String, schema0: StructType)
+private[sources] class GraftStoreTable(root: String, schema0: StructType,
+    pinned: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_store($root)"
   override def schema(): StructType = schema0
@@ -455,7 +456,10 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GsbScanBuilder(root,
-      GraftStore.pinnedVersion(root, GraftStore.driverConf(), options),
+      // a catalog-level pin (VERSION AS OF) wins; read options cover
+      // the path-based surface, which never constructs a pinned table
+      pinned.orElse(
+        GraftStore.pinnedVersion(root, GraftStore.driverConf(), options)),
       Option(options.get("sinceVersion")).map(_.toLong),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 

@@ -76,6 +76,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("already exists"), ex.getMessage)
   }
 
+  test("SQL time travel: VERSION AS OF takes a snapshot number or a tag name") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds6")
+    spark.sql("CREATE TABLE graft.ds6.tt (k BIGINT)")
+    spark.sql("INSERT INTO graft.ds6.tt VALUES (1), (2)")        // v2
+    GraftStore.tag(s"$warehouse/ds6/tt", "first-load")
+    spark.sql("INSERT INTO graft.ds6.tt VALUES (3), (4), (5)")   // v3
+    assert(spark.sql("SELECT count(*) FROM graft.ds6.tt").head.getLong(0) == 5)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.ds6.tt VERSION AS OF 2").head.getLong(0) == 2)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.ds6.tt VERSION AS OF 'first-load'")
+      .head.getLong(0) == 2)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.ds6.tt VERSION AS OF 99").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("tt"), ex.getMessage)
+  }
+
   test("writeStream.toTable lands micro-batches in a catalog table") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds5")
