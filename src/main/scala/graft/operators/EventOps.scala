@@ -1416,6 +1416,35 @@ object EventOps {
           round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
         .orderBy(col("event_type"))
     },
+    // l-diversity audit (Machanavajjhala et al. 2007, TKDD) — the
+    // companion gate to events_k_anonymity: k-anonymity only says each
+    // row hides among k peers; if all k peers share the SAME sensitive
+    // value the attacker still learns it (the homogeneity attack).
+    // Here QI = (event_type, hour-of-day) and the sensitive attribute
+    // is the value decade; per event_type: the realized l (minimum
+    // distinct sensitive values over its QI groups), group count, and
+    // the count + share of groups below l = 3 — the table that decides
+    // whether the release needs further generalization.
+    //
+    // Scale shape: one pass collapses the corpus to (QI, sensitive)
+    // rows (partial-agged map-side, bounded by |types|·24·|decades|);
+    // the distinct-per-group count and the audit are groupBys over
+    // that bounded table. All integers except the final 6dp share.
+    "events_l_diversity" -> { (s, dir) =>
+      val cells = events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"),
+          floor(col("value") / 10.0).as("sv"))
+        .agg(count(lit(1)).as("n"))
+      val groups = cells.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("l"))
+      groups.groupBy(col("event_type"))
+        .agg(min(col("l")).as("min_l"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("weak_groups"))
+        .withColumn("weak_share",
+          round(col("weak_groups").cast("double") / col("n_groups"), 6))
+        .orderBy(col("event_type"))
+    },
     // Welch's unequal-variance t statistic (Welch 1947, Biometrika) —
     // the significance readout on the events_cuped experiment: arms by
     // user_id % 2, metric = raw event value, t = (m₁−m₀)/√(v₁/n₁+v₀/n₀)
@@ -1481,6 +1510,24 @@ object EventOps {
       |ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_l_diversity" ->
+      """WITH cells AS (
+        |  SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr,
+        |    FLOOR(value / 10.0) AS sv, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT event_type, hr, COUNT(*) AS l
+        |  FROM cells GROUP BY event_type, hr),
+        |a AS (
+        |  SELECT event_type, CAST(MIN(l) AS BIGINT) AS min_l,
+        |    COUNT(*) AS n_groups,
+        |    CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS weak_groups
+        |  FROM g GROUP BY event_type)
+        |SELECT *, ROUND(CAST(weak_groups AS DOUBLE) / n_groups, 6)
+        |  AS weak_share
+        |FROM a
+        |ORDER BY event_type""".stripMargin,
     "events_ab_welch" ->
       """WITH mom AS (
         |  SELECT
