@@ -454,6 +454,22 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ)
 
+  /** Surfaced by DESCRIBE EXTENDED: the snapshot this table resolves to
+    * and every published ref — the at-a-glance lineage a user checks
+    * before pinning. O(refs) driver-side metadata reads. */
+  override def properties(): JMap[String, String] = {
+    val conf = GraftStore.driverConf()
+    val m = new java.util.HashMap[String, String]()
+    m.put("format", "graft-store")
+    m.put("location", root)
+    GraftStore.latestManifest(root, conf)
+      .foreach(man => m.put("current_version", man.version.toString))
+    pinned.foreach(v => m.put("pinned_version", v.toString))
+    GraftStore.listRefs(root, conf)
+      .foreach { case (n, v) => m.put(s"ref.$n", v.toString) }
+    m
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GsbScanBuilder(root,
       // a catalog-level pin (VERSION AS OF) wins; read options cover

@@ -95,6 +95,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("tt"), ex.getMessage)
   }
 
+  test("DESCRIBE EXTENDED surfaces current version and refs as table properties") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds7")
+    spark.sql("CREATE TABLE graft.ds7.meta (k BIGINT)")
+    spark.sql("INSERT INTO graft.ds7.meta VALUES (1)")
+    GraftStore.tag(s"$warehouse/ds7/meta", "v-one")
+    val props = spark.sql("DESCRIBE TABLE EXTENDED graft.ds7.meta")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val info = props.getOrElse("Table Properties", "")
+    assert(info.contains("current_version=2"), info)
+    assert(info.contains("ref.v-one=2"), info)
+  }
+
   test("writeStream.toTable lands micro-batches in a catalog table") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds5")
