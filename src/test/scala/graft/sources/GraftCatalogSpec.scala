@@ -126,6 +126,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(GraftStore.read(spark, s"$warehouse/ds5/sink").count() == 40)
   }
 
+  test("two concurrent CREATEs of the same table: exactly one winner (real threads)") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val wh = Files.createTempDirectory("gcat_race").toString
+    val cat = new GraftCatalog
+    cat.initialize("g", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("warehouse" -> wh).asJava))
+    cat.createNamespace(Array("ns"), Map.empty[String, String].asJava)
+    val ident = Identifier.of(Array("ns"), "raced")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        gate.await()
+        try { cat.createTable(ident, schema, Array.empty, Map.empty[String, String].asJava)
+          outcomes.add("ok") }
+        catch {
+          case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+            outcomes.add("exists")
+        }
+      }, s"create-race-$i")
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(outcomes.asScala.toSeq.sorted == Seq("exists", "ok"),
+      outcomes.asScala.toSeq.toString)
+    // the surviving table is the single v1 snapshot
+    assert(GraftStore.latestManifest(s"$wh/ns/raced",
+      GraftStore.driverConf()).get.version == 1L)
+  }
+
   test("INSERT onto a catalog table honors the widening-append evolution rule") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds4")
