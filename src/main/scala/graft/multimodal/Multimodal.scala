@@ -129,6 +129,36 @@ object Multimodal {
         }
       }
 
+    /** dHash: 56-bit x-gradient hash over the same 8×8 integer-gray
+      * crop as [[averageHash8x8]] — per row, bit = gray(x+1) strictly
+      * above gray(x), 8 rows × 7 comparisons in row-major order.
+      * Gradient structure keeps discriminating where aHash degenerates
+      * (many images thresholding to the same pattern); every compare is
+      * exact integer arithmetic, so the pixel-formula replay lands on
+      * the identical string. None if the payload doesn't decode or is
+      * smaller than 8×8. */
+    def differenceHash8x8(payload: Array[Byte]): Option[String] =
+      decode(payload).flatMap { img =>
+        if (img.getWidth < 8 || img.getHeight < 8) None
+        else {
+          def grayAt(x: Int, y: Int): Int = {
+            val rgb = img.getRGB(x, y) & 0xffffff
+            ((rgb >> 16) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
+          val sb = new StringBuilder(56)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 7) {
+              sb.append(if (grayAt(x + 1, y) > grayAt(x, y)) '1' else '0')
+              x += 1
+            }
+            y += 1
+          }
+          Some(sb.toString)
+        }
+      }
+
     private def decode(payload: Array[Byte]): Option[BufferedImage] =
       if (payload == null) None
       else

@@ -1796,6 +1796,31 @@ object MlOps {
 object MultimodalOps {
   import Tables._
 
+  /** Per synthetic image: 64-bit average-hash + 56-bit difference-hash
+    * (REAL PNG encode → ImageIO decode → integer-gray 8×8 crop), shared
+    * by mm_image_phash and mm_phash_neardup; the oracles replay the
+    * pixel formulas in SQL. */
+  private def imagePhashes(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal.ImageCodec
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("phash", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("dhash", org.apache.spark.sql.types.StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 8 + (id % 57).toInt
+          val h = 8 + (id % 41).toInt
+          val png = ImageCodec.encodePng(w, h, seed = id, alpha = id % 2 == 1)
+          org.apache.spark.sql.Row(id, ImageCodec.averageHash8x8(png).get,
+            ImageCodec.differenceHash8x8(png).get)
+        }
+      }(enc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // treat text as an opaque binary payload; deterministic fake "decode"
     // metadata (byte length, leading byte, synthetic frame shape)
@@ -1895,26 +1920,49 @@ object MultimodalOps {
     // codec layer breaks the 64-bit hash, not just one field. Per-row
     // decode, no shuffle until the 200-row hash table groups.
     "mm_image_phash" -> { (s, dir) =>
-      import graft.multimodal.Multimodal.ImageCodec
-      val outSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("phash", org.apache.spark.sql.types.StringType, nullable = false)))
-      val enc = org.apache.spark.sql.Encoders.row(outSchema)
-      val hashed = documents(s, dir)
-        .select(col("doc_id")).filter(col("doc_id") < 200)
-        .mapPartitions { rows =>
-          rows.map { r =>
-            val id = r.getLong(0)
-            val w = 8 + (id % 57).toInt
-            val h = 8 + (id % 41).toInt
-            val png = ImageCodec.encodePng(w, h, seed = id, alpha = id % 2 == 1)
-            org.apache.spark.sql.Row(id, ImageCodec.averageHash8x8(png).get)
-          }
-        }(enc)
-      hashed
+      imagePhashes(s, dir).select(col("doc_id"), col("phash"))
         .withColumn("n_same", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))))
         .orderBy(col("doc_id"))
+    },
+    // Perceptual near-duplicate image pairs — the multimodal twin of
+    // dedup_simhash_pairs: band each 56-bit dHash (x-gradient hash —
+    // aHash degenerates on this corpus, every near-dup collapsing to
+    // distance 0) into 4×14 bits, pair images sharing ANY band
+    // (pigeonhole: Hamming ≤ 3 over 4 bands forces ≥ 1 identical band,
+    // so the bucketing is EXACT for the d ≤ 3 regime, never a recall
+    // trade), then score candidates with the true bit distance and
+    // report the distance spectrum — the table that sizes a
+    // visual-dedup pass before anyone deletes anything.
+    //
+    // Scale shape: banding is the LSH discipline every dedup query
+    // here follows — candidates come from 14-bit-bucket equi-joins,
+    // never the image² cross join; the exact Hamming runs only on
+    // candidates. The synthetic corpus is deliberately hash-dense
+    // (thousands of candidate pairs from 200 images), so the spectrum
+    // exercises the full path. Per-row codec work stays row-local.
+    "mm_phash_neardup" -> { (s, dir) =>
+      val h = imagePhashes(s, dir).select(col("doc_id"), col("dhash"))
+        .localCheckpoint()
+      val bands = h.select(col("doc_id"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("band", expr("substring(dhash, b * 14 + 1, 14)"))
+      val cand = bands.select(col("b"), col("band"),
+          col("doc_id").as("da"), col("dhash").as("pa"))
+        .join(bands.select(col("b"), col("band"),
+          col("doc_id").as("db"), col("dhash").as("pb")), Seq("b", "band"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"), col("pa"), col("pb"))
+        .distinct()
+      cand
+        .withColumn("d", aggregate(
+          zip_with(split(col("pa"), ""), split(col("pb"), ""),
+            (x, y) => when(x === y, 0).otherwise(1)),
+          lit(0), (a, x) => a + x).cast("long"))
+        .filter(col("d") <= 3)
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("d"))
     },
     // REAL image-resize proof: encode → ImageIO decode → 4×4 block
     // mean-pool over every pixel, emitted as EXACT integer block sums
@@ -2075,6 +2123,42 @@ object MultimodalOps {
         |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
         |FROM h
         |ORDER BY doc_id""".stripMargin,
+    "mm_phash_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, y, x,
+        |    (((doc_id + x) % 256) + ((doc_id * 7 + y) % 256)
+        |     + ((doc_id * 13 + x + y) % 256)) // 3 AS gray
+        |  FROM (SELECT doc_id, unnest(range(0, 8)) AS y
+        |        FROM documents WHERE doc_id < 200) d,
+        |       unnest(range(0, 8)) AS t(x)),
+        |g AS (
+        |  SELECT doc_id, y, x, gray,
+        |    LEAD(gray) OVER (PARTITION BY doc_id, y ORDER BY x) AS ngray
+        |  FROM px),
+        |h AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN ngray > gray THEN '1' ELSE '0' END, ''
+        |               ORDER BY y, x) AS dh
+        |  FROM g WHERE x < 7 GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, dh, b, substr(dh, b * 14 + 1, 14) AS band
+        |  FROM h, unnest(range(0, 4)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
+        |    a.dh AS pa, c.dh AS pb
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id),
+        |ham AS (
+        |  SELECT da, db,
+        |    CAST(list_sum(list_transform(range(1, 57), i ->
+        |      CASE WHEN substr(pa, i, 1) = substr(pb, i, 1)
+        |           THEN 0 ELSE 1 END)) AS BIGINT) AS d
+        |  FROM cand)
+        |SELECT d, COUNT(*) AS n_pairs
+        |FROM ham
+        |WHERE d <= 3
+        |GROUP BY d
+        |ORDER BY d""".stripMargin,
     // replays encodeWav's LCG sample generator (x' = x·M + C mod 2^64)
     // with HUGEINT modular arithmetic; top-16-bits → signed short is
     // x // 2^48 with a two's-complement adjust

@@ -61,6 +61,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageCodec.decodeMeta(argb).contains((4, 4, 4)))
   }
 
+  test("ImageCodec: differenceHash8x8 matches the pixel-formula replay") {
+    import Multimodal.ImageCodec
+    // in-Scala twin of the mm_phash_neardup DuckDB oracle: per row,
+    // bit = gray(x+1) > gray(x) over the 8×8 crop, 56 bits row-major
+    def expected(seed: Long): String = {
+      def gray(x: Int, y: Int): Int = {
+        val rgb = ImageCodec.pixelRgb(seed, x, y)
+        ((rgb >> 16) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      }
+      (for (y <- 0 until 8; x <- 0 until 7)
+        yield if (gray(x + 1, y) > gray(x, y)) '1' else '0').mkString
+    }
+    for (seed <- Seq(0L, 1L, 7L, 123L, 250L)) {
+      val png = ImageCodec.encodePng(8 + (seed % 5).toInt, 9, seed, alpha = seed % 2 == 1)
+      val got = ImageCodec.differenceHash8x8(png)
+      assert(got.contains(expected(seed)), s"seed=$seed got=$got")
+      assert(got.get.length == 56)
+    }
+    assert(ImageCodec.differenceHash8x8(
+      ImageCodec.encodePng(7, 9, 1L, alpha = false)).isEmpty)
+    assert(ImageCodec.differenceHash8x8(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("ImageCodec: averageHash8x8 matches the pixel-formula replay; dedup semantics hold") {
     import Multimodal.ImageCodec
     // independent replay of the aHash arithmetic from pixelRgb — the
