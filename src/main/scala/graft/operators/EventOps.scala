@@ -1416,6 +1416,61 @@ object EventOps {
           round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
         .orderBy(col("event_type"))
     },
+    // Automation/bot detection by inter-arrival regularity — the
+    // data-quality gate an event pipeline runs before any behavioral
+    // metric: humans are bursty (coefficient of variation of the gaps
+    // between their events ≈ 1 for a Poisson process, higher with
+    // sessions), schedulers and replay bots are metronomic (CV → 0).
+    // Per user with ≥ 10 events: gap mean/std (exact integer-microsecond
+    // moment sums), CV = std/mean; flagged iff CV < 0.3. Output per
+    // event-volume decile of users: user count, flagged count, mean CV
+    // — the report that says how much of the corpus is machines. The
+    // clean fixture is Poisson-like (CV ≈ 1 throughout), so one
+    // deterministic metronomic user (9001: 50 events at exactly 1 s) is
+    // PLANTED in both engines — the planted-dirt discipline that keeps
+    // the flag path under the hash gate instead of vacuously green.
+    //
+    // Scale shape: gaps are one lag window per user (entity-partitioned,
+    // embarrassingly parallel); everything after collapses to per-user
+    // rows then to 10 decile rows. Integer microsecond arithmetic until
+    // the final divisions; std via the decimal moment discipline;
+    // decile = ntile-free exact rank mapping ((rk−1)·10 div n) so both
+    // engines cut identically.
+    "events_bot_detect" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val bot = s.range(1, 51).select(
+        lit(9001L).as("user_id"),
+        (col("id") + 9000000L).as("event_id"),
+        (col("id") * 1000000L).as("us"))
+      val gaps = events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .unionByName(bot)
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+        .filter(col("gap").isNotNull)
+      val perUser = gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sg"),
+          sum(col("gap").cast("decimal(38,0)") * col("gap")).as("sgg"))
+        .filter(col("n_gaps") >= 10)
+        .withColumn("mean_g", round(col("sg").cast("double") / col("n_gaps"), 6))
+        .withColumn("var_g", greatest(round(
+          col("sgg").cast("double") / col("n_gaps") -
+            col("mean_g") * col("mean_g"), 6), lit(0.0)))
+        .withColumn("cv", round(sqrt(col("var_g")) / col("mean_g"), 6))
+      val rk = Window.orderBy(col("n_gaps"), col("user_id"))
+      val n = Window.partitionBy()
+      perUser
+        .withColumn("rk", row_number().over(rk).cast("long"))
+        .withColumn("nall", count(lit(1)).over(n))
+        .withColumn("decile", expr("(rk - 1) * 10 div nall"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("cv") < 0.3, 1L).otherwise(0L)).as("n_flagged"),
+          DetMean.mean6(sum(DetMean.el10(col("cv"))), count(lit(1)))
+            .as("mean_cv"))
+        .orderBy(col("decile"))
+    },
     // l-diversity audit (Machanavajjhala et al. 2007, TKDD) — the
     // companion gate to events_k_anonymity: k-anonymity only says each
     // row hides among k peers; if all k peers share the SAME sensitive
@@ -1510,6 +1565,52 @@ object EventOps {
       |ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_bot_detect" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |  UNION ALL
+        |  SELECT CAST(9001 AS BIGINT), CAST(9000000 + i AS BIGINT),
+        |    CAST(i * 1000000 AS BIGINT)
+        |  FROM range(1, 51) t(i)),
+        |gaps AS (
+        |  SELECT user_id,
+        |    us - LAG(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS gap
+        |  FROM ev),
+        |pu AS (
+        |  SELECT user_id, COUNT(*) AS n_gaps,
+        |    CAST(SUM(gap) AS BIGINT) AS sg,
+        |    SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS sgg
+        |  FROM gaps WHERE gap IS NOT NULL
+        |  GROUP BY user_id HAVING COUNT(*) >= 10),
+        |cvt AS (
+        |  SELECT user_id, n_gaps,
+        |    ROUND(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_g,
+        |    sgg
+        |  FROM pu),
+        |cv2 AS (
+        |  SELECT user_id, n_gaps, mean_g,
+        |    GREATEST(ROUND(CAST(sgg AS DOUBLE) / n_gaps
+        |      - mean_g * mean_g, 6), CAST(0.0 AS DOUBLE)) AS var_g
+        |  FROM cvt),
+        |cvs AS (
+        |  SELECT user_id, n_gaps,
+        |    ROUND(sqrt(var_g) / mean_g, 6) AS cv
+        |  FROM cv2),
+        |dd AS (
+        |  SELECT cv,
+        |    (ROW_NUMBER() OVER (ORDER BY n_gaps, user_id) - 1) * 10
+        |      // COUNT(*) OVER () AS decile
+        |  FROM cvs)
+        |SELECT decile, COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN cv < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  ROUND(CAST(SUM(CAST(ROUND(cv, 10) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / COUNT(*), 6) AS mean_cv
+        |FROM dd
+        |GROUP BY decile
+        |ORDER BY decile""".stripMargin,
     "events_l_diversity" ->
       """WITH cells AS (
         |  SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr,
