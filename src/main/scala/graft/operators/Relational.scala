@@ -57,6 +57,10 @@ object Relational {
       .select(col("pa"), col("pb"))
   }
 
+  /** graph_spectral_cut power iterations — few enough to keep the
+    * unrolled oracle readable, plenty for a stable sign structure. */
+  private val SpectralIters = 8
+
   /** DuckDB CTE prefix defining `edges(pa, pb)` — the oracle replay of
     * [[affinityEdges]], shared by every graph-family oracle. */
   private val affinitySql: String =
@@ -1130,6 +1134,83 @@ object Relational {
           round(max(col("prob")), 6).as("max_prob"))
         .orderBy(col("step_type"))
     },
+    // Spectral bisection (Fiedler 1973; Shi & Malik 2000's normalized
+    // cut) — the classic partitioner: power-iterate the normalized
+    // adjacency N = D^-½ A D^-½ with the trivial eigenvector D^½·1
+    // deflated out each step, then cut on the sign of the resulting
+    // (approximate Fiedler-direction) vector. Output: one row with node
+    // and edge counts, the two partition sizes, the CUT SIZE (edges
+    // crossing the sign boundary — the quantity the method minimizes),
+    // and the Rayleigh quotient λ₂ estimate at the fixed iteration
+    // budget (SpectralIters, deterministic start x₀(v) = v mod 7 − 3).
+    // On this affinity graph the near-balanced cut with λ₂ well below 1
+    // is the structurally CORRECT reading — random co-occurrence graphs
+    // are expander-like and admit no sparse cut; the query's value is
+    // the exact distributed machinery, which transfers unchanged to
+    // graphs that do have structure.
+    //
+    // Scale shape: pagerank's cost class — each iteration is two scalar
+    // broadcasts (deflation coefficient, norm) and ONE edge-linear
+    // equi-join matvec into a node-bounded vector, checkpointed per
+    // step so lineage stays flat. Nothing holds more than
+    // (edges + nodes) rows. Determinism: every scalar (c, norm, λ) is
+    // an exact-decimal sum followed by one division/sqrt rounded 10dp,
+    // and the vector is re-pinned at 10dp each step, so both engines
+    // walk the identical float sequence and the sign cut cannot
+    // straddle differently.
+    "graph_spectral_cut" -> { (s, dir) =>
+      val e = affinityEdges(s, dir).localCheckpoint()
+      val sym = e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+        .localCheckpoint()
+      val nodes = sym.groupBy(col("u").as("v")).agg(count(lit(1)).as("d"))
+        .withColumn("sv", round(sqrt(col("d")), 10))
+      var x = nodes.select(col("v"), col("sv"),
+        round((col("v") % 7 - 3).cast("double"), 10).as("x"))
+        .localCheckpoint()
+      for (_ <- 1 to SpectralIters) {
+        val c = x.agg(
+            sum(DetMean.el10(col("x") * col("sv"))).as("xs"),
+            sum(DetMean.el10(col("sv") * col("sv"))).as("ss"))
+          .select(round(col("xs").cast("double") / col("ss").cast("double"),
+            10).as("c"))
+        val defl = x.crossJoin(broadcast(c))
+          .withColumn("z",
+            round(round(col("x") - col("c") * col("sv"), 10) / col("sv"), 10))
+          .select(col("v"), col("sv"), col("z"))
+        val zsum = sym
+          .join(defl.select(col("v").as("u"), col("z")), Seq("u"))
+          .groupBy(col("v")).agg(sum(DetMean.el10(col("z"))).as("zs"))
+        val y = defl.select(col("v"), col("sv")).join(zsum, Seq("v"))
+          .withColumn("y", round(col("zs").cast("double") / col("sv"), 10))
+        val nrm = y.agg(sum(DetMean.el10(col("y") * col("y"))).as("yy"))
+          .select(round(sqrt(col("yy").cast("double")), 10).as("nr"))
+        x = y.crossJoin(broadcast(nrm))
+          .select(col("v"), col("sv"),
+            round(col("y") / col("nr"), 10).as("x"))
+          .localCheckpoint()
+      }
+      // Rayleigh quotient: λ ≈ x'Nx via one more (unnormalized) matvec
+      val zf = x.withColumn("z", round(col("x") / col("sv"), 10))
+      val zsf = sym.join(zf.select(col("v").as("u"), col("z")), Seq("u"))
+        .groupBy(col("v")).agg(sum(DetMean.el10(col("z"))).as("zs"))
+      val lam = x.join(zsf, Seq("v"))
+        .withColumn("y", round(col("zs").cast("double") / col("sv"), 10))
+        .agg(round(sum(DetMean.el10(col("x") * col("y"))).cast("double"), 6)
+          .as("lambda2"))
+      val signs = x.select(col("v"), (col("x") < 0).as("neg"))
+        .localCheckpoint()
+      val cut = e
+        .join(signs.select(col("v").as("pa"), col("neg").as("na")), Seq("pa"))
+        .join(signs.select(col("v").as("pb"), col("neg").as("nb")), Seq("pb"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)).as("cut_edges"))
+      val sizes = signs.agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("neg"), 1L).otherwise(0L)).as("n_neg"))
+      sizes.crossJoin(cut).crossJoin(lam)
+        .select(col("n_nodes"), col("n_neg"), col("n_edges"),
+          col("cut_edges"), col("lambda2"))
+    },
     // HITS hubs & authorities (Kleinberg 1999, JACM) — two UNROLLED
     // iterations over the directed (pa→pb) affinity graph, kept in
     // EXACT integer arithmetic by deferring normalization: with h⁰=1,
@@ -2045,6 +2126,72 @@ object Relational {
          |FROM probs
          |GROUP BY step_type
          |ORDER BY step_type""".stripMargin,
+    "graph_spectral_cut" -> {
+      val iters = (1 to SpectralIters).map { i =>
+        val p = i - 1
+        s"""c$i AS (
+           |  SELECT ROUND(
+           |    CAST(SUM(CAST(ROUND(x * sv, 10) AS DECIMAL(28,10))) AS DOUBLE)
+           |    / CAST(SUM(CAST(ROUND(sv * sv, 10) AS DECIMAL(28,10)))
+           |        AS DOUBLE), 10) AS c
+           |  FROM x$p),
+           |d$i AS MATERIALIZED (
+           |  SELECT v, sv, ROUND(ROUND(x - c * sv, 10) / sv, 10) AS z
+           |  FROM x$p, c$i),
+           |zs$i AS (
+           |  SELECT s.v AS v,
+           |    SUM(CAST(ROUND(d.z, 10) AS DECIMAL(28,10))) AS zs
+           |  FROM sym s JOIN d$i d ON d.v = s.u
+           |  GROUP BY s.v),
+           |y$i AS MATERIALIZED (
+           |  SELECT d.v, d.sv, ROUND(CAST(z.zs AS DOUBLE) / d.sv, 10) AS y
+           |  FROM d$i d JOIN zs$i z ON z.v = d.v),
+           |n$i AS (
+           |  SELECT ROUND(sqrt(CAST(SUM(CAST(ROUND(y * y, 10)
+           |    AS DECIMAL(28,10))) AS DOUBLE)), 10) AS nr
+           |  FROM y$i),
+           |x$i AS MATERIALIZED (
+           |  SELECT v, sv, ROUND(y / nr, 10) AS x FROM y$i, n$i)""".stripMargin
+      }
+      val K = SpectralIters
+      s"""WITH $affinitySql,
+         |edges2 AS MATERIALIZED (SELECT pa, pb FROM edges),
+         |sym AS MATERIALIZED (
+         |  SELECT pa AS u, pb AS v FROM edges2
+         |  UNION ALL SELECT pb AS u, pa AS v FROM edges2),
+         |nodes AS (
+         |  SELECT u AS v, ROUND(sqrt(COUNT(*)), 10) AS sv
+         |  FROM sym GROUP BY u),
+         |x0 AS (
+         |  SELECT v, sv, ROUND(CAST(v % 7 - 3 AS DOUBLE), 10) AS x
+         |  FROM nodes),
+         |${iters.mkString(",\n")},
+         |zf AS (SELECT v, sv, x, ROUND(x / sv, 10) AS z FROM x$K),
+         |zsf AS (
+         |  SELECT s.v AS v,
+         |    SUM(CAST(ROUND(zf.z, 10) AS DECIMAL(28,10))) AS zs
+         |  FROM sym s JOIN zf ON zf.v = s.u
+         |  GROUP BY s.v),
+         |lam AS (
+         |  SELECT ROUND(CAST(SUM(CAST(ROUND(
+         |      x.x * ROUND(CAST(z.zs AS DOUBLE) / x.sv, 10), 10)
+         |    AS DECIMAL(28,10))) AS DOUBLE), 6) AS lambda2
+         |  FROM x$K x JOIN zsf z ON z.v = x.v),
+         |sg AS MATERIALIZED (SELECT v, (x < 0) AS neg FROM x$K),
+         |cut AS (
+         |  SELECT COUNT(*) AS n_edges,
+         |    CAST(SUM(CASE WHEN a.neg <> b.neg THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cut_edges
+         |  FROM edges2 e
+         |  JOIN sg a ON a.v = e.pa
+         |  JOIN sg b ON b.v = e.pb),
+         |sz AS (
+         |  SELECT COUNT(*) AS n_nodes,
+         |    CAST(SUM(CASE WHEN neg THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+         |  FROM sg)
+         |SELECT n_nodes, n_neg, n_edges, cut_edges, lambda2
+         |FROM sz, cut, lam""".stripMargin
+    },
     "graph_hits" ->
       s"""WITH $affinitySql,
          |a1 AS (
