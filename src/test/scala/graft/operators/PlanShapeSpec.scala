@@ -1068,6 +1068,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("dedup_cdc_chunks: chunking is windows + aggregates, no join at all") {
+    val p = plan("dedup_cdc_chunks")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("text_rake_keyphrases: word scores broadcast; top-15 is TakeOrderedAndProject") {
+    val p = plan("text_rake_keyphrases")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ml_wasserstein_drift: closed-form W1 is one collapse then windows, no join") {
+    val p = plan("ml_wasserstein_drift")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("mm_phash_neardup: candidates ride the band equi-join, never image² cartesian") {
+    val p = plan("mm_phash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("corpus_doremi_step: corpus collapses to domain rows before any join") {
     // the only joins are one-row broadcast totals onto the k-domain
     // table; the corpus-wide groupBy must partial-aggregate map-side
