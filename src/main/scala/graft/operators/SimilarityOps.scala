@@ -672,6 +672,44 @@ object SimilarityOps {
         .withColumn("recall", round(col("n_hits") / lit(IvfTopK.toDouble), 2))
         .orderBy(col("dims"), col("probe_id"))
     },
+    // Embedding anisotropy audit (Ethayarajh 2019, EMNLP: "How
+    // Contextual are Contextualized Word Representations?") — the
+    // geometry health check an embedding owner runs before trusting
+    // cosine retrieval: in a healthy space, unrelated pairs center near
+    // cosine 0; anisotropic spaces (a few rogue high-variance
+    // dimensions) push the whole distribution toward +1, silently
+    // compressing every similarity score. Pairs are the deterministic
+    // stride rule (i, i+199) — RNG-free "random" pairs, prime stride
+    // coprime to any id periodicity. Output: the 0.1-wide cosine
+    // histogram with per-bin share and mean — the anisotropy curve.
+    //
+    // Scale shape: ONE self-equi-join on the shifted id (hash join on
+    // vec_id, never pairwise) then a partial-aggregated 20-bin
+    // collapse; at any corpus size this is one shuffle of N rows.
+    // Determinism: 6dp cosines, integer binning on the rounded value,
+    // decimal-sum bin means.
+    "emb_anisotropy" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val pairs = e.select(col("vec_id"), col("v"))
+        .join(e.select((col("vec_id") - 199).as("vec_id"), col("v").as("vb")),
+          Seq("vec_id"))
+        .select(round(cos(col("v"), col("vb")), 6).as("cs"))
+      val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+      pairs
+        .withColumn("bin", least(lit(19L),
+          greatest(lit(0L), floor((col("cs") + 1.0) * 10).cast("long"))))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          DetMean.mean6(sum(DetMean.el10(col("cs"))), count(lit(1)))
+            .as("mean_cos"))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"),
+          round(col("n").cast("double") / col("n_pairs"), 6).as("share"),
+          col("mean_cos"))
+        .orderBy(col("bin"))
+    },
     // k-center greedy coreset (Gonzalez 1985; Sener & Savarese 2018,
     // ICLR: active learning as core-set selection) — farthest-point
     // sampling over the embedding corpus: repeatedly pick the point
@@ -1149,6 +1187,25 @@ object SimilarityOps {
          |WHERE vec_id <> $PROBE_ID
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
+    "emb_anisotropy" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT ${cosSql("a.v", "b.v")} AS cs
+         |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 199),
+         |tot AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+         |binned AS (
+         |  SELECT LEAST(CAST(19 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+         |    CAST(FLOOR((cs + 1.0) * 10) AS BIGINT))) AS bin, cs
+         |  FROM pairs)
+         |SELECT bin, COUNT(*) AS n,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n_pairs, 6) AS share,
+         |  ROUND(CAST(SUM(CAST(ROUND(cs, 10) AS DECIMAL(28,10)))
+         |    AS DOUBLE) / COUNT(*), 6) AS mean_cos
+         |FROM binned, tot
+         |GROUP BY bin, tot.n_pairs
+         |ORDER BY bin""".stripMargin,
     "emb_coreset_kcenter" -> {
       val steps = (1 to CoresetK).map { i =>
         s"""s$i AS (
