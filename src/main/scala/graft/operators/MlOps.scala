@@ -932,6 +932,53 @@ object MlOps {
           round(col("s2r") / col("z2"), 6).as("s2"))
         .orderBy(col("event_type"))
     },
+    // Murphy decomposition of the Brier score (Murphy 1973, J. Appl.
+    // Meteorology) — the calibration readout that says WHY a
+    // probabilistic classifier's squared error is what it is:
+    // Brier = reliability − resolution + uncertainty, where reliability
+    // is miscalibration (bin forecast vs bin outcome rate), resolution
+    // is how far bin outcome rates spread from the base rate (the
+    // discriminative signal), and uncertainty is the irreducible
+    // ȳ(1−ȳ). Same score/label/bin setup as ml_auc and
+    // ml_calibration_bins; the Brier here uses the bin-mean forecast so
+    // the three-term identity is EXACT, and all four numbers come out
+    // of one row — the identity itself rides the hash gate.
+    //
+    // Scale shape: the corpus collapses map-side to ≤10³ score bins
+    // carrying (n, npos, Σp); every term is then a decimal-sum fold
+    // over bins with one broadcast base-rate row. Determinism: bin
+    // means one division rounded 10dp; per-bin terms exact products of
+    // those rounded 10dp into decimal sums; finals at 6dp.
+    "ml_brier_decomposition" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+      val bins = embeddings(s, dir)
+        .select(round(p, 3).as("pb"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("pb"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"),
+          sum(DetMean.el10(col("pb"))).as("sp"))
+      val base = bins.agg(sum(col("n")).as("nt"), sum(col("npos")).as("post"))
+        .withColumn("ybar", round(col("post").cast("double") / col("nt"), 10))
+      bins.crossJoin(broadcast(base))
+        .withColumn("pk", round(col("sp").cast("double") / col("n"), 10))
+        .withColumn("yk", round(col("npos").cast("double") / col("n"), 10))
+        .agg(max(col("nt")).as("n"),
+          round(max(col("ybar")), 6).as("base_rate"),
+          round(sum(round(col("n") * (col("pk") - col("yk")) *
+              (col("pk") - col("yk")), 10).cast("decimal(28,10)"))
+            .cast("double") / max(col("nt")), 6).as("reliability"),
+          round(sum(round(col("n") * (col("yk") - col("ybar")) *
+              (col("yk") - col("ybar")), 10).cast("decimal(28,10)"))
+            .cast("double") / max(col("nt")), 6).as("resolution"),
+          round(max(col("ybar")) * (lit(1.0) - max(col("ybar"))), 6)
+            .as("uncertainty"),
+          round(sum(round(col("n") * col("pk") * col("pk") -
+              lit(2.0) * col("pk") * col("npos") + col("npos"), 10)
+              .cast("decimal(28,10)"))
+            .cast("double") / max(col("nt")), 6).as("brier"))
+    },
     // DeLong AUC standard error (DeLong, DeLong & Clarke-Pearson 1988,
     // Biometrics) — the CI machinery behind every "is model A really
     // better" call: AUC as the mean of per-positive placement values
@@ -1079,6 +1126,35 @@ object MlOps {
     })
 
   val oracles: Map[String, String] = Map(
+    "ml_brier_decomposition" ->
+      """WITH sc AS (
+        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |bins AS (
+        |  SELECT pb, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS npos,
+        |    SUM(CAST(ROUND(pb, 10) AS DECIMAL(28,10))) AS sp
+        |  FROM sc GROUP BY pb),
+        |base AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |    ROUND(CAST(SUM(npos) AS DOUBLE) / SUM(n), 10) AS ybar
+        |  FROM bins),
+        |k AS (
+        |  SELECT b.n, b.npos, base.nt, base.ybar,
+        |    ROUND(CAST(b.sp AS DOUBLE) / b.n, 10) AS pk,
+        |    ROUND(CAST(b.npos AS DOUBLE) / b.n, 10) AS yk
+        |  FROM bins b, base)
+        |SELECT MAX(nt) AS n,
+        |  ROUND(MAX(ybar), 6) AS base_rate,
+        |  ROUND(CAST(SUM(CAST(ROUND(n * (pk - yk) * (pk - yk), 10)
+        |    AS DECIMAL(28,10))) AS DOUBLE) / MAX(nt), 6) AS reliability,
+        |  ROUND(CAST(SUM(CAST(ROUND(n * (yk - ybar) * (yk - ybar), 10)
+        |    AS DECIMAL(28,10))) AS DOUBLE) / MAX(nt), 6) AS resolution,
+        |  ROUND(MAX(ybar) * (1.0 - MAX(ybar)), 6) AS uncertainty,
+        |  ROUND(CAST(SUM(CAST(ROUND(n * pk * pk - 2.0 * pk * npos + npos, 10)
+        |    AS DECIMAL(28,10))) AS DOUBLE) / MAX(nt), 6) AS brier
+        |FROM k""".stripMargin,
     "ml_auc_delong" ->
       """WITH sc AS (
         |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(

@@ -1134,6 +1134,43 @@ object Relational {
           round(max(col("prob")), 6).as("max_prob"))
         .orderBy(col("step_type"))
     },
+    // 4-cycle (square) motif census — the next motif after the triangle
+    // census and the quantity behind bipartite-ish community detection
+    // and the "caveman vs core-periphery" diagnostics: every unordered
+    // node pair with c ≥ 2 common neighbors closes C(c,2) squares, and
+    // each square is counted at BOTH of its diagonals, so
+    // #C4 = Σ_pairs C(c,2) / 2 — exact integer arithmetic end to end.
+    // Output: one row of the census (nodes, edges, wedges, co-path
+    // pairs, squares).
+    //
+    // Scale shape: the common-neighbor table is the Σdeg² wedge join on
+    // the support-sparsified graph — graph_triangles' cost class, with
+    // the sparsifier applied BEFORE the join (the only thing that keeps
+    // motif counting alive at catalog scale); the census is a 1-row
+    // fold over pair-bounded state. Division by 2 is exact (the sum is
+    // provably even).
+    "graph_squares" -> { (s, dir) =>
+      val e = affinityEdges(s, dir).localCheckpoint()
+      val sym = e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionAll(e.select(col("pb").as("u"), col("pa").as("v"))).localCheckpoint()
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(
+        sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+      val cn = sym.select(col("u").as("a"), col("v").as("b"))
+        .join(sym.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+        .filter(col("a") < col("c"))
+        .groupBy(col("a"), col("c")).agg(count(lit(1)).as("cnt"))
+      val sq = cn
+        .agg(count(lit(1)).as("n_copath_pairs"),
+          sum(expr("cnt * (cnt - 1) div 2")).as("diag2"))
+        .select(col("n_copath_pairs"),
+          expr("diag2 div 2").cast("long").as("n_squares"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      wedges.crossJoin(ne).crossJoin(sq)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_copath_pairs"), col("n_squares"))
+    },
     // Spectral bisection (Fiedler 1973; Shi & Malik 2000's normalized
     // cut) — the classic partitioner: power-iterate the normalized
     // adjacency N = D^-½ A D^-½ with the trivial eigenvector D^½·1
@@ -2126,6 +2163,28 @@ object Relational {
          |FROM probs
          |GROUP BY step_type
          |ORDER BY step_type""".stripMargin,
+    "graph_squares" ->
+      s"""WITH $affinitySql,
+         |sym AS MATERIALIZED (
+         |  SELECT pa AS u, pb AS v FROM edges
+         |  UNION ALL SELECT pb AS u, pa AS v FROM edges),
+         |deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+         |w AS (
+         |  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+         |    COUNT(*) AS n_nodes
+         |  FROM deg),
+         |cn AS (
+         |  SELECT s1.u AS a, s2.v AS c, COUNT(*) AS cnt
+         |  FROM sym s1 JOIN sym s2 ON s2.u = s1.v
+         |  WHERE s1.u < s2.v
+         |  GROUP BY s1.u, s2.v),
+         |sq AS (
+         |  SELECT COUNT(*) AS n_copath_pairs,
+         |    CAST(SUM(cnt * (cnt - 1) // 2) // 2 AS BIGINT) AS n_squares
+         |  FROM cn),
+         |ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+         |SELECT n_nodes, n_edges, n_wedges, n_copath_pairs, n_squares
+         |FROM w, ne, sq""".stripMargin,
     "graph_spectral_cut" -> {
       val iters = (1 to SpectralIters).map { i =>
         val p = i - 1
