@@ -687,6 +687,41 @@ object TextOps {
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)
     },
+    // Word burstiness (Church & Gale 1995, "Poisson mixtures"): the
+    // variance-to-mean ratio of a word's per-document count — ≈ 1 for
+    // Poisson-scattered function words, ≫ 1 for bursty content words
+    // that pile into the few documents about their topic. The statistic
+    // LM-data curation reads to separate topical vocabulary from glue,
+    // and a classic feature for keyword weighting. Computed for the
+    // top-BurstTopK corpus words over ALL documents (absent = count 0,
+    // handled by N-normalized moments, never a dense word×doc join).
+    //
+    // Scale shape: one word explode collapses map-side to (word, doc)
+    // counts, then to per-word moment sums over the OCCURRING docs; the
+    // zeros enter through the closed form (Σc and Σc² are unchanged by
+    // zero rows, only N is corpus doc count — a 1-row broadcast). The
+    // top-K cut is TakeOrderedAndProject. Determinism: integer moments,
+    // two divisions rounded 6/10dp.
+    "text_burstiness" -> { (s, dir) =>
+      val docsN = documents(s, dir).agg(count(lit(1)).as("nd"))
+      val wd = documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+      wd.groupBy(col("w"))
+        .agg(sum(col("c")).as("freq"),
+          sum(col("c") * col("c")).as("sc2"),
+          count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(docsN))
+        .withColumn("mean_c", round(col("freq").cast("double") / col("nd"), 10))
+        .select(col("w"), col("freq"), col("n_docs"),
+          round(col("mean_c"), 6).as("mean_count"),
+          round((col("sc2").cast("double") / col("nd") -
+            col("mean_c") * col("mean_c")) / col("mean_c"), 6)
+            .as("burstiness"))
+        .orderBy(col("freq").desc, col("w"))
+        .limit(20)
+    },
     // RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010,
     // "Automatic Keyword Extraction from Individual Documents") — the
     // classic unsupervised keyphrase scorer: candidate phrases are the
@@ -830,6 +865,30 @@ object TextOps {
        |LIMIT 15""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_burstiness" ->
+      """WITH nd AS (SELECT COUNT(*) AS nd FROM documents),
+        |wd AS (
+        |  SELECT w, doc_id, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE len(w) > 0
+        |  GROUP BY w, doc_id),
+        |m AS (
+        |  SELECT w, CAST(SUM(c) AS BIGINT) AS freq,
+        |    CAST(SUM(c * c) AS BIGINT) AS sc2,
+        |    COUNT(*) AS n_docs
+        |  FROM wd GROUP BY w),
+        |k AS (
+        |  SELECT w, freq, n_docs, nd.nd,
+        |    ROUND(CAST(freq AS DOUBLE) / nd.nd, 10) AS mean_c, sc2
+        |  FROM m, nd)
+        |SELECT w, freq, n_docs,
+        |  ROUND(mean_c, 6) AS mean_count,
+        |  ROUND((CAST(sc2 AS DOUBLE) / nd - mean_c * mean_c) / mean_c, 6)
+        |    AS burstiness
+        |FROM k
+        |ORDER BY freq DESC, w
+        |LIMIT 20""".stripMargin,
     "text_rake_keyphrases" ->
       """WITH wp AS (
         |  SELECT doc_id, i AS pos, ws[i] AS w
