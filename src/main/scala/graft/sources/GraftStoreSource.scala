@@ -353,6 +353,12 @@ object GraftStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-store").load(path)
 
+  /** Latest complete snapshot version, or None for an empty/absent
+    * store — the cheap existence probe a write-if-absent materializer
+    * needs (one directory listing, no data touched). */
+  def currentVersion(path: String): Option[Long] =
+    latestManifest(path, driverConf()).map(_.version)
+
   /** Incremental (CDC-style) read: rows in files the CURRENT snapshot
     * has that snapshot `sinceVersion` lacked. For an append-only store
     * this is exactly the appended rows; rewrites (overwrite/compaction)
