@@ -57,23 +57,13 @@ object Relational {
       .select(col("pa"), col("pb"))
   }
 
-  /** Per-process token for shared tmp store roots (r11 ADVICE): two
-    * concurrent harness processes (bench + correctness, parallel CI)
-    * must not race on one store directory, while within a process the
-    * path must stay STABLE so a write-if-absent materializer actually
-    * reuses its own snapshot. The pid is exactly that: fixed for the
-    * session, distinct across processes. */
-  private lazy val procToken: String = ProcessHandle.current().pid().toString
-
   /** Store root for the MATERIALIZED affinity graph — the build-once /
     * probe-many shape the 100 TB deployment uses (the graph is built at
     * ingest, not per query). Keyed by fixture dir so sf0.001/0.01/0.1
     * runs never cross-read, and by process so concurrent harnesses
-    * never cross-write. */
+    * never cross-write (see [[StoreRoots.tmpRoot]]). */
   private def affinityRoot(dir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-store-affinity-${new java.io.File(dir).getName}-p$procToken")
-      .getAbsolutePath
+    StoreRoots.tmpRoot("affinity", dir)
 
   /** Write the support-≥2 affinity edge table to graft-store IF this
     * process hasn't yet, and return a snapshot-pinned read of it. The
@@ -87,13 +77,8 @@ object Relational {
     * semantics-free; a hash match between each stored twin and its
     * self-contained sibling proves the store hop changes nothing. */
   private def storedAffinityEdges(s: SparkSession, dir: String): DataFrame =
-    this.synchronized {
-      val root = affinityRoot(dir)
-      if (graft.sources.GraftStore.currentVersion(root).isEmpty)
-        graft.sources.GraftStore.write(affinityEdges(s, dir), root,
-          overwrite = true)
-      graft.sources.GraftStore.read(s, root)
-    }
+    graft.sources.GraftStore.materializeOnce(s, affinityRoot(dir))(
+      affinityEdges(s, dir))
 
   /** graph_spectral_cut power iterations — few enough to keep the
     * unrolled oracle readable, plenty for a stable sign structure. */
@@ -2869,6 +2854,25 @@ object Relational {
   * round the quotient to 6dp. DuckDB mirror:
   * `ROUND(CAST(SUM(CAST(ROUND(x, 10) AS DECIMAL(28,10))) AS DOUBLE)
   *    / n, 6)`. */
+/** Tmp-dir graft-store roots for per-process materialized artifacts. */
+private[operators] object StoreRoots {
+  /** Per-process token for shared tmp store roots (r11 ADVICE): two
+    * concurrent harness processes (bench + correctness, parallel CI)
+    * must not race on one store directory, while within a process the
+    * path must stay STABLE so a write-if-absent materializer actually
+    * reuses its own snapshot. The pid is exactly that: fixed for the
+    * session, distinct across processes. */
+  private lazy val procToken: String = ProcessHandle.current().pid().toString
+
+  /** `/tmp/graft-store-<kind>-<fixture>-p<pid>` — keyed by fixture dir
+    * so sf0.001/0.01/0.1 runs never cross-read, and by process so
+    * concurrent harnesses never cross-write. */
+  def tmpRoot(kind: String, dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-store-$kind-${new java.io.File(dir).getName}-p$procToken")
+      .getAbsolutePath
+}
+
 private[operators] object DetMean {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._

@@ -352,6 +352,60 @@ object SimilarityOps {
         .filter(col("rk") <= IvfTopK)
         .orderBy(col("probe_id"), col("rk"))
     },
+    // Index-at-ingest, step 1: TRAIN the IVF index once — assign every
+    // corpus vector to its nearest literal-codebook cell — and persist
+    // (vec_id, cell, v) to graft-store. This is the production split
+    // 100 TB retrieval requires: the assignment scan runs once per
+    // ingest (here: once per process, alphabetically before the probe
+    // twin in any full sweep), and every probe thereafter reads the
+    // manifest-pinned snapshot instead of re-deriving geometry per
+    // query. Storing v alongside the cell key makes the snapshot a real
+    // IVF index — a cell-keyed layout the probe scans pruned — and the
+    // store codec round-trips doubles bit-exactly, so probe cosines
+    // over stored vectors hash-match the parquet-derived truth. Oracle
+    // replays the assignment rule (nearest cell, ties to the smaller
+    // cell id): a hash match proves train→commit→read is lossless.
+    "ann_ivf_index_stored" -> { (s, dir) =>
+      val root = StoreRoots.tmpRoot("ivfidx", dir)
+      graft.sources.GraftStore.write(ivfIndexTable(s, dir), root,
+        overwrite = true)
+      graft.sources.GraftStore.read(s, root)
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    },
+    // Index-at-ingest, step 2: PROBE the stored IVF index. Everything —
+    // centroids (the K index rows with vec_id < IvfCells), probe
+    // vectors, and the cell-assigned corpus — comes from the snapshot;
+    // the plan contains index-table scans, a cell equi-join against the
+    // broadcast probe fan-out, and per-probe top-k, but NO training
+    // stage and NO parquet corpus scan (gated in PlanShapeSpec).
+    // Hash-gated against the same oracle as ann_ivf_probe: the stored
+    // index must reproduce the exact candidate rule.
+    "ann_ivf_probe_stored" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val idx = storedIvfIndex(s, dir)
+      // probe side gets its OWN snapshot read (fresh expression ids —
+      // the ann_ivf_probe self-join-dedup hazard applies to DSv2 scans
+      // too), and the centroid collect pulls K rows from the INDEX, not
+      // from a training pass
+      val idxProbes = storedIvfIndex(s, dir)
+      val cellSims = ivfCellSims(idxProbes.select(col("vec_id"), col("v")))
+      val probes = idxProbes
+        .filter(col("vec_id").isin(IvfProbeIds.map(_.toLong): _*))
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          explode(transform(
+            slice(reverse(array_sort(cellSims(col("v")))), 1, IvfNProbe),
+            c => c.getField("cell"))).as("pcell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      idx.join(broadcast(probes), col("cell") === col("pcell") &&
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cos(col("v"), col("p")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= IvfTopK)
+        .orderBy(col("probe_id"), col("rk"))
+    },
     // Hard-negative mining — the contrastive-training data op that
     // closes the retrieval loop: for each sampled labeled anchor, the
     // top-3 most-similar vectors with a DIFFERENT label (the negatives
@@ -1017,6 +1071,25 @@ object SimilarityOps {
         round(cos(col("va"), col("vb")), 6).as("c"))
   }
 
+  /** The full IVF index table (vec_id, cell, v): every corpus vector
+    * with its nearest-literal-codebook cell assignment — the artifact
+    * ann_ivf_index_stored persists and ann_ivf_probe_stored scans. */
+  private def ivfIndexTable(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cellSims = ivfCellSims(e)
+    e.select(col("vec_id"),
+      array_max(cellSims(col("v"))).getField("cell").as("cell"),
+      col("v"))
+  }
+
+  /** Snapshot-pinned read of the stored IVF index, building it once per
+    * process if absent (so the probe twin stays self-contained when run
+    * alone, and pays only the scan when the index query ran first). */
+  private def storedIvfIndex(s: SparkSession, dir: String): DataFrame =
+    graft.sources.GraftStore.materializeOnce(s,
+      StoreRoots.tmpRoot("ivfidx", dir))(ivfIndexTable(s, dir))
+
   private def ivfCellSims(e: DataFrame): Column => Column = {
     val cos = graft.functions.VectorFunctions.cosine_sim _
     val cents = e.filter(col("vec_id") < IvfCells).collect().sortBy(_.getLong(0))
@@ -1334,6 +1407,24 @@ object SimilarityOps {
          |GROUP BY probe_id
          |ORDER BY probe_id""".stripMargin,
     "ann_ivf_probe" -> ivfProbeOracle,
+    // The stored-index probe replays the SAME oracle: the persisted
+    // geometry must reproduce the exact candidate rule, hash-identically.
+    "ann_ivf_probe_stored" -> ivfProbeOracle,
+    // The index build replays the assignment rule (nearest literal-
+    // codebook cell, ties to the smaller cell id) row for row.
+    "ann_ivf_index_stored" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells),
+         |sims AS (
+         |  SELECT n.vec_id, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rn
+         |  FROM n CROSS JOIN c)
+         |SELECT vec_id, cell FROM sims WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     "ann_hard_negatives" ->
       s"""WITH n AS (
          |  SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm

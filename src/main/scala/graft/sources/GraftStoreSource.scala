@@ -359,6 +359,21 @@ object GraftStore {
   def currentVersion(path: String): Option[Long] =
     latestManifest(path, driverConf()).map(_.version)
 
+  /** Build-once / read-many: write `build` to `root` IF this store is
+    * still empty, then return a snapshot-pinned read. The ingest-side
+    * half of every derived-artifact story (materialized graph, ANN
+    * index): the expensive derivation runs at most once per store root,
+    * and every consumer pays only the scan. The caller must key `root`
+    * so that distinct inputs never share a store (fixture dir) and
+    * concurrent processes never race (pid suffix — see the operators'
+    * root helpers). Synchronized so two threads in one process can't
+    * both see "empty" and double-build. */
+  def materializeOnce(spark: SparkSession, root: String)(build: => DataFrame): DataFrame =
+    this.synchronized {
+      if (currentVersion(root).isEmpty) write(build, root, overwrite = true)
+      read(spark, root)
+    }
+
   /** Incremental (CDC-style) read: rows in files the CURRENT snapshot
     * has that snapshot `sinceVersion` lacked. For an append-only store
     * this is exactly the appended rows; rewrites (overwrite/compaction)

@@ -84,6 +84,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("ann_ivf_probe_stored: probe plan reads ONLY the stored index — no corpus scan, no training stage") {
+    val p = plan("ann_ivf_probe_stored")
+    // every scan is the graft-store index table; the parquet corpus and
+    // the assignment (training) projection must not appear in a probe
+    assert(p.contains("BatchScan graft_store"), p)
+    assert(!p.contains("Scan parquet"), p)
+    // candidates ride the cell equi-join against broadcast probes
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("dedup_winnowing: selection is shuffle-free — no window operator, 3 keyed exchanges") {
     val p = plan("dedup_winnowing")
     // the row-local rewrite must never regress to a per-doc window
