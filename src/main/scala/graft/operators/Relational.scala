@@ -923,8 +923,7 @@ object Relational {
     // match proves the store hop (write commit → manifest-pinned read)
     // is semantics-free for iterative consumers.
     "graph_pagerank_stored" -> { (s, dir) =>
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-store-prgraph-${new java.io.File(dir).getName}").getAbsolutePath
+      val root = StoreRoots.tmpRoot("prgraph", dir)
       val pairsSrc = orders(s, dir).join(lineitem(s, dir),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("l_suppkey")).distinct()

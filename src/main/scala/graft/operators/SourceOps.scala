@@ -37,11 +37,21 @@ import graft.sources.GraftStore
 object SourceOps {
   import Tables._
 
-  /** Deterministic scratch root per sf dir (Verify at sf0.01 and Bench at
-    * sf0.1 must not clobber each other's in-flight store). */
-  private def storeRoot(dir: String): String =
+  /** Deterministic scratch root per sf dir AND per process (Verify at
+    * sf0.01 and Bench at sf0.1 must not clobber each other's in-flight
+    * store, and two concurrent harness processes must not share one —
+    * r11 ADVICE; [[StoreRoots.tmpRoot]] carries the pid). */
+  private def storeRoot(dir: String): String = StoreRoots.tmpRoot("rt", dir)
+
+  /** SQL-catalog warehouse: FIXED within a process (CatalogManager
+    * caches the catalog instance with the options seen at FIRST use, so
+    * the path must never vary per query/dir inside one session), pid-
+    * suffixed so concurrent harness processes get disjoint warehouses
+    * (r11 ADVICE — bench and correctness racing on one table). */
+  private[operators] lazy val sqlWarehouse: String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-store-rt-${new java.io.File(dir).getName}").getAbsolutePath
+      s"graft-sql-warehouse-p${ProcessHandle.current().pid()}")
+      .getAbsolutePath
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DSv2 generator scan: range pushdown narrows generation to
@@ -398,8 +408,7 @@ object SourceOps {
       // would silently pin later runs to the first run's warehouse.
       // Cleanup is SQL (DROP TABLE routes through the same cached
       // catalog), never a raw FS delete behind its back.
-      val wh = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft-sql-warehouse"
+      val wh = SourceOps.sqlWarehouse
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
@@ -422,6 +431,48 @@ object SourceOps {
           |FROM graft.gold.orders
           |GROUP BY o_orderstatus
           |ORDER BY o_orderstatus""".stripMargin)
+    },
+    // Pure-SQL row-level DML on catalog tables — the surface a
+    // lakehouse user hits first after CTAS: `DELETE FROM ... WHERE`
+    // rides GraftStoreTable's SupportsDelete (file-pruned copy-on-write
+    // — files whose stats prove no match carry forward at the manifest
+    // level, only possibly-matching files rewrite; see GsbDelete), and
+    // the bare `DELETE FROM t` routes to truncateTable — one O(1)
+    // empty-manifest commit, no data touched. The aggregate reads both
+    // tables back through the catalog: the delete outcome is hash-gated
+    // against a raw-parquet replay, the truncate row pins (0, 0.0).
+    "src_store_catalog_dml" -> { (s, dir) =>
+      val wh = SourceOps.sqlWarehouse
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+      s.sql("DROP TABLE IF EXISTS graft.gold.orders_dml")
+      s.sql("DROP TABLE IF EXISTS graft.gold.orders_trunc")
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_gdml")
+      s.sql("""CREATE TABLE graft.gold.orders_dml AS
+              |SELECT * FROM orders_src_gdml""".stripMargin)
+      s.sql("""CREATE TABLE graft.gold.orders_trunc AS
+              |SELECT * FROM orders_src_gdml WHERE o_orderkey % 2 = 0""".stripMargin)
+      // translatable WHERE (Or(EqualTo, GreaterThan)) → SupportsDelete
+      s.sql("""DELETE FROM graft.gold.orders_dml
+              |WHERE o_orderstatus = 'P' OR o_totalprice > 200000.0""".stripMargin)
+      // no WHERE → TruncatableTable: one metadata-only commit
+      s.sql("DELETE FROM graft.gold.orders_trunc")
+      s.sql(
+        """SELECT state, n, sum_price FROM (
+          |  SELECT 'after_delete' AS state, COUNT(*) AS n,
+          |    COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+          |      AS DOUBLE), 0.0) AS sum_price
+          |  FROM graft.gold.orders_dml
+          |  UNION ALL
+          |  SELECT 'after_truncate', COUNT(*),
+          |    COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+          |      AS DOUBLE), 0.0)
+          |  FROM graft.gold.orders_trunc)
+          |ORDER BY state""".stripMargin)
     },
     // Named refs (tags) end to end: v1 is tagged "release-1" BEFORE the
     // second ingest advances the store, then read back BY NAME via
@@ -842,6 +893,18 @@ object SourceOps {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // after_delete = orders surviving the DELETE predicate; the
+    // truncated table is empty by construction (0, 0.0)
+    "src_store_catalog_dml" ->
+      """SELECT state, n, sum_price FROM (
+        |  SELECT 'after_delete' AS state, COUNT(*) AS n,
+        |    COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE), 0.0) AS sum_price
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'P' OR o_totalprice > 200000.0)
+        |  UNION ALL
+        |  SELECT 'after_truncate', 0, 0.0) t
+        |ORDER BY state""".stripMargin,
     // "release-1" must resolve to the F-only v1 snapshot after the
     // later append; latest sees F+O
     "src_store_tag" ->

@@ -85,9 +85,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * on the path surface. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootFor(ident)
+    // an all-digit string parses as a snapshot number FIRST, but an
+    // all-digit TAG (legal per RefNameRe, e.g. '2024') must stay
+    // addressable: when no manifest owns that numeric version, fall
+    // back to ref resolution before giving up (r11 ADVICE)
     val v =
-      if (version.forall(_.isDigit) && version.nonEmpty) version.toLong
-      else GraftStore.resolveRef(root, conf, version)
+      if (version.forall(_.isDigit) && version.nonEmpty) {
+        val n = version.toLong
+        if (GraftStore.manifestAt(root, conf, n).nonEmpty) n
+        else try GraftStore.resolveRef(root, conf, version)
+        catch { // neither a snapshot nor a tag
+          case _: IllegalArgumentException => throw new NoSuchTableException(ident)
+        }
+      } else GraftStore.resolveRef(root, conf, version)
     val m = GraftStore.manifestAt(root, conf, v)
       .getOrElse(throw new NoSuchTableException(ident))
     new GraftStoreTable(root, m.schema, pinned = Some(v))

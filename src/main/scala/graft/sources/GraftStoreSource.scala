@@ -467,7 +467,8 @@ object GraftStore {
 
 private[sources] class GraftStoreTable(root: String, schema0: StructType,
     pinned: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft_store($root)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
@@ -491,6 +492,30 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
     m
   }
 
+  /** SQL `DELETE FROM graft.ns.t WHERE ...` — a file-pruned
+    * copy-on-write: files whose min/max stats PROVE no row matches are
+    * carried forward untouched at the manifest level (zero data
+    * movement); only possibly-matching files are re-read and their
+    * surviving rows rewritten. At 100 TB a keyed delete touches the
+    * files the key lands in, never the table. A version-pinned table
+    * (VERSION AS OF) refuses — history is immutable. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinned.isEmpty && filters.forall(GsbDelete.translatable)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    GsbDelete.deleteWhere(root, filters)
+
+  /** SQL `DELETE FROM t` / TRUNCATE: one empty-file-list manifest
+    * commit — O(1) metadata, no data touched; old snapshots stay
+    * readable until vacuumed. */
+  override def truncateTable(): Boolean = {
+    if (pinned.nonEmpty) return false
+    GraftStore.commitLoop(root, GraftStore.driverConf()) { prev =>
+      Some((prev.map(_.schema).getOrElse(schema0), Seq.empty, Set.empty))
+    }
+    true
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GsbScanBuilder(root,
       // a catalog-level pin (VERSION AS OF) wins; read options cover
@@ -498,7 +523,10 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
       pinned.orElse(
         GraftStore.pinnedVersion(root, GraftStore.driverConf(), options)),
       Option(options.get("sinceVersion")).map(_.toLong),
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      // internal (GsbDelete): restrict the scan to a file subset so
+      // copy-on-write rewrites read ONLY the files they will replace
+      Option(options.get("onlyFiles")).map(_.split(",").toSet))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GsbWriteBuilder(root, info)
@@ -735,7 +763,8 @@ private[sources] class GsbDataWriter(root: String, schema: StructType, relPath: 
 // ---------------------------------------------------------------- read
 
 private[sources] class GsbScanBuilder(root: String, version: Option[Long],
-    since: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None)
+    since: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None,
+    onlyFiles: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   // pin the snapshot NOW (planning time): concurrent commits after this
@@ -774,14 +803,16 @@ private[sources] class GsbScanBuilder(root: String, version: Option[Long],
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
-    new GsbScan(root, manifest, required, pushed, baseline, maxFilesPerTrigger)
+    new GsbScan(root, manifest, required, pushed, baseline, maxFilesPerTrigger,
+      onlyFiles)
 }
 
 private[sources] class GsbScan(root: String, manifest: GsbManifest,
     required: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     baseline: Set[String] = Set.empty,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    onlyFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
   // incremental consumption first (drop the baseline snapshot's files),
   // then DATA SKIPPING: keep only files whose min/max stats admit a
@@ -790,6 +821,7 @@ private[sources] class GsbScan(root: String, manifest: GsbManifest,
   // point/range query into a files=1/N scan.
   private val kept = manifest.files
     .filter(e => !baseline.contains(e.relPath))
+    .filter(e => onlyFiles.forall(_.contains(e.relPath)))
     .filter(e => filters.forall(GsbStats.mayMatch(_, manifest.schema, e.stats)))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1049,6 +1081,103 @@ private[sources] object GsbStats {
       case In(c, vs) => vs.exists(v =>
         test(c, v)((cMin, cMax) => cMin <= 0 && cMax >= 0))
       case _ => true
+    }
+  }
+}
+
+/** SQL DELETE executor — the row-level half of [[GraftStoreTable]]'s
+  * `SupportsDelete`. Semantics are copy-on-write at FILE granularity,
+  * the lakehouse standard (what Delta/Iceberg COW mode does):
+  *
+  *  1. split the pinned snapshot's files into `touched` (stats admit a
+  *     match for every conjunct — [[GsbStats.mayMatch]], conservative)
+  *     and `untouched` (provably no matching row — carried forward in
+  *     the new manifest, zero data movement);
+  *  2. re-read ONLY the touched files (internal `onlyFiles` scan
+  *     option), keep rows where the predicate is false, and write them
+  *     as fresh data files (one per partition, same writer/stats path
+  *     as any batch write);
+  *  3. publish `untouched ++ rewritten` as one atomic manifest commit,
+  *     refusing to retry past a concurrent committer — the survivors
+  *     were computed against THIS base snapshot, so racing any other
+  *     writer is a lost update, the overwrite rule.
+  *
+  * Requires every WHERE conjunct be translatable to a Column
+  * ([[translatable]] — gated by `canDeleteWhere`, so Spark falls back
+  * to an analysis error rather than a wrong answer for exotic
+  * predicates). Old files are never deleted inline (time travel +
+  * vacuum contract unchanged). */
+private[sources] object GsbDelete {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.{functions => F}
+
+  private def attr(name: String): Column =
+    F.col("`" + name.replace("`", "``") + "`")
+
+  def translatable(f: Filter): Boolean = toColumn(f).isDefined
+
+  /** v1 Filter → Column. None for shapes we cannot express — the
+    * caller must then reject the whole DELETE (conservatively). */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case AlwaysTrue() => Some(F.lit(true))
+    case AlwaysFalse() => Some(F.lit(false))
+    case EqualTo(a, v) => Some(attr(a) === F.lit(v))
+    case EqualNullSafe(a, v) => Some(attr(a) <=> F.lit(v))
+    case GreaterThan(a, v) => Some(attr(a) > F.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(attr(a) >= F.lit(v))
+    case LessThan(a, v) => Some(attr(a) < F.lit(v))
+    case LessThanOrEqual(a, v) => Some(attr(a) <= F.lit(v))
+    case In(a, vs) => Some(attr(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(attr(a).isNull)
+    case IsNotNull(a) => Some(attr(a).isNotNull)
+    case StringStartsWith(a, v) => Some(attr(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(attr(a).endsWith(v))
+    case StringContains(a, v) => Some(attr(a).contains(v))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  def deleteWhere(root: String, filters: Array[Filter]): Unit = {
+    val conf = GraftStore.driverConf()
+    val m = GraftStore.latestManifest(root, conf).getOrElse(return)
+    val (touched, untouched) = m.files.partition(e =>
+      filters.forall(GsbStats.mayMatch(_, m.schema, e.stats)))
+    if (touched.isEmpty) return // provably zero matching rows: no-op
+    val spark = SparkSession.active
+    val pred = filters.flatMap(toColumn).reduceOption(_ && _)
+      .getOrElse(F.lit(true))
+    // survivors of the touched files only, columns pinned to the stored
+    // schema order so toRdd rows line up with the writer's codec
+    val survivors = spark.read.format("graft-store")
+      .option("version", m.version)
+      .option("onlyFiles", touched.map(_.relPath).mkString(","))
+      .load(root)
+      .filter(!pred)
+      .select(m.schema.fieldNames.toIndexedSeq.map(attr): _*)
+    val schemaJson = m.schema.json
+    // unique rewrite token: two DELETEs (even racing ones) never write
+    // the same data file names
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val newFiles = survivors.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val w = new GsbDataWriter(root, schema, s"data/del-$token-p$pid.gsb")
+        var n = 0L
+        rows.foreach { r => w.write(r); n += 1 }
+        if (n == 0) { w.abort(); Iterator.empty }
+        else Iterator.single(w.commit().asInstanceOf[GsbCommit])
+      }.collect().toSeq
+      .map(c => GsbFile(c.relPath, c.rows, c.bytes, c.stats))
+    GraftStore.commitLoop(root, conf, maxRetries = 0) { prev =>
+      if (!prev.map(_.version).contains(m.version))
+        throw new IllegalStateException(
+          s"graft-store: DELETE on $root lost a commit race — a " +
+            "concurrent writer advanced the store past the snapshot the " +
+            "rewrite was computed against; re-run the DELETE")
+      Some((m.schema, untouched ++ newFiles, m.epochs))
     }
   }
 }

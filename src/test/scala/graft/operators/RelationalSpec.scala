@@ -340,8 +340,7 @@ class RelationalSpec extends AnyFunSuite {
       else None                                    // never existed
     }
     // read v2 back directly and compare full content
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-store-rt-sf0.001-merge").getAbsolutePath
+    val root = StoreRoots.tmpRoot("rt", "/root/testdata/sf0.001") + "-merge"
     val v2 = spark.read.format("graft-store").option("version", 2)
       .load(root).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap

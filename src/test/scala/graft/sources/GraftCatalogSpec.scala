@@ -158,6 +158,84 @@ class GraftCatalogSpec extends AnyFunSuite {
       GraftStore.driverConf()).get.version == 1L)
   }
 
+  test("DELETE FROM ... WHERE is a file-pruned copy-on-write rewrite") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.t (k BIGINT, v STRING)")
+    // two appends with DISJOINT key ranges → two files whose min/max
+    // stats separate cleanly
+    spark.sql("INSERT INTO graft.dml.t SELECT id AS k, 'lo' AS v FROM range(1, 101)")
+    spark.sql("INSERT INTO graft.dml.t SELECT id AS k, 'hi' AS v FROM range(1000, 1101)")
+    val root = s"$warehouse/dml/t"
+    val before = GraftStore.latestManifest(root, GraftStore.driverConf()).get
+    val loFiles = before.files.filter(_.stats.get("k").exists(_._2.nonEmpty))
+      .filterNot(f => GsbStats.mayMatch(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("k", 1000L),
+        before.schema, f.stats)).map(_.relPath).toSet
+    assert(loFiles.nonEmpty, "stats must prove the lo files untouched")
+    spark.sql("DELETE FROM graft.dml.t WHERE k >= 1000 AND k < 1050")
+    val after = GraftStore.latestManifest(root, GraftStore.driverConf()).get
+    // rows: all 100 lo survive, hi loses [1000,1050)
+    assert(spark.sql("SELECT count(*) FROM graft.dml.t").head.getLong(0) == 151)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.dml.t WHERE k >= 1000 AND k < 1050")
+      .head.getLong(0) == 0)
+    // file pruning: every provably-unmatched file is carried forward
+    // BYTE-IDENTICALLY (same relPath in the new manifest — no rewrite)
+    val afterPaths = after.files.map(_.relPath).toSet
+    assert(loFiles.subsetOf(afterPaths), s"$loFiles not in $afterPaths")
+    // the pre-delete snapshot stays time-travelable (COW never deletes)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.dml.t VERSION AS OF ${before.version}")
+      .head.getLong(0) == 201)
+  }
+
+  test("bare DELETE FROM truncates via one metadata-only commit") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml2")
+    spark.sql("CREATE TABLE graft.dml2.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.dml2.t SELECT id FROM range(0, 50)")
+    val root = s"$warehouse/dml2/t"
+    val v = GraftStore.latestManifest(root, GraftStore.driverConf()).get.version
+    spark.sql("DELETE FROM graft.dml2.t")
+    val m = GraftStore.latestManifest(root, GraftStore.driverConf()).get
+    assert(m.version == v + 1 && m.files.isEmpty) // O(1): no data written
+    assert(spark.sql("SELECT count(*) FROM graft.dml2.t").head.getLong(0) == 0)
+    // truncate is a snapshot like any other: the data survives behind it
+    assert(spark.sql(s"SELECT count(*) FROM graft.dml2.t VERSION AS OF $v")
+      .head.getLong(0) == 50)
+  }
+
+  test("DELETE with an untranslatable predicate fails loudly, table intact") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml3")
+    spark.sql("CREATE TABLE graft.dml3.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.dml3.t SELECT id FROM range(0, 10)")
+    // k % 2 = 0 has no v1 Filter form → canDeleteWhere=false → the
+    // analyzer must refuse rather than delete the wrong rows
+    val ex = intercept[Exception] {
+      spark.sql("DELETE FROM graft.dml3.t WHERE k % 2 = 0")
+    }
+    assert(ex != null)
+    assert(spark.sql("SELECT count(*) FROM graft.dml3.t").head.getLong(0) == 10)
+  }
+
+  test("VERSION AS OF resolves an all-digit TAG when no such snapshot exists") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dig")
+    spark.sql("CREATE TABLE graft.dig.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.dig.t VALUES (1)") // v2
+    val root = s"$warehouse/dig/t"
+    GraftStore.tag(root, "2024", 2L) // legal all-digit tag name
+    spark.sql("INSERT INTO graft.dig.t VALUES (2)") // v3 advances past it
+    // '2024' is no snapshot number here → must fall back to the tag
+    assert(spark.sql("SELECT count(*) FROM graft.dig.t VERSION AS OF '2024'")
+      .head.getLong(0) == 1)
+    // a REAL snapshot number still wins over ref resolution
+    assert(spark.sql("SELECT count(*) FROM graft.dig.t VERSION AS OF 3")
+      .head.getLong(0) == 2)
+  }
+
   test("INSERT onto a catalog table honors the widening-append evolution rule") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds4")
