@@ -98,6 +98,9 @@ private[sources] class GsbCommitRaceException(msg: String, cause: Throwable)
 
 private[sources] case class GsbFile(relPath: String, rows: Long, bytes: Long,
     stats: Map[String, (String, String)] = Map.empty)
+
+/** Name of the hidden per-row metadata column carrying the data file. */
+private[sources] object GsbFileColumn { val Name = "_gsb_file" }
 private[sources] case class GsbManifest(version: Long, schema: StructType,
     files: Seq[GsbFile], epochs: Set[String] = Set.empty)
 
@@ -468,7 +471,22 @@ object GraftStore {
 private[sources] class GraftStoreTable(root: String, schema0: StructType,
     pinned: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_gsb_file` — the data file a row lives in, as a hidden metadata
+    * column (`SELECT _gsb_file, * FROM t` for provenance). Doubles as
+    * the GROUP IDENTITY for row-level rewrites: Spark only engages the
+    * ReplaceData row/metadata projections when the operation requires
+    * metadata attributes, and file is the natural COW group. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GsbFileColumn.Name
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "graft-store data file holding this row"
+    })
   override def name(): String = s"graft_store($root)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
@@ -515,6 +533,22 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
     }
     true
   }
+
+  /** SQL UPDATE / MERGE INTO (and DELETE with predicates
+    * `canDeleteWhere` cannot translate): Spark's group-based rewrite.
+    * The operation's scan pins the CURRENT snapshot, the rewrite plan
+    * recomputes every surviving/updated row, and the write replaces the
+    * snapshot in one overwrite commit — copy-on-write at snapshot
+    * granularity (runtime group filtering would narrow this to matched
+    * files; the stats-pruned fast path for simple predicates is
+    * `deleteWhere` above). History stays time-travelable — overwrite
+    * never deletes files inline. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GsbRowLevelOperation(root, info.command())
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GsbScanBuilder(root,
@@ -764,7 +798,8 @@ private[sources] class GsbDataWriter(root: String, schema: StructType, relPath: 
 
 private[sources] class GsbScanBuilder(root: String, version: Option[Long],
     since: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None,
-    onlyFiles: Option[Set[String]] = None)
+    onlyFiles: Option[Set[String]] = None,
+    onPlanned: Option[GsbRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   // pin the snapshot NOW (planning time): concurrent commits after this
@@ -802,9 +837,14 @@ private[sources] class GsbScanBuilder(root: String, version: Option[Long],
     pushed = filters; filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan =
-    new GsbScan(root, manifest, required, pushed, baseline, maxFilesPerTrigger,
-      onlyFiles)
+  override def build(): Scan = {
+    val scan = new GsbScan(root, manifest, required, pushed, baseline,
+      maxFilesPerTrigger, onlyFiles)
+    // a row-level rewrite needs the post-skipping file set: those are
+    // the groups its write will replace
+    onPlanned.foreach(_.scannedFiles = scan.keptRelPaths)
+    scan
+  }
 }
 
 private[sources] class GsbScan(root: String, manifest: GsbManifest,
@@ -823,6 +863,7 @@ private[sources] class GsbScan(root: String, manifest: GsbManifest,
     .filter(e => !baseline.contains(e.relPath))
     .filter(e => onlyFiles.forall(_.contains(e.relPath)))
     .filter(e => filters.forall(GsbStats.mayMatch(_, manifest.schema, e.stats)))
+  private[sources] def keptRelPaths: Seq[String] = kept.map(_.relPath)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -955,10 +996,23 @@ private[sources] class GsbReader(
   // projection by NAME into the file's own layout; -1 → null-fill
   private val proj = requiredNames.map(n =>
     fileSchema.fieldNames.indexOf(n))
+  // the `_gsb_file` metadata column is synthesized per reader, not
+  // decoded: its null-filled slots get the file's relPath
+  private val fileColIdxs = requiredNames.zipWithIndex
+    .filter(_._1 == GsbFileColumn.Name).map(_._2)
+  private val fileColVal = UTF8String.fromString(relPath)
   private var row: InternalRow = _
 
   override def next(): Boolean =
-    if (in.readByte() == 1) { row = GsbCodec.readRow(in, fileSchema, proj); true }
+    if (in.readByte() == 1) {
+      val r = GsbCodec.readRow(in, fileSchema, proj)
+      var i = 0
+      while (i < fileColIdxs.length) {
+        r.asInstanceOf[GenericInternalRow].update(fileColIdxs(i), fileColVal)
+        i += 1
+      }
+      row = r; true
+    }
     else { false }
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
@@ -1081,6 +1135,95 @@ private[sources] object GsbStats {
       case In(c, vs) => vs.exists(v =>
         test(c, v)((cMin, cMax) => cMin <= 0 && cMax >= 0))
       case _ => true
+    }
+  }
+}
+
+/** Group-based row-level operation (SQL UPDATE / MERGE INTO / complex
+  * DELETE): the scan half pins the latest snapshot so the rewrite reads
+  * a stable base, and the write half commits the recomputed rows as an
+  * overwrite of that base — the connector-side contract behind Spark's
+  * RewriteUpdateTable / RewriteMergeIntoTable plans. The overwrite
+  * commit refuses to retry past a concurrent committer (GsbBatchWrite's
+  * overwrite rule), so a racing writer surfaces as a loud error rather
+  * than a lost update. */
+private[sources] class GsbRowLevelOperation(root: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  /** Base snapshot the rewrite reads, pinned when Spark builds the
+    * operation's scan; the replace commit refuses any other base. */
+  @volatile private[sources] var baseVersion: Long = -1L
+  /** relPaths the operation's scan kept after static group filtering —
+    * exactly the files the write must REPLACE. Recorded at scan build
+    * (planning) time: rows cannot identify groups, because a group
+    * whose every row was deleted produces no output rows at all. */
+  @volatile private[sources] var scannedFiles: Seq[String] = Nil
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-store $cmd copy-on-write"
+
+  /** Requiring the `_gsb_file` metadata attribute does two jobs: Spark
+    * builds the ReplaceData row/metadata projections ONLY for
+    * operations with metadata attrs (without them the raw rewrite rows
+    * — operation column included — would reach the writer), and it
+    * gives the rewrite plan the per-row group identity. */
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GsbFileColumn.Name))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = GraftStore.latestManifest(root, GraftStore.driverConf())
+      .map(_.version)
+    baseVersion = v.getOrElse(-1L)
+    new GsbScanBuilder(root, v, onPlanned = Some(this))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GsbReplaceGroupsWrite(root, info.schema(), info.queryId(),
+            GsbRowLevelOperation.this)
+      }
+    }
+}
+
+/** The write half of a group-based rewrite: data files land through the
+  * ordinary writer/stats path, and the commit swaps EXACTLY the scanned
+  * groups — `base.files − scanned ++ rewritten` — in one manifest
+  * publish. Single-attempt: the survivors were computed against the
+  * pinned base snapshot, so racing any concurrent committer must fail
+  * loudly (lost update), never retry. */
+private[sources] class GsbReplaceGroupsWrite(root: String,
+    schema: StructType, queryId: String, op: GsbRowLevelOperation)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GsbWriterFactory(root, schema.json, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GraftStore.driverConf()
+    val committed = messages.map(_.asInstanceOf[GsbCommit])
+      .map(c => GsbFile(c.relPath, c.rows, c.bytes, c.stats)).toSeq
+      .filter(_.rows > 0) // empty partitions add no files
+    val scanned = op.scannedFiles.toSet
+    GraftStore.commitLoop(root, conf, maxRetries = 0) { prev =>
+      if (!prev.map(_.version).contains(op.baseVersion))
+        throw new IllegalStateException(
+          s"graft-store: row-level ${op.command()} on $root lost a commit " +
+            "race — a concurrent writer advanced the store past the " +
+            "snapshot the rewrite was computed against; re-run the command")
+      val base = prev.get
+      Some((base.schema,
+        base.files.filterNot(f => scanned(f.relPath)) ++ committed,
+        base.epochs))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = GraftStore.fs(root, GraftStore.driverConf())
+    messages.foreach {
+      case c: GsbCommit => f.delete(new HPath(root, c.relPath), false)
+      case _ => ()
     }
   }
 }

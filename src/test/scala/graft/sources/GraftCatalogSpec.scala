@@ -206,18 +206,53 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 50)
   }
 
-  test("DELETE with an untranslatable predicate fails loudly, table intact") {
+  test("DELETE with an untranslatable predicate falls back to the row-level rewrite") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml3")
     spark.sql("CREATE TABLE graft.dml3.t (k BIGINT)")
     spark.sql("INSERT INTO graft.dml3.t SELECT id FROM range(0, 10)")
-    // k % 2 = 0 has no v1 Filter form → canDeleteWhere=false → the
-    // analyzer must refuse rather than delete the wrong rows
-    val ex = intercept[Exception] {
-      spark.sql("DELETE FROM graft.dml3.t WHERE k % 2 = 0")
-    }
-    assert(ex != null)
-    assert(spark.sql("SELECT count(*) FROM graft.dml3.t").head.getLong(0) == 10)
+    // k % 2 = 0 has no v1 Filter form → canDeleteWhere=false → Spark
+    // routes through SupportsRowLevelOperations (group-based COW
+    // rewrite) instead of the metadata-assisted fast path
+    spark.sql("DELETE FROM graft.dml3.t WHERE k % 2 = 0")
+    assert(spark.sql("SELECT count(*) FROM graft.dml3.t").head.getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) FROM graft.dml3.t WHERE k % 2 = 0")
+      .head.getLong(0) == 0)
+  }
+
+  test("SQL UPDATE rewrites matched rows and keeps the rest byte-stable") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml4")
+    spark.sql("CREATE TABLE graft.dml4.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.dml4.t SELECT id, CAST(id AS DOUBLE) FROM range(0, 20)")
+    spark.sql("UPDATE graft.dml4.t SET v = v * 10 WHERE k >= 15")
+    val rows = spark.sql("SELECT k, v FROM graft.dml4.t ORDER BY k").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 20)
+    assert((0L until 15L).forall(k => rows(k) == k.toDouble))
+    assert((15L until 20L).forall(k => rows(k) == k * 10.0))
+    // pre-update snapshot stays readable (COW never deletes inline)
+    val root = s"$warehouse/dml4/t"
+    val v = GraftStore.latestManifest(root, GraftStore.driverConf()).get.version
+    assert(spark.sql(
+      s"SELECT max(v) FROM graft.dml4.t VERSION AS OF ${v - 1}")
+      .head.getDouble(0) == 19.0)
+  }
+
+  test("MERGE INTO upserts through the row-level rewrite") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml5")
+    spark.sql("CREATE TABLE graft.dml5.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dml5.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""
+      MERGE INTO graft.dml5.t AS t
+      USING (SELECT * FROM VALUES (2, 'B'), (4, 'D') AS s(k, v)) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val got = spark.sql("SELECT k, v FROM graft.dml5.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
   }
 
   test("VERSION AS OF resolves an all-digit TAG when no such snapshot exists") {
