@@ -937,6 +937,13 @@ object DedupOps {
         .select(col("doc_id"), col("source"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
         .filter(length(col("w")) > 0)
+        // ASCII-ONLY boundary rule (r11 ADVICE): Spark ascii() returns
+        // the first UTF-8 BYTE (negative for ≥ 0x80) while the DuckDB
+        // oracle's unicode() returns the first CODEPOINT — they agree
+        // exactly on ASCII, which the fixture is (verified: max
+        // codepoint 0x79). A multilingual corpus would swap this term
+        // for a byte-explicit hash with identical semantics on both
+        // engines; the chunking shape is unchanged either way.
         .withColumn("is_b",
           (length(col("w")) * 31 + ascii(col("w"))) % 8 === 0)
         .withColumn("cid", coalesce(

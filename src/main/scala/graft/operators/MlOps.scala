@@ -780,10 +780,15 @@ object MlOps {
         .withColumn("r", round(abs(col("value") - col("pred")), 6))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type")).orderBy(col("r"), col("event_id"))
+      // rank = ceil((n_cal+1)*0.9), CLAMPED to n_cal: for n_cal < 9 the
+      // raw rank exceeds the group and would silently drop it from the
+      // output (r11 ADVICE); the clamp is the standard small-n conformal
+      // convention (q-hat = max residual). No-op on groups with n_cal ≥ 9.
       val qhat = withRes.filter(col("is_cal"))
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === expr("(n_cal + 1) * 9 div 10 + " +
-          "CASE WHEN (n_cal + 1) * 9 % 10 = 0 THEN 0 ELSE 1 END"))
+        .filter(col("rk") === least(expr("(n_cal + 1) * 9 div 10 + " +
+          "CASE WHEN (n_cal + 1) * 9 % 10 = 0 THEN 0 ELSE 1 END"),
+          col("n_cal")))
         .select(col("event_type"), col("r").as("qhat"))
       withRes.filter(!col("is_cal"))
         .join(broadcast(qhat), Seq("event_type"))
@@ -1369,8 +1374,8 @@ object MlOps {
         |      ROW_NUMBER() OVER (PARTITION BY event_type
         |        ORDER BY r, event_id) AS rk
         |    FROM res WHERE is_cal)
-        |  WHERE rk = (n_cal + 1) * 9 // 10
-        |    + CASE WHEN (n_cal + 1) * 9 % 10 = 0 THEN 0 ELSE 1 END)
+        |  WHERE rk = LEAST((n_cal + 1) * 9 // 10
+        |    + CASE WHEN (n_cal + 1) * 9 % 10 = 0 THEN 0 ELSE 1 END, n_cal))
         |SELECT r.event_type, r.n_cal, COUNT(*) AS n_test, r.pred, q.qhat,
         |  ROUND(CAST(SUM(CASE WHEN r.r <= q.qhat THEN 1 ELSE 0 END)
         |    AS DOUBLE) / COUNT(*), 6) AS coverage

@@ -215,6 +215,15 @@ object GraftStore {
           s"graft-store: commit race publishing $target — another writer won this version", null)
         new java.io.FileOutputStream(jf)
       } else {
+        // REQUIREMENT (r11 ADVICE): the optimistic commit protocol is
+        // only safe on filesystems whose create(path, overwrite=false)
+        // is ATOMIC exclusive-create — HDFS (namenode-arbitrated) and
+        // file:// (O_EXCL above) qualify. Object stores without an
+        // atomic conditional put (plain s3a) can let two writers both
+        // "win" a slot and interleave manifest bytes; deploy those
+        // behind a consistency layer (S3 conditional writes / a
+        // commit-coordinator FS) or point the store at HDFS. The `end`
+        // terminator guards torn READS, not duplicate WRITERS.
         try f.create(target, false)
         catch {
           case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |

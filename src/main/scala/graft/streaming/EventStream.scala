@@ -48,6 +48,85 @@ object EventStream {
     * sums are exact decimals (order-independent), so stream == batch
     * bit-for-bit at any cut, not approximately; the state is six
     * numbers regardless of corpus size. */
+  /** Live CUPED readout, streaming half — the variance-reduced twin of
+    * [[abReadout]] (`events_cuped`'s unbounded form). CUPED needs
+    * per-user pre/post covariate MEANS (a ratio per user), so the
+    * incremental state is the per-user moment 4-tuple (Σpre, n_pre,
+    * Σpost, n_post), maintained as ONE keyed streaming aggregation —
+    * the only stateful operator, which is what Structured Streaming's
+    * single-stateful-op rule requires. The pre/post boundary is a
+    * PARAMETER (micros): an experiment knows its exposure cut a priori;
+    * the batch twin derives the same cut from the data span, and the
+    * parity spec feeds that value here. State is user-bounded (4
+    * numbers per user), exactly the footprint of the batch side's
+    * per-user table. Sums are exact decimals → order-independent →
+    * stream == batch bit-for-bit at any cut. */
+  def cupedUserState(events: DataFrame, cutUs: Long): DataFrame = {
+    def el10(c: org.apache.spark.sql.Column) =
+      round(c, 10).cast("decimal(28,10)")
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("us") < cutUs, el10(col("value")))).as("spre"),
+        sum(when(col("us") < cutUs, 1L)).as("npre"),
+        sum(when(col("us") >= cutUs, el10(col("value")))).as("spost"),
+        sum(when(col("us") >= cutUs, 1L)).as("npost"))
+  }
+
+  /** CUPED finishing algebra over the live per-user state — the
+    * dashboard view a running experiment queries after each
+    * micro-batch: θ from five K-bounded moment sums, per-user
+    * adjustment, two arm rows. Mirrors `events_cuped`'s rounding
+    * lattice EXPRESSION FOR EXPRESSION (x/y at 6dp, θ path at 10dp,
+    * outputs at 6dp) so the parity spec can require bit equality, not
+    * approximation. Runs as a batch query over the sink's current
+    * content — the split a real deployment uses: unbounded state in the
+    * stream, constant-size readout on demand. */
+  def cupedReadout(userState: DataFrame): DataFrame = {
+    def el10(c: org.apache.spark.sql.Column) =
+      round(c, 10).cast("decimal(28,10)")
+    val ux = userState
+      .filter(col("npre") > 0 && col("npost") > 0)
+      .select(col("user_id"),
+        round(col("spre").cast("double") / col("npre"), 6).as("x"),
+        round(col("spost").cast("double") / col("npost"), 6).as("y"))
+      .localCheckpoint() // two consumers: θ moments + per-user adjust
+    val mom = ux.agg(count(lit(1)).as("n"),
+      sum(el10(col("x"))).as("sx"),
+      sum(el10(col("y"))).as("sy"),
+      sum(el10(col("x") * col("x"))).as("sxx"),
+      sum(el10(col("x") * col("y"))).as("sxy"))
+    val theta = mom
+      .withColumn("mx", round(col("sx").cast("double") / col("n"), 10))
+      .withColumn("my", round(col("sy").cast("double") / col("n"), 10))
+      .withColumn("cov", round(col("sxy").cast("double") / col("n") -
+        col("mx") * col("my"), 10))
+      .withColumn("varx", round(col("sxx").cast("double") / col("n") -
+        col("mx") * col("mx"), 10))
+      .withColumn("theta", round(col("cov") / col("varx"), 10))
+      .select(col("mx"), col("theta"))
+    ux.crossJoin(broadcast(theta))
+      .withColumn("yadj",
+        round(col("y") - col("theta") * (col("x") - col("mx")), 6))
+      .withColumn("arm", col("user_id") % 2)
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(el10(col("y"))).as("sy"),
+        sum(el10(col("y") * col("y"))).as("syy"),
+        sum(el10(col("yadj"))).as("sa"),
+        sum(el10(col("yadj") * col("yadj"))).as("saa"))
+      .withColumn("mean_y",
+        round(col("sy").cast("double") / col("n_users"), 6))
+      .withColumn("mean_y_adj",
+        round(col("sa").cast("double") / col("n_users"), 6))
+      .select(col("arm"), col("n_users"), col("mean_y"), col("mean_y_adj"),
+        round(col("syy").cast("double") / col("n_users") -
+          col("mean_y") * col("mean_y"), 6).as("var_y"),
+        round(col("saa").cast("double") / col("n_users") -
+          col("mean_y_adj") * col("mean_y_adj"), 6).as("var_y_adj"))
+      .orderBy(col("arm"))
+  }
+
   def abReadout(events: DataFrame): DataFrame = {
     val treated = col("user_id") % 2 === 1
     def el10(c: org.apache.spark.sql.Column) =

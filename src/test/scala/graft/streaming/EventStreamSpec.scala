@@ -145,6 +145,33 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cupedUserState + readout equals the batch CUPED rows bit-for-bit") {
+    val staging = Files.createTempDirectory("evt_cuped").toString
+    EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
+    // the batch twin cuts at the data-span midpoint; the stream takes
+    // the cut as the parameter an experiment would know a priori
+    val span = spark.read.parquet(staging)
+      .selectExpr("min(unix_micros(ts)) AS lo", "max(unix_micros(ts)) AS hi")
+      .head
+    val cutUs = span.getLong(0) + (span.getLong(1) - span.getLong(0)) / 2
+    val q = EventStream.cupedUserState(EventStream.readEvents(spark, staging), cutUs)
+      .writeStream.format("memory").queryName("cuped_state")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = EventStream.cupedReadout(spark.table("cuped_state"))
+        .collect().map(_.toSeq)
+      val batch = graft.operators.EventOps.queries("events_cuped")(
+        spark, "/root/testdata/sf0.001").collect().map(_.toSeq)
+      assert(streamed.length == 2 && batch.length == 2)
+      // bit-for-bit: the per-user moment sums are exact decimals, so
+      // the state-store accumulation path changes nothing; the readout
+      // replays the batch rounding lattice expression for expression
+      assert(streamed.toSeq == batch.toSeq,
+        s"streamed=${streamed.toSeq} batch=${batch.toSeq}")
+    } finally q.stop()
+  }
+
   test("funnelStages matches the batch min-ts funnel on the real events table") {
     import spark.implicits._
     val staging = Files.createTempDirectory("evt_funnel").toString
