@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Disjoint-twin fixture doubling (driver-side tooling only).
+
+Builds <dst> as a 2x "disjoint twin" of <src>: every fact table is the
+original concatenated with a copy whose
+  - join keys are offset past the domain max (consistently across
+    tables, so orders<->lineitem etc. still join within each half),
+  - text is alphabet-rotated by 7 (the copy shares no k-grams with the
+    original: duplicate/gram structure DOUBLES instead of exploding
+    cross-half — the honest way to grow a dup-sensitive corpus),
+  - embeddings are negated (same norms, disjoint geometry),
+while the bounded dims nation/region are copied as-is. This is the
+round-11 sf0.2 recipe, packaged so further doublings (sf0.4 = twin of
+sf0.2) use the identical transform.
+
+Usage: python3 tools/make_twin.py /tmp/sf0.2 /tmp/sf0.4
+"""
+import os
+import sys
+
+import duckdb
+
+SRC, DST = sys.argv[1], sys.argv[2]
+ROT = 7
+
+# key domains shared across tables: offset must be consistent per domain
+DOMAINS = {
+    "orderkey": ["orders.o_orderkey", "lineitem.l_orderkey"],
+    "partkey": ["part.p_partkey", "lineitem.l_partkey"],
+    "suppkey": ["supplier.s_suppkey", "lineitem.l_suppkey"],
+    "custkey": ["customer.c_custkey", "orders.o_custkey"],
+    "doc_id": ["documents.doc_id"],
+    "vec_id": ["embeddings.vec_id"],
+    "event_id": ["events.event_id"],
+    "user_id": ["events.user_id"],
+}
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'")
+
+off = {}
+for dom, cols in DOMAINS.items():
+    mx = max(con.sql(f"SELECT COALESCE(MAX({c.split('.')[1]}), 0) "
+                     f"FROM {c.split('.')[0]}").fetchone()[0] for c in cols)
+    off[dom] = int(mx) + 1
+
+
+def domain_of(col):
+    for dom in DOMAINS:
+        if col.endswith(dom):
+            return dom
+    return None
+
+
+ROT_SQL = ("translate({c}, 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+           "'hijklmnopqrstuvwxyzabcdefgHIJKLMNOPQRSTUVWXYZABCDEFG')")
+
+
+def copy_expr(table, col, dtype):
+    dom = domain_of(col)
+    if dom:
+        return f"{col} + {off[dom]} AS {col}"
+    if table == "documents" and col == "text":
+        return ROT_SQL.format(c=col) + f" AS {col}"
+    if col == "embedding":
+        return f"list_transform({col}, x -> -x) AS {col}"
+    return col
+
+
+os.makedirs(DST, exist_ok=True)
+for t in ["region", "nation"]:
+    con.sql(f"COPY (SELECT * FROM {t}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+for t in ["customer", "supplier", "part", "orders", "lineitem", "events",
+          "documents", "embeddings"]:
+    cols = con.sql(f"DESCRIBE SELECT * FROM {t}").fetchall()
+    copy_cols = ", ".join(copy_expr(t, c[0], c[1]) for c in cols)
+    con.sql(f"COPY (SELECT * FROM {t} UNION ALL BY NAME "
+            f"SELECT {copy_cols} FROM {t}) "
+            f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+    n_src = con.sql(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
+    n_dst = duckdb.sql(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+    assert n_dst == 2 * n_src, (t, n_src, n_dst)
+    print(f"{t}: {n_src} -> {n_dst}")
+print("done:", DST)
