@@ -474,6 +474,57 @@ object SourceOps {
           |  FROM graft.gold.orders_trunc)
           |ORDER BY state""".stripMargin)
     },
+    // SQL UPDATE + MERGE INTO end to end under the oracle — the
+    // row-level rewrite surface (SupportsRowLevelOperations, group-
+    // based copy-on-write; see GsbRowLevelOperation). UPDATE discounts
+    // every urgent order 10% (condition pushed as a group filter — only
+    // files whose stats admit urgent rows rewrite); MERGE upserts a
+    // batch that doubles the price of P-status orders and inserts
+    // synthetic late orders keyed past the domain max. The final
+    // aggregate reads the table back through the catalog; the oracle
+    // replays both mutations over raw parquet in plain SQL.
+    "src_store_catalog_upsert" -> { (s, dir) =>
+      val wh = SourceOps.sqlWarehouse
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+      s.sql("DROP TABLE IF EXISTS graft.gold.orders_ups")
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_gups")
+      s.sql("""CREATE TABLE graft.gold.orders_ups AS
+              |SELECT * FROM orders_src_gups""".stripMargin)
+      // decimal-exact discount: double*0.9 would round-tie differently
+      // across engines; DECIMAL multiply + HALF_UP round agrees exactly
+      s.sql("""UPDATE graft.gold.orders_ups
+              |SET o_totalprice = CAST(ROUND(
+              |  CAST(o_totalprice AS DECIMAL(18,4)) * CAST(0.9 AS DECIMAL(2,1)),
+              |  2) AS DOUBLE)
+              |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+      s.sql("""MERGE INTO graft.gold.orders_ups t
+              |USING (
+              |  SELECT o_orderkey, o_totalprice * 2 AS new_price
+              |  FROM orders_src_gups WHERE o_orderstatus = 'P'
+              |  UNION ALL
+              |  SELECT o_orderkey + 100000000, 111.11
+              |  FROM orders_src_gups WHERE o_orderkey % 1000 = 0
+              |) s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.new_price
+              |WHEN NOT MATCHED THEN INSERT
+              |  (o_orderkey, o_orderstatus, o_orderpriority, o_totalprice)
+              |  VALUES (s.o_orderkey, 'L', '9-LATE', s.new_price)""".stripMargin)
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+          |    AS sum_price,
+          |  MAX(o_orderkey) AS max_key
+          |FROM graft.gold.orders_ups
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    },
     // Named refs (tags) end to end: v1 is tagged "release-1" BEFORE the
     // second ingest advances the store, then read back BY NAME via
     // `option("ref", ...)` next to the moving latest. The hash pins
@@ -891,6 +942,36 @@ object SourceOps {
         |    AS sum_price,
         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
         |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // replay UPDATE (urgent discount) then MERGE (P-status repricing +
+    // synthetic late-order inserts) over raw orders
+    "src_store_catalog_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4))
+        |        * CAST(0.9 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM base),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'P'
+        |      THEN (SELECT b.o_totalprice * 2 FROM base b
+        |            WHERE b.o_orderkey = upd.o_orderkey)
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM upd
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'L', 111.11
+        |  FROM base WHERE o_orderkey % 1000 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM merged
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // after_delete = orders surviving the DELETE predicate; the

@@ -629,6 +629,68 @@ object TextOps {
     // moment discipline: each ln term (and cross term) rounds to 6dp
     // and sums as exact DECIMAL, so the closed-form slope/intercept is
     // engine-exact.
+    // Heaps' law (Heaps 1978): vocabulary growth V(n) ≈ K·n^β over the
+    // token stream — the curve a corpus owner reads to predict
+    // vocabulary (and embedding-table / tokenizer-merge) growth at the
+    // next data doubling; β well under 1 says vocabulary saturates.
+    // Exact, order-deterministic construction: the token stream is
+    // ordered by (doc_id, pos), each word's FIRST-occurrence global
+    // index is a min-aggregate, and V(n_j) at 10 halving checkpoints
+    // (total/2^9 … total) counts first-occurrences ≤ n_j. β comes from
+    // the zipf-slope OLS discipline (6dp logs, exact decimal moment
+    // sums, closed form).
+    //
+    // Scale shape: one corpus-sized explode → per-doc counts (doc-
+    // bounded) → a doc-count-sized prefix-sum window (NOT a corpus
+    // window: the global index is doc_offset + intra-doc rank, so the
+    // only corpus-sized shuffles are the explode's group-bys) → the
+    // first-occurrence table is vocabulary-bounded, and the checkpoint
+    // join is |vocab| × 10 against a broadcast 10-row table. At 100 TB
+    // the doc-order prefix sum is the same pattern shard manifests use;
+    // nothing holds more than vocabulary-sized state after the maps.
+    "text_heaps_law" -> { (s, dir) =>
+      val J = 10
+      val w = org.apache.spark.sql.expressions.Window
+      val toks = documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+      val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
+      val offs = perDoc.withColumn("off",
+        coalesce(sum(col("ntok")).over(
+          w.orderBy(col("doc_id")).rowsBetween(w.unboundedPreceding, -1)),
+          lit(0L)))
+      val gidx = toks.join(broadcast(offs.select(col("doc_id"), col("off"))),
+          Seq("doc_id"))
+        .withColumn("ridx", row_number().over(
+          w.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .select(col("word"), (col("off") + col("ridx")).as("gidx"))
+      val first = gidx.groupBy(col("word")).agg(min(col("gidx")).as("fidx"))
+      val cps = offs.agg(sum(col("ntok")).as("total"))
+        .select(col("total"), explode(sequence(lit(1), lit(J))).as("j"))
+        .withColumn("n_tokens",
+          expr(s"total div shiftleft(CAST(1 AS BIGINT), $J - j)"))
+      val curve = first.crossJoin(broadcast(cps))
+        .filter(col("fidx") <= col("n_tokens"))
+        .groupBy(col("j"), col("n_tokens"))
+        .agg(count(lit(1)).as("vocab"))
+      def dsum6(c: org.apache.spark.sql.Column) =
+        sum(round(c, 6).cast("decimal(18,6)")).cast("double")
+      val xy = curve.select(col("j"), col("n_tokens"), col("vocab"),
+        round(log(col("n_tokens")), 6).as("x"),
+        round(log(col("vocab")), 6).as("y"))
+      val n = col("n").cast("double")
+      val beta = round((n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sx2") - col("sx") * col("sx")), 6)
+      val fit = xy.agg(count(lit(1)).as("n"),
+          dsum6(col("x")).as("sx"), dsum6(col("y")).as("sy"),
+          dsum6(col("x") * col("y")).as("sxy"),
+          dsum6(col("x") * col("x")).as("sx2"))
+        .select(beta.as("heaps_beta"))
+      xy.crossJoin(broadcast(fit))
+        .select(col("j"), col("n_tokens"), col("vocab"), col("heaps_beta"))
+        .orderBy(col("j"))
+    },
     "text_zipf_slope" -> { (s, dir) =>
       val top = documents(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
@@ -1097,6 +1159,49 @@ object TextOps {
         |FROM d
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "text_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT doc_id, pos, word FROM (
+        |    SELECT doc_id,
+        |      generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |      unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0),
+        |perdoc AS (SELECT doc_id, COUNT(*) AS ntok FROM toks GROUP BY doc_id),
+        |offs AS (
+        |  SELECT doc_id,
+        |    COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM perdoc),
+        |gidx AS (
+        |  SELECT t.word, o.off + ROW_NUMBER() OVER (
+        |    PARTITION BY t.doc_id ORDER BY t.pos) AS gidx
+        |  FROM toks t JOIN offs o ON o.doc_id = t.doc_id),
+        |fw AS (SELECT word, MIN(gidx) AS fidx FROM gidx GROUP BY word),
+        |tot AS (SELECT SUM(ntok) AS total FROM perdoc),
+        |cps AS (
+        |  SELECT j, total // (CAST(1 AS BIGINT) << (10 - j)) AS n_tokens
+        |  FROM tot, (SELECT unnest(generate_series(1, 10)) AS j)),
+        |curve AS (
+        |  SELECT c.j, c.n_tokens, COUNT(*) AS vocab
+        |  FROM fw, cps c WHERE fw.fidx <= c.n_tokens
+        |  GROUP BY c.j, c.n_tokens),
+        |xy AS (
+        |  SELECT j, n_tokens, vocab,
+        |    ROUND(ln(n_tokens), 6) AS x, ROUND(ln(vocab), 6) AS y
+        |  FROM curve),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx2
+        |  FROM xy)
+        |SELECT CAST(j AS BIGINT) AS j, n_tokens, vocab,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sx2 - sx * sx), 6) AS heaps_beta
+        |FROM xy, a
+        |ORDER BY j""".stripMargin,
     "text_zipf_slope" ->
       """WITH top AS (
         |  SELECT word, freq,

@@ -48,6 +48,39 @@ object EventStream {
     * sums are exact decimals (order-independent), so stream == batch
     * bit-for-bit at any cut, not approximately; the state is six
     * numbers regardless of corpus size. */
+  /** Live difference-in-differences readout — `events_diff_in_diff` as
+    * an unbounded aggregation. DiD is fully LINEAR in the event stream
+    * (four conditional cell means over arm × pre/post), so unlike CUPED
+    * no per-user state is needed: eight exact-decimal moment sums in
+    * one global group, the DiD estimate as a projection — constant
+    * state at any stream length. The exposure cut is a parameter (known
+    * a priori in a live experiment; the batch twin derives the same
+    * value from the data span). Decimal sums are order-independent, so
+    * stream == batch bit-for-bit at any cut. */
+  def didReadout(events: DataFrame, cutUs: Long): DataFrame = {
+    def el10(c: org.apache.spark.sql.Column) =
+      round(c, 10).cast("decimal(28,10)")
+    def mean6(sum10: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      round(sum10.cast("double") / n, 6)
+    val post = unix_micros(col("ts")) >= cutUs
+    val treated = col("user_id") % 2 === 1
+    def cellMean(c: org.apache.spark.sql.Column) =
+      mean6(sum(when(c, el10(col("value")))), sum(when(c, 1L)))
+    events
+      .agg(
+        sum(when(!treated && !post, 1L)).as("n_c_pre"),
+        sum(when(!treated && post, 1L)).as("n_c_post"),
+        sum(when(treated && !post, 1L)).as("n_t_pre"),
+        sum(when(treated && post, 1L)).as("n_t_post"),
+        cellMean(!treated && !post).as("m_c_pre"),
+        cellMean(!treated && post).as("m_c_post"),
+        cellMean(treated && !post).as("m_t_pre"),
+        cellMean(treated && post).as("m_t_post"))
+      .withColumn("did", round((col("m_t_post") - col("m_t_pre")) -
+        (col("m_c_post") - col("m_c_pre")), 6))
+  }
+
   /** Live CUPED readout, streaming half — the variance-reduced twin of
     * [[abReadout]] (`events_cuped`'s unbounded form). CUPED needs
     * per-user pre/post covariate MEANS (a ratio per user), so the

@@ -145,6 +145,27 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("didReadout equals the batch diff-in-diff row bit-for-bit") {
+    val staging = Files.createTempDirectory("evt_did").toString
+    EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
+    val span = spark.read.parquet(staging)
+      .selectExpr("min(unix_micros(ts)) AS lo", "max(unix_micros(ts)) AS hi")
+      .head
+    val cutUs = span.getLong(0) + (span.getLong(1) - span.getLong(0)) / 2
+    val q = EventStream.didReadout(EventStream.readEvents(spark, staging), cutUs)
+      .writeStream.format("memory").queryName("did_readout")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("did_readout").collect()
+      val batch = graft.operators.EventOps.queries("events_diff_in_diff")(
+        spark, "/root/testdata/sf0.001").collect()
+      assert(streamed.length == 1 && batch.length == 1)
+      assert(streamed.head.toSeq == batch.head.toSeq,
+        s"streamed=${streamed.head} batch=${batch.head}")
+    } finally q.stop()
+  }
+
   test("cupedUserState + readout equals the batch CUPED rows bit-for-bit") {
     val staging = Files.createTempDirectory("evt_cuped").toString
     EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
