@@ -362,6 +362,38 @@ object DedupOps {
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    // The INGEST LOOP composed end to end on the persisted signature
+    // index: day-1 signatures (even doc_ids) land as the base snapshot,
+    // day-2 signatures (odd doc_ids) APPEND, the delta is recovered
+    // through the store's CDC read (`readChanges` since the base
+    // version — files the new snapshot has that the base lacked), and
+    // candidate pairs come from banding the DELTA against the full
+    // snapshot — new×all, never all×all. This is what daily dedup at
+    // 100 TB actually runs: signature compute is delta-sized, the pair
+    // join is delta×index, and the corpus text is never re-read.
+    // Output = every LSH pair touching a new doc; oracle replays it as
+    // the full pair set filtered to odd-doc participation — a hash
+    // match proves base+append+CDC-read compose losslessly.
+    "dedup_minhash_delta_stored" -> { (s, dir) =>
+      val root = StoreRoots.tmpRoot("mhdelta", dir)
+      val sigs = minhashSig(documents(s, dir).select(col("doc_id"), col("text")))
+      // overwrite-then-append: content-idempotent across re-runs in one
+      // process (the overwrite resets the store to the base half)
+      graft.sources.GraftStore.write(sigs.filter(col("doc_id") % 2 === 0),
+        root, overwrite = true)
+      val base = graft.sources.GraftStore.currentVersion(root).get
+      graft.sources.GraftStore.write(sigs.filter(col("doc_id") % 2 === 1), root)
+      val delta = graft.sources.GraftStore.readChanges(s, root, sinceVersion = base)
+      val full = graft.sources.GraftStore.read(s, root)
+      val a = lshBandsFromSig(delta).as("a")
+      val b = lshBandsFromSig(full).as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     // 16-bit SimHash per document (md5-derived bit family)
     "dedup_simhash" -> { (s, dir) =>
       val words = documents(s, dir)
@@ -1436,6 +1468,12 @@ object DedupOps {
     // stored twin replays the same oracle: the store hop must be
     // invisible to the candidate pairs
     "dedup_minhash_lsh_stored" -> minhashOracle,
+    // the delta gate = all LSH pairs with at least one new (odd) doc
+    "dedup_minhash_delta_stored" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b FROM pairs
+         |WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_index_stored" -> {
       val hs = (1 to K).map(i =>
         s"min(substr(md5(sh), ${(i - 1) * 4 + 1}, 4)) AS h$i").mkString(", ")

@@ -621,6 +621,51 @@ object SimilarityOps {
     // reads before widening nprobe. Both arms are deterministic, so the
     // recall itself is oracle-exact. One corpus scan per arm; the IVF
     // arm's scan prunes to the probed cells.
+    // Quantized-retrieval quality audit: recall@k of symmetric int8
+    // scalar quantization (SimilarityLib.quantizeInt8 — q = round(x/s),
+    // s = maxAbs/127, the 8× memory tier of the serving stack) against
+    // exact float cosine, per probe, plus the mean absolute similarity
+    // error over the exact top-k. The int8 ranking rule is the cosine
+    // of the CODE vectors (integer dot, exact on both engines) — no
+    // dequantization in the hot path, the property that makes int8
+    // serving free. Both arms share one corpus scan + 3-row broadcast;
+    // cost is corpus-linear, state is k-bounded. The audit is what a
+    // serving owner runs before flipping a corpus to int8: recall@k is
+    // the accept/reject number, sim error the margin explanation.
+    "ann_int8_recall" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val e = SimilarityLib.quantizeInt8(
+        embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        "v")
+        .select(col("vec_id"), col("v"),
+          col("q_codes").cast("array<double>").as("qv"))
+      val probes = e.filter(col("vec_id").isin(IvfProbeIds.map(_.toLong): _*))
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          col("qv").as("pq"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cos(col("v"), col("p")), 6).as("fs"),
+          round(cos(col("qv"), col("pq")), 6).as("qs"))
+      def w(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(c.desc, col("vec_id"))
+      val topF = scored.withColumn("rk", row_number().over(w(col("fs"))))
+        .filter(col("rk") <= IvfTopK)
+      val topQ = scored.withColumn("rk", row_number().over(w(col("qs"))))
+        .filter(col("rk") <= IvfTopK)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      topF.join(topQ, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+          DetMean.mean6(sum(DetMean.el10(abs(col("fs") - col("qs")))),
+            count(lit(1))).as("mean_abs_sim_err"))
+        .withColumn("recall", round(col("n_hits") / lit(IvfTopK.toDouble), 2))
+        .select(col("probe_id"), col("n_hits"), col("recall"),
+          col("mean_abs_sim_err"))
+        .orderBy(col("probe_id"))
+    },
     "ann_ivf_recall" -> { (s, dir) =>
       val cos = graft.functions.VectorFunctions.cosine_sim _
       // K-bounded materialization of the IVF arm (k·|probes| = 15 rows,
@@ -1406,6 +1451,40 @@ object SimilarityOps {
          |FROM hits WHERE cs >= 0.2
          |GROUP BY probe_id
          |ORDER BY probe_id""".stripMargin,
+    "ann_int8_recall" ->
+      s"""WITH e0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, v, list_transform(v, x -> ROUND(x / s)) AS qv
+         |  FROM (SELECT vec_id, v,
+         |          GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-12)
+         |            / 127.0 AS s
+         |        FROM e0)),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, qv AS pq FROM q
+         |      WHERE vec_id IN (${IvfProbeIds.mkString(", ")})),
+         |sc AS (
+         |  SELECT p.probe_id, q.vec_id,
+         |    ${cosSql("q.v", "p.pv")} AS fs,
+         |    ${cosSql("q.qv", "p.pq")} AS qs
+         |  FROM q CROSS JOIN p WHERE q.vec_id <> p.probe_id),
+         |tf AS (SELECT probe_id, vec_id, fs, qs FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY fs DESC, vec_id) AS rk FROM sc) WHERE rk <= $IvfTopK),
+         |tq AS (SELECT probe_id, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY qs DESC, vec_id) AS rk FROM sc) WHERE rk <= $IvfTopK)
+         |SELECT tf.probe_id,
+         |  CAST(SUM(CASE WHEN tq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  ROUND(SUM(CASE WHEN tq.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / CAST($IvfTopK AS DOUBLE), 2) AS recall,
+         |  ROUND(CAST(SUM(CAST(ROUND(abs(fs - qs), 10) AS DECIMAL(28,10)))
+         |    AS DOUBLE) / COUNT(*), 6) AS mean_abs_sim_err
+         |FROM tf LEFT JOIN tq
+         |  ON tf.probe_id = tq.probe_id AND tf.vec_id = tq.vec_id
+         |GROUP BY tf.probe_id
+         |ORDER BY tf.probe_id""".stripMargin,
     "ann_ivf_probe" -> ivfProbeOracle,
     // The stored-index probe replays the SAME oracle: the persisted
     // geometry must reproduce the exact candidate rule, hash-identically.
