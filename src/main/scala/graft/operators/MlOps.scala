@@ -2116,6 +2116,49 @@ object MultimodalOps {
         }(enc)
         .orderBy(col("doc_id"))
     },
+    // Audio FINGERPRINT + match — the audio twin of
+    // mm_image_phash/mm_phash_neardup: a 15-bit derivative-sign hash
+    // over the first 16 decoded PCM samples (bit i−1 = sample i rose
+    // vs sample i−1 — the sign-of-delta family Chromaprint/Shazam-class
+    // matchers build on, at sample granularity since the fixture codec
+    // is FFT-free), then exact-match grouping (fingerprint = the join
+    // key; a real deployment bands sub-fingerprints the same way).
+    // Decode runs through the REAL WavCodec mapPartitions path; the
+    // oracle replays the LCG sample generator recursively and re-derives
+    // every bit, so the hash gate pins decode + fingerprint + matching.
+    // Scale: per-row decode, fingerprint-keyed agg — corpus-linear.
+    "mm_audio_fingerprint" -> { (s, dir) =>
+      import graft.multimodal.Multimodal.WavCodec
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val fps = documents(s, dir)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .mapPartitions { rows =>
+          val rates = Array(8000, 16000, 44100)
+          rows.map { r =>
+            val id = r.getLong(0)
+            val wav = WavCodec.encodeWav(
+              rates((id % 3).toInt), 1 + (id % 2).toInt,
+              100 + (id % 400).toInt, seed = id)
+            val sm = WavCodec.readSamples(wav, 16).get
+            var fp = 0L
+            var i = 1
+            while (i < 16) {
+              if (sm(i) > sm(i - 1)) fp |= 1L << (i - 1)
+              i += 1
+            }
+            org.apache.spark.sql.Row(id, fp)
+          }
+        }(enc)
+      val groups = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_matching"))
+      fps.join(groups, Seq("fp"))
+        .select(col("doc_id"), col("fp"), col("n_matching"))
+        .orderBy(col("doc_id"))
+    },
     // frame-sampling through the REAL batched mapPartitions path
     // (graft.multimodal.Multimodal.sampleFrames over the byte codec):
     // each payload splits into min(4, len) frames of max(1, len/4)
@@ -2266,8 +2309,36 @@ object MultimodalOps {
         |FROM smp
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
-    // replays encodePng's dimension/alpha/pixel formulas; a match proves
-    // the Spark side's real PNG encode→decode returned the true values
+    // replay the LCG sample stream to k=16 and re-derive every
+    // rose/fell bit; exact-match group sizes close the loop
+    "mm_audio_fingerprint" ->
+      """WITH RECURSIVE gen(doc_id, k, x) AS (
+        |  SELECT doc_id, 0, CAST(doc_id AS HUGEINT)
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id, k + 1,
+        |    (x * 6364136223846793005 + 1442695040888963407)
+        |      % 18446744073709551616
+        |  FROM gen WHERE k < 16),
+        |smp AS (
+        |  SELECT doc_id, k,
+        |    CAST(CASE WHEN x // 281474976710656 >= 32768
+        |              THEN x // 281474976710656 - 65536
+        |              ELSE x // 281474976710656 END AS INT) AS s
+        |  FROM gen WHERE k >= 1),
+        |d AS (
+        |  SELECT doc_id, k, s,
+        |    LAG(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |  FROM smp),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(SUM(CASE WHEN s > prev
+        |      THEN CAST(1 AS BIGINT) << (k - 2) ELSE 0 END), 0) AS BIGINT) AS fp
+        |  FROM d WHERE k >= 2 GROUP BY doc_id),
+        |g AS (SELECT fp, COUNT(*) AS n_matching FROM fp GROUP BY fp)
+        |SELECT doc_id, fp.fp AS fp, n_matching
+        |FROM fp JOIN g USING (fp)
+        |ORDER BY doc_id""".stripMargin,
     "mm_audio_meta" ->
       """SELECT doc_id,
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,

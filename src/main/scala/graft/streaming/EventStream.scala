@@ -48,6 +48,33 @@ object EventStream {
     * sums are exact decimals (order-independent), so stream == batch
     * bit-for-bit at any cut, not approximately; the state is six
     * numbers regardless of corpus size. */
+  /** Live k-anonymity monitor, streaming half — `events_k_anonymity`'s
+    * quasi-identifier group sizes ((event_type, hour, value-bucket) →
+    * count) maintained incrementally as ONE keyed aggregation; state is
+    * bounded by the quasi-identifier DOMAIN (types × 24 hours ×
+    * buckets), not the stream length. The release decision ("does any
+    * cell fall under k?") is [[kAnonReadout]]'s finishing fold over the
+    * live cells — counts are exact integers, so stream == batch
+    * bit-for-bit at any cut. */
+  def kAnonCells(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"),
+        floor(col("value") / 10.0).as("vbucket"))
+      .agg(count(lit(1)).as("gsize"))
+
+  /** Finishing fold over the live cells — mirrors the batch query's
+    * per-type report expression for expression. */
+  def kAnonReadout(cells: DataFrame): DataFrame =
+    cells.groupBy(col("event_type"))
+      .agg(min(col("gsize")).as("k"),
+        count(lit(1)).as("n_groups"),
+        sum(col("gsize")).as("n_rows"),
+        sum(when(col("gsize") < 5, col("gsize")).otherwise(0L))
+          .as("rows_at_risk"))
+      .withColumn("risk_share",
+        round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
+      .orderBy(col("event_type"))
+
   /** Live difference-in-differences readout — `events_diff_in_diff` as
     * an unbounded aggregation. DiD is fully LINEAR in the event stream
     * (four conditional cell means over arm × pre/post), so unlike CUPED

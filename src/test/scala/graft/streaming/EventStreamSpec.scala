@@ -145,6 +145,23 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kAnonCells + readout equals the batch k-anonymity report bit-for-bit") {
+    val staging = Files.createTempDirectory("evt_kanon").toString
+    EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
+    val q = EventStream.kAnonCells(EventStream.readEvents(spark, staging))
+      .writeStream.format("memory").queryName("kanon_cells")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = EventStream.kAnonReadout(spark.table("kanon_cells"))
+        .collect().map(_.toSeq)
+      val batch = graft.operators.EventOps.queries("events_k_anonymity")(
+        spark, "/root/testdata/sf0.001").collect().map(_.toSeq)
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+        s"streamed=${streamed.toSeq} batch=${batch.toSeq}")
+    } finally q.stop()
+  }
+
   test("didReadout equals the batch diff-in-diff row bit-for-bit") {
     val staging = Files.createTempDirectory("evt_did").toString
     EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
