@@ -525,6 +525,41 @@ object SourceOps {
           |GROUP BY o_orderstatus
           |ORDER BY o_orderstatus""".stripMargin)
     },
+    // REPLACE WHERE + ALTER TABLE ADD COLUMNS under the oracle: the
+    // partition-overwrite generalization (atomically delete the
+    // matching key range and land the incoming batch in ONE manifest
+    // publish, file-pruned by stats) followed by metadata-only DDL
+    // widening and a write into the new column. The aggregate reads the
+    // final table back through the catalog; the oracle replays
+    // replace-then-append over raw parquet.
+    "src_store_replace_where" -> { (s, dir) =>
+      val wh = SourceOps.sqlWarehouse
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+      s.sql("DROP TABLE IF EXISTS graft.gold.orders_rw")
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_grw")
+      s.sql("""CREATE TABLE graft.gold.orders_rw AS
+              |SELECT * FROM orders_src_grw""".stripMargin)
+      s.sql("""INSERT INTO graft.gold.orders_rw REPLACE WHERE o_totalprice > 200000.0
+              |SELECT o_orderkey + 200000000, 'R', 99999.99
+              |FROM orders_src_grw WHERE o_totalprice > 300000.0""".stripMargin)
+      s.sql("ALTER TABLE graft.gold.orders_rw ADD COLUMNS (band STRING)")
+      s.sql("""INSERT INTO graft.gold.orders_rw
+              |SELECT o_orderkey + 300000000, 'B', o_totalprice, 'late-band'
+              |FROM orders_src_grw WHERE o_orderkey % 500 = 0""".stripMargin)
+      s.sql(
+        """SELECT o_orderstatus, COALESCE(band, 'none') AS band,
+          |  COUNT(*) AS n,
+          |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+          |    AS sum_price
+          |FROM graft.gold.orders_rw
+          |GROUP BY o_orderstatus, band
+          |ORDER BY o_orderstatus, band""".stripMargin)
+    },
     // Named refs (tags) end to end: v1 is tagged "release-1" BEFORE the
     // second ingest advances the store, then read back BY NAME via
     // `option("ref", ...)` next to the moving latest. The hash pins
@@ -986,6 +1021,27 @@ object SourceOps {
         |  UNION ALL
         |  SELECT 'after_truncate', 0, 0.0) t
         |ORDER BY state""".stripMargin,
+    // survivors of the replace + the replacement batch + the late
+    // banded append, grouped by (status, band)
+    "src_store_replace_where" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |final AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    CAST(NULL AS VARCHAR) AS band
+        |  FROM base WHERE NOT (o_totalprice > 200000.0)
+        |  UNION ALL
+        |  SELECT o_orderkey + 200000000, 'R', 99999.99, NULL
+        |  FROM base WHERE o_totalprice > 300000.0
+        |  UNION ALL
+        |  SELECT o_orderkey + 300000000, 'B', o_totalprice, 'late-band'
+        |  FROM base WHERE o_orderkey % 500 = 0)
+        |SELECT o_orderstatus, COALESCE(band, 'none') AS band, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM final
+        |GROUP BY o_orderstatus, band
+        |ORDER BY o_orderstatus, band""".stripMargin,
     // "release-1" must resolve to the F-only v1 snapshot after the
     // later append; latest sees F+O
     "src_store_tag" ->

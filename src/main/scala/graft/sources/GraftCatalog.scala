@@ -119,10 +119,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftStoreTable(root, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — schema evolution " +
-        "happens on write (widening append), see GraftStore.widen")
+  /** `ALTER TABLE ... ADD COLUMNS (...)` — the DDL face of the store's
+    * widening evolution rule: a new nullable column appends to the
+    * manifest schema in ONE metadata-only commit (zero data movement;
+    * existing files stay valid and read back null-filled, exactly as
+    * with an evolving append). Everything else — renames, drops, type
+    * changes — would invalidate committed files and stays unsupported. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootFor(ident)
+    if (GraftStore.latestManifest(root, conf).isEmpty)
+      throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: nested column adds are not supported")
+        require(add.isNullable,
+          "graft catalog: added columns must be nullable — files written " +
+            "before the column read back null-filled")
+        require(add.position() == null,
+          "graft catalog: column position is not supported — new columns " +
+            "append at the end (the widening rule)")
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other — only " +
+          "ADD COLUMNS (nullable, top-level) is metadata-safe for " +
+          "committed data files")
+    }
+    var outSchema: StructType = null
+    GraftStore.commitLoop(root, conf) { prev =>
+      val base = prev.getOrElse(throw new NoSuchTableException(ident))
+      outSchema = changes.foldLeft(base.schema) { (sch, ch) =>
+        val add = ch.asInstanceOf[TableChange.AddColumn]
+        val name = add.fieldNames()(0)
+        require(!sch.fieldNames.contains(name),
+          s"graft catalog: column $name already exists")
+        sch.add(org.apache.spark.sql.types.StructField(
+          name, add.dataType(), nullable = true))
+      }
+      Some((outSchema, base.files, base.epochs))
+    }
+    new GraftStoreTable(root, outSchema)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootFor(ident)

@@ -500,8 +500,8 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   /** Surfaced by DESCRIBE EXTENDED: the snapshot this table resolves to
     * and every published ref — the at-a-glance lineage a user checks
@@ -578,9 +578,27 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
 // ---------------------------------------------------------------- write
 
 private[sources] class GsbWriteBuilder(root: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var overwrite = false
+  private var replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** SQL `INSERT INTO ... REPLACE WHERE cond` / `INSERT OVERWRITE`:
+    * an AlwaysTrue filter set is the plain overwrite mode; anything
+    * else is the atomic delete-matching-then-insert contract, executed
+    * as one manifest publish over [[GsbDelete.rewriteSurvivors]]'s
+    * file-pruned split plus this write's new files. */
+  override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(GsbDelete.translatable)
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    if (filters.isEmpty ||
+        filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      overwrite = true
+    else replaceFilters = Some(filters)
+    this
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       // fail fast on ILLEGAL schema drift BEFORE any task writes a byte;
@@ -597,7 +615,12 @@ private[sources] class GsbWriteBuilder(root: String, info: LogicalWriteInfo)
           }
         case _ => ()
       }
-      new GsbBatchWrite(root, info.schema(), info.queryId(), overwrite)
+      replaceFilters match {
+        case Some(fs) =>
+          new GsbReplaceWhereWrite(root, info.schema(), info.queryId(), fs)
+        case None =>
+          new GsbBatchWrite(root, info.schema(), info.queryId(), overwrite)
+      }
     }
 
     /** Streaming sink: one snapshot per micro-batch epoch, committed
@@ -1237,6 +1260,61 @@ private[sources] class GsbReplaceGroupsWrite(root: String,
   }
 }
 
+/** `INSERT INTO t REPLACE WHERE cond` — the partition-overwrite
+  * generalization: atomically delete rows matching `cond` and land the
+  * incoming batch, in ONE manifest publish. Deletion is
+  * [[GsbDelete.rewriteSurvivors]]'s file-pruned copy-on-write (files
+  * whose stats prove no match carry forward untouched); the published
+  * file set is `untouched ++ survivors ++ incoming`. Single-attempt
+  * commit: both halves were computed against the pinned base, so racing
+  * any other committer fails loudly. Schema follows the widening-append
+  * rule — carried files must stay readable. */
+private[sources] class GsbReplaceWhereWrite(root: String,
+    schema: StructType, queryId: String,
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GsbWriterFactory(root, schema.json, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GraftStore.driverConf()
+    val incoming = messages.map(_.asInstanceOf[GsbCommit])
+      .map(c => GsbFile(c.relPath, c.rows, c.bytes, c.stats)).toSeq
+      .filter(_.rows > 0)
+    GsbDelete.rewriteSurvivors(root, filters) match {
+      case None => // empty store: REPLACE WHERE degenerates to insert
+        GraftStore.commitLoop(root, conf) { prev =>
+          if (prev.nonEmpty) throw new IllegalStateException(
+            s"graft-store: REPLACE WHERE on $root lost a commit race; re-run")
+          Some((schema, incoming, Set.empty))
+        }
+      case Some((m, untouched, rewritten)) =>
+        val outSchema = GraftStore.evolutionError(m.schema, schema) match {
+          case Some(err) => throw new IllegalStateException(
+            s"graft-store: REPLACE WHERE schema ${schema.sql} is not a " +
+              s"legal evolution of stored ${m.schema.sql}: $err")
+          case None => GraftStore.widen(m.schema, schema)
+        }
+        GraftStore.commitLoop(root, conf, maxRetries = 0) { prev =>
+          if (!prev.map(_.version).contains(m.version))
+            throw new IllegalStateException(
+              s"graft-store: REPLACE WHERE on $root lost a commit race — " +
+                "a concurrent writer advanced the store past the snapshot " +
+                "the rewrite was computed against; re-run the command")
+          Some((outSchema, untouched ++ rewritten ++ incoming, m.epochs))
+        }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = GraftStore.fs(root, GraftStore.driverConf())
+    messages.foreach {
+      case c: GsbCommit => f.delete(new HPath(root, c.relPath), false)
+      case _ => ()
+    }
+  }
+}
+
 /** SQL DELETE executor — the row-level half of [[GraftStoreTable]]'s
   * `SupportsDelete`. Semantics are copy-on-write at FILE granularity,
   * the lakehouse standard (what Delta/Iceberg COW mode does):
@@ -1292,12 +1370,20 @@ private[sources] object GsbDelete {
     case _ => None
   }
 
-  def deleteWhere(root: String, filters: Array[Filter]): Unit = {
+  /** File-pruned survivor rewrite against the CURRENT snapshot: split
+    * files by whether stats admit a predicate match, re-read only the
+    * touched subset, and write the rows where the predicate is FALSE as
+    * fresh data files. Returns (base manifest, carried-forward files,
+    * rewritten files) for the caller to commit — shared by DELETE and
+    * overwrite-by-filter (REPLACE WHERE), which differ only in what
+    * else lands in the published manifest. */
+  private[sources] def rewriteSurvivors(root: String, filters: Array[Filter])
+      : Option[(GsbManifest, Seq[GsbFile], Seq[GsbFile])] = {
     val conf = GraftStore.driverConf()
-    val m = GraftStore.latestManifest(root, conf).getOrElse(return)
+    val m = GraftStore.latestManifest(root, conf).getOrElse(return None)
     val (touched, untouched) = m.files.partition(e =>
       filters.forall(GsbStats.mayMatch(_, m.schema, e.stats)))
-    if (touched.isEmpty) return // provably zero matching rows: no-op
+    if (touched.isEmpty) return Some((m, m.files, Seq.empty))
     val spark = SparkSession.active
     val pred = filters.flatMap(toColumn).reduceOption(_ && _)
       .getOrElse(F.lit(true))
@@ -1310,7 +1396,7 @@ private[sources] object GsbDelete {
       .filter(!pred)
       .select(m.schema.fieldNames.toIndexedSeq.map(attr): _*)
     val schemaJson = m.schema.json
-    // unique rewrite token: two DELETEs (even racing ones) never write
+    // unique rewrite token: two rewrites (even racing ones) never write
     // the same data file names
     val token = java.util.UUID.randomUUID().toString.take(12)
     val newFiles = survivors.queryExecution.toRdd
@@ -1323,15 +1409,21 @@ private[sources] object GsbDelete {
         else Iterator.single(w.commit().asInstanceOf[GsbCommit])
       }.collect().toSeq
       .map(c => GsbFile(c.relPath, c.rows, c.bytes, c.stats))
-    GraftStore.commitLoop(root, conf, maxRetries = 0) { prev =>
-      if (!prev.map(_.version).contains(m.version))
-        throw new IllegalStateException(
-          s"graft-store: DELETE on $root lost a commit race — a " +
-            "concurrent writer advanced the store past the snapshot the " +
-            "rewrite was computed against; re-run the DELETE")
-      Some((m.schema, untouched ++ newFiles, m.epochs))
-    }
+    Some((m, untouched, newFiles))
   }
+
+  def deleteWhere(root: String, filters: Array[Filter]): Unit =
+    rewriteSurvivors(root, filters).foreach { case (m, untouched, rewritten) =>
+      if (untouched.size == m.files.size && rewritten.isEmpty) return // no-op
+      GraftStore.commitLoop(root, GraftStore.driverConf(), maxRetries = 0) { prev =>
+        if (!prev.map(_.version).contains(m.version))
+          throw new IllegalStateException(
+            s"graft-store: DELETE on $root lost a commit race — a " +
+              "concurrent writer advanced the store past the snapshot the " +
+              "rewrite was computed against; re-run the DELETE")
+        Some((m.schema, untouched ++ rewritten, m.epochs))
+      }
+    }
 }
 
 private[sources] object GsbCodec {

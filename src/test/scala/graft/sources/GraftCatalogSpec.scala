@@ -271,6 +271,58 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 2)
   }
 
+  test("INSERT INTO ... REPLACE WHERE swaps a key range atomically, file-pruned") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rw")
+    spark.sql("CREATE TABLE graft.rw.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.rw.t SELECT id, 'old-lo' FROM range(0, 50)")
+    spark.sql("INSERT INTO graft.rw.t SELECT id, 'old-hi' FROM range(1000, 1050)")
+    val root = s"$warehouse/rw/t"
+    val before = GraftStore.latestManifest(root, GraftStore.driverConf()).get
+    // replace the hi range with a fresh (smaller) batch
+    spark.sql("""INSERT INTO graft.rw.t REPLACE WHERE k >= 1000
+                |SELECT id, 'new-hi' FROM range(1000, 1010)""".stripMargin)
+    val after = GraftStore.latestManifest(root, GraftStore.driverConf()).get
+    assert(after.version == before.version + 1) // ONE atomic publish
+    val counts = spark.sql(
+      "SELECT v, count(*) AS n FROM graft.rw.t GROUP BY v ORDER BY v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("old-lo" -> 50L, "new-hi" -> 10L), counts.toString)
+    // the lo files provably unmatched by k >= 1000 carry forward as-is
+    val loFiles = before.files.filterNot(f => GsbStats.mayMatch(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("k", 1000L),
+      before.schema, f.stats)).map(_.relPath).toSet
+    assert(loFiles.nonEmpty &&
+      loFiles.subsetOf(after.files.map(_.relPath).toSet))
+  }
+
+  test("ALTER TABLE ADD COLUMNS is metadata-only; old rows null-fill") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.alt")
+    spark.sql("CREATE TABLE graft.alt.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.alt.t SELECT id FROM range(0, 5)")
+    val root = s"$warehouse/alt/t"
+    val before = GraftStore.latestManifest(root, GraftStore.driverConf()).get
+    spark.sql("ALTER TABLE graft.alt.t ADD COLUMNS (score DOUBLE)")
+    val after = GraftStore.latestManifest(root, GraftStore.driverConf()).get
+    // one metadata commit, identical file set, widened schema
+    assert(after.version == before.version + 1)
+    assert(after.files == before.files)
+    assert(after.schema.fieldNames.toSeq == Seq("k", "score"))
+    // old rows read back null-filled; new writes can use the column
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.alt.t WHERE score IS NULL")
+      .head.getLong(0) == 5)
+    spark.sql("INSERT INTO graft.alt.t VALUES (100, 0.5)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.alt.t WHERE score IS NOT NULL")
+      .head.getLong(0) == 1)
+    // destructive changes stay refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.alt.t DROP COLUMN k")
+    }
+  }
+
   test("INSERT onto a catalog table honors the widening-append evolution rule") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds4")
