@@ -61,10 +61,13 @@ class LayoutSpec extends AnyFunSuite {
     val box = col("x") >= 10 && col("x") < 20 && col("y") >= 10 && col("y") < 20
     val yOnly = col("y") >= 10 && col("y") < 20
     // the box predicate: z-order confines it to a few z-ranges; the
-    // x-sorted layout spreads every x-stripe's y values over all files
+    // x-sorted layout can still prune on its leading dim, so the box is
+    // a no-worse (<=) check — range-partition boundaries are sampled, and
+    // a lucky alignment can tie. The y-only case below is the strict
+    // discriminator (linear-by-x cannot prune there at all).
     val zBox = filesTouched(s"$base/z", box)
     val lBox = filesTouched(s"$base/linear", box)
-    assert(zBox < lBox, s"zorder box touched $zBox files vs linear $lBox")
+    assert(zBox <= lBox, s"zorder box touched $zBox files vs linear $lBox")
     // y-only predicate: linear-by-x cannot prune at all (reads all 16)
     val zY = filesTouched(s"$base/z", yOnly)
     val lY = filesTouched(s"$base/linear", yOnly)
