@@ -1514,6 +1514,103 @@ object EventOps {
     // Determinism: exact decimal moment sums; means/variances pinned at
     // 6dp BEFORE the t/df arithmetic, which is then a fixed-order chain
     // of double ops rounded 6dp (t) and 2dp (df).
+    // Kaplan–Meier survival estimator (Kaplan & Meier 1958) for
+    // time-to-first-purchase: per user, the clock starts at their
+    // first event; users who never purchase are right-censored at
+    // their last event — exactly the conversion-lag readout a growth
+    // team plots, with censoring handled correctly instead of dropped
+    // (the naive mean-lag-among-converters is biased low). Risk sets
+    // count censored users until their censor time; the survival curve
+    // is the product-limit Π(1 − d_i/n_i) at event times.
+    //
+    // Scale shape: events collapse per-user in one keyed aggregation
+    // (the corpus pass), durations collapse to ≤ observation-span-in-
+    // days rows, and the curve is two windows over that day table —
+    // corpus-sized work is exactly one groupBy at any scale.
+    // Determinism: integer micros → integer-div days; each hazard
+    // factor divides integers once and rounds 10dp; the product runs
+    // as exp of an exact-decimal ln sum (the text_perplexity rule);
+    // the all-deaths terminal row (factor 0, ln −∞) is carried as an
+    // explicit zero flag instead of a non-finite term.
+    "events_kaplan_meier" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val per = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("tp"),
+          max(unix_micros(col("ts"))).as("tmax"))
+        .select(col("tp").isNotNull.as("obs"),
+          expr("(coalesce(tp, tmax) - t0) div 86400000000").as("t"))
+      val byT = per.groupBy(col("t"))
+        .agg(sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+          sum(when(!col("obs"), 1L).otherwise(0L)).as("c"))
+      val wDesc = w.orderBy(col("t").desc).rowsBetween(w.unboundedPreceding, 0)
+      val wAsc = w.orderBy(col("t")).rowsBetween(w.unboundedPreceding, 0)
+      byT.withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+        .filter(col("d") > 0)
+        .withColumn("lnf", when(col("d") < col("n_risk"),
+          round(log(lit(1.0) -
+            round(col("d").cast("double") / col("n_risk"), 10)), 10)))
+        .withColumn("zc", sum(when(col("d") === col("n_risk"), 1L)
+          .otherwise(0L)).over(wAsc))
+        .withColumn("survival", when(col("zc") > 0, lit(0.0))
+          .otherwise(round(exp(sum(col("lnf").cast("decimal(28,10)"))
+            .over(wAsc).cast("double")), 6)))
+        .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_events"),
+          col("c").as("n_censored"), col("survival"))
+        .orderBy(col("t_days"))
+    },
+    // Always-valid inference for the running A/B test: the mixture
+    // sequential probability ratio test (mSPRT — Johari, Koomen,
+    // Pekelis & Walsh 2017, the "peeking" paper), per event type.
+    // The fixed-n Welch readout (events_ab_welch) is only valid at a
+    // pre-committed sample size; an experimenter who looks every day
+    // needs a p-value that stays valid under continuous monitoring.
+    // With a normal mixture prior N(0, τ²) over the effect, the
+    // likelihood ratio is Λ = √(V/(V+τ²))·exp(δ̂²τ²/(2V(V+τ²))) with
+    // V = s²_pooled·(1/n0+1/n1); p_av = min(1, 1/Λ) is always-valid.
+    // τ² = s²_pooled (the unit-information prior) keeps the prior
+    // scale data-free. Reported as ln Λ (never overflows) + p.
+    //
+    // Scale shape: identical to the Welch readout — ONE conditional-
+    // aggregation corpus pass to per-type moment rows, then scalar
+    // algebra; partial-aggregates map-side at any scale. Determinism:
+    // exact decimal moment sums, means/variances at 6dp, V at 10dp,
+    // ln Λ and p at 6dp (fixed-order double chain on both engines).
+    "events_always_valid_p" -> { (s, dir) =>
+      val treated = col("user_id") % 2 === 1
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L))
+      def s1(c: org.apache.spark.sql.Column) =
+        sum(when(c, DetMean.el10(col("value"))))
+      def s2(c: org.apache.spark.sql.Column) =
+        sum(when(c, DetMean.el10(col("value") * col("value"))))
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(cnt(!treated).as("n0"), cnt(treated).as("n1"),
+          s1(!treated).as("sy0"), s1(treated).as("sy1"),
+          s2(!treated).as("syy0"), s2(treated).as("syy1"))
+        .withColumn("m0", DetMean.mean6(col("sy0"), col("n0")))
+        .withColumn("m1", DetMean.mean6(col("sy1"), col("n1")))
+        .withColumn("v0", round((col("syy0").cast("double") -
+          col("n0") * col("m0") * col("m0")) / (col("n0") - 1), 6))
+        .withColumn("v1", round((col("syy1").cast("double") -
+          col("n1") * col("m1") * col("m1")) / (col("n1") - 1), 6))
+        .withColumn("s2p", round(((col("n0") - 1) * col("v0") +
+          (col("n1") - 1) * col("v1")) / (col("n0") + col("n1") - 2), 6))
+        .withColumn("vv", round(col("s2p") *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1")), 10))
+        .withColumn("delta", round(col("m1") - col("m0"), 6))
+        .withColumn("ln_lambda", round(
+          lit(0.5) * log(col("vv") / (col("vv") + col("s2p"))) +
+            col("delta") * col("delta") * col("s2p") /
+              (lit(2.0) * col("vv") * (col("vv") + col("s2p"))), 6))
+        .withColumn("p_always_valid",
+          round(least(lit(1.0), exp(-col("ln_lambda"))), 6))
+        .select(col("event_type"), col("n0"), col("n1"), col("delta"),
+          col("ln_lambda"), col("p_always_valid"))
+        .orderBy(col("event_type"))
+    },
     "events_ab_welch" -> { (s, dir) =>
       val treated = col("user_id") % 2 === 1
       def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L))
@@ -1628,6 +1725,88 @@ object EventOps {
         |SELECT *, ROUND(CAST(weak_groups AS DOUBLE) / n_groups, 6)
         |  AS weak_share
         |FROM a
+        |ORDER BY event_type""".stripMargin,
+    "events_kaplan_meier" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tp,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax
+        |  FROM events GROUP BY user_id),
+        |durs AS (
+        |  SELECT tp IS NOT NULL AS obs,
+        |    (COALESCE(tp, tmax) - t0) // 86400000000 AS t
+        |  FROM per),
+        |byt AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM durs GROUP BY t),
+        |risk AS (
+        |  SELECT *, CAST(SUM(d + c) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_risk
+        |  FROM byt),
+        |ev AS (
+        |  SELECT *,
+        |    CASE WHEN d < n_risk
+        |      THEN ROUND(ln(1.0 - ROUND(d * 1.0 / n_risk, 10)), 10) END AS lnf,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+        |  FROM risk WHERE d > 0),
+        |s AS (
+        |  SELECT *,
+        |    SUM(z) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zc,
+        |    CAST(SUM(CAST(lnf AS DECIMAL(28,10))) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      AS lns
+        |  FROM ev)
+        |SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
+        |  CASE WHEN zc > 0 THEN 0.0 ELSE ROUND(exp(lns), 6) END AS survival
+        |FROM s
+        |ORDER BY t_days""".stripMargin,
+    "events_always_valid_p" ->
+      """WITH mom AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n1,
+        |    SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(ROUND(value, 10) AS DECIMAL(28,10)) END) AS sy0,
+        |    SUM(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(ROUND(value, 10) AS DECIMAL(28,10)) END) AS sy1,
+        |    SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(ROUND(value * value, 10) AS DECIMAL(28,10)) END) AS syy0,
+        |    SUM(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(ROUND(value * value, 10) AS DECIMAL(28,10)) END) AS syy1
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n0, n1,
+        |    ROUND(CAST(sy0 AS DOUBLE) / n0, 6) AS m0,
+        |    ROUND(CAST(sy1 AS DOUBLE) / n1, 6) AS m1,
+        |    syy0, syy1
+        |  FROM mom),
+        |v AS (
+        |  SELECT event_type, n0, n1, m0, m1,
+        |    ROUND((CAST(syy0 AS DOUBLE) - n0 * m0 * m0) / (n0 - 1), 6) AS v0,
+        |    ROUND((CAST(syy1 AS DOUBLE) - n1 * m1 * m1) / (n1 - 1), 6) AS v1
+        |  FROM m),
+        |pool AS (
+        |  SELECT event_type, n0, n1, m0, m1,
+        |    ROUND(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2), 6) AS s2p
+        |  FROM v),
+        |lam AS (
+        |  SELECT event_type, n0, n1, s2p,
+        |    ROUND(s2p * (1.0 / n0 + 1.0 / n1), 10) AS vv,
+        |    ROUND(m1 - m0, 6) AS delta
+        |  FROM pool)
+        |SELECT event_type, n0, n1, delta,
+        |  ROUND(0.5 * ln(vv / (vv + s2p)) +
+        |    delta * delta * s2p / (2.0 * vv * (vv + s2p)), 6) AS ln_lambda,
+        |  ROUND(LEAST(1.0, exp(-(ROUND(0.5 * ln(vv / (vv + s2p)) +
+        |    delta * delta * s2p / (2.0 * vv * (vv + s2p)), 6)))), 6)
+        |    AS p_always_valid
+        |FROM lam
         |ORDER BY event_type""".stripMargin,
     "events_ab_welch" ->
       """WITH mom AS (

@@ -1041,6 +1041,48 @@ object MlOps {
           round(sqrt(col("s10") / col("n_pos") + col("s01") / col("n_neg")), 6)
             .as("se"))
     },
+    // Average precision / area under the precision–recall curve over
+    // the shared calibration probe (sigmoid of the first 4 embedding
+    // dims, 3dp score bins, positives = label ≥ 5) — the ranking
+    // metric that, unlike ROC-AUC (ml_auc_delong), gives no credit for
+    // true negatives and so is the one that moves when the positive
+    // class is rare. AP = Σ_k ΔR_k·P_k over score-descending bins (the
+    // interpolation-free step integral, so both engines agree exactly);
+    // best_f1 reports the operating point a deployer would pick off the
+    // same curve.
+    //
+    // Scale shape: the corpus collapses map-side to ≤10³ score bins;
+    // the curve is two cumulative windows over bins and the AP a
+    // decimal-sum fold — the ml_auc_delong cost structure exactly.
+    // Determinism: integer cumulative counts; precision/recall divide
+    // once and round 10dp; AP terms round 10dp into an exact decimal
+    // sum; finals at 6dp.
+    "ml_pr_auc" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+      val wD = org.apache.spark.sql.expressions.Window.orderBy(col("pb").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val bins = embeddings(s, dir)
+        .select(round(p, 3).as("pb"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("pb"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+      val tot = bins.agg(sum(col("npos")).as("m"),
+        sum(col("n") - col("npos")).as("nn"))
+      bins.crossJoin(broadcast(tot))
+        .withColumn("tp", sum(col("npos")).over(wD))
+        .withColumn("cn", sum(col("n")).over(wD))
+        .withColumn("prec", round(col("tp").cast("double") / col("cn"), 10))
+        .withColumn("rec", round(col("tp").cast("double") / col("m"), 10))
+        .agg(max(col("m")).as("n_pos"), max(col("nn")).as("n_neg"),
+          round(sum(round(col("npos") * col("prec"), 10)
+              .cast("decimal(28,10)"))
+            .cast("double") / max(col("m")), 6).as("avg_precision"),
+          round(max(when(col("tp") > 0,
+            round(lit(2.0) * col("prec") * col("rec") /
+              (col("prec") + col("rec")), 10))), 6).as("best_f1"))
+    },
     // Exact 1-D Wasserstein-1 drift (Kantorovich–Rubinstein; the earth
     // mover's distance scipy.stats.wasserstein_distance computes) —
     // completes the drift trio: KS (worst-case CDF gap, ml_ks_drift),
@@ -1205,6 +1247,36 @@ object MlOps {
         |SELECT n_pos, n_neg, ROUND(auc_r, 6) AS auc,
         |  ROUND(sqrt(s10 / n_pos + s01 / n_neg), 6) AS se
         |FROM s""".stripMargin,
+    "ml_pr_auc" ->
+      """WITH sc AS (
+        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |bins AS (
+        |  SELECT pb, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS npos
+        |  FROM sc GROUP BY pb),
+        |tot AS (
+        |  SELECT CAST(SUM(npos) AS BIGINT) AS m,
+        |    CAST(SUM(n - npos) AS BIGINT) AS nn
+        |  FROM bins),
+        |c AS (
+        |  SELECT b.*, t.m, t.nn,
+        |    CAST(SUM(npos) OVER (ORDER BY pb DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(SUM(n) OVER (ORDER BY pb DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+        |  FROM bins b, tot t),
+        |r AS (
+        |  SELECT *, ROUND(tp * 1.0 / cn, 10) AS prec,
+        |    ROUND(tp * 1.0 / m, 10) AS rec
+        |  FROM c)
+        |SELECT MAX(m) AS n_pos, MAX(nn) AS n_neg,
+        |  ROUND(CAST(SUM(CAST(ROUND(npos * prec, 10) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / MAX(m), 6) AS avg_precision,
+        |  ROUND(MAX(CASE WHEN tp > 0
+        |    THEN ROUND(2.0 * prec * rec / (prec + rec), 10) END), 6) AS best_f1
+        |FROM r""".stripMargin,
     "ml_wasserstein_drift" ->
       """WITH ev AS (
         |  SELECT event_type,

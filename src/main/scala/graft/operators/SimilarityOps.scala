@@ -666,6 +666,55 @@ object SimilarityOps {
           col("mean_abs_sim_err"))
         .orderBy(col("probe_id"))
     },
+    // Binary (sign-bit) retrieval audit — the 64× memory tier below
+    // int8 (ann_int8_recall): each dimension keeps only its sign, and
+    // candidates rank by Hamming distance, computed here as
+    // (d − ⟨s_a, s_b⟩)/2 over ±1 sign vectors so the codegen'd vec_dot
+    // does all the work (one fused pass, no per-bit branching). This
+    // is the audit before flipping a corpus to binary embeddings +
+    // rerank: recall@k against exact float cosine is the accept
+    // number, the mean Hamming distance of the TRUE top-k the margin
+    // story (how many bits separate real neighbors from the crowd).
+    //
+    // Scale shape: identical to the int8 audit — one corpus scan, a
+    // 3-row probe broadcast, k-bounded state; the sign projection is
+    // row-local. Determinism: Hamming is integer-exact (±1 dots are
+    // integer-valued doubles); cosine rounds 6dp; the mean follows the
+    // exact-decimal discipline; ties break by vec_id.
+    "ann_binary_hamming" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val dot = graft.functions.VectorFunctions.vec_dot _
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("sv", transform(col("v"),
+          x => when(x >= 0, lit(1.0)).otherwise(lit(-1.0))))
+      val probes = e.filter(col("vec_id").isin(IvfProbeIds.map(_.toLong): _*))
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          col("sv").as("ps"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cos(col("v"), col("p")), 6).as("fs"),
+          ((size(col("v")).cast("double") - dot(col("sv"), col("ps"))) /
+            lit(2.0)).cast("long").as("h"))
+      def w(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(c, col("vec_id"))
+      val topF = scored.withColumn("rk", row_number().over(w(col("fs").desc)))
+        .filter(col("rk") <= IvfTopK)
+      val topH = scored.withColumn("rk", row_number().over(w(col("h"))))
+        .filter(col("rk") <= IvfTopK)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      topF.join(topH, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+          DetMean.mean6(sum(DetMean.el10(col("h"))), count(lit(1)))
+            .as("mean_hamming_true_topk"))
+        .withColumn("recall", round(col("n_hits") / lit(IvfTopK.toDouble), 2))
+        .select(col("probe_id"), col("n_hits"), col("recall"),
+          col("mean_hamming_true_topk"))
+        .orderBy(col("probe_id"))
+    },
     "ann_ivf_recall" -> { (s, dir) =>
       val cos = graft.functions.VectorFunctions.cosine_sim _
       // K-bounded materialization of the IVF arm (k·|probes| = 15 rows,
@@ -1483,6 +1532,38 @@ object SimilarityOps {
          |    AS DOUBLE) / COUNT(*), 6) AS mean_abs_sim_err
          |FROM tf LEFT JOIN tq
          |  ON tf.probe_id = tq.probe_id AND tf.vec_id = tq.vec_id
+         |GROUP BY tf.probe_id
+         |ORDER BY tf.probe_id""".stripMargin,
+    "ann_binary_hamming" ->
+      s"""WITH e0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sv AS (
+         |  SELECT vec_id, v,
+         |    list_transform(v, x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS s
+         |  FROM e0),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, s AS ps FROM sv
+         |      WHERE vec_id IN (${IvfProbeIds.mkString(", ")})),
+         |sc AS (
+         |  SELECT p.probe_id, q.vec_id,
+         |    ${cosSql("q.v", "p.pv")} AS fs,
+         |    CAST((len(q.v) - ${dotSql("q.s", "p.ps")}) / 2.0 AS BIGINT) AS h
+         |  FROM sv q CROSS JOIN p WHERE q.vec_id <> p.probe_id),
+         |tf AS (SELECT probe_id, vec_id, h FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY fs DESC, vec_id) AS rk FROM sc) WHERE rk <= $IvfTopK),
+         |th AS (SELECT probe_id, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY h, vec_id) AS rk FROM sc) WHERE rk <= $IvfTopK)
+         |SELECT tf.probe_id,
+         |  CAST(SUM(CASE WHEN th.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  ROUND(SUM(CASE WHEN th.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / CAST($IvfTopK AS DOUBLE), 2) AS recall,
+         |  ROUND(CAST(SUM(CAST(ROUND(tf.h, 10) AS DECIMAL(28,10)))
+         |    AS DOUBLE) / COUNT(*), 6) AS mean_hamming_true_topk
+         |FROM tf LEFT JOIN th
+         |  ON tf.probe_id = th.probe_id AND tf.vec_id = th.vec_id
          |GROUP BY tf.probe_id
          |ORDER BY tf.probe_id""".stripMargin,
     "ann_ivf_probe" -> ivfProbeOracle,

@@ -560,6 +560,61 @@ object SourceOps {
           |GROUP BY o_orderstatus, band
           |ORDER BY o_orderstatus, band""".stripMargin)
     },
+    // WRITE–AUDIT–PUBLISH — the lakehouse governance loop, composed
+    // entirely from machinery the store already has: a day's load lands
+    // in a STAGING store, a quality audit aggregates it in quarantine,
+    // and only a passing batch is appended to the production store,
+    // whose releases are pinned by immutable tags. The poisoned day-2
+    // batch (planted negative prices on the %11 keys) never enters
+    // production's LINEAGE at all — not even as a dead snapshot — so
+    // prod time travel can never resurrect it; the repaired re-stage
+    // passes and publishes atomically as prod v2 / release-2. This is
+    // the gate a 100 TB ingest runs before each atomic daily publish.
+    // Scale: audits are one aggregation over the staged batch (delta-
+    // sized, not corpus-sized); publish is one manifest commit; tags
+    // are O(1) driver files and vacuum GC roots, so both releases stay
+    // reproducible by name forever.
+    "src_store_wap" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-wap"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val prod = root + "/prod"
+      val stage = root + "/staging"
+      val base = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val batch1 = base.filter(col("o_orderkey") % 3 === 0)
+      val batch2Bad = base.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+      val batch2Fix = base.filter(col("o_orderkey") % 3 === 1)
+      def nBad(df: DataFrame): Long =
+        df.filter(col("o_totalprice") < 0).count()
+      GraftStore.write(batch1, prod, overwrite = true)
+      val rel1 = GraftStore.tag(prod, "release-1")
+      // day 2 stages in quarantine; its audit fails, so prod is untouched
+      GraftStore.write(batch2Bad, stage, overwrite = true)
+      if (nBad(GraftStore.read(s, stage)) > 0)
+        GraftStore.write(batch2Fix, stage, overwrite = true)
+      // the repaired re-stage passes audit -> publish (append) + tag
+      val staged = GraftStore.read(s, stage)
+      if (nBad(staged) == 0) GraftStore.write(staged, prod)
+      val rel2 = GraftStore.tag(prod, "release-2")
+      def rep(df: DataFrame, st: String, ver: Long): DataFrame =
+        df.groupBy(lit(st).as("stage"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("n_bad"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+              .cast("double").as("sum_price"))
+          .withColumn("version", lit(ver))
+      val quarantined = s.read.format("graft-store").option("version", 1)
+        .load(stage)
+      val r1 = s.read.format("graft-store").option("ref", "release-1").load(prod)
+      val r2 = s.read.format("graft-store").option("ref", "release-2").load(prod)
+      rep(r1, "1_release1", rel1)
+        .unionByName(rep(quarantined, "2_quarantined", 1L))
+        .unionByName(rep(r2, "3_release2", rel2))
+        .orderBy(col("stage"))
+    },
     // Named refs (tags) end to end: v1 is tagged "release-1" BEFORE the
     // second ingest advances the store, then read back BY NAME via
     // `option("ref", ...)` next to the moving latest. The hash pins
@@ -1044,6 +1099,43 @@ object SourceOps {
         |ORDER BY o_orderstatus, band""".stripMargin,
     // "release-1" must resolve to the F-only v1 snapshot after the
     // later append; latest sees F+O
+    // The WAP oracle replays the slices from raw orders: release-1 is
+    // the %3=0 load, quarantine holds the poisoned %3=1 load (negated
+    // %11 prices), release-2 is the union of release-1 and the REPAIRED
+    // %3=1 load — proving the poisoned batch never reached production.
+    "src_store_wap" ->
+      """WITH b1 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |b2bad AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1),
+        |b2fix AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1),
+        |rel2 AS (
+        |  SELECT * FROM b1 UNION ALL SELECT * FROM b2fix)
+        |SELECT * FROM (
+        |  SELECT '1_release1' AS stage, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bad,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |      AS sum_price,
+        |    CAST(1 AS BIGINT) AS version
+        |  FROM b1
+        |  UNION ALL
+        |  SELECT '2_quarantined', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE),
+        |    CAST(1 AS BIGINT)
+        |  FROM b2bad
+        |  UNION ALL
+        |  SELECT '3_release2', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE),
+        |    CAST(2 AS BIGINT)
+        |  FROM rel2)
+        |ORDER BY stage""".stripMargin,
     "src_store_tag" ->
       """WITH snap AS (
         |  SELECT 'release-1' AS snapshot, o_totalprice, o_orderkey

@@ -691,6 +691,75 @@ object TextOps {
         .select(col("j"), col("n_tokens"), col("vocab"), col("heaps_beta"))
         .orderBy(col("j"))
     },
+    // Repetition (degeneration) metric — the rep-3 statistic from the
+    // neural-text-degeneration literature (Holtzman et al. 2020): the
+    // fraction of a document's word trigrams that repeat an earlier
+    // trigram of the SAME document, 1 − distinct/total. Natural prose
+    // sits near 0; templated spam, stutter loops, and decoding
+    // failures spike. It is the cheap per-document screen for the
+    // looping pathology whole-doc dedup cannot see (the repeats live
+    // inside one document, so no pair join ever meets them).
+    //
+    // Scale shape: trigram construction, distinct-count, and the ratio
+    // are all row-local array ops — one codegen-friendly projection,
+    // ZERO shuffle before the 15-row TakeOrderedAndProject. At 100 TB
+    // this is a map-only scan. Determinism: integer counts; the one
+    // division rounds at 6dp; ties on rep3 break by doc_id.
+    "text_rep_ngrams" -> { (s, dir) =>
+      val tri = transform(sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          size(tri).cast("long").as("n_grams"),
+          size(array_distinct(tri)).cast("long").as("n_distinct"))
+        .withColumn("rep3", round(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_grams"), 6))
+        .orderBy(col("rep3").desc, col("doc_id")).limit(15)
+    },
+    // Good–Turing frequency re-estimation (Good 1953) over word
+    // TRIGRAMS: the counts-of-counts table N_r and the smoothed count
+    // r* = (r+1)·N_{r+1}/N_r for the low frequencies (r ≤ 10), plus
+    // the unseen-mass estimate p0 = N_1/N — the arithmetic under Katz
+    // back-off and the first table an LM-data owner reads before
+    // trusting rare-n-gram statistics (a ragged N_r tail says the
+    // corpus is too small for the gram space it claims). Trigrams, not
+    // unigrams, because that is where the rare-event classes live: the
+    // synthetic vocabulary is saturated (every WORD appears ≥ 26×) but
+    // the trigram space keeps ~16k grams at r ≤ 10 across all scales —
+    // the regime Good–Turing exists for.
+    //
+    // Scale shape: gram construction is row-local; corpus → gram
+    // counts is the only corpus-sized stage (one partial-aggregated
+    // explode); counts-of-counts is gram-space-bounded, and the N_{r+1}
+    // lookup is a broadcast self-join over ≤ max-frequency rows.
+    // Determinism: integer counts everywhere; the r* and p0 divisions
+    // each round once at 6dp.
+    "text_good_turing" -> { (s, dir) =>
+      val tri = transform(sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
+      val wc = documents(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(explode(tri).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("r"))
+      val cc = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      val tot = cc.agg(sum(col("r") * col("n_r")).as("n_tokens"),
+        sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
+      val nxt = cc.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+      cc.filter(col("r") <= 10)
+        .join(broadcast(nxt), Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"),
+          coalesce(col("n_next"), lit(0L)).as("n_r_next"),
+          round(((col("r") + 1) * coalesce(col("n_next"), lit(0L)))
+            .cast("double") / col("n_r"), 6).as("r_star"),
+          round(col("n1").cast("double") / col("n_tokens"), 6).as("p0"))
+        .orderBy(col("r"))
+    },
     "text_zipf_slope" -> { (s, dir) =>
       val top = documents(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
@@ -1202,6 +1271,46 @@ object TextOps {
         |    / (CAST(n AS DOUBLE) * sx2 - sx * sx), 6) AS heaps_beta
         |FROM xy, a
         |ORDER BY j""".stripMargin,
+    "text_rep_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |t AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tri
+        |  FROM d)
+        |SELECT doc_id, lang,
+        |  CAST(len(tri) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(tri)) AS BIGINT) AS n_distinct,
+        |  ROUND(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6)
+        |    AS rep3
+        |FROM t
+        |ORDER BY rep3 DESC, doc_id
+        |LIMIT 15""".stripMargin,
+    "text_good_turing" ->
+      """WITH d AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |wc AS (
+        |  SELECT word, COUNT(*) AS r FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS word
+        |    FROM d)
+        |  GROUP BY word),
+        |cc AS (SELECT r, COUNT(*) AS n_r FROM wc GROUP BY r),
+        |tot AS (
+        |  SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+        |  FROM cc)
+        |SELECT cc.r, CAST(cc.n_r AS BIGINT) AS n_r,
+        |  CAST(COALESCE(n2.n_r, 0) AS BIGINT) AS n_r_next,
+        |  ROUND(CAST((cc.r + 1) * COALESCE(n2.n_r, 0) AS DOUBLE) / cc.n_r, 6)
+        |    AS r_star,
+        |  ROUND(CAST(t.n1 AS DOUBLE) / t.n_tokens, 6) AS p0
+        |FROM cc LEFT JOIN cc n2 ON n2.r = cc.r + 1, tot t
+        |WHERE cc.r <= 10
+        |ORDER BY cc.r""".stripMargin,
     "text_zipf_slope" ->
       """WITH top AS (
         |  SELECT word, freq,

@@ -75,6 +75,54 @@ object EventStream {
         round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
       .orderBy(col("event_type"))
 
+  /** Live drift monitor, streaming half — `ml_psi_drift`'s population
+    * stability index as an unbounded aggregation. The per-(type, bin)
+    * reference/current counts are ONE keyed streaming aggregation whose
+    * state is bounded by the BIN DOMAIN (types × 10 fixed bins), never
+    * the stream length — the kAnonCells shape. The reference/current
+    * boundary is a parameter (micros): a deployed monitor knows its
+    * reference window a priori; the batch twin uses the same fixed cut.
+    * Counts are exact integers, so stream == batch bit-for-bit. */
+  def psiCells(events: DataFrame, cutUs: Long): DataFrame =
+    events.groupBy(col("event_type"),
+      least(lit(9L), greatest(lit(0L),
+        floor(round(col("value"), 6) / 60).cast("long"))).as("bin"))
+      .agg(sum(when(unix_micros(col("ts")) < cutUs, 1L).otherwise(0L))
+        .as("na"),
+        sum(when(unix_micros(col("ts")) >= cutUs, 1L).otherwise(0L))
+        .as("nb"))
+
+  /** Finishing fold over the live cells — mirrors the batch query's
+    * smoothed-PSI tail (grid-densified bins, +0.5/+5.0 smoothing, 10dp
+    * terms into an exact decimal sum) expression for expression. */
+  def psiReadout(cells: DataFrame): DataFrame = {
+    // densify the 10 fixed bins WITHOUT a self-join (the live cells
+    // arrive as a memory-sink view, and grid-from-cells ⋈ cells trips
+    // self-join attribute resolution): fold each type's sparse bins
+    // into a map, explode the static 0..9 grid, look bins up in the map
+    val t = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    cells.groupBy(col("event_type"))
+      .agg(map_from_arrays(collect_list(col("bin")),
+        collect_list(struct(col("na"), col("nb")))).as("m"))
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(9L))).as("bin"), col("m"))
+      .select(col("event_type"), col("bin"),
+        coalesce(col("m")(col("bin")).getField("na"), lit(0L)).as("na"),
+        coalesce(col("m")(col("bin")).getField("nb"), lit(0L)).as("nb"))
+      .withColumn("ta", sum(col("na")).over(t))
+      .withColumn("tb", sum(col("nb")).over(t))
+      .withColumn("p", (col("na") + 0.5) / (col("ta") + 5.0))
+      .withColumn("q", (col("nb") + 0.5) / (col("tb") + 5.0))
+      .withColumn("term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 10)
+          .cast("decimal(20,10)"))
+      .groupBy(col("event_type"), col("ta"), col("tb"))
+      .agg(round(sum(col("term")), 6).cast("double").as("psi"))
+      .select(col("event_type"), col("psi"),
+        col("ta").as("n_ref"), col("tb").as("n_cur"))
+      .orderBy(col("event_type"))
+  }
+
   /** Live difference-in-differences readout — `events_diff_in_diff` as
     * an unbounded aggregation. DiD is fully LINEAR in the event stream
     * (four conditional cell means over arm × pre/post), so unlike CUPED

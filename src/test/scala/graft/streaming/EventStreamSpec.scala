@@ -162,6 +162,27 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("psiCells + readout equals the batch PSI drift report bit-for-bit") {
+    val staging = Files.createTempDirectory("evt_psi").toString
+    EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
+    // the batch twin's reference window ends at the fixed calendar cut;
+    // the monitor takes the same boundary as its a-priori parameter
+    val cutUs = spark.sql("SELECT unix_micros(TIMESTAMP '2024-01-16')")
+      .head.getLong(0)
+    val q = EventStream.psiCells(EventStream.readEvents(spark, staging), cutUs)
+      .writeStream.format("memory").queryName("psi_cells")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = EventStream.psiReadout(spark.table("psi_cells"))
+        .collect().map(_.toSeq)
+      val batch = graft.operators.MlOps.queries("ml_psi_drift")(
+        spark, "/root/testdata/sf0.001").collect().map(_.toSeq)
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+        s"streamed=${streamed.toSeq} batch=${batch.toSeq}")
+    } finally q.stop()
+  }
+
   test("didReadout equals the batch diff-in-diff row bit-for-bit") {
     val staging = Files.createTempDirectory("evt_did").toString
     EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
