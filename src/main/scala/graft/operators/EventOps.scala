@@ -1514,6 +1514,62 @@ object EventOps {
     // Determinism: exact decimal moment sums; means/variances pinned at
     // 6dp BEFORE the t/df arithmetic, which is then a fixed-order chain
     // of double ops rounded 6dp (t) and 2dp (df).
+    // Mann–Kendall trend test + Theil–Sen slope per event type over
+    // the daily-mean series — the distribution-free "is this metric
+    // actually trending" readout (Mann 1945, Kendall 1975; Sen 1968),
+    // robust where OLS on dailies is wrecked by one outlier day. S is
+    // the pairwise sign sum, z its continuity-corrected normal score
+    // (no-ties variance — daily means at 6dp make exact ties
+    // measure-zero), and the Sen slope the exact median of all
+    // pairwise slopes.
+    //
+    // Scale shape: the corpus collapses to (type, day) means in ONE
+    // partial-aggregated pass; everything pairwise runs on the
+    // ≤ span-in-days table (≤31 rows/type here, 365/yr at any corpus
+    // size) — the reduce-before-pairs rule that keeps an O(n²)
+    // statistic catalog-bounded. Determinism: exact-decimal daily
+    // means at 6dp; slopes round 10dp (ordering ties break by day
+    // pair); the median is an exact order statistic, never an engine
+    // quantile; z and var_s round at 6dp.
+    "events_trend_mk" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("d"))
+        .agg(DetMean.mean6(sum(DetMean.el10(col("value"))),
+          count(lit(1))).as("m"))
+      val a = daily.select(col("event_type"), col("d").as("d1"),
+        col("m").as("m1"))
+      val b = daily.select(col("event_type"), col("d").as("d2"),
+        col("m").as("m2"))
+      val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+        .withColumn("sgn", signum(col("m2") - col("m1")).cast("long"))
+        .withColumn("slope", round((col("m2") - col("m1")) /
+          (col("d2") - col("d1")), 10))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("slope"), col("d1"), col("d2"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val med = pairs.withColumn("rn", row_number().over(wOrd))
+        .withColumn("np", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(np + 1) div 2") ||
+          col("rn") === expr("(np + 2) div 2"))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("slope")), 6).as("sen_slope"))
+      val sstat = pairs.groupBy(col("event_type"))
+        .agg(sum(col("sgn")).as("s_stat"))
+      val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      nd.join(sstat, "event_type").join(med, "event_type")
+        .withColumn("var_s", col("n_days") * (col("n_days") - 1) *
+          (lit(2) * col("n_days") + 5) / lit(18.0))
+        .withColumn("z", round(
+          when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(col("var_s")))
+            .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+            .otherwise(lit(0.0)), 6))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          round(col("var_s"), 6).as("var_s"), col("z"), col("sen_slope"))
+        .orderBy(col("event_type"))
+    },
     // Kaplan–Meier survival estimator (Kaplan & Meier 1958) for
     // time-to-first-purchase: per user, the clock starts at their
     // first event; users who never purchase are right-censored at
@@ -1725,6 +1781,48 @@ object EventOps {
         |SELECT *, ROUND(CAST(weak_groups AS DOUBLE) / n_groups, 6)
         |  AS weak_share
         |FROM a
+        |ORDER BY event_type""".stripMargin,
+    "events_trend_mk" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000
+        |      AS d,
+        |    ROUND(CAST(SUM(CAST(ROUND(value, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) / COUNT(*), 6) AS m
+        |  FROM events GROUP BY event_type,
+        |    epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000),
+        |pairs AS (
+        |  SELECT a.event_type, a.d AS d1, b.d AS d2,
+        |    CAST(sign(b.m - a.m) AS BIGINT) AS sgn,
+        |    ROUND((b.m - a.m) / (b.d - a.d), 10) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d),
+        |med AS (
+        |  SELECT event_type, ROUND(AVG(slope), 6) AS sen_slope
+        |  FROM (
+        |    SELECT event_type, slope,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY slope, d1, d2) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS np
+        |    FROM pairs)
+        |  WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        |  GROUP BY event_type),
+        |sstat AS (
+        |  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+        |  FROM pairs GROUP BY event_type),
+        |nd AS (
+        |  SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY event_type),
+        |j AS (
+        |  SELECT nd.event_type, nd.n_days, sstat.s_stat, med.sen_slope,
+        |    nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) / 18.0 AS var_s
+        |  FROM nd JOIN sstat ON nd.event_type = sstat.event_type
+        |    JOIN med ON nd.event_type = med.event_type)
+        |SELECT event_type, n_days, s_stat, ROUND(var_s, 6) AS var_s,
+        |  ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+        |             WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+        |             ELSE 0.0 END, 6) AS z,
+        |  sen_slope
+        |FROM j
         |ORDER BY event_type""".stripMargin,
     "events_kaplan_meier" ->
       """WITH per AS (

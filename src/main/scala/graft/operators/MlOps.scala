@@ -1041,6 +1041,43 @@ object MlOps {
           round(sqrt(col("s10") / col("n_pos") + col("s01") / col("n_neg")), 6)
             .as("se"))
     },
+    // Cohen's kappa (Cohen 1960) — chance-corrected inter-annotator
+    // agreement, the gate every labeling/eval pipeline runs before
+    // trusting its labels (raw agreement flatters whenever the label
+    // distribution is skewed; kappa subtracts the agreement two
+    // independent annotators with these marginals would reach by
+    // luck). Annotator 1 is the stored label; annotator 2 is a
+    // deterministic perturbation (every 5th vec bumps its label one
+    // class) so the oracle can replay the disagreement pattern exactly.
+    //
+    // Scale shape: the corpus collapses map-side to the ≤k² confusion
+    // matrix; totals, marginals, and p_e are folds over ≤k² rows with
+    // one broadcast total — nothing after the first groupBy exceeds
+    // label-domain cardinality. Determinism: integer counts; p_o/p_e
+    // divide once and round 10dp; kappa rounds 6dp.
+    "ml_cohens_kappa" -> { (s, dir) =>
+      val a2 = when(col("vec_id") % 5 === 0, (col("label") + 1) % 10)
+        .otherwise(col("label"))
+      val conf = embeddings(s, dir)
+        .select(col("label").as("a1"), a2.as("a2"))
+        .groupBy(col("a1"), col("a2")).agg(count(lit(1)).as("n"))
+      val tot = conf.agg(sum(col("n")).as("nt"),
+        sum(when(col("a1") === col("a2"), col("n")).otherwise(0L)).as("agree"))
+      val m1 = conf.groupBy(col("a1")).agg(sum(col("n")).as("n1"))
+      val m2 = conf.groupBy(col("a2")).agg(sum(col("n")).as("n2"))
+      val pe = m1.join(m2, col("a1") === col("a2"))
+        .crossJoin(broadcast(tot))
+        .agg(round(sum((col("n1") * col("n2")).cast("decimal(28,0)"))
+          .cast("double") / (max(col("nt")) * max(col("nt"))), 10).as("pe"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("nt").as("n"),
+          round(col("agree").cast("double") / col("nt"), 10).as("po_r"),
+          col("pe"))
+        .select(col("n"), round(col("po_r"), 6).as("po"),
+          round(col("pe"), 6).as("pe"),
+          round((col("po_r") - col("pe")) / (lit(1.0) - col("pe")), 6)
+            .as("kappa"))
+    },
     // Average precision / area under the precision–recall curve over
     // the shared calibration probe (sigmoid of the first 4 embedding
     // dims, 3dp score bins, positives = label ≥ 5) — the ranking
@@ -1247,6 +1284,28 @@ object MlOps {
         |SELECT n_pos, n_neg, ROUND(auc_r, 6) AS auc,
         |  ROUND(sqrt(s10 / n_pos + s01 / n_neg), 6) AS se
         |FROM s""".stripMargin,
+    "ml_cohens_kappa" ->
+      """WITH lab AS (
+        |  SELECT label AS a1,
+        |    CASE WHEN vec_id % 5 = 0 THEN (label + 1) % 10 ELSE label END AS a2
+        |  FROM embeddings),
+        |conf AS (SELECT a1, a2, COUNT(*) AS n FROM lab GROUP BY a1, a2),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN a1 = a2 THEN n ELSE 0 END) AS BIGINT) AS agree
+        |  FROM conf),
+        |m1 AS (SELECT a1, CAST(SUM(n) AS BIGINT) AS n1 FROM conf GROUP BY a1),
+        |m2 AS (SELECT a2, CAST(SUM(n) AS BIGINT) AS n2 FROM conf GROUP BY a2),
+        |pe AS (
+        |  SELECT ROUND(CAST(SUM(CAST(n1 * n2 AS DECIMAL(28,0))) AS DOUBLE)
+        |    / (t.nt * t.nt), 10) AS pe
+        |  FROM m1 JOIN m2 ON m1.a1 = m2.a2, tot t GROUP BY t.nt)
+        |SELECT t.nt AS n,
+        |  ROUND(ROUND(t.agree * 1.0 / t.nt, 10), 6) AS po,
+        |  ROUND(pe.pe, 6) AS pe,
+        |  ROUND((ROUND(t.agree * 1.0 / t.nt, 10) - pe.pe) / (1.0 - pe.pe), 6)
+        |    AS kappa
+        |FROM tot t, pe""".stripMargin,
     "ml_pr_auc" ->
       """WITH sc AS (
         |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(

@@ -760,6 +760,56 @@ object TextOps {
           round(col("n1").cast("double") / col("n_tokens"), 6).as("p0"))
         .orderBy(col("r"))
     },
+    // Pairwise Jensen–Shannon divergence between the per-language
+    // unigram distributions (Lin 1991) — the symmetric, always-finite
+    // corpus-comparison number behind "did the French slice drift from
+    // the English one" and domain-mixture diagnostics; unlike KL it
+    // tolerates one-sided words (a word present in only one language
+    // contributes p·ln2, not ∞). Reported per unordered language pair
+    // with the union-vocabulary size.
+    //
+    // Scale shape: the corpus collapses to (lang, word) counts in one
+    // partial-aggregated explode; fractions join against a broadcast
+    // per-lang total; the pair expansion is vocabulary × pair-count
+    // (languages², corpus-independent) via a broadcast pair grid, and
+    // each side's fraction attaches with a vocabulary-bounded join.
+    // Determinism: fractions divide once and round 10dp; per-word JSD
+    // terms round 10dp and sum as exact DECIMAL; finals at 6dp.
+    "text_js_divergence" -> { (s, dir) =>
+      val lw = documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      val lt = lw.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+      val fr = lw.join(broadcast(lt), "lang")
+        .select(col("lang"), col("word"),
+          round(col("c").cast("double") / col("t"), 10).as("p"))
+      val pairGrid = lt.select(col("lang").as("l1"))
+        .crossJoin(lt.select(col("lang").as("l2")))
+        .filter(col("l1") < col("l2"))
+      val words = lw.select(col("word")).distinct()
+      val withP = words.crossJoin(broadcast(pairGrid))
+        .join(fr.select(col("lang").as("l1"), col("word"),
+          col("p").as("p1")), Seq("l1", "word"), "left")
+        .join(fr.select(col("lang").as("l2"), col("word"),
+          col("p").as("p2")), Seq("l2", "word"), "left")
+        .select(col("l1"), col("l2"),
+          coalesce(col("p1"), lit(0.0)).as("p"),
+          coalesce(col("p2"), lit(0.0)).as("q"))
+        .filter(col("p") > 0 || col("q") > 0)
+      withP
+        .withColumn("term", round(
+          when(col("p") > 0, col("p") *
+            log(lit(2.0) * col("p") / (col("p") + col("q")))).otherwise(0.0) +
+          when(col("q") > 0, col("q") *
+            log(lit(2.0) * col("q") / (col("p") + col("q")))).otherwise(0.0),
+          10))
+        .groupBy(col("l1"), col("l2"))
+        .agg(count(lit(1)).as("n_words"),
+          round(lit(0.5) *
+            sum(col("term").cast("decimal(28,10)")).cast("double"), 6)
+            .as("jsd"))
+        .orderBy(col("l1"), col("l2"))
+    },
     "text_zipf_slope" -> { (s, dir) =>
       val top = documents(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
@@ -1311,6 +1361,40 @@ object TextOps {
         |FROM cc LEFT JOIN cc n2 ON n2.r = cc.r + 1, tot t
         |WHERE cc.r <= 10
         |ORDER BY cc.r""".stripMargin,
+    "text_js_divergence" ->
+      """WITH lw AS (
+        |  SELECT lang, word, COUNT(*) AS c FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  GROUP BY lang, word),
+        |lt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM lw GROUP BY lang),
+        |fr AS (
+        |  SELECT lw.lang, lw.word, ROUND(lw.c * 1.0 / lt.t, 10) AS p
+        |  FROM lw JOIN lt ON lw.lang = lt.lang),
+        |grid AS (
+        |  SELECT a.lang AS l1, b.lang AS l2 FROM lt a, lt b
+        |  WHERE a.lang < b.lang),
+        |words AS (SELECT DISTINCT word FROM lw),
+        |wp AS (
+        |  SELECT g.l1, g.l2,
+        |    COALESCE(f1.p, 0.0) AS p, COALESCE(f2.p, 0.0) AS q
+        |  FROM words w CROSS JOIN grid g
+        |  LEFT JOIN fr f1 ON f1.lang = g.l1 AND f1.word = w.word
+        |  LEFT JOIN fr f2 ON f2.lang = g.l2 AND f2.word = w.word
+        |  WHERE COALESCE(f1.p, 0.0) > 0 OR COALESCE(f2.p, 0.0) > 0),
+        |terms AS (
+        |  SELECT l1, l2,
+        |    ROUND(CASE WHEN p > 0
+        |        THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END +
+        |      CASE WHEN q > 0
+        |        THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END, 10) AS term
+        |  FROM wp)
+        |SELECT l1, l2, COUNT(*) AS n_words,
+        |  ROUND(0.5 * CAST(SUM(CAST(term AS DECIMAL(28,10))) AS DOUBLE), 6)
+        |    AS jsd
+        |FROM terms
+        |GROUP BY l1, l2
+        |ORDER BY l1, l2""".stripMargin,
     "text_zipf_slope" ->
       """WITH top AS (
         |  SELECT word, freq,
