@@ -1514,6 +1514,61 @@ object EventOps {
     // Determinism: exact decimal moment sums; means/variances pinned at
     // 6dp BEFORE the t/df arithmetic, which is then a fixed-order chain
     // of double ops rounded 6dp (t) and 2dp (df).
+    // Sample-ratio mismatch (SRM) guardrail — the χ² check every
+    // experimentation platform runs BEFORE reading any metric: if the
+    // 50/50 user-hash split didn't deliver 50/50 traffic, the
+    // assignment machinery is broken and every downstream readout
+    // (Welch, CUPED, DiD, mSPRT — all keyed off user_id % 2 here) is
+    // invalid. One conditional-aggregation pass to per-type arm
+    // counts; χ² against the exact-half expectation with the df=1
+    // α=.05 critical value as the flag. Integer counts; the χ²
+    // divides once and rounds 6dp.
+    "events_srm_check" -> { (s, dir) =>
+      val treated = col("user_id") % 2 === 1
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(when(!treated, 1L).otherwise(0L)).as("n0"),
+          sum(when(treated, 1L).otherwise(0L)).as("n1"))
+        .withColumn("e", (col("n0") + col("n1")).cast("double") / 2)
+        .withColumn("chi2", round(
+          (col("n0") - col("e")) * (col("n0") - col("e")) / col("e") +
+            (col("n1") - col("e")) * (col("n1") - col("e")) / col("e"), 6))
+        .select(col("event_type"), col("n0"), col("n1"), col("chi2"),
+          (col("chi2") > 3.841459).as("srm_flag"))
+        .orderBy(col("event_type"))
+    },
+    // Power analysis / minimum-detectable-effect table per event type:
+    // n per arm = 2σ²(z_{1-α/2}+z_{1-β})²/δ² (two-sided α=.05, 80%
+    // power — the standard two-sample means formula), evaluated over a
+    // relative-MDE grid (0.5%…10% of the type's own mean). This is the
+    // BEFORE-the-experiment operator: the Welch/mSPRT readouts say what
+    // happened, this says how long you must run to see an effect of a
+    // given size. σ² and the mean come from the same one-pass moment
+    // aggregation as the Welch readout; the grid is a 5-literal
+    // explode, so output is types × 5 rows at any corpus size.
+    // Determinism: moments via exact decimal sums at 6dp; δ and the
+    // ceiling argument round 10dp before CEIL so both engines land the
+    // same integer.
+    "events_power_mde" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(DetMean.el10(col("value"))).as("sy"),
+          sum(DetMean.el10(col("value") * col("value"))).as("syy"))
+        .withColumn("m", DetMean.mean6(col("sy"), col("n")))
+        .withColumn("s2", round((col("syy").cast("double") -
+          col("n") * col("m") * col("m")) / (col("n") - 1), 6))
+        .select(col("event_type"), col("m"), col("s2"),
+          explode(typedLit(Seq(0.005, 0.01, 0.02, 0.05, 0.1))).as("mde_rel"))
+        .withColumn("delta", round(col("m") * col("mde_rel"), 10))
+        .withColumn("n_per_arm", ceil(round(
+          lit(2.0) * col("s2") * lit((1.959964 + 0.841621) *
+            (1.959964 + 0.841621)) / (col("delta") * col("delta")), 10))
+          .cast("long"))
+        .select(col("event_type"), col("mde_rel"), col("m").as("mean"),
+          col("s2").as("variance"), col("delta"), col("n_per_arm"))
+        .orderBy(col("event_type"), col("mde_rel"))
+    },
     // Mann–Kendall trend test + Theil–Sen slope per event type over
     // the daily-mean series — the distribution-free "is this metric
     // actually trending" readout (Mann 1945, Kendall 1975; Sen 1968),
@@ -1537,6 +1592,8 @@ object EventOps {
           expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("d"))
         .agg(DetMean.mean6(sum(DetMean.el10(col("value"))),
           count(lit(1))).as("m"))
+        // 3 consumers (both pair sides + n_days): pin ONE corpus pass
+        .localCheckpoint()
       val a = daily.select(col("event_type"), col("d").as("d1"),
         col("m").as("m1"))
       val b = daily.select(col("event_type"), col("d").as("d2"),
@@ -1782,6 +1839,50 @@ object EventOps {
         |  AS weak_share
         |FROM a
         |ORDER BY event_type""".stripMargin,
+    "events_srm_check" ->
+      """WITH a AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1
+        |  FROM events GROUP BY event_type),
+        |c AS (
+        |  SELECT event_type, n0, n1, (n0 + n1) / 2.0 AS e FROM a)
+        |SELECT event_type, n0, n1,
+        |  ROUND((n0 - e) * (n0 - e) / e + (n1 - e) * (n1 - e) / e, 6) AS chi2,
+        |  ROUND((n0 - e) * (n0 - e) / e + (n1 - e) * (n1 - e) / e, 6)
+        |    > 3.841459 AS srm_flag
+        |FROM c
+        |ORDER BY event_type""".stripMargin,
+    "events_power_mde" ->
+      """WITH mom AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(ROUND(value, 10) AS DECIMAL(28,10))) AS sy,
+        |    SUM(CAST(ROUND(value * value, 10) AS DECIMAL(28,10))) AS syy
+        |  FROM events GROUP BY event_type),
+        |s AS (
+        |  SELECT event_type,
+        |    ROUND(CAST(sy AS DOUBLE) / n, 6) AS m, n, syy
+        |  FROM mom),
+        |v AS (
+        |  SELECT event_type, m,
+        |    ROUND((CAST(syy AS DOUBLE) - n * m * m) / (n - 1), 6) AS s2
+        |  FROM s),
+        |g AS (
+        |  SELECT v.*, mde_rel FROM v,
+        |    (SELECT CAST(unnest([0.005, 0.01, 0.02, 0.05, 0.1]) AS DOUBLE)
+        |       AS mde_rel)),
+        |d AS (
+        |  SELECT event_type, mde_rel, m, s2,
+        |    ROUND(m * mde_rel, 10) AS delta
+        |  FROM g)
+        |SELECT event_type, mde_rel, m AS mean, s2 AS variance, delta,
+        |  CAST(CEIL(ROUND(2.0 * s2 * ((1.959964 + 0.841621) *
+        |    (1.959964 + 0.841621)) / (delta * delta), 10)) AS BIGINT)
+        |    AS n_per_arm
+        |FROM d
+        |ORDER BY event_type, mde_rel""".stripMargin,
     "events_trend_mk" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -1041,6 +1041,39 @@ object MlOps {
           round(sqrt(col("s10") / col("n_pos") + col("s01") / col("n_neg")), 6)
             .as("se"))
     },
+    // McNemar's paired test (McNemar 1947, continuity-corrected) — the
+    // correct way to compare two classifiers evaluated on the SAME
+    // examples: only the discordant pairs carry information (b = A
+    // right where B wrong, c = the reverse); a two-proportion z-test
+    // on accuracies ignores the pairing and overstates significance.
+    // The two deterministic probes are the repo's literal scorers over
+    // disjoint embedding slices (dims 1–4 vs 5–8, threshold 0), truth
+    // is the label ≥ 5 split — so the discordance pattern is
+    // oracle-replayable. χ² = (|b−c|−1)²/(b+c) against df=1.
+    //
+    // Scale shape: ONE conditional-aggregation corpus pass to the four
+    // concordance cells; everything after is scalar algebra on one
+    // row. Integer counts; the χ² divides once, rounds 6dp.
+    "ml_mcnemar" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      def logit(lo: Int) =
+        round(aggregate(slice(v, lo, 4), lit(0.0), (a, x) => a + x), 6)
+      val truth = col("label") >= 5
+      val okA = (logit(1) > 0) === truth
+      val okB = (logit(5) > 0) === truth
+      embeddings(s, dir)
+        .agg(count(lit(1)).as("n"),
+          sum(when(okA && okB, 1L).otherwise(0L)).as("both_right"),
+          sum(when(okA && !okB, 1L).otherwise(0L)).as("b"),
+          sum(when(!okA && okB, 1L).otherwise(0L)).as("c"),
+          sum(when(!okA && !okB, 1L).otherwise(0L)).as("both_wrong"))
+        .withColumn("mcnemar_chi2", round(
+          (abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1) /
+            (col("b") + col("c")).cast("double"), 6))
+        .select(col("n"), col("both_right"), col("b"), col("c"),
+          col("both_wrong"), col("mcnemar_chi2"),
+          (col("mcnemar_chi2") > 3.841459).as("differ_flag"))
+    },
     // Cohen's kappa (Cohen 1960) — chance-corrected inter-annotator
     // agreement, the gate every labeling/eval pipeline runs before
     // trusting its labels (raw agreement flatters whenever the label
@@ -1061,6 +1094,8 @@ object MlOps {
       val conf = embeddings(s, dir)
         .select(col("label").as("a1"), a2.as("a2"))
         .groupBy(col("a1"), col("a2")).agg(count(lit(1)).as("n"))
+        // 3 consumers (totals + both marginals): pin ONE corpus pass
+        .localCheckpoint()
       val tot = conf.agg(sum(col("n")).as("nt"),
         sum(when(col("a1") === col("a2"), col("n")).otherwise(0L)).as("agree"))
       val m1 = conf.groupBy(col("a1")).agg(sum(col("n")).as("n1"))
@@ -1105,6 +1140,8 @@ object MlOps {
           when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
         .groupBy(col("pb"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+        // 2 consumers (totals + curve): pin ONE corpus pass
+        .localCheckpoint()
       val tot = bins.agg(sum(col("npos")).as("m"),
         sum(col("n") - col("npos")).as("nn"))
       bins.crossJoin(broadcast(tot))
@@ -1284,6 +1321,31 @@ object MlOps {
         |SELECT n_pos, n_neg, ROUND(auc_r, 6) AS auc,
         |  ROUND(sqrt(s10 / n_pos + s01 / n_neg), 6) AS se
         |FROM s""".stripMargin,
+    "ml_mcnemar" ->
+      """WITH sc AS (
+        |  SELECT
+        |    (ROUND(list_sum(list_transform(embedding[1:4],
+        |       x -> CAST(x AS DOUBLE))), 6) > 0) = (label >= 5) AS oka,
+        |    (ROUND(list_sum(list_transform(embedding[5:8],
+        |       x -> CAST(x AS DOUBLE))), 6) > 0) = (label >= 5) AS okb
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN oka AND okb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS both_right,
+        |    CAST(SUM(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(SUM(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(SUM(CASE WHEN NOT oka AND NOT okb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_wrong
+        |  FROM sc)
+        |SELECT n, both_right, b, c, both_wrong,
+        |  ROUND((abs(b - c) - 1) * (abs(b - c) - 1) * 1.0 / (b + c), 6)
+        |    AS mcnemar_chi2,
+        |  ROUND((abs(b - c) - 1) * (abs(b - c) - 1) * 1.0 / (b + c), 6)
+        |    > 3.841459 AS differ_flag
+        |FROM cells""".stripMargin,
     "ml_cohens_kappa" ->
       """WITH lab AS (
         |  SELECT label AS a1,

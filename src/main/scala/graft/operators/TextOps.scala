@@ -746,7 +746,10 @@ object TextOps {
         .filter(size(col("w")) >= 3)
         .select(explode(tri).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("r"))
+      // 3 consumers (totals, the N_{r+1} side, the report): pin ONE
+      // corpus pass behind the gram-space-bounded table
       val cc = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+        .localCheckpoint()
       val tot = cc.agg(sum(col("r") * col("n_r")).as("n_tokens"),
         sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
       val nxt = cc.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
@@ -779,6 +782,8 @@ object TextOps {
       val lw = documents(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("word"))
         .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+        // 3 consumers (totals, fractions, vocab): pin ONE corpus pass
+        .localCheckpoint()
       val lt = lw.groupBy(col("lang")).agg(sum(col("c")).as("t"))
       val fr = lw.join(broadcast(lt), "lang")
         .select(col("lang"), col("word"),

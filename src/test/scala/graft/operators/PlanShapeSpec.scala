@@ -1113,4 +1113,60 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("text_rep_ngrams: row-local trigram stats; top-15 is TakeOrderedAndProject, no join") {
+    val p = plan("text_rep_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("events_kaplan_meier: one per-user corpus aggregation, no join at all") {
+    val p = plan("events_kaplan_meier")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("events_always_valid_p / srm / power: one conditional-agg corpus pass, no join") {
+    for (q <- Seq("events_always_valid_p", "events_srm_check",
+        "events_power_mde", "ml_mcnemar")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+    }
+  }
+
+  test("events_trend_mk: pairwise work runs on the checkpointed daily table — ONE events scan") {
+    val p = plan("events_trend_mk")
+    assert(!p.contains("CartesianProduct"), p)
+    val eventScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(eventScans <= 1, s"events scanned $eventScans times:\n$p")
+  }
+
+  test("text_js_divergence: ONE documents scan; pair grid broadcasts") {
+    val p = plan("text_js_divergence")
+    assert(!p.contains("CartesianProduct"), p)
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans <= 1, s"documents scanned $docScans times:\n$p")
+  }
+
+  test("text_good_turing / ml_cohens_kappa / ml_pr_auc: ONE corpus scan behind the checkpoint") {
+    for ((q, tbl) <- Seq(("text_good_turing", "documents"),
+        ("ml_cohens_kappa", "embeddings"), ("ml_pr_auc", "embeddings"))) {
+      val p = plan(q)
+      val scans = p.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains(tbl))
+      assert(scans <= 1, s"$q: $tbl scanned $scans times:\n$p")
+    }
+  }
+
+  test("ann_binary_hamming: probes broadcast onto the corpus scan; no cartesian") {
+    // the corpus side must meet the 3-row probe set as a broadcast
+    // (the shortlist⋈shortlist SMJ at the end joins k-bounded rows —
+    // the same accepted shape as ann_int8_recall)
+    val p = plan("ann_binary_hamming")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
