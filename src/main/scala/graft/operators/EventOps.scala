@@ -1514,6 +1514,53 @@ object EventOps {
     // Determinism: exact decimal moment sums; means/variances pinned at
     // 6dp BEFORE the t/df arithmetic, which is then a fixed-order chain
     // of double ops rounded 6dp (t) and 2dp (df).
+    // RFM segmentation (recency / frequency / monetary quartiles) —
+    // the classic behavioral-cohort operator: every user lands in one
+    // of 64 "rQfQmQ" cells, and the cell census is what lifecycle
+    // campaigns and churn models key off. Recency = days since the
+    // user's last event (integer micros → integer-div days against the
+    // corpus max), frequency/monetary over purchase events only.
+    // Quartile BOUNDARIES come from one exact-percentile aggregation
+    // and broadcast back onto the user table (the text_quality_gate
+    // shape) — never an ntile window, which would serialize the user
+    // table through one task at scale.
+    //
+    // Scale shape: events collapse per-user in one keyed corpus pass;
+    // the boundary row is O(1); segmentation is a codegen projection;
+    // the census is a ≤64-row aggregation. Determinism: monetary sums
+    // as exact decimals → 6dp; Spark's exact percentile matches
+    // DuckDB's quantile_cont bit-for-bit (established q-gate
+    // discipline); strict > comparisons against identical boundaries.
+    "events_rfm_segments" -> { (s, dir) =>
+      val per = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("f"),
+          round(coalesce(sum(when(col("event_type") === "purchase",
+            DetMean.el10(col("value")))).cast("double"), lit(0.0)), 6)
+            .as("m"))
+      val g = per.agg(max(col("last_us")).as("gmax"))
+      val rfm = per.crossJoin(broadcast(g))
+        .withColumn("r", expr("(gmax - last_us) div 86400000000"))
+        .select(col("user_id"), col("r"), col("f"), col("m"))
+        .localCheckpoint() // 2 consumers: boundaries + segmentation
+      val b = rfm.agg(
+        expr("percentile(r, array(0.25D, 0.5D, 0.75D))").as("qr"),
+        expr("percentile(f, array(0.25D, 0.5D, 0.75D))").as("qf"),
+        expr("percentile(m, array(0.25D, 0.5D, 0.75D))").as("qm"))
+      def quart(c: org.apache.spark.sql.Column, q: String) =
+        lit(1) + (c > element_at(col(q), 1)).cast("int") +
+          (c > element_at(col(q), 2)).cast("int") +
+          (c > element_at(col(q), 3)).cast("int")
+      rfm.crossJoin(broadcast(b))
+        .select(concat(lit("r"), quart(col("r"), "qr"),
+          lit("f"), quart(col("f"), "qf"),
+          lit("m"), quart(col("m"), "qm")).as("segment"), col("f"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"), sum(col("f")).as("n_purchases"))
+        .orderBy(col("segment"))
+    },
     // Sample-ratio mismatch (SRM) guardrail — the χ² check every
     // experimentation platform runs BEFORE reading any metric: if the
     // 50/50 user-hash split didn't deliver 50/50 traffic, the
@@ -1839,6 +1886,37 @@ object EventOps {
         |  AS weak_share
         |FROM a
         |ORDER BY event_type""".stripMargin,
+    "events_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f,
+        |    ROUND(COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ROUND(value, 10) AS DECIMAL(28,10)) END) AS DOUBLE),
+        |      0.0), 6) AS m
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT MAX(last_us) AS gmax FROM per),
+        |rfm AS (
+        |  SELECT user_id, (g.gmax - last_us) // 86400000000 AS r, f, m
+        |  FROM per, g),
+        |b AS (
+        |  SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS qr,
+        |    quantile_cont(f, [0.25, 0.5, 0.75]) AS qf,
+        |    quantile_cont(m, [0.25, 0.5, 0.75]) AS qm
+        |  FROM rfm),
+        |seg AS (
+        |  SELECT 'r' || (1 + CAST(r > qr[1] AS INT) + CAST(r > qr[2] AS INT)
+        |      + CAST(r > qr[3] AS INT))
+        |    || 'f' || (1 + CAST(f > qf[1] AS INT) + CAST(f > qf[2] AS INT)
+        |      + CAST(f > qf[3] AS INT))
+        |    || 'm' || (1 + CAST(m > qm[1] AS INT) + CAST(m > qm[2] AS INT)
+        |      + CAST(m > qm[3] AS INT)) AS segment, f
+        |  FROM rfm, b)
+        |SELECT segment, COUNT(*) AS n_users, CAST(SUM(f) AS BIGINT)
+        |  AS n_purchases
+        |FROM seg GROUP BY segment
+        |ORDER BY segment""".stripMargin,
     "events_srm_check" ->
       """WITH a AS (
         |  SELECT event_type,

@@ -560,6 +560,30 @@ object SourceOps {
           |GROUP BY o_orderstatus, band
           |ORDER BY o_orderstatus, band""".stripMargin)
     },
+    // Snapshot-history metadata table — the `table$snapshots` audit
+    // surface: three deterministic commits (one overwrite, two
+    // appends), then [[GraftStore.snapshots]] reads the per-version
+    // history straight off the immutable manifests — an O(versions)
+    // driver walk that never opens a data file. The oracle recomputes
+    // each version's exact row count from raw orders, certifying that
+    // the per-file counts recorded at commit time add up to the truth
+    // for EVERY live snapshot, not just the latest. (File/byte columns
+    // are layout-dependent — task-count and encoder artifacts — so the
+    // gated projection pins the engine-independent history; the spec
+    // covers the rest.)
+    "src_store_snapshots" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-snapmeta"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      GraftStore.write(base.filter(col("o_orderkey") % 4 === 0), root,
+        overwrite = true)
+      GraftStore.write(base.filter(col("o_orderkey") % 4 === 1), root)
+      GraftStore.write(base.filter(col("o_orderkey") % 4 === 2), root)
+      GraftStore.snapshots(s, root)
+        .select(col("version"), col("n_rows"))
+        .orderBy(col("version"))
+    },
     // WRITE–AUDIT–PUBLISH — the lakehouse governance loop, composed
     // entirely from machinery the store already has: a day's load lands
     // in a STAGING store, a quality audit aggregates it in quarantine,
@@ -1099,6 +1123,20 @@ object SourceOps {
         |ORDER BY o_orderstatus, band""".stripMargin,
     // "release-1" must resolve to the F-only v1 snapshot after the
     // later append; latest sees F+O
+    "src_store_snapshots" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s0,
+        |    CAST(SUM(CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN o_orderkey % 4 = 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s2
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version, s0 AS n_rows FROM c
+        |UNION ALL SELECT CAST(2 AS BIGINT), s0 + s1 FROM c
+        |UNION ALL SELECT CAST(3 AS BIGINT), s0 + s1 + s2 FROM c
+        |ORDER BY version""".stripMargin,
     // The WAP oracle replays the slices from raw orders: release-1 is
     // the %3=0 load, quarantine holds the poisoned %3=1 load (negated
     // %11 prices), release-2 is the union of release-1 and the REPAIRED

@@ -371,6 +371,27 @@ object GraftStore {
   def currentVersion(path: String): Option[Long] =
     latestManifest(path, driverConf()).map(_.version)
 
+  /** Snapshot-history metadata table — the `table$snapshots` surface a
+    * lakehouse exposes for audits and retention planning: one row per
+    * committed version with its live file count, exact row count, and
+    * byte footprint, straight off the immutable manifests. Cost is an
+    * O(versions) driver-side manifest walk (each manifest is one line
+    * per file); NO data file is opened, so the history of a 100 TB
+    * store reads in milliseconds. Row counts come from the per-file
+    * counts each writing task recorded at commit time, so they are
+    * exact for any snapshot, including time-traveled ones. */
+  def snapshots(spark: SparkSession, path: String): DataFrame = {
+    val conf = driverConf()
+    val cur = currentVersion(path).getOrElse(0L)
+    val rows = (1L to cur).flatMap { v =>
+      manifestAt(path, conf, v).map(m =>
+        (m.version, m.files.size.toLong,
+          m.files.map(_.rows).sum, m.files.map(_.bytes).sum))
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_files", "n_rows", "n_bytes")
+  }
+
   /** Build-once / read-many: write `build` to `root` IF this store is
     * still empty, then return a snapshot-pinned read. The ingest-side
     * half of every derived-artifact story (materialized graph, ANN

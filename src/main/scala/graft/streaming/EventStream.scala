@@ -75,6 +75,31 @@ object EventStream {
         round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
       .orderBy(col("event_type"))
 
+  /** Live SRM guardrail, streaming half — `events_srm_check` as an
+    * unbounded aggregation: per-(type, arm) counts are ONE keyed
+    * streaming aggregation whose state is bounded by types × 2 arms —
+    * the monitor that invalidates a live experiment the moment its
+    * traffic split breaks. Counts are exact integers, so stream ==
+    * batch bit-for-bit at any cut. */
+  def srmCells(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+      (col("user_id") % 2 === 1).as("treated"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Finishing fold over the live arm counts — mirrors the batch χ²
+    * tail expression for expression. */
+  def srmReadout(cells: DataFrame): DataFrame =
+    cells.groupBy(col("event_type"))
+      .agg(sum(when(!col("treated"), col("n")).otherwise(0L)).as("n0"),
+        sum(when(col("treated"), col("n")).otherwise(0L)).as("n1"))
+      .withColumn("e", (col("n0") + col("n1")).cast("double") / 2)
+      .withColumn("chi2", round(
+        (col("n0") - col("e")) * (col("n0") - col("e")) / col("e") +
+          (col("n1") - col("e")) * (col("n1") - col("e")) / col("e"), 6))
+      .select(col("event_type"), col("n0"), col("n1"), col("chi2"),
+        (col("chi2") > 3.841459).as("srm_flag"))
+      .orderBy(col("event_type"))
+
   /** Live drift monitor, streaming half — `ml_psi_drift`'s population
     * stability index as an unbounded aggregation. The per-(type, bin)
     * reference/current counts are ONE keyed streaming aggregation whose

@@ -46,6 +46,24 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(back.where(col("maybe").isNull).count() == df.where(col("maybe").isNull).count())
   }
 
+  test("snapshots() metadata table reports exact per-version history off the manifests") {
+    import spark.implicits._
+    val root = tmp()
+    GraftStore.write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, overwrite = true)
+    GraftStore.write(Seq((3L, "c")).toDF("k", "s"), root)
+    GraftStore.write(Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("k", "s"), root)
+    val h = GraftStore.snapshots(spark, root).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "contiguous versions")
+    assert(h.map(r => r.getLong(2)).toSeq == Seq(2L, 3L, 6L), "exact row counts")
+    // file counts never shrink across appends; every snapshot has bytes
+    val files = h.map(_.getLong(1))
+    assert(files.sliding(2).forall(p => p(0) <= p(1)), files.toSeq.toString)
+    assert(h.forall(_.getLong(3) > 0), "bytes recorded per version")
+    // the walk never opens data files: history of a vacuumed-tag store
+    // still reads (manifests are retained even when data files age out)
+    assert(GraftStore.snapshots(spark, root).count() == 3)
+  }
+
   test("append adds a snapshot; overwrite replaces it") {
     val dir = tmp()
     val a = docs.limit(10)

@@ -162,6 +162,23 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("srmCells + readout equals the batch SRM guardrail bit-for-bit") {
+    val staging = Files.createTempDirectory("evt_srm").toString
+    EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
+    val q = EventStream.srmCells(EventStream.readEvents(spark, staging))
+      .writeStream.format("memory").queryName("srm_cells")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = EventStream.srmReadout(spark.table("srm_cells"))
+        .collect().map(_.toSeq)
+      val batch = graft.operators.EventOps.queries("events_srm_check")(
+        spark, "/root/testdata/sf0.001").collect().map(_.toSeq)
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+        s"streamed=${streamed.toSeq} batch=${batch.toSeq}")
+    } finally q.stop()
+  }
+
   test("psiCells + readout equals the batch PSI drift report bit-for-bit") {
     val staging = Files.createTempDirectory("evt_psi").toString
     EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
