@@ -1041,6 +1041,46 @@ object MlOps {
           round(sqrt(col("s10") / col("n_pos") + col("s01") / col("n_neg")), 6)
             .as("se"))
     },
+    // Group-fairness audit — demographic parity and equalized odds for
+    // the standard probe across deterministic cohorts (vec_id % 3):
+    // per-cohort selection rate, TPR, FPR, plus the corpus-level gaps
+    // (max−min selection rate = demographic-parity gap; max of the
+    // TPR/FPR spreads = equalized-odds gap). This is the pre-deploy
+    // audit row a model gate reads; swap the cohort column for a real
+    // protected attribute and the plan is unchanged.
+    //
+    // Scale shape: ONE conditional-aggregation corpus pass to 3 cohort
+    // rows; the gap fold runs over those rows and broadcasts back.
+    // Integer counts; each rate divides once and rounds 6dp; gaps are
+    // differences of already-rounded rates.
+    "ml_fairness_audit" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val pred = logit > 0
+      val truth = col("label") >= 5
+      val per = embeddings(s, dir)
+        .groupBy((col("vec_id") % 3).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(pred, 1L).otherwise(0L)).as("npred"),
+          sum(when(pred && truth, 1L).otherwise(0L)).as("tp"),
+          sum(when(truth, 1L).otherwise(0L)).as("npos"),
+          sum(when(pred && !truth, 1L).otherwise(0L)).as("fp"))
+        .withColumn("sel_rate",
+          round(col("npred").cast("double") / col("n"), 6))
+        .withColumn("tpr",
+          round(col("tp").cast("double") / col("npos"), 6))
+        .withColumn("fpr", round(col("fp").cast("double") /
+          (col("n") - col("npos")), 6))
+        .localCheckpoint() // 2 consumers: rows + the gap fold
+      val gaps = per.agg(
+        round(max(col("sel_rate")) - min(col("sel_rate")), 6).as("dp_gap"),
+        round(greatest(max(col("tpr")) - min(col("tpr")),
+          max(col("fpr")) - min(col("fpr"))), 6).as("eo_gap"))
+      per.crossJoin(broadcast(gaps))
+        .select(col("cohort"), col("n"), col("sel_rate"), col("tpr"),
+          col("fpr"), col("dp_gap"), col("eo_gap"))
+        .orderBy(col("cohort"))
+    },
     // McNemar's paired test (McNemar 1947, continuity-corrected) — the
     // correct way to compare two classifiers evaluated on the SAME
     // examples: only the discordant pairs carry information (b = A
@@ -1321,6 +1361,36 @@ object MlOps {
         |SELECT n_pos, n_neg, ROUND(auc_r, 6) AS auc,
         |  ROUND(sqrt(s10 / n_pos + s01 / n_neg), 6) AS se
         |FROM s""".stripMargin,
+    "ml_fairness_audit" ->
+      """WITH per AS (
+        |  SELECT vec_id % 3 AS cohort, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS npred,
+        |    CAST(SUM(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+        |    CAST(SUM(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM (
+        |    SELECT vec_id,
+        |      ROUND(list_sum(list_transform(embedding[1:4],
+        |        x -> CAST(x AS DOUBLE))), 6) > 0 AS pred,
+        |      label >= 5 AS truth
+        |    FROM embeddings)
+        |  GROUP BY vec_id % 3),
+        |r AS (
+        |  SELECT cohort, n,
+        |    ROUND(npred * 1.0 / n, 6) AS sel_rate,
+        |    ROUND(tp * 1.0 / npos, 6) AS tpr,
+        |    ROUND(fp * 1.0 / (n - npos), 6) AS fpr
+        |  FROM per),
+        |g AS (
+        |  SELECT ROUND(MAX(sel_rate) - MIN(sel_rate), 6) AS dp_gap,
+        |    ROUND(GREATEST(MAX(tpr) - MIN(tpr), MAX(fpr) - MIN(fpr)), 6)
+        |      AS eo_gap
+        |  FROM r)
+        |SELECT cohort, n, sel_rate, tpr, fpr, dp_gap, eo_gap
+        |FROM r, g
+        |ORDER BY cohort""".stripMargin,
     "ml_mcnemar" ->
       """WITH sc AS (
         |  SELECT
@@ -2320,6 +2390,73 @@ object MultimodalOps {
     // oracle replays the LCG sample generator recursively and re-derives
     // every bit, so the hash gate pins decode + fingerprint + matching.
     // Scale: per-row decode, fingerprint-keyed agg — corpus-linear.
+    // Energy-threshold voice-activity detection (VAD) over the real
+    // WAV codec — the audio-pipeline step before transcription or
+    // speech/music routing: frame the signal, score per-frame energy,
+    // threshold against the clip's own mean (energy·n_frames > total —
+    // integer-exact, no division), and merge adjacent active frames
+    // into segments (gaps-and-islands). The codec and per-frame sums
+    // run in the batched mapPartitions path; segmentation is real
+    // window plumbing (lag + running sum) the oracle replays from the
+    // same LCG sample stream the WAV encoder wrote — so frame
+    // boundaries, energies, the threshold rule, and the island merge
+    // are all under the hash gate. First 64 samples → 8 frames of 8:
+    // enough to exercise multi-segment clips while the DuckDB replay
+    // stays a 64-level recursive CTE. Scale: per-row codec work, one
+    // per-clip window over 8 rows — embarrassingly parallel.
+    "mm_audio_vad" -> { (s, dir) =>
+      import graft.multimodal.Multimodal.WavCodec
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("frame",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("energy",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val frames = documents(s, dir)
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .mapPartitions { rows =>
+          val rates = Array(8000, 16000, 44100)
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val wav = WavCodec.encodeWav(rates((id % 3).toInt),
+              1 + (id % 2).toInt, 100 + (id % 400).toInt, seed = id)
+            val sm = WavCodec.readSamples(wav, 64).get
+            (0 until 8).map { f =>
+              var e = 0L
+              var i = 0
+              while (i < 8) {
+                val s0 = sm(f * 8 + i).toLong; e += s0 * s0; i += 1
+              }
+              org.apache.spark.sql.Row(id, f, e)
+            }
+          }
+        }(enc)
+      val w = org.apache.spark.sql.expressions.Window
+      val wDoc = w.partitionBy(col("doc_id"))
+      val wOrd = w.partitionBy(col("doc_id")).orderBy(col("frame"))
+      val seg = frames
+        .withColumn("tot", sum(col("energy")).over(wDoc))
+        .withColumn("active", col("energy") * 8 > col("tot"))
+        .withColumn("newseg", when(col("active") &&
+          !coalesce(lag(col("active"), 1).over(wOrd), lit(false)), 1L)
+          .otherwise(0L))
+        .withColumn("segid", sum(col("newseg")).over(
+          wOrd.rowsBetween(w.unboundedPreceding, 0)))
+        .filter(col("active"))
+        .groupBy(col("doc_id"), col("segid")).agg(count(lit(1)).as("len"))
+      val perDoc = seg.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"), sum(col("len")).as("n_active"),
+          max(col("len")).as("longest"))
+      documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 200)
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("longest"), lit(0L)).as("longest"))
+        .orderBy(col("doc_id"))
+    },
     "mm_audio_fingerprint" -> { (s, dir) =>
       import graft.multimodal.Multimodal.WavCodec
       val outSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -2504,6 +2641,54 @@ object MultimodalOps {
         |ORDER BY doc_id""".stripMargin,
     // replay the LCG sample stream to k=16 and re-derive every
     // rose/fell bit; exact-match group sizes close the loop
+    "mm_audio_vad" ->
+      """WITH RECURSIVE gen(doc_id, k, x) AS (
+        |  SELECT doc_id, 0, CAST(doc_id AS HUGEINT)
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id, k + 1,
+        |    (x * 6364136223846793005 + 1442695040888963407)
+        |      % 18446744073709551616
+        |  FROM gen WHERE k < 64),
+        |smp AS (
+        |  SELECT doc_id, k,
+        |    CAST(CASE WHEN x // 281474976710656 >= 32768
+        |              THEN x // 281474976710656 - 65536
+        |              ELSE x // 281474976710656 END AS BIGINT) AS s
+        |  FROM gen WHERE k >= 1),
+        |fr AS (
+        |  SELECT doc_id, CAST((k - 1) // 8 AS INT) AS frame,
+        |    CAST(SUM(s * s) AS BIGINT) AS energy
+        |  FROM smp GROUP BY doc_id, (k - 1) // 8),
+        |act AS (
+        |  SELECT doc_id, frame, energy,
+        |    energy * 8 > CAST(SUM(energy) OVER (PARTITION BY doc_id)
+        |      AS BIGINT) AS active
+        |  FROM fr),
+        |n AS (
+        |  SELECT *, CASE WHEN active AND NOT COALESCE(LAG(active) OVER
+        |      (PARTITION BY doc_id ORDER BY frame), FALSE)
+        |    THEN 1 ELSE 0 END AS newseg
+        |  FROM act),
+        |sgid AS (
+        |  SELECT *, SUM(newseg) OVER (PARTITION BY doc_id ORDER BY frame
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segid
+        |  FROM n),
+        |seg AS (
+        |  SELECT doc_id, segid, COUNT(*) AS len
+        |  FROM sgid WHERE active GROUP BY doc_id, segid),
+        |per AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |    CAST(SUM(len) AS BIGINT) AS n_active,
+        |    CAST(MAX(len) AS BIGINT) AS longest
+        |  FROM seg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_segments, 0) AS n_segments,
+        |  COALESCE(n_active, 0) AS n_active,
+        |  COALESCE(longest, 0) AS longest
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        |LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "mm_audio_fingerprint" ->
       """WITH RECURSIVE gen(doc_id, k, x) AS (
         |  SELECT doc_id, 0, CAST(doc_id AS HUGEINT)

@@ -666,6 +666,61 @@ object SimilarityOps {
           col("mean_abs_sim_err"))
         .orderBy(col("probe_id"))
     },
+    // kNN-distance outlier mining over IVF cells — the data-cleaning
+    // operator that surfaces mislabeled/corrupt/off-distribution
+    // vectors before they poison training: a point whose distance to
+    // its 3rd-nearest neighbor is large sits alone in embedding space.
+    // Exact all-pairs is corpus²; routing pairs through the literal-
+    // codebook cell assignment (the dedup_semantic / IVF rule: nearest
+    // centroid by 6dp cosine, ties to the smaller cell id) bounds pair
+    // volume by Σ cell² — the same approximation every production
+    // outlier miner makes, and the cells are the ones the ANN index
+    // already maintains. Top-20 most-isolated vectors by k-th-NN
+    // distance (k = 3, clamped for tiny cells).
+    //
+    // Scale shape: assignment is corpus × K-broadcast; pairs are
+    // cell-equi-joined (never a corpus cross join); the k-th order
+    // statistic is a per-vector window over cell-bounded rows.
+    // Determinism: distances round 6dp; ranks tie-break by neighbor
+    // id; the report ties break by vec_id.
+    "emb_outlier_knn" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cell"), col("v").as("cv"))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(round(cos(col("v"), col("cv")), 6).desc, col("cell"))
+      val dot = graft.functions.VectorFunctions.vec_dot _
+      // per-pair L2 via the dot identity ‖a−b‖² = ⟨a,a⟩+⟨b,b⟩−2⟨a,b⟩:
+      // norms precompute once per row, the pair stage pays ONE fused
+      // codegen dot instead of an interpreted zip_with per pair
+      // (measured 5.3 s → the interpreted form's cost was the lambda)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), col("v"),
+          dot(col("v"), col("v")).as("n2"))
+        .localCheckpoint() // 2 consumers: both sides of the pair join
+      val nbrs = assigned.select(col("cell"), col("vec_id").as("nb"),
+        col("v").as("vb"), col("n2").as("nb2"))
+      val pairs = assigned.join(nbrs, Seq("cell"))
+        .filter(col("vec_id") =!= col("nb"))
+        .select(col("vec_id"), col("cell"), col("nb"),
+          round(col("n2") + col("nb2") -
+            lit(2.0) * dot(col("v"), col("vb")), 6).as("dist"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("nb"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+      pairs.withColumn("rk", row_number().over(wk))
+        .withColumn("nn", count(lit(1)).over(wc))
+        .filter(col("rk") === least(lit(3L), col("nn")))
+        .select(col("vec_id"), col("cell"), (col("nn") + 1).as("n_in_cell"),
+          col("dist").as("knn_dist"))
+        .orderBy(col("knn_dist").desc, col("vec_id")).limit(20)
+    },
     // Binary (sign-bit) retrieval audit — the 64× memory tier below
     // int8 (ann_int8_recall): each dimension keeps only its sign, and
     // candidates rank by Hamming distance, computed here as
@@ -1534,6 +1589,33 @@ object SimilarityOps {
          |  ON tf.probe_id = tq.probe_id AND tf.vec_id = tq.vec_id
          |GROUP BY tf.probe_id
          |ORDER BY tf.probe_id""".stripMargin,
+    "emb_outlier_knn" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT vec_id, cell, v FROM (
+         |    SELECT e.vec_id, c.cell, e.v,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn = 1),
+         |n2 AS (
+         |  SELECT vec_id, cell, v, ${dotSql("v", "v")} AS n2 FROM asg),
+         |pairs AS (
+         |  SELECT a.vec_id, a.cell, b.vec_id AS nb,
+         |    ROUND(a.n2 + b.n2 - 2.0 * ${dotSql("a.v", "b.v")}, 6) AS dist
+         |  FROM n2 a JOIN n2 b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |k AS (
+         |  SELECT vec_id, cell, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, nb) AS rk,
+         |    COUNT(*) OVER (PARTITION BY vec_id) AS nn
+         |  FROM pairs)
+         |SELECT vec_id, cell, nn + 1 AS n_in_cell, dist AS knn_dist
+         |FROM k WHERE rk = LEAST(3, nn)
+         |ORDER BY knn_dist DESC, vec_id
+         |LIMIT 20""".stripMargin,
     "ann_binary_hamming" ->
       s"""WITH e0 AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
