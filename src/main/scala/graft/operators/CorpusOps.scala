@@ -309,6 +309,9 @@ object CorpusOps {
           sequence(lit(1), size(w) - 2),
           i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
             element_at(w, i + 2)))).as("gram"))
+        // 2 consumers (first-seen table + the scoring join) — one
+        // materialized gram stream beats re-running the corpus explode
+        .localCheckpoint(eager = false)
       val first = grams.groupBy(col("gram"))
         .agg(min(col("doc_id")).as("first_doc"))
       val mx = documents(s, dir).agg(max(col("doc_id")).as("mx"))

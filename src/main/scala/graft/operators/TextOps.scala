@@ -423,12 +423,17 @@ object TextOps {
           i => struct(element_at(col("w"), i).as("w1"),
             element_at(col("w"), i + 1).as("w2")))).as("g"))
         .select(col("doc_id"), col("g.w1"), col("g.w2"))
+      // bigram counts are the sufficient statistic: c1 = Σ c12 by w1,
+      // the continuation counts are row counts of the bigram table —
+      // so derive uni/back/btot from the vocab²-bounded `big` instead
+      // of re-aggregating the corpus gram stream (was 3 extra corpus
+      // scans; identical values, the checkpoint is vocabulary-sized)
       val big = grams.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
-      val uni = grams.groupBy(col("w1"))
-        .agg(count(lit(1)).as("c1"), count_distinct(col("w2")).as("n1f"))
-      val back = grams.groupBy(col("w2"))
-        .agg(count_distinct(col("w1")).as("n1b"))
+        .localCheckpoint(eager = false)
+      val uni = big.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+      val back = big.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
       val btot = big.agg(count(lit(1)).as("bb"))
       val num = (lit(4) * col("c12") - 3) * col("bb") +
         lit(3) * col("n1f") * col("n1b")
@@ -660,6 +665,9 @@ object TextOps {
         coalesce(sum(col("ntok")).over(
           w.orderBy(col("doc_id")).rowsBetween(w.unboundedPreceding, -1)),
           lit(0L)))
+        // doc-bounded; 2 consumers (gidx join + checkpoint grid) each
+        // re-derived the corpus explode behind it (6 scans → 2)
+        .localCheckpoint(eager = false)
       val gidx = toks.join(broadcast(offs.select(col("doc_id"), col("off"))),
           Seq("doc_id"))
         .withColumn("ridx", row_number().over(
