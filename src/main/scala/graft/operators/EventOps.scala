@@ -1514,6 +1514,53 @@ object EventOps {
     // Determinism: exact decimal moment sums; means/variances pinned at
     // 6dp BEFORE the t/df arithmetic, which is then a fixed-order chain
     // of double ops rounded 6dp (t) and 2dp (df).
+    // Exponential inter-arrival fit — the Poisson-process sanity check
+    // behind every rate-based alert threshold: per event type, fit
+    // λ̂ = 1/mean to the PER-USER inter-arrival gaps and report the
+    // binned KS distance between the empirical gap distribution and
+    // Exp(λ̂). A large ks_exp says arrivals are bursty/periodic, and
+    // rate-based anomaly thresholds calibrated on a Poisson assumption
+    // will page wrong — the readout that justifies (or vetoes) the
+    // events_anomaly_* thresholds upstream.
+    //
+    // Scale shape: gaps come from user-keyed lag windows (per-task
+    // state = one user's stream, embarrassingly parallel — never a
+    // type-global ordering); gaps collapse to type × ≤721 minute bins
+    // map-side; the ECDF-vs-CDF sweep runs on the bin table.
+    // Determinism: integer micros gaps; λ̂ is one double division of
+    // exact integers rounded 10dp; both CDFs evaluate at integer bin
+    // edges with identical double exp.
+    "events_interarrival_fit" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val wU = w.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = events(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(wU))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), (col("us") - col("prev")).as("gap_us"))
+        .localCheckpoint() // 2 consumers: moments + the binned ECDF
+      val stats = gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sum_us"))
+        .withColumn("lambda_s",
+          round(lit(1.0e6) * col("n_gaps") / col("sum_us"), 10))
+      val binned = gaps.select(col("event_type"),
+          least(lit(720L), expr("gap_us div 60000000")).as("bin"))
+        .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("nb"))
+      val wc = w.partitionBy(col("event_type")).orderBy(col("bin"))
+        .rowsBetween(w.unboundedPreceding, 0)
+      binned.join(broadcast(stats), "event_type")
+        .withColumn("cum", sum(col("nb")).over(wc))
+        .withColumn("ecdf", round(col("cum").cast("double") / col("n_gaps"), 10))
+        .withColumn("fexp", round(lit(1.0) -
+          exp(-col("lambda_s") * ((col("bin") + 1) * lit(60.0))), 10))
+        .groupBy(col("event_type"), col("n_gaps"), col("lambda_s"))
+        .agg(round(max(abs(col("ecdf") - col("fexp"))), 6).as("ks_exp"))
+        .select(col("event_type"), col("n_gaps"),
+          round(col("lambda_s"), 6).as("lambda_per_s"), col("ks_exp"))
+        .orderBy(col("event_type"))
+    },
     // RFM segmentation (recency / frequency / monetary quartiles) —
     // the classic behavioral-cohort operator: every user lands in one
     // of 64 "rQfQmQ" cells, and the cell census is what lifecycle
@@ -1885,6 +1932,45 @@ object EventOps {
         |SELECT *, ROUND(CAST(weak_groups AS DOUBLE) / n_groups, 6)
         |  AS weak_share
         |FROM a
+        |ORDER BY event_type""".stripMargin,
+    "events_interarrival_fit" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |g0 AS (
+        |  SELECT event_type,
+        |    us - LAG(us) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY us, event_id) AS gap_us
+        |  FROM ev),
+        |gaps AS (SELECT event_type, gap_us FROM g0 WHERE gap_us IS NOT NULL),
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n_gaps,
+        |    CAST(SUM(gap_us) AS BIGINT) AS sum_us
+        |  FROM gaps GROUP BY event_type),
+        |lam AS (
+        |  SELECT event_type, n_gaps,
+        |    ROUND(1.0e6 * n_gaps / sum_us, 10) AS lambda_s
+        |  FROM stats),
+        |binned AS (
+        |  SELECT event_type, LEAST(720, gap_us // 60000000) AS bin,
+        |    COUNT(*) AS nb
+        |  FROM gaps GROUP BY event_type, LEAST(720, gap_us // 60000000)),
+        |c AS (
+        |  SELECT b.event_type, b.bin, l.n_gaps, l.lambda_s,
+        |    CAST(SUM(nb) OVER (PARTITION BY b.event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM binned b JOIN lam l ON b.event_type = l.event_type),
+        |k AS (
+        |  SELECT event_type, n_gaps, lambda_s,
+        |    ROUND(cum * 1.0 / n_gaps, 10) AS ecdf,
+        |    ROUND(1.0 - exp(-lambda_s * ((bin + 1) * 60.0)), 10) AS fexp
+        |  FROM c)
+        |SELECT event_type, n_gaps, ROUND(lambda_s, 6) AS lambda_per_s,
+        |  ROUND(MAX(abs(ecdf - fexp)), 6) AS ks_exp
+        |FROM k
+        |GROUP BY event_type, n_gaps, lambda_s
         |ORDER BY event_type""".stripMargin,
     "events_rfm_segments" ->
       """WITH per AS (

@@ -1041,6 +1041,41 @@ object MlOps {
           round(sqrt(col("s10") / col("n_pos") + col("s01") / col("n_neg")), 6)
             .as("se"))
     },
+    // Cox calibration regression (Cox 1958) — the two-number summary
+    // of the reliability diagram: count-weighted least squares of the
+    // per-bin outcome rate on the bin score. slope ≈ 1 & intercept ≈ 0
+    // is calibrated; slope < 1 means overconfident tails (shrink the
+    // logits), intercept ≠ 0 a base-rate shift — the recalibration
+    // parameters a deployer would actually fit, where ml_brier /
+    // ml_calibration_bins only score the miscalibration.
+    //
+    // Scale shape: the corpus collapses map-side to ≤10³ score bins;
+    // the regression is one decimal-moment fold over bins (the
+    // text_zipf_slope discipline: 10dp terms, exact decimal sums,
+    // closed form, finals 6dp).
+    "ml_calibration_slope" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+      val bins = embeddings(s, dir)
+        .select(round(p, 3).as("pb"),
+          when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("pb"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+        .withColumn("yk", round(col("npos").cast("double") / col("n"), 10))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(round(c, 10).cast("decimal(28,10)")).cast("double")
+      val nt = col("nt").cast("double")
+      val slope = round((nt * col("sxy") - col("sx") * col("sy")) /
+        (nt * col("sx2") - col("sx") * col("sx")), 6)
+      bins.agg(sum(col("n")).as("nt"),
+          dsum(col("n") * col("pb")).as("sx"),
+          dsum(col("n") * col("yk")).as("sy"),
+          dsum(col("n") * col("pb") * col("yk")).as("sxy"),
+          dsum(col("n") * col("pb") * col("pb")).as("sx2"))
+        .select(col("nt").as("n"), slope.as("slope"),
+          round((col("sy") - slope * col("sx")) / nt, 6).as("intercept"))
+    },
     // Group-fairness audit — demographic parity and equalized odds for
     // the standard probe across deterministic cohorts (vec_id % 3):
     // per-cohort selection rate, TPR, FPR, plus the corpus-level gaps
@@ -1361,6 +1396,35 @@ object MlOps {
         |SELECT n_pos, n_neg, ROUND(auc_r, 6) AS auc,
         |  ROUND(sqrt(s10 / n_pos + s01 / n_neg), 6) AS se
         |FROM s""".stripMargin,
+    "ml_calibration_slope" ->
+      """WITH sc AS (
+        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |bins AS (
+        |  SELECT pb, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS npos
+        |  FROM sc GROUP BY pb),
+        |y AS (
+        |  SELECT pb, n, ROUND(npos * 1.0 / n, 10) AS yk FROM bins),
+        |m AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(SUM(CAST(ROUND(n * pb, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |      AS sx,
+        |    CAST(SUM(CAST(ROUND(n * yk, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(SUM(CAST(ROUND(n * pb * yk, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND(n * pb * pb, 10) AS DECIMAL(28,10)))
+        |      AS DOUBLE) AS sx2
+        |  FROM y)
+        |SELECT nt AS n,
+        |  ROUND((CAST(nt AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(nt AS DOUBLE) * sx2 - sx * sx), 6) AS slope,
+        |  ROUND((sy - ROUND((CAST(nt AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(nt AS DOUBLE) * sx2 - sx * sx), 6) * sx)
+        |    / CAST(nt AS DOUBLE), 6) AS intercept
+        |FROM m""".stripMargin,
     "ml_fairness_audit" ->
       """WITH per AS (
         |  SELECT vec_id % 3 AS cohort, COUNT(*) AS n,

@@ -75,6 +75,46 @@ object EventStream {
         round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
       .orderBy(col("event_type"))
 
+  /** Live stratified-ATE readout, streaming half — `ml_stratified_ate`
+    * as an unbounded aggregation: per-stratum (event_type) treated/
+    * control moment sums are ONE keyed streaming aggregation with
+    * state bounded by the stratum domain; the share-weighted effect
+    * table is [[ateReadout]]'s finishing fold. Decimal moment sums are
+    * order-independent, so stream == batch bit-for-bit at any cut. */
+  def ateCells(events: DataFrame): DataFrame = {
+    def el10(c: org.apache.spark.sql.Column) =
+      round(c, 10).cast("decimal(28,10)")
+    val t = col("event_id") % 3 === 0
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(t, 1L)).as("n_treated"),
+        sum(when(t, el10(col("value")))).as("sy1"),
+        sum(when(!t, el10(col("value")))).as("sy0"))
+  }
+
+  /** Finishing fold over the live strata — mirrors the batch query's
+    * share/propensity/effect tail expression for expression (the
+    * corpus total rides a window over the ≤|types|-row cell table, so
+    * no self-join of the memory-sink view is needed). */
+  def ateReadout(cells: DataFrame): DataFrame = {
+    def mean6(sum10: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) =
+      round(sum10.cast("double") / n, 6)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells
+      .withColumn("n_all", sum(col("n")).over(wAll))
+      .withColumn("share", round(col("n").cast("double") / col("n_all"), 6))
+      .withColumn("propensity",
+        round(col("n_treated").cast("double") / col("n"), 6))
+      .withColumn("m_treated", mean6(col("sy1"), col("n_treated")))
+      .withColumn("m_control", mean6(col("sy0"), col("n") - col("n_treated")))
+      .withColumn("effect", round(col("m_treated") - col("m_control"), 6))
+      .select(col("event_type"), col("n"), col("share"), col("propensity"),
+        col("m_treated"), col("m_control"), col("effect"),
+        round(col("share") * col("effect"), 6).as("ate_contrib"))
+      .orderBy(col("event_type"))
+  }
+
   /** Live SRM guardrail, streaming half — `events_srm_check` as an
     * unbounded aggregation: per-(type, arm) counts are ONE keyed
     * streaming aggregation whose state is bounded by types × 2 arms —

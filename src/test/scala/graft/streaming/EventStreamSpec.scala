@@ -162,6 +162,23 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ateCells + readout equals the batch stratified ATE bit-for-bit") {
+    val staging = Files.createTempDirectory("evt_ate").toString
+    EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
+    val q = EventStream.ateCells(EventStream.readEvents(spark, staging))
+      .writeStream.format("memory").queryName("ate_cells")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = EventStream.ateReadout(spark.table("ate_cells"))
+        .collect().map(_.toSeq)
+      val batch = graft.operators.MlOps.queries("ml_stratified_ate")(
+        spark, "/root/testdata/sf0.001").collect().map(_.toSeq)
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+        s"streamed=${streamed.toSeq} batch=${batch.toSeq}")
+    } finally q.stop()
+  }
+
   test("srmCells + readout equals the batch SRM guardrail bit-for-bit") {
     val staging = Files.createTempDirectory("evt_srm").toString
     EventStream.stageEvents(spark, "/root/testdata/sf0.001", staging)
