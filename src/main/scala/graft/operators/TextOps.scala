@@ -771,6 +771,94 @@ object TextOps {
           round(col("n1").cast("double") / col("n_tokens"), 6).as("p0"))
         .orderBy(col("r"))
     },
+    // Mean segmental type–token ratio (MSTTR; Johnson 1944) — lexical
+    // diversity that, unlike raw TTR, does not collapse with document
+    // length (TTR falls as docs grow because types saturate): score
+    // each non-overlapping 25-token segment independently and average.
+    // Per-language report — the diversity axis of the quality family
+    // (a language whose MSTTR craters is template/boilerplate-heavy
+    // even when length and stopword gates pass).
+    //
+    // Scale shape: segmentation, distinct-count, and the per-doc mean
+    // are row-local array ops (one projection, zero shuffle before the
+    // ≤|langs|-row aggregation). Determinism: per-segment TTRs round
+    // 6dp, sum left-to-right inside the row; per-doc means round 6dp
+    // and aggregate as exact decimals.
+    "text_msttr" -> { (s, dir) =>
+      val segs = transform(
+        sequence(lit(1), (size(col("w")) / 25).cast("int")),
+        k => round(size(array_distinct(
+            slice(col("w"), (k - 1) * 25 + 1, lit(25))))
+          .cast("double") / 25.0, 6))
+      documents(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 25)
+        .select(col("lang"), segs.as("t"))
+        .select(col("lang"), round(
+          aggregate(col("t"), lit(0.0), (a, x) => a + x) / size(col("t")), 6)
+          .as("msttr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          DetMean.mean6(sum(DetMean.el10(col("msttr"))),
+            count(lit(1))).as("avg_msttr"),
+          round(min(col("msttr")), 6).as("min_msttr"))
+        .orderBy(col("lang"))
+    },
+    // Burrows' Delta (Burrows 2002; Evert et al. 2017) — the standard
+    // stylometric distance: z-score each source's relative frequency
+    // of the top-30 corpus words (function words dominate that list,
+    // and function-word profiles are the stylistic fingerprint), then
+    // Delta(s1,s2) = mean |z1 − z2|. The 10 closest source pairs are
+    // the "same author/template?" shortlist — for LLM corpora, the
+    // duplicate-FEED detector that catches mirrored sources whose
+    // documents are individually distinct.
+    //
+    // Scale shape: the corpus collapses once to (source, word) counts;
+    // everything after runs on the 30-word × |sources| grid (broadcast
+    // top-word list, window z-scores, a grid self-join on word for the
+    // pair sweep). Determinism: relative frequencies and z-scores
+    // round 10dp (population σ over the source axis; σ=0 words score
+    // z=0 on every source); per-pair |Δz| terms round 10dp into exact
+    // decimal sums; Delta at 6dp; ties break by source names.
+    "text_burrows_delta" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val sw = documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // 3 consumers below
+      val stot = sw.groupBy(col("source")).agg(sum(col("c")).as("t"))
+      val top = sw.groupBy(col("word")).agg(sum(col("c")).as("cc"))
+        .orderBy(col("cc").desc, col("word")).limit(30)
+        .select(col("word"))
+      val grid = stot.crossJoin(broadcast(top))
+      val f = grid.join(sw, Seq("source", "word"), "left")
+        .select(col("source"), col("word"),
+          round(coalesce(col("c"), lit(0L)).cast("double") / col("t"), 10)
+            .as("f"))
+      // per-word moments as exact decimal sums (a float window avg
+      // would depend on partition-internal row order)
+      val wstats = f.groupBy(col("word"))
+        .agg(count(lit(1)).as("ns"),
+          sum(DetMean.el10(col("f"))).as("sf"),
+          sum(DetMean.el10(col("f") * col("f"))).as("sff"))
+        .withColumn("mu", round(col("sf").cast("double") / col("ns"), 10))
+        .withColumn("sd", round(sqrt(greatest(lit(0.0),
+          col("sff").cast("double") / col("ns") - col("mu") * col("mu"))),
+          10))
+        .select(col("word"), col("mu"), col("sd"))
+      val z = f.join(broadcast(wstats), "word")
+        .withColumn("z", when(col("sd") > 0,
+          round((col("f") - col("mu")) / col("sd"), 10)).otherwise(lit(0.0)))
+        .select(col("source"), col("word"), col("z"))
+      val z2 = z.select(col("source").as("s2"), col("word"),
+        col("z").as("zb"))
+      z.join(z2, Seq("word")).filter(col("source") < col("s2"))
+        .groupBy(col("source").as("s1"), col("s2"))
+        .agg(round(sum(round(abs(col("z") - col("zb")), 10)
+            .cast("decimal(28,10)"))
+          .cast("double") / count(lit(1)), 6).as("delta"))
+        .orderBy(col("delta"), col("s1"), col("s2")).limit(10)
+    },
     // Pairwise Jensen–Shannon divergence between the per-language
     // unigram distributions (Lin 1991) — the symmetric, always-finite
     // corpus-comparison number behind "did the French slice drift from
@@ -1374,6 +1462,64 @@ object TextOps {
         |FROM cc LEFT JOIN cc n2 ON n2.r = cc.r + 1, tot t
         |WHERE cc.r <= 10
         |ORDER BY cc.r""".stripMargin,
+    "text_msttr" ->
+      """WITH d AS (
+        |  SELECT lang, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 25),
+        |seg AS (
+        |  SELECT lang,
+        |    ROUND(list_sum(list_transform(generate_series(1, len(w) // 25),
+        |      k -> ROUND(len(list_distinct(w[(k-1)*25+1 : (k-1)*25+25]))
+        |        / 25.0, 6))) / (len(w) // 25), 6) AS msttr
+        |  FROM d)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(CAST(ROUND(msttr, 10) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / COUNT(*), 6) AS avg_msttr,
+        |  ROUND(MIN(msttr), 6) AS min_msttr
+        |FROM seg GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "text_burrows_delta" ->
+      """WITH sw AS (
+        |  SELECT source, word, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  GROUP BY source, word),
+        |stot AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM sw GROUP BY source),
+        |top AS (
+        |  SELECT word FROM (
+        |    SELECT word, SUM(c) AS cc FROM sw GROUP BY word
+        |    ORDER BY cc DESC, word LIMIT 30)),
+        |f AS (
+        |  SELECT g.source, g.word,
+        |    ROUND(COALESCE(sw.c, 0) * 1.0 / g.t, 10) AS f
+        |  FROM (SELECT s.source, s.t, tp.word FROM stot s, top tp) g
+        |  LEFT JOIN sw ON sw.source = g.source AND sw.word = g.word),
+        |ws AS (
+        |  SELECT word, COUNT(*) AS ns,
+        |    CAST(SUM(CAST(ROUND(f, 10) AS DECIMAL(28,10))) AS DOUBLE) AS sf,
+        |    CAST(SUM(CAST(ROUND(f * f, 10) AS DECIMAL(28,10))) AS DOUBLE)
+        |      AS sff
+        |  FROM f GROUP BY word),
+        |ms AS (
+        |  SELECT word, ROUND(sf / ns, 10) AS mu,
+        |    ROUND(sqrt(GREATEST(0.0, sff / ns
+        |      - ROUND(sf / ns, 10) * ROUND(sf / ns, 10))), 10) AS sd
+        |  FROM ws),
+        |z AS (
+        |  SELECT f.source, f.word,
+        |    CASE WHEN m.sd > 0 THEN ROUND((f.f - m.mu) / m.sd, 10)
+        |         ELSE 0.0 END AS z
+        |  FROM f JOIN ms m ON f.word = m.word),
+        |p AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(ROUND(abs(a.z - b.z), 10) AS DECIMAL(28,10)) AS term
+        |  FROM z a JOIN z b ON a.word = b.word AND a.source < b.source)
+        |SELECT s1, s2,
+        |  ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS delta
+        |FROM p GROUP BY s1, s2
+        |ORDER BY delta, s1, s2
+        |LIMIT 10""".stripMargin,
     "text_js_divergence" ->
       """WITH lw AS (
         |  SELECT lang, word, COUNT(*) AS c FROM (
