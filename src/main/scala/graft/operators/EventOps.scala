@@ -1514,6 +1514,68 @@ object EventOps {
     // Determinism: exact decimal moment sums; means/variances pinned at
     // 6dp BEFORE the t/df arithmetic, which is then a fixed-order chain
     // of double ops rounded 6dp (t) and 2dp (df).
+    // Qini / uplift-by-decile curve (Radcliffe 2007) — the evaluation
+    // readout for targeting models: rank users by an uplift score,
+    // then per score-decile compare treated vs control response and
+    // accumulate the Qini statistic Q(k) = R_t − R_c·N_t/N_c from the
+    // top decile down. A model that targets well shows its uplift
+    // concentrated in the top deciles; a flat curve says the score
+    // carries no heterogeneity. Score here is a deterministic
+    // engagement proxy (pre-purchase view+click volume), response is
+    // fast conversion (first purchase within 3 days of first
+    // activity), treatment the standard user-hash arm.
+    //
+    // Scale shape: ONE per-user corpus aggregation; decile boundaries
+    // via one exact-percentile fold broadcast back (never a global
+    // rank window); the curve is cumulative windows over ≤10 rows.
+    // Determinism: integer counts; rates/Qini divide once, round 6dp;
+    // zero-arm deciles emit NULL on both engines.
+    "events_qini_curve" -> { (s, dir) =>
+      val per = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type").isin("view", "click"), 1L)
+            .otherwise(0L)).as("score"),
+          min(unix_micros(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("tp"))
+        .select(col("user_id"), col("score"),
+          when(col("tp").isNotNull &&
+            col("tp") - col("t0") < 259200000000L, 1L).otherwise(0L)
+            .as("resp"),
+          (col("user_id") % 2 === 1).cast("int").as("t"))
+        .localCheckpoint() // 2 consumers: boundaries + binning
+      val b = per.agg(expr("percentile(score, array(0.1D, 0.2D, 0.3D, " +
+        "0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))").as("qs"))
+      val binned = per.crossJoin(broadcast(b))
+        .withColumn("decile", lit(1) +
+          (1 to 9).map(i =>
+            (col("score") > element_at(col("qs"), i)).cast("int"))
+            .reduce(_ + _))
+      val cells = binned.groupBy(col("decile"))
+        .agg(sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1, col("resp")).otherwise(0L)).as("r_t"),
+          sum(when(col("t") === 0, col("resp")).otherwise(0L)).as("r_c"))
+      val w = org.apache.spark.sql.expressions.Window
+      val wC = w.orderBy(col("decile").desc)
+        .rowsBetween(w.unboundedPreceding, 0)
+      cells
+        .withColumn("ct", sum(col("n_t")).over(wC))
+        .withColumn("cc", sum(col("n_c")).over(wC))
+        .withColumn("crt", sum(col("r_t")).over(wC))
+        .withColumn("crc", sum(col("r_c")).over(wC))
+        .select(col("decile"), col("n_t"), col("n_c"),
+          when(col("n_t") > 0,
+            round(col("r_t").cast("double") / col("n_t"), 6))
+            .as("resp_rate_t"),
+          when(col("n_c") > 0,
+            round(col("r_c").cast("double") / col("n_c"), 6))
+            .as("resp_rate_c"),
+          when(col("cc") > 0, round(col("crt") -
+            col("crc") * col("ct").cast("double") / col("cc"), 6))
+            .as("qini_cum"))
+        .orderBy(col("decile").desc)
+    },
     // Exponential inter-arrival fit — the Poisson-process sanity check
     // behind every rate-based alert threshold: per event type, fit
     // λ̂ = 1/mean to the PER-USER inter-arrival gaps and report the
@@ -1933,6 +1995,63 @@ object EventOps {
         |  AS weak_share
         |FROM a
         |ORDER BY event_type""".stripMargin,
+    "events_qini_curve" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type IN ('view', 'click')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tp
+        |  FROM events GROUP BY user_id),
+        |u AS (
+        |  SELECT user_id, score,
+        |    CASE WHEN tp IS NOT NULL AND tp - t0 < 259200000000
+        |         THEN 1 ELSE 0 END AS resp,
+        |    CAST(user_id % 2 = 1 AS INT) AS t
+        |  FROM per),
+        |b AS (
+        |  SELECT quantile_cont(score,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |  FROM u),
+        |binned AS (
+        |  SELECT u.*, 1 + CAST(score > qs[1] AS INT) + CAST(score > qs[2]
+        |    AS INT) + CAST(score > qs[3] AS INT) + CAST(score > qs[4] AS INT)
+        |    + CAST(score > qs[5] AS INT) + CAST(score > qs[6] AS INT)
+        |    + CAST(score > qs[7] AS INT) + CAST(score > qs[8] AS INT)
+        |    + CAST(score > qs[9] AS INT) AS decile
+        |  FROM u, b),
+        |cells AS (
+        |  SELECT decile,
+        |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN t = 1 THEN resp ELSE 0 END) AS BIGINT) AS r_t,
+        |    CAST(SUM(CASE WHEN t = 0 THEN resp ELSE 0 END) AS BIGINT) AS r_c
+        |  FROM binned GROUP BY decile),
+        |c AS (
+        |  SELECT *,
+        |    CAST(SUM(n_t) OVER (ORDER BY decile DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS ct,
+        |    CAST(SUM(n_c) OVER (ORDER BY decile DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cc,
+        |    CAST(SUM(r_t) OVER (ORDER BY decile DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS crt,
+        |    CAST(SUM(r_c) OVER (ORDER BY decile DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS crc
+        |  FROM cells)
+        |SELECT decile, n_t, n_c,
+        |  CASE WHEN n_t > 0 THEN ROUND(r_t * 1.0 / n_t, 6) END
+        |    AS resp_rate_t,
+        |  CASE WHEN n_c > 0 THEN ROUND(r_c * 1.0 / n_c, 6) END
+        |    AS resp_rate_c,
+        |  CASE WHEN cc > 0 THEN ROUND(crt - crc * ct * 1.0 / cc, 6) END
+        |    AS qini_cum
+        |FROM c
+        |ORDER BY decile DESC""".stripMargin,
     "events_interarrival_fit" ->
       """WITH ev AS (
         |  SELECT event_type, user_id, event_id,
