@@ -1161,6 +1161,45 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("events_rfm_segments / qini: quartile boundaries broadcast; no rank window over users") {
+    // the user table must meet its decile/quartile boundaries as a
+    // broadcast one-row fold — a global ntile/rank window would
+    // serialize the user table through a single task at scale
+    for (q <- Seq("events_rfm_segments", "events_qini_curve")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"), s"$q:\n$p")
+      // ("percentile" contains the substring — mask it before probing
+      // for an actual ntile window function)
+      assert(!p.replace("percentile", "").contains("ntile"), s"$q:\n$p")
+    }
+  }
+
+  test("events_interarrival_fit: gaps via user-keyed windows; stats broadcast onto bins") {
+    val p = plan("events_interarrival_fit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("ml_calibration_slope: one corpus collapse, regression folds on the bin table") {
+    val p = plan("ml_calibration_slope")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("text_msttr: row-local segmentation, no join before the per-language fold") {
+    val p = plan("text_msttr")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("text_burrows_delta / js_divergence: pair sweeps run on vocabulary grids, never cartesian") {
+    for (q <- Seq("text_burrows_delta", "text_js_divergence")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("ann_binary_hamming: probes broadcast onto the corpus scan; no cartesian") {
     // the corpus side must meet the 3-row probe set as a broadcast
     // (the shortlist⋈shortlist SMJ at the end joins k-bounded rows —
