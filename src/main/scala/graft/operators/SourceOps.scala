@@ -560,6 +560,39 @@ object SourceOps {
           |GROUP BY o_orderstatus, band
           |ORDER BY o_orderstatus, band""".stripMargin)
     },
+    // SQL metadata tables on the catalog — Iceberg's `t$snapshots` /
+    // `t$refs` pattern: the commit history and the named tags of any
+    // catalog table are themselves SQL-queryable relations, resolved by
+    // the catalog from the immutable manifests (O(versions) driver
+    // walk; no data file opened). The oracle predicts every snapshot's
+    // exact row count from raw orders — v1 is the CREATE's empty claim,
+    // CTAS data lands as v2, each INSERT appends one version, and the
+    // tag pins the audited version — so the SQL surface, the versioning
+    // contract, and the manifest row accounting are all under one hash.
+    "src_store_catalog_meta" -> { (s, dir) =>
+      val wh = SourceOps.sqlWarehouse
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+      s.sql("DROP TABLE IF EXISTS graft.gold.orders_meta")
+      orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_gmeta")
+      s.sql("""CREATE TABLE graft.gold.orders_meta AS
+              |SELECT * FROM orders_src_gmeta WHERE o_orderkey % 4 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft.gold.orders_meta
+              |SELECT * FROM orders_src_gmeta WHERE o_orderkey % 4 = 1""".stripMargin)
+      GraftStore.tag(s"$wh/gold/orders_meta", "audited")
+      s.sql("""INSERT INTO graft.gold.orders_meta
+              |SELECT * FROM orders_src_gmeta WHERE o_orderkey % 4 = 2""".stripMargin)
+      s.sql("""SELECT 'snapshot' AS kind, CAST(version AS STRING) AS name,
+              |  version, n_rows
+              |FROM graft.gold.`orders_meta$snapshots`
+              |UNION ALL
+              |SELECT 'ref', name, version, CAST(NULL AS BIGINT)
+              |FROM graft.gold.`orders_meta$refs`
+              |ORDER BY kind, version, name""".stripMargin)
+    },
     // Snapshot-history metadata table — the `table$snapshots` audit
     // surface: three deterministic commits (one overwrite, two
     // appends), then [[GraftStore.snapshots]] reads the per-version
@@ -1123,6 +1156,26 @@ object SourceOps {
         |ORDER BY o_orderstatus, band""".stripMargin,
     // "release-1" must resolve to the F-only v1 snapshot after the
     // later append; latest sees F+O
+    "src_store_catalog_meta" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s0,
+        |    CAST(SUM(CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN o_orderkey % 4 = 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s2
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'snapshot' AS kind, '1' AS name, CAST(1 AS BIGINT)
+        |    AS version, CAST(0 AS BIGINT) AS n_rows FROM c
+        |  UNION ALL SELECT 'snapshot', '2', CAST(2 AS BIGINT), s0 FROM c
+        |  UNION ALL SELECT 'snapshot', '3', CAST(3 AS BIGINT), s0 + s1 FROM c
+        |  UNION ALL SELECT 'snapshot', '4', CAST(4 AS BIGINT),
+        |    s0 + s1 + s2 FROM c
+        |  UNION ALL SELECT 'ref', 'audited', CAST(3 AS BIGINT),
+        |    CAST(NULL AS BIGINT) FROM c)
+        |ORDER BY kind, version, name""".stripMargin,
     "src_store_snapshots" ->
       """WITH c AS (
         |  SELECT

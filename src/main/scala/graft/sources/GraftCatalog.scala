@@ -39,6 +39,61 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * CREATEs → exactly one winner, the loser gets
   * TableAlreadyExistsException), INSERT rides the commitLoop.
   */
+/** Read-only metadata table (`t$snapshots` / `t$refs`): rows come from a
+  * driver-side manifest walk at scan-planning time and ship to the (one)
+  * task inside the reader factory — there is nothing to distribute, the
+  * history of any store is versions-bounded. */
+private class GraftMetaTable(name0: String, schema0: StructType,
+    rows: () => Seq[Seq[Any]])
+  extends Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read._
+
+  override def name(): String = name0
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = schema0
+      override def toBatch: Batch = this
+      override def description(): String = name0
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(GraftMetaPartition(rows().map(_.toArray)))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GraftMetaReaderFactory(schema0)
+    }
+}
+
+private case class GraftMetaPartition(rows: Seq[Array[Any]])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private class GraftMetaReaderFactory(schema: StructType)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[GraftMetaPartition].rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val vals = it.next().map {
+          case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case v => v
+        }
+        cur = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -72,6 +127,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `graft.ns.`t$snapshots`` is the
+    // commit history of graft.ns.t (version/files/rows/bytes off the
+    // immutable manifests), `t$refs` its named tags — the pure-SQL face
+    // of GraftStore.snapshots()/listRefs(). O(versions) driver-side
+    // manifest reads; no data file is ever opened.
+    val dollar = ident.name.lastIndexOf('$')
+    if (dollar > 0) {
+      val base = Identifier.of(ident.namespace, ident.name.substring(0, dollar))
+      val root = rootFor(base)
+      if (GraftStore.latestManifest(root, conf).isEmpty)
+        throw new NoSuchTableException(base)
+      ident.name.substring(dollar + 1) match {
+        case "snapshots" =>
+          return new GraftMetaTable(s"graft_meta($root,snapshots)",
+            StructType.fromDDL("version LONG NOT NULL, n_files LONG NOT NULL, " +
+              "n_rows LONG NOT NULL, n_bytes LONG NOT NULL"),
+            () => {
+              val c = GraftStore.driverConf()
+              val cur = GraftStore.currentVersion(root).getOrElse(0L)
+              (1L to cur).flatMap(v =>
+                GraftStore.manifestAt(root, c, v).map(m =>
+                  Seq[Any](m.version, m.files.size.toLong,
+                    m.files.map(_.rows).sum, m.files.map(_.bytes).sum)))
+            })
+        case "refs" =>
+          return new GraftMetaTable(s"graft_meta($root,refs)",
+            StructType.fromDDL("name STRING NOT NULL, version LONG NOT NULL"),
+            () => GraftStore.listRefs(root).map {
+              case (n, v) => Seq[Any](n, v)
+            })
+        case other => throw new NoSuchTableException(ident)
+      }
+    }
     val root = rootFor(ident)
     val m = GraftStore.latestManifest(root, conf)
       .getOrElse(throw new NoSuchTableException(ident))

@@ -95,6 +95,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("tt"), ex.getMessage)
   }
 
+  test("$snapshots / $refs metadata tables are SQL-queryable commit history") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds9")
+    spark.sql("DROP TABLE IF EXISTS graft.ds9.hist")
+    spark.sql("CREATE TABLE graft.ds9.hist (k BIGINT)")
+    spark.sql("INSERT INTO graft.ds9.hist VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.ds9.hist VALUES (3)")
+    GraftStore.tag(s"$warehouse/ds9/hist", "rel")
+    val snaps = spark.sql(
+      "SELECT version, n_files, n_rows, n_bytes FROM graft.ds9.`hist$snapshots` ORDER BY version")
+      .collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(snaps.map(_.getLong(2)).toSeq == Seq(0L, 2L, 3L), "exact row history")
+    assert(snaps.drop(1).forall(_.getLong(3) > 0), "bytes recorded once data lands")
+    val refs = spark.sql("SELECT name, version FROM graft.ds9.`hist$refs`").collect()
+    assert(refs.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("rel", 3L)))
+    // unknown metadata suffix and missing base table both fail loudly
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM graft.ds9.`hist$bogus`").collect())
+      .getMessage.nonEmpty)
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM graft.ds9.`nope$snapshots`").collect())
+      .getMessage.nonEmpty)
+  }
+
   test("DESCRIBE EXTENDED surfaces current version and refs as table properties") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds7")
