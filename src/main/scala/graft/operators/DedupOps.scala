@@ -324,6 +324,29 @@ object DedupOps {
     // explosion): band buckets are mostly 1-2 docs, and measured at
     // sf0.1 the join beats the collect_set+explode shape there
     // (1.45 s vs 1.65 s warm) — group size decides which shape wins.
+    // Method-agreement Venn over the three near-dup candidate
+    // generators — minhash-LSH (whole-doc shingle Jaccard), simhash
+    // (whole-doc Hamming), winnowing (shared-passage fingerprints):
+    // which pairs does each method see that the others miss? The mask
+    // histogram (1=minhash, 2=simhash, 4=winnowing, sums = overlaps)
+    // is the tuning readout an owner reads before deciding which
+    // method (or union) gates ingest — whole-doc methods agree on
+    // near-identical docs, winnowing alone flags partial-copy pairs.
+    // Composes the three EXISTING pipelines verbatim on both engines
+    // (the oracle nests the three pair oracles as subqueries), so the
+    // venn can only disagree if a method definition itself drifts.
+    // Scale: cost is the sum of the three candidate generators — each
+    // banded/bucketed, never all-pairs; the merge is pair-keyed.
+    "dedup_method_venn" -> { (s, dir) =>
+      def p(q: String, m: Long) = DedupOps.queries(q)(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(m).as("m"))
+      p("dedup_minhash_lsh", 1L)
+        .unionByName(p("dedup_simhash_pairs", 2L))
+        .unionByName(p("dedup_winnowing", 4L))
+        .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("m")).as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("mask"))
+    },
     "dedup_minhash_lsh" -> { (s, dir) =>
       val bands = lshBands(documents(s, dir).select(col("doc_id"), col("text")))
       val a = bands.as("a"); val b = bands.as("b")
@@ -1282,7 +1305,7 @@ object DedupOps {
        |  SELECT doc_id, source, island, MIN(pos) AS st, MAX(pos) + 40 AS en
        |  FROM isl GROUP BY 1, 2, 3)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "dedup_cdc_chunks" ->
       """WITH wp AS (
         |  SELECT doc_id, source, i AS pos, ws[i] AS w
@@ -1788,6 +1811,28 @@ object DedupOps {
         |  ON p.p_name = b.p_name AND p.p_type = b.p_type
         |GROUP BY 1, 2, 3
         |ORDER BY name, type""".stripMargin)
+
+  /** The method-Venn oracle composes the three PAIR oracles verbatim as
+    * subqueries — zero new method logic on either engine, so the venn
+    * can only disagree if the per-method definitions themselves drift. */
+  val oracles: Map[String, String] = baseOracles +
+    ("dedup_method_venn" ->
+      s"""WITH mh AS (SELECT doc_a, doc_b FROM
+         |  (${baseOracles("dedup_minhash_lsh")})),
+         |sh AS (SELECT doc_a, doc_b FROM
+         |  (${baseOracles("dedup_simhash_pairs")})),
+         |wn AS (SELECT doc_a, doc_b FROM
+         |  (${baseOracles("dedup_winnowing")})),
+         |u AS (
+         |  SELECT doc_a, doc_b, 1 AS m FROM mh
+         |  UNION ALL SELECT doc_a, doc_b, 2 FROM sh
+         |  UNION ALL SELECT doc_a, doc_b, 4 FROM wn),
+         |masks AS (
+         |  SELECT doc_a, doc_b, CAST(SUM(m) AS BIGINT) AS mask
+         |  FROM u GROUP BY doc_a, doc_b)
+         |SELECT mask, COUNT(*) AS n_pairs
+         |FROM masks GROUP BY mask
+         |ORDER BY mask""".stripMargin)
 }
 
 /** Array-as-vector helpers shared by dedup + similarity search. Pure
