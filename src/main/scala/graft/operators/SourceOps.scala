@@ -582,7 +582,12 @@ object SourceOps {
               |SELECT * FROM orders_src_gmeta WHERE o_orderkey % 4 = 0""".stripMargin)
       s.sql("""INSERT INTO graft.gold.orders_meta
               |SELECT * FROM orders_src_gmeta WHERE o_orderkey % 4 = 1""".stripMargin)
-      GraftStore.tag(s"$wh/gold/orders_meta", "audited")
+      // tag through the LIVE catalog's warehouse: the CatalogManager
+      // pins the instance (and its warehouse) at first use, which in a
+      // shared session may predate this query's conf.set above
+      val liveWh = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog].warehousePath
+      GraftStore.tag(s"$liveWh/gold/orders_meta", "audited")
       s.sql("""INSERT INTO graft.gold.orders_meta
               |SELECT * FROM orders_src_gmeta WHERE o_orderkey % 4 = 2""".stripMargin)
       s.sql("""SELECT 'snapshot' AS kind, CAST(version AS STRING) AS name,

@@ -107,6 +107,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** The warehouse THIS instance was initialized with. Spark's
+    * CatalogManager caches the first-initialized instance per session,
+    * so callers that mix SQL identifiers with the path-based store API
+    * (e.g. tagging a catalog table) must resolve roots through the LIVE
+    * instance, never through the configured option value. */
+  def warehousePath: String = warehouse
+
   private def conf = GraftStore.driverConf()
   private def fsys = GraftStore.fs(warehouse, conf)
   private def rootFor(ident: Identifier): String =

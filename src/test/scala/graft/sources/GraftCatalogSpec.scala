@@ -15,7 +15,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     val w = Files.createTempDirectory("gcat").toString
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.warehouse", w)
-    w
+    // the CatalogManager pins the instance (and its warehouse) at FIRST
+    // use in the session — if another suite already touched graft.*,
+    // the conf above is ignored. Resolve the LIVE warehouse so every
+    // path-based assertion below targets the same roots SQL does,
+    // regardless of suite order.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.warmup")
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].warehousePath
   }
 
   test("CREATE TABLE + INSERT INTO + SELECT round-trips through SQL only") {
