@@ -1200,6 +1200,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_method_venn: composes the three banded generators — still no cartesian anywhere") {
+    // the venn unions three candidate pipelines; the gate pins that the
+    // composition inherits every generator's banded shape (a regression
+    // in ANY of the three would surface an all-pairs node here)
+    val p = plan("dedup_method_venn")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ann_binary_hamming: probes broadcast onto the corpus scan; no cartesian") {
     // the corpus side must meet the 3-row probe set as a broadcast
     // (the shortlist⋈shortlist SMJ at the end joins k-bounded rows —
