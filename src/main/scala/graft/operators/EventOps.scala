@@ -580,6 +580,32 @@ object EventOps {
     // (A per-day distinct-over-ROWS window can't express distinct-over-
     // time-range; recomputing from user-days is the exact formulation
     // that parallelizes.)
+    // DAU/MAU stickiness — the engagement KPI product teams actually
+    // track (what share of the monthly audience shows up on a given
+    // day): DAU over trailing-28-day distinct actives, per day. Same
+    // reduce-before-grid shape as events_active_users: events collapse
+    // ONCE to the (day, user) table, the tiny day grid broadcasts onto
+    // it for the rolling distinct (28 rows/day of grid at any corpus
+    // size — never a range-shuffled window over raw events); at 100 TB
+    // the HLL twin's daily sketches replace the re-distinct, plan
+    // unchanged. Integer counts; the ratio divides once at 6dp.
+    "events_dau_stickiness" -> { (s, dir) =>
+      val ud = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        .localCheckpoint() // 2 consumers: DAU + the rolling join
+      val dau = ud.groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val grid = dau.select(col("d").as("gd"))
+      val mau = broadcast(grid)
+        .join(ud, datediff(col("gd"), col("d")).between(0, 27))
+        .groupBy(col("gd"))
+        .agg(countDistinct(col("user_id")).as("mau28"))
+      dau.join(mau, col("d") === col("gd"))
+        .select(col("d"), col("dau"), col("mau28"),
+          round(col("dau").cast("double") / col("mau28"), 6)
+            .as("stickiness"))
+        .orderBy(col("d"))
+    },
     "events_active_users" -> { (s, dir) =>
       val ud = events(s, dir)
         .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
@@ -2753,6 +2779,21 @@ object EventOps {
         |  COALESCE(agg.sum_value, 0.0) AS sum_value
         |FROM grid LEFT JOIN agg ON agg.h = grid.h
         |ORDER BY grid.h""".stripMargin,
+    "events_dau_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+        |    user_id
+        |  FROM events),
+        |dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+        |mau AS (
+        |  SELECT g.d, COUNT(DISTINCT ud.user_id) AS mau28
+        |  FROM (SELECT d FROM dau) g
+        |  JOIN ud ON ud.d BETWEEN g.d - 27 AND g.d
+        |  GROUP BY g.d)
+        |SELECT dau.d AS d, dau.dau, mau.mau28,
+        |  ROUND(dau.dau * 1.0 / mau.mau28, 6) AS stickiness
+        |FROM dau JOIN mau ON mau.d = dau.d
+        |ORDER BY dau.d""".stripMargin,
     "events_active_users" ->
       """WITH ud AS (
         |  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
