@@ -1326,8 +1326,9 @@ object EventOps {
     // that table broadcast back as one row; the arm readout is a
     // 2-row groupBy. Nothing after the per-user collapse exceeds user
     // cardinality. Determinism: integer-microsecond cut; 6dp means;
-    // products of 6dp values rounded 10dp into exact decimal sums; θ
-    // and its inputs each pinned at 10dp in one evaluation order.
+    // products of 6dp values multiplied EXACTLY in decimal domain
+    // (DetMean.prod12 — never rounded, the r12 tie-class fix); θ and
+    // its inputs each pinned at 10dp in one evaluation order.
     "events_cuped" -> { (s, dir) =>
       val ev = events(s, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
@@ -1347,8 +1348,8 @@ object EventOps {
       val mom = ux.agg(count(lit(1)).as("n"),
         sum(DetMean.el10(col("x"))).as("sx"),
         sum(DetMean.el10(col("y"))).as("sy"),
-        sum(DetMean.el10(col("x") * col("x"))).as("sxx"),
-        sum(DetMean.el10(col("x") * col("y"))).as("sxy"))
+        sum(DetMean.prod12(col("x"), col("x"))).as("sxx"),
+        sum(DetMean.prod12(col("x"), col("y"))).as("sxy"))
       val theta = mom
         .withColumn("mx", round(col("sx").cast("double") / col("n"), 10))
         .withColumn("my", round(col("sy").cast("double") / col("n"), 10))
@@ -1365,9 +1366,9 @@ object EventOps {
         .groupBy(col("arm"))
         .agg(count(lit(1)).as("n_users"),
           sum(DetMean.el10(col("y"))).as("sy"),
-          sum(DetMean.el10(col("y") * col("y"))).as("syy"),
+          sum(DetMean.prod12(col("y"), col("y"))).as("syy"),
           sum(DetMean.el10(col("yadj"))).as("sa"),
-          sum(DetMean.el10(col("yadj") * col("yadj"))).as("saa"))
+          sum(DetMean.prod12(col("yadj"), col("yadj"))).as("saa"))
         .withColumn("mean_y", DetMean.mean6(col("sy"), col("n_users")))
         .withColumn("mean_y_adj", DetMean.mean6(col("sa"), col("n_users")))
         .select(col("arm"), col("n_users"), col("mean_y"), col("mean_y_adj"),
@@ -2371,8 +2372,8 @@ object EventOps {
         |  SELECT COUNT(*) AS n,
         |    SUM(CAST(ROUND(x, 10) AS DECIMAL(28,10))) AS sx,
         |    SUM(CAST(ROUND(y, 10) AS DECIMAL(28,10))) AS sy,
-        |    SUM(CAST(ROUND(x * x, 10) AS DECIMAL(28,10))) AS sxx,
-        |    SUM(CAST(ROUND(x * y, 10) AS DECIMAL(28,10))) AS sxy
+        |    SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS sxx,
+        |    SUM(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS sxy
         |  FROM ux),
         |m1 AS (
         |  SELECT n, sxx, sxy,
@@ -2392,9 +2393,9 @@ object EventOps {
         |g AS (
         |  SELECT arm, COUNT(*) AS n_users,
         |    SUM(CAST(ROUND(y, 10) AS DECIMAL(28,10))) AS sy,
-        |    SUM(CAST(ROUND(y * y, 10) AS DECIMAL(28,10))) AS syy,
+        |    SUM(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS syy,
         |    SUM(CAST(ROUND(yadj, 10) AS DECIMAL(28,10))) AS sa,
-        |    SUM(CAST(ROUND(yadj * yadj, 10) AS DECIMAL(28,10))) AS saa
+        |    SUM(CAST(yadj AS DECIMAL(18,6)) * CAST(yadj AS DECIMAL(18,6))) AS saa
         |  FROM adj GROUP BY arm),
         |g2 AS (
         |  SELECT arm, n_users, syy, saa,

@@ -416,15 +416,25 @@ object MlOps {
       val e = embeddings(s, dir)
         .select(when(col("label") >= 5, 1).otherwise(0).as("grp"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-      def dsum6(c: org.apache.spark.sql.Column) =
-        sum(round(c, 6).cast("decimal(28,6)")).cast("double")
+      // moments in EXACT integer arithmetic (the text_heaps_law
+      // discipline — round(x*x, 6) of double products is the cross-
+      // engine rounding-tie class): 6dp values become ×10⁶ BIGINTs,
+      // Σx/Σx² are BIGINT sums (|x|<1 ⇒ x6²<10¹² — a 100 TB group
+      // would widen the sum to DECIMAL(38,0), same exactness), and
+      // mu/varp are closed-form double projections of exact integers.
+      def i6(c: org.apache.spark.sql.Column) =
+        (round(c, 6).cast("decimal(18,6)") * lit(1000000)).cast("long")
       val st = e.groupBy(col("grp"), col("pos"))
-        .agg(count(lit(1)).as("n"), dsum6(col("x")).as("sx"),
-          dsum6(col("x") * col("x")).as("sx2"))
+        .agg(count(lit(1)).as("n"), sum(i6(col("x"))).as("sx6"),
+          sum(i6(col("x")) * i6(col("x"))).as("sx212"))
         .select(col("grp"), col("pos"), col("n"),
-          (col("sx") / col("n")).as("mu"),
-          (col("sx2") / col("n") -
-            (col("sx") / col("n")) * (col("sx") / col("n"))).as("varp"))
+          (col("sx6").cast("double") /
+            (col("n").cast("double") * lit(1e6))).as("mu"),
+          (col("sx212").cast("double") /
+            (col("n").cast("double") * lit(1e12)) -
+            (col("sx6").cast("double") / (col("n").cast("double") * lit(1e6))) *
+            (col("sx6").cast("double") / (col("n").cast("double") * lit(1e6))))
+            .as("varp"))
       val a = st.filter(col("grp") === 0)
         .select(col("pos"), col("n").as("n0"), col("mu").as("mu0"), col("varp").as("v0"))
       val b = st.filter(col("grp") === 1)
@@ -966,22 +976,28 @@ object MlOps {
           sum(DetMean.el10(col("pb"))).as("sp"))
       val base = bins.agg(sum(col("n")).as("nt"), sum(col("npos")).as("post"))
         .withColumn("ybar", round(col("post").cast("double") / col("nt"), 10))
+      // per-bin terms multiply EXACTLY in decimal domain: pk/yk/ybar are
+      // 10dp, so differences are exact 10dp and squares exact 20dp —
+      // rounding the double product at 10dp (the old shape) was the r12
+      // cross-engine tie class
+      def d10(c: org.apache.spark.sql.Column) = c.cast("decimal(12,10)")
+      val nD = col("n").cast("decimal(10,0)")
       bins.crossJoin(broadcast(base))
         .withColumn("pk", round(col("sp").cast("double") / col("n"), 10))
         .withColumn("yk", round(col("npos").cast("double") / col("n"), 10))
         .agg(max(col("nt")).as("n"),
           round(max(col("ybar")), 6).as("base_rate"),
-          round(sum(round(col("n") * (col("pk") - col("yk")) *
-              (col("pk") - col("yk")), 10).cast("decimal(28,10)"))
+          round(sum(nD * d10(col("pk") - col("yk")) *
+              d10(col("pk") - col("yk")))
             .cast("double") / max(col("nt")), 6).as("reliability"),
-          round(sum(round(col("n") * (col("yk") - col("ybar")) *
-              (col("yk") - col("ybar")), 10).cast("decimal(28,10)"))
+          round(sum(nD * d10(col("yk") - col("ybar")) *
+              d10(col("yk") - col("ybar")))
             .cast("double") / max(col("nt")), 6).as("resolution"),
           round(max(col("ybar")) * (lit(1.0) - max(col("ybar"))), 6)
             .as("uncertainty"),
-          round(sum(round(col("n") * col("pk") * col("pk") -
-              lit(2.0) * col("pk") * col("npos") + col("npos"), 10)
-              .cast("decimal(28,10)"))
+          round(sum(nD * d10(col("pk")) * d10(col("pk")) -
+              lit(2).cast("decimal(2,0)") * col("npos").cast("decimal(10,0)") *
+                d10(col("pk")) + col("npos").cast("decimal(10,0)"))
             .cast("double") / max(col("nt")), 6).as("brier"))
     },
     // DeLong AUC standard error (DeLong, DeLong & Clarke-Pearson 1988,
@@ -1027,14 +1043,20 @@ object MlOps {
       val aucDf = pl.agg(
         round(sum(round(col("npos") * col("v10"), 10).cast("decimal(28,10)"))
           .cast("double") / max(col("m")), 10).as("auc"))
+      // placement deviations are exact 10dp (v10/v01/auc all 10dp), so
+      // their squares multiply EXACTLY in decimal domain — rounding the
+      // 20-digit double product at 10dp was the r12 cross-engine tie
+      // class. npos·v10 (the auc numerator above) is int×10dp = exact
+      // 10dp, so its dsum round is a no-op and stays.
+      def d10(c: org.apache.spark.sql.Column) = c.cast("decimal(12,10)")
       pl.crossJoin(broadcast(aucDf))
         .agg(max(col("m")).as("n_pos"), max(col("nn")).as("n_neg"),
           max(col("auc")).as("auc_r"),
-          round(sum(round(col("npos") * (col("v10") - col("auc")) *
-              (col("v10") - col("auc")), 10).cast("decimal(28,10)"))
+          round(sum(col("npos").cast("decimal(10,0)") *
+              d10(col("v10") - col("auc")) * d10(col("v10") - col("auc")))
             .cast("double") / (max(col("m")) - 1), 10).as("s10"),
-          round(sum(round(col("nneg") * (col("v01") - col("auc")) *
-              (col("v01") - col("auc")), 10).cast("decimal(28,10)"))
+          round(sum(col("nneg").cast("decimal(10,0)") *
+              d10(col("v01") - col("auc")) * d10(col("v01") - col("auc")))
             .cast("double") / (max(col("nn")) - 1), 10).as("s01"))
         .select(col("n_pos"), col("n_neg"),
           round(col("auc_r"), 6).as("auc"),
@@ -1071,7 +1093,13 @@ object MlOps {
       bins.agg(sum(col("n")).as("nt"),
           dsum(col("n") * col("pb")).as("sx"),
           dsum(col("n") * col("yk")).as("sy"),
-          dsum(col("n") * col("pb") * col("yk")).as("sxy"),
+          // n·pb·yk has 13 exact fractional digits (int × 3dp × 10dp) —
+          // rounding the double product at 10dp is the r12 cross-engine
+          // tie class; multiply exactly in decimal domain instead. The
+          // other three terms are ≤10dp exact, so their dsum round is a
+          // no-op by construction.
+          sum(col("n").cast("decimal(10,0)") * col("pb").cast("decimal(4,3)") *
+            col("yk").cast("decimal(11,10)")).cast("double").as("sxy"),
           dsum(col("n") * col("pb") * col("pb")).as("sx2"))
         .select(col("nt").as("n"), slope.as("slope"),
           round((col("sy") - slope * col("sx")) / nt, 6).as("intercept"))
@@ -1343,13 +1371,21 @@ object MlOps {
         |  FROM bins b, base)
         |SELECT MAX(nt) AS n,
         |  ROUND(MAX(ybar), 6) AS base_rate,
-        |  ROUND(CAST(SUM(CAST(ROUND(n * (pk - yk) * (pk - yk), 10)
-        |    AS DECIMAL(28,10))) AS DOUBLE) / MAX(nt), 6) AS reliability,
-        |  ROUND(CAST(SUM(CAST(ROUND(n * (yk - ybar) * (yk - ybar), 10)
-        |    AS DECIMAL(28,10))) AS DOUBLE) / MAX(nt), 6) AS resolution,
+        |  ROUND(CAST(SUM(CAST(n AS DECIMAL(10,0))
+        |    * CAST(pk - yk AS DECIMAL(12,10))
+        |    * CAST(pk - yk AS DECIMAL(12,10)))
+        |    AS DOUBLE) / MAX(nt), 6) AS reliability,
+        |  ROUND(CAST(SUM(CAST(n AS DECIMAL(10,0))
+        |    * CAST(yk - ybar AS DECIMAL(12,10))
+        |    * CAST(yk - ybar AS DECIMAL(12,10)))
+        |    AS DOUBLE) / MAX(nt), 6) AS resolution,
         |  ROUND(MAX(ybar) * (1.0 - MAX(ybar)), 6) AS uncertainty,
-        |  ROUND(CAST(SUM(CAST(ROUND(n * pk * pk - 2.0 * pk * npos + npos, 10)
-        |    AS DECIMAL(28,10))) AS DOUBLE) / MAX(nt), 6) AS brier
+        |  ROUND(CAST(SUM(CAST(n AS DECIMAL(10,0))
+        |      * CAST(pk AS DECIMAL(12,10)) * CAST(pk AS DECIMAL(12,10))
+        |      - CAST(2 AS DECIMAL(2,0)) * CAST(npos AS DECIMAL(10,0))
+        |        * CAST(pk AS DECIMAL(12,10))
+        |      + CAST(npos AS DECIMAL(10,0)))
+        |    AS DOUBLE) / MAX(nt), 6) AS brier
         |FROM k""".stripMargin,
     "ml_auc_delong" ->
       """WITH sc AS (
@@ -1386,12 +1422,14 @@ object MlOps {
         |  FROM v),
         |s AS (
         |  SELECT MAX(v.m) AS n_pos, MAX(v.nn) AS n_neg, MAX(a.auc) AS auc_r,
-        |    ROUND(CAST(SUM(CAST(ROUND(nneg * (v01 - a.auc) * (v01 - a.auc),
-        |      10) AS DECIMAL(28,10))) AS DOUBLE) / (MAX(v.nn) - 1), 10)
-        |      AS s01,
-        |    ROUND(CAST(SUM(CAST(ROUND(npos * (v10 - a.auc) * (v10 - a.auc),
-        |      10) AS DECIMAL(28,10))) AS DOUBLE) / (MAX(v.m) - 1), 10)
-        |      AS s10
+        |    ROUND(CAST(SUM(CAST(nneg AS DECIMAL(10,0))
+        |      * CAST(v01 - a.auc AS DECIMAL(12,10))
+        |      * CAST(v01 - a.auc AS DECIMAL(12,10)))
+        |      AS DOUBLE) / (MAX(v.nn) - 1), 10) AS s01,
+        |    ROUND(CAST(SUM(CAST(npos AS DECIMAL(10,0))
+        |      * CAST(v10 - a.auc AS DECIMAL(12,10))
+        |      * CAST(v10 - a.auc AS DECIMAL(12,10)))
+        |      AS DOUBLE) / (MAX(v.m) - 1), 10) AS s10
         |  FROM v, a)
         |SELECT n_pos, n_neg, ROUND(auc_r, 6) AS auc,
         |  ROUND(sqrt(s10 / n_pos + s01 / n_neg), 6) AS se
@@ -1413,8 +1451,8 @@ object MlOps {
         |      AS sx,
         |    CAST(SUM(CAST(ROUND(n * yk, 10) AS DECIMAL(28,10))) AS DOUBLE)
         |      AS sy,
-        |    CAST(SUM(CAST(ROUND(n * pb * yk, 10) AS DECIMAL(28,10)))
-        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(n AS DECIMAL(10,0)) * CAST(pb AS DECIMAL(4,3))
+        |      * CAST(yk AS DECIMAL(11,10))) AS DOUBLE) AS sxy,
         |    CAST(SUM(CAST(ROUND(n * pb * pb, 10) AS DECIMAL(28,10)))
         |      AS DOUBLE) AS sx2
         |  FROM y)
@@ -1945,14 +1983,21 @@ object MlOps {
         |    generate_subscripts(embedding, 1) - 1 AS pos,
         |    CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings),
+        |x6 AS (
+        |  SELECT grp, pos,
+        |    CAST(CAST(ROUND(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
+        |  FROM ex),
         |st AS (
         |  SELECT grp, pos, COUNT(*) AS n,
-        |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx2
-        |  FROM ex GROUP BY grp, pos),
+        |    CAST(SUM(x6) AS BIGINT) AS sx6,
+        |    CAST(SUM(x6 * x6) AS BIGINT) AS sx212
+        |  FROM x6 GROUP BY grp, pos),
         |mu AS (
-        |  SELECT grp, pos, n, sx / n AS mu,
-        |    sx2 / n - (sx / n) * (sx / n) AS varp
+        |  SELECT grp, pos, n,
+        |    CAST(sx6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mu,
+        |    CAST(sx212 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+        |      - (CAST(sx6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+        |      * (CAST(sx6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)) AS varp
         |  FROM st)
         |SELECT CAST(a.pos AS BIGINT) AS pos,
         |  ROUND(ABS(b.mu - a.mu) / sqrt(a.varp / a.n + b.varp / b.n), 6) AS drift_z

@@ -133,10 +133,17 @@ object Relational {
       val r = df.head()
       if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     }
+    // EXACT 10dp×10dp decimal products for the moment sums (values are
+    // ≤√maxdeg·O(1), so DECIMAL(18,10)² → scale 20 holds them exactly;
+    // el10 of the double product rounded a 20-digit value at 10dp — the
+    // r12 cross-engine tie class, and c/nr feed every element of the
+    // next iteration, so this is where a flipped digit would cascade)
+    def p20(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(a, 10).cast("decimal(18,10)") * round(b, 10).cast("decimal(18,10)")
     for (_ <- 1 to SpectralIters) {
       val c = scalar1(x.agg(
-          sum(DetMean.el10(col("x") * col("sv"))).as("xs"),
-          sum(DetMean.el10(col("sv") * col("sv"))).as("ss"))
+          sum(p20(col("x"), col("sv"))).as("xs"),
+          sum(p20(col("sv"), col("sv"))).as("ss"))
         .select(round(col("xs").cast("double") / col("ss").cast("double"),
           10).as("c")))
       val defl = x
@@ -149,7 +156,7 @@ object Relational {
       val y = defl.select(col("v"), col("sv")).join(zsum, Seq("v"))
         .withColumn("y", round(col("zs").cast("double") / col("sv"), 10))
         .localCheckpoint()
-      val nr = scalar1(y.agg(sum(DetMean.el10(col("y") * col("y"))).as("yy"))
+      val nr = scalar1(y.agg(sum(p20(col("y"), col("y"))).as("yy"))
         .select(round(sqrt(col("yy").cast("double")), 10).as("nr")))
       x = y.select(col("v"), col("sv"),
         round(col("y") / lit(nr), 10).as("x"))
@@ -161,7 +168,7 @@ object Relational {
       .groupBy(col("v")).agg(sum(DetMean.el10(col("z"))).as("zs"))
     val lam = x.join(zsf, Seq("v"))
       .withColumn("y", round(col("zs").cast("double") / col("sv"), 10))
-      .agg(round(sum(DetMean.el10(col("x") * col("y"))).cast("double"), 6)
+      .agg(round(sum(p20(col("x"), col("y"))).cast("double"), 6)
         .as("lambda2"))
     val signs = x.select(col("v"), (col("x") < 0).as("neg"))
       .localCheckpoint()
@@ -2310,8 +2317,9 @@ object Relational {
         val p = i - 1
         s"""c$i AS (
            |  SELECT ROUND(
-           |    CAST(SUM(CAST(ROUND(x * sv, 10) AS DECIMAL(28,10))) AS DOUBLE)
-           |    / CAST(SUM(CAST(ROUND(sv * sv, 10) AS DECIMAL(28,10)))
+           |    CAST(SUM(CAST(x AS DECIMAL(18,10)) * CAST(sv AS DECIMAL(18,10)))
+           |        AS DOUBLE)
+           |    / CAST(SUM(CAST(sv AS DECIMAL(18,10)) * CAST(sv AS DECIMAL(18,10)))
            |        AS DOUBLE), 10) AS c
            |  FROM x$p),
            |d$i AS MATERIALIZED (
@@ -2326,8 +2334,8 @@ object Relational {
            |  SELECT d.v, d.sv, ROUND(CAST(z.zs AS DOUBLE) / d.sv, 10) AS y
            |  FROM d$i d JOIN zs$i z ON z.v = d.v),
            |n$i AS (
-           |  SELECT ROUND(sqrt(CAST(SUM(CAST(ROUND(y * y, 10)
-           |    AS DECIMAL(28,10))) AS DOUBLE)), 10) AS nr
+           |  SELECT ROUND(sqrt(CAST(SUM(CAST(y AS DECIMAL(18,10))
+           |    * CAST(y AS DECIMAL(18,10))) AS DOUBLE)), 10) AS nr
            |  FROM y$i),
            |x$i AS MATERIALIZED (
            |  SELECT v, sv, ROUND(y / nr, 10) AS x FROM y$i, n$i)""".stripMargin
@@ -2352,9 +2360,9 @@ object Relational {
          |  FROM sym s JOIN zf ON zf.v = s.u
          |  GROUP BY s.v),
          |lam AS (
-         |  SELECT ROUND(CAST(SUM(CAST(ROUND(
-         |      x.x * ROUND(CAST(z.zs AS DOUBLE) / x.sv, 10), 10)
-         |    AS DECIMAL(28,10))) AS DOUBLE), 6) AS lambda2
+         |  SELECT ROUND(CAST(SUM(CAST(x.x AS DECIMAL(18,10))
+         |    * CAST(ROUND(CAST(z.zs AS DOUBLE) / x.sv, 10) AS DECIMAL(18,10)))
+         |    AS DOUBLE), 6) AS lambda2
          |  FROM x$K x JOIN zsf z ON z.v = x.v),
          |sg AS MATERIALIZED (SELECT v, (x < 0) AS neg FROM x$K),
          |cut AS (
@@ -2880,6 +2888,17 @@ private[operators] object DetMean {
   /** Final mean: exact decimal sum → one double division → 6dp. */
   def mean6(sum10: Column, n: Column): Column =
     round(sum10.cast("double") / n, 6)
+  /** EXACT product of two 6dp values for moment sums: both factors hop
+    * to DECIMAL(18,6) (a no-op round — the inputs are already 6dp) and
+    * multiply in decimal domain to DECIMAL(37,12), so the product keeps
+    * all 12 fractional digits. `el10(x*y)` — the r12 text_heaps_law
+    * driver failure — rounds the 12-digit double product at 10dp, and a
+    * digit-11 tie of exactly 5 rounds differently under Spark's
+    * BigDecimal HALF_UP vs DuckDB's libm-domain round. No rounding at
+    * all closes the class. DuckDB mirror:
+    * `SUM(CAST(a AS DECIMAL(18,6)) * CAST(b AS DECIMAL(18,6)))`. */
+  def prod12(a: Column, b: Column): Column =
+    round(a, 6).cast("decimal(18,6)") * round(b, 6).cast("decimal(18,6)")
 }
 
 /** Table loaders (one parquet per table, TESTDATA.md). */

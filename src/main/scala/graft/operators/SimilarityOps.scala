@@ -106,10 +106,10 @@ object SimilarityOps {
     // corpus pass feeds all iterations), the 6×6 covariance unfolds to a
     // 36-row matrix table, and three unrolled multiply-normalize rounds
     // run as joins over that dimension-sized table (the pagerank-oracle
-    // discipline: every product rounds to 10dp and sums in exact
-    // decimal, every division is one double op, so DuckDB replays the
-    // iteration bit-for-bit). Seed = the uniform unit vector as a shared
-    // literal. Output: PC1 loadings + the Rayleigh-quotient eigenvalue
+    // discipline: every product multiplies EXACTLY in decimal domain —
+    // never rounded, the r12 tie-class fix — every division is one
+    // double op, so DuckDB replays the iteration bit-for-bit). Seed =
+    // the uniform unit vector as a shared literal. Output: PC1 loadings + the Rayleigh-quotient eigenvalue
     // estimate ‖Cv‖ from a fourth multiply. At d=1024 the same shape
     // holds — the matrix table is d² rows, iteration cost is d²-sized,
     // corpus cost stays the single moment pass.
@@ -139,12 +139,17 @@ object SimilarityOps {
         lit(0.4082482905).as("v")) // 1/sqrt(6) to 10dp
       var lastNorm: DataFrame = null
       for (_ <- 1 to 4) {
+        // EXACT decimal products (6dp c × 10dp v → scale 16; 10dp-
+        // quantized w squared → scale 20): rounding the double product
+        // at 10dp was the r12 cross-engine tie class, and these sums
+        // seed every element of the next iteration
         val w = cov.join(v, "j")
           .select(col("i"),
-            round(col("c") * col("v"), 10).cast("decimal(24,12)").as("t"))
+            (col("c").cast("decimal(12,6)") * col("v").cast("decimal(14,10)"))
+              .as("t"))
           .groupBy(col("i")).agg(sum(col("t")).cast("double").as("w"))
-        val nrm = w.agg(sqrt(sum(round(col("w") * col("w"), 10)
-          .cast("decimal(24,12)")).cast("double")).as("nrm"))
+        val w10 = round(col("w"), 10).cast("decimal(18,10)")
+        val nrm = w.agg(sqrt(sum(w10 * w10).cast("double")).as("nrm"))
         lastNorm = nrm
         v = w.crossJoin(broadcast(nrm))
           .select(col("i").as("j"), round(col("w") / col("nrm"), 10).as("v"))
@@ -541,24 +546,30 @@ object SimilarityOps {
     // Corpus work is one posexplode + two partial-aggregated passes;
     // nothing corpus-sized ever joins anything bigger than 64 rows.
     "emb_outliers" -> { (s, dir) =>
+      // EXACT integer arithmetic end to end (the text_heaps_law
+      // discipline — round(x*x, 6)/round(ratio, 6) of double products
+      // is the cross-engine rounding-tie class): 6dp values become ×10⁶
+      // BIGINTs, the per-dim moments are BIGINT sums, and each
+      // Mahalanobis term (x−μ)²/σ² = (x6·n − Σx6)² / (n·Σx6² − (Σx6)²)
+      // is a ratio of exact integers quantized by integer floor
+      // division at 10⁻⁶ — no double is ever rounded, so the sum is
+      // order- and engine-independent by construction.
       val e = embeddings(s, dir)
         .select(col("vec_id"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-      def dsum6(c: org.apache.spark.sql.Column) =
-        sum(round(c, 6).cast("decimal(28,6)")).cast("double")
+        .withColumn("x6",
+          (round(col("x"), 6).cast("decimal(18,6)") * lit(1000000)).cast("long"))
       val stats = e.groupBy(col("pos").as("sp"))
-        .agg(count(lit(1)).as("n"), dsum6(col("x")).as("sx"),
-          dsum6(col("x") * col("x")).as("sx2"))
-        .select(col("sp"), (col("sx") / col("n")).as("mu"),
-          (col("sx2") / col("n") -
-            (col("sx") / col("n")) * (col("sx") / col("n"))).as("varp"))
+        .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx6"),
+          sum(col("x6") * col("x6")).as("sx212"))
       e.join(broadcast(stats), col("pos") === col("sp"))
-        .select(col("vec_id"),
-          round((col("x") - col("mu")) * (col("x") - col("mu")) / col("varp"), 6)
-            .as("term"))
+        .withColumn("dx", col("x6") * col("n") - col("sx6"))
+        .withColumn("den", col("n") * col("sx212") - col("sx6") * col("sx6"))
+        .select(col("vec_id"), expr(
+          "CAST(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0)) " +
+            "* 1000000 AS DECIMAL(38,0)) div den").as("term6"))
         .groupBy(col("vec_id"))
-        .agg(round(sum(col("term").cast("decimal(28,6)")).cast("double"), 6)
-          .as("maha2"))
+        .agg(round(sum(col("term6")).cast("double") / lit(1e6), 6).as("maha2"))
         .orderBy(col("maha2").desc, col("vec_id"))
         .limit(20)
     },
@@ -1371,11 +1382,13 @@ object SimilarityOps {
         val prev = if (k == 1) "v0" else s"v${k - 1}"
         s"""w$k AS (
            |  SELECT cov.i,
-           |    CAST(SUM(CAST(ROUND(c * v, 10) AS DECIMAL(24,12))) AS DOUBLE) AS w
+           |    CAST(SUM(CAST(c AS DECIMAL(12,6)) * CAST(v AS DECIMAL(14,10)))
+           |      AS DOUBLE) AS w
            |  FROM cov JOIN $prev ON cov.j = $prev.j GROUP BY cov.i),
            |n$k AS (
-           |  SELECT SQRT(CAST(SUM(CAST(ROUND(w * w, 10) AS DECIMAL(24,12)))
-           |    AS DOUBLE)) AS nrm FROM w$k),
+           |  SELECT SQRT(CAST(SUM(CAST(ROUND(w, 10) AS DECIMAL(18,10))
+           |    * CAST(ROUND(w, 10) AS DECIMAL(18,10))) AS DOUBLE)) AS nrm
+           |  FROM w$k),
            |v$k AS (
            |  SELECT i AS j, ROUND(w / nrm, 10) AS v FROM w$k, n$k)""".stripMargin
       }
@@ -1757,19 +1770,24 @@ object SimilarityOps {
         |    generate_subscripts(embedding, 1) - 1 AS pos,
         |    CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings),
+        |x6t AS (
+        |  SELECT vec_id, pos,
+        |    CAST(CAST(ROUND(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
+        |  FROM ex),
         |st AS (
         |  SELECT pos, COUNT(*) AS n,
-        |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx2
-        |  FROM ex GROUP BY pos),
-        |mu AS (
-        |  SELECT pos, sx / n AS mu,
-        |    sx2 / n - (sx / n) * (sx / n) AS varp
-        |  FROM st)
+        |    CAST(SUM(x6) AS BIGINT) AS sx6,
+        |    CAST(SUM(x6 * x6) AS BIGINT) AS sx212
+        |  FROM x6t GROUP BY pos),
+        |t AS (
+        |  SELECT vec_id,
+        |    CAST((CAST(x6 * n - sx6 AS HUGEINT) * CAST(x6 * n - sx6 AS HUGEINT)
+        |      * 1000000) // CAST(n * sx212 - sx6 * sx6 AS HUGEINT) AS BIGINT)
+        |      AS term6
+        |  FROM x6t JOIN st USING (pos))
         |SELECT vec_id,
-        |  ROUND(CAST(SUM(CAST(ROUND((x - mu) * (x - mu) / varp, 6)
-        |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS maha2
-        |FROM ex JOIN mu USING (pos)
+        |  ROUND(CAST(SUM(term6) AS DOUBLE) / 1e6, 6) AS maha2
+        |FROM t
         |GROUP BY vec_id
         |ORDER BY maha2 DESC, vec_id
         |LIMIT 20""".stripMargin,

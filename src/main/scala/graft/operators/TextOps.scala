@@ -682,18 +682,29 @@ object TextOps {
         .filter(col("fidx") <= col("n_tokens"))
         .groupBy(col("j"), col("n_tokens"))
         .agg(count(lit(1)).as("vocab"))
-      def dsum6(c: org.apache.spark.sql.Column) =
-        sum(round(c, 6).cast("decimal(18,6)")).cast("double")
+      // OLS moments in EXACT integer arithmetic (the r12 driver hash
+      // failure was round(x*y, 6) of double-domain products — a 7th-
+      // digit tie of exactly 5 rounds differently under Spark's
+      // BigDecimal HALF_UP vs DuckDB's libm round). Discipline: the 6dp
+      // log values become scaled BIGINTs (x·10⁶ via an exact decimal
+      // hop, never a double truncate — Spark's double→long cast
+      // truncates while DuckDB's rounds), every moment (Σx, Σy, Σxy,
+      // Σx²) is a BIGINT sum of BIGINT products (order-independent
+      // regardless of partitioning), and β is ONE closed-form double
+      // division of two integer-scaled longs, rounded once — the
+      // q_corr_qty_disc finishing pattern.
+      def i6(c: org.apache.spark.sql.Column) =
+        (round(c, 6).cast("decimal(18,6)") * lit(1000000)).cast("long")
       val xy = curve.select(col("j"), col("n_tokens"), col("vocab"),
-        round(log(col("n_tokens")), 6).as("x"),
-        round(log(col("vocab")), 6).as("y"))
-      val n = col("n").cast("double")
-      val beta = round((n * col("sxy") - col("sx") * col("sy")) /
-        (n * col("sx2") - col("sx") * col("sx")), 6)
+        i6(log(col("n_tokens"))).as("x6"),
+        i6(log(col("vocab"))).as("y6"))
+      val beta = round(
+        (col("n") * col("sxy12") - col("sx6") * col("sy6")).cast("double") /
+        (col("n") * col("sx212") - col("sx6") * col("sx6")).cast("double"), 6)
       val fit = xy.agg(count(lit(1)).as("n"),
-          dsum6(col("x")).as("sx"), dsum6(col("y")).as("sy"),
-          dsum6(col("x") * col("y")).as("sxy"),
-          dsum6(col("x") * col("x")).as("sx2"))
+          sum(col("x6")).as("sx6"), sum(col("y6")).as("sy6"),
+          sum(col("x6") * col("y6")).as("sxy12"),
+          sum(col("x6") * col("x6")).as("sx212"))
         .select(beta.as("heaps_beta"))
       xy.crossJoin(broadcast(fit))
         .select(col("j"), col("n_tokens"), col("vocab"), col("heaps_beta"))
@@ -837,10 +848,14 @@ object TextOps {
             .as("f"))
       // per-word moments as exact decimal sums (a float window avg
       // would depend on partition-internal row order)
+      // f is 10dp and ≤1, so the square multiplies EXACTLY in decimal
+      // domain (DECIMAL(12,10)² → scale 20) — el10(f*f) would round the
+      // 20-digit product at 10dp, the r12 cross-engine tie class
+      val f10 = round(col("f"), 10).cast("decimal(12,10)")
       val wstats = f.groupBy(col("word"))
         .agg(count(lit(1)).as("ns"),
           sum(DetMean.el10(col("f"))).as("sf"),
-          sum(DetMean.el10(col("f") * col("f"))).as("sff"))
+          sum(f10 * f10).as("sff"))
         .withColumn("mu", round(col("sf").cast("double") / col("ns"), 10))
         .withColumn("sd", round(sqrt(greatest(lit(0.0),
           col("sff").cast("double") / col("ns") - col("mu") * col("mu"))),
@@ -919,20 +934,25 @@ object TextOps {
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("freq").desc, col("word"))))
+      // OLS in EXACT integer arithmetic (the text_heaps_law discipline:
+      // round(x*y, 6) of double-domain products is the cross-engine
+      // rounding-tie class — the 6dp logs become ×10⁶ BIGINTs via an
+      // exact decimal hop, moments are BIGINT sums of BIGINT products,
+      // and slope/intercept are single closed-form double divisions).
+      def i6(c: org.apache.spark.sql.Column) =
+        (round(c, 6).cast("decimal(18,6)") * lit(1000000)).cast("long")
       val xy = top.select(
-        round(log(col("rk")), 6).as("x"),
-        round(log(col("freq")), 6).as("y"))
-      def dsum6(c: org.apache.spark.sql.Column) =
-        sum(round(c, 6).cast("decimal(18,6)")).cast("double")
-      val n = col("n").cast("double")
-      val slope = round((n * col("sxy") - col("sx") * col("sy")) /
-        (n * col("sx2") - col("sx") * col("sx")), 6)
+        i6(log(col("rk"))).as("x6"), i6(log(col("freq"))).as("y6"))
+      val slope = round(
+        (col("n") * col("sxy12") - col("sx6") * col("sy6")).cast("double") /
+        (col("n") * col("sx212") - col("sx6") * col("sx6")).cast("double"), 6)
       xy.agg(count(lit(1)).as("n"),
-          dsum6(col("x")).as("sx"), dsum6(col("y")).as("sy"),
-          dsum6(col("x") * col("y")).as("sxy"),
-          dsum6(col("x") * col("x")).as("sx2"))
+          sum(col("x6")).as("sx6"), sum(col("y6")).as("sy6"),
+          sum(col("x6") * col("y6")).as("sxy12"),
+          sum(col("x6") * col("x6")).as("sx212"))
         .select(col("n"), slope.as("zipf_slope"),
-          round((col("sy") - slope * col("sx")) / n, 6).as("intercept"))
+          round((col("sy6").cast("double") - slope * col("sx6").cast("double"))
+            / (col("n").cast("double") * lit(1e6)), 6).as("intercept"))
     },
     // PMI collocations: adjacent-word pairs scored
     // ln(c(ab)·Ntok / (c(a)·c(b))) — the association measure behind
@@ -1408,18 +1428,18 @@ object TextOps {
         |  GROUP BY c.j, c.n_tokens),
         |xy AS (
         |  SELECT j, n_tokens, vocab,
-        |    ROUND(ln(n_tokens), 6) AS x, ROUND(ln(vocab), 6) AS y
+        |    CAST(CAST(ROUND(ln(n_tokens), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6,
+        |    CAST(CAST(ROUND(ln(vocab), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y6
         |  FROM curve),
         |a AS (
-        |  SELECT COUNT(*) AS n,
-        |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx2
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x6) AS BIGINT) AS sx6, CAST(SUM(y6) AS BIGINT) AS sy6,
+        |    CAST(SUM(x6 * y6) AS BIGINT) AS sxy12,
+        |    CAST(SUM(x6 * x6) AS BIGINT) AS sx212
         |  FROM xy)
         |SELECT CAST(j AS BIGINT) AS j, n_tokens, vocab,
-        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
-        |    / (CAST(n AS DOUBLE) * sx2 - sx * sx), 6) AS heaps_beta
+        |  ROUND(CAST(n * sxy12 - sx6 * sy6 AS DOUBLE)
+        |    / CAST(n * sx212 - sx6 * sx6 AS DOUBLE), 6) AS heaps_beta
         |FROM xy, a
         |ORDER BY j""".stripMargin,
     "text_rep_ngrams" ->
@@ -1498,8 +1518,8 @@ object TextOps {
         |ws AS (
         |  SELECT word, COUNT(*) AS ns,
         |    CAST(SUM(CAST(ROUND(f, 10) AS DECIMAL(28,10))) AS DOUBLE) AS sf,
-        |    CAST(SUM(CAST(ROUND(f * f, 10) AS DECIMAL(28,10))) AS DOUBLE)
-        |      AS sff
+        |    CAST(SUM(CAST(f AS DECIMAL(12,10)) * CAST(f AS DECIMAL(12,10)))
+        |      AS DOUBLE) AS sff
         |  FROM f GROUP BY word),
         |ms AS (
         |  SELECT word, ROUND(sf / ns, 10) AS mu,
@@ -1564,20 +1584,22 @@ object TextOps {
         |        ORDER BY freq DESC, word
         |        LIMIT 100)),
         |xy AS (
-        |  SELECT ROUND(ln(rk), 6) AS x, ROUND(ln(freq), 6) AS y FROM top),
+        |  SELECT
+        |    CAST(CAST(ROUND(ln(rk), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6,
+        |    CAST(CAST(ROUND(ln(freq), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y6
+        |  FROM top),
         |a AS (
-        |  SELECT COUNT(*) AS n,
-        |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx2
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x6) AS BIGINT) AS sx6, CAST(SUM(y6) AS BIGINT) AS sy6,
+        |    CAST(SUM(x6 * y6) AS BIGINT) AS sxy12,
+        |    CAST(SUM(x6 * x6) AS BIGINT) AS sx212
         |  FROM xy)
         |SELECT n,
-        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
-        |    / (CAST(n AS DOUBLE) * sx2 - sx * sx), 6) AS zipf_slope,
-        |  ROUND((sy - ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
-        |      / (CAST(n AS DOUBLE) * sx2 - sx * sx), 6) * sx)
-        |    / CAST(n AS DOUBLE), 6) AS intercept
+        |  ROUND(CAST(n * sxy12 - sx6 * sy6 AS DOUBLE)
+        |    / CAST(n * sx212 - sx6 * sx6 AS DOUBLE), 6) AS zipf_slope,
+        |  ROUND((CAST(sy6 AS DOUBLE) - ROUND(CAST(n * sxy12 - sx6 * sy6 AS DOUBLE)
+        |      / CAST(n * sx212 - sx6 * sx6 AS DOUBLE), 6) * CAST(sx6 AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * 1e6), 6) AS intercept
         |FROM a""".stripMargin,
     "text_pmi_bigrams" ->
       """WITH grams AS (

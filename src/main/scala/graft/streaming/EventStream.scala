@@ -258,6 +258,11 @@ object EventStream {
   def cupedReadout(userState: DataFrame): DataFrame = {
     def el10(c: org.apache.spark.sql.Column) =
       round(c, 10).cast("decimal(28,10)")
+    // exact 6dp×6dp decimal product — mirrors DetMean.prod12 (the
+    // el10(x*x) 12-digit-product round was the r12 cross-engine tie
+    // class; the batch twin switched with it, keeping bit parity)
+    def prod12(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(a, 6).cast("decimal(18,6)") * round(b, 6).cast("decimal(18,6)")
     val ux = userState
       .filter(col("npre") > 0 && col("npost") > 0)
       .select(col("user_id"),
@@ -267,8 +272,8 @@ object EventStream {
     val mom = ux.agg(count(lit(1)).as("n"),
       sum(el10(col("x"))).as("sx"),
       sum(el10(col("y"))).as("sy"),
-      sum(el10(col("x") * col("x"))).as("sxx"),
-      sum(el10(col("x") * col("y"))).as("sxy"))
+      sum(prod12(col("x"), col("x"))).as("sxx"),
+      sum(prod12(col("x"), col("y"))).as("sxy"))
     val theta = mom
       .withColumn("mx", round(col("sx").cast("double") / col("n"), 10))
       .withColumn("my", round(col("sy").cast("double") / col("n"), 10))
@@ -285,9 +290,9 @@ object EventStream {
       .groupBy(col("arm"))
       .agg(count(lit(1)).as("n_users"),
         sum(el10(col("y"))).as("sy"),
-        sum(el10(col("y") * col("y"))).as("syy"),
+        sum(prod12(col("y"), col("y"))).as("syy"),
         sum(el10(col("yadj"))).as("sa"),
-        sum(el10(col("yadj") * col("yadj"))).as("saa"))
+        sum(prod12(col("yadj"), col("yadj"))).as("saa"))
       .withColumn("mean_y",
         round(col("sy").cast("double") / col("n_users"), 6))
       .withColumn("mean_y_adj",
