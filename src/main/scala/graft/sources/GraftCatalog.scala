@@ -139,13 +139,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // immutable manifests), `t$refs` its named tags — the pure-SQL face
     // of GraftStore.snapshots()/listRefs(). O(versions) driver-side
     // manifest reads; no data file is ever opened.
+    // ONLY the known metadata suffixes take the '$' branch — a real
+    // table whose name merely contains '$' must resolve normally (r12
+    // ADVICE: createTable accepted such names, loadTable then 404'd)
     val dollar = ident.name.lastIndexOf('$')
-    if (dollar > 0) {
+    val metaSuffix = if (dollar > 0) ident.name.substring(dollar + 1) else ""
+    if (metaSuffix == "snapshots" || metaSuffix == "refs") {
       val base = Identifier.of(ident.namespace, ident.name.substring(0, dollar))
       val root = rootFor(base)
       if (GraftStore.latestManifest(root, conf).isEmpty)
         throw new NoSuchTableException(base)
-      ident.name.substring(dollar + 1) match {
+      metaSuffix match {
         case "snapshots" =>
           return new GraftMetaTable(s"graft_meta($root,snapshots)",
             StructType.fromDDL("version LONG NOT NULL, n_files LONG NOT NULL, " +
@@ -158,13 +162,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                   Seq[Any](m.version, m.files.size.toLong,
                     m.files.map(_.rows).sum, m.files.map(_.bytes).sum)))
             })
-        case "refs" =>
+        case _ =>
           return new GraftMetaTable(s"graft_meta($root,refs)",
             StructType.fromDDL("name STRING NOT NULL, version LONG NOT NULL"),
             () => GraftStore.listRefs(root).map {
               case (n, v) => Seq[Any](n, v)
             })
-        case other => throw new NoSuchTableException(ident)
       }
     }
     val root = rootFor(ident)
@@ -198,6 +201,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftStoreTable(root, m.schema, pinned = Some(v))
   }
 
+  /** SQL time travel by wall clock — `SELECT ... FROM graft.ns.t
+    * TIMESTAMP AS OF '<ts>'` (Spark hands the catalog MICROseconds):
+    * resolves to the LATEST complete snapshot committed at or before
+    * the instant. Every manifest records its commit millis (`ts=`
+    * line); manifests from before that line fall back to the manifest
+    * file's modification time — same clock, same filesystem. O(versions)
+    * driver-side metadata walk, no data touched. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootFor(ident)
+    val cur = GraftStore.currentVersion(root)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val wantMillis = timestamp / 1000L
+    val f = fsys
+    def commitMillis(m: GsbManifest): Long = m.ts.getOrElse {
+      val p = new HPath(new HPath(root, "manifest"),
+        f"v${m.version}%020d.manifest")
+      f.getFileStatus(p).getModificationTime
+    }
+    val hit = (cur to 1L by -1L).iterator
+      .flatMap(v => GraftStore.manifestAt(root, conf, v))
+      .find(m => commitMillis(m) <= wantMillis)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftStoreTable(root, hit.schema, pinned = Some(hit.version))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     require(partitions.isEmpty,
@@ -214,12 +242,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftStoreTable(root, schema)
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS (...)` — the DDL face of the store's
-    * widening evolution rule: a new nullable column appends to the
-    * manifest schema in ONE metadata-only commit (zero data movement;
-    * existing files stay valid and read back null-filled, exactly as
-    * with an evolving append). Everything else — renames, drops, type
-    * changes — would invalidate committed files and stays unsupported. */
+  /** `ALTER TABLE ... ADD COLUMNS / DROP COLUMN / RENAME COLUMN` — the
+    * DDL face of the store's evolution rules, each ONE metadata-only
+    * commit with zero data movement:
+    *  - ADD: a new nullable column appends to the snapshot schema;
+    *    files written before it read back null-filled.
+    *  - DROP: the column leaves the snapshot schema; committed files
+    *    keep (and readers skip) its bytes; the name is TOMBSTONED — it
+    *    can never be re-added, because old files still carry data under
+    *    it and re-binding would silently resurrect that data (the
+    *    problem Iceberg's field IDs solve; tombstoning is the honest
+    *    equivalent for a name-keyed store). Old snapshots still present
+    *    the column — history is immutable.
+    *  - RENAME: the snapshot field changes name; readers resolve the
+    *    rename CHAIN back to the name each file was written under; the
+    *    vacated name is tombstoned like a drop.
+    * Type changes stay unsupported — they would invalidate committed
+    * bytes. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootFor(ident)
     if (GraftStore.latestManifest(root, conf).isEmpty)
@@ -234,23 +273,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(add.position() == null,
           "graft catalog: column position is not supported — new columns " +
             "append at the end (the widening rule)")
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft catalog: nested column drops are not supported")
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "graft catalog: nested column renames are not supported")
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "ADD COLUMNS (nullable, top-level) is metadata-safe for " +
-          "committed data files")
+          "ADD COLUMNS / DROP COLUMN / RENAME COLUMN are metadata-safe " +
+          "for committed data files")
     }
     var outSchema: StructType = null
     GraftStore.commitLoop(root, conf) { prev =>
       val base = prev.getOrElse(throw new NoSuchTableException(ident))
+      var colops = base.colops
+      def tombstones = colops.map(_.from).toSet
       outSchema = changes.foldLeft(base.schema) { (sch, ch) =>
-        val add = ch.asInstanceOf[TableChange.AddColumn]
-        val name = add.fieldNames()(0)
-        require(!sch.fieldNames.contains(name),
-          s"graft catalog: column $name already exists")
-        sch.add(org.apache.spark.sql.types.StructField(
-          name, add.dataType(), nullable = true))
+        ch match {
+          case add: TableChange.AddColumn =>
+            val name = add.fieldNames()(0)
+            require(!sch.fieldNames.contains(name),
+              s"graft catalog: column $name already exists")
+            require(!tombstones.contains(name),
+              s"graft catalog: column name $name was previously dropped/" +
+                "renamed away and is reserved — committed files still " +
+                "carry data under it; pick a new name or overwrite the " +
+                "table to reset column history")
+            sch.add(org.apache.spark.sql.types.StructField(
+              name, add.dataType(), nullable = true))
+          case del: TableChange.DeleteColumn =>
+            val name = del.fieldNames()(0)
+            require(sch.fieldNames.contains(name),
+              s"graft catalog: no column $name to drop")
+            require(sch.length > 1,
+              "graft catalog: cannot drop the last column")
+            colops = colops :+ GsbColOp("drop", name, "")
+            StructType(sch.fields.filterNot(_.name == name))
+          case ren: TableChange.RenameColumn =>
+            val from = ren.fieldNames()(0)
+            val to = ren.newName()
+            require(sch.fieldNames.contains(from),
+              s"graft catalog: no column $from to rename")
+            require(!sch.fieldNames.contains(to),
+              s"graft catalog: column $to already exists")
+            require(!tombstones.contains(to),
+              s"graft catalog: column name $to was previously dropped/" +
+                "renamed away and is reserved — committed files still " +
+                "carry data under it; pick a new name or overwrite the " +
+                "table to reset column history")
+            colops = colops :+ GsbColOp("rename", from, to)
+            StructType(sch.fields.map(f =>
+              if (f.name == from) f.copy(name = to) else f))
+          case _ => sch
+        }
       }
-      Some((outSchema, base.files, base.epochs))
+      Some(GsbNext(outSchema, base.files, base.epochs, colops))
     }
     new GraftStoreTable(root, outSchema)
   }

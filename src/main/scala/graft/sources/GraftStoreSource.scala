@@ -101,8 +101,38 @@ private[sources] case class GsbFile(relPath: String, rows: Long, bytes: Long,
 
 /** Name of the hidden per-row metadata column carrying the data file. */
 private[sources] object GsbFileColumn { val Name = "_gsb_file" }
+
+/** Column-evolution event, ordered oldest-first in the manifest. Data
+  * files are IMMUTABLE, so DROP/RENAME COLUMN are metadata-only: the
+  * snapshot schema changes, and readers resolve a current (logical)
+  * column back to the name each file was written under by walking the
+  * rename chain in reverse. `kind` ∈ {"rename", "drop"}; drop keeps
+  * `to` empty. Every name a colop VACATES (a dropped name, a rename's
+  * source) is tombstoned — permanently reserved until an overwrite
+  * resets history — because committed files still carry data under it,
+  * and re-binding the name would silently resurrect that data into an
+  * unrelated new column (the problem Iceberg solves with field IDs;
+  * tombstoning is the honest line-oriented equivalent). */
+private[sources] case class GsbColOp(kind: String, from: String, to: String)
+
 private[sources] case class GsbManifest(version: Long, schema: StructType,
-    files: Seq[GsbFile], epochs: Set[String] = Set.empty)
+    files: Seq[GsbFile], epochs: Set[String] = Set.empty,
+    colops: Seq[GsbColOp] = Seq.empty, ts: Option[Long] = None) {
+  /** Names no new column may ever take (see [[GsbColOp]]). */
+  def tombstones: Set[String] =
+    colops.map(op => if (op.kind == "rename") op.from else op.from).toSet
+  /** Ordered rename events, for reader-side chain resolution. */
+  def renames: Seq[(String, String)] =
+    colops.filter(_.kind == "rename").map(op => (op.from, op.to))
+}
+
+/** What a commit attempt publishes: the next snapshot's schema, file
+  * set, committed streaming epochs, and column-evolution history.
+  * Carriers (append/DML) must PROPAGATE the base's colops — losing them
+  * would orphan every pre-rename file's data — so the field is explicit
+  * at every call site, never defaulted. */
+private[sources] case class GsbNext(schema: StructType, files: Seq[GsbFile],
+    epochs: Set[String], colops: Seq[GsbColOp])
 
 object GraftStore {
   private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
@@ -175,7 +205,19 @@ object GraftStore {
         }
         val epochs = lines.collect { case l if l.startsWith("epoch=") =>
           l.stripPrefix("epoch=") }.toSet
-        Some(GsbManifest(ver, schema, files, epochs))
+        // optional lines — manifests written before column evolution /
+        // commit timestamps parse unchanged
+        val colops = lines.collect { case l if l.startsWith("colop=") =>
+          l.stripPrefix("colop=").split("\t", -1) match {
+            case Array("rename", from, to) => GsbColOp("rename", from, to)
+            case Array("drop", name, _) => GsbColOp("drop", name, "")
+            case other => throw new IllegalStateException(
+              s"graft-store: malformed colop line in $path: ${other.mkString("|")}")
+          }
+        }
+        val ts = lines.collectFirst { case l if l.startsWith("ts=") =>
+          l.stripPrefix("ts=").toLong }
+        Some(GsbManifest(ver, schema, files, epochs, colops, ts))
       }
     } finally in.close()
   }
@@ -189,7 +231,8 @@ object GraftStore {
   private[sources] def writeManifest(
       root: String, conf: Configuration, version: Long,
       schema: StructType, files: Seq[GsbFile],
-      epochs: Set[String] = Set.empty): Unit = {
+      epochs: Set[String] = Set.empty,
+      colops: Seq[GsbColOp] = Seq.empty): Unit = {
     val f = fs(root, conf)
     val dir = new HPath(root, "manifest")
     f.mkdirs(dir)
@@ -241,6 +284,15 @@ object GraftStore {
         out.println(s"file=${e.relPath}\t${e.rows}\t${e.bytes}$tail")
       }
       epochs.toSeq.sorted.foreach(e => out.println(s"epoch=$e"))
+      colops.foreach { op =>
+        require(!op.from.contains("\t") && !op.to.contains("\t") &&
+          !op.from.contains("\n") && !op.to.contains("\n"),
+          s"graft-store: column name '${op.from}'/'${op.to}' would corrupt " +
+            "the line-oriented manifest")
+        out.println(s"colop=${op.kind}\t${op.from}\t${op.to}")
+      }
+      // commit wall-clock (millis) — the TIMESTAMP AS OF anchor
+      out.println(s"ts=${System.currentTimeMillis()}")
       out.println("end")
     } finally out.close()
   }
@@ -261,17 +313,17 @@ object GraftStore {
     * protocol production lakehouses use. */
   private[sources] def commitLoop(root: String, conf: Configuration,
       maxRetries: Int = 8)(
-      attempt: Option[GsbManifest] => Option[(StructType, Seq[GsbFile], Set[String])])
+      attempt: Option[GsbManifest] => Option[GsbNext])
       : Unit = {
     var tries = 0
     while (true) {
       val prev = latestManifest(root, conf)
       attempt(prev) match {
         case None => return
-        case Some((schema, files, epochs)) =>
+        case Some(GsbNext(schema, files, epochs, colops)) =>
           try {
             writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
-              schema, files, epochs)
+              schema, files, epochs, colops)
             return
           } catch {
             case e: GsbCommitRaceException =>
@@ -297,7 +349,8 @@ object GraftStore {
     * value for it, so reads must be able to fill null). Returns an error
     * description, or None if the append may proceed. */
   private[sources] def evolutionError(
-      stored: StructType, incoming: StructType): Option[String] = {
+      stored: StructType, incoming: StructType,
+      tombstones: Set[String] = Set.empty): Option[String] = {
     val in = incoming.fields.map(f => f.name -> f).toMap
     val missing = stored.fields.filter(f => !in.contains(f.name))
     if (missing.nonEmpty)
@@ -312,6 +365,15 @@ object GraftStore {
     if (newNonNull.nonEmpty)
       return Some(s"new column(s) ${newNonNull.map(_.name).mkString(", ")} " +
         "must be nullable (existing files cannot supply a value)")
+    // a dropped/renamed-away name is permanently reserved: committed
+    // files still hold data under it, and re-binding it would resurrect
+    // that data into the new column (see GsbColOp)
+    val reused = incoming.fields.filter(f =>
+      !stored.fieldNames.contains(f.name) && tombstones.contains(f.name))
+    if (reused.nonEmpty)
+      return Some(s"new column(s) ${reused.map(_.name).mkString(", ")} " +
+        "reuse a dropped/renamed name (reserved until an overwrite " +
+        "resets column history)")
     None
   }
 
@@ -559,7 +621,9 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
   override def truncateTable(): Boolean = {
     if (pinned.nonEmpty) return false
     GraftStore.commitLoop(root, GraftStore.driverConf()) { prev =>
-      Some((prev.map(_.schema).getOrElse(schema0), Seq.empty, Set.empty))
+      // zero files reference history, so the colop record can reset too
+      Some(GsbNext(prev.map(_.schema).getOrElse(schema0), Seq.empty,
+        Set.empty, Seq.empty))
     }
     true
   }
@@ -629,7 +693,7 @@ private[sources] class GsbWriteBuilder(root: String, info: LogicalWriteInfo)
       GraftStore.latestManifest(root, conf) match {
         case Some(m) if !overwrite &&
             GraftStore.signature(m.schema) != GraftStore.signature(info.schema()) =>
-          GraftStore.evolutionError(m.schema, info.schema()).foreach { err =>
+          GraftStore.evolutionError(m.schema, info.schema(), m.tombstones).foreach { err =>
             throw new IllegalStateException(
               s"graft-store: append schema ${info.schema().sql} is not a legal " +
                 s"evolution of stored ${m.schema.sql}: $err")
@@ -677,7 +741,7 @@ private[sources] class GsbStreamingWrite(root: String, schema: StructType, query
       // would leave the store unreadable and must fail the epoch
       prev.filter(m => GraftStore.signature(m.schema) != GraftStore.signature(schema))
         .foreach { m =>
-          GraftStore.evolutionError(m.schema, schema).foreach { err =>
+          GraftStore.evolutionError(m.schema, schema, m.tombstones).foreach { err =>
             throw new IllegalStateException(
               s"graft-store: streaming schema ${schema.sql} is not a legal " +
                 s"evolution of stored ${m.schema.sql}: $err")
@@ -689,8 +753,9 @@ private[sources] class GsbStreamingWrite(root: String, schema: StructType, query
           case Some(m) => GraftStore.widen(m.schema, schema)
           case None => schema
         }
-        Some((outSchema, prev.map(_.files).getOrElse(Seq.empty) ++ committed,
-          prev.map(_.epochs).getOrElse(Set.empty[String]) + epochKey))
+        Some(GsbNext(outSchema, prev.map(_.files).getOrElse(Seq.empty) ++ committed,
+          prev.map(_.epochs).getOrElse(Set.empty[String]) + epochKey,
+          prev.map(_.colops).getOrElse(Seq.empty)))
       }
     }
   }
@@ -765,9 +830,12 @@ private[sources] class GsbBatchWrite(
         case Some(m) if !overwrite => GraftStore.widen(m.schema, schema)
         case _ => schema
       }
-      Some((outSchema, files,
+      // overwrite replaces every file → column history resets with them
+      Some(GsbNext(outSchema, files,
         if (overwrite) Set.empty[String]
-        else prev.map(_.epochs).getOrElse(Set.empty[String])))
+        else prev.map(_.epochs).getOrElse(Set.empty[String]),
+        if (overwrite) Seq.empty
+        else prev.map(_.colops).getOrElse(Seq.empty)))
     }
   }
 
@@ -915,7 +983,11 @@ private[sources] class GsbScan(root: String, manifest: GsbManifest,
   private val kept = manifest.files
     .filter(e => !baseline.contains(e.relPath))
     .filter(e => onlyFiles.forall(_.contains(e.relPath)))
-    .filter(e => filters.forall(GsbStats.mayMatch(_, manifest.schema, e.stats)))
+    // a file written before a RENAME keys its stats by the historical
+    // name — alias them under the current name so skipping keeps working
+    // across renames (absent stats stay conservative: the file is kept)
+    .filter(e => filters.forall(GsbStats.mayMatch(_, manifest.schema,
+      GsbEvolution.aliasStats(e.stats, manifest.renames))))
   private[sources] def keptRelPaths: Seq[String] = kept.map(_.relPath)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -932,7 +1004,8 @@ private[sources] class GsbScan(root: String, manifest: GsbManifest,
   override def planInputPartitions(): Array[InputPartition] =
     kept.map(e => GsbPartition(root, e.relPath): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GsbReaderFactory(manifest.schema.json, required.fieldNames)
+    new GsbReaderFactory(manifest.schema.json, required.fieldNames,
+      manifest.renames)
 
   /** Streaming READ: the store as a micro-batch source. The offset IS
     * the manifest version, and each micro-batch is the file-set delta
@@ -1017,38 +1090,85 @@ private[sources] class GsbMicroBatchStream(root: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GsbReaderFactory(manifest0.schema.json, required.fieldNames)
+    new GsbReaderFactory(manifest0.schema.json, required.fieldNames,
+      manifest0.renames)
 }
 
 private[sources] case class GsbPartition(root: String, relPath: String) extends InputPartition
 
-private[sources] class GsbReaderFactory(schemaJson: String, requiredNames: Array[String])
+/** Column-evolution resolution shared by readers and scan planning. */
+private[sources] object GsbEvolution {
+  /** The name `logical` was written under in a file that predates some
+    * suffix of the rename history: walk the ordered rename events in
+    * REVERSE, stepping current→source whenever the current name is
+    * absent from the file — a→b→c chains resolve through any prefix.
+    * Stops at the first name the file (or stats map) actually has. */
+  def fileName(logical: String, has: String => Boolean,
+      renames: Seq[(String, String)]): String = {
+    var cur = logical
+    renames.reverseIterator.foreach { case (from, to) =>
+      if (!has(cur) && to == cur) cur = from
+    }
+    cur
+  }
+
+  /** Stats keyed by historical names, aliased under current names (for
+    * data skipping across renames). Tombstoning guarantees a historical
+    * name never collides with a live column, so aliasing is safe. */
+  def aliasStats(stats: Map[String, (String, String)],
+      renames: Seq[(String, String)]): Map[String, (String, String)] =
+    if (renames.isEmpty) stats
+    else stats ++ renames.foldLeft(Map.empty[String, String]) {
+      // build historical→current: apply events oldest-first
+      case (m, (from, to)) =>
+        val src = m.collectFirst { case (h, c) if c == from => h }.getOrElse(from)
+        m - src + (src -> to)
+    }.flatMap { case (hist, cur) => stats.get(hist).map(cur -> _) }
+}
+
+private[sources] class GsbReaderFactory(schemaJson: String,
+    requiredNames: Array[String],
+    renames: Seq[(String, String)] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GsbPartition]
     new GsbReader(p.root, p.relPath,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType], requiredNames)
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], requiredNames,
+      renames)
   }
 }
 
 private[sources] class GsbReader(
-    root: String, relPath: String, schema: StructType, requiredNames: Array[String])
+    root: String, relPath: String, schema: StructType,
+    requiredNames: Array[String],
+    renames: Seq[(String, String)] = Seq.empty)
     extends PartitionReader[InternalRow] {
   private val f = GraftStore.fs(root, new Configuration())
   private val in = new DataInputStream(new java.io.BufferedInputStream(
     f.open(new HPath(root, relPath)), 1 << 16))
   require(in.readUTF() == "GSB1", s"graft-store: $relPath is not a GSB1 file")
   private val fileSchema = DataType.fromJson(in.readUTF()).asInstanceOf[StructType]
-  // evolution-aware: a file written before a column was added carries a
-  // SUBSET of the manifest schema — every file field must still match
-  // its manifest field by name+type, and absent columns read as null
-  require(GraftStore.signature(fileSchema)
-      .forall(GraftStore.signature(schema).contains),
-    s"graft-store: $relPath schema drifted from manifest " +
-      s"(${fileSchema.sql} vs ${schema.sql})")
-  // projection by NAME into the file's own layout; -1 → null-fill
+  // evolution-aware in all three directions: a file may carry a SUBSET
+  // of the snapshot schema (written before ADD COLUMNS → null-fill), a
+  // SUPERSET (written before DROP COLUMN → extra fields decode and
+  // drop), or historical NAMES (written before RENAME → the chain
+  // resolves each required name to the file-local one). The invariant
+  // that still holds file-by-file: every field this read RESOLVES must
+  // carry the type the snapshot promises.
+  private def resolve(n: String): String =
+    GsbEvolution.fileName(n, fileSchema.fieldNames.contains, renames)
+  requiredNames.filter(_ != GsbFileColumn.Name).foreach { n =>
+    val fn = resolve(n)
+    fileSchema.fields.find(_.name == fn).foreach { fd =>
+      val expect = schema.fields.find(_.name == n).map(_.dataType.sql)
+      require(expect.forall(_ == fd.dataType.sql),
+        s"graft-store: $relPath column $fn has type ${fd.dataType.sql}, " +
+          s"snapshot promises ${expect.getOrElse("?")} for $n")
+    }
+  }
+  // projection by RESOLVED NAME into the file's own layout; -1 → null-fill
   private val proj = requiredNames.map(n =>
-    fileSchema.fieldNames.indexOf(n))
+    fileSchema.fieldNames.indexOf(resolve(n)))
   // the `_gsb_file` metadata column is synthesized per reader, not
   // decoded: its null-filled slots get the file's relPath
   private val fileColIdxs = requiredNames.zipWithIndex
@@ -1266,9 +1386,9 @@ private[sources] class GsbReplaceGroupsWrite(root: String,
             "race — a concurrent writer advanced the store past the " +
             "snapshot the rewrite was computed against; re-run the command")
       val base = prev.get
-      Some((base.schema,
+      Some(GsbNext(base.schema,
         base.files.filterNot(f => scanned(f.relPath)) ++ committed,
-        base.epochs))
+        base.epochs, base.colops))
     }
   }
 
@@ -1289,7 +1409,19 @@ private[sources] class GsbReplaceGroupsWrite(root: String,
   * file set is `untouched ++ survivors ++ incoming`. Single-attempt
   * commit: both halves were computed against the pinned base, so racing
   * any other committer fails loudly. Schema follows the widening-append
-  * rule — carried files must stay readable. */
+  * rule — carried files must stay readable.
+  *
+  * CONTRACT DIVERGENCE (documented, r12 ADVICE): the incoming batch is
+  * NOT validated against `cond` — rows violating the predicate land
+  * anyway, like Delta with `replaceWhere` constraint enforcement
+  * disabled (and like `INSERT OVERWRITE t PARTITION` with dynamic
+  * partitions). Consequence: re-running the same command is only
+  * idempotent when the inserted rows all satisfy `cond`. Validation
+  * would require either a second pass over the committed files before
+  * publish or predicate evaluation inside every writer task; callers
+  * that need the guarantee filter the batch on `cond` themselves —
+  * one line at the call site, zero cost here. Pinned by
+  * GraftCatalogSpec's replace-where-violation test. */
 private[sources] class GsbReplaceWhereWrite(root: String,
     schema: StructType, queryId: String,
     filters: Array[org.apache.spark.sql.sources.Filter])
@@ -1307,10 +1439,10 @@ private[sources] class GsbReplaceWhereWrite(root: String,
         GraftStore.commitLoop(root, conf) { prev =>
           if (prev.nonEmpty) throw new IllegalStateException(
             s"graft-store: REPLACE WHERE on $root lost a commit race; re-run")
-          Some((schema, incoming, Set.empty))
+          Some(GsbNext(schema, incoming, Set.empty, Seq.empty))
         }
       case Some((m, untouched, rewritten)) =>
-        val outSchema = GraftStore.evolutionError(m.schema, schema) match {
+        val outSchema = GraftStore.evolutionError(m.schema, schema, m.tombstones) match {
           case Some(err) => throw new IllegalStateException(
             s"graft-store: REPLACE WHERE schema ${schema.sql} is not a " +
               s"legal evolution of stored ${m.schema.sql}: $err")
@@ -1322,7 +1454,8 @@ private[sources] class GsbReplaceWhereWrite(root: String,
               s"graft-store: REPLACE WHERE on $root lost a commit race — " +
                 "a concurrent writer advanced the store past the snapshot " +
                 "the rewrite was computed against; re-run the command")
-          Some((outSchema, untouched ++ rewritten ++ incoming, m.epochs))
+          Some(GsbNext(outSchema, untouched ++ rewritten ++ incoming,
+            m.epochs, m.colops))
         }
     }
   }
@@ -1409,12 +1542,17 @@ private[sources] object GsbDelete {
     val pred = filters.flatMap(toColumn).reduceOption(_ && _)
       .getOrElse(F.lit(true))
     // survivors of the touched files only, columns pinned to the stored
-    // schema order so toRdd rows line up with the writer's codec
+    // schema order so toRdd rows line up with the writer's codec.
+    // SURVIVE = predicate NOT TRUE (the SQL DELETE contract, what
+    // Delta/Iceberg COW do): under three-valued logic NOT(NULL) = NULL,
+    // so a bare !pred would silently DELETE rows where a nullable
+    // column makes the predicate NULL (r12 ADVICE) — coalesce pins
+    // NULL to "not deleted".
     val survivors = spark.read.format("graft-store")
       .option("version", m.version)
       .option("onlyFiles", touched.map(_.relPath).mkString(","))
       .load(root)
-      .filter(!pred)
+      .filter(!F.coalesce(pred, F.lit(false)))
       .select(m.schema.fieldNames.toIndexedSeq.map(attr): _*)
     val schemaJson = m.schema.json
     // unique rewrite token: two rewrites (even racing ones) never write
@@ -1442,7 +1580,7 @@ private[sources] object GsbDelete {
             s"graft-store: DELETE on $root lost a commit race — a " +
               "concurrent writer advanced the store past the snapshot the " +
               "rewrite was computed against; re-run the DELETE")
-        Some((m.schema, untouched ++ rewritten, m.epochs))
+        Some(GsbNext(m.schema, untouched ++ rewritten, m.epochs, m.colops))
       }
     }
 }

@@ -547,6 +547,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("graph_triangles_stored: census reads ONLY the affinity snapshot — no parquet rebuild") {
+    val p = plan("graph_triangles_stored")
+    // the corpus-sized affinity rebuild must not appear: every scan is
+    // the graft-store snapshot (the build-once/probe-many split)
+    assert(p.contains("BatchScan graft_store"), p)
+    assert(!p.contains("Scan parquet"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("text_quality_gate: per-lang threshold broadcasts back; no lang-partitioned window") {
     val p = plan("text_quality_gate")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -349,9 +349,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) FROM graft.alt.t WHERE score IS NOT NULL")
       .head.getLong(0) == 1)
-    // destructive changes stay refused
+    // type changes stay refused (they would invalidate committed bytes)
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.alt.t DROP COLUMN k")
+      spark.sql("ALTER TABLE graft.alt.t ALTER COLUMN k TYPE STRING")
     }
   }
 
@@ -366,5 +366,139 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(ex != null)
     assert(spark.sql("SELECT count(*) FROM graft.ds4.ev").head.getLong(0) == 1)
+  }
+
+  test("DELETE/REPLACE WHERE keep rows whose predicate is NULL (three-valued logic)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nulldml")
+    spark.sql("CREATE TABLE graft.nulldml.t (k BIGINT, v BIGINT)")
+    // v NULL on even k — a DELETE on v must not silently drop those rows
+    spark.sql("INSERT INTO graft.nulldml.t " +
+      "SELECT id AS k, IF(id % 2 = 0, CAST(NULL AS BIGINT), id * 10) AS v " +
+      "FROM range(0, 20)")
+    spark.sql("DELETE FROM graft.nulldml.t WHERE v >= 100")
+    // deleted: odd k with v >= 100 (k = 11,13,15,17,19); NULL-v rows
+    // (even k) and odd k < 10 all SURVIVE — the SQL standard / Delta /
+    // Iceberg COW contract ("condition not TRUE" keeps the row)
+    assert(spark.sql("SELECT count(*) FROM graft.nulldml.t").head.getLong(0) == 15)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.nulldml.t WHERE v IS NULL").head.getLong(0) == 10)
+    // same contract through REPLACE WHERE's survivor half
+    spark.sql("INSERT INTO graft.nulldml.t REPLACE WHERE v < 100 " +
+      "SELECT CAST(777 AS BIGINT) AS k, CAST(7 AS BIGINT) AS v")
+    val rows = spark.sql("SELECT k, v FROM graft.nulldml.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // NULL-v rows survive the v<100 replacement; odd v<100 rows replaced
+    assert(rows.count(_._2 == -1L) == 10, rows.mkString(","))
+    assert(rows.contains((777L, 7L)))
+    assert(!rows.exists(p => p._2 >= 0 && p._2 < 100 && p._1 != 777L), rows.mkString(","))
+  }
+
+  test("REPLACE WHERE does NOT validate the incoming batch (documented divergence)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rwv")
+    spark.sql("CREATE TABLE graft.rwv.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.rwv.t SELECT id FROM range(0, 10)")
+    // the inserted row VIOLATES the replace predicate — it lands anyway
+    // (GsbReplaceWhereWrite scaladoc pins this as the Delta-divergent
+    // contract; callers needing enforcement filter the batch themselves)
+    spark.sql("INSERT INTO graft.rwv.t REPLACE WHERE k < 5 SELECT CAST(999 AS BIGINT)")
+    val ks = spark.sql("SELECT k FROM graft.rwv.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ks == Seq(5L, 6L, 7L, 8L, 9L, 999L), ks)
+  }
+
+  test("ALTER TABLE DROP COLUMN is metadata-only; old snapshots keep the column") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evo")
+    spark.sql("CREATE TABLE graft.evo.d (k BIGINT, junk STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.evo.d SELECT id, concat('j', id), id * 2 FROM range(0, 10)")
+    val root = s"$warehouse/evo/d"
+    val preDrop = GraftStore.latestManifest(root, GraftStore.driverConf()).get
+    spark.sql("ALTER TABLE graft.evo.d DROP COLUMN junk")
+    // the current snapshot no longer presents the column...
+    assert(spark.table("graft.evo.d").schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(spark.sql("SELECT sum(v) FROM graft.evo.d").head.getLong(0) == 90)
+    // ...the files were NOT rewritten (metadata-only)...
+    val after = GraftStore.latestManifest(root, GraftStore.driverConf()).get
+    assert(after.files.map(_.relPath) == preDrop.files.map(_.relPath))
+    // ...and the pre-drop snapshot still reads the column (immutable history)
+    assert(spark.sql(
+      s"SELECT count(junk) FROM graft.evo.d VERSION AS OF ${preDrop.version}")
+      .head.getLong(0) == 10)
+    // re-adding the dropped name is rejected (files still carry its data)
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo.d ADD COLUMNS (junk STRING)")
+    }
+    assert(ex.getMessage.contains("reserved"), ex.getMessage)
+    // dropping the last column is rejected
+    spark.sql("ALTER TABLE graft.evo.d DROP COLUMN v")
+    val ex2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo.d DROP COLUMN k")
+    }
+    assert(ex2.getMessage.contains("last column"), ex2.getMessage)
+  }
+
+  test("ALTER TABLE RENAME COLUMN chains resolve old files; appends use the new name") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evo")
+    spark.sql("CREATE TABLE graft.evo.r (k BIGINT, a BIGINT)")
+    spark.sql("INSERT INTO graft.evo.r SELECT id, id * 10 FROM range(0, 5)")
+    spark.sql("ALTER TABLE graft.evo.r RENAME COLUMN a TO b")
+    // data written under 'a' reads back under 'b'
+    assert(spark.sql("SELECT sum(b) FROM graft.evo.r").head.getLong(0) == 100)
+    // an append under the new name lands; both generations read together
+    spark.sql("INSERT INTO graft.evo.r SELECT id, id * 10 FROM range(5, 10)")
+    assert(spark.sql("SELECT sum(b) FROM graft.evo.r").head.getLong(0) == 450)
+    // a second rename composes the chain across BOTH file generations
+    spark.sql("ALTER TABLE graft.evo.r RENAME COLUMN b TO c")
+    assert(spark.sql("SELECT sum(c) FROM graft.evo.r").head.getLong(0) == 450)
+    // stats survive the rename: a filter on the new name still skips
+    assert(spark.sql("SELECT count(*) FROM graft.evo.r WHERE c >= 50")
+      .head.getLong(0) == 5)
+    // the vacated names are reserved
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evo.r ADD COLUMNS (a BIGINT)")
+    }
+    assert(ex.getMessage.contains("reserved"), ex.getMessage)
+    // DML over the renamed view keeps working (delete on the new name)
+    spark.sql("DELETE FROM graft.evo.r WHERE c < 30")
+    assert(spark.sql("SELECT count(*), sum(c) FROM graft.evo.r").head.toSeq
+      == Seq(7L, 420L))
+  }
+
+  test("TIMESTAMP AS OF resolves the latest snapshot at or before the instant") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.tt.t SELECT id FROM range(0, 5)")
+    val t1 = System.currentTimeMillis()
+    // make the next commit's ts STRICTLY greater than t1
+    while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+    spark.sql("INSERT INTO graft.tt.t SELECT id FROM range(5, 10)")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.systemDefault())
+    val lit = fmt.format(java.time.Instant.ofEpochMilli(t1))
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.tt.t TIMESTAMP AS OF '$lit'")
+      .head.getLong(0) == 5)
+    // an instant before table creation has no snapshot
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tt.t TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("table"), ex.getMessage)
+  }
+
+  test("a table whose name contains '$' stays loadable (only $snapshots/$refs are metadata)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dollar")
+    spark.sql("CREATE TABLE graft.dollar.`a$b` (k BIGINT)")
+    spark.sql("INSERT INTO graft.dollar.`a$b` SELECT id FROM range(0, 7)")
+    assert(spark.sql("SELECT count(*) FROM graft.dollar.`a$b`").head.getLong(0) == 7)
+    // its metadata tables still resolve through the known suffixes
+    assert(spark.sql("SELECT count(*) FROM graft.dollar.`a$b$snapshots`")
+      .head.getLong(0) == 2) // v1 CREATE + 1 append
   }
 }
