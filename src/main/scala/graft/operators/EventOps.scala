@@ -646,6 +646,32 @@ object EventOps {
         .select(col("d"), col("dau_est"), col("wau7_est"))
         .orderBy(col("d"))
     },
+    // sketch-union twin of events_dau_stickiness (the claim the r12
+    // verdict asked to GATE): the exact twin re-distincts the trailing
+    // 28-day user set per day — 28× re-scan of corpus-sized distinct
+    // state — while the 100 TB shape is ONE DataSketches HLL per day,
+    // MAU28 = estimate of the union of 28 daily sketches: KB-sized,
+    // mergeable, reusable across every horizon without touching raw
+    // events again. No oracle (DuckDB's approx_count_distinct is a
+    // different HLL implementation); EventsHllSpec pins DAU/MAU28/
+    // stickiness against the exact twin — equal in sparse mode at
+    // fixture cardinalities, ≤2% past dense promotion.
+    "events_dau_stickiness_hll" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val grid = daily.select(col("d").as("gd"))
+      val mau = broadcast(grid)
+        .join(daily, datediff(col("gd"), col("d")).between(0, 27))
+        .groupBy(col("gd"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("mau28_est"))
+      daily.select(col("d"), hll_sketch_estimate(col("sk")).as("dau_est"))
+        .join(mau, col("d") === col("gd"))
+        .select(col("d"), col("dau_est"), col("mau28_est"),
+          round(col("dau_est").cast("double") / col("mau28_est"), 6)
+            .as("stickiness_est"))
+        .orderBy(col("d"))
+    },
     // sessionization: 30-minute inactivity gap splits sessions
     "events_sessions" -> { (s, dir) =>
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

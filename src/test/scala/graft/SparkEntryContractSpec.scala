@@ -13,7 +13,7 @@ class SparkEntryContractSpec extends AnyFunSuite {
     assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
   }
 
-  test("the no-oracle set is exactly the nine contractual exceptions") {
+  test("the no-oracle set is exactly the ten contractual exceptions") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val contractual = Set(
       "ml_train_predict",    // hogwild: nondeterministic by reference semantics
@@ -24,6 +24,7 @@ class SparkEntryContractSpec extends AnyFunSuite {
       "dedup_winnowing_fast", // xxhash64 has no DuckDB counterpart
       "text_quality_gate_approx", // percentile sketch internals differ by engine
       "events_active_users_hll", // DataSketches HLL differs from DuckDB's HLL
+      "events_dau_stickiness_hll", // DataSketches HLL differs from DuckDB's HLL
       "q_joinsize_cm")       // Murmur3 CM buckets have no DuckDB counterpart
     assert(noOracle == contractual,
       s"unexpected no-oracle queries: ${noOracle -- contractual}; " +
