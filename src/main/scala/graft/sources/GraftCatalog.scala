@@ -157,10 +157,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             () => {
               val c = GraftStore.driverConf()
               val cur = GraftStore.currentVersion(root).getOrElse(0L)
+              // header-only summaries — O(1) I/O per version
               (1L to cur).flatMap(v =>
-                GraftStore.manifestAt(root, c, v).map(m =>
-                  Seq[Any](m.version, m.files.size.toLong,
-                    m.files.map(_.rows).sum, m.files.map(_.bytes).sum)))
+                GraftStore.manifestSummaryAt(root, c, v).map {
+                  case (nf, nr, nb) => Seq[Any](v, nf, nr, nb) })
             })
         case _ =>
           return new GraftMetaTable(s"graft_meta($root,refs)",

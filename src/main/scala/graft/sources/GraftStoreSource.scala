@@ -151,6 +151,40 @@ object GraftStore {
 
   private val ManifestRe = "v(\\d{20})\\.manifest".r
 
+  /** Driver-side parsed-manifest cache. A COMPLETE manifest is immutable
+    * by protocol (exclusive-create, never modified after its terminator
+    * lands), so the parse can be reused across every planning call that
+    * pins the same snapshot — at 10⁶ files that turns each re-plan from
+    * an O(files) text parse into one `getFileStatus`. Validity is
+    * (mtime, length): a DROP TABLE + re-CREATE reuses version paths, so
+    * path alone is not a safe key. Bounded LRU — manifests of hot
+    * stores stay, cold ones re-parse. */
+  private val ManifestCacheMax = 64
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Long, Long, GsbManifest)](
+        ManifestCacheMax, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, Long, GsbManifest)]): Boolean =
+          size() > ManifestCacheMax
+      })
+
+  private def parseManifestCached(f: FileSystem, ver: Long, path: HPath)
+      : Option[GsbManifest] = {
+    val st = try f.getFileStatus(path) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
+    val key = path.toString
+    val hit = manifestCache.get(key)
+    if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen)
+      return Some(hit._3)
+    val parsed = parseManifest(f, ver, path)
+    // only completes are immutable; in-flight manifests must re-read
+    parsed.foreach(m =>
+      manifestCache.put(key, (st.getModificationTime, st.getLen, m)))
+    parsed
+  }
+
   /** Latest COMPLETE committed snapshot, or None for an empty/absent
     * store. Manifest format is line-oriented text: `version`,
     * `schema=<json>` (single line — StructType.json never contains
@@ -170,7 +204,7 @@ object GraftStore {
       }
     }
     versions.sortBy(-_._1).iterator
-      .flatMap { case (ver, path) => parseManifest(f, ver, path) }
+      .flatMap { case (ver, path) => parseManifestCached(f, ver, path) }
       .nextOption()
   }
 
@@ -179,7 +213,50 @@ object GraftStore {
   private[sources] def manifestAt(root: String, conf: Configuration, version: Long): Option[GsbManifest] = {
     val f = fs(root, conf)
     val path = new HPath(new HPath(root, "manifest"), f"v$version%020d.manifest")
-    if (!f.exists(path)) None else parseManifest(f, version, path)
+    parseManifestCached(f, version, path)
+  }
+
+  /** Header-only snapshot summary: (n_files, n_rows, n_bytes) off the
+    * `summary=` line plus a TAIL SEEK for the completeness terminator —
+    * O(1) I/O per version regardless of file count, which is what keeps
+    * `$snapshots` / retention walks sub-second on a store whose
+    * manifests hold 10⁶ file lines. Manifests written before the
+    * summary line fall back to the full (cached) parse. */
+  private[sources] def manifestSummaryAt(root: String, conf: Configuration,
+      version: Long): Option[(Long, Long, Long)] = {
+    val f = fs(root, conf)
+    val path = new HPath(new HPath(root, "manifest"), f"v$version%020d.manifest")
+    val st = try f.getFileStatus(path) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
+    val in = f.open(path)
+    try {
+      // completeness first: the last bytes must hold the terminator
+      val tailLen = math.min(8L, st.getLen).toInt
+      val tail = new Array[Byte](tailLen)
+      in.seek(st.getLen - tailLen)
+      in.readFully(tail)
+      if (!new String(tail, "UTF-8").contains("end")) return None
+      in.seek(0L)
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      var line = rd.readLine()
+      var hops = 0
+      while (line != null && hops < 8 && !line.startsWith("file=")) {
+        if (line.startsWith("summary=")) {
+          line.stripPrefix("summary=").split("\t", -1) match {
+            case Array(nf, nr, nb) =>
+              return Some((nf.toLong, nr.toLong, nb.toLong))
+            case _ => ()
+          }
+        }
+        line = rd.readLine(); hops += 1
+      }
+      // pre-summary manifest: full parse (cached)
+      parseManifestCached(f, version, path)
+        .map(m => (m.files.size.toLong, m.files.map(_.rows).sum,
+          m.files.map(_.bytes).sum))
+    } finally in.close()
   }
 
   private def parseManifest(f: FileSystem, ver: Long, path: HPath): Option[GsbManifest] = {
@@ -279,6 +356,11 @@ object GraftStore {
     try {
       out.println(version)
       out.println(s"schema=${schema.json}")
+      // header summary: history/retention walks read THIS line + the
+      // tail terminator instead of parsing every file line (O(1) per
+      // version at any file count — see manifestSummaryAt)
+      out.println(s"summary=${files.size}\t${files.map(_.rows).sum}" +
+        s"\t${files.map(_.bytes).sum}")
       files.foreach { e =>
         val tail = if (e.stats.isEmpty) "" else "\t" + GsbStats.render(e.stats)
         out.println(s"file=${e.relPath}\t${e.rows}\t${e.bytes}$tail")
@@ -445,10 +527,10 @@ object GraftStore {
   def snapshots(spark: SparkSession, path: String): DataFrame = {
     val conf = driverConf()
     val cur = currentVersion(path).getOrElse(0L)
+    // header-only summaries: O(versions) tiny reads, never O(V·files)
     val rows = (1L to cur).flatMap { v =>
-      manifestAt(path, conf, v).map(m =>
-        (m.version, m.files.size.toLong,
-          m.files.map(_.rows).sum, m.files.map(_.bytes).sum))
+      manifestSummaryAt(path, conf, v).map { case (nf, nr, nb) =>
+        (v, nf, nr, nb) }
     }
     import spark.implicits._
     rows.toDF("version", "n_files", "n_rows", "n_bytes")

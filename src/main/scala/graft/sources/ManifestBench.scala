@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-scalability measurement (VERDICT r12 "What's missing #1"):
+  * how long the driver-side metadata operations take as the per-
+  * snapshot FILE COUNT grows to lakehouse scale — 10⁴ / 10⁵ / 10⁶
+  * entries, i.e. the 100 TB regime where one line per data file makes
+  * the manifest itself tens-to-hundreds of MB. No Spark session and no
+  * data files are needed: every operation measured here is pure
+  * manifest metadata, which is exactly the point — these are the costs
+  * every scan PLANNING, commit, and history walk pays before any task
+  * launches. Run:
+  *
+  *   sbt -batch "runMain graft.sources.ManifestBench"
+  *
+  * Prints one line per (N, operation): cold parse (first read of an
+  * immutable complete manifest), warm parse (the driver cache —
+  * validity-checked by mtime+length, so repeated plans of the same
+  * snapshot pay one getFileStatus), header summary (the `summary=` +
+  * tail-terminator path behind `$snapshots`), and stats-prune planning
+  * (the GsbScan file-skipping pass over all N entries). Results feed
+  * the SCALE.md manifest-scalability table.
+  */
+object ManifestBench {
+  def main(args: Array[String]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val schema = StructType.fromDDL("k BIGINT, v STRING")
+    def timeMs[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = body
+      (r, (System.nanoTime() - t0) / 1e6)
+    }
+    println(f"${"n_files"}%9s ${"write_ms"}%9s ${"cold_ms"}%9s " +
+      f"${"warm_ms"}%9s ${"summary_ms"}%10s ${"prune_ms"}%9s ${"bytes"}%12s")
+    for (n <- Seq(10000, 100000, 1000000)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"gsb-manifest-bench-$n").toString
+      val files = (0 until n).map { i =>
+        GsbFile(s"data/q-p$i-t$i.gsb", 1000L, 1L << 20,
+          Map("k" -> (s"${i * 1000L}", s"${i * 1000L + 999}")))
+      }
+      val (_, wMs) = timeMs(
+        GraftStore.writeManifest(root, conf, 1L, schema, files))
+      val f = GraftStore.fs(root, conf)
+      val path = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, "manifest"),
+        f"v${1L}%020d.manifest")
+      val bytes = f.getFileStatus(path).getLen
+      val (m1, coldMs) = timeMs(GraftStore.manifestAt(root, conf, 1L))
+      require(m1.exists(_.files.size == n))
+      val (_, warmMs) = timeMs(GraftStore.manifestAt(root, conf, 1L))
+      val (s1, sumMs) = timeMs(GraftStore.manifestSummaryAt(root, conf, 1L))
+      require(s1.contains((n.toLong, n * 1000L, n.toLong << 20)))
+      // the planning-time skip pass: one pushed range predicate over all
+      // N per-file stats — what a point query pays before pruning to
+      // its one file
+      val filt = org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("k", (n / 2) * 1000L),
+        org.apache.spark.sql.sources.LessThan("k", (n / 2) * 1000L + 500L))
+      val (keptN, pruneMs) = timeMs(
+        m1.get.files.count(e => GsbStats.mayMatch(filt, schema, e.stats)))
+      require(keptN == 1, s"expected 1 file kept, got $keptN")
+      println(f"$n%9d $wMs%9.1f $coldMs%9.1f $warmMs%9.3f " +
+        f"$sumMs%10.2f $pruneMs%9.1f $bytes%12d")
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+}
