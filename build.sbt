@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // queries plus 32-thread execution needs headroom — an 8g heap measured
   // 10x timing variance under GC pressure on the full surface.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++
+  // opt-in GC log for in-sweep timing forensics (r12 verdict task #3):
+  // SPARK_GRAFT_GCLOG=/path.log adds unified GC logging to the forked JVM
+  sys.env.get("SPARK_GRAFT_GCLOG").toSeq.map(p => s"-Xlog:gc*:file=$p")

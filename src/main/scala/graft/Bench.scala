@@ -182,8 +182,14 @@ object Bench {
     } else Map.empty
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
+    // SPARK_GRAFT_TRACE=1: stderr start/stop markers with epoch millis,
+    // for correlating per-query windows against an -Xlog:gc timeline
+    // (the r12 in-sweep graph_triangles inflation forensics)
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
     val results = names.zipWithIndex.map { case (name, idx) =>
       val fn = SparkEntry.queries(name)
+      if (trace) System.err.println(
+        s"[trace] ${System.currentTimeMillis()} start $name")
       val runOnce = () => {
         drainListenerBus(spark.sparkContext)
         val b0 = tally.bytes.get()
@@ -205,6 +211,9 @@ object Bench {
       // Every 10th query, force a full GC so the ContextCleaner reclaims
       // dead broadcasts/shuffles before they inflate later timings.
       if ((idx + 1) % 10 == 0) System.gc()
+      if (trace) System.err.println(
+        s"[trace] ${System.currentTimeMillis()} stop $name " +
+          f"best=${best(runs.map(_._1))}%.3f")
       // Shuffle volume is plan-deterministic — min over SUCCESSFUL runs
       // discards stragglers attributed across a run boundary by async
       // delivery and partial deltas from failed runs.

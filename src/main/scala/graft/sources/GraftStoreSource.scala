@@ -117,7 +117,11 @@ private[sources] case class GsbColOp(kind: String, from: String, to: String)
 
 private[sources] case class GsbManifest(version: Long, schema: StructType,
     files: Seq[GsbFile], epochs: Set[String] = Set.empty,
-    colops: Seq[GsbColOp] = Seq.empty, ts: Option[Long] = None) {
+    colops: Seq[GsbColOp] = Seq.empty, ts: Option[Long] = None,
+    /** (chunk name, file count) refs when this manifest was chunked —
+      * lets the NEXT commit carry untouched full segments structurally
+      * (no re-render/re-hash; see writeManifest's prefix reuse). */
+    chunks: Seq[(String, Int)] = Seq.empty) {
   /** Names no new column may ever take (see [[GsbColOp]]). */
   def tombstones: Set[String] =
     colops.map(op => if (op.kind == "rename") op.from else op.from).toSet
@@ -168,6 +172,86 @@ object GraftStore {
             e: java.util.Map.Entry[String, (Long, Long, GsbManifest)]): Boolean =
           size() > ManifestCacheMax
       })
+
+  /** Above this file count a manifest stores its file list as CHUNKS —
+    * immutable, content-addressed segment files of [[ChunkSize]] lines
+    * (`manifest/chunk-<sha1₁₆>.list`) referenced by `chunk=` manifest
+    * lines. Why: a self-contained manifest makes every commit O(table)
+    * — at 10⁶ files that is a 76 MB rewrite per append (measured,
+    * ManifestBench). With fixed segment boundaries an append reuses
+    * every untouched full segment BY HASH (same content → same path →
+    * exclusive create says "exists", skip), so commit cost drops to
+    * O(delta + ChunkSize). Chunks are immutable forever, so the chunk
+    * cache needs no validity check at all — content addressing IS the
+    * validity. Small stores stay flat (zero format change below the
+    * threshold); readers accept both forms from any version. This is
+    * the measured-cutover design SCALE.md's manifest note commits to. */
+  private[sources] val ChunkSize = 50000
+  /** Test hook: shrink the segment size so specs exercise the chunked
+    * path without writing 100k file entries. Production value above. */
+  private[sources] var chunkSizeOverride: Option[Int] = None
+  private def chunkSize: Int = chunkSizeOverride.getOrElse(ChunkSize)
+  private val chunkCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[GsbFile]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[GsbFile]]): Boolean =
+          size() > 64
+      })
+
+  private def renderFileLine(e: GsbFile): String = {
+    val tail = if (e.stats.isEmpty) "" else "\t" + GsbStats.render(e.stats)
+    s"file=${e.relPath}\t${e.rows}\t${e.bytes}$tail"
+  }
+
+  private def parseFileLine(l: String, where: String): GsbFile =
+    l.stripPrefix("file=").split("\t", -1) match {
+      case Array(rel, rows, bytes) => GsbFile(rel, rows.toLong, bytes.toLong)
+      case Array(rel, rows, bytes, stats) =>
+        GsbFile(rel, rows.toLong, bytes.toLong, GsbStats.parse(stats))
+      case other => throw new IllegalStateException(
+        s"graft-store: malformed file line in $where: ${other.mkString("|")}")
+    }
+
+  /** Write one content-addressed chunk if absent; returns its rel name.
+    * Concurrent writers of the same content race benignly: the loser's
+    * exclusive create fails on an identical file. */
+  private def writeChunk(f: FileSystem, dir: HPath, lines: Seq[String]): String = {
+    val payload = lines.mkString("", "\n", "\n")
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(payload.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val name = s"chunk-$sha.list"
+    val target = new HPath(dir, name)
+    if (!f.exists(target)) {
+      val out = try f.create(target, false) catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException => null // racer won
+      }
+      if (out != null) {
+        val w = new java.io.PrintWriter(
+          new java.io.OutputStreamWriter(out, "UTF-8"))
+        try { w.print(payload); w.println("end") } finally w.close()
+      }
+    }
+    name
+  }
+
+  private def readChunk(f: FileSystem, dir: HPath, name: String): Seq[GsbFile] = {
+    val key = new HPath(dir, name).toString
+    val hit = chunkCache.get(key)
+    if (hit != null) return hit
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(f.open(new HPath(dir, name)), "UTF-8"))
+    try {
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+      require(lines.lastOption.contains("end"),
+        s"graft-store: chunk $key is torn (no terminator)")
+      val files = lines.dropRight(1).map(parseFileLine(_, key))
+      chunkCache.put(key, files)
+      files
+    } finally in.close()
+  }
 
   private def parseManifestCached(f: FileSystem, ver: Long, path: HPath)
       : Option[GsbManifest] = {
@@ -268,17 +352,22 @@ object GraftStore {
         val schema = lines.collectFirst { case l if l.startsWith("schema=") =>
           DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType] }
           .getOrElse(throw new IllegalStateException(s"graft-store: manifest $path has no schema"))
-        val files = lines.collect { case l if l.startsWith("file=") =>
-          // 4th tab field (per-column min/max stats) is optional —
-          // manifests written before data skipping parse unchanged
-          l.stripPrefix("file=").split("\t", -1) match {
-            case Array(rel, rows, bytes) =>
-              GsbFile(rel, rows.toLong, bytes.toLong)
-            case Array(rel, rows, bytes, stats) =>
-              GsbFile(rel, rows.toLong, bytes.toLong, GsbStats.parse(stats))
-            case other => throw new IllegalStateException(
-              s"graft-store: malformed file line in $path: ${other.mkString("|")}")
-          }
+        // file list: flat `file=` lines, or `chunk=` references to
+        // content-addressed segment files (large stores) — in line order
+        // either way. The 4th tab field of a file line (per-column
+        // min/max stats) is optional: manifests written before data
+        // skipping parse unchanged.
+        val chunkDir = path.getParent
+        val chunkRefs = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+        val files = lines.flatMap {
+          case l if l.startsWith("file=") =>
+            Seq(parseFileLine(l, path.toString))
+          case l if l.startsWith("chunk=") =>
+            val name = l.stripPrefix("chunk=").split("\t", -1)(0)
+            val seg = readChunk(f, chunkDir, name)
+            chunkRefs += ((name, seg.size))
+            seg
+          case _ => Seq.empty
         }
         val epochs = lines.collect { case l if l.startsWith("epoch=") =>
           l.stripPrefix("epoch=") }.toSet
@@ -294,7 +383,8 @@ object GraftStore {
         }
         val ts = lines.collectFirst { case l if l.startsWith("ts=") =>
           l.stripPrefix("ts=").toLong }
-        Some(GsbManifest(ver, schema, files, epochs, colops, ts))
+        Some(GsbManifest(ver, schema, files, epochs, colops, ts,
+          chunkRefs.toSeq))
       }
     } finally in.close()
   }
@@ -309,7 +399,8 @@ object GraftStore {
       root: String, conf: Configuration, version: Long,
       schema: StructType, files: Seq[GsbFile],
       epochs: Set[String] = Set.empty,
-      colops: Seq[GsbColOp] = Seq.empty): Unit = {
+      colops: Seq[GsbColOp] = Seq.empty,
+      prev: Option[GsbManifest] = None): Unit = {
     val f = fs(root, conf)
     val dir = new HPath(root, "manifest")
     f.mkdirs(dir)
@@ -361,10 +452,35 @@ object GraftStore {
       // version at any file count — see manifestSummaryAt)
       out.println(s"summary=${files.size}\t${files.map(_.rows).sum}" +
         s"\t${files.map(_.bytes).sum}")
-      files.foreach { e =>
-        val tail = if (e.stats.isEmpty) "" else "\t" + GsbStats.render(e.stats)
-        out.println(s"file=${e.relPath}\t${e.rows}\t${e.bytes}$tail")
-      }
+      if (files.size >= 2 * chunkSize) {
+        // large store: file list as content-addressed chunks. Append
+        // commits are O(delta + ChunkSize) two ways: STRUCTURALLY — when
+        // the new list starts with the previous manifest's files (the
+        // append shape), its full segments carry over by NAME without
+        // being re-rendered or re-hashed — and by CONTENT — any other
+        // segment that hashes to an existing chunk skips the write
+        // (DML reorders land here).
+        val carried = prev match {
+          case Some(p) if p.chunks.nonEmpty && files.size >= p.files.size &&
+              files.startsWith(p.files) =>
+            // prev's full segments sit on our fixed boundaries iff they
+            // hold exactly chunkSize files; stop at the first partial
+            p.chunks.takeWhile(_._2 == chunkSize)
+          case _ => Seq.empty
+        }
+        var off = 0
+        carried.foreach { case (name, n) =>
+          val seg = files.slice(off, off + n)
+          out.println(s"chunk=$name\t$n\t${seg.map(_.rows).sum}" +
+            s"\t${seg.map(_.bytes).sum}")
+          off += n
+        }
+        files.drop(off).grouped(chunkSize).foreach { seg =>
+          val name = writeChunk(f, dir, seg.map(renderFileLine))
+          out.println(s"chunk=$name\t${seg.size}\t${seg.map(_.rows).sum}" +
+            s"\t${seg.map(_.bytes).sum}")
+        }
+      } else files.foreach(e => out.println(renderFileLine(e)))
       epochs.toSeq.sorted.foreach(e => out.println(s"epoch=$e"))
       colops.foreach { op =>
         require(!op.from.contains("\t") && !op.to.contains("\t") &&
@@ -405,7 +521,7 @@ object GraftStore {
         case Some(GsbNext(schema, files, epochs, colops)) =>
           try {
             writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
-              schema, files, epochs, colops)
+              schema, files, epochs, colops, prev)
             return
           } catch {
             case e: GsbCommitRaceException =>

@@ -39,6 +39,9 @@ object ManifestBench {
         GsbFile(s"data/q-p$i-t$i.gsb", 1000L, 1L << 20,
           Map("k" -> (s"${i * 1000L}", s"${i * 1000L + 999}")))
       }
+      // force the FLAT form for the baseline rows (production now chunks
+      // at ≥2×ChunkSize; the flat numbers are the before picture)
+      GraftStore.chunkSizeOverride = Some(Int.MaxValue / 4)
       val (_, wMs) = timeMs(
         GraftStore.writeManifest(root, conf, 1L, schema, files))
       val f = GraftStore.fs(root, conf)
@@ -62,6 +65,37 @@ object ManifestBench {
       require(keptN == 1, s"expected 1 file kept, got $keptN")
       println(f"$n%9d $wMs%9.1f $coldMs%9.1f $warmMs%9.3f " +
         f"$sumMs%10.2f $pruneMs%9.1f $bytes%12d")
+      // chunked-commit scenario: the SAME snapshot committed through the
+      // content-addressed chunk path (files ≥ 2×ChunkSize), then an
+      // APPEND of 1000 files — full segments reuse by hash, so the
+      // append commit is O(delta + ChunkSize) instead of O(table)
+      if (n >= 2 * GraftStore.ChunkSize) {
+        val (_, flatAppendMs) = timeMs(GraftStore.writeManifest(
+          root, conf, 2L, schema,
+          files ++ files.take(1000).map(e => e.copy(relPath = e.relPath + ".a"))))
+        GraftStore.chunkSizeOverride = None // production chunked path
+        val root2 = java.nio.file.Files
+          .createTempDirectory(s"gsb-manifest-bench-chunked-$n").toString
+        val (_, cWriteMs) = timeMs(
+          GraftStore.writeManifest(root2, conf, 1L, schema, files))
+        val (cm1, cColdMs) = timeMs(GraftStore.manifestAt(root2, conf, 1L))
+        // the append shape every commit path uses: prev.files ++ delta,
+        // with prev passed through for structural chunk reuse
+        val (_, cAppendMs) = timeMs(GraftStore.writeManifest(
+          root2, conf, 2L, schema,
+          cm1.get.files ++ files.take(1000).map(e => e.copy(relPath = e.relPath + ".a")),
+          prev = cm1))
+        val (m2, cReadAfterMs) = timeMs(GraftStore.manifestAt(root2, conf, 2L))
+        require(m2.exists(_.files.size == n + 1000))
+        println(f"$n%9d chunked: write=$cWriteMs%.1f cold=$cColdMs%.1f " +
+          f"append(+1000)=$cAppendMs%.1f (flat append=$flatAppendMs%.1f) " +
+          f"read-after-append=$cReadAfterMs%.1f ms")
+        def rm2(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm2)); x.delete(); ()
+        }
+        rm2(new java.io.File(root2))
+      }
+      GraftStore.chunkSizeOverride = None
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
       }
