@@ -199,6 +199,14 @@ object GraftStore {
           size() > 64
       })
 
+  /** Driver-side pool for parallel chunk parsing — daemon threads (must
+    * never block JVM exit), bounded by core count. */
+  private lazy val ChunkParsePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, Runtime.getRuntime.availableProcessors()),
+        r => { val t = new Thread(r, "gsb-chunk-parse"); t.setDaemon(true); t }))
+
   private def renderFileLine(e: GsbFile): String = {
     val tail = if (e.stats.isEmpty) "" else "\t" + GsbStats.render(e.stats)
     s"file=${e.relPath}\t${e.rows}\t${e.bytes}$tail"
@@ -358,13 +366,34 @@ object GraftStore {
         // min/max stats) is optional: manifests written before data
         // skipping parse unchanged.
         val chunkDir = path.getParent
+        // chunks are independent immutable segments — parse them in
+        // PARALLEL (a 10⁶-file manifest is 20 × 50k-line chunks; the
+        // cold parse drops from ~1.4 s sequential to the longest single
+        // chunk on a multicore driver). Names first, in order, so the
+        // concatenation preserves manifest order exactly.
+        val chunkNames = lines.collect {
+          case l if l.startsWith("chunk=") =>
+            l.stripPrefix("chunk=").split("\t", -1)(0)
+        }
+        val parsedChunks: Map[String, Seq[GsbFile]] =
+          if (chunkNames.size <= 1)
+            chunkNames.map(n => n -> readChunk(f, chunkDir, n)).toMap
+          else {
+            import scala.concurrent.{Await, Future, ExecutionContext}
+            import scala.concurrent.duration.Duration
+            implicit val ec: ExecutionContext = ChunkParsePool
+            Await.result(
+              Future.traverse(chunkNames.distinct)(n =>
+                Future(n -> readChunk(f, chunkDir, n))),
+              Duration.Inf).toMap
+          }
         val chunkRefs = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
         val files = lines.flatMap {
           case l if l.startsWith("file=") =>
             Seq(parseFileLine(l, path.toString))
           case l if l.startsWith("chunk=") =>
             val name = l.stripPrefix("chunk=").split("\t", -1)(0)
-            val seg = readChunk(f, chunkDir, name)
+            val seg = parsedChunks(name)
             chunkRefs += ((name, seg.size))
             seg
           case _ => Seq.empty
