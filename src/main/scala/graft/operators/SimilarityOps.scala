@@ -573,6 +573,59 @@ object SimilarityOps {
         .orderBy(col("maha2").desc, col("vec_id"))
         .limit(20)
     },
+    // Clustering-quality gate for the IVF partition: centroid-based
+    // ("simplified") silhouette per cell — a(v) = distance to the OWN
+    // cell's true centroid, b(v) = min distance to any other centroid,
+    // s = (b − a)/max(a, b) — the metric an index owner reads before
+    // trusting a cell layout (cells near 0 overlap their neighbours →
+    // probes must widen; negative cells are misassigned mass). The
+    // full-pairwise silhouette is O(n²); the centroid form is the one
+    // that exists at 100 TB, and it reuses the exact IVF assignment
+    // rule the probes run (nearest literal seed cell, ties to the
+    // smaller id), so the score audits the REAL layout.
+    //
+    // Scale shape: one assignment projection (codegen, corpus-sized),
+    // one per-(cell, dim) decimal-mean pass (cells × dims rows — the
+    // emb_label_centroids discipline), then the corpus streams once
+    // against the 8-row broadcast centroid grid (the bounded-grid BNLJ
+    // class) and collapses to per-cell means. Nothing after the maps
+    // exceeds cells × dims. Determinism: 10dp centroid means, 6dp
+    // distances, one 6dp ratio per vector, el10/mean6 cell means.
+    "emb_silhouette" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cellSims = ivfCellSims(e)
+      // 2 consumers (centroid agg + scoring) — pin ONE assignment pass
+      val assigned = e.withColumn("cell",
+        graft.functions.Barriers.opaque(
+          array_max(cellSims(col("v"))).getField("cell")))
+        .localCheckpoint()
+      val cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(sum(DetMean.el10(col("x"))).cast("double") /
+          count(lit(1)), 10).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cell").as("ccell"),
+          expr("transform(pc, p -> p.c)").as("cv"))
+      assigned.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cell"),
+          (col("ccell") === col("cell")).as("own"),
+          round(sqrt(sqDist(col("v"), col("cv"))), 6).as("d"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(max(when(col("own"), col("d"))).as("a"),
+          min(when(!col("own"), col("d"))).as("b"))
+        .select(col("cell"),
+          round(when(greatest(col("a"), col("b")) > 0,
+            (col("b") - col("a")) / greatest(col("a"), col("b")))
+            .otherwise(lit(0.0)), 6).as("sil"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          DetMean.mean6(sum(DetMean.el10(col("sil"))),
+            count(lit(1))).as("avg_silhouette"))
+        .orderBy(col("cell"))
+    },
     // PQ SERVING under the oracle gate: the full ADC query path —
     // encode the corpus against the literal seed codebook (same
     // assignment as emb_pq_error), build the probe's per-(subspace,
@@ -1602,6 +1655,48 @@ object SimilarityOps {
          |  ON tf.probe_id = tq.probe_id AND tf.vec_id = tq.vec_id
          |GROUP BY tf.probe_id
          |ORDER BY tf.probe_id""".stripMargin,
+    "emb_silhouette" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT vec_id, cell, v FROM (
+         |    SELECT e.vec_id, c.cell, e.v,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn = 1),
+         |px AS (
+         |  SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+         |  FROM asg),
+         |cent AS (
+         |  SELECT cell, pos,
+         |    ROUND(CAST(SUM(CAST(ROUND(x, 10) AS DECIMAL(28,10))) AS DOUBLE)
+         |      / COUNT(*), 10) AS cc
+         |  FROM px GROUP BY cell, pos),
+         |cvt AS (
+         |  SELECT cell AS ccell, list(cc ORDER BY pos) AS cv
+         |  FROM cent GROUP BY cell),
+         |d AS (
+         |  SELECT a.vec_id, a.cell, (t.ccell = a.cell) AS own,
+         |    ROUND(sqrt(${sqDistSql("a.v", "t.cv")}), 6) AS d
+         |  FROM asg a CROSS JOIN cvt t),
+         |ab AS (
+         |  SELECT vec_id, cell,
+         |    MAX(CASE WHEN own THEN d END) AS a,
+         |    MIN(CASE WHEN NOT own THEN d END) AS b
+         |  FROM d GROUP BY vec_id, cell),
+         |sil AS (
+         |  SELECT cell,
+         |    ROUND(CASE WHEN GREATEST(a, b) > 0 THEN (b - a) / GREATEST(a, b)
+         |               ELSE 0.0 END, 6) AS sil
+         |  FROM ab)
+         |SELECT cell, COUNT(*) AS n_vecs,
+         |  ROUND(CAST(SUM(CAST(ROUND(sil, 10) AS DECIMAL(28,10))) AS DOUBLE)
+         |    / COUNT(*), 6) AS avg_silhouette
+         |FROM sil
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin,
     "emb_outlier_knn" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
