@@ -249,10 +249,11 @@ object DedupLib {
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, maxDf))
     grouped
-      .select(explode(flatten(transform(col("docs"), (a, i) =>
-        transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
-          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      // generator-only pair expansion (posexplode + tail-slice explode;
+      // nested transform lambdas allocate interpreted structs per pair)
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"), explode(slice(col("docs"), col("i") + lit(2),
+        size(col("docs")))).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -528,10 +528,12 @@ object DedupOps {
         .localCheckpoint(eager = false)
       val inter = grouped
         .filter(size(col("docs")) >= 2)
-        .select(explode(flatten(transform(col("docs"), (a, i) =>
-          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
-            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
+        // generator-only pair expansion (posexplode + tail-slice explode):
+        // the nested transform lambdas allocated interpreted structs per
+        // pair — measured 1.4x warm / 4x cold on the affinity twin (r13)
+        .select(col("docs"), posexplode(col("docs")).as(Seq("i", "doc_a")))
+        .select(col("doc_a"), explode(slice(col("docs"), col("i") + lit(2),
+          size(col("docs")))).as("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
       val sizes = grouped
         .select(explode(col("docs")).as("doc_id"))
@@ -562,10 +564,12 @@ object DedupOps {
         .localCheckpoint(eager = false)
       val inter = grouped
         .filter(size(col("docs")) >= 2)
-        .select(explode(flatten(transform(col("docs"), (a, i) =>
-          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
-            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
+        // generator-only pair expansion (posexplode + tail-slice explode):
+        // the nested transform lambdas allocated interpreted structs per
+        // pair — measured 1.4x warm / 4x cold on the affinity twin (r13)
+        .select(col("docs"), posexplode(col("docs")).as(Seq("i", "doc_a")))
+        .select(col("doc_a"), explode(slice(col("docs"), col("i") + lit(2),
+          size(col("docs")))).as("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
       val sizes = grouped
         .select(explode(col("docs")).as("doc_id"))
@@ -662,12 +666,12 @@ object DedupOps {
         .agg(sort_array(collect_set(struct(col("doc_id"), col("pfx")))).as("docs"))
         .filter(size(col("docs")).between(2, MaxShingleDf))
       grouped
-        .select(explode(flatten(transform(col("docs"), (a, i) =>
-          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
-            struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
-              a.getField("pfx").as("pa"), b.getField("pfx").as("pb")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"),
-          levenshtein(col("p.pa"), col("p.pb")).cast("long").as("edit_dist"))
+        // generator-only pair expansion (see the jaccard sites above)
+        .select(col("docs"), posexplode(col("docs")).as(Seq("i", "a")))
+        .select(col("a"), explode(slice(col("docs"), col("i") + lit(2),
+          size(col("docs")))).as("b"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("edit_dist"))
         .filter(col("edit_dist") <= 10)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -909,10 +913,12 @@ object DedupOps {
         .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
         .filter(size(col("docs")).between(2, MaxShingleDf))
       grouped
-        .select(explode(flatten(transform(col("docs"), (a, i) =>
-          transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
-            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
+        // generator-only pair expansion (posexplode + tail-slice explode):
+        // the nested transform lambdas allocated interpreted structs per
+        // pair — measured 1.4x warm / 4x cold on the affinity twin (r13)
+        .select(col("docs"), posexplode(col("docs")).as(Seq("i", "doc_a")))
+        .select(col("doc_a"), explode(slice(col("docs"), col("i") + lit(2),
+          size(col("docs")))).as("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= WinnowMinShared)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -1174,11 +1180,12 @@ object DedupOps {
       .filter(size(array_distinct(transform(col("es"), e => e("doc_id"))))
         .between(2, MaxShingleDf))
     val matches = grouped
-      .select(explode(flatten(transform(col("es"), (a, i) =>
-        transform(slice(col("es"), i + 2, size(col("es"))), b =>
-          struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
-            a("pos").as("pos_a"), b("pos").as("pos_b")))))).as("m"))
-      .select(col("m.doc_a"), col("m.doc_b"), col("m.pos_a"), col("m.pos_b"))
+      // generator-only pair expansion (see the jaccard sites above)
+      .select(col("es"), posexplode(col("es")).as(Seq("i", "a")))
+      .select(col("a"), explode(slice(col("es"), col("i") + lit(2),
+        size(col("es")))).as("b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("off", col("pos_a") - col("pos_b"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("off"))

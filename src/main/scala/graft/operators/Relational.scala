@@ -46,11 +46,16 @@ object Relational {
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) >= 2)
+    // pair generation as posexplode + tail-slice explode: the nested
+    // transform-lambda formulation built 1.2M interpreted struct
+    // allocations (higher-order lambdas never reach codegen) — this
+    // shape is generator-only and measured 0.88 vs 1.22 s warm /
+    // 1.4 vs 5.5 s cold at sf0.1, with a bit-identical edge set
+    // (profiled r13; shared by ~15 graph queries per full sweep)
     orderParts
-      .select(explode(flatten(transform(col("parts"), (p, i) =>
-        transform(slice(col("parts"), i + 2, size(col("parts"))), q =>
-          struct(p.as("pa"), q.as("pb")))))).as("e"))
-      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .select(col("parts"), posexplode(col("parts")).as(Seq("i", "pa")))
+      .select(col("pa"), explode(slice(col("parts"), col("i") + lit(2),
+        size(col("parts")))).as("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
