@@ -305,10 +305,11 @@ object CorpusOps {
       val grams = documents(s, dir)
         .withColumn("w", split(col("text"), " "))
         .filter(size(w) >= 3)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-            element_at(w, i + 2)))).as("gram"))
+        // explode the POSITION, concat in codegen (the r13 shingle lesson)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(w) - 2)).as("i"))
+        .select(col("doc_id"), concat_ws(" ", element_at(w, col("i")),
+          element_at(w, col("i") + 1), element_at(w, col("i") + 2)).as("gram"))
         // 2 consumers (first-seen table + the scoring join) — one
         // materialized gram stream beats re-running the corpus explode
         .localCheckpoint(eager = false)

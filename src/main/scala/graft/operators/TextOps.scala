@@ -383,11 +383,12 @@ object TextOps {
       val grams = documents(s, dir)
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("w")) - 1),
-          i => struct(element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + 1).as("w2")))).as("g"))
-        .select(col("doc_id"), col("g.w1"), col("g.w2"))
+        // explode the POSITION, project in codegen (the r13 shingle
+        // lesson: transform lambdas build an interpreted array per doc)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+        .select(col("doc_id"), element_at(col("w"), col("i")).as("w1"),
+          element_at(col("w"), col("i") + 1).as("w2"))
       val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       val term = round(log(col("c1")) - log(col("c12")), 6)
@@ -418,11 +419,12 @@ object TextOps {
       val grams = documents(s, dir)
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("w")) - 1),
-          i => struct(element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + 1).as("w2")))).as("g"))
-        .select(col("doc_id"), col("g.w1"), col("g.w2"))
+        // explode the POSITION, project in codegen (the r13 shingle
+        // lesson: transform lambdas build an interpreted array per doc)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+        .select(col("doc_id"), element_at(col("w"), col("i")).as("w1"),
+          element_at(col("w"), col("i") + 1).as("w2"))
       // bigram counts are the sufficient statistic: c1 = Σ c12 by w1,
       // the continuation counts are row counts of the bigram table —
       // so derive uni/back/btot from the vocab²-bounded `big` instead
@@ -967,11 +969,10 @@ object TextOps {
       val grams = documents(s, dir)
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 2)
-        .select(explode(transform(
-          sequence(lit(1), size(col("w")) - 1),
-          i => struct(element_at(col("w"), i).as("w1"),
-            element_at(col("w"), i + 1).as("w2")))).as("g"))
-        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+        // explode the POSITION, project in codegen (the r13 shingle lesson)
+        .select(col("w"), explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+        .select(element_at(col("w"), col("i")).as("w1"),
+          element_at(col("w"), col("i") + 1).as("w2"))
       val words = documents(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
       val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
