@@ -759,13 +759,14 @@ object TextOps {
     // Determinism: integer counts everywhere; the r* and p0 divisions
     // each round once at 6dp.
     "text_good_turing" -> { (s, dir) =>
-      val tri = transform(sequence(lit(1), size(col("w")) - 2),
-        i => concat_ws(" ", element_at(col("w"), i),
-          element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
+      // explode the POSITION, concat in codegen (the r13 shingle lesson)
       val wc = documents(s, dir)
         .select(split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
-        .select(explode(tri).as("word"))
+        .select(col("w"), explode(sequence(lit(1), size(col("w")) - 2)).as("i"))
+        .select(concat_ws(" ", element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1),
+          element_at(col("w"), col("i") + 2)).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("r"))
       // 3 consumers (totals, the N_{r+1} side, the report): pin ONE
       // corpus pass behind the gram-space-bounded table
