@@ -378,6 +378,49 @@ object SimilarityOps {
         .select(col("vec_id"), col("cell"))
         .orderBy(col("vec_id"))
     },
+    // Index-at-ingest, step 3: MAINTAIN the IVF index incrementally —
+    // the daily-batch shape 100 TB retrieval actually runs (the full
+    // rebuild in ann_ivf_index_stored is the bootstrap, not the steady
+    // state). The base corpus (vec_id % 5 ≠ 0) trains and lands as
+    // snapshot v1; the arriving batch (% 5 = 0) is assigned against the
+    // SAME frozen codebook — a batch-sized projection, never a corpus
+    // rescan — and APPENDED as v2 (one O(delta) manifest commit);
+    // `readChanges` then proves the CDC read surfaces exactly the
+    // batch's index rows. The readout pins all three store surfaces at
+    // once: v1 time travel (base), sinceVersion delta (batch), latest
+    // (union) — maintenance cost ∝ batch, probes see the union snapshot
+    // immediately. Mirrors dedup_minhash_delta_stored on the retrieval
+    // side. Oracle replays both slices' assignments from raw parquet.
+    "ann_ivf_delta_stored" -> { (s, dir) =>
+      val root = StoreRoots.tmpRoot("ivfdeltaidx", dir)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // codebook FROZEN from the full id domain (seeds are vec_id <
+      // IvfCells literals) — base and batch must share it, or the index
+      // would mix geometries
+      val cellSims = ivfCellSims(e)
+      def assign(df: DataFrame) = df.select(col("vec_id"),
+        array_max(cellSims(col("v"))).getField("cell").as("cell"))
+      graft.sources.GraftStore.write(
+        assign(e.filter(col("vec_id") % 5 =!= 0)), root, overwrite = true)
+      graft.sources.GraftStore.write(
+        assign(e.filter(col("vec_id") % 5 === 0)), root)
+      val base = s.read.format("graft-store").option("version", 1L).load(root)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+      val delta = graft.sources.GraftStore.readChanges(s, root, sinceVersion = 1L)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
+      val total = graft.sources.GraftStore.read(s, root)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_total"))
+      base.join(delta, Seq("cell"), "full_outer")
+        .join(total, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          coalesce(col("n_total"), lit(0L)).as("n_total"))
+        .orderBy(col("cell"))
+    },
     // Index-at-ingest, step 2: PROBE the stored IVF index. Everything —
     // centroids (the K index rows with vec_id < IvfCells), probe
     // vectors, and the cell-assigned corpus — comes from the snapshot;
@@ -1775,6 +1818,27 @@ object SimilarityOps {
          |  FROM n CROSS JOIN c)
          |SELECT vec_id, cell FROM sims WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+    "ann_ivf_delta_stored" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rn
+         |    FROM n CROSS JOIN c) WHERE rn = 1)
+         |SELECT cell,
+         |  CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_base,
+         |  CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_delta,
+         |  COUNT(*) AS n_total
+         |FROM asg
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin,
     "ann_hard_negatives" ->
       s"""WITH n AS (
          |  SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm
