@@ -622,7 +622,6 @@ object GraftStore {
     val conf = driverConf()
     val f = fs(path, conf)
     val dataDir = new HPath(path, "data")
-    if (!f.exists(dataDir)) return 0L
     // GC roots = the latest manifest PLUS every tagged snapshot: a tag
     // is the reproducibility contract ("this name keeps reading exactly
     // that dataset"), so its files must survive vacuum even after an
@@ -634,9 +633,34 @@ object GraftStore {
         listRefs(path, conf).flatMap { case (_, v) => manifestAt(path, conf, v) })
         .flatMap(_.files.map(_.relPath)).toSet
     var n = 0L
-    f.listStatus(dataDir).foreach { st =>
+    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
       if (!referenced.contains(s"data/${st.getPath.getName}")) {
         f.delete(st.getPath, false); n += 1
+      }
+    }
+    // chunk GC: a chunk is live while ANY manifest version references it
+    // (old versions stay time-travelable until their manifests go, which
+    // they never do today — so orphans are only the dead tail segments a
+    // superseded/raced commit left behind). Referenced names come from a
+    // light line scan of every manifest — chunk files are NOT loaded.
+    val mdir = new HPath(path, "manifest")
+    if (f.exists(mdir)) {
+      val manifests = f.listStatus(mdir).map(_.getPath)
+        .filter(_.getName.endsWith(".manifest"))
+      val liveChunks: Set[String] = manifests.flatMap { mp =>
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(f.open(mp), "UTF-8"))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.startsWith("chunk="))
+          .map(_.stripPrefix("chunk=").split("\t", -1)(0)).toVector
+        finally in.close()
+      }.toSet
+      f.listStatus(mdir).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("chunk-") && nm.endsWith(".list") &&
+            !liveChunks.contains(nm)) {
+          f.delete(st.getPath, false); n += 1
+        }
       }
     }
     n

@@ -76,6 +76,44 @@ class ManifestChunkSpec extends AnyFunSuite {
     }
   }
 
+  test("full DSv2 write→append→read round-trips through chunked manifests") {
+    withChunking(2) { root =>
+      val spark = graft.SparkFixture.spark
+      import spark.implicits._
+      // 32 partitions → 32 data files ≥ 2×2 → the manifest chunks
+      (0L until 64L).toDF("k").repartition(32)
+        .write.format("graft-store").mode("overwrite").save(root)
+      assert(chunkFiles(root).nonEmpty, "write must take the chunked path")
+      (64L until 80L).toDF("k").repartition(8)
+        .write.format("graft-store").mode("append").save(root)
+      val got = spark.read.format("graft-store").load(root)
+        .as[Long].collect().sorted
+      assert(got.toSeq == (0L until 80L))
+      // time travel across the chunked append
+      assert(spark.read.format("graft-store").option("version", 1)
+        .load(root).count() == 64)
+      // CDC delta across the chunked append
+      assert(GraftStore.readChanges(spark, root, sinceVersion = 1L)
+        .as[Long].collect().sorted.toSeq == (64L until 80L))
+    }
+  }
+
+  test("vacuum removes chunks no manifest references, keeps every live one") {
+    withChunking(10) { root =>
+      GraftStore.writeManifest(root, conf, 1L, schema, mkFiles(25))
+      val live = chunkFiles(root).toSet
+      // plant an orphan (a raced/superseded commit's dead segment)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "manifest", "chunk-0rphan000000000.list"),
+        "file=data/x.gsb\t1\t1\nend\n".getBytes("UTF-8"))
+      val removed = GraftStore.vacuum(root)
+      assert(removed == 1L, s"removed $removed")
+      assert(chunkFiles(root).toSet == live)
+      // the store still reads completely
+      assert(GraftStore.latestManifest(root, conf).get.files.size == 25)
+    }
+  }
+
   test("a torn chunk file fails loudly, never truncates silently") {
     withChunking(10) { root =>
       val files = mkFiles(25)
