@@ -235,6 +235,31 @@ object Relational {
       .limit(20)
   }
 
+  /** LPA community census, shared by graph_communities and its stored
+    * twin. */
+  private def communitiesBody(aff: DataFrame): DataFrame = {
+    val sym = aff.select(col("pa").as("u"), col("pb").as("v"))
+      .union(aff.select(col("pb").as("u"), col("pa").as("v")))
+    GraphOps.labelPropagation(sym, iters = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(20)
+  }
+
+  /** Personalized-PageRank body over a (c, s) purchase-pair table,
+    * shared by graph_ppr and its stored twin. */
+  private def pprBody(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val seed = edges.filter(col("src").startsWith("s:"))
+      .agg(min(col("src"))).head().getString(0)
+    GraphOps.personalizedPagerank(edges, seed,
+        damping = 0.85, teleport = 0.15, iters = 3)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
   /** HITS body, shared by graph_hits and its stored twin — see the
     * query comment for the exact-integer unrolling argument. */
   private def hitsBody(e0: DataFrame): DataFrame = {
@@ -1059,14 +1084,14 @@ object Relational {
     // generation and the support filter keep the edge list
     // catalog-bounded before any iteration touches it.
     "graph_communities" -> { (s, dir) =>
-      val aff = affinityEdges(s, dir)
-      val sym = aff.select(col("pa").as("u"), col("pb").as("v"))
-        .union(aff.select(col("pb").as("u"), col("pa").as("v")))
-      GraphOps.labelPropagation(sym, iters = 3)
-        .groupBy(col("label").as("community"))
-        .agg(count(lit(1)).as("size"))
-        .orderBy(col("size").desc, col("community"))
-        .limit(20)
+      communitiesBody(affinityEdges(s, dir))
+    },
+    // Stored twin of graph_communities: identical label propagation over
+    // the MATERIALIZED affinity snapshot — the rebuild (the only
+    // corpus-sized stage) leaves the query; cost drops to the LPA
+    // rounds + census. Hash-equal under the shared oracle.
+    "graph_communities_stored" -> { (s, dir) =>
+      communitiesBody(storedAffinityEdges(s, dir))
     },
     // Personalized PageRank: all teleport mass returns to ONE seed (the
     // lexicographically first supplier node) instead of spreading
@@ -1083,14 +1108,22 @@ object Relational {
         .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
           concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
         .localCheckpoint()
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-      val seed = edges.filter(col("src").startsWith("s:"))
-        .agg(min(col("src"))).head().getString(0)
-      GraphOps.personalizedPagerank(edges, seed,
-          damping = 0.85, teleport = 0.15, iters = 3)
-        .orderBy(col("rank").desc, col("node"))
-        .limit(20)
+      pprBody(pairs)
+    },
+    // Stored twin of graph_ppr: the purchase-pair edge table comes from
+    // the SAME graft-store root graph_pagerank_stored maintains (built
+    // once per process via materializeOnce — content deterministic), so
+    // the orders⋈lineitem rebuild leaves the query and PPR pays
+    // iteration-only cost. Hash-equal under the shared oracle.
+    "graph_ppr_stored" -> { (s, dir) =>
+      pprBody(graft.sources.GraftStore.materializeOnce(s,
+        StoreRoots.tmpRoot("prgraph", dir)) {
+        orders(s, dir).join(lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_suppkey")).distinct()
+          .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
+            concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
+      }.localCheckpoint())
     },
     // Modularity audit of the LPA communities — the quality score that
     // says whether graph_communities found structure or noise: per
@@ -2864,6 +2897,8 @@ object Relational {
     "graph_modularity_stored" -> baseOracles("graph_modularity"),
     "graph_hits_stored" -> baseOracles("graph_hits"),
     "graph_triangles_stored" -> baseOracles("graph_triangles"),
+    "graph_communities_stored" -> baseOracles("graph_communities"),
+    "graph_ppr_stored" -> baseOracles("graph_ppr"),
     "affinity_edges_stored" ->
       s"""WITH $affinitySql
          |SELECT pa, pb FROM edges ORDER BY pa, pb""".stripMargin)
