@@ -547,6 +547,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("graph_communities_stored / graph_ppr_stored: iteration-only — no parquet rebuild") {
+    // both twins checkpoint their store read before iterating, so the
+    // final plan roots at checkpoint RDDs; the invariant that matters is
+    // that NO parquet rebuild (lineitem/orders scan) survives
+    for (n <- Seq("graph_communities_stored", "graph_ppr_stored")) {
+      val p = plan(n)
+      assert(!p.contains("Scan parquet"), s"$n: $p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n: $p")
+    }
+  }
+
+  test("emb_silhouette: one checkpointed assignment feeds both phases; grid joins broadcast") {
+    val p = plan("emb_silhouette")
+    // the corpus assignment is checkpointed once — no parquet re-scan
+    // per consumer (the centroid agg and the scoring pass both read it)
+    assert(!p.contains("Scan parquet"), p)
+    // the 8-row centroid grid rides broadcasts; no shuffled join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("graph_triangles_stored: census reads ONLY the affinity snapshot — no parquet rebuild") {
     val p = plan("graph_triangles_stored")
     // the corpus-sized affinity rebuild must not appear: every scan is
