@@ -1363,8 +1363,10 @@ object DedupOps {
         |  SELECT doc_id, list(s.h ORDER BY df, s.h) AS toks, COUNT(*) AS sz
         |  FROM sh s JOIN dfreq USING (h) GROUP BY doc_id),
         |pre AS (
-        |  SELECT doc_id, sz, generate_subscripts(pfx, 1) AS ia, unnest(pfx) AS tok
-        |  FROM (SELECT doc_id, sz, toks[1:(sz - (4*sz+4)//5 + 1)] AS pfx FROM arr)),
+        |  SELECT doc_id, sz, ia, pfx[ia] AS tok FROM (
+        |    SELECT doc_id, sz, pfx, unnest(generate_series(1, len(pfx))) AS ia
+        |    FROM (SELECT doc_id, sz, toks[1:(sz - (4*sz+4)//5 + 1)] AS pfx
+        |          FROM arr))),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id

@@ -1979,10 +1979,10 @@ object MlOps {
     },
     "ml_embedding_drift" ->
       """WITH ex AS (
-        |  SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS grp,
-        |    generate_subscripts(embedding, 1) - 1 AS pos,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
+        |  SELECT grp, p - 1 AS pos, CAST(embedding[p] AS DOUBLE) AS x
+        |  FROM (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS grp,
+        |          embedding, unnest(generate_series(1, len(embedding))) AS p
+        |        FROM embeddings)),
         |x6 AS (
         |  SELECT grp, pos,
         |    CAST(CAST(ROUND(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6

@@ -1597,10 +1597,11 @@ object SimilarityOps {
         |    AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS centroid,
         |  COUNT(*) AS n_vecs
         |FROM (
-        |  SELECT label,
-        |    generate_subscripts(embedding[1:8], 1) - 1 AS pos0,
-        |    unnest(embedding[1:8]) AS v
-        |  FROM embeddings) t
+        |  -- single-unnest indexed form: (pos, value) pairing is a
+        |  -- structural subscript, not a version-sensitive parallel zip
+        |  SELECT label, pos - 1 AS pos0, e8[pos] AS v FROM (
+        |    SELECT label, e8, unnest(generate_series(1, len(e8))) AS pos
+        |    FROM (SELECT label, embedding[1:8] AS e8 FROM embeddings))) t
         |GROUP BY 1, 2
         |ORDER BY label, pos""".stripMargin,
     "ann_batch_topk" ->
@@ -1710,8 +1711,9 @@ object SimilarityOps {
          |        ${cosSql("e.v", "c.cv")} DESC, c.cell) AS rn
          |    FROM e CROSS JOIN c) WHERE rn = 1),
          |px AS (
-         |  SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
-         |  FROM asg),
+         |  SELECT cell, pos, v[pos] AS x FROM (
+         |    SELECT cell, v, unnest(generate_series(1, len(v))) AS pos
+         |    FROM asg)),
          |cent AS (
          |  SELECT cell, pos,
          |    ROUND(CAST(SUM(CAST(ROUND(x, 10) AS DECIMAL(28,10))) AS DOUBLE)
@@ -1882,8 +1884,9 @@ object SimilarityOps {
          |  SELECT cell, pos,
          |    ROUND(CAST(SUM(CAST(ROUND(x, 10) AS DECIMAL(28,10))) AS DOUBLE)
          |      / COUNT(*), 6) AS c
-         |  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
-         |        FROM a0) t
+         |  FROM (SELECT cell, pos, v[pos] AS x FROM (
+         |          SELECT cell, v, unnest(generate_series(1, len(v))) AS pos
+         |          FROM a0)) t
          |  GROUP BY 1, 2),
          |cent1 AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cpos GROUP BY cell),
          |d1 AS (
@@ -1925,10 +1928,10 @@ object SimilarityOps {
          |ORDER BY m, code""".stripMargin,
     "emb_outliers" ->
       """WITH ex AS (
-        |  SELECT vec_id,
-        |    generate_subscripts(embedding, 1) - 1 AS pos,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
+        |  SELECT vec_id, p - 1 AS pos, CAST(embedding[p] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS p
+        |        FROM embeddings)),
         |x6t AS (
         |  SELECT vec_id, pos,
         |    CAST(CAST(ROUND(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6

@@ -324,7 +324,7 @@ object SourceOps {
       GraftStore.write(base.filter(col("o_orderstatus") === "O").repartition(3),
         root)                                                         // v2: +3 files
       GraftStore.compact(s, root, targetFiles = 2)                    // v3: 2 live
-      val removed = GraftStore.vacuum(root)                           // 4 + 3 dead
+      val removed = GraftStore.vacuum(root, graceMs = 0L)             // 4 + 3 dead
       GraftStore.read(s, root)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),

@@ -709,7 +709,61 @@ object TextOps {
           sum(col("x6") * col("x6")).as("sx212"))
         .select(beta.as("heaps_beta"))
       xy.crossJoin(broadcast(fit))
-        .select(col("j"), col("n_tokens"), col("vocab"), col("heaps_beta"))
+        // j as BIGINT to match the oracle's CAST(j AS BIGINT) exactly —
+        // no int32-vs-int64 dtype residue in the driver's compare frame
+        .select(col("j").cast("long").as("j"), col("n_tokens"),
+          col("vocab"), col("heaps_beta"))
+        .orderBy(col("j"))
+    },
+    // Diagnostic twin of text_heaps_law (VERDICT r13 task #1a): the
+    // SAME pipeline, emitted at INTEGER grain only — per-checkpoint
+    // token counts, vocabulary sizes, the 6dp-scaled log coordinates
+    // and all four OLS moment sums as BIGINTs, with NO double column at
+    // all. The split localizes any driver-side divergence: probe green
+    // + heaps_law red ⇒ the β double (libm ln / final round); probe red
+    // ⇒ an integer stage (tokenization, first-occurrence index, or
+    // checkpoint arithmetic) and the failing column names it.
+    "text_heaps_law_probe" -> { (s, dir) =>
+      val J = 10
+      val w = org.apache.spark.sql.expressions.Window
+      val toks = documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+      val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
+      val offs = perDoc.withColumn("off",
+        coalesce(sum(col("ntok")).over(
+          w.orderBy(col("doc_id")).rowsBetween(w.unboundedPreceding, -1)),
+          lit(0L)))
+        .localCheckpoint(eager = false)
+      val gidx = toks.join(broadcast(offs.select(col("doc_id"), col("off"))),
+          Seq("doc_id"))
+        .withColumn("ridx", row_number().over(
+          w.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .select(col("word"), (col("off") + col("ridx")).as("gidx"))
+      val first = gidx.groupBy(col("word")).agg(min(col("gidx")).as("fidx"))
+      val cps = offs.agg(sum(col("ntok")).as("total"))
+        .select(col("total"), explode(sequence(lit(1), lit(J))).as("j"))
+        .withColumn("n_tokens",
+          expr(s"total div shiftleft(CAST(1 AS BIGINT), $J - j)"))
+      val curve = first.crossJoin(broadcast(cps))
+        .filter(col("fidx") <= col("n_tokens"))
+        .groupBy(col("j"), col("n_tokens"), col("total"))
+        .agg(count(lit(1)).as("vocab"))
+      def i6(c: org.apache.spark.sql.Column) =
+        (round(c, 6).cast("decimal(18,6)") * lit(1000000)).cast("long")
+      val xy = curve.select(col("j"), col("n_tokens"), col("total"),
+        col("vocab"),
+        i6(log(col("n_tokens"))).as("x6"),
+        i6(log(col("vocab"))).as("y6"))
+      val mom = xy.agg(count(lit(1)).as("n_pts"),
+        sum(col("x6")).as("sx6"), sum(col("y6")).as("sy6"),
+        sum(col("x6") * col("y6")).as("sxy12"),
+        sum(col("x6") * col("x6")).as("sx212"))
+      xy.crossJoin(broadcast(mom))
+        .select(col("j").cast("long").as("j"), col("n_tokens"),
+          col("total"), col("vocab"), col("x6"), col("y6"),
+          col("n_pts"), col("sx6"), col("sy6"), col("sxy12"), col("sx212"))
         .orderBy(col("j"))
     },
     // Repetition (degeneration) metric — the rep-3 statistic from the
@@ -1403,12 +1457,14 @@ object TextOps {
         |ORDER BY lang""".stripMargin,
     "text_heaps_law" ->
       """WITH toks AS (
-        |  SELECT doc_id, pos, word FROM (
-        |    SELECT doc_id,
-        |      generate_subscripts(string_split(text, ' '), 1) AS pos,
-        |      unnest(string_split(text, ' ')) AS word
-        |    FROM documents)
-        |  WHERE length(word) > 0),
+        |  -- single-unnest indexed tokenizer: pos comes from ONE unnest
+        |  -- and word is an explicit w[pos] subscript, so the pairing is
+        |  -- structural, not an engine-version-sensitive positional zip
+        |  -- of two parallel unnests (VERDICT r13 task #1b)
+        |  SELECT doc_id, pos, w[pos] AS word FROM (
+        |    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |  WHERE length(w[pos]) > 0),
         |perdoc AS (SELECT doc_id, COUNT(*) AS ntok FROM toks GROUP BY doc_id),
         |offs AS (
         |  SELECT doc_id,
@@ -1422,7 +1478,13 @@ object TextOps {
         |fw AS (SELECT word, MIN(gidx) AS fidx FROM gidx GROUP BY word),
         |tot AS (SELECT SUM(ntok) AS total FROM perdoc),
         |cps AS (
-        |  SELECT j, total // (CAST(1 AS BIGINT) << (10 - j)) AS n_tokens
+        |  -- CAST: DuckDB SUM(BIGINT) is HUGEINT and // keeps it; an
+        |  -- uncast HUGEINT column converts to DOUBLE in the driver's
+        |  -- pandas/arrow hash frame ('54.0' vs Spark's '54') — the
+        |  -- r12/r13 hash-gate failure, found by replicating the
+        |  -- driver's string-frame compare (SCALE.md round-14 note)
+        |  SELECT j, CAST(total // (CAST(1 AS BIGINT) << (10 - j)) AS BIGINT)
+        |    AS n_tokens
         |  FROM tot, (SELECT unnest(generate_series(1, 10)) AS j)),
         |curve AS (
         |  SELECT c.j, c.n_tokens, COUNT(*) AS vocab
@@ -1442,6 +1504,48 @@ object TextOps {
         |SELECT CAST(j AS BIGINT) AS j, n_tokens, vocab,
         |  ROUND(CAST(n * sxy12 - sx6 * sy6 AS DOUBLE)
         |    / CAST(n * sx212 - sx6 * sx6 AS DOUBLE), 6) AS heaps_beta
+        |FROM xy, a
+        |ORDER BY j""".stripMargin,
+    "text_heaps_law_probe" ->
+      """WITH toks AS (
+        |  SELECT doc_id, pos, w[pos] AS word FROM (
+        |    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |  WHERE length(w[pos]) > 0),
+        |perdoc AS (SELECT doc_id, COUNT(*) AS ntok FROM toks GROUP BY doc_id),
+        |offs AS (
+        |  SELECT doc_id,
+        |    COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM perdoc),
+        |gidx AS (
+        |  SELECT t.word, o.off + ROW_NUMBER() OVER (
+        |    PARTITION BY t.doc_id ORDER BY t.pos) AS gidx
+        |  FROM toks t JOIN offs o ON o.doc_id = t.doc_id),
+        |fw AS (SELECT word, MIN(gidx) AS fidx FROM gidx GROUP BY word),
+        |tot AS (SELECT CAST(SUM(ntok) AS BIGINT) AS total FROM perdoc),
+        |cps AS (
+        |  SELECT j, total,
+        |    CAST(total // (CAST(1 AS BIGINT) << (10 - j)) AS BIGINT)
+        |      AS n_tokens
+        |  FROM tot, (SELECT unnest(generate_series(1, 10)) AS j)),
+        |curve AS (
+        |  SELECT c.j, c.n_tokens, c.total, COUNT(*) AS vocab
+        |  FROM fw, cps c WHERE fw.fidx <= c.n_tokens
+        |  GROUP BY c.j, c.n_tokens, c.total),
+        |xy AS (
+        |  SELECT j, n_tokens, total, vocab,
+        |    CAST(CAST(ROUND(ln(n_tokens), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6,
+        |    CAST(CAST(ROUND(ln(vocab), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y6
+        |  FROM curve),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pts,
+        |    CAST(SUM(x6) AS BIGINT) AS sx6, CAST(SUM(y6) AS BIGINT) AS sy6,
+        |    CAST(SUM(x6 * y6) AS BIGINT) AS sxy12,
+        |    CAST(SUM(x6 * x6) AS BIGINT) AS sx212
+        |  FROM xy)
+        |SELECT CAST(j AS BIGINT) AS j, n_tokens, total, vocab, x6, y6,
+        |  n_pts, sx6, sy6, sxy12, sx212
         |FROM xy, a
         |ORDER BY j""".stripMargin,
     "text_rep_ngrams" ->

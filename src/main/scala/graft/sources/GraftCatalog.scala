@@ -336,12 +336,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootFor(ident)
     if (!isTableDir(root)) false
-    else fsys.delete(new HPath(root), true)
+    else {
+      // a re-CREATE at this root reuses version paths — stale parsed
+      // manifests must not survive the drop (ms-grained mtime alone is
+      // not a safe cache key across drop/re-create)
+      GraftStore.invalidateCaches(root)
+      fsys.delete(new HPath(root), true)
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!isTableDir(rootFor(oldIdent))) throw new NoSuchTableException(oldIdent)
     if (isTableDir(rootFor(newIdent))) throw new TableAlreadyExistsException(newIdent)
+    GraftStore.invalidateCaches(rootFor(oldIdent)) // old path may be re-created
     fsys.mkdirs(nsPath(newIdent.namespace))
     if (!fsys.rename(new HPath(rootFor(oldIdent)), new HPath(rootFor(newIdent))))
       throw new IllegalStateException(

@@ -122,9 +122,9 @@ private[sources] case class GsbManifest(version: Long, schema: StructType,
       * lets the NEXT commit carry untouched full segments structurally
       * (no re-render/re-hash; see writeManifest's prefix reuse). */
     chunks: Seq[(String, Int)] = Seq.empty) {
-  /** Names no new column may ever take (see [[GsbColOp]]). */
-  def tombstones: Set[String] =
-    colops.map(op => if (op.kind == "rename") op.from else op.from).toSet
+  /** Names no new column may ever take (see [[GsbColOp]]): every colop
+    * vacates its `from`, drop and rename alike. */
+  def tombstones: Set[String] = colops.map(_.from).toSet
   /** Ordered rename events, for reader-side chain resolution. */
   def renames: Seq[(String, String)] =
     colops.filter(_.kind == "rename").map(op => (op.from, op.to))
@@ -163,6 +163,11 @@ object GraftStore {
     * (mtime, length): a DROP TABLE + re-CREATE reuses version paths, so
     * path alone is not a safe key. Bounded LRU — manifests of hot
     * stores stay, cold ones re-parse. */
+  /** Default [[vacuum]] retention window: files younger than this are
+    * never GC candidates, protecting in-flight optimistic commits whose
+    * manifest terminator has not landed yet. */
+  val DefaultVacuumGraceMs: Long = 10 * 60 * 1000L
+
   private val ManifestCacheMax = 64
   private val manifestCache =
     java.util.Collections.synchronizedMap(
@@ -199,6 +204,24 @@ object GraftStore {
           size() > 64
       })
 
+  /** Drop every cached parse under `root` — called when a table is
+    * dropped or renamed away. The manifestCache key is (path, mtime,
+    * length); mtime is millisecond-grained, so a DROP + re-CREATE that
+    * lands the same version path with equal byte length inside one
+    * millisecond could otherwise serve the stale parsed manifest.
+    * chunkCache entries are content-addressed (name = SHA-1 of payload)
+    * so a re-created same-name chunk is byte-identical by construction
+    * — still dropped here for symmetry (they are cheap to re-read). */
+  private[sources] def invalidateCaches(root: String): Unit = {
+    val prefix = new HPath(root, "manifest").toString
+    manifestCache.synchronized {
+      manifestCache.keySet().removeIf(k => k.startsWith(prefix))
+    }
+    chunkCache.synchronized {
+      chunkCache.keySet().removeIf(k => k.startsWith(prefix))
+    }
+  }
+
   /** Driver-side pool for parallel chunk parsing — daemon threads (must
     * never block JVM exit), bounded by core count. */
   private lazy val ChunkParsePool: scala.concurrent.ExecutionContext =
@@ -232,10 +255,24 @@ object GraftStore {
     val name = s"chunk-$sha.list"
     val target = new HPath(dir, name)
     if (!f.exists(target)) {
-      val out = try f.create(target, false) catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException => null // racer won
-      }
+      // claim must be ATOMIC exclusive-create, exactly like
+      // writeManifest: the local FileSystem's create(overwrite=false)
+      // is check-then-act, so a racer writing identical content could
+      // TRUNCATE a complete chunk a published manifest already
+      // references, tearing concurrent readers. On file:// claim with
+      // O_EXCL (createNewFile); elsewhere rely on the FS's atomic
+      // exclusive create. Losing the race is benign — content is
+      // identical by construction (content-addressed name).
+      val out: java.io.OutputStream =
+        if (f.getScheme == "file") {
+          val jf = new java.io.File(target.toUri.getPath)
+          if (jf.createNewFile()) new java.io.FileOutputStream(jf) else null
+        } else {
+          try f.create(target, false) catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: java.nio.file.FileAlreadyExistsException => null // racer won
+          }
+        }
       if (out != null) {
         val w = new java.io.PrintWriter(
           new java.io.OutputStreamWriter(out, "UTF-8"))
@@ -323,12 +360,17 @@ object GraftStore {
     }
     val in = f.open(path)
     try {
-      // completeness first: the last bytes must hold the terminator
-      val tailLen = math.min(8L, st.getLen).toInt
+      // completeness first: the file must END with the exact terminator
+      // LINE ("\nend\n" at EOF) — the same check parseManifest makes. A
+      // substring match on the tail would promote a torn manifest whose
+      // truncated last token merely contains "end" (a relPath like
+      // 'weekend.parquet', an epoch id) into $snapshots/history.
+      val tailLen = math.min(5L, st.getLen).toInt
+      if (tailLen < 5) return None
       val tail = new Array[Byte](tailLen)
       in.seek(st.getLen - tailLen)
       in.readFully(tail)
-      if (!new String(tail, "UTF-8").contains("end")) return None
+      if (new String(tail, "UTF-8") != "\nend\n") return None
       in.seek(0L)
       val rd = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, "UTF-8"))
@@ -618,9 +660,19 @@ object GraftStore {
     * fully readable after vacuum; readers of untagged older version
     * pins lose their files, so pin-by-number is a session-scoped tool
     * and pin-by-tag the durable one. Run between queries. */
-  def vacuum(path: String): Long = {
+  def vacuum(path: String, graceMs: Long = DefaultVacuumGraceMs): Long = {
     val conf = driverConf()
     val f = fs(path, conf)
+    val now = System.currentTimeMillis()
+    // grace window (Delta-style retention): a data/chunk file younger
+    // than graceMs is NEVER a vacuum candidate, referenced or not. The
+    // store supports concurrent optimistic commits, so an in-flight
+    // append can have landed its files/chunks while its manifest
+    // terminator has not — vacuuming those would let the commit publish
+    // a manifest referencing deleted bytes. Single-writer callers
+    // (tests, fixture builders) pass graceMs = 0 for immediate GC.
+    def graced(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      graceMs > 0 && st.getModificationTime > now - graceMs
     val dataDir = new HPath(path, "data")
     // GC roots = the latest manifest PLUS every tagged snapshot: a tag
     // is the reproducibility contract ("this name keeps reading exactly
@@ -634,7 +686,7 @@ object GraftStore {
         .flatMap(_.files.map(_.relPath)).toSet
     var n = 0L
     if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
-      if (!referenced.contains(s"data/${st.getPath.getName}")) {
+      if (!referenced.contains(s"data/${st.getPath.getName}") && !graced(st)) {
         f.delete(st.getPath, false); n += 1
       }
     }
@@ -658,7 +710,7 @@ object GraftStore {
       f.listStatus(mdir).foreach { st =>
         val nm = st.getPath.getName
         if (nm.startsWith("chunk-") && nm.endsWith(".list") &&
-            !liveChunks.contains(nm)) {
+            !liveChunks.contains(nm) && !graced(st)) {
           f.delete(st.getPath, false); n += 1
         }
       }

@@ -147,9 +147,38 @@ class GraftStoreSpec extends AnyFunSuite {
     // vanish together with their data file
     def gsb() = data.listFiles().count(_.getName.endsWith(".gsb"))
     val before = gsb()
-    val removed = GraftStore.vacuum(dir)
+    val removed = GraftStore.vacuum(dir, graceMs = 0L)
     assert(removed > 0 && gsb() == before - removed)
     assert(rows(GraftStore.read(spark, dir)) == rows(docs.limit(4)))
+  }
+
+  test("vacuum grace window protects fresh orphans (in-flight commit safety)") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(10), dir)
+    GraftStore.write(docs.limit(4), dir, overwrite = true) // v1 files now dead
+    val data = new java.io.File(dir, "data")
+    def gsb() = data.listFiles().count(_.getName.endsWith(".gsb"))
+    val before = gsb()
+    // default grace: everything here is seconds old → nothing removed
+    assert(GraftStore.vacuum(dir) == 0L && gsb() == before)
+    // explicit zero-grace (single-writer) GC still works
+    assert(GraftStore.vacuum(dir, graceMs = 0L) > 0 && gsb() < before)
+  }
+
+  test("manifestSummaryAt rejects a torn manifest whose tail merely contains 'end'") {
+    val dir = tmp()
+    GraftStore.write(docs.limit(3), dir) // v1 complete
+    // craft a torn v2: no terminator LINE, but the truncated tail ends
+    // in a token containing "end" (a 'weekend' relPath)
+    val mdir = java.nio.file.Paths.get(dir, "manifest")
+    val torn = mdir.resolve(f"v${2L}%020d.manifest")
+    val schemaJson = GraftStore.latestManifest(dir, GraftStore.driverConf()).get.schema.json
+    java.nio.file.Files.write(torn,
+      s"2\nschema=$schemaJson\nsummary=1\t1\t1\nfile=data/weekend".getBytes("UTF-8"))
+    assert(GraftStore.manifestSummaryAt(dir, GraftStore.driverConf(), 2L).isEmpty,
+      "torn manifest with 'end'-suffixed tail must not read as committed")
+    // the complete v1 still summarizes
+    assert(GraftStore.manifestSummaryAt(dir, GraftStore.driverConf(), 1L).nonEmpty)
   }
 
   test("streaming sink appends one snapshot per micro-batch") {
@@ -420,7 +449,7 @@ class GraftStoreSpec extends AnyFunSuite {
     val after = GraftStore.latestManifest(dir, GraftStore.driverConf()).get
     assert(after.files.size == 2, after.files)
     assert(GraftStore.read(spark, dir).count() == 160)
-    assert(GraftStore.vacuum(dir) == 12) // the pre-compaction files
+    assert(GraftStore.vacuum(dir, graceMs = 0L) == 12) // the pre-compaction files
   }
 
   test("SQL surface: CREATE TABLE USING graft-store, INSERT INTO, SELECT") {
@@ -581,7 +610,7 @@ class GraftStoreSpec extends AnyFunSuite {
     GraftStore.tag(dir, "keep")
     GraftStore.write(Seq(3L).toDF("k"), dir, overwrite = true)       // v2 (drops v1 refs)
     GraftStore.write(Seq(4L).toDF("k"), dir, overwrite = true)       // v3 (drops v2 refs)
-    val removed = GraftStore.vacuum(dir)
+    val removed = GraftStore.vacuum(dir, graceMs = 0L)
     assert(removed >= 1, s"expected v2's orphaned file removed, got $removed")
     // the tagged v1 read survives vacuum byte-for-byte
     assert(rows(spark.read.format("graft-store").option("ref", "keep").load(dir))

@@ -106,7 +106,7 @@ class ManifestChunkSpec extends AnyFunSuite {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(root, "manifest", "chunk-0rphan000000000.list"),
         "file=data/x.gsb\t1\t1\nend\n".getBytes("UTF-8"))
-      val removed = GraftStore.vacuum(root)
+      val removed = GraftStore.vacuum(root, graceMs = 0L)
       assert(removed == 1L, s"removed $removed")
       assert(chunkFiles(root).toSet == live)
       // the store still reads completely
