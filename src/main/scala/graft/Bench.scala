@@ -134,9 +134,26 @@ object Bench {
     // from unfiltered runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_ORDER=forward|reverse|shuffled:<seed> — sweep-order
+    // permutation, the in-sweep-inflation forensics knob (r13 verdict
+    // task #2): if a query's cost follows its sweep POSITION across
+    // orders, the inflation is cumulative JVM state; if it follows the
+    // QUERY, the budget is wrong. Default forward = the driver's order.
+    val order = sys.env.getOrElse("SPARK_GRAFT_ORDER", "forward")
+    val base = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-      .sortBy(n => if (n == "ml_train_predict") 1 else 0)
+    val permuted = order match {
+      case "forward" => base
+      case "reverse" => base.reverse
+      case s if s.startsWith("shuffled:") =>
+        new scala.util.Random(s.stripPrefix("shuffled:").toLong)
+          .shuffle(base)
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_ORDER=$other (want forward|reverse|shuffled:<seed>)")
+    }
+    // ml_train_predict always last: its server/port lifecycle must not
+    // interleave with relational timings in any permutation
+    val names = permuted.sortBy(n => if (n == "ml_train_predict") 1 else 0)
     // SPARK_GRAFT_EXPLAIN=<dir>: dump each query's formatted physical
     // plan (the evidence behind BASELINE.md's plan-shape claims) instead
     // of timing, then exit.

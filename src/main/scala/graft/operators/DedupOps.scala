@@ -422,6 +422,61 @@ object DedupOps {
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    // The INGEST LOOP under DELETES — the takedown path a corpus with
+    // removal obligations (DMCA, GDPR, licensing) runs daily, mirroring
+    // ann_ivf_tombstone_stored on the dedup side (VERDICT r13 task #5):
+    // purged documents must stop producing candidate pairs WITHOUT
+    // recomputing a single signature. doc_ids < 40 are deleted from the
+    // base corpus store (row-level copy-on-write); the net delete batch
+    // comes back through file-level CDC (netDeletedKeys — removed rows
+    // EXCEPT re-added rows, both DML-delta-sized); the signature index
+    // absorbs it as ONE O(delta) tombstone append; candidate pairs are
+    // banded from the tombstone-masked LIVE view; then compaction folds
+    // tombstones physically and the pairs are re-derived from the
+    // post-vacuum physical store. Output = each pair with the number of
+    // views (live-masked / post-compaction) that produced it — the
+    // oracle pins n_views = 2, so the query passes ONLY if both the
+    // logical mask and the physical fold yield exactly the purged pair
+    // set. At 100 TB: delete detection ∝ rewritten files, index
+    // maintenance ∝ delete batch, pair generation ∝ surviving bands —
+    // the corpus text is never re-read.
+    "dedup_minhash_tombstone_stored" -> { (s, dir) =>
+      val baseRoot = StoreRoots.tmpRoot("doctombbase", dir)
+      val idxRoot = StoreRoots.tmpRoot("mhtombidx", dir)
+      Seq(baseRoot, idxRoot).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val docs0 = documents(s, dir).select(col("doc_id"), col("text"))
+      graft.sources.GraftStore.write(docs0.repartition(4), baseRoot,
+        overwrite = true)
+      graft.sources.GraftStore.write(minhashSig(docs0), idxRoot,
+        overwrite = true)
+      // the takedown batch: doc_ids < 40 leave the corpus
+      graft.sources.GraftStore.delete(baseRoot, Array(
+        org.apache.spark.sql.sources.LessThan("doc_id", 40L)))
+      val dead = graft.sources.GraftStore.netDeletedKeys(
+        s, baseRoot, sinceVersion = 1L, Seq("doc_id"))
+      graft.sources.StoredIndex.appendTombstones(s, idxRoot, dead)
+      def pairsFrom(sig: DataFrame): DataFrame = {
+        val a = lshBandsFromSig(sig).as("a")
+        val b = lshBandsFromSig(sig).as("b")
+        a.join(b, col("a.band") === col("b.band") &&
+            col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      }
+      // eager pin: compaction overwrites + vacuums the index store, so
+      // the live-view pairs must materialize first
+      val livePairs = pairsFrom(graft.sources.StoredIndex.readLive(
+        s, idxRoot, Seq("doc_id"))).localCheckpoint(eager = true)
+      graft.sources.StoredIndex.compactTombstones(s, idxRoot, Seq("doc_id"))
+      val afterPairs = pairsFrom(graft.sources.GraftStore.read(s, idxRoot))
+      livePairs.unionByName(afterPairs)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_views"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     // 16-bit SimHash per document (md5-derived bit family)
     "dedup_simhash" -> { (s, dir) =>
       val words = documents(s, dir)
@@ -1236,8 +1291,10 @@ object DedupOps {
     val bandExprs = (0 until K / 2).map(b => s"h${2 * b + 1} || h${2 * b + 2}").mkString(", ")
     s"""shingles AS ($shinglesSql),
        |sig AS (SELECT doc_id, $hs FROM shingles GROUP BY doc_id),
-       |bands AS (SELECT doc_id, unnest(generate_series(0, ${K / 2 - 1})) AS band,
-       |                 unnest([$bandExprs]) AS bh FROM sig),
+       |bands AS (
+       |  SELECT doc_id, band, barr[band + 1] AS bh FROM (
+       |    SELECT doc_id, [$bandExprs] AS barr,
+       |      unnest(generate_series(0, ${K / 2 - 1})) AS band FROM sig)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -1510,6 +1567,13 @@ object DedupOps {
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b FROM pairs
          |WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the takedown gate = pairs among SURVIVING docs only, each seen by
+    // both the tombstone-masked live view and the post-compaction scan
+    "dedup_minhash_tombstone_stored" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b, CAST(2 AS BIGINT) AS n_views FROM pairs
+         |WHERE doc_a >= 40 AND doc_b >= 40
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_index_stored" -> {
       val hs = (1 to K).map(i =>

@@ -421,6 +421,79 @@ object SimilarityOps {
           coalesce(col("n_total"), lit(0L)).as("n_total"))
         .orderBy(col("cell"))
     },
+    // Index-at-ingest, step 4: MAINTAIN the IVF index under DELETES —
+    // the other half of the steady state ann_ivf_delta_stored covers
+    // for appends (VERDICT r13 task #5: a MERGE/DELETE on the base
+    // table must not leave orphaned index entries). Lifecycle, each
+    // stage costed for 100 TB: (1) base table + index land as v1;
+    // (2) a takedown batch hits the BASE table as a row-level DELETE
+    // (copy-on-write; only stats-matching files rewrite); (3) the net
+    // delete batch is recovered from file-level CDC — removed-files
+    // rows EXCEPT re-added rows, both DML-delta-sized — with
+    // GraftStore.netDeletedKeys, no row-level change log; (4) the
+    // index absorbs it as ONE O(delta) tombstone append (StoredIndex —
+    // no index data file rewritten); (5) reads see the live view via a
+    // broadcast anti-join against the delta-sized tombstone set;
+    // (6) compaction folds tombstones physically and vacuums the dead
+    // files, returning the read tax to zero. The readout pins all four
+    // surfaces per cell — v1 census, CDC-recovered dead keys joined
+    // back to their cells, the tombstone-masked live view, and the
+    // post-compaction physical scan (which must equal the live view) —
+    // against one oracle that replays the assignment rule and the
+    // delete predicate from raw parquet.
+    "ann_ivf_tombstone_stored" -> { (s, dir) =>
+      val baseRoot = StoreRoots.tmpRoot("ivftombbase", dir)
+      val idxRoot = StoreRoots.tmpRoot("ivftombidx", dir)
+      Seq(baseRoot, idxRoot).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cellSims = ivfCellSims(e)
+      // v1 of both stores; the base repartitions so the copy-on-write
+      // rewrite has survivors in every touched file (the CDC except
+      // actually filters, instead of removed == dead trivially)
+      graft.sources.GraftStore.write(e.repartition(4), baseRoot,
+        overwrite = true)
+      graft.sources.GraftStore.write(
+        e.select(col("vec_id"),
+          array_max(cellSims(col("v"))).getField("cell").as("cell")),
+        idxRoot, overwrite = true)
+      // the takedown batch: vec_ids [100, 220) leave the corpus
+      graft.sources.GraftStore.delete(baseRoot, Array(
+        org.apache.spark.sql.sources.And(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", 100L),
+          org.apache.spark.sql.sources.LessThan("vec_id", 220L))))
+      val dead = graft.sources.GraftStore.netDeletedKeys(
+        s, baseRoot, sinceVersion = 1L, Seq("vec_id"))
+      graft.sources.StoredIndex.appendTombstones(s, idxRoot, dead)
+      val idxV1 = s.read.format("graft-store").option("version", 1L)
+        .load(idxRoot)
+      // eager pins: compaction below OVERWRITES the index store and
+      // vacuums superseded files, so everything reading a pre-
+      // compaction snapshot must materialize first (cell-bounded rows)
+      val v1Agg = idxV1.groupBy(col("cell")).agg(count(lit(1)).as("n_v1"))
+        .localCheckpoint(eager = true)
+      val deadAgg = idxV1.join(dead, Seq("vec_id"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_dead"))
+        .localCheckpoint(eager = true)
+      val liveAgg = graft.sources.StoredIndex.readLive(s, idxRoot, Seq("vec_id"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_live"))
+        .localCheckpoint(eager = true)
+      graft.sources.StoredIndex.compactTombstones(s, idxRoot, Seq("vec_id"))
+      val afterAgg = graft.sources.GraftStore.read(s, idxRoot)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_after_vacuum"))
+      v1Agg.join(deadAgg, Seq("cell"), "full_outer")
+        .join(liveAgg, Seq("cell"), "full_outer")
+        .join(afterAgg, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("n_dead"), lit(0L)).as("n_dead"),
+          coalesce(col("n_live"), lit(0L)).as("n_live"),
+          coalesce(col("n_after_vacuum"), lit(0L)).as("n_after_vacuum"))
+        .orderBy(col("cell"))
+    },
     // Index-at-ingest, step 2: PROBE the stored IVF index. Everything —
     // centroids (the K index rows with vec_id < IvfCells), probe
     // vectors, and the cell-assigned corpus — comes from the snapshot;
@@ -1838,6 +1911,29 @@ object SimilarityOps {
          |  CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_delta,
          |  COUNT(*) AS n_total
+         |FROM asg
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin,
+    "ann_ivf_tombstone_stored" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)),
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rn
+         |    FROM n CROSS JOIN c) WHERE rn = 1)
+         |SELECT cell,
+         |  COUNT(*) AS n_v1,
+         |  CAST(SUM(CASE WHEN vec_id >= 100 AND vec_id < 220 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dead,
+         |  CAST(SUM(CASE WHEN vec_id < 100 OR vec_id >= 220 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_live,
+         |  CAST(SUM(CASE WHEN vec_id < 100 OR vec_id >= 220 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_after_vacuum
          |FROM asg
          |GROUP BY cell
          |ORDER BY cell""".stripMargin,

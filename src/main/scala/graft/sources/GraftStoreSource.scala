@@ -780,6 +780,41 @@ object GraftStore {
     spark.read.format("graft-store")
       .option("sinceVersion", sinceVersion).load(path)
 
+  /** The REMOVED side of the file-level CDC contract: rows in files
+    * snapshot `sinceVersion` had that the CURRENT snapshot lacks — for
+    * a DELETE/MERGE this is every rewritten file's old content (deleted
+    * rows plus surviving rows, which re-appear on [[readChanges]]'s
+    * added side). Implementation composes the two existing scan pins:
+    * time-travel the scan TO `sinceVersion` with the LATEST snapshot as
+    * the exclusion baseline — kept files = old \ latest = exactly the
+    * removed set, resolved at planning time. Cost ∝ rewritten files
+    * (the DML delta), never the table: untouched files appear in both
+    * manifests and are excluded before any task launches. */
+  def readRemoved(spark: SparkSession, path: String, sinceVersion: Long): DataFrame = {
+    val latest = latestManifest(path, driverConf()).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-store: no manifest under $path — nothing to diff")).version
+    spark.read.format("graft-store")
+      .option("version", sinceVersion)
+      .option("sinceVersion", latest)
+      .load(path)
+  }
+
+  /** NET-DELETED keys since `sinceVersion`: key tuples present in the
+    * removed file set but absent from the added file set — the exact
+    * delete batch a copy-on-write DELETE/MERGE applied, recovered from
+    * file-level CDC without any row-level change log. Both sides are
+    * DML-delta-sized (only rewritten files participate), so the EXCEPT
+    * shuffles the delta, never the table. `keyCols` must identify rows
+    * uniquely (an upsert that CHANGES a key surfaces as delete+insert,
+    * the standard CDC reading). */
+  def netDeletedKeys(spark: SparkSession, path: String, sinceVersion: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val k = keyCols.map(org.apache.spark.sql.functions.col)
+    readRemoved(spark, path, sinceVersion).select(k: _*)
+      .except(readChanges(spark, path, sinceVersion).select(k: _*))
+  }
+
   /** Rewrite the current snapshot into `targetFiles` data files — the
     * small-file compaction a long-lived append store needs (every
     * micro-batch epoch adds partition-count files; readers pay per
@@ -789,6 +824,21 @@ object GraftStore {
     * atomic manifest publish. Old files become vacuum fodder. */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit =
     write(read(spark, path).repartition(targetFiles), path, overwrite = true)
+
+  /** Path-based row-level DELETE — the API twin of the catalog's
+    * `DELETE FROM ... WHERE` (same [[GsbDelete]] copy-on-write: files
+    * whose stats prove no match carry forward untouched at the
+    * manifest level; only possibly-matching files rewrite their
+    * survivors). The delete then surfaces through the file-level CDC
+    * pair [[readChanges]]/[[readRemoved]], which is what downstream
+    * index maintenance ([[StoredIndex]]) consumes. */
+  def delete(path: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(filters.forall(GsbDelete.translatable),
+      "graft-store: delete filter not expressible as a Column " +
+        s"(${filters.mkString(", ")})")
+    GsbDelete.deleteWhere(path, filters)
+  }
 
   def write(df: DataFrame, path: String, overwrite: Boolean = false): Unit =
     df.write.format("graft-store").mode(if (overwrite) "overwrite" else "append").save(path)
