@@ -213,7 +213,12 @@ object CurationOps {
             col("all_tokens").cast("double"), 6).as("p_raw"),
           round(col("w_temp").cast("double") /
             col("denom").cast("double"), 6).as("p_temp"))
-        .withColumn("quota", round(col("p_temp") * 10000).cast("long"))
+        // quota in EXACT DECIMAL: p_temp (6dp) x 10^4 leaves 2 exact
+        // fractional digits, so double-domain round faces reachable .5
+        // ties (the r12 class — caught by OracleRoundingAuditSpec);
+        // DECIMAL multiply + HALF_UP round agrees across engines
+        .withColumn("quota",
+          round(col("p_temp").cast("decimal(18,6)") * 10000, 0).cast("long"))
         .orderBy(col("source"))
     },
     // materialize the temperature mix: the sample_temperature_mix
@@ -235,9 +240,12 @@ object CurationOps {
           sqrt(col("total_tokens").cast("double")).cast("decimal(28,10)"))
       val denom = src.agg(sum(col("w_temp")).as("denom"))
       val quotas = src.crossJoin(broadcast(denom))
+        // exact-decimal quota (see sample_temperature_mix): 6dp share x
+        // integer budget rounds in DECIMAL domain, never double
         .select(col("source"),
           round(round(col("w_temp").cast("double") /
-            col("denom").cast("double"), 6) * MixBudget).cast("long").as("quota"))
+              col("denom").cast("double"), 6).cast("decimal(18,6)")
+            * MixBudget, 0).cast("long").as("quota"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))
       documents(s, dir)
@@ -390,8 +398,11 @@ object CurationOps {
         |SELECT source, n_docs, total_tokens,
         |  ROUND(total_tokens * 1.0 / all_tokens, 6) AS p_raw,
         |  ROUND(CAST(w_temp AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS p_temp,
-        |  CAST(ROUND(ROUND(CAST(w_temp AS DOUBLE) / CAST(denom AS DOUBLE), 6)
-        |       * 10000) AS BIGINT) AS quota
+        |  -- exact-decimal quota: a 6dp share x 10^4 leaves 2 exact
+        |  -- fractional digits, so a double-domain round faces reachable
+        |  -- .5 ties; DECIMAL multiply + round agrees with Spark exactly
+        |  CAST(ROUND(CAST(ROUND(CAST(w_temp AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+        |       AS DECIMAL(18,6)) * 10000, 0) AS BIGINT) AS quota
         |FROM w CROSS JOIN d
         |ORDER BY source""".stripMargin,
     "sample_mix_materialize" ->
@@ -403,8 +414,8 @@ object CurationOps {
          |      FROM src),
          |d AS (SELECT SUM(w_temp) AS denom FROM w),
          |q AS (SELECT source,
-         |        CAST(ROUND(ROUND(CAST(w_temp AS DOUBLE) / CAST(denom AS DOUBLE), 6)
-         |             * $MixBudget) AS BIGINT) AS quota
+         |        CAST(ROUND(CAST(ROUND(CAST(w_temp AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+         |             AS DECIMAL(18,6)) * $MixBudget, 0) AS BIGINT) AS quota
          |      FROM w CROSS JOIN d),
          |ranked AS (
          |  SELECT source, doc_id,

@@ -11,6 +11,17 @@ import graft.nn.NetSpec
   * oracle entry, per the driver contract).
   */
 object MlOps {
+  /** 3dp score bin of an ALREADY-6dp-rounded probability, computed in
+    * EXACT DECIMAL domain: a 6dp value binned at 3dp in double domain
+    * faces reachable digit-4 ties of exactly 500 (the r12 cross-engine
+    * rounding class — flagged by OracleRoundingAuditSpec), while the
+    * decimal hop rounds the same finite value identically on both
+    * engines (HALF_UP = half-away-from-zero for the positive scores
+    * here). Oracle mirror:
+    * `CAST(ROUND(CAST(p6 AS DECIMAL(18,6)), 3) AS DOUBLE)`. */
+  private def bin3(p6: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.round(p6.cast("decimal(18,6)"), 3)
+      .cast("double")
   import Tables._
   import VectorOps._
 
@@ -243,7 +254,7 @@ object MlOps {
       val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
       val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
       val bins = embeddings(s, dir)
-        .select(round(p, 3).as("pb"),
+        .select(bin3(p).as("pb"),
           when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
         .groupBy(col("pb"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
@@ -287,7 +298,7 @@ object MlOps {
         hx(ascii(substring(md5(col("vec_id").cast("string")), i, 1)))
       val b = hexAt(1) * 16 + hexAt(2)
       val arms = embeddings(s, dir)
-        .select(round(p, 3).as("pb"),
+        .select(bin3(p).as("pb"),
           when(col("label") >= 5, 1L).otherwise(0L).as("pos"), b.as("b"))
         .select(explode(array(Seq(20, 40, 60, 80, 100).map(lit): _*)).as("frac"),
           col("pb"), col("pos"), col("b"))
@@ -362,7 +373,7 @@ object MlOps {
       val v = col("embedding").cast("array<double>")
       def pb(ds: Seq[Int]) = {
         val logit = round(ds.map(i => element_at(v, i)).reduce(_ + _), 6)
-        round(round(lit(1.0) / (lit(1.0) + exp(-logit)), 6), 3)
+        bin3(round(lit(1.0) / (lit(1.0) + exp(-logit)), 6))
       }
       val armArr = array(arms.map { case (n, ds) =>
         struct(lit(n).as("ablated"), pb(ds).as("pb")) }: _*)
@@ -969,7 +980,7 @@ object MlOps {
       val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
       val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
       val bins = embeddings(s, dir)
-        .select(round(p, 3).as("pb"),
+        .select(bin3(p).as("pb"),
           when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
         .groupBy(col("pb"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"),
@@ -1026,7 +1037,7 @@ object MlOps {
       val uD = org.apache.spark.sql.expressions.Window.orderBy(col("pb").desc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       val bins = embeddings(s, dir)
-        .select(round(p, 3).as("pb"),
+        .select(bin3(p).as("pb"),
           when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
         .groupBy(col("pb"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
@@ -1080,7 +1091,7 @@ object MlOps {
       val logit = round(aggregate(slice(v, 1, 4), lit(0.0), (a, x) => a + x), 6)
       val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
       val bins = embeddings(s, dir)
-        .select(round(p, 3).as("pb"),
+        .select(bin3(p).as("pb"),
           when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
         .groupBy(col("pb"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
@@ -1211,8 +1222,11 @@ object MlOps {
         .select(col("nt").as("n"),
           round(col("agree").cast("double") / col("nt"), 10).as("po_r"),
           col("pe"))
-        .select(col("n"), round(col("po_r"), 6).as("po"),
-          round(col("pe"), 6).as("pe"),
+        .select(col("n"),
+          // exact-decimal re-round: po_r is a FINITE 10dp value, so a
+          // double-domain 6dp round faces reachable digit-7 ties
+          round(col("po_r").cast("decimal(28,10)"), 6).cast("double").as("po"),
+          round(col("pe").cast("decimal(28,10)"), 6).cast("double").as("pe"),
           round((col("po_r") - col("pe")) / (lit(1.0) - col("pe")), 6)
             .as("kappa"))
     },
@@ -1239,7 +1253,7 @@ object MlOps {
       val wD = org.apache.spark.sql.expressions.Window.orderBy(col("pb").desc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val bins = embeddings(s, dir)
-        .select(round(p, 3).as("pb"),
+        .select(bin3(p).as("pb"),
           when(col("label") >= 5, 1L).otherwise(0L).as("pos"))
         .groupBy(col("pb"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
@@ -1352,8 +1366,9 @@ object MlOps {
   val oracles: Map[String, String] = Map(
     "ml_brier_decomposition" ->
       """WITH sc AS (
-        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
-        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |  SELECT CAST(ROUND(CAST(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |      embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6)
+        |    AS DECIMAL(18,6)), 3) AS DOUBLE) AS pb,
         |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
         |  FROM embeddings),
         |bins AS (
@@ -1389,8 +1404,9 @@ object MlOps {
         |FROM k""".stripMargin,
     "ml_auc_delong" ->
       """WITH sc AS (
-        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
-        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |  SELECT CAST(ROUND(CAST(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |      embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6)
+        |    AS DECIMAL(18,6)), 3) AS DOUBLE) AS pb,
         |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
         |  FROM embeddings),
         |bins AS (
@@ -1436,8 +1452,9 @@ object MlOps {
         |FROM s""".stripMargin,
     "ml_calibration_slope" ->
       """WITH sc AS (
-        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
-        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |  SELECT CAST(ROUND(CAST(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |      embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6)
+        |    AS DECIMAL(18,6)), 3) AS DOUBLE) AS pb,
         |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
         |  FROM embeddings),
         |bins AS (
@@ -1535,15 +1552,17 @@ object MlOps {
         |    / (t.nt * t.nt), 10) AS pe
         |  FROM m1 JOIN m2 ON m1.a1 = m2.a2, tot t GROUP BY t.nt)
         |SELECT t.nt AS n,
-        |  ROUND(ROUND(t.agree * 1.0 / t.nt, 10), 6) AS po,
-        |  ROUND(pe.pe, 6) AS pe,
+        |  CAST(ROUND(CAST(ROUND(t.agree * 1.0 / t.nt, 10)
+        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS po,
+        |  CAST(ROUND(CAST(pe.pe AS DECIMAL(28,10)), 6) AS DOUBLE) AS pe,
         |  ROUND((ROUND(t.agree * 1.0 / t.nt, 10) - pe.pe) / (1.0 - pe.pe), 6)
         |    AS kappa
         |FROM tot t, pe""".stripMargin,
     "ml_pr_auc" ->
       """WITH sc AS (
-        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
-        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |  SELECT CAST(ROUND(CAST(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |      embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6)
+        |    AS DECIMAL(18,6)), 3) AS DOUBLE) AS pb,
         |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
         |  FROM embeddings),
         |bins AS (
@@ -1829,8 +1848,9 @@ object MlOps {
         |ORDER BY fold""".stripMargin,
     "ml_auc" ->
       """WITH e AS (
-        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
-        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |  SELECT CAST(ROUND(CAST(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |      embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6)
+        |    AS DECIMAL(18,6)), 3) AS DOUBLE) AS pb,
         |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
         |  FROM embeddings),
         |bins AS (
@@ -1854,8 +1874,9 @@ object MlOps {
         |FROM terms""".stripMargin,
     "ml_learning_curve" ->
       """WITH e AS (
-        |  SELECT ROUND(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
-        |           embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6), 3) AS pb,
+        |  SELECT CAST(ROUND(CAST(ROUND(1.0 / (1.0 + exp(-ROUND(list_sum(list_transform(
+        |      embedding[1:4], x -> CAST(x AS DOUBLE))), 6))), 6)
+        |    AS DECIMAL(18,6)), 3) AS DOUBLE) AS pb,
         |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos,
         |    (CASE WHEN ascii(substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) >= 97
         |          THEN ascii(substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 87
@@ -1942,7 +1963,8 @@ object MlOps {
       val armSql = arms.map { case (n, ds) =>
         val sum = ds.map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
         s"""SELECT '$n' AS ablated,
-           |    ROUND(ROUND(1.0 / (1.0 + exp(-ROUND($sum, 6))), 6), 3) AS pb,
+           |    CAST(ROUND(CAST(ROUND(1.0 / (1.0 + exp(-ROUND($sum, 6))), 6)
+           |      AS DECIMAL(18,6)), 3) AS DOUBLE) AS pb,
            |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
            |  FROM embeddings""".stripMargin
       }.mkString("\n  UNION ALL\n  ")
