@@ -494,6 +494,63 @@ object SimilarityOps {
           coalesce(col("n_after_vacuum"), lit(0L)).as("n_after_vacuum"))
         .orderBy(col("cell"))
     },
+    // Index-at-ingest, step 5: PROBE through the tombstone mask — the
+    // user-facing consequence of step 4: a vector deleted from the base
+    // table must STOP BEING RETURNED by similarity search immediately,
+    // before any compaction runs. The probe plan is ann_ivf_probe_stored's
+    // (cell equi-join against the broadcast probe fan-out, per-probe
+    // top-k) with ONE addition: each side reads the index through
+    // StoredIndex.readLive, whose delta-sized broadcast anti-join drops
+    // the tombstoned vec_ids inline — no rebuild, no rescan, read tax
+    // one broadcast probe per row. The oracle replays the probe over
+    // raw parquet EXCLUDING the deleted id range: passing proves the
+    // mask reaches the ranking (deleted candidates vanish AND survivors'
+    // ranks close up), not merely the census counts of step 4.
+    "ann_ivf_probe_live" -> { (s, dir) =>
+      val cos = graft.functions.VectorFunctions.cosine_sim _
+      val baseRoot = StoreRoots.tmpRoot("ivflivebase", dir)
+      val idxRoot = StoreRoots.tmpRoot("ivfliveidx", dir)
+      Seq(baseRoot, idxRoot).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cellSims0 = ivfCellSims(e)
+      graft.sources.GraftStore.write(e.repartition(4), baseRoot,
+        overwrite = true)
+      graft.sources.GraftStore.write(
+        e.select(col("vec_id"),
+          array_max(cellSims0(col("v"))).getField("cell").as("cell"),
+          col("v")),
+        idxRoot, overwrite = true)
+      graft.sources.GraftStore.delete(baseRoot, Array(
+        org.apache.spark.sql.sources.And(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("vec_id", 100L),
+          org.apache.spark.sql.sources.LessThan("vec_id", 220L))))
+      graft.sources.StoredIndex.appendTombstones(s, idxRoot,
+        graft.sources.GraftStore.netDeletedKeys(s, baseRoot, 1L, Seq("vec_id")))
+      // each side reads the live view independently (fresh expression
+      // ids — the ann_ivf_probe self-join-dedup hazard)
+      val idx = graft.sources.StoredIndex.readLive(s, idxRoot, Seq("vec_id"))
+      val idxProbes = graft.sources.StoredIndex.readLive(s, idxRoot, Seq("vec_id"))
+      val cellSims = ivfCellSims(idxProbes.select(col("vec_id"), col("v")))
+      val probes = idxProbes
+        .filter(col("vec_id").isin(IvfProbeIds.map(_.toLong): _*))
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          explode(transform(
+            slice(reverse(array_sort(cellSims(col("v")))), 1, IvfNProbe),
+            c => c.getField("cell"))).as("pcell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      idx.join(broadcast(probes), col("cell") === col("pcell") &&
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cos(col("v"), col("p")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= IvfTopK)
+        .orderBy(col("probe_id"), col("rk"))
+    },
     // Index-at-ingest, step 2: PROBE the stored IVF index. Everything —
     // centroids (the K index rows with vec_id < IvfCells), probe
     // vectors, and the cell-assigned corpus — comes from the snapshot;
@@ -1875,6 +1932,10 @@ object SimilarityOps {
          |GROUP BY tf.probe_id
          |ORDER BY tf.probe_id""".stripMargin,
     "ann_ivf_probe" -> ivfProbeOracle,
+    // the tombstone-masked live probe: deleted vectors vanish from the
+    // ranking, survivors' ranks close up
+    "ann_ivf_probe_live" ->
+      ivfProbeOracle("AND NOT (a.vec_id >= 100 AND a.vec_id < 220)"),
     // The stored-index probe replays the SAME oracle: the persisted
     // geometry must reproduce the exact candidate rule, hash-identically.
     "ann_ivf_probe_stored" -> ivfProbeOracle,
@@ -2239,7 +2300,11 @@ object SimilarityOps {
        |ORDER BY rank""".stripMargin
   }
 
-  private def ivfProbeOracle: String =
+  private def ivfProbeOracle: String = ivfProbeOracle("")
+
+  /** The shared probe replay, with an optional extra candidate-side
+    * predicate (the live-index twin excludes the deleted id range). */
+  private def ivfProbeOracle(candidateCond: String): String =
     s"""WITH n AS (
        |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm
        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2261,7 +2326,8 @@ object SimilarityOps {
        |    ROUND(${dotSql("a.v", "p")} / (a.nrm * pnrm), 6) AS cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
        |      ROUND(${dotSql("a.v", "p")} / (a.nrm * pnrm), 6) DESC, a.vec_id) AS rk
-       |  FROM assigned a JOIN pcells ON a.cell = pcell AND a.vec_id <> probe_id)
+       |  FROM assigned a JOIN pcells ON a.cell = pcell AND a.vec_id <> probe_id
+       |    $candidateCond)
        |SELECT probe_id, vec_id, cos_sim, rk
        |FROM ranked
        |WHERE rk <= $IvfTopK

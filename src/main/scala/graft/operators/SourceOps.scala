@@ -964,6 +964,41 @@ object SourceOps {
           round(sum(col("ps")), 2).cast("double").as("sum_price"))
         .orderBy(col("o_orderpriority"))
     },
+    // Incremental view maintenance under a DELETE — the retraction half
+    // of src_store_ivm (which handles appends): refresh a per-group
+    // aggregate view through a row-level DELETE by RETRACTING the
+    // removed side's partials and re-adding the rewritten side's, never
+    // rescanning the base. File-level CDC gives both sides (readRemoved
+    // = old content of rewritten files, readChanges = their survivors);
+    // counts and exact DECIMAL sums are retractable partials (negate
+    // and re-aggregate; rounding happens once at the end), so the
+    // merged view is bit-identical to the full recompute the oracle
+    // runs. At 100 TB the recompute costs the table; the refresh costs
+    // the DML delta — rewritten files only, resolved at planning time.
+    "src_store_ivm_delete" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-ivmdel"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      GraftStore.write(base.repartition(4), root, overwrite = true)  // v1
+      GraftStore.delete(root, Array(                                 // v2
+        org.apache.spark.sql.sources.LessThan("o_orderkey", 300L)))
+      def partial(df: DataFrame, sign: Int) = df
+        .groupBy(col("o_orderpriority"))
+        .agg((count(lit(1)) * sign).as("pn"),
+          (sum(col("o_totalprice").cast("decimal(18,4)")) * sign).as("ps"))
+      val view1 = partial(
+        s.read.format("graft-store").option("version", 1).load(root), 1)
+      val retract = partial(GraftStore.readRemoved(s, root, 1L), -1)
+      val readd = partial(GraftStore.readChanges(s, root, 1L), 1)
+      view1.unionByName(retract).unionByName(readd)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("pn")).cast("long").as("n_orders"),
+          round(sum(col("ps")), 2).cast("double").as("sum_price"))
+        .filter(col("n_orders") > 0)
+        .orderBy(col("o_orderpriority"))
+    },
     "src_store_evolve" -> { (s, dir) =>
       val root = storeRoot(dir) + "-evolve"
       val p = new org.apache.hadoop.fs.Path(root)
@@ -1407,6 +1442,15 @@ object SourceOps {
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the retraction-refreshed view must equal the plain recompute over
+    // the surviving rows
+    "src_store_ivm_delete" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey >= 300
         |GROUP BY 1
         |ORDER BY o_orderpriority""".stripMargin,
     "src_store_changes" ->
