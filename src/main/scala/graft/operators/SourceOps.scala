@@ -964,6 +964,47 @@ object SourceOps {
           round(sum(col("ps")), 2).cast("double").as("sum_price"))
         .orderBy(col("o_orderpriority"))
     },
+    // Snapshot retention end to end: expireSnapshots bounds the
+    // MANIFEST history (without it a store accumulates one manifest per
+    // commit forever, and chunk GC can free nothing — any manifest
+    // referencing a chunk pins it), vacuum then collects the data files
+    // the expired snapshots were keeping. Tags survive both by
+    // contract. The fixture commits v1 (tagged), v2 (overwrite), v3
+    // (overwrite), expires keeping the latest only, vacuums, and reads
+    // BOTH surviving surfaces back — the latest snapshot and the tagged
+    // v1 — byte-exact, alongside the retention counters: exactly one
+    // manifest (v2's) expired, v2's orphaned files vacuumed, and the
+    // $snapshots history shrunk to the two pinned versions. At 100 TB
+    // this pair is the daily maintenance window; both passes are
+    // driver-side manifest walks that never open a data file.
+    "src_store_expire" -> { (s, dir) =>
+      val root = storeRoot(dir) + "-expire"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      GraftStore.write(base.filter(col("o_orderkey") % 3 === 0)
+        .repartition(2), root, overwrite = true)                     // v1
+      GraftStore.tag(root, "training-v1")
+      GraftStore.write(base.filter(col("o_orderkey") % 3 === 1)
+        .repartition(2), root, overwrite = true)                     // v2
+      GraftStore.write(base.filter(col("o_orderkey") % 3 === 2)
+        .repartition(2), root, overwrite = true)                     // v3
+      val expired = GraftStore.expireSnapshots(root, keepLast = 1)
+      val vacuumed = GraftStore.vacuum(root, graceMs = 0L)
+      val versionsLeft = GraftStore.snapshots(s, root).count()
+      def agg(df: DataFrame, which: String) = df.agg(
+        lit(which).as("surface"),
+        count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_price"))
+      agg(GraftStore.read(s, root), "latest")
+        .unionByName(agg(s.read.format("graft-store")
+          .option("ref", "training-v1").load(root), "tagged_v1"))
+        .withColumn("manifests_expired", lit(expired))
+        .withColumn("files_vacuumed", lit(vacuumed))
+        .withColumn("versions_left", lit(versionsLeft))
+        .orderBy(col("surface"))
+    },
     // Incremental view maintenance under a DELETE — the retraction half
     // of src_store_ivm (which handles appends): refresh a per-group
     // aggregate view through a row-level DELETE by RETRACTING the
@@ -1444,6 +1485,22 @@ object SourceOps {
         |WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY 1
         |ORDER BY o_orderpriority""".stripMargin,
+    // retention: surviving surfaces byte-exact + pinned counters (one
+    // manifest expired = v2; its 2 data files vacuumed; 2 versions left)
+    "src_store_expire" ->
+      """SELECT 'latest' AS surface, COUNT(*) AS n_rows,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(1 AS BIGINT) AS manifests_expired,
+        |  CAST(2 AS BIGINT) AS files_vacuumed,
+        |  CAST(2 AS BIGINT) AS versions_left
+        |FROM orders WHERE o_orderkey % 3 = 2
+        |UNION ALL
+        |SELECT 'tagged_v1', COUNT(*),
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE),
+        |  CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY surface""".stripMargin,
     // the retraction-refreshed view must equal the plain recompute over
     // the surviving rows
     "src_store_ivm_delete" ->

@@ -718,6 +718,46 @@ object GraftStore {
     n
   }
 
+  /** Retention: delete the MANIFESTS of committed snapshots older than
+    * the newest `keepLast`, except snapshots a tag pins (tags are the
+    * durable reproducibility contract — expire never touches them).
+    * This is the other half of [[vacuum]]'s lifecycle: vacuum frees
+    * DATA files the latest+tagged snapshots no longer reference, while
+    * expire bounds the MANIFEST history — without it a long-lived store
+    * accumulates one manifest per commit forever, every `$snapshots`
+    * walk pays O(all-versions), and chunk GC can free nothing (a chunk
+    * is live while ANY manifest references it, so ancient manifests pin
+    * the whole chunk lineage). Expired versions stop being
+    * time-travelable by NUMBER; pin-by-tag remains exact. In-flight
+    * (terminator-less) manifests are never touched — they belong to a
+    * racing writer. Returns the number of manifests deleted; run
+    * [[vacuum]] after to collect the newly-orphaned data files and
+    * chunks. */
+  def expireSnapshots(path: String, keepLast: Int = 1): Long = {
+    require(keepLast >= 1, "expireSnapshots must keep at least the latest snapshot")
+    val conf = driverConf()
+    val f = fs(path, conf)
+    val dir = new HPath(path, "manifest")
+    if (!f.exists(dir)) return 0L
+    val complete = f.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(v) if manifestSummaryAt(path, conf, v.toLong).nonEmpty =>
+          Some((v.toLong, st.getPath))
+        case _ => None
+      }
+    }.sortBy(-_._1)
+    val pinned = listRefs(path, conf).map(_._2).toSet ++
+      complete.take(keepLast).map(_._1)
+    var n = 0L
+    complete.drop(keepLast).foreach { case (v, p) =>
+      if (!pinned.contains(v)) {
+        manifestCache.remove(p.toString)
+        f.delete(p, false); n += 1
+      }
+    }
+    n
+  }
+
   /** All published refs as (name, version), sorted by name. */
   def listRefs(path: String, conf: Configuration = driverConf()): Seq[(String, Long)] = {
     val f = fs(path, conf)

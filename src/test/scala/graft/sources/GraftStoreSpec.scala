@@ -152,6 +152,33 @@ class GraftStoreSpec extends AnyFunSuite {
     assert(rows(GraftStore.read(spark, dir)) == rows(docs.limit(4)))
   }
 
+  test("expireSnapshots bounds manifest history; tags and latest survive; chunks free up") {
+    import spark.implicits._
+    val dir = tmp()
+    GraftStore.write(Seq(1L, 2L).toDF("k"), dir, overwrite = true)   // v1
+    GraftStore.tag(dir, "pin1")
+    GraftStore.write(Seq(3L).toDF("k"), dir, overwrite = true)       // v2
+    GraftStore.write(Seq(4L).toDF("k"), dir)                         // v3 (append)
+    GraftStore.write(Seq(5L).toDF("k"), dir, overwrite = true)       // v4
+    val expired = GraftStore.expireSnapshots(dir, keepLast = 1)
+    assert(expired == 2L, s"v2+v3 should expire (v1 tagged, v4 latest): $expired")
+    // latest + tag read back exactly; expired versions are gone by number
+    assert(rows(GraftStore.read(spark, dir)) == Set("5"))
+    assert(rows(spark.read.format("graft-store").option("ref", "pin1").load(dir))
+      == Set("1", "2"))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-store").option("version", 2L).load(dir).collect()
+    }
+    // history walk shows only the survivors
+    assert(GraftStore.snapshots(spark, dir).collect().map(_.getLong(0)).toSet
+      == Set(1L, 4L))
+    // vacuum now collects the expired snapshots' data files
+    assert(GraftStore.vacuum(dir, graceMs = 0L) >= 2L)
+    assert(rows(GraftStore.read(spark, dir)) == Set("5"))
+    // keepLast must keep at least the latest
+    intercept[IllegalArgumentException] { GraftStore.expireSnapshots(dir, 0) }
+  }
+
   test("vacuum grace window protects fresh orphans (in-flight commit safety)") {
     val dir = tmp()
     GraftStore.write(docs.limit(10), dir)
