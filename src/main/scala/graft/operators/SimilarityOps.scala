@@ -494,6 +494,79 @@ object SimilarityOps {
           coalesce(col("n_after_vacuum"), lit(0L)).as("n_after_vacuum"))
         .orderBy(col("cell"))
     },
+    // Index-at-ingest, step 6: MAINTAIN the IVF index under a full SQL
+    // MERGE — updates, deletes, and inserts in ONE statement, the
+    // nightly reconciliation shape (corrected vectors re-embed, revoked
+    // ones leave, late arrivals land). The base is a CATALOG table hit
+    // by MERGE INTO (group-based copy-on-write); the index is maintained
+    // from file-level CDC alone: net-deleted keys tombstone, and every
+    // ADDED row (upserts + rewritten survivors — the readChanges side,
+    // DML-delta-sized) is retracted-and-reinserted with a fresh
+    // assignment. GENERATIONS make that sound: maintenance batches
+    // stamp the store's monotonically-increasing commit version, and a
+    // tombstone masks only OLDER generations — so the same batch can
+    // tombstone a key and re-insert it (the Iceberg-sequence-number
+    // trick; StoredIndex scaladoc). Gate: per-cell census of the live
+    // index, split into carried/updated/inserted — updated vectors are
+    // NEGATED, so they genuinely change cells; the oracle replays the
+    // merged corpus and frozen-codebook assignment from raw parquet.
+    // Cost at 100 TB: two O(delta) index commits, zero index rescans.
+    "ann_ivf_upsert_stored" -> { (s, dir) =>
+      val wh = SourceOps.sqlWarehouse
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+      s.sql("DROP TABLE IF EXISTS graft.gold.ivf_ups")
+      val idxRoot = StoreRoots.tmpRoot("ivfupsidx", dir)
+      val ip = new org.apache.hadoop.fs.Path(idxRoot)
+      ip.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ip, true)
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cellSims = ivfCellSims(e) // codebook FROZEN pre-merge
+      def assign(df: DataFrame) = df.select(col("vec_id"),
+        array_max(cellSims(col("v"))).getField("cell").as("cell"))
+      e.createOrReplaceTempView("emb_ups_src")
+      s.sql("""CREATE TABLE graft.gold.ivf_ups AS
+              |SELECT vec_id, v FROM emb_ups_src""".stripMargin)
+      val baseRoot = s"$wh/gold/ivf_ups"
+      val v1 = graft.sources.GraftStore.currentVersion(baseRoot).get
+      graft.sources.GraftStore.write(assign(
+        s.read.format("graft-store").load(baseRoot)), idxRoot,
+        overwrite = true)
+      // ONE MERGE: corrected embeddings (negated — cells flip), a
+      // revocation range, and late arrivals keyed past the domain
+      s.sql("""MERGE INTO graft.gold.ivf_ups t USING (
+              |  SELECT vec_id, transform(v, x -> -x) AS nv, 'U' AS op
+              |  FROM emb_ups_src
+              |  WHERE vec_id % 10 = 3 AND NOT (vec_id >= 100 AND vec_id < 220)
+              |  UNION ALL
+              |  SELECT vec_id, v, 'D' FROM emb_ups_src
+              |  WHERE vec_id >= 100 AND vec_id < 220
+              |  UNION ALL
+              |  SELECT vec_id + 1000000, v, 'I' FROM emb_ups_src
+              |  WHERE vec_id % 97 = 1
+              |) src ON t.vec_id = src.vec_id
+              |WHEN MATCHED AND src.op = 'D' THEN DELETE
+              |WHEN MATCHED AND src.op = 'U' THEN UPDATE SET v = src.nv
+              |WHEN NOT MATCHED THEN INSERT (vec_id, v)
+              |  VALUES (src.vec_id, src.nv)""".stripMargin)
+      // CDC → index maintenance: retract every changed key, re-derive
+      val dead = graft.sources.GraftStore.netDeletedKeys(
+        s, baseRoot, v1, Seq("vec_id"))
+      val changed = graft.sources.GraftStore.readChanges(s, baseRoot, v1)
+      graft.sources.StoredIndex.appendTombstones(s, idxRoot,
+        changed.select(col("vec_id")).union(dead).distinct())
+      graft.sources.StoredIndex.appendRows(s, idxRoot, assign(changed))
+      graft.sources.StoredIndex.readLive(s, idxRoot, Seq("vec_id"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_live"),
+          sum(when(col("vec_id") % 10 === 3 &&
+            col("vec_id") < 1000000, 1L).otherwise(0L)).as("n_updated"),
+          sum(when(col("vec_id") >= 1000000, 1L).otherwise(0L))
+            .as("n_inserted"))
+        .orderBy(col("cell"))
+    },
     // Index-at-ingest, step 5: PROBE through the tombstone mask — the
     // user-facing consequence of step 4: a vector deleted from the base
     // table must STOP BEING RETURNED by similarity search immediately,
@@ -1972,6 +2045,35 @@ object SimilarityOps {
          |  CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_delta,
          |  COUNT(*) AS n_total
+         |FROM asg
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin,
+    "ann_ivf_upsert_stored" ->
+      s"""WITH src AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |fin AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 10 = 3 THEN list_transform(v, x -> -x)
+         |         ELSE v END AS v
+         |  FROM src WHERE NOT (vec_id >= 100 AND vec_id < 220)
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, v FROM src WHERE vec_id % 97 = 1),
+         |n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM fin),
+         |c AS (
+         |  SELECT vec_id AS cell, v AS cv, sqrt(${dotSql("v", "v")}) AS cnrm
+         |  FROM src WHERE vec_id < $IvfCells),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ROUND(${dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rn
+         |    FROM n CROSS JOIN c) WHERE rn = 1)
+         |SELECT cell, COUNT(*) AS n_live,
+         |  CAST(SUM(CASE WHEN vec_id % 10 = 3 AND vec_id < 1000000
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+         |  CAST(SUM(CASE WHEN vec_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_inserted
          |FROM asg
          |GROUP BY cell
          |ORDER BY cell""".stripMargin,

@@ -82,6 +82,31 @@ class StoredIndexSpec extends AnyFunSuite {
       (11L to 51L).toSet)
   }
 
+  test("upsert recipe: a re-inserted key outranks its own batch's tombstone") {
+    val dir = tmp()
+    val idx = (1L to 20L).toDF("k").withColumn("cell", col("k") % 4)
+    GraftStore.write(idx, dir, overwrite = true)
+    // upsert batch: keys 5..8 change cell; 15..20 are deleted
+    StoredIndex.appendTombstones(spark, dir,
+      ((5L to 8L) ++ (15L to 20L)).toDF("k"))
+    StoredIndex.appendRows(spark, dir,
+      (5L to 8L).toDF("k").withColumn("cell", lit(99L)))
+    val live = StoredIndex.readLive(spark, dir, Seq("k"))
+    assert(ids(live) == (1L to 14L).toSet, "deletes applied, upserts kept")
+    val cells = live.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (5L to 8L).foreach(k => assert(cells(k) == 99L, s"key $k must carry the NEW cell"))
+    (1L to 4L).foreach(k => assert(cells(k) == k % 4, s"key $k unchanged"))
+    // a LATER tombstone still kills the re-inserted row (gen ordering)
+    StoredIndex.appendTombstones(spark, dir, Seq(5L).toDF("k"))
+    assert(ids(StoredIndex.readLive(spark, dir, Seq("k"))) ==
+      ((1L to 14L).toSet - 5L))
+    // compaction folds everything; marker columns gone
+    StoredIndex.compactTombstones(spark, dir, Seq("k"))
+    val folded = GraftStore.read(spark, dir)
+    assert(folded.columns.toSet == Set("k", "cell"))
+    assert(ids(folded) == ((1L to 14L).toSet - 5L))
+  }
+
   test("appendTombstones rejects keys absent from the index schema") {
     val dir = tmp()
     GraftStore.write((1L to 5L).toDF("k"), dir, overwrite = true)
