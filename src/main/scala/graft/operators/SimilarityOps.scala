@@ -513,11 +513,16 @@ object SimilarityOps {
     // Cost at 100 TB: two O(delta) index commits, zero index rescans.
     "ann_ivf_upsert_stored" -> { (s, dir) =>
       val wh = SourceOps.sqlWarehouse
-      s.conf.set("spark.sql.catalog.graft",
+      // a DEDICATED catalog name: Spark caches catalog instances per
+      // session, so reusing "graft" after another consumer instantiated
+      // it with a different warehouse would silently bind this table to
+      // THEIR root while the CDC reads below compute OURS. A name only
+      // this query registers always binds to wh.
+      s.conf.set("spark.sql.catalog.graftups",
         classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
-      s.sql("DROP TABLE IF EXISTS graft.gold.ivf_ups")
+      s.conf.set("spark.sql.catalog.graftups.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftups.gold")
+      s.sql("DROP TABLE IF EXISTS graftups.gold.ivf_ups")
       val idxRoot = StoreRoots.tmpRoot("ivfupsidx", dir)
       val ip = new org.apache.hadoop.fs.Path(idxRoot)
       ip.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ip, true)
@@ -527,7 +532,7 @@ object SimilarityOps {
       def assign(df: DataFrame) = df.select(col("vec_id"),
         array_max(cellSims(col("v"))).getField("cell").as("cell"))
       e.createOrReplaceTempView("emb_ups_src")
-      s.sql("""CREATE TABLE graft.gold.ivf_ups AS
+      s.sql("""CREATE TABLE graftups.gold.ivf_ups AS
               |SELECT vec_id, v FROM emb_ups_src""".stripMargin)
       val baseRoot = s"$wh/gold/ivf_ups"
       val v1 = graft.sources.GraftStore.currentVersion(baseRoot).get
@@ -536,7 +541,7 @@ object SimilarityOps {
         overwrite = true)
       // ONE MERGE: corrected embeddings (negated — cells flip), a
       // revocation range, and late arrivals keyed past the domain
-      s.sql("""MERGE INTO graft.gold.ivf_ups t USING (
+      s.sql("""MERGE INTO graftups.gold.ivf_ups t USING (
               |  SELECT vec_id, transform(v, x -> -x) AS nv, 'U' AS op
               |  FROM emb_ups_src
               |  WHERE vec_id % 10 = 3 AND NOT (vec_id >= 100 AND vec_id < 220)
