@@ -121,7 +121,12 @@ private[sources] case class GsbManifest(version: Long, schema: StructType,
     /** (chunk name, file count) refs when this manifest was chunked —
       * lets the NEXT commit carry untouched full segments structurally
       * (no re-render/re-hash; see writeManifest's prefix reuse). */
-    chunks: Seq[(String, Int)] = Seq.empty) {
+    chunks: Seq[(String, Int)] = Seq.empty,
+    /** Per-manifest identity token (`uid=` line) — distinguishes two
+      * manifests that landed on the same path with equal length in the
+      * same millisecond (DROP + re-CREATE), which (mtime, length) cache
+      * validation cannot. None for manifests written before r15. */
+    uid: Option[String] = None) {
   /** Names no new column may ever take (see [[GsbColOp]]): every colop
     * vacates its `from`, drop and rename alike. */
   def tombstones: Set[String] = colops.map(_.from).toSet
@@ -159,13 +164,25 @@ object GraftStore {
     * by protocol (exclusive-create, never modified after its terminator
     * lands), so the parse can be reused across every planning call that
     * pins the same snapshot — at 10⁶ files that turns each re-plan from
-    * an O(files) text parse into one `getFileStatus`. Validity is
-    * (mtime, length): a DROP TABLE + re-CREATE reuses version paths, so
-    * path alone is not a safe key. Bounded LRU — manifests of hot
-    * stores stay, cold ones re-parse. */
+    * an O(files) text parse into one `getFileStatus`. Keys are
+    * SCHEME-QUALIFIED paths (every insertion goes through
+    * [[qualifiedKey]]) so prefix invalidation works whether the caller
+    * configured the warehouse as `/tmp/wh` or `file:/tmp/wh`. Validity
+    * is (mtime, length) plus the manifest's own `uid=` token: mtime is
+    * millisecond-grained and a DROP + re-CREATE reuses version paths,
+    * so an equal-length re-create landing inside one millisecond would
+    * be invisible to (mtime, length) alone — the uid head-read (first
+    * two lines, one bounded pread) closes that window. Manifests
+    * written before the uid line fall back to (mtime, length) only.
+    * Bounded LRU — manifests of hot stores stay, cold ones re-parse. */
   /** Default [[vacuum]] retention window: files younger than this are
     * never GC candidates, protecting in-flight optimistic commits whose
-    * manifest terminator has not landed yet. */
+    * manifest terminator has not landed yet. The window compares store
+    * mtimes against the DRIVER's clock — on an object store / NFS whose
+    * clock skews more than a few minutes from the driver, widen
+    * `graceMs` to cover the skew (a fast store clock ages in-flight
+    * files out early; a slow one merely delays GC). Same caveat Delta's
+    * retention carries; 10 minutes assumes sub-minute skew. */
   val DefaultVacuumGraceMs: Long = 10 * 60 * 1000L
 
   private val ManifestCacheMax = 64
@@ -204,22 +221,50 @@ object GraftStore {
           size() > 64
       })
 
+  /** Scheme-qualified cache key for `path` — the ONE form every cache
+    * insertion and invalidation uses. `listStatus` returns qualified
+    * paths (`file:/tmp/...`) while constructed paths inherit the
+    * caller's raw root (`/tmp/...`); mixing the two forms made prefix
+    * invalidation silently miss half the entries (r14 ADVICE). */
+  private def qualifiedKey(f: FileSystem, path: HPath): String =
+    f.makeQualified(path).toString
+
   /** Drop every cached parse under `root` — called when a table is
-    * dropped or renamed away. The manifestCache key is (path, mtime,
-    * length); mtime is millisecond-grained, so a DROP + re-CREATE that
-    * lands the same version path with equal byte length inside one
-    * millisecond could otherwise serve the stale parsed manifest.
+    * dropped or renamed away, so a re-CREATE at the same path never
+    * serves the dropped table's parsed manifests. Keys are normalized
+    * at insertion ([[qualifiedKey]]); the prefix here is qualified the
+    * same way, and the raw form is swept too as belt-and-braces.
     * chunkCache entries are content-addressed (name = SHA-1 of payload)
     * so a re-created same-name chunk is byte-identical by construction
     * — still dropped here for symmetry (they are cheap to re-read). */
   private[sources] def invalidateCaches(root: String): Unit = {
-    val prefix = new HPath(root, "manifest").toString
+    val rawPrefix = new HPath(root, "manifest").toString
+    val qPrefix = try {
+      qualifiedKey(fs(root, driverConf()), new HPath(root, "manifest"))
+    } catch { case _: Exception => rawPrefix }
+    def hit(k: String): Boolean = k.startsWith(rawPrefix) || k.startsWith(qPrefix)
     manifestCache.synchronized {
-      manifestCache.keySet().removeIf(k => k.startsWith(prefix))
+      manifestCache.keySet().removeIf(k => hit(k))
     }
     chunkCache.synchronized {
-      chunkCache.keySet().removeIf(k => k.startsWith(prefix))
+      chunkCache.keySet().removeIf(k => hit(k))
     }
+  }
+
+  /** Test hook: live cache entries under `root` (either key form). */
+  private[sources] def cachedUnder(root: String): Int = {
+    val rawPrefix = new HPath(root, "manifest").toString
+    val qPrefix = try {
+      qualifiedKey(fs(root, driverConf()), new HPath(root, "manifest"))
+    } catch { case _: Exception => rawPrefix }
+    def hit(k: String): Boolean = k.startsWith(rawPrefix) || k.startsWith(qPrefix)
+    val m = manifestCache.synchronized {
+      manifestCache.keySet().stream().filter(k => hit(k)).count()
+    }
+    val c = chunkCache.synchronized {
+      chunkCache.keySet().stream().filter(k => hit(k)).count()
+    }
+    (m + c).toInt
   }
 
   /** Driver-side pool for parallel chunk parsing — daemon threads (must
@@ -276,14 +321,17 @@ object GraftStore {
       if (out != null) {
         val w = new java.io.PrintWriter(
           new java.io.OutputStreamWriter(out, "UTF-8"))
-        try { w.print(payload); w.println("end") } finally w.close()
+        // explicit LF terminator — same separator contract as
+        // writeManifest (readChunk's readLine tolerates either, but one
+        // byte format beats two)
+        try { w.print(payload); w.print("end\n") } finally w.close()
       }
     }
     name
   }
 
   private def readChunk(f: FileSystem, dir: HPath, name: String): Seq[GsbFile] = {
-    val key = new HPath(dir, name).toString
+    val key = qualifiedKey(f, new HPath(dir, name))
     val hit = chunkCache.get(key)
     if (hit != null) return hit
     val in = new java.io.BufferedReader(
@@ -298,15 +346,43 @@ object GraftStore {
     } finally in.close()
   }
 
+  /** The manifest's `uid=` token via one bounded head read (the line
+    * sits right after the version line; 128 bytes cover both). None for
+    * pre-uid manifests or unreadable files. */
+  private def headUid(f: FileSystem, path: HPath): Option[String] = {
+    val in = try f.open(path) catch { case _: java.io.IOException => return None }
+    try {
+      val buf = new Array[Byte](128)
+      var n = 0
+      var eof = false
+      while (n < buf.length && !eof) {
+        val r = in.read(buf, n, buf.length - n)
+        if (r < 0) eof = true else n += r
+      }
+      parseHead(buf, n)
+    } catch { case _: java.io.IOException => None } finally in.close()
+  }
+
+  private def parseHead(buf: Array[Byte], n: Int): Option[String] =
+    new String(buf, 0, n, "UTF-8").linesIterator.take(2)
+      .collectFirst { case l if l.startsWith("uid=") => l.stripPrefix("uid=") }
+
   private def parseManifestCached(f: FileSystem, ver: Long, path: HPath)
       : Option[GsbManifest] = {
     val st = try f.getFileStatus(path) catch {
       case _: java.io.FileNotFoundException => return None
     }
-    val key = path.toString
+    val key = qualifiedKey(f, path)
     val hit = manifestCache.get(key)
-    if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen)
-      return Some(hit._3)
+    if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen) {
+      // (mtime, length) alone cannot see a same-millisecond equal-length
+      // re-create (DROP + CREATE reusing the version path). The cached
+      // parse carries the manifest's own uid token; one bounded head
+      // read settles identity. Pre-uid manifests (uid None) keep the
+      // legacy (mtime, length) contract.
+      val fresh = hit._3.uid.isEmpty || headUid(f, path) == hit._3.uid
+      if (fresh) return Some(hit._3)
+    }
     val parsed = parseManifest(f, ver, path)
     // only completes are immutable; in-flight manifests must re-read
     parsed.foreach(m =>
@@ -454,8 +530,10 @@ object GraftStore {
         }
         val ts = lines.collectFirst { case l if l.startsWith("ts=") =>
           l.stripPrefix("ts=").toLong }
+        val uid = lines.collectFirst { case l if l.startsWith("uid=") =>
+          l.stripPrefix("uid=") }
         Some(GsbManifest(ver, schema, files, epochs, colops, ts,
-          chunkRefs.toSeq))
+          chunkRefs.toSeq, uid))
       }
     } finally in.close()
   }
@@ -514,14 +592,24 @@ object GraftStore {
               s"graft-store: commit race publishing $target — another writer won this version", e)
         }
       }
+    // all lines written with an EXPLICIT "\n": the reader's
+    // completeness checks (manifestSummaryAt's exact "\nend\n" tail,
+    // parseManifest's terminator line) assume LF, and PrintWriter's
+    // println would emit the platform separator — on a CRLF JVM every
+    // committed manifest would look torn to the summary path while the
+    // readLine path accepted it (r14 ADVICE divergence).
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(stream, "UTF-8"))
+    def ln(s: String): Unit = { out.print(s); out.print("\n") }
     try {
-      out.println(version)
-      out.println(s"schema=${schema.json}")
+      ln(version.toString)
+      // identity token — lets the parsed-manifest cache detect a
+      // same-millisecond equal-length re-create at this path
+      ln(s"uid=${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}")
+      ln(s"schema=${schema.json}")
       // header summary: history/retention walks read THIS line + the
       // tail terminator instead of parsing every file line (O(1) per
       // version at any file count — see manifestSummaryAt)
-      out.println(s"summary=${files.size}\t${files.map(_.rows).sum}" +
+      ln(s"summary=${files.size}\t${files.map(_.rows).sum}" +
         s"\t${files.map(_.bytes).sum}")
       if (files.size >= 2 * chunkSize) {
         // large store: file list as content-addressed chunks. Append
@@ -542,27 +630,27 @@ object GraftStore {
         var off = 0
         carried.foreach { case (name, n) =>
           val seg = files.slice(off, off + n)
-          out.println(s"chunk=$name\t$n\t${seg.map(_.rows).sum}" +
+          ln(s"chunk=$name\t$n\t${seg.map(_.rows).sum}" +
             s"\t${seg.map(_.bytes).sum}")
           off += n
         }
         files.drop(off).grouped(chunkSize).foreach { seg =>
           val name = writeChunk(f, dir, seg.map(renderFileLine))
-          out.println(s"chunk=$name\t${seg.size}\t${seg.map(_.rows).sum}" +
+          ln(s"chunk=$name\t${seg.size}\t${seg.map(_.rows).sum}" +
             s"\t${seg.map(_.bytes).sum}")
         }
-      } else files.foreach(e => out.println(renderFileLine(e)))
-      epochs.toSeq.sorted.foreach(e => out.println(s"epoch=$e"))
+      } else files.foreach(e => ln(renderFileLine(e)))
+      epochs.toSeq.sorted.foreach(e => ln(s"epoch=$e"))
       colops.foreach { op =>
         require(!op.from.contains("\t") && !op.to.contains("\t") &&
           !op.from.contains("\n") && !op.to.contains("\n"),
           s"graft-store: column name '${op.from}'/'${op.to}' would corrupt " +
             "the line-oriented manifest")
-        out.println(s"colop=${op.kind}\t${op.from}\t${op.to}")
+        ln(s"colop=${op.kind}\t${op.from}\t${op.to}")
       }
       // commit wall-clock (millis) — the TIMESTAMP AS OF anchor
-      out.println(s"ts=${System.currentTimeMillis()}")
-      out.println("end")
+      ln(s"ts=${System.currentTimeMillis()}")
+      ln("end")
     } finally out.close()
   }
 
@@ -751,7 +839,10 @@ object GraftStore {
     var n = 0L
     complete.drop(keepLast).foreach { case (v, p) =>
       if (!pinned.contains(v)) {
-        manifestCache.remove(p.toString)
+        // normalized-key removal (insertions go through qualifiedKey).
+        // Belt-and-braces only: parseManifestCached re-stats the file
+        // first, so a deleted manifest can never serve from cache.
+        manifestCache.remove(qualifiedKey(f, p))
         f.delete(p, false); n += 1
       }
     }
@@ -923,7 +1014,7 @@ object GraftStore {
         }
       }
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(stream, "UTF-8"))
-    try out.println(version) finally out.close()
+    try { out.print(version); out.print("\n") } finally out.close()
   }
 
   /** Tag the LATEST complete snapshot; returns the tagged version. */

@@ -666,4 +666,66 @@ class GraftStoreSpec extends AnyFunSuite {
     }
     assert(badVersion.getMessage.contains("no complete manifest"), badVersion.getMessage)
   }
+
+  test("manifest bytes end with an exact LF terminator (no platform separator)") {
+    val dir = tmp()
+    import spark.implicits._
+    GraftStore.write(Seq((1L, "a")).toDF("k", "s"), dir, overwrite = true)
+    val mpath = java.nio.file.Paths.get(dir, "manifest", f"v${1L}%020d.manifest")
+    val bytes = java.nio.file.Files.readAllBytes(mpath)
+    val text = new String(bytes, "UTF-8")
+    assert(!text.contains("\r"), "manifest must be LF-only regardless of platform")
+    assert(text.endsWith("\nend\n"), "terminator must be the exact LF-delimited line")
+    // the O(1) summary path accepts it (the check that diverged in r14 ADVICE)
+    val summary = GraftStore.manifestSummaryAt(dir, GraftStore.driverConf(), 1L)
+    assert(summary.exists { case (nf, nr, _) => nf == 1L && nr == 1L },
+      s"summary path must see the committed manifest, got $summary")
+  }
+
+  test("same-millisecond equal-length re-create at a manifest path is detected (uid token)") {
+    val dir = tmp()
+    import spark.implicits._
+    GraftStore.write(Seq((1L, "aaaa"), (2L, "bbbb")).toDF("k", "s"), dir, overwrite = true)
+    val conf = GraftStore.driverConf()
+    // warm the parsed-manifest cache
+    val before = GraftStore.latestManifest(dir, conf).get
+    assert(before.uid.nonEmpty, "new manifests must carry a uid token")
+    val mpath = java.nio.file.Paths.get(dir, "manifest", f"v${1L}%020d.manifest")
+    val mtime = java.nio.file.Files.getLastModifiedTime(mpath)
+    val text = new String(java.nio.file.Files.readAllBytes(mpath), "UTF-8")
+    // simulate DROP + re-CREATE landing a DIFFERENT manifest of the SAME
+    // byte length in the SAME millisecond: new uid (as writeManifest
+    // would generate), one changed rows digit, mtime pinned back
+    val oldUid = before.uid.get
+    val newUid = (if (oldUid.head == 'f') "0" else "f") + oldUid.tail
+    val oldRows = before.files.map(_.rows).sum
+    val lines = text.replace(s"uid=$oldUid", s"uid=$newUid").split("\n", -1)
+    val fi = lines.indexWhere(_.startsWith("file="))
+    assert(fi >= 0, "expected a flat file line")
+    val parts = lines(fi).split("\t", -1)
+    val r = parts(1).toLong
+    parts(1) = (if (r < 9) r + 1 else r - 1).toString // same digit count
+    lines(fi) = parts.mkString("\t")
+    val swapped = lines.mkString("\n")
+    assert(swapped.length == text.length, "edit must preserve byte length")
+    assert(swapped != text)
+    java.nio.file.Files.write(mpath, swapped.getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(mpath, mtime)
+    val after = GraftStore.latestManifest(dir, conf).get
+    assert(after.uid.contains(newUid),
+      "cache served the dropped table's manifest — uid check failed")
+    assert(after.files.map(_.rows).sum != oldRows,
+      "re-created manifest's content must be served, not the cached parse")
+  }
+
+  test("invalidateCaches purges entries for a scheme-less warehouse root") {
+    val dir = tmp() // raw /tmp/... path, as sqlWarehouse configs produce
+    import spark.implicits._
+    GraftStore.write(Seq((1L, "x")).toDF("k", "s"), dir, overwrite = true)
+    GraftStore.latestManifest(dir, GraftStore.driverConf()) // warm
+    assert(GraftStore.cachedUnder(dir) > 0, "cache should be warm")
+    GraftStore.invalidateCaches(dir)
+    assert(GraftStore.cachedUnder(dir) == 0,
+      "qualified listStatus keys must be purged from a raw-root prefix")
+  }
 }
