@@ -85,6 +85,37 @@ object Relational {
     graft.sources.GraftStore.materializeOnce(s, affinityRoot(dir))(
       affinityEdges(s, dir))
 
+  /** The customer↔supplier purchase-pair edge list (distinct
+    * (custkey, suppkey) pairs through orders⋈lineitem, prefixed node
+    * ids) — the shared derivation of graph_pagerank / graph_ppr and
+    * their stored twins. Distinct runs on the LONG key pair first so
+    * the dedup shuffle carries 16-byte rows, strings are built after
+    * (measured part of the r9 6-11 s → ~2 s pagerank fix). */
+  private def purchasePairs(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).join(lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
+
+  /** Store root for the materialized purchase-pair graph (the
+    * graph_pagerank_stored / graph_ppr_stored substrate). */
+  private def prGraphRoot(dir: String): String =
+    StoreRoots.tmpRoot("prgraph", dir)
+
+  /** Build-once / read-many purchase-pair graph: the orders⋈lineitem
+    * distinct runs at most once per process (attributed to
+    * graph_edges_stored in a forward sweep — it sorts before every
+    * consumer); stored twins pay scan + iteration only, the per-query
+    * profile of an ingest-maintained graph table at 100 TB. The r14
+    * shape had graph_pagerank_stored re-derive and re-write the store
+    * on every run, so the "iteration-only" twin silently carried the
+    * whole build — the one unexplained r14 perf mover (phase-split
+    * datum: build 1.69 s vs iterate 3.30 s at sf0.1, SCALE.md r15). */
+  private def storedPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.GraftStore.materializeOnce(s, prGraphRoot(dir))(
+      purchasePairs(s, dir))
+
   /** graph_spectral_cut power iterations — few enough to keep the
     * unrolled oracle readable, plenty for a stable sign structure. */
   private val SpectralIters = 8
@@ -955,12 +986,7 @@ object Relational {
       // GraphOps.pagerank, the degree agg), and without materialization
       // the orders⋈lineitem distinct pipeline re-runs once per
       // appearance — the dominant cost of the whole query at sf0.1.
-      val pairs = orders(s, dir).join(lineitem(s, dir),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey"), col("l_suppkey")).distinct()
-        .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
-          concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
-        .localCheckpoint()
+      val pairs = purchasePairs(s, dir).localCheckpoint()
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .union(pairs.select(col("s").as("src"), col("c").as("dst")))
       GraphOps.pagerank(edges, damping = 0.85, teleport = 0.15, iters = 3)
@@ -972,22 +998,21 @@ object Relational {
     // orders⋈lineitem distinct that dominates every self-contained graph
     // query) and persisted to graft-store; iterative consumers read the
     // snapshot back through the DSv2 scan instead of re-deriving it per
-    // query. The pagerank iteration downstream is byte-identical to the
+    // query. The build itself is graph_edges_stored's job (it sorts
+    // before this query in a forward sweep; materializeOnce covers any
+    // other order), so THIS query pays scan + iteration only — the r14
+    // shape re-derived and re-wrote the store inline on every run,
+    // which made the "iteration-only" twin the one stored query whose
+    // cost scaled with the rebuild (VERDICT r14 What's-wrong #1). The
+    // pagerank iteration downstream is byte-identical to the
     // self-contained twin, and the oracle IS the twin's oracle — a hash
     // match proves the store hop (write commit → manifest-pinned read)
     // is semantics-free for iterative consumers.
     "graph_pagerank_stored" -> { (s, dir) =>
-      val root = StoreRoots.tmpRoot("prgraph", dir)
-      val pairsSrc = orders(s, dir).join(lineitem(s, dir),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey"), col("l_suppkey")).distinct()
-        .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
-          concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
-      graft.sources.GraftStore.write(pairsSrc, root, overwrite = true)
       // localCheckpoint mirrors the twin (pairs feeds both union branches
       // and the degree agg); reading the snapshot is cheap, but identical
       // consumer shape keeps the two queries' timings comparable
-      val pairs = graft.sources.GraftStore.read(s, root).localCheckpoint()
+      val pairs = storedPurchasePairs(s, dir).localCheckpoint()
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .union(pairs.select(col("s").as("src"), col("c").as("dst")))
       GraphOps.pagerank(edges, damping = 0.85, teleport = 0.15, iters = 3)
@@ -1102,13 +1127,7 @@ object Relational {
     // 12 dp per-iteration rounding for oracle replay; the seed is a
     // 1-row metadata lookup, not a data collect.
     "graph_ppr" -> { (s, dir) =>
-      val pairs = orders(s, dir).join(lineitem(s, dir),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey"), col("l_suppkey")).distinct()
-        .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
-          concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
-        .localCheckpoint()
-      pprBody(pairs)
+      pprBody(purchasePairs(s, dir).localCheckpoint())
     },
     // Stored twin of graph_ppr: the purchase-pair edge table comes from
     // the SAME graft-store root graph_pagerank_stored maintains (built
@@ -1116,14 +1135,7 @@ object Relational {
     // the orders⋈lineitem rebuild leaves the query and PPR pays
     // iteration-only cost. Hash-equal under the shared oracle.
     "graph_ppr_stored" -> { (s, dir) =>
-      pprBody(graft.sources.GraftStore.materializeOnce(s,
-        StoreRoots.tmpRoot("prgraph", dir)) {
-        orders(s, dir).join(lineitem(s, dir),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey"), col("l_suppkey")).distinct()
-          .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
-            concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
-      }.localCheckpoint())
+      pprBody(storedPurchasePairs(s, dir).localCheckpoint())
     },
     // Modularity audit of the LPA communities — the quality score that
     // says whether graph_communities found structure or noise: per
@@ -1464,6 +1476,27 @@ object Relational {
         overwrite = true)
       graft.sources.GraftStore.read(s, root)
         .orderBy(col("pa"), col("pb"))
+    },
+    // The purchase-pair graph's materialization step as its own gated
+    // query (VERDICT r14 task #1's structural half): the
+    // orders⋈lineitem distinct derivation lands in graft-store HERE —
+    // this name sorts before every graph_*_stored consumer of the
+    // prgraph root, so in a forward sweep the stored twins measure
+    // iteration-only cost and no twin silently absorbs the build (the
+    // r14 graph_pagerank_stored pathology). Overwrite keeps the query
+    // self-contained: a fresh snapshot every run, content-deterministic
+    // so downstream materializeOnce reuse is semantics-free. The
+    // reported per-supplier degree top-20 reads from the STORE, so the
+    // hash gate proves write→commit→read lossless for this table too.
+    "graph_edges_stored" -> { (s, dir) =>
+      val root = prGraphRoot(dir)
+      graft.sources.GraftStore.write(purchasePairs(s, dir), root,
+        overwrite = true)
+      graft.sources.GraftStore.read(s, root)
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("s"))
+        .limit(20)
     },
     // Pearson correlation from exact decimal moment sums — the profiling
     // statistic (does discount correlate with quantity per return
@@ -2901,7 +2934,19 @@ object Relational {
     "graph_ppr_stored" -> baseOracles("graph_ppr"),
     "affinity_edges_stored" ->
       s"""WITH $affinitySql
-         |SELECT pa, pb FROM edges ORDER BY pa, pb""".stripMargin)
+         |SELECT pa, pb FROM edges ORDER BY pa, pb""".stripMargin,
+    // replays the purchase-pair derivation on raw parquet — a hash
+    // match proves the store hop (write → commit → manifest-pinned
+    // read) is lossless for the prgraph substrate the graph_*_stored
+    // twins consume
+    "graph_edges_stored" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+        |         's:' || CAST(l_suppkey AS VARCHAR) AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |)
+        |SELECT s, COUNT(*) AS n_customers FROM pairs GROUP BY s
+        |ORDER BY n_customers DESC, s LIMIT 20""".stripMargin)
 }
 
 /** Deterministic MEAN for hash-gated outputs. Two failure modes bracket
