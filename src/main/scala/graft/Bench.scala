@@ -28,6 +28,68 @@ import org.apache.spark.sql.SparkSession
   * would set per executor count.
   */
 object Bench {
+  /** One execution of a query: wall seconds (-1 = failed), shuffle WRITE
+    * bytes moved, and input bytes read off the scans — the two byte
+    * gauges are plan-deterministic for fixed data, which is what makes
+    * them gateable without ambient-noise tolerance bands. */
+  private[graft] case class Run(sec: Double, shuffle: Long, scan: Long)
+
+  /** Per-query budget record. `sec` is the wall-clock record (best known
+    * across driver rounds — gated at 5× but only for queries whose
+    * budget is ≥1 s; below that the wall gate was noise-dominated, r14's
+    * 29 ambient-only breaches). `shuffleMb`/`scanMb` are the
+    * DETERMINISTIC gauges (gated at 1.5× + 1 MB slack for AQE wobble,
+    * every query). Flat legacy entries (a bare number) parse as
+    * sec-only. */
+  private[graft] case class QBudget(sec: Option[Double],
+      shuffleMb: Option[Double], scanMb: Option[Double])
+
+  /** Parse bench_budget.json — either the legacy flat `{"q": 1.2}` or
+    * the structured `{"q": {"sec":1.2,"shuffle_mb":3.4,"scan_mb":5.6}}`
+    * form, mixed freely. */
+  private[graft] def parseBudgets(txt: String): Map[String, QBudget] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d) => Some(d)
+      case JInt(i) => Some(i.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case _ => None
+    }
+    JsonMethods.parse(txt) match {
+      case JObject(fields) => fields.collect {
+        case (name, o: JObject) =>
+          val m = o.obj.toMap
+          name -> QBudget(m.get("sec").flatMap(num),
+            m.get("shuffle_mb").flatMap(num), m.get("scan_mb").flatMap(num))
+        case (name, v) if num(v).isDefined =>
+          name -> QBudget(num(v), None, None)
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** The STRICT-mode breach rule, pure so BenchSpec pins it. Wall-clock
+    * (5×) applies only when the sec budget is ≥1 s — under that, r14
+    * measured the gate fires on ambient drift alone. The byte gauges
+    * apply to every query: they are deterministic, so a breach is a plan
+    * change, not noise. Returns human-readable breach descriptions. */
+  private[graft] def breaches(sec: Double, shuffle: Option[Long],
+      scan: Option[Long], b: QBudget): Seq[String] = {
+    val wall = for {
+      bs <- b.sec if bs >= 1.0 && sec >= 0 && sec > 5 * bs
+    } yield f"wall $sec%.2f s > 5x budget $bs%.2f s"
+    def bytesBreach(kind: String, got: Option[Long], budMb: Option[Double]) =
+      for {
+        bm <- budMb; g <- got
+        lim = (bm * 1.5 * 1e6 + 1e6)
+        if g > lim
+      } yield f"$kind ${g / 1e6}%.1f MB > 1.5x budget $bm%.1f MB"
+    (wall.toSeq ++ bytesBreach("shuffle", shuffle, b.shuffleMb) ++
+      bytesBreach("scan", scan, b.scanMb))
+  }
+
   /** Best (minimum) of the successful timings; -1 if every run failed.
     * Package-visible so BenchSpec pins the estimator (round 6 shipped a
     * broken call site of this exact helper — it now has a test). */
@@ -38,22 +100,24 @@ object Bench {
 
   /** Noise defense for the per-query loop: run `runOnce` `repeat` times,
     * and if the best SUCCESSFUL timing still exceeds 5× the query's
-    * budget, run up to `maxRetries` more times. BENCH_r10 carried three
-    * false overruns (layout_partition_prune 2.33 s vs 0.44 s in the
-    * same-round clean run) — ambient noise on a shared box only ever ADDS
-    * time, so extra samples can only move the minimum toward the true
-    * plan cost, never away from it. Returns all runs plus how many
-    * retries were taken (surfaced in the output JSON so a retried query
-    * is distinguishable from a clean one). */
+    * wall budget, run up to `maxRetries` more times. BENCH_r10 carried
+    * three false overruns (layout_partition_prune 2.33 s vs 0.44 s in
+    * the same-round clean run) — ambient noise on a shared box only ever
+    * ADDS time, so extra samples can only move the minimum toward the
+    * true plan cost, never away from it. Only wall-gated queries (sec
+    * budget ≥1 s) retry: the byte gauges are deterministic and gain
+    * nothing from resampling. Returns all runs plus how many retries
+    * were taken (surfaced in the output JSON so a retried query is
+    * distinguishable from a clean one). */
   private[graft] def runsWithRetry(
-      runOnce: () => (Double, Long),
+      runOnce: () => Run,
       repeat: Int,
       budget: Option[Double],
-      maxRetries: Int = 2): (Seq[(Double, Long)], Int) = {
+      maxRetries: Int = 2): (Seq[Run], Int) = {
     var runs = Vector.fill(repeat)(runOnce())
     var retries = 0
     def over: Boolean = budget.exists { b =>
-      val s = best(runs.map(_._1)); s >= 0 && s > 5 * b
+      val s = best(runs.map(_.sec)); s >= 0 && s > 5 * b
     }
     while (retries < maxRetries && over) {
       runs = runs :+ runOnce()
@@ -62,12 +126,12 @@ object Bench {
     (runs, retries)
   }
 
-  /** Minimum shuffle-byte delta over SUCCESSFUL runs only — a run that
-    * failed mid-shuffle under-reports its volume, so failed runs must not
+  /** Minimum metric over SUCCESSFUL runs only — a run that failed
+    * mid-shuffle under-reports its volume, so failed runs must not
     * contribute (they did in r10). None when every run failed, mirroring
     * the timing's null. */
-  private[graft] def bestShuffle(runs: Seq[(Double, Long)]): Option[Long] = {
-    val ok = runs.collect { case (sec, b) if sec >= 0 => b }
+  private[graft] def bestBytes(runs: Seq[Run], pick: Run => Long): Option[Long] = {
+    val ok = runs.collect { case r if r.sec >= 0 => pick(r) }
     if (ok.isEmpty) None else Some(ok.min)
   }
 
@@ -89,10 +153,17 @@ object Bench {
     * localCheckpoint materializations, which are part of its cost). */
   private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** Input bytes read by scans — the second deterministic per-query
+      * gauge (a scan reading more than budget means pruning/pushdown
+      * regressed, the thing wall-clock can't see under ambient noise). */
+    val scanBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onStageCompleted(
         s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val m = s.stageInfo.taskMetrics
-      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        scanBytes.addAndGet(m.inputMetrics.bytesRead)
+      }
     }
   }
 
@@ -192,10 +263,12 @@ object Bench {
     // post-hoc warning.
     val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "bench_budget.json")
     val budgetFile = new java.io.File(budgetPath)
-    val budget: Map[String, Double] = if (budgetFile.isFile) {
+    val budget: Map[String, QBudget] = if (budgetFile.isFile) {
       val txt = new String(java.nio.file.Files.readAllBytes(budgetFile.toPath), "UTF-8")
-      """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r
-        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      try parseBudgets(txt) catch { case e: Throwable =>
+        System.err.println(s"[bench] could not parse $budgetPath: ${e.getMessage}")
+        Map.empty
+      }
     } else Map.empty
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
@@ -210,6 +283,7 @@ object Bench {
       val runOnce = () => {
         drainListenerBus(spark.sparkContext)
         val b0 = tally.bytes.get()
+        val s0 = tally.scanBytes.get()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
@@ -217,56 +291,65 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         drainListenerBus(spark.sparkContext)
-        val moved = tally.bytes.get() - b0
-        (if (ok) sec else -1.0, moved)
+        Run(if (ok) sec else -1.0,
+          tally.bytes.get() - b0, tally.scanBytes.get() - s0)
       }
-      val (runs, retries) = runsWithRetry(runOnce, repeat, budget.get(name))
+      // Only wall-gated queries (sec budget >=1 s) take noise-defense
+      // retries — the sub-second wall gate was retired as noise-dominated
+      val wallBudget = budget.get(name).flatMap(_.sec).filter(_ >= 1.0)
+      val (runs, retries) = runsWithRetry(runOnce, repeat, wallBudget)
       if (retries > 0)
         System.err.println(f"[bench] $name over budget after $repeat runs; " +
-          f"retried $retries more, best ${best(runs.map(_._1))}%.2f s")
+          f"retried $retries more, best ${best(runs.map(_.sec))}%.2f s")
       releaseState(spark)
       // Every 10th query, force a full GC so the ContextCleaner reclaims
       // dead broadcasts/shuffles before they inflate later timings.
       if ((idx + 1) % 10 == 0) System.gc()
       if (trace) System.err.println(
         s"[trace] ${System.currentTimeMillis()} stop $name " +
-          f"best=${best(runs.map(_._1))}%.3f")
-      // Shuffle volume is plan-deterministic — min over SUCCESSFUL runs
+          f"best=${best(runs.map(_.sec))}%.3f")
+      // Byte gauges are plan-deterministic — min over SUCCESSFUL runs
       // discards stragglers attributed across a run boundary by async
       // delivery and partial deltas from failed runs.
-      (name, best(runs.map(_._1)), runs.count(_._1 < 0),
-        bestShuffle(runs), retries)
+      (name, best(runs.map(_.sec)), runs.count(_.sec < 0),
+        bestBytes(runs, _.shuffle), retries, bestBytes(runs, _.scan))
     }
     // An all-failed query reports null (not a -1 sentinel) so consumers
     // summing or plotting per-query values can't mistake it for a timing.
-    val qs = results.map { case (k, v, _, _, _) =>
+    val qs = results.map { case (k, v, _, _, _, _) =>
         "\"" + k + "\":" + (if (v >= 0) f"$v%.3f" else "null")
       }.mkString("{", ",", "}")
     // A best-of-N over only the successful runs hides flakiness — surface
     // any query that failed at least once so a clean minimum is
     // distinguishable from a partial one.
-    val failed = results.collect { case (k, _, nf, _, _) if nf > 0 => "\"" + k + s"\":$nf" }
+    val failed = results.collect { case (k, _, nf, _, _, _) if nf > 0 => "\"" + k + s"\":$nf" }
       .mkString("{", ",", "}")
     // Shuffle write bytes per query — the bytes that become NETWORK
     // traffic on a real cluster; time hides them at local[32] where a
     // shuffle is a memory copy, so they're first-class bench output.
-    val shuffle = results.map { case (k, _, _, sb, _) =>
+    val shuffle = results.map { case (k, _, _, sb, _, _) =>
         "\"" + k + "\":" + sb.map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    // Scan input bytes per query — what the file sources actually read;
+    // a pruning/pushdown regression moves this number even when ambient
+    // noise hides it in the timing.
+    val scan = results.map { case (k, _, _, _, _, sc) =>
+        "\"" + k + "\":" + sc.map(_.toString).getOrElse("null")
       }.mkString("{", ",", "}")
     // Queries that needed noise-defense retries — transparency so a
     // retried minimum is auditable against the budget it was checked by.
-    val retried = results.collect { case (k, _, _, _, r) if r > 0 => "\"" + k + s"\":$r" }
+    val retried = results.collect { case (k, _, _, _, r, _) if r > 0 => "\"" + k + s"\":$r" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffle,"retried":$retried,"sf":"$sfDir","repeat":$repeat}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_bytes":$shuffle,"scan_bytes":$scan,"retried":$retried,"sf":"$sfDir","repeat":$repeat}"""
     println(line)
     // The full line above grew past the driver's tail-capture window as
     // the query surface did (BENCH_r07 scraped a decapitated line →
     // parsed:null). Print a compact total-only record LAST so a
     // tail-anchored scraper always gets one complete JSON line; the full
     // per-query record stays in the line above and in SPARK_GRAFT_BENCH_OUT.
-    val nFailed = results.count(_._3 > 0)
+    val nFailed = results.count(r => r._3 > 0)
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","repeat":$repeat,"full":"$outPath"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -274,21 +357,22 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    // Per-query regression budget: bench_budget.json records the best
-    // known per-query seconds across driver rounds. A query still >5× its
-    // budget AFTER the in-loop retries is a genuine regression (or a
-    // stale budget), not noise — warn; with
-    // SPARK_GRAFT_BENCH_BUDGET_STRICT=1 (local runs only — the driver
-    // harness must never fail on ambient noise) the process exits 3 so a
-    // regression like round 8's 24 s graph_pagerank surfaces BEFORE the
-    // driver run instead of eating 20% of the bench contract.
+    // Per-query regression budgets (see QBudget/breaches): wall-clock at
+    // 5× for queries budgeted ≥1 s (retry-defended), and the
+    // DETERMINISTIC shuffle/scan byte gauges at 1.5×+1 MB for every
+    // query — r14's 29 sub-second wall breaches were all ambient drift,
+    // so the small-query gate now rides on bytes, which only move when
+    // the plan does. Warn always; with SPARK_GRAFT_BENCH_BUDGET_STRICT=1
+    // (local runs only — the driver harness must never fail on ambient
+    // noise) the process exits 3 so a regression like round 8's 24 s
+    // graph_pagerank surfaces BEFORE the driver run.
     if (budget.nonEmpty) {
-      val over = results.collect {
-        case (name, sec, _, _, _) if sec >= 0 && budget.get(name).exists(b => sec > 5 * b) =>
-          (name, sec, budget(name))
+      val over = results.flatMap { case (name, sec, _, sb, _, sc) =>
+        budget.get(name).toSeq.flatMap(b =>
+          breaches(sec, sb, sc, b).map(msg => (name, msg)))
       }
-      over.foreach { case (n, s, b) =>
-        System.err.println(f"[bench] BUDGET EXCEEDED: $n took $s%.2f s, budget $b%.2f s (>5x, survived retries)")
+      over.foreach { case (n, msg) =>
+        System.err.println(s"[bench] BUDGET EXCEEDED: $n — $msg (survived retries)")
       }
       if (over.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_BUDGET_STRICT").contains("1")) {
         spark.stop(); sys.exit(3)
