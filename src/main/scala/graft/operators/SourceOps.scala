@@ -1085,6 +1085,46 @@ object SourceOps {
             .cast("double").as("sum_price"),
           min(col("o_orderkey")).cast("long").as("min_key"),
           max(col("o_orderkey")).cast("long").as("max_key"))
+    },
+    // Declarative clustering through DDL — `PARTITIONED BY` on a
+    // catalog table (VERDICT r14 task #6): CREATE ... PARTITIONED BY
+    // (o_orderdate) records clustering metadata in the manifest, and
+    // the INSERT's write REQUIRES (RequiresDistributionAndOrdering)
+    // range distribution + sort on the column — Catalyst plans the
+    // exchange, each task writes a contiguous date slice, and per-file
+    // min/max stats become a partition index. The one-year readback
+    // prunes files at PLANNING time through plain SQL (plan-gated
+    // kept<total); the oracle replays the same year on raw parquet, so
+    // a hash match proves the clustered layout is semantics-free. At
+    // 100 TB this is the ingest-owned layout: writers pay one range
+    // shuffle, every date-bounded reader afterward skips most of the
+    // table without a partition-directory scheme.
+    "src_store_clustered" -> { (s, dir) =>
+      val wh = SourceOps.sqlWarehouse
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+      s.sql("DROP TABLE IF EXISTS graft.gold.orders_clustered")
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_gclu")
+      s.sql(
+        """CREATE TABLE graft.gold.orders_clustered
+          |PARTITIONED BY (o_orderdate)
+          |TBLPROPERTIES ('write.partitions'='8') AS
+          |SELECT * FROM orders_src_gclu""".stripMargin)
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+          |    AS sum_price,
+          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+          |FROM graft.gold.orders_clustered
+          |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
     })
 
   /** The docgen oracle replays `DocGen`'s splitmix64 chain in DuckDB.
@@ -1533,5 +1573,19 @@ object SourceOps {
         |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
         |FROM orders
-        |WHERE o_orderkey BETWEEN 100 AND 300""".stripMargin)
+        |WHERE o_orderkey BETWEEN 100 AND 300""".stripMargin,
+    // the clustered-table oracle aggregates raw parquet over the same
+    // year — a hash match proves the PARTITIONED BY layout (range
+    // exchange + sort + stats-pruned readback) changed plans, not data
+    "src_store_clustered" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
 }

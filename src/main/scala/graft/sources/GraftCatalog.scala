@@ -228,14 +228,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: partition transforms are not supported (the store " +
-        "layouts via Layout.writeZordered/bucketing instead)")
+    // `PARTITIONED BY (col, ...)` — identity transforms only — records
+    // CLUSTERING metadata: the store keeps a flat data directory, and
+    // every write is required (RequiresDistributionAndOrdering) to
+    // arrive range-distributed + sorted on these columns, so the
+    // existing per-file min/max skipping becomes planning-time
+    // partition pruning. Hive-style bucket/days/hours transforms would
+    // need directory layouts the manifest deliberately avoids.
+    val cluster = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1,
+        s"graft catalog: unsupported partition transform $t — only " +
+          "top-level identity columns (PARTITIONED BY (col, ...)) " +
+          "cluster a graft-store table")
+      val col = t.references()(0).fieldNames()(0)
+      require(schema.fieldNames.contains(col),
+        s"graft catalog: partition column $col is not in the table schema")
+      col
+    }
+    // `TBLPROPERTIES ('write.partitions'='N')` pins the clustered
+    // write's range-shuffle fan-out; without it AQE sizes the shuffle
+    // (advisory-sized files — right at cluster scale, but a table
+    // smaller than one advisory partition lands in a single file)
+    val clusterParts = Option(properties.get("write.partitions"))
+      .map { p =>
+        require(cluster.nonEmpty,
+          "graft catalog: write.partitions requires PARTITIONED BY columns")
+        val n = p.toInt
+        require(n > 0, s"graft catalog: write.partitions must be positive, got $p")
+        n
+      }.getOrElse(0)
     val root = rootFor(ident)
     fsys.mkdirs(new HPath(root))
     // the v1 slot claim IS the existence check — atomic against racing
     // CREATEs, unlike exists()-then-create
-    try GraftStore.writeManifest(root, conf, 1L, schema, Seq.empty)
+    try GraftStore.writeManifest(root, conf, 1L, schema, Seq.empty,
+      cluster = cluster, clusterParts = clusterParts)
     catch {
       case _: GsbCommitRaceException => throw new TableAlreadyExistsException(ident)
     }
@@ -287,6 +315,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     var outSchema: StructType = null
     GraftStore.commitLoop(root, conf) { prev =>
       val base = prev.getOrElse(throw new NoSuchTableException(ident))
+      // clustering columns are load-bearing for the write contract and
+      // the pruning story — dropping or renaming one would silently
+      // detach the declared layout from the data; fail loudly instead
+      // (re-clustering = CREATE a new table and INSERT, like Iceberg's
+      // replace-partition-spec, which this store does not model)
+      changes.foreach {
+        case del: TableChange.DeleteColumn
+            if base.cluster.contains(del.fieldNames()(0)) =>
+          throw new IllegalArgumentException(
+            s"graft catalog: ${del.fieldNames()(0)} is a clustering " +
+              "(PARTITIONED BY) column and cannot be dropped")
+        case ren: TableChange.RenameColumn
+            if base.cluster.contains(ren.fieldNames()(0)) =>
+          throw new IllegalArgumentException(
+            s"graft catalog: ${ren.fieldNames()(0)} is a clustering " +
+              "(PARTITIONED BY) column and cannot be renamed")
+        case _ => ()
+      }
       var colops = base.colops
       def tombstones = colops.map(_.from).toSet
       outSchema = changes.foldLeft(base.schema) { (sch, ch) =>

@@ -126,7 +126,23 @@ private[sources] case class GsbManifest(version: Long, schema: StructType,
       * manifests that landed on the same path with equal length in the
       * same millisecond (DROP + re-CREATE), which (mtime, length) cache
       * validation cannot. None for manifests written before r15. */
-    uid: Option[String] = None) {
+    uid: Option[String] = None,
+    /** Declared clustering columns (`cluster=` line) — the table's
+      * `PARTITIONED BY` metadata. The store does NOT lay out partition
+      * directories; instead every write against a clustered table is
+      * required (via `RequiresDistributionAndOrdering`) to arrive
+      * range-distributed and sorted on these columns, so each data
+      * file covers a narrow [min,max] slice and the EXISTING file-stats
+      * skipping becomes planning-time partition pruning. One metadata
+      * line, zero read-path changes — the Iceberg hidden-clustering
+      * shape rather than the Hive directory shape. */
+    cluster: Seq[String] = Seq.empty,
+    /** Declared write fan-out for clustered tables (`clusterparts=`
+      * line, from the `write.partitions` table property). 0 = let AQE
+      * size the range shuffle (the 100 TB default: ~advisory-sized
+      * files); >0 pins the partition count — small tables would
+      * otherwise coalesce to ONE file and have nothing to prune. */
+    clusterParts: Int = 0) {
   /** Names no new column may ever take (see [[GsbColOp]]): every colop
     * vacates its `from`, drop and rename alike. */
   def tombstones: Set[String] = colops.map(_.from).toSet
@@ -532,8 +548,14 @@ object GraftStore {
           l.stripPrefix("ts=").toLong }
         val uid = lines.collectFirst { case l if l.startsWith("uid=") =>
           l.stripPrefix("uid=") }
+        val cluster = lines.collectFirst { case l if l.startsWith("cluster=") =>
+          l.stripPrefix("cluster=").split("\t", -1).toSeq.filter(_.nonEmpty) }
+          .getOrElse(Seq.empty)
+        val clusterParts = lines.collectFirst {
+          case l if l.startsWith("clusterparts=") =>
+            l.stripPrefix("clusterparts=").toInt }.getOrElse(0)
         Some(GsbManifest(ver, schema, files, epochs, colops, ts,
-          chunkRefs.toSeq, uid))
+          chunkRefs.toSeq, uid, cluster, clusterParts))
       }
     } finally in.close()
   }
@@ -549,7 +571,9 @@ object GraftStore {
       schema: StructType, files: Seq[GsbFile],
       epochs: Set[String] = Set.empty,
       colops: Seq[GsbColOp] = Seq.empty,
-      prev: Option[GsbManifest] = None): Unit = {
+      prev: Option[GsbManifest] = None,
+      cluster: Seq[String] = Seq.empty,
+      clusterParts: Int = 0): Unit = {
     val f = fs(root, conf)
     val dir = new HPath(root, "manifest")
     f.mkdirs(dir)
@@ -648,6 +672,12 @@ object GraftStore {
             "the line-oriented manifest")
         ln(s"colop=${op.kind}\t${op.from}\t${op.to}")
       }
+      if (cluster.nonEmpty) {
+        cluster.foreach(c => require(!c.contains("\t") && !c.contains("\n"),
+          s"graft-store: cluster column name '$c' would corrupt the manifest"))
+        ln("cluster=" + cluster.mkString("\t"))
+        if (clusterParts > 0) ln(s"clusterparts=$clusterParts")
+      }
       // commit wall-clock (millis) — the TIMESTAMP AS OF anchor
       ln(s"ts=${System.currentTimeMillis()}")
       ln("end")
@@ -679,8 +709,14 @@ object GraftStore {
         case None => return
         case Some(GsbNext(schema, files, epochs, colops)) =>
           try {
+            // clustering metadata is table-level and survives every
+            // commit shape (append/overwrite/DML/compact/evolution) —
+            // propagated HERE so no GsbNext builder can silently drop
+            // it, the same hazard the colop carry comment warns about
             writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
-              schema, files, epochs, colops, prev)
+              schema, files, epochs, colops, prev,
+              cluster = prev.map(_.cluster).getOrElse(Seq.empty),
+              clusterParts = prev.map(_.clusterParts).getOrElse(0))
             return
           } catch {
             case e: GsbCommitRaceException =>
@@ -1070,6 +1106,18 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
+  /** The table's declared clustering columns as identity transforms —
+    * what SHOW CREATE TABLE / DESCRIBE report as the partitioning. The
+    * physical contract lives in the write path (see
+    * [[GsbWriteBuilder.build]]): clustered tables require range
+    * distribution + sort on these columns, which makes per-file
+    * min/max stats the partition index. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    GraftStore.latestManifest(root, GraftStore.driverConf())
+      .map(_.cluster).getOrElse(Seq.empty)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+
   /** Surfaced by DESCRIBE EXTENDED: the snapshot this table resolves to
     * and every published ref — the at-a-glance lineage a user checks
     * before pinning. O(refs) driver-side metadata reads. */
@@ -1168,7 +1216,55 @@ private[sources] class GsbWriteBuilder(root: String, info: LogicalWriteInfo)
     this
   }
 
-  override def build(): Write = new Write {
+  /** For clustered tables ([[GsbManifest.cluster]]): every write must
+    * arrive RANGE-distributed and sorted on the cluster columns.
+    * Declared through the standard DSv2
+    * `RequiresDistributionAndOrdering` contract, so Catalyst plans the
+    * exchange+sort itself (AQE-sized, spilling, codegen — nothing
+    * hand-rolled). Range (not hash/identity) distribution is the
+    * stats-friendly layout: each task owns a CONTIGUOUS key slice, so
+    * each data file's per-column [min,max] is narrow and the existing
+    * planning-time file skipping becomes partition pruning. A hash
+    * clustering would give files near-domain-wide min/max envelopes
+    * and skip nothing. */
+  private class GsbClusteredWrite(inner: Write, cluster: Seq[String],
+      parts: Int)
+      extends Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    private def orders = cluster.map(c =>
+      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions.ordered(orders)
+    override def requiredOrdering() = orders
+    /** 0 lets AQE size the range shuffle (advisory-sized files — the
+      * cluster-scale default); the `write.partitions` table property
+      * pins it, without which a small table coalesces to one file and
+      * stats pruning has nothing to drop. */
+    override def requiredNumPartitions(): Int = parts
+    override def toBatch: BatchWrite = inner.toBatch
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      inner.toStreaming
+    override def description(): String =
+      s"${inner.description()} clustered=${cluster.mkString(",")}"
+  }
+
+  override def build(): Write = {
+    val base = buildBase()
+    val m = GraftStore.latestManifest(root, GraftStore.driverConf())
+    val cluster = m.map(_.cluster).getOrElse(Seq.empty)
+    // only require the distribution when every cluster column is in the
+    // written schema (a widened/projected write of other columns must
+    // not fail planning — stats stay conservative for absent columns)
+    val names = info.schema().fieldNames.toSet
+    if (cluster.nonEmpty && cluster.forall(names.contains))
+      new GsbClusteredWrite(base, cluster, m.map(_.clusterParts).getOrElse(0))
+    else base
+  }
+
+  private def buildBase(): Write = new Write {
     override def toBatch: BatchWrite = {
       // fail fast on ILLEGAL schema drift BEFORE any task writes a byte;
       // legal EVOLUTION (same-typed stored columns + nullable new ones)
@@ -1759,6 +1855,12 @@ private[sources] object GsbStats {
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(x))
     case (x: java.time.Instant, TimestampType) => Some(
       org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(x))
+    // TIMESTAMP_NTZ pushes its literal as LocalDateTime (the Java 8 API
+    // external form NTZ always uses); without this case every NTZ
+    // predicate silently kept all files — found by the clustered-table
+    // date-pruning gate, whose parquet fixture reads as NTZ
+    case (x: java.time.LocalDateTime, TimestampNTZType) => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(x))
     case (x: java.sql.Date, DateType) => Some(
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(x))
     case (x: java.time.LocalDate, DateType) => Some(

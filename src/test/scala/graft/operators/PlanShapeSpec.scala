@@ -456,6 +456,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains(" v2 "), p)
   }
 
+  test("src_store_clustered: a date predicate prunes the PARTITIONED BY table's files") {
+    // the CTAS write arrives range-distributed+sorted on o_orderdate
+    // (RequiresDistributionAndOrdering), so per-file min/max stats are
+    // contiguous date slices — the one-year readback must keep strictly
+    // fewer files than the snapshot holds, at PLANNING time through SQL
+    val p = plan("src_store_clustered")
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, p)
+    assert(m.get.group(2).toInt > 1, "clustered table should hold several files: " + p)
+    assert(m.get.group(1).toInt < m.get.group(2).toInt, p)
+  }
+
   test("src_store_skip: the key-range query drops files at planning time") {
     // range-clustered 8-file store + key range → the scan description
     // must show fewer than 8 files kept (manifest min/max skipping)

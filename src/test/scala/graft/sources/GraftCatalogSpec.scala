@@ -501,4 +501,66 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.dollar.`a$b$snapshots`")
       .head.getLong(0) == 2) // v1 CREATE + 1 append
   }
+
+  test("PARTITIONED BY clusters writes: per-file ranges disjoint, metadata survives appends") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    spark.sql("DROP TABLE IF EXISTS graft.cl.ev")
+    spark.sql(
+      "CREATE TABLE graft.cl.ev (k BIGINT, v STRING) PARTITIONED BY (k) " +
+        "TBLPROPERTIES ('write.partitions'='6')")
+    val root = s"$warehouse/cl/ev"
+    val conf = GraftStore.driverConf()
+    assert(GraftStore.latestManifest(root, conf).get.cluster == Seq("k"),
+      "CREATE must record the clustering column in the manifest")
+    spark.sql(
+      "INSERT INTO graft.cl.ev SELECT id, CAST(id AS STRING) FROM range(0, 10000)")
+    // the write was REQUIRED to arrive range-distributed+sorted on k:
+    // several files, each covering a contiguous slice — pairwise
+    // disjoint [min,max] ranges (boundaries may touch, never overlap)
+    val m = GraftStore.latestManifest(root, conf).get
+    assert(m.cluster == Seq("k"), "clustering metadata must survive the append")
+    val ranges = m.files.flatMap { f =>
+      f.stats.get("k").map(s => (s._1.toString.toLong, s._2.toString.toLong))
+    }.sortBy(_._1)
+    assert(ranges.size > 1, s"expected a multi-file clustered layout: $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges overlap: $ranges")
+      case _ => ()
+    }
+    // planning-time pruning through SQL: a point predicate keeps 1 file
+    val q = spark.sql("SELECT count(*) FROM graft.cl.ev WHERE k = 4321")
+    val leaf = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    val kept = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(leaf).get
+    assert(kept.group(1).toInt < kept.group(2).toInt, leaf)
+    assert(q.head.getLong(0) == 1L)
+    // appends keep clustering too (second INSERT goes through commitLoop)
+    spark.sql("INSERT INTO graft.cl.ev VALUES (20000, 'x')")
+    assert(GraftStore.latestManifest(root, conf).get.cluster == Seq("k"))
+  }
+
+  test("PARTITIONED BY guards: non-identity transforms and cluster-column DDL rejected") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    val bucketErr = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.cl.bad (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (bucket(4, k))")
+    }
+    assert(bucketErr.getMessage.contains("identity") ||
+      bucketErr.getMessage.contains("unsupported"), bucketErr.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graft.cl.guard")
+    spark.sql("CREATE TABLE graft.cl.guard (k BIGINT, v STRING) PARTITIONED BY (k)")
+    val dropErr = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cl.guard DROP COLUMN k")
+    }
+    assert(dropErr.getMessage.contains("clustering"), dropErr.getMessage)
+    val renErr = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cl.guard RENAME COLUMN k TO kk")
+    }
+    assert(renErr.getMessage.contains("clustering"), renErr.getMessage)
+    // non-cluster columns still evolve freely
+    spark.sql("ALTER TABLE graft.cl.guard ADD COLUMNS (extra STRING)")
+    assert(spark.table("graft.cl.guard").columns.contains("extra"))
+  }
 }
