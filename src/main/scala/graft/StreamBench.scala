@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{DocStream, EventStream}
+
+/** Streaming latency/throughput benchmark (VERDICT r14 task #7): the
+  * streaming twins are parity-PROVEN (stream==batch specs) but were
+  * never MEASURED. This main drives the three stateful shapes —
+  * incremental dedup gate (bloom-guarded row-local classification),
+  * per-user transition chaining (flatMapGroupsWithState, NoTimeout),
+  * burst-period detection (flatMapGroupsWithState, event-time timeout)
+  * — over SPARK_GRAFT_SF_DIR staged as an 8-file parquet stream with
+  * `maxFilesPerTrigger=1`, so each query executes 8 real micro-batches
+  * against the noop sink.
+  *
+  * Prints ONE JSON line (and writes it to SPARK_GRAFT_STREAM_OUT,
+  * default stream_bench.json): per shape, total input rows, micro-batch
+  * count, wall seconds, rows/s, and min/p50/max per-batch
+  * triggerExecution millis off `StreamingQuery.recentProgress` — the
+  * numbers a capacity plan reads. Budgets: entries named `stream_<shape>`
+  * in bench_budget.json gate wall seconds at 5x under
+  * SPARK_GRAFT_BENCH_BUDGET_STRICT=1, same contract as Bench. */
+object StreamBench {
+  case class ShapeResult(name: String, rows: Long, batches: Int,
+      wallSec: Double, batchMs: Seq[Long])
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "stream_bench.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nFiles = 8
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def tmp(name: String): String =
+      java.nio.file.Files.createTempDirectory(s"sbench_$name").toString
+
+    // staging: micros-normalized events split into nFiles TIME slices,
+    // written sequentially so the file source (which orders batches by
+    // file modification time) replays them in event-time order — the
+    // arrival shape a real event stream has, and the one the
+    // event-time-timeout state in burstPeaks requires (a randomly
+    // sliced replay races the watermark past later slices' events)
+    val evDir = tmp("events")
+    val ev0 = graft.operators.Tables.events(spark, sfDir)
+      .withColumn("_us", expr("unix_micros(ts)"))
+    val bounds = ev0.agg(min(col("_us")), max(col("_us"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val step = math.max((hi - lo) / nFiles + 1, 1L)
+    (0 until nFiles).foreach { i =>
+      ev0.filter(col("_us") >= lo + i * step && col("_us") < lo + (i + 1) * step)
+        .drop("_us").coalesce(1)
+        .write.mode("append").parquet(evDir)
+      Thread.sleep(5) // distinct mod times => deterministic replay order
+    }
+    val evSchema = spark.read.parquet(evDir).schema
+    // dedup gate inputs: the incoming batch (doc_id%5==0, the
+    // dedup_incremental slice) streams; the corpus remainder is the
+    // batch-side index the bloom filters ride on
+    val docs = graft.operators.Tables.documents(spark, sfDir)
+    val docDir = tmp("docs")
+    docs.filter(col("doc_id") % 5 === 0)
+      .repartition(nFiles).write.mode("overwrite").parquet(docDir)
+    val docSchema = spark.read.parquet(docDir).schema
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val existingCount = existing.count()
+
+    def evStream: DataFrame = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", 1).parquet(evDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+
+    def run(name: String)(build: => DataFrame): ShapeResult = {
+      val q = build.writeStream.format("noop")
+        .option("checkpointLocation", tmp(s"ckpt_$name"))
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      try {
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val withRows = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        ShapeResult(name,
+          withRows.map(_.numInputRows).sum,
+          withRows.size,
+          wall,
+          withRows.flatMap(p =>
+            Option(p.durationMs.get("triggerExecution")).map(_.longValue())))
+      } finally q.stop()
+    }
+
+    // JIT warm pass over a single-file copy so shape 1 isn't charged
+    // for codegen/startup the other shapes skip
+    run("warmup") {
+      EventStream.transitionPairs(
+        spark.readStream.schema(evSchema).option("maxFilesPerTrigger", nFiles)
+          .parquet(evDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStream.Ev]).toDF()
+    }
+
+    val shapes = Seq(
+      run("dedup_gate") {
+        DocStream.classifyIncremental(
+          spark.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", 1).parquet(docDir),
+          "text", existing, "text",
+          expectedItems = math.max(existingCount, 1), fpp = 1e-6)
+      },
+      run("transitions") {
+        EventStream.transitionPairs(evStream.as[EventStream.Ev]).toDF()
+      },
+      run("burst") {
+        EventStream.burstPeaks(evStream.as[EventStream.Ev]).toDF()
+      })
+
+    def pct(xs: Seq[Long], p: Double): Long =
+      if (xs.isEmpty) 0L
+      else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+    val shapeJson = shapes.map { r =>
+      val rps = if (r.wallSec > 0) r.rows / r.wallSec else 0.0
+      f""""${r.name}":{"rows":${r.rows},"batches":${r.batches},""" +
+        f""""wall_sec":${r.wallSec}%.3f,"rows_per_sec":${rps}%.0f,""" +
+        f""""batch_ms_min":${if (r.batchMs.isEmpty) 0L else r.batchMs.min},""" +
+        f""""batch_ms_p50":${pct(r.batchMs, 0.5)},"batch_ms_max":${if (r.batchMs.isEmpty) 0L else r.batchMs.max}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"stream_bench","sf":"$sfDir","n_files":$nFiles,"shapes":$shapeJson}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[stream-bench] could not write $outPath: ${e.getMessage}")
+    }
+
+    // same budget contract as Bench: stream_<shape> entries gate wall
+    // seconds at 5x in STRICT mode (local runs only)
+    val budgetFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "bench_budget.json"))
+    if (budgetFile.isFile) {
+      val budgets = Bench.parseBudgets(new String(
+        java.nio.file.Files.readAllBytes(budgetFile.toPath), "UTF-8"))
+      val over = shapes.flatMap(r =>
+        budgets.get(s"stream_${r.name}").flatMap(_.sec).collect {
+          case b if r.wallSec > 5 * b =>
+            f"stream_${r.name} wall ${r.wallSec}%.2f s > 5x budget $b%.2f s"
+        })
+      over.foreach(m => System.err.println(s"[stream-bench] BUDGET EXCEEDED: $m"))
+      if (over.nonEmpty &&
+          sys.env.get("SPARK_GRAFT_BENCH_BUDGET_STRICT").contains("1")) {
+        spark.stop(); sys.exit(3)
+      }
+    }
+    spark.stop()
+  }
+}
