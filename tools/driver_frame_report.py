@@ -55,6 +55,9 @@ def main():
     rows = []
     for name, sec in sorted(qs.items()):
         b = budget.get(name)
+        # r15 structured budgets: {"sec":..., "shuffle_mb":..., "scan_mb":...}
+        if isinstance(b, dict):
+            b = b.get("sec")
         if b is None:
             continue
         est = sec * args.factor
