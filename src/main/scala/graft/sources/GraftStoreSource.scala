@@ -989,8 +989,19 @@ object GraftStore {
     * manifest at planning time and overwrite never deletes data files
     * inline, so the rewrite reads a stable snapshot and the swap is one
     * atomic manifest publish. Old files become vacuum fodder. */
-  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit =
-    write(read(spark, path).repartition(targetFiles), path, overwrite = true)
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val clustered = latestManifest(path, driverConf()).exists(_.cluster.nonEmpty)
+    val df = read(spark, path)
+    // a CLUSTERED table re-clusters on rewrite: its write already
+    // requires range distribution + sort on the cluster columns, so a
+    // hash repartition here would just add a shuffle whose layout the
+    // required exchange immediately replaces — and the fan-out comes
+    // from clusterParts/AQE, not targetFiles. Compaction is therefore
+    // also the RE-CLUSTER operation: appended snapshots whose files
+    // overlap in range come out as contiguous slices again.
+    write(if (clustered) df else df.repartition(targetFiles),
+      path, overwrite = true)
+  }
 
   /** Path-based row-level DELETE — the API twin of the catalog's
     * `DELETE FROM ... WHERE` (same [[GsbDelete]] copy-on-write: files

@@ -540,6 +540,72 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(GraftStore.latestManifest(root, conf).get.cluster == Seq("k"))
   }
 
+  test("compact re-clusters: overlapping appended ranges come out contiguous again") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    spark.sql("DROP TABLE IF EXISTS graft.cl.recl")
+    spark.sql("CREATE TABLE graft.cl.recl (k BIGINT, v STRING) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.partitions'='4')")
+    val root = s"$warehouse/cl/recl"
+    val conf = GraftStore.driverConf()
+    // two appends over the SAME key domain: each append is internally
+    // range-clustered, but across the two commits every range overlaps
+    spark.sql("INSERT INTO graft.cl.recl SELECT id, 'a' FROM range(0, 4000)")
+    spark.sql("INSERT INTO graft.cl.recl SELECT id, 'b' FROM range(0, 4000)")
+    def ranges(): Seq[(Long, Long)] =
+      GraftStore.latestManifest(root, conf).get.files.flatMap(
+        _.stats.get("k").map(s => (s._1.toLong, s._2.toLong))).sortBy(_._1)
+    val before = ranges()
+    assert(before.sliding(2).exists {
+      case Seq((_, hi), (lo2, _)) => hi > lo2
+      case _ => false
+    }, s"appends over one domain should overlap across commits: $before")
+    GraftStore.compact(spark, root, targetFiles = 2)
+    val m = GraftStore.latestManifest(root, conf).get
+    assert(m.cluster == Seq("k"), "clustering metadata must survive compaction")
+    val after = ranges()
+    assert(after.nonEmpty)
+    after.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"post-compact ranges must be disjoint: $after")
+      case _ => ()
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.cl.recl").head.getLong(0) == 8000L)
+  }
+
+  test("streaming appends to a clustered table arrive range-clustered too") {
+    // RequiresDistributionAndOrdering rides the shared Write, and Spark
+    // applies it to micro-batch writes as well — so a streaming ingest
+    // lands each epoch as contiguous range slices and date-bounded
+    // readers prune streamed data exactly like batch-written data
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    spark.sql("DROP TABLE IF EXISTS graft.cl.sev")
+    spark.sql("CREATE TABLE graft.cl.sev (k BIGINT, v STRING) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.partitions'='4')")
+    val root = s"$warehouse/cl/sev"
+    val src = Files.createTempDirectory("sclu_in").toString
+    (0L until 4000L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(2)
+      .write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema("k BIGINT, v STRING").parquet(src)
+      .writeStream.format("graft-store").option("path", root)
+      .option("checkpointLocation", Files.createTempDirectory("sclu_ck").toString)
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val m = GraftStore.latestManifest(root, GraftStore.driverConf()).get
+    assert(m.cluster == Seq("k"))
+    val ranges = m.files.flatMap(_.stats.get("k")
+      .map(s => (s._1.toLong, s._2.toLong))).sortBy(_._1)
+    assert(ranges.size > 1, s"expected multi-file epoch: $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"streamed file ranges overlap: $ranges")
+      case _ => ()
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.cl.sev").head.getLong(0) == 4000L)
+  }
+
   test("PARTITIONED BY guards: non-identity transforms and cluster-column DDL rejected") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
