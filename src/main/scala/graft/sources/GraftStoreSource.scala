@@ -1137,8 +1137,14 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
     val m = new java.util.HashMap[String, String]()
     m.put("format", "graft-store")
     m.put("location", root)
-    GraftStore.latestManifest(root, conf)
-      .foreach(man => m.put("current_version", man.version.toString))
+    GraftStore.latestManifest(root, conf).foreach { man =>
+      m.put("current_version", man.version.toString)
+      if (man.cluster.nonEmpty) {
+        m.put("clustered_by", man.cluster.mkString(","))
+        if (man.clusterParts > 0)
+          m.put("write.partitions", man.clusterParts.toString)
+      }
+    }
     pinned.foreach(v => m.put("pinned_version", v.toString))
     GraftStore.listRefs(root, conf)
       .foreach { case (n, v) => m.put(s"ref.$n", v.toString) }
