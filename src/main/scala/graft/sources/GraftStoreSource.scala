@@ -712,11 +712,18 @@ object GraftStore {
             // clustering metadata is table-level and survives every
             // commit shape (append/overwrite/DML/compact/evolution) —
             // propagated HERE so no GsbNext builder can silently drop
-            // it, the same hazard the colop carry comment warns about
+            // it, the same hazard the colop carry comment warns about.
+            // EXCEPT when the committed schema no longer carries every
+            // cluster column (an overwrite that replaced the shape):
+            // advertising clustering on columns the table lost would
+            // lie to DESCRIBE and to future writes, so the spec clears.
+            val prevCluster = prev.map(_.cluster).getOrElse(Seq.empty)
+            val keep = prevCluster.forall(schema.fieldNames.contains)
             writeManifest(root, conf, prev.map(_.version + 1).getOrElse(1L),
               schema, files, epochs, colops, prev,
-              cluster = prev.map(_.cluster).getOrElse(Seq.empty),
-              clusterParts = prev.map(_.clusterParts).getOrElse(0))
+              cluster = if (keep) prevCluster else Seq.empty,
+              clusterParts =
+                if (keep) prev.map(_.clusterParts).getOrElse(0) else 0)
             return
           } catch {
             case e: GsbCommitRaceException =>
@@ -1211,6 +1218,31 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
 
 // ---------------------------------------------------------------- write
 
+private[sources] class GsbClusteredWrite(inner: Write, cluster: Seq[String],
+    parts: Int)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+  private def orders = cluster.map(c =>
+    Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.ordered(orders)
+  override def requiredOrdering() = orders
+  /** 0 lets AQE size the range shuffle (advisory-sized files — the
+    * cluster-scale default); the `write.partitions` table property
+    * pins it, without which a small table coalesces to one file and
+    * stats pruning has nothing to drop. */
+  override def requiredNumPartitions(): Int = parts
+  override def toBatch: BatchWrite = inner.toBatch
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    inner.toStreaming
+  override def description(): String =
+    s"${inner.description()} clustered=${cluster.mkString(",")}"
+}
+
+
 private[sources] class GsbWriteBuilder(root: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -1244,30 +1276,6 @@ private[sources] class GsbWriteBuilder(root: String, info: LogicalWriteInfo)
     * planning-time file skipping becomes partition pruning. A hash
     * clustering would give files near-domain-wide min/max envelopes
     * and skip nothing. */
-  private class GsbClusteredWrite(inner: Write, cluster: Seq[String],
-      parts: Int)
-      extends Write
-      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-    private def orders = cluster.map(c =>
-      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
-    override def requiredDistribution()
-        : org.apache.spark.sql.connector.distributions.Distribution =
-      org.apache.spark.sql.connector.distributions.Distributions.ordered(orders)
-    override def requiredOrdering() = orders
-    /** 0 lets AQE size the range shuffle (advisory-sized files — the
-      * cluster-scale default); the `write.partitions` table property
-      * pins it, without which a small table coalesces to one file and
-      * stats pruning has nothing to drop. */
-    override def requiredNumPartitions(): Int = parts
-    override def toBatch: BatchWrite = inner.toBatch
-    override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      inner.toStreaming
-    override def description(): String =
-      s"${inner.description()} clustered=${cluster.mkString(",")}"
-  }
-
   override def build(): Write = {
     val base = buildBase()
     val m = GraftStore.latestManifest(root, GraftStore.driverConf())
@@ -1956,10 +1964,22 @@ private[sources] class GsbRowLevelOperation(root: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new GsbReplaceGroupsWrite(root, info.schema(), info.queryId(),
-            GsbRowLevelOperation.this)
+      override def build(): Write = {
+        val base: Write = new Write {
+          override def toBatch: BatchWrite =
+            new GsbReplaceGroupsWrite(root, info.schema(), info.queryId(),
+              GsbRowLevelOperation.this)
+        }
+        // group-based rewrites of a CLUSTERED table re-cluster their
+        // rewritten rows too (same required range distribution as the
+        // append path) — otherwise every UPDATE/MERGE/complex DELETE
+        // would degrade the contiguous-slice layout the table declares
+        val m = GraftStore.latestManifest(root, GraftStore.driverConf())
+        val cluster = m.map(_.cluster).getOrElse(Seq.empty)
+        val names = info.schema().fieldNames.toSet
+        if (cluster.nonEmpty && cluster.forall(names.contains))
+          new GsbClusteredWrite(base, cluster, m.map(_.clusterParts).getOrElse(0))
+        else base
       }
     }
 }

@@ -606,6 +606,42 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.cl.sev").head.getLong(0) == 4000L)
   }
 
+  test("row-level DML re-clusters rewritten rows; schema-replacing overwrite clears the spec") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    spark.sql("DROP TABLE IF EXISTS graft.cl.dml")
+    spark.sql("CREATE TABLE graft.cl.dml (k BIGINT, v STRING) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.partitions'='4')")
+    val root = s"$warehouse/cl/dml"
+    val conf = GraftStore.driverConf()
+    spark.sql("INSERT INTO graft.cl.dml SELECT id, 'a' FROM range(0, 4000)")
+    // an UPDATE takes the group-based rewrite path — its replacement
+    // files must come out range-clustered like the append path's
+    spark.sql("UPDATE graft.cl.dml SET v = 'b' WHERE k % 7 = 0")
+    val m = GraftStore.latestManifest(root, conf).get
+    assert(m.cluster == Seq("k"))
+    val ranges = m.files.flatMap(_.stats.get("k")
+      .map(s => (s._1.toLong, s._2.toLong))).sortBy(_._1)
+    assert(ranges.size > 1, ranges.toString)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"post-UPDATE file ranges overlap: $ranges")
+      case _ => ()
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.cl.dml WHERE v = 'b'")
+      .head.getLong(0) == spark.sql(
+      "SELECT count(*) FROM graft.cl.dml WHERE k % 7 = 0").head.getLong(0))
+    // an overwrite that REPLACES the schema without the cluster column
+    // must clear the clustering spec rather than advertise a layout on
+    // a column the table no longer has
+    Seq((1L, 2.0)).toDF("id", "score").write.format("graft-store")
+      .mode("overwrite").save(root)
+    val m2 = GraftStore.latestManifest(root, conf).get
+    assert(m2.cluster.isEmpty && m2.clusterParts == 0,
+      s"stale clustering spec survived a schema replace: ${m2.cluster}")
+  }
+
   test("PARTITIONED BY guards: non-identity transforms and cluster-column DDL rejected") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
