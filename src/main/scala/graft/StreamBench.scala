@@ -56,11 +56,25 @@ object StreamBench {
     val bounds = ev0.agg(min(col("_us")), max(col("_us"))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val step = math.max((hi - lo) / nFiles + 1, 1L)
+    // pin WIDELY-SPACED increasing mtimes as each slice lands: the file
+    // source orders its backlog by modification time, and on a
+    // filesystem with coarse mtime granularity (1 s on some NFS/HFS
+    // mounts) sequential writes could tie and replay out of event-time
+    // order — which the event-time-timeout state in burstPeaks cannot
+    // tolerate. Slice i is stamped base + 2i seconds, identified by
+    // diffing the directory listing around its own write.
+    val evRoot = new java.io.File(evDir)
+    val mtimeBase = System.currentTimeMillis() - 3600L * 1000
+    var seen = Set.empty[String]
     (0 until nFiles).foreach { i =>
       ev0.filter(col("_us") >= lo + i * step && col("_us") < lo + (i + 1) * step)
         .drop("_us").coalesce(1)
         .write.mode("append").parquet(evDir)
-      Thread.sleep(5) // distinct mod times => deterministic replay order
+      val now = Option(evRoot.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      now.filterNot(f => seen(f.getName))
+        .foreach(_.setLastModified(mtimeBase + i * 2000L))
+      seen ++= now.map(_.getName)
     }
     val evSchema = spark.read.parquet(evDir).schema
     // dedup gate inputs: the incoming batch (doc_id%5==0, the

@@ -201,13 +201,24 @@ object GraftStore {
     * retention carries; 10 minutes assumes sub-minute skew. */
   val DefaultVacuumGraceMs: Long = 10 * 60 * 1000L
 
+  /** Cache entry: file (mtime, length) at parse time, the parse, and
+    * WHEN this entry was inserted. The insert time bounds the uid
+    * head-read to the actual hazard window: a DROP + re-CREATE that
+    * lands ≥2 ms after the original create necessarily changes mtime
+    * (which the (mtime, length) check catches), so only an entry
+    * inserted within ~2 ms of the file's own mtime can ever be fooled —
+    * for every other hit the head-read is skipped and validation stays
+    * one getFileStatus, the advertised O(1) contract. */
+  private final case class ManifestCacheEntry(
+      mtime: Long, len: Long, parsed: GsbManifest, insertAt: Long)
+
   private val ManifestCacheMax = 64
   private val manifestCache =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, (Long, Long, GsbManifest)](
+      new java.util.LinkedHashMap[String, ManifestCacheEntry](
         ManifestCacheMax, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, (Long, Long, GsbManifest)]): Boolean =
+            e: java.util.Map.Entry[String, ManifestCacheEntry]): Boolean =
           size() > ManifestCacheMax
       })
 
@@ -253,12 +264,20 @@ object GraftStore {
     * chunkCache entries are content-addressed (name = SHA-1 of payload)
     * so a re-created same-name chunk is byte-identical by construction
     * — still dropped here for symmetry (they are cheap to re-read). */
-  private[sources] def invalidateCaches(root: String): Unit = {
+  /** Key predicate for everything cached under `root`'s manifest dir,
+    * matching both the qualified form insertions use and the raw form
+    * as belt-and-braces — shared by invalidation and the test hook so
+    * the two can never diverge. */
+  private def underRoot(root: String): String => Boolean = {
     val rawPrefix = new HPath(root, "manifest").toString
     val qPrefix = try {
       qualifiedKey(fs(root, driverConf()), new HPath(root, "manifest"))
     } catch { case _: Exception => rawPrefix }
-    def hit(k: String): Boolean = k.startsWith(rawPrefix) || k.startsWith(qPrefix)
+    k => k.startsWith(rawPrefix) || k.startsWith(qPrefix)
+  }
+
+  private[sources] def invalidateCaches(root: String): Unit = {
+    val hit = underRoot(root)
     manifestCache.synchronized {
       manifestCache.keySet().removeIf(k => hit(k))
     }
@@ -269,11 +288,7 @@ object GraftStore {
 
   /** Test hook: live cache entries under `root` (either key form). */
   private[sources] def cachedUnder(root: String): Int = {
-    val rawPrefix = new HPath(root, "manifest").toString
-    val qPrefix = try {
-      qualifiedKey(fs(root, driverConf()), new HPath(root, "manifest"))
-    } catch { case _: Exception => rawPrefix }
-    def hit(k: String): Boolean = k.startsWith(rawPrefix) || k.startsWith(qPrefix)
+    val hit = underRoot(root)
     val m = manifestCache.synchronized {
       manifestCache.keySet().stream().filter(k => hit(k)).count()
     }
@@ -390,19 +405,26 @@ object GraftStore {
     }
     val key = qualifiedKey(f, path)
     val hit = manifestCache.get(key)
-    if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen) {
+    if (hit != null && hit.mtime == st.getModificationTime &&
+        hit.len == st.getLen) {
       // (mtime, length) alone cannot see a same-millisecond equal-length
-      // re-create (DROP + CREATE reusing the version path). The cached
-      // parse carries the manifest's own uid token; one bounded head
-      // read settles identity. Pre-uid manifests (uid None) keep the
-      // legacy (mtime, length) contract.
-      val fresh = hit._3.uid.isEmpty || headUid(f, path) == hit._3.uid
-      if (fresh) return Some(hit._3)
+      // re-create (DROP + CREATE reusing the version path) — but that
+      // hazard only EXISTS for an entry cached within ~2 ms of the
+      // file's own mtime (any later re-create lands a new mtime, which
+      // the check above catches). Outside that window the hit is
+      // accepted on stat alone; inside it, one bounded head read of the
+      // manifest's uid token settles identity. Pre-uid manifests (uid
+      // None) keep the legacy (mtime, length) contract.
+      val inHazardWindow = hit.insertAt <= hit.mtime + 2
+      val fresh = !inHazardWindow || hit.parsed.uid.isEmpty ||
+        headUid(f, path) == hit.parsed.uid
+      if (fresh) return Some(hit.parsed)
     }
     val parsed = parseManifest(f, ver, path)
     // only completes are immutable; in-flight manifests must re-read
     parsed.foreach(m =>
-      manifestCache.put(key, (st.getModificationTime, st.getLen, m)))
+      manifestCache.put(key, ManifestCacheEntry(st.getModificationTime,
+        st.getLen, m, System.currentTimeMillis())))
     parsed
   }
 
@@ -1002,12 +1024,17 @@ object GraftStore {
     // a CLUSTERED table re-clusters on rewrite: its write already
     // requires range distribution + sort on the cluster columns, so a
     // hash repartition here would just add a shuffle whose layout the
-    // required exchange immediately replaces — and the fan-out comes
-    // from clusterParts/AQE, not targetFiles. Compaction is therefore
+    // required exchange immediately replaces. Compaction is therefore
     // also the RE-CLUSTER operation: appended snapshots whose files
-    // overlap in range come out as contiguous slices again.
-    write(if (clustered) df else df.repartition(targetFiles),
-      path, overwrite = true)
+    // overlap in range come out as contiguous slices again. The
+    // caller's targetFiles rides the per-write `write.partitions`
+    // override so compact keeps its file-count contract — without it a
+    // table with clusterParts=0 (AQE-sized) below one advisory
+    // partition would collapse to ONE file with nothing to prune.
+    if (clustered)
+      df.write.format("graft-store").mode("overwrite")
+        .option("write.partitions", targetFiles).save(path)
+    else write(df.repartition(targetFiles), path, overwrite = true)
   }
 
   /** Path-based row-level DELETE — the API twin of the catalog's
@@ -1127,14 +1154,19 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
   /** The table's declared clustering columns as identity transforms —
     * what SHOW CREATE TABLE / DESCRIBE report as the partitioning. The
     * physical contract lives in the write path (see
-    * [[GsbWriteBuilder.build]]): clustered tables require range
+    * [[GsbClusteredWrite.maybe]]): clustered tables require range
     * distribution + sort on these columns, which makes per-file
-    * min/max stats the partition index. */
-  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    GraftStore.latestManifest(root, GraftStore.driverConf())
+    * min/max stats the partition index. A version-pinned table reports
+    * the PINNED snapshot's spec — metadata must describe the snapshot
+    * actually being read, not whatever the table evolved into later. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val conf = GraftStore.driverConf()
+    pinned.flatMap(v => GraftStore.manifestAt(root, conf, v))
+      .orElse(GraftStore.latestManifest(root, conf))
       .map(_.cluster).getOrElse(Seq.empty)
       .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
       .toArray
+  }
 
   /** Surfaced by DESCRIBE EXTENDED: the snapshot this table resolves to
     * and every published ref — the at-a-glance lineage a user checks
@@ -1144,14 +1176,18 @@ private[sources] class GraftStoreTable(root: String, schema0: StructType,
     val m = new java.util.HashMap[String, String]()
     m.put("format", "graft-store")
     m.put("location", root)
-    GraftStore.latestManifest(root, conf).foreach { man =>
-      m.put("current_version", man.version.toString)
-      if (man.cluster.nonEmpty) {
-        m.put("clustered_by", man.cluster.mkString(","))
-        if (man.clusterParts > 0)
-          m.put("write.partitions", man.clusterParts.toString)
+    GraftStore.latestManifest(root, conf)
+      .foreach(man => m.put("current_version", man.version.toString))
+    // clustering metadata from the snapshot actually being read
+    pinned.flatMap(v => GraftStore.manifestAt(root, conf, v))
+      .orElse(GraftStore.latestManifest(root, conf))
+      .foreach { man =>
+        if (man.cluster.nonEmpty) {
+          m.put("clustered_by", man.cluster.mkString(","))
+          if (man.clusterParts > 0)
+            m.put("write.partitions", man.clusterParts.toString)
+        }
       }
-    }
     pinned.foreach(v => m.put("pinned_version", v.toString))
     GraftStore.listRefs(root, conf)
       .foreach { case (n, v) => m.put(s"ref.$n", v.toString) }
@@ -1242,6 +1278,29 @@ private[sources] class GsbClusteredWrite(inner: Write, cluster: Seq[String],
     s"${inner.description()} clustered=${cluster.mkString(",")}"
 }
 
+private[sources] object GsbClusteredWrite {
+  /** Wrap `base` with the clustering requirement when the table
+    * declares cluster columns and the written schema carries all of
+    * them (a widened/projected write of other columns must not fail
+    * planning — stats stay conservative for absent columns). ONE
+    * decision shared by the append/overwrite path and the group-based
+    * DML rewrite path, so the two can never diverge. A per-write
+    * `write.partitions` option overrides the table's declared fan-out
+    * (compact uses it to honor its `targetFiles` contract on clustered
+    * tables whose declared parts would let AQE collapse a small table
+    * to one unprunable file). */
+  def maybe(root: String, info: LogicalWriteInfo, base: Write): Write = {
+    val m = GraftStore.latestManifest(root, GraftStore.driverConf())
+    val cluster = m.map(_.cluster).getOrElse(Seq.empty)
+    val names = info.schema().fieldNames.toSet
+    if (cluster.nonEmpty && cluster.forall(names.contains)) {
+      val declared = m.map(_.clusterParts).getOrElse(0)
+      val parts = Option(info.options.get("write.partitions"))
+        .map(_.toInt).filter(_ > 0).getOrElse(declared)
+      new GsbClusteredWrite(base, cluster, parts)
+    } else base
+  }
+}
 
 private[sources] class GsbWriteBuilder(root: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate
@@ -1276,18 +1335,7 @@ private[sources] class GsbWriteBuilder(root: String, info: LogicalWriteInfo)
     * planning-time file skipping becomes partition pruning. A hash
     * clustering would give files near-domain-wide min/max envelopes
     * and skip nothing. */
-  override def build(): Write = {
-    val base = buildBase()
-    val m = GraftStore.latestManifest(root, GraftStore.driverConf())
-    val cluster = m.map(_.cluster).getOrElse(Seq.empty)
-    // only require the distribution when every cluster column is in the
-    // written schema (a widened/projected write of other columns must
-    // not fail planning — stats stay conservative for absent columns)
-    val names = info.schema().fieldNames.toSet
-    if (cluster.nonEmpty && cluster.forall(names.contains))
-      new GsbClusteredWrite(base, cluster, m.map(_.clusterParts).getOrElse(0))
-    else base
-  }
+  override def build(): Write = GsbClusteredWrite.maybe(root, info, buildBase())
 
   private def buildBase(): Write = new Write {
     override def toBatch: BatchWrite = {
@@ -1965,21 +2013,15 @@ private[sources] class GsbRowLevelOperation(root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
-        val base: Write = new Write {
-          override def toBatch: BatchWrite =
-            new GsbReplaceGroupsWrite(root, info.schema(), info.queryId(),
-              GsbRowLevelOperation.this)
-        }
         // group-based rewrites of a CLUSTERED table re-cluster their
         // rewritten rows too (same required range distribution as the
         // append path) — otherwise every UPDATE/MERGE/complex DELETE
         // would degrade the contiguous-slice layout the table declares
-        val m = GraftStore.latestManifest(root, GraftStore.driverConf())
-        val cluster = m.map(_.cluster).getOrElse(Seq.empty)
-        val names = info.schema().fieldNames.toSet
-        if (cluster.nonEmpty && cluster.forall(names.contains))
-          new GsbClusteredWrite(base, cluster, m.map(_.clusterParts).getOrElse(0))
-        else base
+        GsbClusteredWrite.maybe(root, info, new Write {
+          override def toBatch: BatchWrite =
+            new GsbReplaceGroupsWrite(root, info.schema(), info.queryId(),
+              GsbRowLevelOperation.this)
+        })
       }
     }
 }

@@ -606,6 +606,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.cl.sev").head.getLong(0) == 4000L)
   }
 
+  test("compact honors targetFiles on an AQE-sized clustered table (clusterParts=0)") {
+    // without write.partitions, AQE sizes clustered writes — a table
+    // below one advisory partition would compact to ONE unprunable
+    // file; compact's per-write override keeps its file-count contract
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    spark.sql("DROP TABLE IF EXISTS graft.cl.aqe")
+    spark.sql("CREATE TABLE graft.cl.aqe (k BIGINT, v STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.cl.aqe SELECT id, 'a' FROM range(0, 3000)")
+    spark.sql("INSERT INTO graft.cl.aqe SELECT id, 'b' FROM range(3000, 6000)")
+    val root = s"$warehouse/cl/aqe"
+    val conf = GraftStore.driverConf()
+    GraftStore.compact(spark, root, targetFiles = 4)
+    val m = GraftStore.latestManifest(root, conf).get
+    assert(m.cluster == Seq("k") && m.clusterParts == 0)
+    val ranges = m.files.flatMap(_.stats.get("k")
+      .map(s => (s._1.toLong, s._2.toLong))).sortBy(_._1)
+    assert(ranges.size == 4, s"targetFiles must win over AQE collapse: $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, ranges.toString)
+      case _ => ()
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.cl.aqe").head.getLong(0) == 6000L)
+  }
+
   test("row-level DML re-clusters rewritten rows; schema-replacing overwrite clears the spec") {
     warehouse
     import spark.implicits._

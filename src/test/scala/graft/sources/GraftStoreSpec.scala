@@ -687,10 +687,17 @@ class GraftStoreSpec extends AnyFunSuite {
     import spark.implicits._
     GraftStore.write(Seq((1L, "aaaa"), (2L, "bbbb")).toDF("k", "s"), dir, overwrite = true)
     val conf = GraftStore.driverConf()
+    val mpath = java.nio.file.Paths.get(dir, "manifest", f"v${1L}%020d.manifest")
+    // the uid check only engages inside the hazard window (cache entry
+    // inserted within ~2 ms of the file's mtime — the only situation a
+    // same-ms re-create can exploit); simulate it by pinning the mtime
+    // ahead of the warm read's insert time, the same ordering a real
+    // same-millisecond create-parse-recreate race has
+    java.nio.file.Files.setLastModifiedTime(mpath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000))
     // warm the parsed-manifest cache
     val before = GraftStore.latestManifest(dir, conf).get
     assert(before.uid.nonEmpty, "new manifests must carry a uid token")
-    val mpath = java.nio.file.Paths.get(dir, "manifest", f"v${1L}%020d.manifest")
     val mtime = java.nio.file.Files.getLastModifiedTime(mpath)
     val text = new String(java.nio.file.Files.readAllBytes(mpath), "UTF-8")
     // simulate DROP + re-CREATE landing a DIFFERENT manifest of the SAME
@@ -716,6 +723,34 @@ class GraftStoreSpec extends AnyFunSuite {
       "cache served the dropped table's manifest — uid check failed")
     assert(after.files.map(_.rows).sum != oldRows,
       "re-created manifest's content must be served, not the cached parse")
+  }
+
+  test("outside the hazard window a cache hit is one stat, no head read") {
+    // contract of the r15 optimization: an entry cached >2 ms after the
+    // file's mtime can never be fooled by a re-create (a later re-create
+    // necessarily changes mtime), so validation stays getFileStatus-only.
+    // Observable via the doctored-uid trick: same (mtime, length), new
+    // uid — OUTSIDE the window the cached parse is (correctly) served
+    // without opening the file.
+    val dir = tmp()
+    import spark.implicits._
+    GraftStore.write(Seq((1L, "zz")).toDF("k", "s"), dir, overwrite = true)
+    val conf = GraftStore.driverConf()
+    val mpath = java.nio.file.Paths.get(dir, "manifest", f"v${1L}%020d.manifest")
+    // mtime well in the past => warm insert lands outside the window
+    java.nio.file.Files.setLastModifiedTime(mpath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val mtime = java.nio.file.Files.getLastModifiedTime(mpath)
+    val before = GraftStore.latestManifest(dir, conf).get
+    val oldUid = before.uid.get
+    val newUid = (if (oldUid.head == 'f') "0" else "f") + oldUid.tail
+    val text = new String(java.nio.file.Files.readAllBytes(mpath), "UTF-8")
+    java.nio.file.Files.write(mpath,
+      text.replace(s"uid=$oldUid", s"uid=$newUid").getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(mpath, mtime)
+    val after = GraftStore.latestManifest(dir, conf).get
+    assert(after.uid.contains(oldUid),
+      "outside the hazard window the stat-only fast path must serve the cache")
   }
 
   test("invalidateCaches purges entries for a scheme-less warehouse root") {

@@ -46,14 +46,32 @@ class DistributedTrainerSpec extends AnyFunSuite {
     // skips the probe (jars-only /opt/spark layout has no build dirs)
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     val p = pb.start()
-    val out = new StringBuilder
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(p.getInputStream))
-    var line = reader.readLine()
-    while (line != null) { out.append(line).append('\n'); line = reader.readLine() }
+    // drain stdout on a DAEMON thread so the 5-minute timeout below
+    // governs a hung child too — a readLine loop on the test thread
+    // would block past the timeout if the forked JVM wedges without
+    // closing its streams (the exact infra-flake class the retry
+    // policy anticipates)
+    val out = new java.lang.StringBuilder
+    val gobbler = new Thread(() => {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      try {
+        var line = reader.readLine()
+        while (line != null) {
+          out.synchronized { out.append(line).append('\n') }
+          line = reader.readLine()
+        }
+      } catch { case _: java.io.IOException => () }
+    }, "lc-xor-gobbler")
+    gobbler.setDaemon(true)
+    gobbler.start()
     val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-    if (!finished) { p.destroyForcibly(); return (-2, out.toString) }
-    (p.exitValue(), out.toString)
+    if (!finished) {
+      p.destroyForcibly()
+      return (-2, out.synchronized(out.toString))
+    }
+    gobbler.join(5000)
+    (p.exitValue(), out.synchronized(out.toString))
   }
 
   test("hogwild XOR converges across real executor processes (local-cluster)") {

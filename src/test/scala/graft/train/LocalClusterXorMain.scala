@@ -49,9 +49,12 @@ object LocalClusterXorMain {
       val rdd = spark.sparkContext.parallelize(data ++ data, 2)
       val xorSpec = NetSpec.input(2).dense(12, "tanh").dense(7, "tanh")
         .dense(1, "sigmoid").loss("mse")
+      // port 0 = OS-assigned ephemeral — collision-proof under
+      // concurrent test runs on one host (workers read the BOUND port
+      // off the server via determineMaster, so no coordination needed)
       val w = HogwildTrainer.fit(rdd, xorSpec, HogwildTrainer.Config(
         optimizerName = "adam", learningRate = 0.1, iters = 300,
-        shufflePerIter = false, port = 5210))
+        shufflePerIter = false, port = 0))
       val net = new Network(xorSpec)
       val preds = data.map { case (f, _) => net.predictRow(f, w)(0) }
       val errs = preds.zip(Seq(0.0, 1.0, 1.0, 0.0))
