@@ -307,10 +307,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
           "graft catalog: nested column renames are not supported")
+      case set: TableChange.SetProperty =>
+        require(set.property == "write.partitions",
+          s"graft catalog: unsupported table property ${set.property} — " +
+            "only write.partitions (the clustered write fan-out) is tunable")
+        require(set.value.toIntOption.exists(_ > 0),
+          s"graft catalog: write.partitions must be a positive int, got " +
+            s"'${set.value}'")
+      case rm: TableChange.RemoveProperty =>
+        require(rm.property == "write.partitions",
+          s"graft catalog: unsupported table property ${rm.property}")
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "ADD COLUMNS / DROP COLUMN / RENAME COLUMN are metadata-safe " +
-          "for committed data files")
+          "ADD COLUMNS / DROP COLUMN / RENAME COLUMN and SET/UNSET " +
+          "TBLPROPERTIES ('write.partitions') are metadata-safe for " +
+          "committed data files")
     }
     var outSchema: StructType = null
     GraftStore.commitLoop(root, conf) { prev =>
@@ -333,6 +344,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               "(PARTITIONED BY) column and cannot be renamed")
         case _ => ()
       }
+      // `ALTER TABLE ... SET TBLPROPERTIES ('write.partitions'='N')` /
+      // UNSET: retune the clustered write fan-out post-CREATE — one
+      // metadata commit, zero data movement (takes effect on the next
+      // write/compact). Requires the table to be clustered: the knob
+      // means nothing without cluster columns.
+      val partsOverride = changes.collect {
+        case set: TableChange.SetProperty => set.value.toInt
+        case _: TableChange.RemoveProperty => 0
+      }.lastOption
+      partsOverride.foreach(_ => require(base.cluster.nonEmpty,
+        "graft catalog: write.partitions requires a PARTITIONED BY table"))
       var colops = base.colops
       def tombstones = colops.map(_.from).toSet
       outSchema = changes.foldLeft(base.schema) { (sch, ch) =>
@@ -374,7 +396,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           case _ => sch
         }
       }
-      Some(GsbNext(outSchema, base.files, base.epochs, colops))
+      Some(GsbNext(outSchema, base.files, base.epochs, colops,
+        clusterPartsOverride = partsOverride))
     }
     new GraftStoreTable(root, outSchema)
   }

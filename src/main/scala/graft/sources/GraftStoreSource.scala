@@ -157,7 +157,12 @@ private[sources] case class GsbManifest(version: Long, schema: StructType,
   * would orphan every pre-rename file's data — so the field is explicit
   * at every call site, never defaulted. */
 private[sources] case class GsbNext(schema: StructType, files: Seq[GsbFile],
-    epochs: Set[String], colops: Seq[GsbColOp])
+    epochs: Set[String], colops: Seq[GsbColOp],
+    /** None = carry the base snapshot's declared write fan-out (the
+      * default every data commit wants); Some(n) = DDL explicitly
+      * retunes it (`ALTER TABLE ... SET TBLPROPERTIES
+      * ('write.partitions'=...)`; Some(0) clears back to AQE-sized). */
+    clusterPartsOverride: Option[Int] = None)
 
 object GraftStore {
   private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
@@ -729,7 +734,7 @@ object GraftStore {
       val prev = latestManifest(root, conf)
       attempt(prev) match {
         case None => return
-        case Some(GsbNext(schema, files, epochs, colops)) =>
+        case Some(next @ GsbNext(schema, files, epochs, colops, _)) =>
           try {
             // clustering metadata is table-level and survives every
             // commit shape (append/overwrite/DML/compact/evolution) —
@@ -745,7 +750,9 @@ object GraftStore {
               schema, files, epochs, colops, prev,
               cluster = if (keep) prevCluster else Seq.empty,
               clusterParts =
-                if (keep) prev.map(_.clusterParts).getOrElse(0) else 0)
+                if (keep) next.clusterPartsOverride
+                  .getOrElse(prev.map(_.clusterParts).getOrElse(0))
+                else 0)
             return
           } catch {
             case e: GsbCommitRaceException =>

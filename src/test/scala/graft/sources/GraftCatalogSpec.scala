@@ -631,6 +631,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.cl.aqe").head.getLong(0) == 6000L)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES retunes the clustered write fan-out") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    spark.sql("DROP TABLE IF EXISTS graft.cl.tune")
+    spark.sql("CREATE TABLE graft.cl.tune (k BIGINT, v STRING) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.partitions'='2')")
+    val root = s"$warehouse/cl/tune"
+    val conf = GraftStore.driverConf()
+    spark.sql("ALTER TABLE graft.cl.tune SET TBLPROPERTIES ('write.partitions'='6')")
+    assert(GraftStore.latestManifest(root, conf).get.clusterParts == 6)
+    // the next write uses the retuned fan-out
+    spark.sql("INSERT INTO graft.cl.tune SELECT id, 'a' FROM range(0, 6000)")
+    val m = GraftStore.latestManifest(root, conf).get
+    assert(m.files.size == 6, m.files.map(_.relPath).toString)
+    // UNSET clears back to AQE-sized (0)
+    spark.sql("ALTER TABLE graft.cl.tune UNSET TBLPROPERTIES ('write.partitions')")
+    assert(GraftStore.latestManifest(root, conf).get.clusterParts == 0)
+    // knob rejected on an unclustered table and for unknown properties
+    spark.sql("DROP TABLE IF EXISTS graft.cl.plain")
+    spark.sql("CREATE TABLE graft.cl.plain (k BIGINT)")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cl.plain SET TBLPROPERTIES ('write.partitions'='4')")
+    }
+    assert(e1.getMessage.contains("PARTITIONED BY"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cl.tune SET TBLPROPERTIES ('whatever'='1')")
+    }
+    assert(e2.getMessage.contains("unsupported table property"), e2.getMessage)
+  }
+
   test("row-level DML re-clusters rewritten rows; schema-replacing overwrite clears the spec") {
     warehouse
     import spark.implicits._
