@@ -243,8 +243,14 @@ object Relational {
       .crossJoin(broadcast(mDf))
       .select(col("community"), col("size"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"),
-        round(coalesce(col("e_in"), lit(0L)).cast("double") / col("m")
-          - t * t, 6).as("q_c"))
+        // + 0.0 normalizes IEEE negative zero: a community with zero
+        // modularity contribution reaches it from BELOW (e_in/m − t²
+        // a tiny negative), and ROUND of that is -0.0 in DuckDB but
+        // 0.0 here — numerically equal, string-frame different (found
+        // by the sf0.1 driver-frame sweep; the oracle adds + 0 too).
+        // x + 0.0 == x for every other double, so nothing else moves.
+        (round(coalesce(col("e_in"), lit(0L)).cast("double") / col("m")
+          - t * t, 6) + lit(0.0)).as("q_c"))
       .orderBy(col("size").desc, col("community"))
       .limit(20)
   }
@@ -2204,7 +2210,8 @@ object Relational {
          |  CAST(dc.d_c AS BIGINT) AS d_c,
          |  ROUND(CAST(COALESCE(ein.e_in, 0) AS DOUBLE) / (SELECT m FROM m)
          |    - (CAST(dc.d_c AS DOUBLE) / (2 * (SELECT m FROM m)))
-         |      * (CAST(dc.d_c AS DOUBLE) / (2 * (SELECT m FROM m))), 6) AS q_c
+         |      * (CAST(dc.d_c AS DOUBLE) / (2 * (SELECT m FROM m))), 6)
+         |    + 0.0 AS q_c
          |FROM sz
          |JOIN dc ON dc.community = sz.community
          |LEFT JOIN ein ON ein.community = sz.community
