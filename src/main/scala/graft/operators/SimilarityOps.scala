@@ -309,10 +309,26 @@ object SimilarityOps {
           round(cos(col("v"), col("p")), 6).as("cs"))
         .filter(col("cs") >= 0.2)
         .groupBy(col("probe_id"))
+        // cs is already a 6dp value, so the mean can be EXACT integer
+        // arithmetic end to end: sum micro-units (cs·10⁶, an integer
+        // within 1e-9 in double, rounded exactly on both engines), one
+        // HALF_UP integer division — floor((2s+n)/(2n)) for the
+        // positive sums the cs≥0.2 filter guarantees — then /10⁶ in
+        // double. The DetMean double-division form left a residual
+        // .xxxxxx5 quotient-tie class (Spark exact-binary HALF_UP vs
+        // DuckDB scaled-double round) that the sf0.2 twin sweep
+        // actually hit; exact integers have no ties to disagree on.
         .agg(count(lit(1)).as("n_hits"),
-          DetMean.mean6(sum(DetMean.el10(col("cs"))),
-            count(lit(1))).as("avg_cos"),
+          sum(round(col("cs") * 1e6, 0).cast("long")).as("s6"),
           max(col("cs")).as("max_cos"))
+        .select(col("probe_id"), col("n_hits"),
+          // the double division is decision-exact here: operands stay
+          // under 2^53 and the true quotient is never within 1/(2n) of
+          // an integer boundary without being ON it, so floor() agrees
+          // with exact rational floor on both engines
+          (floor((col("s6") * 2 + col("n_hits")) / (col("n_hits") * 2))
+            .cast("double") / 1e6).as("avg_cos"),
+          col("max_cos"))
         .orderBy(col("probe_id"))
     },
     // IVF ANN with a deterministic literal codebook: every vector is
@@ -1867,8 +1883,9 @@ object SimilarityOps {
          |  FROM eb JOIN probes
          |    ON bucket = pbucket AND vec_id <> probe_id)
          |SELECT probe_id, COUNT(*) AS n_hits,
-         |  ROUND(CAST(SUM(CAST(ROUND(cs, 10) AS DECIMAL(28,10))) AS DOUBLE)
-         |    / COUNT(*), 6) AS avg_cos,
+         |  CAST(FLOOR((2 * SUM(CAST(ROUND(cs * 1000000, 0) AS BIGINT))
+         |              + COUNT(*)) / (2 * COUNT(*))) AS DOUBLE)
+         |    / 1000000.0 AS avg_cos,
          |  MAX(cs) AS max_cos
          |FROM hits WHERE cs >= 0.2
          |GROUP BY probe_id
