@@ -335,6 +335,48 @@ object GraftStore {
       .take(8).map(b => f"$b%02x").mkString
     val name = s"chunk-$sha.list"
     val target = new HPath(dir, name)
+    // an EXISTING chunk is only reusable if COMPLETE: a writer that
+    // died mid-chunk would otherwise poison this content address
+    // forever (every later commit would skip the write, publish a
+    // manifest referencing the torn chunk, and every reader would fail
+    // its terminator check — unfixable by vacuum, which sees the chunk
+    // as live). Torn + older than the grace window = corpse, reclaim;
+    // torn + young = a racer still writing — wait briefly for its
+    // terminator, then fail LOUDLY rather than reference a maybe-torn
+    // chunk from a commit that reported success.
+    def complete(): Option[Boolean] = try {
+      val st = f.getFileStatus(target)
+      if (st.getLen < 5) return Some(false)
+      val in = f.open(target)
+      try {
+        val tail = new Array[Byte](5)
+        in.seek(st.getLen - 5)
+        in.readFully(tail)
+        Some(new String(tail, "UTF-8") == "\nend\n")
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+    complete() match {
+      case Some(false) =>
+        val st = f.getFileStatus(target)
+        val aged = st.getModificationTime <
+          System.currentTimeMillis() - DefaultVacuumGraceMs
+        if (aged) {
+          f.delete(target, false)
+          chunkCache.remove(qualifiedKey(f, target))
+          System.err.println(s"graft-store: reclaimed torn chunk $target")
+        } else {
+          // give an in-flight racer (identical content by construction)
+          // a moment to land its terminator
+          var waited = 0
+          while (waited < 2000 && complete().contains(false)) {
+            Thread.sleep(100); waited += 100
+          }
+          if (complete().contains(false)) throw new java.io.IOException(
+            s"graft-store: chunk $target exists but is torn and inside the " +
+              "grace window — refusing to publish a manifest referencing it")
+        }
+      case _ => () // complete (reuse) or absent (claim below)
+    }
     if (!f.exists(target)) {
       // claim must be ATOMIC exclusive-create, exactly like
       // writeManifest: the local FileSystem's create(overwrite=false)
@@ -361,6 +403,11 @@ object GraftStore {
         // writeManifest (readChunk's readLine tolerates either, but one
         // byte format beats two)
         try { w.print(payload); w.print("end\n") } finally w.close()
+        // PrintWriter swallows IOExceptions into a trouble flag — an
+        // ENOSPC/stream error would otherwise read as a successful
+        // chunk write and poison this content address (see writeManifest)
+        if (w.checkError()) throw new java.io.IOException(
+          s"graft-store: I/O error writing chunk $target")
       }
     }
     name
@@ -709,6 +756,14 @@ object GraftStore {
       ln(s"ts=${System.currentTimeMillis()}")
       ln("end")
     } finally out.close()
+    // PrintWriter swallows IOExceptions into a trouble flag: without
+    // this check an ENOSPC/stream failure mid-manifest would return
+    // normally and report the commit as SUCCESSFUL while the manifest
+    // has no terminator — the write silently lost. Surface it as the
+    // I/O failure it is (the torn slot itself is reclaimed by
+    // commitLoop's grace-window cleanup).
+    if (out.checkError()) throw new java.io.IOException(
+      s"graft-store: I/O error writing manifest $target — commit NOT published")
   }
 
   /** Optimistic-concurrency commit loop. Each attempt re-reads the
@@ -756,15 +811,51 @@ object GraftStore {
             return
           } catch {
             case e: GsbCommitRaceException =>
-              if (tries >= maxRetries) throw e
-              tries += 1
-              // linear backoff: the slot owner may still be writing its
-              // content (we only see its snapshot once the terminator
-              // lands), so give it time before re-reading the base
-              Thread.sleep(25L * tries)
+              // a TORN slot (a writer that died between the exclusive
+              // create and the terminator) would otherwise wedge the
+              // store forever: latestManifest skips it, every attempt
+              // recomputes the same next version, and the exclusive
+              // create loses to a corpse. Reclaim the slot when its
+              // manifest is incomplete AND older than the vacuum grace
+              // window (an in-flight writer inside the window is
+              // protected — its terminator may still be coming).
+              val ver = prev.map(_.version + 1).getOrElse(1L)
+              if (reclaimTornSlot(root, conf, ver)) {
+                // corpse removed; retry the same attempt immediately
+              } else {
+                if (tries >= maxRetries) throw e
+                tries += 1
+                // linear backoff: the slot owner may still be writing
+                // its content (we only see its snapshot once the
+                // terminator lands), so give it time before re-reading
+                Thread.sleep(25L * tries)
+              }
           }
       }
     }
+  }
+
+  /** Delete version slot `ver`'s manifest iff it is TORN (no
+    * terminator) and older than [[DefaultVacuumGraceMs]] — the corpse
+    * of a crashed writer, never an in-flight one. Returns true when the
+    * slot was reclaimed (callers may immediately retry the exclusive
+    * create). Also invalidates any cached parse of the path. */
+  private def reclaimTornSlot(root: String, conf: Configuration,
+      ver: Long): Boolean = {
+    val f = fs(root, conf)
+    val slot = new HPath(new HPath(root, "manifest"), f"v$ver%020d.manifest")
+    try {
+      val st = f.getFileStatus(slot)
+      val torn = manifestSummaryAt(root, conf, ver).isEmpty
+      val aged =
+        st.getModificationTime < System.currentTimeMillis() - DefaultVacuumGraceMs
+      if (torn && aged && f.delete(slot, false)) {
+        manifestCache.remove(qualifiedKey(f, slot))
+        System.err.println(s"graft-store: reclaimed torn manifest slot $slot " +
+          "(crashed writer older than the grace window)")
+        true
+      } else false
+    } catch { case _: java.io.FileNotFoundException => false }
   }
 
   /** Names-and-types (nullability-insensitive) schema signature, used to
@@ -927,7 +1018,19 @@ object GraftStore {
     val dir = new HPath(path, "refs")
     if (!f.exists(dir)) return Seq.empty
     f.listStatus(dir).toSeq.map(_.getPath.getName).sorted
-      .map(n => n -> resolveRef(path, conf, n))
+      // a single torn ref (crashed tag publish) must not take down
+      // every consumer of the ref LIST — vacuum, expireSnapshots and
+      // DESCRIBE all walk it. The torn ref never finished publishing,
+      // so skipping it (loudly) is the honest reading; resolving it BY
+      // NAME still fails with the precise error.
+      .flatMap { n =>
+        try Some(n -> resolveRef(path, conf, n))
+        catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"graft-store: skipping ref '$n': ${e.getMessage}")
+            None
+        }
+      }
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -1103,6 +1206,8 @@ object GraftStore {
       }
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(stream, "UTF-8"))
     try { out.print(version); out.print("\n") } finally out.close()
+    if (out.checkError()) throw new java.io.IOException(
+      s"graft-store: I/O error writing ref $target — tag NOT published")
   }
 
   /** Tag the LATEST complete snapshot; returns the tagged version. */
@@ -1121,7 +1226,14 @@ object GraftStore {
       s"graft-store: unknown ref '$name' under $root")
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(f.open(target), "UTF-8"))
-    try in.readLine().trim.toLong finally in.close()
+    // a zero-byte/garbled ref is the corpse of a tag() that died between
+    // the exclusive create and the version line — surface it as a loud
+    // ARGUMENT error (readLine's null would NPE here, and that NPE used
+    // to propagate out of vacuum/expire/DESCRIBE via listRefs)
+    val line = try Option(in.readLine()).map(_.trim) finally in.close()
+    line.flatMap(_.toLongOption).getOrElse(throw new IllegalArgumentException(
+      s"graft-store: ref '$name' under $root is torn/empty " +
+        "(a tag publish died mid-write); delete the ref file to clear it"))
   }
 
   /** The snapshot a read pins: an explicit `version` option wins, else
@@ -1388,8 +1500,12 @@ private[sources] class GsbStreamingWrite(root: String, schema: StructType, query
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = GraftStore.driverConf()
     val epochKey = s"$queryId:$epochId"
+    // drop zero-row files: a streaming sink at N shuffle partitions
+    // would otherwise add N manifest lines per epoch even for trickle
+    // batches — the exact small-file bloat compaction exists to undo
     val committed = messages.collect { case c: GsbCommit =>
       GsbFile(c.relPath, c.rows, c.bytes, c.stats) }.toSeq
+      .filter(_.rows > 0)
     // optimistic epoch commit: retried per-base like a batch append, and
     // the replayed-epoch check re-runs against each NEW base — so even
     // "our earlier attempt actually landed but we saw the race error"
@@ -1451,8 +1567,13 @@ private[sources] class GsbBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GraftStore.driverConf()
+    // drop zero-row files (empty input partitions): each would cost a
+    // manifest line + an unprunable scan task forever — the DML writes
+    // already filter; the append path must match. The orphan bytes are
+    // vacuum fodder.
     val committed = messages.map(_.asInstanceOf[GsbCommit])
       .map(c => GsbFile(c.relPath, c.rows, c.bytes, c.stats)).toSeq
+      .filter(_.rows > 0)
     // optimistic concurrency (GraftStore.commitLoop): each attempt
     // rebuilds against the CURRENT latest snapshot. Appends converge
     // under concurrent appends (the file union is recomputed per base)
@@ -1749,9 +1870,24 @@ private[sources] class GsbMicroBatchStream(root: String,
       .map(f => GsbPartition(root, f.relPath): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GsbReaderFactory(manifest0.schema.json, required.fieldNames,
-      manifest0.renames)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // resolved per MICRO-BATCH (Spark builds a fresh scan exec, and
+    // with it this factory, for every batch): a RENAME COLUMN committed
+    // mid-stream means new data files carry the NEW name while this
+    // query's analyzed schema still speaks the stream-start names —
+    // pinning manifest0's rename chain would make the reader null-fill
+    // the renamed column for every post-rename file. Map the required
+    // stream-start names FORWARD through the renames committed since,
+    // then let the reader resolve current→historical per file as usual.
+    val m = GraftStore.latestManifest(root, GraftStore.driverConf())
+      .getOrElse(manifest0)
+    val renamesSince = m.renames.drop(manifest0.renames.length)
+    val requiredNow = required.fieldNames.map(n =>
+      renamesSince.foldLeft(n) { case (cur, (from, to)) =>
+        if (cur == from) to else cur
+      })
+    new GsbReaderFactory(m.schema.json, requiredNow, m.renames)
+  }
 }
 
 private[sources] case class GsbPartition(root: String, relPath: String) extends InputPartition
@@ -1876,16 +2012,23 @@ private[sources] object GsbStats {
     case _ => false
   }
 
-  /** Compare two INTERNAL representations of `dt`. */
+  /** Compare two INTERNAL representations of `dt`. Floating zeros are
+    * normalized first: Double.compare orders -0.0 < 0.0, but SQL
+    * comparison semantics (and therefore the pushed filters we skip
+    * against) treat them EQUAL — without the normalization a file whose
+    * stats are [-0.0, -0.0] is wrongly pruned for `= 0.0` (confirmed
+    * empirically: files=0/2 and zero rows on a table containing -0.0). */
   def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
     case IntegerType | DateType => java.lang.Integer.compare(
       a.asInstanceOf[Int], b.asInstanceOf[Int])
     case LongType | TimestampType | TimestampNTZType => java.lang.Long.compare(
       a.asInstanceOf[Long], b.asInstanceOf[Long])
-    case DoubleType => java.lang.Double.compare(
-      a.asInstanceOf[Double], b.asInstanceOf[Double])
-    case FloatType => java.lang.Float.compare(
-      a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case DoubleType =>
+      def n(x: Double): Double = if (x == 0.0) 0.0 else x
+      java.lang.Double.compare(n(a.asInstanceOf[Double]), n(b.asInstanceOf[Double]))
+    case FloatType =>
+      def n(x: Float): Float = if (x == 0.0f) 0.0f else x
+      java.lang.Float.compare(n(a.asInstanceOf[Float]), n(b.asInstanceOf[Float]))
     case BooleanType => java.lang.Boolean.compare(
       a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
     case StringType => a.asInstanceOf[UTF8String]
@@ -2207,8 +2350,14 @@ private[sources] object GsbDelete {
       : Option[(GsbManifest, Seq[GsbFile], Seq[GsbFile])] = {
     val conf = GraftStore.driverConf()
     val m = GraftStore.latestManifest(root, conf).getOrElse(return None)
+    // stats keys must resolve through the RENAME chain exactly like the
+    // read scan's skipping (GsbScan aliases them the same way) — a file
+    // written before `k` was renamed to `id` keys its stats under `k`,
+    // and a DELETE WHERE id=7 that missed the alias would conservatively
+    // rewrite the ENTIRE pre-rename table instead of one file
     val (touched, untouched) = m.files.partition(e =>
-      filters.forall(GsbStats.mayMatch(_, m.schema, e.stats)))
+      filters.forall(GsbStats.mayMatch(_, m.schema,
+        GsbEvolution.aliasStats(e.stats, m.renames))))
     if (touched.isEmpty) return Some((m, m.files, Seq.empty))
     val spark = SparkSession.active
     val pred = filters.flatMap(toColumn).reduceOption(_ && _)
@@ -2233,9 +2382,20 @@ private[sources] object GsbDelete {
     val newFiles = survivors.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>
         val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        val w = new GsbDataWriter(root, schema, s"data/del-$token-p$pid.gsb")
+        // the TASK ATTEMPT id must be part of the name (exactly like
+        // GsbWriterFactory's taskId): with a fixed per-partition name, a
+        // retried or speculative task would lose the exclusive create to
+        // its own dead predecessor and fail the whole DELETE on one
+        // transient fault. A failed attempt's orphan file is never
+        // referenced — vacuum fodder, the standard contract.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val w = new GsbDataWriter(root, schema,
+          s"data/del-$token-p$pid-a$attempt.gsb")
         var n = 0L
-        rows.foreach { r => w.write(r); n += 1 }
+        try {
+          rows.foreach { r => w.write(r); n += 1 }
+        } catch { case e: Throwable => w.abort(); throw e }
         if (n == 0) { w.abort(); Iterator.empty }
         else Iterator.single(w.commit().asInstanceOf[GsbCommit])
       }.collect().toSeq

@@ -697,6 +697,31 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"stale clustering spec survived a schema replace: ${m2.cluster}")
   }
 
+  test("mid-stream RENAME COLUMN: later micro-batches stream the renamed column's values") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.st")
+    spark.sql("DROP TABLE IF EXISTS graft.st.ren")
+    spark.sql("CREATE TABLE graft.st.ren (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.st.ren VALUES (1, 'a')")
+    val root = s"$warehouse/st/ren"
+    val q = spark.readStream.format("graft-store").load(root)
+      .writeStream.format("memory").queryName("ren_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the analyzed stream schema speaks the stream-start names (v);
+      // rename the column and append under the NEW name — the values
+      // must keep flowing (a pinned rename chain would null-fill them)
+      spark.sql("ALTER TABLE graft.st.ren RENAME COLUMN v TO w")
+      spark.sql("INSERT INTO graft.st.ren VALUES (2, 'b')")
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, v FROM ren_stream ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "a"), (2L, "b")),
+        s"post-rename append must stream its values, got $got")
+    } finally q.stop()
+  }
+
   test("PARTITIONED BY guards: non-identity transforms and cluster-column DDL rejected") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
