@@ -1050,19 +1050,33 @@ object DedupOps {
     // size within ±1, price within 0.5 % — the classic block-then-
     // verify ER shape (Fellegi–Sunter blocking). Output = per-block
     // duplicate census. Scale: the self-join is an equi-join on the
-    // block key — only within-block pairs materialize, never all-pairs;
-    // blocks here are catalog-bounded, and a production run on a
-    // corpus-sized catalog adds a block-size cap (the
-    // DedupLib.capShingleDf pattern) + AQE skew-split so one hot block
-    // can't quadratically dominate. Tolerance compares are exact double
-    // arithmetic on both engines — no epsilon ambiguity.
+    // block key — only within-block pairs materialize, never all-pairs
+    // — AND (r16) each block's pair generation is bounded: only the
+    // ErBlockCap members with the smallest keys participate, via a
+    // row_number truncation that Spark rewrites to WindowGroupLimit
+    // (per-partition top-k prune BEFORE the window shuffle, plan-gated
+    // in PlanShapeSpec). A blocking key too coarse for its corpus —
+    // the standard ER pathology, reproduced by the twin fixture whose
+    // verbatim p_name copies double every block per doubling — now
+    // yields ≤ cap·(cap−1)/2 pairs per block instead of growing
+    // quadratically; total pairs become linear in the block COUNT.
+    // Truncation (not capShingleDf's drop-the-key) keeps oversized
+    // blocks represented in the census with a deterministic bounded
+    // sample; n_records stays the full census so the readout still
+    // reports the true block size next to its (possibly capped) pair
+    // count. Tolerance compares are exact double arithmetic on both
+    // engines — no epsilon ambiguity; the cap is exact integer rank.
     "dedup_er_catalog" -> { (s, dir) =>
       val pr = part(s, dir).select(col("p_partkey"), col("p_name"),
         col("p_type"), col("p_size"), col("p_retailprice"))
-      val b = pr.select(col("p_name").as("nb"), col("p_type").as("tb"),
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_name"), col("p_type")).orderBy(col("p_partkey"))
+      val capped = pr.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= ErBlockCap).drop("rk")
+      val b = capped.select(col("p_name").as("nb"), col("p_type").as("tb"),
         col("p_partkey").as("kb"), col("p_size").as("szb"),
         col("p_retailprice").as("prb"))
-      val pairs = pr.join(b,
+      val pairs = capped.join(b,
           col("p_name") === col("nb") && col("p_type") === col("tb") &&
             col("p_partkey") < col("kb"))
         .filter(abs(col("p_size") - col("szb")) <= 1 &&
@@ -1150,6 +1164,13 @@ object DedupOps {
     * count for a pair to surface. Shared by query, oracle, and spec. */
   private[operators] val WinnowW = 4
   private val WinnowMinShared = 2
+
+  /** Max records per ER blocking-key group that participate in pair
+    * generation (dedup_er_catalog): per-block pairs are bounded at
+    * cap·(cap−1)/2 however coarse the blocking key turns out to be.
+    * Truncation is deterministic (smallest p_partkey first) and
+    * mirrored exactly in the oracle's ROW_NUMBER. */
+  private val ErBlockCap = 64
 
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
     * 2003): hash every word-3-gram positionally, then for every sliding
@@ -1870,11 +1891,16 @@ object DedupOps {
          |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
     "dedup_er_catalog" ->
-      """WITH pr AS (
+      s"""WITH pr AS (
         |  SELECT p_partkey, p_name, p_type, p_size, p_retailprice FROM part),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT pr.*, ROW_NUMBER() OVER (
+        |      PARTITION BY p_name, p_type ORDER BY p_partkey) AS rk
+        |    FROM pr) t WHERE rk <= $ErBlockCap),
         |pairs AS (
         |  SELECT a.p_name, a.p_type
-        |  FROM pr a JOIN pr b
+        |  FROM capped a JOIN capped b
         |    ON a.p_name = b.p_name AND a.p_type = b.p_type
         |   AND a.p_partkey < b.p_partkey
         |  WHERE ABS(a.p_size - b.p_size) <= 1

@@ -19,6 +19,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("events_top_per_user").contains("WindowGroupLimit"))
   }
 
+  test("dedup_er_catalog: block truncation is WindowGroupLimit; pair join is a key equi-join") {
+    // The r16 ER-block cap (row_number ≤ ErBlockCap) must stay a
+    // WindowGroupLimit — the per-partition top-k prune that bounds a
+    // pathologically hot block BEFORE its window shuffle — and the
+    // pair join must remain an equi-join on the block key, never a
+    // cartesian/BNLJ over the catalog.
+    val p = plan("dedup_er_catalog")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("text_bm25: top-k is TakeOrderedAndProject, not a global window sort") {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject"))
