@@ -207,15 +207,30 @@ object GraftStore {
   val DefaultVacuumGraceMs: Long = 10 * 60 * 1000L
 
   /** Cache entry: file (mtime, length) at parse time, the parse, and
-    * WHEN this entry was inserted. The insert time bounds the uid
-    * head-read to the actual hazard window: a DROP + re-CREATE that
-    * lands ≥2 ms after the original create necessarily changes mtime
-    * (which the (mtime, length) check catches), so only an entry
-    * inserted within ~2 ms of the file's own mtime can ever be fooled —
-    * for every other hit the head-read is skipped and validation stays
-    * one getFileStatus, the advertised O(1) contract. */
+    * WHEN this entry was inserted (driver clock). The insert time
+    * bounds the uid head-read to the actual hazard window: a DROP +
+    * re-CREATE landing in a LATER store-clock millisecond than the
+    * original create changes mtime (which the (mtime, length) check
+    * catches), so only a re-create essentially concurrent with our
+    * parse can ever be fooled. We bound that with the DRIVER clock —
+    * both ends of `now − insertAt` are the same clock, so a store whose
+    * clock is OFFSET from the driver's by any amount cannot shrink the
+    * window (the r15 formulation compared insertAt against the store
+    * mtime and silently closed the window on a store lagging >2 ms).
+    * The remaining assumption is clock RATE, not offset: a colliding
+    * re-create needs the store clock to advance <1 ms across
+    * [[UidHazardWindowMs]] of real time — a frozen clock, not skew.
+    * For every hit older than the window the head-read is skipped and
+    * validation stays one getFileStatus, the advertised O(1) contract. */
   private final case class ManifestCacheEntry(
       mtime: Long, len: Long, parsed: GsbManifest, insertAt: Long)
+
+  /** Driver-clock age below which a manifest cache hit re-verifies its
+    * uid by head read (see [[ManifestCacheEntry]]). 2 s of real time is
+    * ~2000× the 1 ms store-mtime granularity a colliding re-create must
+    * fit inside; the head read is one bounded 128-byte pread, so paying
+    * it on very young entries is noise. */
+  private[sources] val UidHazardWindowMs = 2000L
 
   private val ManifestCacheMax = 64
   private val manifestCache =
@@ -357,11 +372,21 @@ object GraftStore {
     } catch { case _: java.io.FileNotFoundException => None }
     complete() match {
       case Some(false) =>
-        val st = f.getFileStatus(target)
-        val aged = st.getModificationTime <
-          System.currentTimeMillis() - DefaultVacuumGraceMs
-        if (aged) {
-          f.delete(target, false)
+        // the re-stat races a concurrent reclaimer: the chunk vanishing
+        // between complete() and here is the DESIRED state (torn corpse
+        // gone) — fall through to the exclusive-create claim rather
+        // than failing the whole commit on the FNF
+        val stOpt = try Some(f.getFileStatus(target)) catch {
+          case _: java.io.FileNotFoundException => None
+        }
+        val aged = stOpt.exists(_.getModificationTime <
+          System.currentTimeMillis() - DefaultVacuumGraceMs)
+        if (stOpt.isEmpty) {
+          chunkCache.remove(qualifiedKey(f, target))
+        } else if (aged) {
+          try f.delete(target, false) catch {
+            case _: java.io.FileNotFoundException => () // reclaimer won
+          }
           chunkCache.remove(qualifiedKey(f, target))
           System.err.println(s"graft-store: reclaimed torn chunk $target")
         } else {
@@ -406,8 +431,16 @@ object GraftStore {
         // PrintWriter swallows IOExceptions into a trouble flag — an
         // ENOSPC/stream error would otherwise read as a successful
         // chunk write and poison this content address (see writeManifest)
-        if (w.checkError()) throw new java.io.IOException(
-          s"graft-store: I/O error writing chunk $target")
+        if (w.checkError()) {
+          // best-effort removal of OUR torn chunk (we own the exclusive
+          // create) — leaving it would make every same-content retry
+          // wait out the 2 s racer window and fail until the grace
+          // window ages the corpse, even after the I/O condition clears
+          try f.delete(target, false) catch { case _: java.io.IOException => () }
+          chunkCache.remove(qualifiedKey(f, target))
+          throw new java.io.IOException(
+            s"graft-store: I/O error writing chunk $target")
+        }
       }
     }
     name
@@ -461,13 +494,16 @@ object GraftStore {
         hit.len == st.getLen) {
       // (mtime, length) alone cannot see a same-millisecond equal-length
       // re-create (DROP + CREATE reusing the version path) — but that
-      // hazard only EXISTS for an entry cached within ~2 ms of the
-      // file's own mtime (any later re-create lands a new mtime, which
-      // the check above catches). Outside that window the hit is
-      // accepted on stat alone; inside it, one bounded head read of the
-      // manifest's uid token settles identity. Pre-uid manifests (uid
-      // None) keep the legacy (mtime, length) contract.
-      val inHazardWindow = hit.insertAt <= hit.mtime + 2
+      // hazard only EXISTS while the entry is YOUNG: any re-create a
+      // store-clock millisecond after the original lands a new mtime,
+      // which the check above catches. The window is measured on the
+      // DRIVER clock (now − insertAt) so store/driver clock OFFSET
+      // cannot close it early — see ManifestCacheEntry. Outside the
+      // window the hit is accepted on stat alone; inside it, one
+      // bounded head read of the manifest's uid token settles identity.
+      // Pre-uid manifests (uid None) keep the legacy contract.
+      val inHazardWindow =
+        System.currentTimeMillis() - hit.insertAt <= UidHazardWindowMs
       val fresh = !inHazardWindow || hit.parsed.uid.isEmpty ||
         headUid(f, path) == hit.parsed.uid
       if (fresh) return Some(hit.parsed)
@@ -836,10 +872,20 @@ object GraftStore {
   }
 
   /** Delete version slot `ver`'s manifest iff it is TORN (no
-    * terminator) and older than [[DefaultVacuumGraceMs]] — the corpse
-    * of a crashed writer, never an in-flight one. Returns true when the
-    * slot was reclaimed (callers may immediately retry the exclusive
-    * create). Also invalidates any cached parse of the path. */
+    * terminator) and older than [[TornSlotReclaimMs]] — the corpse of a
+    * crashed writer, never an in-flight one. Returns true when the slot
+    * was reclaimed (callers may immediately retry the exclusive
+    * create). Also invalidates any cached parse of the path.
+    *
+    * Like [[vacuum]], the age test compares a STORE mtime against the
+    * DRIVER's clock, so a store clock running fast ages an in-flight
+    * writer's slot out early (see the DefaultVacuumGraceMs caveat). The
+    * threshold here is deliberately WIDER (2×) than the vacuum grace:
+    * vacuum is operator-invoked and its grace is a conscious parameter,
+    * while this path fires automatically on every commit contention —
+    * an automatic delete of another writer's slot deserves more skew
+    * headroom than a human-triggered GC. */
+  private[sources] val TornSlotReclaimMs: Long = 2 * DefaultVacuumGraceMs
   private def reclaimTornSlot(root: String, conf: Configuration,
       ver: Long): Boolean = {
     val f = fs(root, conf)
@@ -848,7 +894,7 @@ object GraftStore {
       val st = f.getFileStatus(slot)
       val torn = manifestSummaryAt(root, conf, ver).isEmpty
       val aged =
-        st.getModificationTime < System.currentTimeMillis() - DefaultVacuumGraceMs
+        st.getModificationTime < System.currentTimeMillis() - TornSlotReclaimMs
       if (torn && aged && f.delete(slot, false)) {
         manifestCache.remove(qualifiedKey(f, slot))
         System.err.println(s"graft-store: reclaimed torn manifest slot $slot " +

@@ -688,13 +688,10 @@ class GraftStoreSpec extends AnyFunSuite {
     GraftStore.write(Seq((1L, "aaaa"), (2L, "bbbb")).toDF("k", "s"), dir, overwrite = true)
     val conf = GraftStore.driverConf()
     val mpath = java.nio.file.Paths.get(dir, "manifest", f"v${1L}%020d.manifest")
-    // the uid check only engages inside the hazard window (cache entry
-    // inserted within ~2 ms of the file's mtime — the only situation a
-    // same-ms re-create can exploit); simulate it by pinning the mtime
-    // ahead of the warm read's insert time, the same ordering a real
-    // same-millisecond create-parse-recreate race has
-    java.nio.file.Files.setLastModifiedTime(mpath,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000))
+    // the uid check engages while the cache entry is YOUNG (driver-clock
+    // age ≤ UidHazardWindowMs — the only situation a same-mtime
+    // re-create can exploit); the warm read below inserts the entry
+    // moments before the doctored re-create, exactly that race
     // warm the parsed-manifest cache
     val before = GraftStore.latestManifest(dir, conf).get
     assert(before.uid.nonEmpty, "new manifests must carry a uid token")
@@ -726,28 +723,30 @@ class GraftStoreSpec extends AnyFunSuite {
   }
 
   test("outside the hazard window a cache hit is one stat, no head read") {
-    // contract of the r15 optimization: an entry cached >2 ms after the
-    // file's mtime can never be fooled by a re-create (a later re-create
-    // necessarily changes mtime), so validation stays getFileStatus-only.
-    // Observable via the doctored-uid trick: same (mtime, length), new
-    // uid — OUTSIDE the window the cached parse is (correctly) served
-    // without opening the file.
+    // contract of the r15 optimization (r16: window measured on the
+    // DRIVER clock so store-clock offset can't close it early): an
+    // entry older than UidHazardWindowMs of driver time can no longer
+    // be fooled by a re-create (the colliding re-create must share the
+    // original's store mtime, i.e. happen essentially concurrently), so
+    // validation stays getFileStatus-only. Observable via the
+    // doctored-uid trick: same (mtime, length), new uid — OUTSIDE the
+    // window the cached parse is (correctly) served without opening the
+    // file.
     val dir = tmp()
     import spark.implicits._
     GraftStore.write(Seq((1L, "zz")).toDF("k", "s"), dir, overwrite = true)
     val conf = GraftStore.driverConf()
     val mpath = java.nio.file.Paths.get(dir, "manifest", f"v${1L}%020d.manifest")
-    // mtime well in the past => warm insert lands outside the window
-    java.nio.file.Files.setLastModifiedTime(mpath,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
     val mtime = java.nio.file.Files.getLastModifiedTime(mpath)
-    val before = GraftStore.latestManifest(dir, conf).get
+    val before = GraftStore.latestManifest(dir, conf).get // warm the cache
     val oldUid = before.uid.get
     val newUid = (if (oldUid.head == 'f') "0" else "f") + oldUid.tail
     val text = new String(java.nio.file.Files.readAllBytes(mpath), "UTF-8")
     java.nio.file.Files.write(mpath,
       text.replace(s"uid=$oldUid", s"uid=$newUid").getBytes("UTF-8"))
     java.nio.file.Files.setLastModifiedTime(mpath, mtime)
+    // age the entry past the driver-clock hazard window
+    Thread.sleep(GraftStore.UidHazardWindowMs + 200)
     val after = GraftStore.latestManifest(dir, conf).get
     assert(after.uid.contains(oldUid),
       "outside the hazard window the stat-only fast path must serve the cache")

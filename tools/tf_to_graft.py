@@ -200,11 +200,15 @@ def graph_ops(meta_path):
 
 
 def infer_activations(ops, n_layers):
-    """Per-MatMul following activation op, graph order; linear when a
-    MatMul reaches the next MatMul (or the end) without one. Only the
-    FORWARD graph counts — backprop mirrors every MatMul under the
-    `gradients/` name scope (tf.gradients' fixed prefix), which would
-    otherwise double the layer count."""
+    """Per-MatMul NEXT (first) following activation op, graph order;
+    linear when a MatMul reaches the next MatMul (or the end) without
+    one. First-wins: a segment with two ACT_OPS nodes (e.g. a Tanh layer
+    whose logits also feed a terminal Softmax for the loss) labels the
+    layer with the op that actually transforms its output — the first —
+    not the loss-side one. Only the FORWARD graph counts — backprop
+    mirrors every MatMul under the `gradients/` name scope
+    (tf.gradients' fixed prefix), which would otherwise double the
+    layer count."""
     acts = []
     current = None
     for name, op in ops:
@@ -214,7 +218,7 @@ def infer_activations(ops, n_layers):
             if current is not None:
                 acts.append(current)
             current = "linear"
-        elif current is not None and op in ACT_OPS:
+        elif current == "linear" and op in ACT_OPS:
             current = ACT_OPS[op]
     if current is not None:
         acts.append(current)
