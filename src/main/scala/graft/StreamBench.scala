@@ -26,6 +26,21 @@ object StreamBench {
   case class ShapeResult(name: String, rows: Long, batches: Int,
       wallSec: Double, batchMs: Seq[Long])
 
+  /** State-partition sizing rule, landed from the r15 SCALE datum: at
+    * micro-batch volumes the stateful shapes are dominated by
+    * PER-PARTITION state-store task overhead, so the state partition
+    * count (= `spark.sql.shuffle.partitions` at the query's FIRST
+    * start; it is frozen into the checkpoint) must track per-batch row
+    * volume, not core count. Calibrated by r16 sweep at sf0.1
+    * (12.5k rows/batch): p50 batch latency vs the 32-partition default
+    * was 699 ms at 8 partitions, 430 ms at 4, 437 ms at 2 (burst
+    * degrading again at 2) — knee at 4, ~3.2k rows per state
+    * partition. Clamped to [1, cpus]; a 100 TB stream with millions of
+    * rows per batch clamps to the core count and keeps full
+    * parallelism. */
+  def tunedStatePartitions(perBatchRows: Long, cpus: Int): Int =
+    math.max(1, math.min(cpus, math.ceil(perBatchRows / 3200.0).toInt))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "stream_bench.json")
@@ -111,8 +126,20 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // tuned state-partition count for the STATEFUL shapes (see
+    // tunedStatePartitions): set per-query via the session conf — the
+    // value is read at query start and frozen into each checkpoint.
+    // The stateless dedup gate keeps the wide default (its cost is
+    // file-source/plan overhead, not state-store tasks).
+    val evCount = spark.read.parquet(evDir).count()
+    val statePartitions = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .map(_.toInt)
+      .getOrElse(tunedStatePartitions(evCount / nFiles, cpus.toInt))
+
     // JIT warm pass over a single-file copy so shape 1 isn't charged
-    // for codegen/startup the other shapes skip
+    // for codegen/startup the other shapes skip; runs at the tuned
+    // partition count so its codegen matches the measured shapes
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
     run("warmup") {
       EventStream.transitionPairs(
         spark.readStream.schema(evSchema).option("maxFilesPerTrigger", nFiles)
@@ -121,6 +148,7 @@ object StreamBench {
             col("event_type"), col("value"))
           .as[EventStream.Ev]).toDF()
     }
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
     val shapes = Seq(
       run("dedup_gate") {
@@ -129,13 +157,16 @@ object StreamBench {
             .option("maxFilesPerTrigger", 1).parquet(docDir),
           "text", existing, "text",
           expectedItems = math.max(existingCount, 1), fpp = 1e-6)
-      },
-      run("transitions") {
-        EventStream.transitionPairs(evStream.as[EventStream.Ev]).toDF()
+      }, {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+        run("transitions") {
+          EventStream.transitionPairs(evStream.as[EventStream.Ev]).toDF()
+        }
       },
       run("burst") {
         EventStream.burstPeaks(evStream.as[EventStream.Ev]).toDF()
       })
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
     def pct(xs: Seq[Long], p: Double): Long =
       if (xs.isEmpty) 0L
@@ -148,7 +179,8 @@ object StreamBench {
         f""""batch_ms_p50":${pct(r.batchMs, 0.5)},"batch_ms_max":${if (r.batchMs.isEmpty) 0L else r.batchMs.max}}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"stream_bench","sf":"$sfDir","n_files":$nFiles,"shapes":$shapeJson}"""
+      s"""{"metric":"stream_bench","sf":"$sfDir","n_files":$nFiles,""" +
+        s""""state_partitions":$statePartitions,"shapes":$shapeJson}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
