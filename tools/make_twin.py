@@ -13,7 +13,25 @@ while the bounded dims nation/region are copied as-is. This is the
 round-11 sf0.2 recipe, packaged so further doublings (sf0.4 = twin of
 sf0.2) use the identical transform.
 
-Usage: python3 tools/make_twin.py /tmp/sf0.2 /tmp/sf0.4
+Usage: python3 tools/make_twin.py <src> <dst> [rot]
+
+`rot` (default 7) is the alphabet rotation for the copied half. IT MUST
+DIFFER between successive applications: applying the same rotation R
+twice makes the grand-copy of the original IDENTICAL text to the first
+copy (src = {0, R} -> dst = {0, R, R, 2R}), so cross-half duplicate
+groups gain multiplicity and pair volume grows QUADRATICALLY in the
+number of doublings -- a fixture artifact, not corpus growth (this is
+exactly what the r16 sf0.8-at-rot-7 sweep measured: winnowing pairs
+x3.61 on 2x data). Pick rotations whose pairwise DIFFERENCES are all
+distinct mod 26, e.g. 7 then 3: {0,7} -> {0,7,3,10} -- all four halves
+pairwise disjoint in gram space, duplicate structure exactly doubles.
+The committed fixture chain: sf0.2 = twin(sf0.1, 7); sf0.4 =
+twin(sf0.2, 7) -- HISTORICAL, self-colliding ({0,7,7,14}: rot-7 texts
+have multiplicity 2), kept for continuity with the r15 records that
+measured it; sf0.8 = twin(sf0.4, 3) -> {0,7,7,14}+{3,10,10,17}:
+cross-half disjoint, so the sf0.4->sf0.8 DOUBLING is honest (duplicate
+structure exactly doubles) even though sf0.4's internal multiplicity
+remains its own documented quirk.
 """
 import os
 import sys
@@ -21,7 +39,7 @@ import sys
 import duckdb
 
 SRC, DST = sys.argv[1], sys.argv[2]
-ROT = 7
+ROT = int(sys.argv[3]) if len(sys.argv) > 3 else 7
 
 # key domains shared across tables: offset must be consistent per domain
 DOMAINS = {
@@ -54,8 +72,11 @@ def domain_of(col):
     return None
 
 
-ROT_SQL = ("translate({c}, 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', "
-           "'hijklmnopqrstuvwxyzabcdefgHIJKLMNOPQRSTUVWXYZABCDEFG')")
+_LOW = "abcdefghijklmnopqrstuvwxyz"
+_UPP = _LOW.upper()
+_rl = _LOW[ROT:] + _LOW[:ROT]
+_ru = _UPP[ROT:] + _UPP[:ROT]
+ROT_SQL = f"translate({{c}}, '{_LOW}{_UPP}', '{_rl}{_ru}')"
 
 
 def copy_expr(table, col, dtype):
