@@ -756,13 +756,22 @@ object DedupOps {
       DedupLib.winnowPairs(documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    // embedding near-dup: 4-bit sign-bucket LSH then exact cosine
-    // (native fused Expression — same fold order as the oracle's
-    // dot/(sqrt*sqrt), so rounded values agree)
+    // embedding near-dup: sign-bucket LSH then exact cosine (native
+    // fused Expression — same fold order as the oracle's
+    // dot/(sqrt*sqrt), so rounded values agree). Bucket width is
+    // CORPUS-ADAPTIVE (r16): a fixed 4-bit bucket made this self-join
+    // quadratic — measured wall ×3.4-4.4 per data doubling with flat
+    // byte gauges (pairs = n²/32) — so the bit count now grows as
+    // ⌈log₂⌈n/64⌉⌉ (VectorOps.adaptiveSignBits, integer-exact on both
+    // engines), keeping expected bucket size ≤ 64 and total candidate
+    // pairs O(n). The one driver-side count() is a bounded single-agg
+    // job, the same class as the codebook seeds.
     "dedup_embedding_cos" -> { (s, dir) =>
-      val e = embeddings(s, dir)
+      val e0 = embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
-        .withColumn("bucket", VectorOps.signBucket(col("v"), 4))
+      val bits = VectorOps.adaptiveSignBits(e0.count())
+      val e = e0
+        .withColumn("bucket", VectorOps.signBucket(col("v"), bits))
         .select(col("vec_id"), col("bucket"), col("v"))
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -1786,8 +1795,13 @@ object DedupOps {
          |LEFT JOIN e b ON b.vec_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding_cos" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, ${VectorOps.signBucketSql("v", 4)} AS bucket, v,
+      s"""WITH cfg AS (
+         |  SELECT ${VectorOps.adaptiveSignBitsSql("COUNT(*)")} AS bits
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id,
+         |         substr(${VectorOps.signBucketSql("v", 16)}, 1,
+         |                (SELECT bits FROM cfg)) AS bucket, v,
          |         sqrt(${VectorOps.dotSql("v", "v")}) AS norm
          |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |        FROM embeddings))
@@ -1959,4 +1973,26 @@ object VectorOps {
   def signBucketSql(v: String, k: Int): String =
     (1 to k).map(i => s"(CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END)")
       .mkString("(", " || ", ")")
+
+  /** Corpus-adaptive sign-LSH width: the smallest bit count that keeps
+    * the EXPECTED bucket at ≤ `target` vectors, clamped to [lo, hi] —
+    * bits = ⌈log₂⌈n/target⌉⌉. A FIXED bit count makes every
+    * bucketed self-join quadratic (pairs = n²/2^(bits+1)); adaptive
+    * bits keep per-bucket pairs bounded so total candidates are O(n ·
+    * target). Pure INTEGER arithmetic (ceil-div + bit length) because
+    * the two engines' float log₂ disagree exactly at powers of two
+    * (Scala log(x)/log(2) can land 1 ulp above an integer where DuckDB
+    * LOG2 is exact, flipping CEIL); the oracle mirrors this formula
+    * with `length(bin(m-1))`. */
+  def adaptiveSignBits(n: Long, target: Long = 64, lo: Int = 4, hi: Int = 16): Int = {
+    val m = (n + target - 1) / target
+    val raw = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(hi, math.max(lo, raw))
+  }
+
+  /** The oracle-side twin of [[adaptiveSignBits]] (DuckDB SQL over
+    * `cnt`, a COUNT(*) column reference). */
+  def adaptiveSignBitsSql(cnt: String, target: Long = 64, lo: Int = 4, hi: Int = 16): String =
+    s"LEAST($hi, GREATEST($lo, CASE WHEN (($cnt + ${target - 1}) // $target) <= 1 " +
+      s"THEN 0 ELSE length(bin((($cnt + ${target - 1}) // $target) - 1)) END))"
 }

@@ -159,4 +159,25 @@ class DedupLibSpec extends AnyFunSuite {
     assert(DedupLib.shingles(tiny, "id", "text").count() == 0)
     assert(DedupLib.minhashCandidates(tiny, "id", "text").count() == 0)
   }
+
+  test("adaptiveSignBits: integer-exact, clamped, and keeps expected buckets <= target") {
+    // golden points across the fixture scales (target 64, clamp [4,16])
+    val golden = Seq(20L -> 4, 200L -> 4, 2000L -> 5, 4000L -> 6,
+      8000L -> 7, 16000L -> 8, 64L -> 4, 65L -> 4, 128L -> 4,
+      2048L * 64 -> 11, 1L -> 4)
+    golden.foreach { case (n, want) =>
+      assert(VectorOps.adaptiveSignBits(n) == want, s"n=$n")
+    }
+    // power-of-two boundary exactness (the float-log2 failure class):
+    // n/target landing exactly on 2^k must give k, not k+1
+    (1 to 16).foreach { k =>
+      val n = 64L << k // m = 2^k exactly
+      assert(VectorOps.adaptiveSignBits(n) == math.min(16, math.max(4, k)), s"k=$k")
+    }
+    // invariant: expected bucket size n / 2^bits <= target (above clamp)
+    Seq(5000L, 12345L, 999999L, 12L << 20).foreach { n =>
+      val bits = VectorOps.adaptiveSignBits(n)
+      if (bits < 16) assert(n.toDouble / (1L << bits) <= 64.0, s"n=$n bits=$bits")
+    }
+  }
 }

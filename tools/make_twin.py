@@ -8,7 +8,9 @@ original concatenated with a copy whose
   - text is alphabet-rotated by 7 (the copy shares no k-grams with the
     original: duplicate/gram structure DOUBLES instead of exploding
     cross-half — the honest way to grow a dup-sensitive corpus),
-  - embeddings are negated (same norms, disjoint geometry),
+  - embeddings are negated and coordinate-shifted by `rot` (same
+    norms, disjoint geometry at every doubling -- pure negation is an
+    involution and self-collides on the second application),
 while the bounded dims nation/region are copied as-is. This is the
 round-11 sf0.2 recipe, packaged so further doublings (sf0.4 = twin of
 sf0.2) use the identical transform.
@@ -86,7 +88,15 @@ def copy_expr(table, col, dtype):
     if table == "documents" and col == "text":
         return ROT_SQL.format(c=col) + f" AS {col}"
     if col == "embedding":
-        return f"list_transform({col}, x -> -x) AS {col}"
+        # negate AND cyclically shift coordinates by ROT: negation alone
+        # is an involution (a second application reproduces the original
+        # vectors -- every vec gains a geometric TWIN and cell/kNN pair
+        # volume grows quadratically per doubling, the same fixture
+        # artifact the text rotation had). The shifted negation keeps
+        # norms exact, and distinct ROT values keep all halves disjoint
+        # in geometry.
+        return (f"list_transform(list_concat({col}[{ROT}+1:], "
+                f"{col}[1:{ROT}]), x -> -x) AS {col}")
     return col
 
 
