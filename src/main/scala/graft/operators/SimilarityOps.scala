@@ -1018,7 +1018,18 @@ object SimilarityOps {
       val cos = graft.functions.VectorFunctions.cosine_sim _
       val e = embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cents = e.filter(col("vec_id") < IvfCells)
+      // CORPUS-ADAPTIVE cell count (r16): the fixed 8-cell layout made
+      // the within-cell pair join quadratic — measured shuffle ×4.03
+      // per data doubling (109→438 MB at sf0.4→sf0.8). ⌊√n⌋ cells is
+      // the standard single-level IVF balance: assignment explores
+      // n·√n candidates and within-cell pairs total ≈ n·√n — both
+      // O(n^1.5), vs n²/8 before. floor(sqrt) is IEEE-exact at perfect
+      // squares on both engines (correctly-rounded sqrt), so the
+      // oracle's FLOOR(SQRT(COUNT(*))) lands the same cell count.
+      val nVec = e.count() // bounded single-agg job, the codebook class
+      val cells = math.max(IvfCells.toLong,
+        math.floor(math.sqrt(nVec.toDouble)).toLong)
+      val cents = e.filter(col("vec_id") < cells)
         .select(col("vec_id").as("cell"), col("v").as("cv"))
       val wAssign = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id"))
@@ -1033,7 +1044,11 @@ object SimilarityOps {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cell"), col("v"),
           dot(col("v"), col("v")).as("n2"))
-        .localCheckpoint() // 2 consumers: both sides of the pair join
+        .localCheckpoint() // 3 consumers: pair join sides + cell census
+      // cell census from the assignment (NOT a per-pair count window:
+      // a plain rank-≤-k filter lets Spark insert WindowGroupLimit and
+      // prune the pair stream to k rows per vec BEFORE its shuffle)
+      val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
       val nbrs = assigned.select(col("cell"), col("vec_id").as("nb"),
         col("v").as("vb"), col("n2").as("nb2"))
       val pairs = assigned.join(nbrs, Seq("cell"))
@@ -1043,12 +1058,14 @@ object SimilarityOps {
             lit(2.0) * dot(col("v"), col("vb")), 6).as("dist"))
       val wk = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("dist"), col("nb"))
-      val wc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
       pairs.withColumn("rk", row_number().over(wk))
-        .withColumn("nn", count(lit(1)).over(wc))
-        .filter(col("rk") === least(lit(3L), col("nn")))
-        .select(col("vec_id"), col("cell"), (col("nn") + 1).as("n_in_cell"),
+        .filter(col("rk") <= 3) // → WindowGroupLimit (plan-gated)
+        .join(broadcast(sizes), Seq("cell"))
+        // a vec's pair count is its cell size − 1; keep the k-th
+        // (or last, for cells smaller than k+1) neighbor — identical
+        // row selection to the old per-pair count window
+        .filter(col("rk") === least(lit(3L), col("sz") - 1))
+        .select(col("vec_id"), col("cell"), col("sz").as("n_in_cell"),
           col("dist").as("knn_dist"))
         .orderBy(col("knn_dist").desc, col("vec_id")).limit(20)
     },
@@ -1971,7 +1988,11 @@ object SimilarityOps {
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $IvfCells),
+         |cfg AS (
+         |  SELECT GREATEST($IvfCells, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS cells
+         |  FROM e),
+         |c AS (SELECT vec_id AS cell, v AS cv FROM e
+         |      WHERE vec_id < (SELECT cells FROM cfg)),
          |asg AS (
          |  SELECT vec_id, cell, v FROM (
          |    SELECT e.vec_id, c.cell, e.v,
@@ -1980,6 +2001,7 @@ object SimilarityOps {
          |    FROM e CROSS JOIN c) WHERE rn = 1),
          |n2 AS (
          |  SELECT vec_id, cell, v, ${dotSql("v", "v")} AS n2 FROM asg),
+         |sizes AS (SELECT cell, COUNT(*) AS sz FROM asg GROUP BY cell),
          |pairs AS (
          |  SELECT a.vec_id, a.cell, b.vec_id AS nb,
          |    ROUND(a.n2 + b.n2 - 2.0 * ${dotSql("a.v", "b.v")}, 6) AS dist
@@ -1987,11 +2009,11 @@ object SimilarityOps {
          |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
          |k AS (
          |  SELECT vec_id, cell, dist,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, nb) AS rk,
-         |    COUNT(*) OVER (PARTITION BY vec_id) AS nn
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, nb) AS rk
          |  FROM pairs)
-         |SELECT vec_id, cell, nn + 1 AS n_in_cell, dist AS knn_dist
-         |FROM k WHERE rk = LEAST(3, nn)
+         |SELECT k.vec_id, k.cell, s.sz AS n_in_cell, k.dist AS knn_dist
+         |FROM k JOIN sizes s ON s.cell = k.cell
+         |WHERE k.rk = LEAST(3, s.sz - 1)
          |ORDER BY knn_dist DESC, vec_id
          |LIMIT 20""".stripMargin,
     "ann_binary_hamming" ->

@@ -30,6 +30,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("emb_outlier_knn: pair top-k is WindowGroupLimit (pairs pruned before their shuffle)") {
+    // r16: the per-vec k-nearest filter must stay a plain rank ≤ k so
+    // Spark prunes the within-cell pair stream to k rows per vec per
+    // partition BEFORE the window shuffle — with √n adaptive cells this
+    // is what holds the pair shuffle to O(n) (measured 438 → 19.5 MB
+    // at sf0.8). A revert to the count-window formulation loses the
+    // rewrite and the shuffle goes quadratic again.
+    val p = plan("emb_outlier_knn")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("text_bm25: top-k is TakeOrderedAndProject, not a global window sort") {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject"))
