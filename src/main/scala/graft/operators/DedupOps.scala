@@ -764,12 +764,26 @@ object DedupOps {
     // byte gauges (pairs = n²/32) — so the bit count now grows as
     // ⌈log₂⌈n/64⌉⌉ (VectorOps.adaptiveSignBits, integer-exact on both
     // engines), keeping expected bucket size ≤ 64 and total candidate
-    // pairs O(n). The one driver-side count() is a bounded single-agg
-    // job, the same class as the codebook seeds.
+    // pairs O(n). The corpus count is memoized per fixture dir
+    // (Tables.memoCount) so repeated plan construction pays the
+    // single-agg job once, not per build.
+    //
+    // CONTRACT — recall is a function of n, by design: adaptive width
+    // means growing the corpus RAISES the LSH bit count, so a pair of
+    // vectors that bucketed together at n₁ can land in different
+    // buckets at n₂ > n₁ and silently drop out of the result. That is
+    // the standard LSH recall-vs-cost dial (candidate volume stays
+    // O(n) only because expected recall per non-identical pair falls
+    // as buckets narrow); sign-LSH keeps PERFECT recall for exact
+    // duplicates at every width (equal vectors share every sign bit).
+    // A consumer who needs scale-stable NEAR-dup recall should pin
+    // `bits` explicitly and pay the quadratic bucket growth, or use
+    // the banded minhash family whose recall is set by (k, bands),
+    // not n.
     "dedup_embedding_cos" -> { (s, dir) =>
       val e0 = embeddings(s, dir)
         .withColumn("v", col("embedding").cast("array<double>"))
-      val bits = VectorOps.adaptiveSignBits(e0.count())
+      val bits = VectorOps.adaptiveSignBits(memoCount(s, dir, "embeddings"))
       val e = e0
         .withColumn("bucket", VectorOps.signBucket(col("v"), bits))
         .select(col("vec_id"), col("bucket"), col("v"))

@@ -3077,4 +3077,21 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String) = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String) = table(s, dir, "embeddings")
+
+  /** Memoized corpus row count for the corpus-ADAPTIVE operators
+    * (dedup_embedding_cos bit width, emb_outlier_knn cell count): those
+    * queries need |corpus| at PLAN-construction time to size their LSH
+    * width / IVF cells, which costs one driver-side count job per
+    * DataFrame build — Verify/Bench construct plans repeatedly, so the
+    * count is memoized per (fixture dir, table). The fixture parquet
+    * dirs are immutable for a session's lifetime (driver contract), so
+    * a cached count never goes stale; anything mutable (graft-store
+    * paths) goes through its own snapshot machinery, not this. Bounded:
+    * one Long per distinct (dir, table) ever touched. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]
+  def memoCount(s: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent((dir, name), { k =>
+      java.lang.Long.valueOf(table(s, k._1, k._2).count())
+    }).longValue()
 }

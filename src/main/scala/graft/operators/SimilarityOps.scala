@@ -1026,7 +1026,14 @@ object SimilarityOps {
       // O(n^1.5), vs n²/8 before. floor(sqrt) is IEEE-exact at perfect
       // squares on both engines (correctly-rounded sqrt), so the
       // oracle's FLOOR(SQRT(COUNT(*))) lands the same cell count.
-      val nVec = e.count() // bounded single-agg job, the codebook class
+      // memoized per fixture dir: repeated plan construction must not
+      // re-pay the count job (ADVICE r16). Note the adaptive cell count
+      // makes which neighbors are WITHIN-CELL a function of n — kNN
+      // distance estimates are cell-local by contract (single-probe
+      // IVF), so outlier scores at different corpus sizes are not
+      // comparable row-for-row; the report's ORDERING within one corpus
+      // is the product.
+      val nVec = Tables.memoCount(s, dir, "embeddings")
       val cells = math.max(IvfCells.toLong,
         math.floor(math.sqrt(nVec.toDouble)).toLong)
       val cents = e.filter(col("vec_id") < cells)

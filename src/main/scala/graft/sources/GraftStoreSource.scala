@@ -229,8 +229,13 @@ object GraftStore {
     * uid by head read (see [[ManifestCacheEntry]]). 2 s of real time is
     * ~2000× the 1 ms store-mtime granularity a colliding re-create must
     * fit inside; the head read is one bounded 128-byte pread, so paying
-    * it on very young entries is noise. */
-  private[sources] val UidHazardWindowMs = 2000L
+    * it on very young entries is noise.
+    *
+    * A `var` (volatile, production code never writes it) solely so the
+    * spec exercising the OUTSIDE-the-window fast path can shrink it to
+    * tens of milliseconds instead of Thread.sleeping the real window —
+    * otherwise raising the window would silently slow the suite. */
+  @volatile private[sources] var UidHazardWindowMs = 2000L
 
   private val ManifestCacheMax = 64
   private val manifestCache =
@@ -379,8 +384,13 @@ object GraftStore {
         val stOpt = try Some(f.getFileStatus(target)) catch {
           case _: java.io.FileNotFoundException => None
         }
+        // 2x grace (TornSlotReclaimMs), same as the manifest-slot path:
+        // this branch AUTOMATICALLY deletes another writer's artifact on
+        // commit contention, so it needs the doubled clock-skew headroom;
+        // the 1x DefaultVacuumGraceMs stays reserved for operator-invoked
+        // vacuum, where a human chose the retention.
         val aged = stOpt.exists(_.getModificationTime <
-          System.currentTimeMillis() - DefaultVacuumGraceMs)
+          System.currentTimeMillis() - TornSlotReclaimMs)
         if (stOpt.isEmpty) {
           chunkCache.remove(qualifiedKey(f, target))
         } else if (aged) {

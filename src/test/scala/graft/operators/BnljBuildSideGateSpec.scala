@@ -63,21 +63,79 @@ class BnljBuildSideGateSpec extends AnyFunSuite {
     "events_dau_stickiness", "events_dau_stickiness_hll", "ml_chi2",
     "text_js_divergence", "text_source_divergence")
 
+  /** A filter condition counts as a K-row probe only when a WHOLE
+    * top-level conjunct is the probe shape. The r16 formulation used
+    * `cond.exists(probe)`, which also matched a probe NESTED under
+    * OR/NOT — `lang = 'en' OR length > 5` would classify a corpus-sized
+    * filter output as bounded, a false negative on exactly the build
+    * sides this gate exists to catch. Equality probes are further
+    * restricted to key-ish columns (`*id*` / `*key*` names): equality on
+    * a non-selective domain column (lang = 'en') selects a corpus-sized
+    * slice, not K rows. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   private def probePredicate(cond: Expression): Boolean = {
+    def keyish(a: Attribute): Boolean = {
+      val n = a.name.toLowerCase
+      n.contains("id") || n.contains("key")
+    }
     def probe(e: Expression): Boolean = e match {
       case In(_: Attribute, list)
         if list.forall(_.isInstanceOf[Literal]) && list.size <= 1000 => true
       case InSet(_: Attribute, set) if set.size <= 1000 => true
-      case EqualTo(_: Attribute, _: Literal) => true
-      case EqualTo(_: Literal, _: Attribute) => true
+      case EqualTo(a: Attribute, _: Literal) => keyish(a)
+      case EqualTo(_: Literal, a: Attribute) => keyish(a)
       case _ => false
     }
-    cond.exists(probe)
+    conjuncts(cond).exists(probe)
+  }
+
+  /** Attributes pinned to a literal (or a ≤1000-literal IN-list) by a
+    * top-level Filter conjunct anywhere in the subtree. Unlike the
+    * keyish probe above — which bounds a filter's OUTPUT rows and so
+    * needs the column to be selective — a pinned attribute bounds a
+    * grouped aggregate's output (≤ one row per pinned value) regardless
+    * of how many corpus rows carry the value, so no keyish restriction
+    * applies here. */
+  private def pinnedAttrs(p: SparkPlan): Set[org.apache.spark.sql.catalyst.expressions.ExprId] = {
+    def pins(e: Expression): Seq[Attribute] = e match {
+      case EqualTo(a: Attribute, _: Literal) => Seq(a)
+      case EqualTo(_: Literal, a: Attribute) => Seq(a)
+      case In(a: Attribute, list)
+        if list.forall(_.isInstanceOf[Literal]) && list.size <= 1000 => Seq(a)
+      case InSet(a: Attribute, set) if set.size <= 1000 => Seq(a)
+      case _ => Seq.empty
+    }
+    val acc = scala.collection.mutable.Set[org.apache.spark.sql.catalyst.expressions.ExprId]()
+    p.foreach {
+      case f: FilterExec =>
+        conjuncts(f.condition).flatMap(pins).foreach(a => acc += a.exprId)
+      case _ => ()
+    }
+    acc.toSet
+  }
+
+  /** A grouped aggregate is bounded when every grouping expression is a
+    * bare attribute pinned by an equality/IN-literal conjunct below:
+    * the output is at most one row per combination of pinned values —
+    * corpus-size independent even if the aggregate's INPUT is the whole
+    * corpus (the ml_permutation_importance AUC shape: group by an
+    * `ablated` tag that a descendant filter fixes to one literal). */
+  private def groupingPinned(a: BaseAggregateExec): Boolean = {
+    val keys = a.groupingExpressions.collect { case attr: Attribute => attr.exprId }
+    keys.size == a.groupingExpressions.size && keys.nonEmpty && {
+      val pinned = pinnedAttrs(a.child)
+      keys.forall(pinned.contains)
+    }
   }
 
   private def bounded(p: SparkPlan): Boolean = p match {
     case a: BaseAggregateExec =>
-      a.groupingExpressions.isEmpty || bounded(a.child)
+      a.groupingExpressions.isEmpty || groupingPinned(a) || bounded(a.child)
     case _: LocalTableScanExec => true
     case _: GlobalLimitExec | _: LocalLimitExec |
          _: TakeOrderedAndProjectExec | _: CollectLimitExec => true

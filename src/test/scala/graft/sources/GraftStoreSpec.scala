@@ -734,22 +734,29 @@ class GraftStoreSpec extends AnyFunSuite {
     // file.
     val dir = tmp()
     import spark.implicits._
-    GraftStore.write(Seq((1L, "zz")).toDF("k", "s"), dir, overwrite = true)
-    val conf = GraftStore.driverConf()
-    val mpath = java.nio.file.Paths.get(dir, "manifest", f"v${1L}%020d.manifest")
-    val mtime = java.nio.file.Files.getLastModifiedTime(mpath)
-    val before = GraftStore.latestManifest(dir, conf).get // warm the cache
-    val oldUid = before.uid.get
-    val newUid = (if (oldUid.head == 'f') "0" else "f") + oldUid.tail
-    val text = new String(java.nio.file.Files.readAllBytes(mpath), "UTF-8")
-    java.nio.file.Files.write(mpath,
-      text.replace(s"uid=$oldUid", s"uid=$newUid").getBytes("UTF-8"))
-    java.nio.file.Files.setLastModifiedTime(mpath, mtime)
-    // age the entry past the driver-clock hazard window
-    Thread.sleep(GraftStore.UidHazardWindowMs + 200)
-    val after = GraftStore.latestManifest(dir, conf).get
-    assert(after.uid.contains(oldUid),
-      "outside the hazard window the stat-only fast path must serve the cache")
+    // shrink the (test-injectable) window so the suite sleeps tens of
+    // milliseconds, not the production 2 s — the contract under test is
+    // "older than the window ⇒ stat-only", which is window-size agnostic
+    val savedWindow = GraftStore.UidHazardWindowMs
+    GraftStore.UidHazardWindowMs = 50L
+    try {
+      GraftStore.write(Seq((1L, "zz")).toDF("k", "s"), dir, overwrite = true)
+      val conf = GraftStore.driverConf()
+      val mpath = java.nio.file.Paths.get(dir, "manifest", f"v${1L}%020d.manifest")
+      val mtime = java.nio.file.Files.getLastModifiedTime(mpath)
+      val before = GraftStore.latestManifest(dir, conf).get // warm the cache
+      val oldUid = before.uid.get
+      val newUid = (if (oldUid.head == 'f') "0" else "f") + oldUid.tail
+      val text = new String(java.nio.file.Files.readAllBytes(mpath), "UTF-8")
+      java.nio.file.Files.write(mpath,
+        text.replace(s"uid=$oldUid", s"uid=$newUid").getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(mpath, mtime)
+      // age the entry past the driver-clock hazard window
+      Thread.sleep(GraftStore.UidHazardWindowMs + 100)
+      val after = GraftStore.latestManifest(dir, conf).get
+      assert(after.uid.contains(oldUid),
+        "outside the hazard window the stat-only fast path must serve the cache")
+    } finally GraftStore.UidHazardWindowMs = savedWindow
   }
 
   test("invalidateCaches purges entries for a scheme-less warehouse root") {
