@@ -23,6 +23,15 @@ class ExamplesSpec extends AnyFunSuite {
     assert(accuracy > 0.5, s"accuracy $accuracy not better than chance")
   }
 
+  test("Cnn example: pixel CSV -> conv net pipeline -> train -> save/load -> evaluate") {
+    val (accuracy, predictions) = Cnn.run(spark, sfDir, workDir(), port = 5413)
+    assert(predictions.count() > 0)
+    // 10-class task whose linear-probe ceiling on these embeddings is
+    // ~0.39; the conv net reaches ~0.54 trained. Hogwild is
+    // nondeterministic, so assert well clear of chance (0.1) with slack
+    assert(accuracy > 0.3, s"accuracy $accuracy not clearly above chance")
+  }
+
   test("Autoencoder example: label-less fit reconstructs L1-normalized rows") {
     val (meanMse, out) = Autoencoder.run(spark, sfDir, workDir(), port = 5412)
     assert(out.count() > 0)
