@@ -244,7 +244,11 @@ object DedupLib {
     * bounded-group joins — no fingerprint self-join). */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 4, minShared: Int = 2, maxDf: Int = 100): DataFrame = {
-    val grouped = winnowFingerprints64(df, idCol, textCol, w)
+    // spread at the BATCH call site, not inside winnowFingerprints64 —
+    // the fingerprint map stage itself stays zero-shuffle and
+    // streaming-legal (a streaming Dataset cannot answer .rdd)
+    val grouped = winnowFingerprints64(Tables.spread(df, col(idCol)),
+        idCol, textCol, w)
       .groupBy(col("fp"))
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, maxDf))

@@ -104,8 +104,9 @@ object DedupOps {
     * and the probe side of the semi-join consume it. */
   private[operators] def dupSpans(docs: DataFrame): DataFrame = {
     val k = 40
-    val g = docs
-      .filter(length(col("text")) >= k)
+    // spread BEFORE the stride-1 explode: a single-file corpus otherwise
+    // runs the whole ~40× gram extraction + checkpoint write as one task
+    val g = spread(docs.filter(length(col("text")) >= k), col("doc_id"))
       .select(col("doc_id"), col("source"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
       .select(col("doc_id"), col("source"), col("pos"),
@@ -169,8 +170,9 @@ object DedupOps {
     * ASCII). */
   private[operators] def dupSpansWinnowed(docs: DataFrame): DataFrame = {
     val k = 40; val w = SubWinnowW
-    val g = docs
-      .filter(length(col("text")) >= k)
+    // same spread-before-extraction as dupSpans: the WinnowSelect argmin
+    // pass is row-local compute over the whole corpus text
+    val g = spread(docs.filter(length(col("text")) >= k), col("doc_id"))
       .select(col("doc_id"), col("source"), col("text"),
         explode(graft.functions.Winnow.column(col("text"), k, w)).as("posi"))
       .select(col("doc_id"), col("source"),
@@ -1239,7 +1241,10 @@ object DedupOps {
     val winMins = transform(
       sequence(lit(WinnowW), size(col("k"))),
       p => array_min(slice(col("k"), p - (WinnowW - 1), lit(WinnowW))))
-    df.withColumn("w", split(col("text"), " "))
+    // spread first: the per-gram md5 keying below is the corpus's
+    // dominant compute and otherwise inherits a single-file scan's
+    // one-task parallelism (no-op once the scan is properly split)
+    spread(df, col("doc_id")).withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= WinnowW + 2)
       .withColumn("k", keys)
       .select(col("doc_id"),

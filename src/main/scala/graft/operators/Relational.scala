@@ -3094,4 +3094,25 @@ object Tables {
     countCache.computeIfAbsent((dir, name), { k =>
       java.lang.Long.valueOf(table(s, k._1, k._2).count())
     }).longValue()
+
+  /** Spread an under-split input to the session's shuffle parallelism
+    * before a row-EXPLOSIVE stage (stride-1 grams, per-position shingle
+    * keys): parquet splits by `maxPartitionBytes` of INPUT, so a small
+    * text corpus in one file plans the whole ~40× gram explosion — and
+    * the checkpoint/shuffle write it feeds — as ONE task (measured at
+    * the sf0.8 twin: dedup_substring_cut's extraction serialized 440 s
+    * on a single core while 31 sat idle). No-op whenever the scan
+    * already carries at least the target parallelism — the real-cluster
+    * case, where a 100 TB corpus arrives in thousands of splits and
+    * re-shuffling raw text would cost a corpus-sized exchange for
+    * nothing. When it does fire, the shuffled payload is the RAW text
+    * (k× smaller than the gram stream whose extraction it unlocks),
+    * hash-spread by the given keys (uniform ids beat round-robin: no
+    * sort-before-repartition pass, deterministic placement). */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
 }
