@@ -243,7 +243,9 @@ object CorpusOps {
     // TakeOrderedAndProject, never a global sort of the gram table.
     "text_dup_ngrams" -> { (s, dir) =>
       val w = col("w")
-      val grams = documents(s, dir)
+      // spread the under-split single-file scan before the 4-gram
+      // explode (no-op on properly split inputs — Tables.spread)
+      val grams = Tables.spread(documents(s, dir), col("doc_id"))
         .withColumn("w", split(col("text"), " "))
         .filter(size(w) >= 4)
         .select(col("doc_id"), explode(transform(
@@ -302,7 +304,7 @@ object CorpusOps {
     // arithmetic off a broadcast max-id row.
     "corpus_ngram_novelty" -> { (s, dir) =>
       val w = col("w")
-      val grams = documents(s, dir)
+      val grams = Tables.spread(documents(s, dir), col("doc_id"))
         .withColumn("w", split(col("text"), " "))
         .filter(size(w) >= 3)
         // explode the POSITION, concat in codegen (the r13 shingle lesson)

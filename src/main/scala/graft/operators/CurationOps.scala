@@ -100,7 +100,11 @@ object CurationOps {
               element_at(col("w"), i + 2), element_at(col("w"), i + 3)))))
           .drop("w")
       }
-      val base = documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      // spread the under-split single-file scan before both gram
+      // explodes (no-op on properly split inputs — Tables.spread)
+      val base = Tables.spread(
+        documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        col("doc_id"))
       val evalGrams = grams(base.filter(col("doc_id") % 20 === 0))
         .select(col("sh")).distinct()
       // broadcast-join FIRST, distinct after: the join is a stateless

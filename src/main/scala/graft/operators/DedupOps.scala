@@ -27,7 +27,11 @@ object DedupOps {
     // interpreted string array per doc first (measured ×0.65 warm,
     // ×5 cold at sf0.1; same shingle stream bit-for-bit)
     val w = split(col("text"), " ")
-    df.withColumn("w", w)
+    // spread before the per-position explode + per-shingle hashing: the
+    // single-file fixture otherwise runs the whole shingle stream — the
+    // dominant map compute of every consumer (minhash signatures,
+    // containment, prefix filter) — as one task (no-op on split scans)
+    spread(df, col("doc_id")).withColumn("w", w)
       .filter(size(col("w")) >= 3)
       .withColumn("i", explode(sequence(lit(1), size(col("w")) - 2)))
       .withColumn("sh", concat_ws(" ", element_at(col("w"), col("i")),

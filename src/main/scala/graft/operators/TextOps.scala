@@ -380,7 +380,7 @@ object TextOps {
       // (no common-subexpression elimination across higher-order
       // functions), turning gram extraction O(words²); measured 2.3 s →
       // 0.5 s for the gram scan alone at sf0.1
-      val grams = documents(s, dir)
+      val grams = Tables.spread(documents(s, dir), col("doc_id"))
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 2)
         // explode the POSITION, project in codegen (the r13 shingle
@@ -416,7 +416,9 @@ object TextOps {
     // B) are vocabulary-bounded and broadcast; the corpus-sized gram
     // stream never shuffles. Top-10 most-surprising docs, the cut list.
     "text_kneser_ney" -> { (s, dir) =>
-      val grams = documents(s, dir)
+      // spread the under-split single-file scan before the per-position
+      // gram explode (no-op on properly split inputs — Tables.spread)
+      val grams = Tables.spread(documents(s, dir), col("doc_id"))
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 2)
         // explode the POSITION, project in codegen (the r13 shingle

@@ -117,13 +117,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("dedup_winnowing: selection is shuffle-free — no window operator, 3 keyed exchanges") {
+  test("dedup_winnowing: selection is shuffle-free — no window operator, 4 keyed exchanges") {
     val p = plan("dedup_winnowing")
     // the row-local rewrite must never regress to a per-doc window
     // function (corpus-sized Exchange + Sort before any aggregation)
     assert(!p.contains("Window"), p)
+    // raw-doc spread (r17, fires only on under-split scans) +
     // fingerprint group + pair count + presentation sort, nothing more
-    assert(exchanges(p) == 3, p)
+    assert(exchanges(p) == 4, p)
     val scanLine = p.linesIterator.find(l => l.contains("ReadSchema") && l.contains("documents"))
       .getOrElse("")
     assert(scanLine.contains("doc_id") && scanLine.contains("text") && !scanLine.contains("lang"),
