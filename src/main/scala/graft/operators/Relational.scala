@@ -3110,6 +3110,9 @@ object Tables {
     * hash-spread by the given keys (uniform ids beat round-robin: no
     * sort-before-repartition pass, deterministic placement). */
   def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    // streaming inputs: .rdd would force batch execution (illegal on a
+    // stream), and micro-batch sizing is the source's job — no-op
+    if (df.isStreaming) return df
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)
