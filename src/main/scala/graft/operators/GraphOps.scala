@@ -28,6 +28,28 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Target rows per partition for ITERATION-SUBSTRATE tables (edge
+    * lists, rank/label state). Iterated stages pay per-partition task
+    * overhead every round, and the substrate is node/catalog-bounded —
+    * orders of magnitude smaller than the corpus that built it — so
+    * running each round at the session's full shuffle parallelism is
+    * pure scheduler overhead (measured at sf0.1: the same stored graph
+    * queries run 2-3× FASTER on local[4] than local[32], e.g.
+    * graph_pagerank_stored 2.9 vs 6.3 s — the constant-per-partition
+    * cost dominates ~3k-row rounds). ~250k rows/partition keeps a task
+    * at tens of MB while bounding round latency. */
+  private val IterRowsPerPart = 250000L
+
+  /** Size-derived partition count for an iteration substrate of `rows`
+    * rows: ceil(rows / IterRowsPerPart), clamped to [1, session shuffle
+    * parallelism] so a genuinely big graph keeps every configured core
+    * busy (the cap is the knob a real cluster already sets). */
+  private[operators] def iterParts(df: DataFrame, rows: Long): Int = {
+    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(1, math.min(cap,
+      math.ceil(rows.toDouble / IterRowsPerPart).toInt))
+  }
+
   /** Connected components over an undirected edge list.
     *
     * Returns (node, cc) for every node incident to at least one
@@ -176,14 +198,27 @@ object GraphOps {
     // count off the degree table the algorithm needs anyway, and only
     // the big path pays the one-time repartition.
     val e0 = edges.localCheckpoint()
-    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg0 = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    // contract: every node appears as a src, so outdeg IS the node set
-    val n = outdeg.count()
+    // contract: every node appears as a src, so outdeg IS the node set;
+    // one agg row also yields the edge count (Σ deg) for free — it
+    // sizes the iteration substrate's partitioning (see iterParts)
+    val hdr = outdeg0.agg(count(lit(1)), sum(col("deg"))).head()
+    val n = hdr.getLong(0)
+    val mEdges = if (hdr.isNullAt(1)) 0L else hdr.getLong(1)
+    val pN = iterParts(outdeg0, n)
     val big = n > broadcastNodeLimit
-    val e = if (big) e0.repartition(col("src")).localCheckpoint() else e0
+    // small path: compact the already-materialized blocks to the
+    // size-derived partition count (coalesce is a narrow re-read of the
+    // checkpointed blocks, no shuffle) — every round below is a scan +
+    // agg over these, and per-partition task overhead is the dominant
+    // cost of a node-bounded round
+    val e = if (big) e0.repartition(col("src")).localCheckpoint()
+      else e0.coalesce(iterParts(e0, mEdges))
+    val outdeg = if (big) outdeg0 else outdeg0.coalesce(pN)
     var ranks = outdeg.select(col("src").as("node"))
-      .withColumn("rank", round(lit(1.0 / n), 12)).localCheckpoint()
+      .withColumn("rank", round(lit(1.0 / n), 12))
+      .coalesce(pN).localCheckpoint()
     for (_ <- 1 to iters) {
       // The per-node SHARE (rank/deg) is computed node-side before the
       // join — folding deg into the rank table instead of carrying a
@@ -207,7 +242,7 @@ object GraphOps {
         .agg(sum(col("share")).as("s"))
         .select(col("dst").as("node"),
           round(lit(teleport / n) + lit(damping) * col("s"), 12).as("rank"))
-        .localCheckpoint()
+        .coalesce(pN).localCheckpoint()
     }
     ranks
   }
@@ -229,15 +264,22 @@ object GraphOps {
       teleport: Double, iters: Int,
       broadcastNodeLimit: Long = 10000000L): DataFrame = {
     val e0 = edges.localCheckpoint()
-    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg0 = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val n = outdeg.count()
+    // node + edge counts off one agg row; the edge count sizes the
+    // iteration substrate's partitioning (same rule as [[pagerank]])
+    val hdr = outdeg0.agg(count(lit(1)), sum(col("deg"))).head()
+    val n = hdr.getLong(0)
+    val mEdges = if (hdr.isNullAt(1)) 0L else hdr.getLong(1)
+    val pN = iterParts(outdeg0, n)
     val big = n > broadcastNodeLimit
-    val e = if (big) e0.repartition(col("src")).localCheckpoint() else e0
+    val e = if (big) e0.repartition(col("src")).localCheckpoint()
+      else e0.coalesce(iterParts(e0, mEdges))
+    val outdeg = if (big) outdeg0 else outdeg0.coalesce(pN)
     var ranks = outdeg.select(col("src").as("node"))
       .withColumn("rank",
         when(col("node") === seed, 1.0).otherwise(0.0))
-      .localCheckpoint()
+      .coalesce(pN).localCheckpoint()
     for (_ <- 1 to iters) {
       val shares = ranks.join(outdeg, col("node") === col("src"))
         .select(col("node"), (col("rank") / col("deg")).as("share"))
@@ -250,7 +292,7 @@ object GraphOps {
         .select(col("dst").as("node"),
           round(when(col("dst") === seed, lit(teleport)).otherwise(lit(0.0)) +
             lit(damping) * col("s"), 12).as("rank"))
-        .localCheckpoint()
+        .coalesce(pN).localCheckpoint()
     }
     ranks
   }
@@ -279,9 +321,16 @@ object GraphOps {
       .withColumn("label", col("node"))
       .localCheckpoint()
     // free dispatch: the label table's count IS the node count; only
-    // the big path pays the one-time v-partitioned re-layout
-    val big = labels.count() > broadcastNodeLimit
-    val e = if (big) e0.repartition(col("v")).localCheckpoint() else e0
+    // the big path pays the one-time v-partitioned re-layout. The node
+    // count also sizes the iteration substrate's partitioning
+    // (iterParts): a node-bounded round at full shuffle parallelism is
+    // per-partition task overhead, not compute.
+    val n = labels.count()
+    val pN = iterParts(labels, n)
+    val big = n > broadcastNodeLimit
+    val e = if (big) e0.repartition(col("v")).localCheckpoint()
+      else e0.coalesce(pN)
+    if (!big) labels = labels.coalesce(pN)
     for (_ <- 1 to iters) {
       val withNbr =
         if (big) e.join(labels, col("v") === col("node"))
@@ -291,7 +340,7 @@ object GraphOps {
         .groupBy(col("u"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("u").as("node"), col("m.l").as("label"))
-        .localCheckpoint()
+        .coalesce(pN).localCheckpoint()
     }
     labels
   }

@@ -154,7 +154,7 @@ object Relational {
       .withColumn("sv", round(sqrt(col("d")), 10))
     var x = nodes.select(col("v"), col("sv"),
       round((col("v") % 7 - 3).cast("double"), 10).as("x"))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     // Per-iteration scalars (deflation coefficient, norm) are singleton
     // aggregates: collect each with head() and re-inject as a LITERAL —
     // same audited 1-row-collect class as the broadcast build it
@@ -189,14 +189,19 @@ object Relational {
       val zsum = sym
         .join(defl.select(col("v").as("u"), col("z")), Seq("u"))
         .groupBy(col("v")).agg(sum(DetMean.el10(col("z"))).as("zs"))
+      // the iteration state is node-bounded like sym — keep every
+      // checkpoint single-partition too (the zsum groupBy would
+      // otherwise re-expand it to the session's shuffle parallelism,
+      // and each consumer stage pays that task count; every aggregate
+      // here is an exact-decimal sum, so partitioning is semantics-free)
       val y = defl.select(col("v"), col("sv")).join(zsum, Seq("v"))
         .withColumn("y", round(col("zs").cast("double") / col("sv"), 10))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
       val nr = scalar1(y.agg(sum(p20(col("y"), col("y"))).as("yy"))
         .select(round(sqrt(col("yy").cast("double")), 10).as("nr")))
       x = y.select(col("v"), col("sv"),
         round(col("y") / lit(nr), 10).as("x"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
     }
     // Rayleigh quotient: λ ≈ x'Nx via one more (unnormalized) matvec
     val zf = x.withColumn("z", round(col("x") / col("sv"), 10))
@@ -207,7 +212,7 @@ object Relational {
       .agg(round(sum(p20(col("x"), col("y"))).cast("double"), 6)
         .as("lambda2"))
     val signs = x.select(col("v"), (col("x") < 0).as("neg"))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     val cut = e
       .join(signs.select(col("v").as("pa"), col("neg").as("na")), Seq("pa"))
       .join(signs.select(col("v").as("pb"), col("neg").as("nb")), Seq("pb"))
@@ -223,7 +228,7 @@ object Relational {
   /** Modularity audit body, shared by graph_modularity and its stored
     * twin — see the query comment for semantics. */
   private def modularityBody(e0: DataFrame): DataFrame = {
-    val aff = e0.localCheckpoint()
+    val aff = compactIter(e0.localCheckpoint())
     val sym = aff.select(col("pa").as("u"), col("pb").as("v"))
       .union(aff.select(col("pb").as("u"), col("pa").as("v")))
     val labels = GraphOps.labelPropagation(sym, iters = 3).localCheckpoint()
@@ -297,10 +302,22 @@ object Relational {
       .limit(20)
   }
 
+  /** Compact an already-MATERIALIZED iteration substrate to the
+    * size-derived partition count (GraphOps.iterParts): one cheap count
+    * over the in-memory blocks, then a narrow (no-shuffle) coalesce.
+    * Chained stages over a node/catalog-bounded table otherwise run at
+    * the session's full shuffle parallelism, where per-partition task
+    * overhead dominates every round (measured: the stored graph twins
+    * run 2-3× faster on local[4] than local[32] at sf0.1). A genuinely
+    * big substrate keeps its partitioning — iterParts clamps to the
+    * session's shuffle parallelism. */
+  private def compactIter(chk: DataFrame): DataFrame =
+    chk.coalesce(GraphOps.iterParts(chk, chk.count()))
+
   /** HITS body, shared by graph_hits and its stored twin — see the
     * query comment for the exact-integer unrolling argument. */
   private def hitsBody(e0: DataFrame): DataFrame = {
-    val e = e0.localCheckpoint()
+    val e = compactIter(e0.localCheckpoint())
     val a1 = e.groupBy(col("pb").as("v")).agg(count(lit(1)).as("a1"))
     val h1 = e.join(a1, col("pb") === col("v"))
       .groupBy(col("pa").as("u")).agg(sum(col("a1")).as("h1"))
@@ -1222,22 +1239,28 @@ object Relational {
     // cross-check worth having for iterative graph code.
     "graph_bfs" -> { (s, dir) =>
       val aff = affinityEdges(s, dir).localCheckpoint()
-      val sym = aff.select(col("pa").as("u"), col("pb").as("v"))
-        .union(aff.select(col("pb").as("u"), col("pa").as("v")))
-        .localCheckpoint()
+      // compact the symmetrized edge blocks once: every frontier round
+      // below scans them (see compactIter)
+      val sym = compactIter(
+        aff.select(col("pa").as("u"), col("pb").as("v"))
+          .union(aff.select(col("pb").as("u"), col("pa").as("v")))
+          .localCheckpoint())
       val seed = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("u")).limit(1)
         .select(col("u").as("node"))
         .withColumn("dist", lit(0L)).localCheckpoint()
       var visited = seed
       var frontier = seed.select(col("node"))
+      // frontier/visited are node-bounded — keep their checkpoints at
+      // the substrate's compacted partition count, not the session's
+      val pIter = sym.rdd.getNumPartitions
       for (d <- 1 to 3) {
         val next = frontier.join(sym, col("node") === col("u"))
           .select(col("v").as("node")).distinct()
           .join(visited.select(col("node")), Seq("node"), "left_anti")
-          .localCheckpoint()
+          .coalesce(pIter).localCheckpoint()
         visited = visited.union(next.withColumn("dist", lit(d.toLong)))
-          .localCheckpoint()
+          .coalesce(pIter).localCheckpoint()
         frontier = next
       }
       visited.groupBy(col("dist"))
