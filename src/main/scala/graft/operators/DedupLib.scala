@@ -325,6 +325,14 @@ object DedupLib {
     // split per row) and re-ran the whole md5 array once per hash slot
     // (8 array_min passes). Same values, measured ~30× less work per
     // row (stream_bench dedup-gate p50 2174 → ~70 ms/batch at sf0.1).
+    // PERF ASSUMPTION (pinned r18 per the r17 advice): the let-binding
+    // only works while Catalyst does NOT inline or CSE-collapse
+    // element_at(transform(array(x), f), 1) — true on Spark 3.5/4.x,
+    // where no optimizer rule simplifies single-element transforms. A
+    // future rule that does would silently revert the ~30× win
+    // (correctness unaffected — same values either way). If Spark grows
+    // a stable common-expression API (`with` expressions are still
+    // private[sql] in 4.1), migrate this to it and delete the trick.
     def let1(x: Column)(body: Column => Column): Column =
       element_at(transform(array(x), body), 1)
     let1(split(text, " ")) { w =>

@@ -320,16 +320,21 @@ object GraphOps {
     var labels = e0.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    // free dispatch: the label table's count IS the node count; only
-    // the big path pays the one-time v-partitioned re-layout. The node
-    // count also sizes the iteration substrate's partitioning
-    // (iterParts): a node-bounded round at full shuffle parallelism is
-    // per-partition task overhead, not compute.
-    val n = labels.count()
+    // free dispatch: one agg over the checkpointed edge blocks yields
+    // BOTH counts — the node count (distinct u) gates the join plan and
+    // sizes the label-table partitioning, and the EDGE count sizes the
+    // edge side (r17 ADVICE: a dense graph under the broadcast limit —
+    // 1M nodes, hundreds of millions of edges — must not serialize
+    // every round's edge scan onto the node-derived handful of tasks;
+    // same rule as pagerank's iterParts(e0, mEdges)). Only the big path
+    // pays the one-time v-partitioned re-layout.
+    val hdr = e0.agg(count(lit(1)), countDistinct(col("u"))).head()
+    val mEdges = hdr.getLong(0)
+    val n = hdr.getLong(1)
     val pN = iterParts(labels, n)
     val big = n > broadcastNodeLimit
     val e = if (big) e0.repartition(col("v")).localCheckpoint()
-      else e0.coalesce(pN)
+      else e0.coalesce(iterParts(e0, mEdges))
     if (!big) labels = labels.coalesce(pN)
     for (_ <- 1 to iters) {
       val withNbr =

